@@ -1,0 +1,276 @@
+"""Snapshot / manifest metadata model + atomic commit primitives.
+
+Mirrors the reference's metadata chain
+(ref: paimon-api/src/main/java/org/apache/paimon/Snapshot.java:78-196,
+ paimon-core/src/main/java/org/apache/paimon/manifest/ManifestEntry.java:42,
+ paimon-core/src/main/java/org/apache/paimon/io/DataFileMeta.java:61-112):
+
+snapshot/snapshot-<id>.json  -> commit kind, schema id, manifest list, counters
+manifest/manifest-<uuid>.jsonl -> one ADD/DELETE entry per data file with
+                                  partition, bucket, level, row count and
+                                  per-column min/max/null-count stats
+data files                   -> <table>/<hive partition dirs>/[__bucket=N/]*.parquet
+
+Commit atomicity = put-if-absent creation of snapshot-<id> (O_EXCL open),
+same constraint as the reference's rename-based commit
+(ref: paimon-core/.../operation/FileStoreCommitImpl.java:359-397).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import decimal
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterable
+
+from pyspark.sql import types as T
+
+ADD = "ADD"
+DELETE = "DELETE"  # ref: ManifestEntry.java FileKind ADD :91 / DELETE :98
+
+COMMIT_APPEND = "APPEND"
+COMMIT_COMPACT = "COMPACT"
+COMMIT_OVERWRITE = "OVERWRITE"  # ref: Snapshot.java CommitKind :491-506
+
+
+# ---------------- stats (JSON-safe encoding) ----------------
+
+def stat_to_json(v: Any) -> Any:
+    """Encode a parquet-footer min/max value as JSON-safe."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, dt.datetime):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$dec": str(v)}
+    if isinstance(v, bytes):
+        return {"$bin": base64.b64encode(v).decode()}
+    return None  # unknown type: no stats (never skip on it)
+
+
+def stat_from_json(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return dt.datetime.fromisoformat(v["$ts"])
+        if "$date" in v:
+            return dt.date.fromisoformat(v["$date"])
+        if "$dec" in v:
+            return decimal.Decimal(v["$dec"])
+        if "$bin" in v:
+            return base64.b64decode(v["$bin"])
+        return None
+    return v
+
+
+# ---------------- manifest entries ----------------
+
+@dataclass
+class FileEntry:
+    """One data file tracked by a manifest (≈ ManifestEntry + DataFileMeta)."""
+    kind: str                      # ADD | DELETE
+    partition: dict[str, str]      # raw hive-path string values, in partition-key order
+    bucket: int                    # -1 = unaware (append table)
+    level: int                     # LSM level (0 = fresh sorted run)
+    file_path: str                 # relative to table root
+    row_count: int
+    file_size: int
+    min_seq: int
+    max_seq: int
+    schema_id: int
+    stats: dict[str, dict[str, Any]]  # col -> {min,max,nulls} (JSON-decoded values)
+
+    def to_json(self) -> dict:
+        return {
+            "kind": self.kind,
+            "partition": self.partition,
+            "bucket": self.bucket,
+            "level": self.level,
+            "file_path": self.file_path,
+            "row_count": self.row_count,
+            "file_size": self.file_size,
+            "min_seq": self.min_seq,
+            "max_seq": self.max_seq,
+            "schema_id": self.schema_id,
+            "stats": {
+                c: {"min": stat_to_json(s.get("min")), "max": stat_to_json(s.get("max")),
+                    "nulls": s.get("nulls")}
+                for c, s in self.stats.items()
+            },
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(
+            kind=d["kind"], partition=d["partition"], bucket=d["bucket"], level=d["level"],
+            file_path=d["file_path"], row_count=d["row_count"], file_size=d["file_size"],
+            min_seq=d["min_seq"], max_seq=d["max_seq"], schema_id=d.get("schema_id", 0),
+            stats={c: {"min": stat_from_json(s.get("min")), "max": stat_from_json(s.get("max")),
+                       "nulls": s.get("nulls")}
+                   for c, s in d.get("stats", {}).items()},
+        )
+
+    def dedup_key(self) -> tuple:
+        return (tuple(sorted(self.partition.items())), self.bucket, self.file_path)
+
+
+# ---------------- snapshot ----------------
+
+@dataclass
+class Snapshot:
+    id: int
+    schema_id: int
+    commit_kind: str
+    commit_user: str
+    commit_identifier: int
+    timestamp_ms: int
+    manifests: list[str]           # cumulative manifest-file names (ordered)
+    total_record_count: int
+    delta_record_count: int
+    max_sequence: int              # highest _sequence_number committed so far
+    watermark: int | None = None
+    tag: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        d.setdefault("watermark", None)
+        d.setdefault("tag", None)
+        return Snapshot(**d)
+
+
+# ---------------- on-disk layout helpers ----------------
+
+class TablePaths:
+    def __init__(self, table_path: str):
+        self.root = table_path
+
+    @property
+    def schema_dir(self): return os.path.join(self.root, "schema")
+    @property
+    def snapshot_dir(self): return os.path.join(self.root, "snapshot")
+    @property
+    def manifest_dir(self): return os.path.join(self.root, "manifest")
+    @property
+    def tag_dir(self): return os.path.join(self.root, "tag")
+    @property
+    def staging_dir(self): return os.path.join(self.root, ".staging")
+
+    def schema_file(self, sid: int): return os.path.join(self.schema_dir, f"schema-{sid}.json")
+    def snapshot_file(self, sid: int): return os.path.join(self.snapshot_dir, f"snapshot-{sid}.json")
+    def manifest_file(self, name: str): return os.path.join(self.manifest_dir, name)
+    def tag_file(self, name: str): return os.path.join(self.tag_dir, f"tag-{name}.json")
+
+    def ensure(self):
+        for d in (self.schema_dir, self.snapshot_dir, self.manifest_dir, self.tag_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -------- snapshot resolution --------
+
+    def latest_snapshot_id(self) -> int | None:
+        """Resolve latest via LATEST hint, verified against directory listing
+        (hint update is non-atomic; listing is the source of truth)."""
+        hint = os.path.join(self.snapshot_dir, "LATEST")
+        best = None
+        try:
+            with open(hint) as f:
+                best = int(f.read().strip())
+        except (OSError, ValueError):
+            best = None
+        try:
+            ids = [int(n[len("snapshot-"):-len(".json")])
+                   for n in os.listdir(self.snapshot_dir)
+                   if n.startswith("snapshot-") and n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        if not ids:
+            return None
+        top = max(ids)
+        return top if best is None or top > best else best
+
+    def read_snapshot(self, sid: int) -> Snapshot:
+        with open(self.snapshot_file(sid)) as f:
+            return Snapshot.from_json(f.read())
+
+    def latest_snapshot(self) -> Snapshot | None:
+        sid = self.latest_snapshot_id()
+        return self.read_snapshot(sid) if sid is not None else None
+
+    def write_latest_hint(self, sid: int):
+        tmp = os.path.join(self.snapshot_dir, f".LATEST.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, os.path.join(self.snapshot_dir, "LATEST"))
+
+    def try_commit_snapshot(self, snap: Snapshot) -> bool:
+        """Put-if-absent creation of snapshot-<id>.json (atomic on POSIX)."""
+        path = self.snapshot_file(snap.id)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(snap.to_json())
+        self.write_latest_hint(snap.id)
+        return True
+
+    # -------- manifests --------
+
+    def write_manifest(self, entries: Iterable[FileEntry]) -> str:
+        name = f"manifest-{uuid.uuid4().hex}.jsonl"
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = self.manifest_file(name + ".tmp")
+        with open(tmp, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e.to_json(), separators=(",", ":")) + "\n")
+        os.replace(tmp, self.manifest_file(name))
+        return name
+
+    def read_manifest(self, name: str) -> list[FileEntry]:
+        with open(self.manifest_file(name)) as f:
+            return [FileEntry.from_json(json.loads(line)) for line in f if line.strip()]
+
+    def live_entries(self, snap: Snapshot) -> list[FileEntry]:
+        """Replay ADD/DELETE across the snapshot's manifest list → live files."""
+        live: dict[tuple, FileEntry] = {}
+        for m in snap.manifests:
+            for e in self.read_manifest(m):
+                if e.kind == ADD:
+                    live[e.dedup_key()] = e
+                else:
+                    live.pop(e.dedup_key(), None)
+        return list(live.values())
+
+    # -------- tags (ref: Table.java:127 createTag) --------
+
+    def write_tag(self, name: str, snapshot_id: int):
+        os.makedirs(self.tag_dir, exist_ok=True)
+        with open(self.tag_file(name), "w") as f:
+            json.dump({"name": name, "snapshot_id": snapshot_id,
+                       "created_ms": int(time.time() * 1000)}, f)
+
+    def read_tag(self, name: str) -> int:
+        with open(self.tag_file(name)) as f:
+            return json.load(f)["snapshot_id"]
+
+    def list_tags(self) -> dict[str, int]:
+        try:
+            names = os.listdir(self.tag_dir)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for n in names:
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(os.path.join(self.tag_dir, n)) as f:
+                    d = json.load(f)
+                out[d["name"]] = d["snapshot_id"]
+        return out

@@ -1,0 +1,208 @@
+"""Merge engines: LSM merge-on-read expressed as Catalyst aggregations.
+
+Re-creates the reference's merge functions as declarative DataFrame ops
+(ref: paimon-core/src/main/java/org/apache/paimon/mergetree/compact/
+ DeduplicateMergeFunction.java:32,48-58, FirstRowMergeFunction.java:32,
+ PartialUpdateMergeFunction.java:65,81-102,234-270,
+ aggregate/AggregateMergeFunction.java:49 + factory/*.java).
+
+Instead of a per-bucket K-way sort-merge (SortMergeReaderWithLoserTree),
+we use `groupBy(pk).agg(max_by(...))`: Spark's partial aggregation does
+map-side combining before the shuffle, so the shuffle volume is one row
+per key per map task — strictly better than shipping every version of
+every key, and it parallelizes across the whole cluster instead of one
+thread per bucket.
+
+Ordering: rows are merged by (sequence.field..., _sequence_number) —
+user sequence field wins, commit sequence breaks ties
+(ref: CoreOptions.java:1115 sequence.field).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from paimon_spark.schema import KIND_COL, SEQ_COL, TableSchema
+
+ADD_KINDS = ("+I", "+U")
+RETRACT_KINDS = ("-U", "-D")
+
+
+def order_struct(schema: TableSchema, extra: list[str] | None = None) -> Column:
+    cols = (extra or schema.sequence_field) + [SEQ_COL]
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def _value_cols(schema: TableSchema, df: DataFrame) -> list[str]:
+    pks = set(schema.primary_keys)
+    return [c for c in df.columns
+            if c not in pks and c not in (SEQ_COL, KIND_COL, "__bucket")]
+
+
+def _drop_before_delete(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Exact delete semantics for partial-update / aggregation engines with
+    remove-record-on-delete: a -D row resets the key — only rows strictly
+    after the latest -D contribute. (ref: CoreOptions.java:1156-1164)"""
+    pks = schema.primary_keys
+    d_seq = (df.filter(F.col(KIND_COL) == "-D")
+               .groupBy(*pks).agg(F.max(SEQ_COL).alias("__d_seq")))
+    return (df.join(d_seq, pks, "left")
+              .filter(F.col("__d_seq").isNull() | (F.col(SEQ_COL) > F.col("__d_seq")))
+              .drop("__d_seq"))
+
+
+def merge_deduplicate(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Keep the row with the highest (sequence.field, _sequence_number) per
+    PK; drop it if that row is a retraction.
+    (ref: DeduplicateMergeFunction.java:48-58 + DropDeleteReader,
+     MergeFileSplitRead.java:482)"""
+    pks = schema.primary_keys
+    vals = _value_cols(schema, df)
+    top = F.max_by(F.struct(*[F.col(c) for c in vals + [KIND_COL]]),
+                   order_struct(schema)).alias("__top")
+    out = df.groupBy(*pks).agg(top)
+    out = out.select(*pks, *[F.col(f"__top.{c}").alias(c) for c in vals],
+                     F.col(f"__top.{KIND_COL}").alias(KIND_COL))
+    return out.filter(~F.col(KIND_COL).isin(*RETRACT_KINDS)).drop(KIND_COL)
+
+
+def merge_first_row(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Keep the first row per PK (insert-only semantics).
+    (ref: FirstRowMergeFunction.java:32)"""
+    pks = schema.primary_keys
+    vals = _value_cols(schema, df)
+    src = df.filter(F.col(KIND_COL).isin(*ADD_KINDS))
+    top = F.min_by(F.struct(*[F.col(c) for c in vals]), order_struct(schema)).alias("__top")
+    out = src.groupBy(*pks).agg(top)
+    return out.select(*pks, *[F.col(f"__top.{c}").alias(c) for c in vals])
+
+
+def merge_partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Per-PK last non-null value per column; sequence-groups give
+    per-column-group ordering. (ref: PartialUpdateMergeFunction.java:65,81-102)
+
+    Column c in sequence group g: merged value = arg-max of c over rows where
+    c (or the whole group's seq) is non-null, ordered by (g, _sequence_number).
+    Columns without a group use the table-level sequence order.
+    """
+    pks = schema.primary_keys
+    vals = _value_cols(schema, df)
+    groups = schema.sequence_groups()           # {seq_col: [cols]}
+    col_group = {c: g for g, cols in groups.items() for c in cols}
+
+    if schema.options.get("partial-update.remove-record-on-delete", "false") == "true":
+        df = _drop_before_delete(df, schema)
+    df = df.filter(~F.col(KIND_COL).isin(*RETRACT_KINDS))
+
+    aggs = []
+    for c in vals:
+        g = col_group.get(c)
+        if g is not None:
+            order = F.struct(F.col(g), F.col(SEQ_COL))
+            cond = F.when(F.col(g).isNotNull() & F.col(c).isNotNull(), order)
+        else:
+            order = order_struct(schema)
+            cond = F.when(F.col(c).isNotNull(), order)
+        if c in groups:  # c is itself a sequence-group column: plain max
+            aggs.append(F.max(F.col(c)).alias(c))
+        else:
+            aggs.append(F.max_by(F.col(c), cond).alias(c))
+    return df.groupBy(*pks).agg(*aggs)
+
+
+def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
+    """One merged column for the aggregation engine.
+    (ref: mergetree/compact/aggregate/factory/Field*AggFactory.java NAME consts)"""
+    col = F.col(c)
+    if fname == "sum":
+        return F.sum(col).alias(c)
+    if fname == "product":
+        return F.product(col).alias(c)
+    if fname == "max":
+        return F.max(col).alias(c)
+    if fname == "min":
+        return F.min(col).alias(c)
+    if fname == "last_value":
+        return F.max_by(col, order).alias(c)
+    if fname in ("last_non_null_value", "last_not_null_value"):
+        return F.max_by(col, F.when(col.isNotNull(), order)).alias(c)
+    if fname == "first_value":
+        return F.min_by(col, order).alias(c)
+    if fname in ("first_non_null_value", "first_not_null_value"):
+        return F.min_by(col, F.when(col.isNotNull(), order)).alias(c)
+    if fname == "listagg":
+        # deterministic: order elements by sequence before joining
+        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        return F.array_join(F.transform(lst, lambda x: x["v"]), ",").alias(c)
+    if fname == "collect":
+        return F.array_sort(F.collect_set(col)).alias(c)
+    if fname == "collect_list":
+        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        return F.transform(lst, lambda x: x["v"]).alias(c)
+    if fname == "merge_map":
+        # later maps win per key (requires mapKeyDedupPolicy=LAST_WIN)
+        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        return F.map_from_entries(
+            F.flatten(F.transform(lst, lambda x: F.map_entries(x["v"])))).alias(c)
+    if fname == "bool_and":
+        return F.bool_and(col).alias(c)
+    if fname == "bool_or":
+        return F.bool_or(col).alias(c)
+    if fname in ("rbm32", "rbm64"):
+        # roaring-bitmap union ≈ distinct int set (semantic equivalent)
+        return F.array_sort(F.collect_set(col)).alias(c)
+    if fname == "count":
+        return F.count(col).alias(c)
+    raise ValueError(f"unsupported aggregate-function: {fname}")
+
+
+def merge_aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Per-PK per-field aggregation (ref: AggregateMergeFunction.java:49;
+    FieldAggregator dispatch). Retraction: `sum` subtracts on -U/-D
+    (ref: FieldSumAgg.retract); other fields ignore retract rows
+    (ref: FieldIgnoreRetractAgg.java)."""
+    pks = schema.primary_keys
+    vals = _value_cols(schema, df)
+    fns = schema.field_agg_functions()
+    default_fn = schema.options.get("fields.default-aggregate-function",
+                                    "last_non_null_value")
+    if schema.options.get("aggregation.remove-record-on-delete", "false") == "true":
+        df = _drop_before_delete(df, schema)
+
+    order = order_struct(schema)
+    is_add = F.col(KIND_COL).isin(*ADD_KINDS)
+    aggs = []
+    for c in vals:
+        fname = fns.get(c, default_fn)
+        if fname == "sum":
+            # retractable: -U/-D subtract (ref: FieldSumAgg.retract)
+            signed = F.when(is_add, F.col(c)).otherwise(-F.col(c))
+            aggs.append(F.sum(signed).alias(c))
+        elif fname == "count":
+            signed = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                F.when(is_add, F.lit(1)).otherwise(F.lit(-1)))
+            aggs.append(F.sum(signed).alias(c))
+        else:
+            # ignore-retract: only +I/+U rows contribute
+            df = df.withColumn(f"__v_{c}", F.when(is_add, F.col(c)))
+            aggs.append(_field_agg(fname, f"__v_{c}", order, order).alias(c))
+    out = df.groupBy(*pks).agg(*aggs)
+    return out
+
+
+MERGE_FUNCTIONS = {
+    "deduplicate": merge_deduplicate,
+    "first-row": merge_first_row,
+    "partial-update": merge_partial_update,
+    "aggregation": merge_aggregation,
+}
+
+
+def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:
+    fn = MERGE_FUNCTIONS.get(schema.merge_engine)
+    if fn is None:
+        raise ValueError(f"unknown merge-engine {schema.merge_engine}")
+    out = fn(df, schema)
+    # restore logical column order
+    cols = [c for c in schema.field_names if c in out.columns]
+    return out.select(*cols)

@@ -1,0 +1,225 @@
+"""Predicate AST for scan planning: partition pruning + per-file stats skipping.
+
+Mirrors the reference's predicate layer
+(ref: paimon-common/src/main/java/org/apache/paimon/predicate/ — one leaf
+class per op, PredicateBuilder.java; stats test = each leaf's
+test(rowCount, minValues, maxValues, nullCounts)).
+
+A Predicate serves three roles here:
+1. `to_spark()`   — residual filter Column (Catalyst pushes it into parquet
+                    row-group pruning too, so nothing is lost by also
+                    filtering post-scan).
+2. `test_partition(values)` — can a partition possibly match? (exact values)
+3. `test_stats(row_count, stats)` — can a file possibly contain a match,
+                    judged from per-column min/max/null-count.
+
+All tests are *may-match* (three-valued: unknown ⇒ keep the file).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _cmp_ok(a, b) -> bool:
+    """Whether a/b are comparable (avoid str<int TypeErrors → unknown)."""
+    try:
+        a < b  # noqa: B015
+        return True
+    except TypeError:
+        return False
+
+
+class Predicate:
+    def __and__(self, other: "Predicate") -> "Predicate":
+        return And([self, other])
+
+    def __or__(self, other: "Predicate") -> "Predicate":
+        return Or([self, other])
+
+    # --- interface ---
+    def to_spark(self) -> Column: ...
+    def refs(self) -> set[str]: ...
+    def test_partition(self, values: dict[str, Any]) -> bool: ...
+    def test_stats(self, row_count: int, stats: dict[str, dict]) -> bool: ...
+
+    def partition_only(self, partition_keys: Sequence[str]) -> bool:
+        return self.refs() <= set(partition_keys)
+
+
+@dataclass
+class Leaf(Predicate):
+    op: str
+    field: str
+    literal: Any = None
+
+    def refs(self) -> set[str]:
+        return {self.field}
+
+    def to_spark(self) -> Column:
+        c = F.col(self.field)
+        v = self.literal
+        return {
+            "eq": lambda: c == F.lit(v),
+            "ne": lambda: c != F.lit(v),
+            "lt": lambda: c < F.lit(v),
+            "le": lambda: c <= F.lit(v),
+            "gt": lambda: c > F.lit(v),
+            "ge": lambda: c >= F.lit(v),
+            "in": lambda: c.isin(list(v)),
+            "not_in": lambda: ~c.isin(list(v)),
+            "is_null": lambda: c.isNull(),
+            "not_null": lambda: c.isNotNull(),
+            "starts_with": lambda: c.startswith(v),
+            "ends_with": lambda: c.endswith(v),
+            "contains": lambda: c.contains(v),
+            "between": lambda: c.between(F.lit(v[0]), F.lit(v[1])),
+        }[self.op]()
+
+    # --- partition exact-value test (ref: predicate/PartitionPredicateVisitor.java) ---
+    def test_partition(self, values: dict[str, Any]) -> bool:
+        if self.field not in values:
+            return True
+        x, v = values[self.field], self.literal
+        if x is None:
+            return self.op == "is_null"
+        try:
+            return {
+                "eq": lambda: x == v, "ne": lambda: x != v,
+                "lt": lambda: x < v, "le": lambda: x <= v,
+                "gt": lambda: x > v, "ge": lambda: x >= v,
+                "in": lambda: x in v, "not_in": lambda: x not in v,
+                "is_null": lambda: False, "not_null": lambda: True,
+                "starts_with": lambda: isinstance(x, str) and x.startswith(v),
+                "ends_with": lambda: isinstance(x, str) and x.endswith(v),
+                "contains": lambda: isinstance(x, str) and v in x,
+                "between": lambda: v[0] <= x <= v[1],
+            }[self.op]()
+        except TypeError:
+            return True
+
+    # --- file stats may-match test (ref: predicate leaf test(min,max,nullCount)) ---
+    def test_stats(self, row_count: int, stats: dict[str, dict]) -> bool:
+        s = stats.get(self.field)
+        if s is None:
+            return True
+        mn, mx, nulls = s.get("min"), s.get("max"), s.get("nulls")
+        all_null = nulls is not None and row_count and nulls >= row_count
+        if self.op == "is_null":
+            return nulls is None or nulls > 0
+        if self.op == "not_null":
+            return not all_null
+        if all_null:
+            return False
+        v = self.literal
+        if mn is None or mx is None:
+            # no min/max stats; only null-based pruning possible
+            return True
+        if self.op in ("eq", "lt", "le", "gt", "ge", "between", "in") and not _cmp_ok(mn, v if self.op != "in" else next(iter(v), None)):
+            return True
+        try:
+            if self.op == "eq":
+                return mn <= v <= mx
+            if self.op == "lt":
+                return mn < v
+            if self.op == "le":
+                return mn <= v
+            if self.op == "gt":
+                return mx > v
+            if self.op == "ge":
+                return mx >= v
+            if self.op == "in":
+                return any(mn <= x <= mx for x in v)
+            if self.op == "between":
+                lo, hi = v
+                return not (mx < lo or mn > hi)
+            if self.op == "starts_with" and isinstance(mn, str) and isinstance(mx, str):
+                # file may contain strings with prefix v iff range overlaps [v, v+∞)
+                return mx >= v and mn[: len(v)] <= v
+        except TypeError:
+            return True
+        # ne / not_in / ends_with / contains: min==max exact-file shortcut
+        if self.op == "ne":
+            return not (mn == mx == v)
+        if self.op == "not_in":
+            return not (mn == mx and mn in v)
+        return True
+
+
+@dataclass
+class And(Predicate):
+    children: list[Predicate]
+
+    def refs(self): return set().union(*(c.refs() for c in self.children))
+
+    def to_spark(self):
+        col = self.children[0].to_spark()
+        for c in self.children[1:]:
+            col = col & c.to_spark()
+        return col
+
+    def test_partition(self, values): return all(c.test_partition(values) for c in self.children)
+    def test_stats(self, rc, stats): return all(c.test_stats(rc, stats) for c in self.children)
+
+    def partition_pruning_part(self, partition_keys: Sequence[str]) -> "Predicate | None":
+        """Conjuncts referencing only partition keys (safe to prune with)."""
+        parts = [c for c in self.children if c.refs() <= set(partition_keys)]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else And(parts)
+
+
+@dataclass
+class Or(Predicate):
+    children: list[Predicate]
+
+    def refs(self): return set().union(*(c.refs() for c in self.children))
+
+    def to_spark(self):
+        col = self.children[0].to_spark()
+        for c in self.children[1:]:
+            col = col | c.to_spark()
+        return col
+
+    def test_partition(self, values): return any(c.test_partition(values) for c in self.children)
+    def test_stats(self, rc, stats): return any(c.test_stats(rc, stats) for c in self.children)
+
+
+class P:
+    """Predicate builders (≈ PredicateBuilder.java:626)."""
+    @staticmethod
+    def eq(f, v): return Leaf("eq", f, v)
+    @staticmethod
+    def ne(f, v): return Leaf("ne", f, v)
+    @staticmethod
+    def lt(f, v): return Leaf("lt", f, v)
+    @staticmethod
+    def le(f, v): return Leaf("le", f, v)
+    @staticmethod
+    def gt(f, v): return Leaf("gt", f, v)
+    @staticmethod
+    def ge(f, v): return Leaf("ge", f, v)
+    @staticmethod
+    def isin(f, vs): return Leaf("in", f, list(vs))
+    @staticmethod
+    def not_in(f, vs): return Leaf("not_in", f, list(vs))
+    @staticmethod
+    def is_null(f): return Leaf("is_null", f)
+    @staticmethod
+    def not_null(f): return Leaf("not_null", f)
+    @staticmethod
+    def starts_with(f, v): return Leaf("starts_with", f, v)
+    @staticmethod
+    def ends_with(f, v): return Leaf("ends_with", f, v)
+    @staticmethod
+    def contains(f, v): return Leaf("contains", f, v)
+    @staticmethod
+    def between(f, lo, hi): return Leaf("between", f, (lo, hi))
+    @staticmethod
+    def and_(*ps): return And(list(ps))
+    @staticmethod
+    def or_(*ps): return Or(list(ps))

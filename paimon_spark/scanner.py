@@ -1,0 +1,200 @@
+"""Scan planning: snapshot resolution → manifest replay → pruning → splits.
+
+Mirrors the reference's scan pipeline
+(ref: paimon-core/.../table/source/snapshot/SnapshotReaderImpl.java:406-417,
+ paimon-core/.../operation/AbstractFileStoreScan.java):
+resolve snapshot (time travel / tag) → live file entries → partition
+pruning → bucket pruning (point lookups) → per-file stats skipping →
+group into raw vs merge-required splits.
+
+All pruning is driver-side metadata work on O(#files) entries; the data
+read that follows is a single declarative `spark.read.parquet(files)` that
+Catalyst further prunes (row groups, pages) with the same predicate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from paimon_spark.metadata import FileEntry, Snapshot, TablePaths
+from paimon_spark.predicates import And, Leaf, Predicate
+from paimon_spark.schema import BUCKET_COL, TableSchema
+
+if TYPE_CHECKING:
+    from paimon_spark.table import Table
+
+
+def cast_partition_value(raw: str | None, dtype: T.DataType) -> Any:
+    """Hive-path string → typed python value for pruning."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    return raw
+
+
+@dataclass
+class ScanPlan:
+    snapshot: Snapshot | None
+    entries: list[FileEntry]           # surviving ADD entries
+    raw_groups: list[list[FileEntry]]  # groups readable without merge
+    merge_groups: list[list[FileEntry]]  # (partition,bucket) groups needing merge
+    files_skipped: int = 0
+
+    @property
+    def files(self) -> list[FileEntry]:
+        return self.entries
+
+    def row_count_upper_bound(self) -> int:
+        return sum(e.row_count for e in self.entries)
+
+
+class Scanner:
+    def __init__(self, table: "Table"):
+        self.table = table
+        self.paths: TablePaths = table.paths
+        self.schema: TableSchema = table.schema
+
+    # ---------------- snapshot resolution (time travel) ----------------
+    # ref: SparkCatalog.java:315,333 (VERSION/TIMESTAMP AS OF),
+    #      CoreOptions scan.snapshot-id :1227 / scan.tag-name :1234
+
+    def resolve_snapshot(self, snapshot_id: int | None = None, tag: str | None = None,
+                         as_of_timestamp_ms: int | None = None) -> Snapshot | None:
+        if tag is not None:
+            snapshot_id = self.paths.read_tag(tag)
+        if snapshot_id is not None:
+            return self.paths.read_snapshot(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            latest = self.paths.latest_snapshot_id()
+            if latest is None:
+                return None
+            best = None
+            for sid in range(1, latest + 1):
+                try:
+                    s = self.paths.read_snapshot(sid)
+                except FileNotFoundError:
+                    continue  # expired
+                if s.timestamp_ms <= as_of_timestamp_ms:
+                    best = s
+            return best
+        return self.paths.latest_snapshot()
+
+    # ---------------- planning ----------------
+
+    def plan(self, predicate: Predicate | None = None,
+             snapshot_id: int | None = None, tag: str | None = None,
+             as_of_timestamp_ms: int | None = None,
+             limit: int | None = None) -> ScanPlan:
+        snap = self.resolve_snapshot(snapshot_id, tag, as_of_timestamp_ms)
+        if snap is None:
+            return ScanPlan(None, [], [], [])
+        entries = self.paths.live_entries(snap)
+        total = len(entries)
+
+        if predicate is not None:
+            entries = [e for e in entries if self._may_match(e, predicate)]
+
+        entries = self._prune_buckets(entries, predicate)
+
+        if self.schema.is_pk_table:
+            groups: dict[tuple, list[FileEntry]] = {}
+            for e in entries:
+                groups.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+            raw_groups, merge_groups = [], []
+            for g in groups.values():
+                # rawConvertible: single file per bucket, or non-overlapping
+                # sequence ranges after compaction (all same max level here).
+                if len(g) == 1:
+                    raw_groups.append(g)
+                else:
+                    merge_groups.append(g)
+        else:
+            raw_groups, merge_groups = [entries], []
+            # limit pushdown: stop listing once row bound reached
+            # (ref: ReadBuilder.withLimit ReadBuilder.java:136)
+            if limit is not None:
+                acc, picked = 0, []
+                for e in entries:
+                    picked.append(e)
+                    acc += e.row_count
+                    if acc >= limit and predicate is None:
+                        break
+                entries, raw_groups = picked, [picked]
+
+        return ScanPlan(snap, entries, raw_groups, merge_groups,
+                        files_skipped=total - len(entries))
+
+    def _may_match(self, e: FileEntry, pred: Predicate) -> bool:
+        part_values = {
+            k: cast_partition_value(e.partition.get(k), self.schema.data_type(k))
+            for k in self.schema.partition_keys
+        }
+        if not pred.test_partition(part_values):
+            return False
+        return pred.test_stats(e.row_count, e.stats)
+
+    def _prune_buckets(self, entries: list[FileEntry], pred: Predicate | None) -> list[FileEntry]:
+        """Point-lookup optimization: equality on ALL bucket keys pins one
+        bucket → prune the rest. (ref: bucket filter push in
+        AbstractFileStoreScan / LocalTableQuery.java:226-262 semantics)"""
+        n = self.schema.num_buckets
+        keys = self.schema.bucket_keys
+        if n <= 0 or not keys or pred is None:
+            return entries
+        eqs: dict[str, Any] = {}
+        def walk(p: Predicate):
+            if isinstance(p, Leaf) and p.op == "eq":
+                eqs[p.field] = p.literal
+            elif isinstance(p, And):
+                for c in p.children:
+                    walk(c)
+        walk(pred)
+        if not all(k in eqs for k in keys):
+            return entries
+        spark = self.table.spark
+        if spark is None:
+            return entries
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(*[F.lit(eqs[k]).cast(self.schema.data_type(k)) for k in keys]),
+                   F.lit(n)).cast("int").alias("b")).collect()
+        target = row[0]["b"]
+        return [e for e in entries if e.bucket in (target, -1)]
+
+    # ---------------- metadata-only aggregates ----------------
+    # ref: paimon-spark/.../aggregate/AggregatePushDownUtils.scala:50-108 —
+    # only safe when no delete rows / DVs exist (we require append table
+    # or fully-compacted single-run PK buckets with no -D rows).
+
+    def metadata_count(self, predicate: Predicate | None = None) -> int | None:
+        if self.schema.is_pk_table:
+            return None
+        plan = self.plan()
+        if predicate is not None:
+            # only exact if predicate is partition-only (file sets align)
+            if not predicate.partition_only(self.schema.partition_keys):
+                return None
+            plan_entries = [e for e in plan.entries if self._may_match(e, predicate)]
+            return sum(e.row_count for e in plan_entries)
+        return sum(e.row_count for e in plan.entries)
+
+    def metadata_min_max(self, col: str) -> tuple[Any, Any] | None:
+        if self.schema.is_pk_table:
+            return None
+        plan = self.plan()
+        mns = [e.stats.get(col, {}).get("min") for e in plan.entries]
+        mxs = [e.stats.get(col, {}).get("max") for e in plan.entries]
+        if not plan.entries or any(v is None for v in mns) or any(v is None for v in mxs):
+            return None
+        return min(mns), max(mxs)

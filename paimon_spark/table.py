@@ -1,0 +1,522 @@
+"""Table facade: create / read / write / row-level ops / maintenance.
+
+≈ the reference's Table interface
+(ref: paimon-core/src/main/java/org/apache/paimon/table/Table.java:54 —
+newReadBuilder:247, newBatchWriteBuilder:250, rollbackTo:123, createTag:127)
+plus the Spark-side row-level commands
+(ref: paimon-spark/.../commands/DeleteFromPaimonTableCommand.scala:36,
+ UpdatePaimonTableCommand.scala:37, MergeIntoPaimonTable.scala:47).
+
+Read flow (ref: SURVEY §3.1): resolve snapshot → prune manifests →
+`spark.read.parquet(surviving files)` → merge-on-read for PK buckets with
+>1 sorted run (rawConvertible buckets skip the merge entirely) → residual
+filter → projection. Everything row-level runs in Catalyst.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from paimon_spark.metadata import (
+    ADD, COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE, DELETE,
+    FileEntry, Snapshot, TablePaths,
+)
+from paimon_spark.operators.merge import apply_merge
+from paimon_spark.predicates import And, Predicate
+from paimon_spark.scanner import Scanner, ScanPlan
+from paimon_spark.schema import BUCKET_COL, KIND_COL, SEQ_COL, TableSchema
+from paimon_spark.writer import BatchWriter
+
+COMPACTED_LEVEL = 5
+
+
+class Table:
+    def __init__(self, path: str, schema: TableSchema, spark: SparkSession | None = None):
+        self.path = path
+        self.schema = schema
+        self.paths = TablePaths(path)
+        self.spark = spark
+
+    # ---------------- lifecycle ----------------
+
+    @staticmethod
+    def create(path: str, struct: T.StructType,
+               partition_keys: list[str] | None = None,
+               primary_keys: list[str] | None = None,
+               options: dict[str, str] | None = None,
+               spark: SparkSession | None = None) -> "Table":
+        schema = TableSchema.create(struct, partition_keys, primary_keys, options)
+        paths = TablePaths(path)
+        if os.path.exists(paths.schema_file(0)):
+            raise FileExistsError(f"table exists at {path}")
+        paths.ensure()
+        with open(paths.schema_file(0), "w") as f:
+            f.write(schema.to_json())
+        return Table(path, schema, spark)
+
+    @staticmethod
+    def load(path: str, spark: SparkSession | None = None) -> "Table":
+        paths = TablePaths(path)
+        sids = [int(n[len("schema-"):-len(".json")])
+                for n in os.listdir(paths.schema_dir)
+                if n.startswith("schema-") and n.endswith(".json")]
+        with open(paths.schema_file(max(sids))) as f:
+            schema = TableSchema.from_json(f.read())
+        return Table(path, schema, spark)
+
+    def _save_schema(self, schema: TableSchema):
+        with open(self.paths.schema_file(schema.schema_id), "w") as f:
+            f.write(schema.to_json())
+        self.schema = schema
+
+    def alter(self, change_fn) -> "Table":
+        """Apply a SchemaChange: table.alter(lambda s: s.add_column('c', ...))"""
+        self._save_schema(change_fn(self.schema))
+        return self
+
+    def with_spark(self, spark: SparkSession) -> "Table":
+        self.spark = spark
+        return self
+
+    # ---------------- scan/read ----------------
+
+    def new_scan(self) -> Scanner:
+        return Scanner(self)
+
+    def _empty_df(self, with_hidden: bool = False) -> DataFrame:
+        fields = list(self.schema.struct.fields)
+        if with_hidden:
+            fields += [T.StructField(SEQ_COL, T.LongType()),
+                       T.StructField(KIND_COL, T.StringType())]
+        return self.spark.createDataFrame([], T.StructType(fields))
+
+    def _read_struct_with_partitions(self) -> T.StructType:
+        """File schema + typed partition cols (+ bucket dir col) so Spark
+        casts hive-path values to the table's declared types."""
+        fields = list(self.schema.spark_read_struct().fields)
+        for k in self.schema.partition_keys:
+            fields.append(T.StructField(k, self.schema.data_type(k), True))
+        if self.schema.is_pk_table and self.schema.num_buckets > 0:
+            fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def _read_files(self, entries: list[FileEntry],
+                    for_schema_id: int | None = None) -> DataFrame:
+        paths = [os.path.join(self.path, e.file_path) for e in entries]
+        reader = (self.spark.read
+                  .schema(self._read_struct_with_partitions())
+                  .option("basePath", self.path))
+        return reader.parquet(*paths)
+
+    def read(self, predicate: Predicate | None = None,
+             projection: list[str] | None = None,
+             snapshot_id: int | None = None, tag: str | None = None,
+             as_of_timestamp_ms: int | None = None,
+             limit: int | None = None,
+             with_hidden: bool = False) -> DataFrame:
+        """Batch read → DataFrame of logical columns."""
+        scan = self.new_scan()
+        plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit)
+        if not plan.entries:
+            df = self._empty_df(with_hidden and self.schema.is_pk_table)
+        else:
+            df = self._assemble(plan, predicate, with_hidden)
+        if predicate is not None:
+            df = df.filter(predicate.to_spark())
+        if projection is not None:
+            df = df.select(*projection)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def _assemble(self, plan: ScanPlan, predicate: Predicate | None,
+                  with_hidden: bool) -> DataFrame:
+        schema = self.schema
+        logical = schema.field_names
+        hidden = [SEQ_COL, KIND_COL] if (with_hidden and schema.is_pk_table) else []
+
+        if not schema.is_pk_table:
+            df = self._read_files(plan.entries)
+            return df.select(*logical)
+
+        parts: list[DataFrame] = []
+        raw_entries = [e for g in plan.raw_groups for e in g]
+        merge_entries = [e for g in plan.merge_groups for e in g]
+
+        if raw_entries:
+            raw = self._read_files(raw_entries)
+            if not with_hidden:
+                # single sorted run: merge is identity except retract rows
+                raw = raw.filter(~F.col(KIND_COL).isin("-D", "-U"))
+            parts.append(raw.select(*logical, *hidden))
+        if merge_entries:
+            m = self._read_files(merge_entries)
+            # safe pre-merge pushdown: conjuncts on pk/partition cols only
+            if predicate is not None:
+                safe_cols = set(schema.primary_keys) | set(schema.partition_keys)
+                pre = self._partition_safe_conjuncts(predicate, safe_cols)
+                if pre is not None:
+                    m = m.filter(pre.to_spark())
+            if with_hidden:
+                parts.append(m.select(*logical, *hidden))
+            else:
+                merged = apply_merge(m, schema)
+                parts.append(merged.select(*logical))
+        if not parts:
+            return self._empty_df(bool(hidden))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    @staticmethod
+    def _partition_safe_conjuncts(pred: Predicate, safe: set[str]) -> Predicate | None:
+        if isinstance(pred, And):
+            keep = [c for c in pred.children if c.refs() <= safe]
+            if not keep:
+                return None
+            return keep[0] if len(keep) == 1 else And(keep)
+        return pred if pred.refs() <= safe else None
+
+    def to_df(self) -> DataFrame:
+        return self.read()
+
+    # ---------------- write ----------------
+
+    def writer(self) -> BatchWriter:
+        return BatchWriter(self)
+
+    def append(self, df: DataFrame) -> Snapshot:
+        return self.writer().append(df)
+
+    def overwrite(self, df: DataFrame, dynamic: bool = True) -> Snapshot:
+        return self.writer().overwrite(df, dynamic)
+
+    def truncate(self) -> Snapshot:
+        w = self.writer()
+        latest = self.paths.latest_snapshot()
+        deletes = []
+        if latest is not None:
+            deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                       for e in self.paths.live_entries(latest)]
+        return w.commit(deletes, COMMIT_OVERWRITE)
+
+    # ---------------- row-level ops ----------------
+
+    def delete_where(self, predicate: Predicate) -> Snapshot:
+        """DELETE FROM t WHERE …
+        (ref: DeleteFromPaimonTableCommand.scala:36 + metadata-only rule in
+         OptimizeMetadataOnlyDeleteFromPaimonTable.scala)"""
+        w = self.writer()
+        if self.schema.is_pk_table:
+            victims = self.read(predicate, projection=self.schema.field_names)
+            victims = victims.withColumn(KIND_COL, F.lit("-D"))
+            return w.commit(w.stage(victims), COMMIT_APPEND)
+        latest = self.paths.latest_snapshot()
+        if latest is None:
+            raise RuntimeError("empty table")
+        if predicate.partition_only(self.schema.partition_keys):
+            # metadata-only: drop whole files whose partition matches
+            scan = self.new_scan()
+            deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                       for e in self.paths.live_entries(latest)
+                       if scan._may_match(e, predicate)]
+            return w.commit(deletes, COMMIT_OVERWRITE)
+        # copy-on-write: rewrite touched files without matching rows
+        scan = self.new_scan()
+        plan = scan.plan(predicate)
+        touched = plan.entries
+        if not touched:
+            return latest
+        df = self._read_files(touched).filter(~predicate.to_spark())
+        df = df.select(*[c for c in self.schema.field_names])
+        adds = w.stage(df)
+        deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
+        return w.commit(adds + deletes, COMMIT_OVERWRITE)
+
+    def update_where(self, predicate: Predicate | None,
+                     assignments: dict[str, Any]) -> Snapshot:
+        """UPDATE t SET … WHERE … (ref: UpdatePaimonTableCommand.scala:37)"""
+        from pyspark.sql import Column
+
+        w = self.writer()
+        set_exprs = {c: (v if isinstance(v, Column) else F.lit(v))
+                     for c, v in assignments.items()}
+        if self.schema.is_pk_table:
+            cur = self.read(predicate)
+            for c, e in set_exprs.items():
+                cur = cur.withColumn(c, e)
+            cur = cur.withColumn(KIND_COL, F.lit("+U"))
+            return w.commit(w.stage(cur), COMMIT_APPEND)
+        scan = self.new_scan()
+        plan = scan.plan(predicate)
+        touched = plan.entries
+        if not touched:
+            return self.paths.latest_snapshot()
+        df = self._read_files(touched)
+        cond = predicate.to_spark() if predicate is not None else F.lit(True)
+        for c, e in set_exprs.items():
+            df = df.withColumn(c, F.when(cond, e).otherwise(F.col(c)))
+        df = df.select(*self.schema.field_names)
+        adds = w.stage(df)
+        deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
+        return w.commit(adds + deletes, COMMIT_OVERWRITE)
+
+    def merge_into(self, source: DataFrame, on: list[str],
+                   matched_update: dict[str, Any] | str | None = None,
+                   matched_delete: bool = False,
+                   not_matched_insert: bool = True) -> Snapshot:
+        """MERGE INTO target USING source ON target.k = source.k …
+        (ref: MergeIntoPaimonTable.scala:47). PK tables emit +U/-D/+I rows
+        (merge-on-read); append tables rewrite touched files (COW)."""
+        if not self.schema.is_pk_table:
+            raise NotImplementedError("MERGE INTO currently requires a PK table")
+        from pyspark.sql import Column
+
+        w = self.writer()
+        tcols = self.schema.field_names
+        target = self.read().withColumn("__t_exists", F.lit(True))
+        joined = source.alias("s").join(target.alias("t"), on, "left")
+        exists = F.col("__t_exists") == F.lit(True)
+
+        def _val(v, default_col):
+            if isinstance(v, Column):
+                return v
+            if isinstance(v, str) and (v.startswith("s.") or v.startswith("t.")):
+                return F.col(v)
+            return F.lit(v) if v is not None else default_col
+
+        out_rows = []
+        if matched_delete:
+            dels = (joined.filter(exists)
+                    .select(*[(F.col(c) if c in on else F.col(f"t.{c}")).alias(c)
+                              for c in tcols])
+                    .withColumn(KIND_COL, F.lit("-D")))
+            out_rows.append(dels)
+        elif matched_update is not None:
+            upd = joined.filter(exists)
+            if matched_update == "all":
+                upd = upd.select(*[(F.col(c) if c in on else F.col(f"s.{c}")).alias(c)
+                                   for c in tcols])
+            else:
+                cols = []
+                for c in tcols:
+                    if c in on:
+                        cols.append(F.col(c))
+                    elif c in matched_update:
+                        cols.append(_val(matched_update[c], F.col(f"t.{c}")).alias(c))
+                    else:
+                        cols.append(F.col(f"t.{c}").alias(c))
+                upd = upd.select(*cols)
+            out_rows.append(upd.withColumn(KIND_COL, F.lit("+U")))
+        if not_matched_insert:
+            ins = (joined.filter(F.col("__t_exists").isNull())
+                   .select(*[(F.col(c) if c in on else F.col(f"s.{c}")).alias(c)
+                             for c in tcols])
+                   .withColumn(KIND_COL, F.lit("+I")))
+            out_rows.append(ins)
+        if not out_rows:
+            return self.paths.latest_snapshot()
+        changes = out_rows[0]
+        for r in out_rows[1:]:
+            changes = changes.unionByName(r)
+        return w.commit(w.stage(changes), COMMIT_APPEND)
+
+    # ---------------- maintenance ----------------
+
+    def compact(self, full: bool = True) -> Snapshot | None:
+        """Full compaction: merge every multi-run bucket into one max-level
+        file; preserves per-row sequence numbers so later merges stay
+        correct. (ref: procedure/CompactProcedure.java:113,
+        MergeTreeCompactManager.java)"""
+        latest = self.paths.latest_snapshot()
+        if latest is None:
+            return None
+        w = self.writer()
+        plan = self.new_scan().plan()
+        if self.schema.is_pk_table:
+            victims = [e for g in plan.merge_groups for e in g]
+            if full:
+                victims += [e for g in plan.raw_groups for e in g
+                            if any(x.level < COMPACTED_LEVEL for x in g)]
+            if not victims:
+                return latest
+            df = self._read_files(victims)
+            merged = apply_merge(df, self.schema)
+            # carry each key's max sequence through so later-arriving rows
+            # still merge in correct order after the rewrite
+            seqs = (df.groupBy(*self.schema.primary_keys)
+                    .agg(F.max(SEQ_COL).alias(SEQ_COL)))
+            merged = (merged.join(seqs, self.schema.primary_keys, "left")
+                      .withColumn(KIND_COL, F.lit("+I")))
+            adds = w.stage(merged, level=COMPACTED_LEVEL)
+        else:
+            # small-file bin-packing (ref: append/BucketedAppendCompactManager.java)
+            victims = plan.entries
+            if len(victims) <= 1:
+                return latest
+            df = self._read_files(victims).select(*self.schema.field_names)
+            adds = w.stage(df, level=COMPACTED_LEVEL)
+        deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in victims]
+        return w.commit(adds + deletes, COMMIT_COMPACT)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None):
+        sid = snapshot_id if snapshot_id is not None else self.paths.latest_snapshot_id()
+        self.paths.write_tag(name, sid)
+
+    def delete_tag(self, name: str):
+        os.remove(self.paths.tag_file(name))
+
+    def rollback_to(self, snapshot_id: int):
+        """Drop snapshots newer than snapshot_id. (ref: Table.java:123)"""
+        latest = self.paths.latest_snapshot_id()
+        for sid in range(snapshot_id + 1, (latest or 0) + 1):
+            try:
+                os.remove(self.paths.snapshot_file(sid))
+            except FileNotFoundError:
+                pass
+        self.paths.write_latest_hint(snapshot_id)
+
+    def expire_snapshots(self, retain_last: int = 1) -> int:
+        """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""
+        latest = self.paths.latest_snapshot_id()
+        if latest is None:
+            return 0
+        tag_pins = set(self.paths.list_tags().values())
+        cutoff = latest - retain_last + 1
+        removed = 0
+        for sid in range(1, cutoff):
+            if sid in tag_pins:
+                continue
+            try:
+                os.remove(self.paths.snapshot_file(sid))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
+    def remove_orphan_files(self) -> int:
+        """Delete data files not referenced by any retained snapshot/manifest.
+        (ref: RemoveOrphanFilesProcedure.java)"""
+        referenced: set[str] = set()
+        live_manifests: set[str] = set()
+        for n in os.listdir(self.paths.snapshot_dir):
+            if not n.startswith("snapshot-") or not n.endswith(".json"):
+                continue
+            snap = self.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
+            live_manifests.update(snap.manifests)
+            for m in snap.manifests:
+                for e in self.paths.read_manifest(m):
+                    referenced.add(os.path.normpath(e.file_path))
+        removed = 0
+        for dirpath, _d, files in os.walk(self.path):
+            rel = os.path.relpath(dirpath, self.path)
+            if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag", ".staging"):
+                continue
+            for fn in files:
+                rp = os.path.normpath(os.path.join(rel, fn))
+                if fn.endswith(".parquet") and rp not in referenced:
+                    os.remove(os.path.join(dirpath, fn))
+                    removed += 1
+        for m in os.listdir(self.paths.manifest_dir):
+            if m not in live_manifests:
+                os.remove(self.paths.manifest_file(m))
+        return removed
+
+    # ---------------- incremental / changelog ----------------
+
+    def delta_entries(self, from_snapshot: int, to_snapshot: int) -> list[FileEntry]:
+        """ADD entries committed in (from, to] (delta manifests only)."""
+        out: list[FileEntry] = []
+        prev = self.paths.read_snapshot(from_snapshot) if from_snapshot >= 1 else None
+        prev_n = len(prev.manifests) if prev else 0
+        cur = self.paths.read_snapshot(to_snapshot)
+        for m in cur.manifests[prev_n:]:
+            out.extend(e for e in self.paths.read_manifest(m) if e.kind == ADD)
+        return out
+
+    def read_incremental(self, from_snapshot: int, to_snapshot: int,
+                         with_kind: bool = True) -> DataFrame:
+        """Rows added between two snapshots (changelog for PK tables with
+        changelog-producer=input). (ref: PaimonTableValuedFunctions.scala:56-67
+        paimon_incremental_query)"""
+        entries = [e for e in self.delta_entries(from_snapshot, to_snapshot)
+                   if e.level == 0 or not self.schema.is_pk_table]
+        if not entries:
+            return self._empty_df(with_kind and self.schema.is_pk_table)
+        df = self._read_files(entries)
+        cols = list(self.schema.field_names)
+        if self.schema.is_pk_table and with_kind:
+            cols += [SEQ_COL, KIND_COL]
+        return df.select(*cols)
+
+    def read_audit_log(self, snapshot_id: int | None = None) -> DataFrame:
+        """$audit_log system table: raw rows with a `rowkind` column.
+        (ref: table/system/AuditLogTable.java)"""
+        if not self.schema.is_pk_table:
+            return self.read(snapshot_id=snapshot_id).withColumn("rowkind", F.lit("+I"))
+        scan = self.new_scan()
+        plan = scan.plan(snapshot_id=snapshot_id)
+        if not plan.entries:
+            return (self._empty_df(True)
+                    .withColumnRenamed(KIND_COL, "rowkind").drop(SEQ_COL))
+        df = self._read_files(plan.entries)
+        return (df.select(*self.schema.field_names, F.col(KIND_COL).alias("rowkind")))
+
+    # ---------------- system tables (ref: SystemTableLoader.java:71-93) ----
+
+    def snapshots_df(self) -> DataFrame:
+        rows = []
+        for n in sorted(os.listdir(self.paths.snapshot_dir)):
+            if n.startswith("snapshot-") and n.endswith(".json"):
+                s = self.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
+                rows.append((s.id, s.schema_id, s.commit_kind, s.commit_user,
+                             s.timestamp_ms, s.total_record_count, s.delta_record_count))
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, schema_id long, commit_kind string, "
+                  "commit_user string, commit_time long, total_record_count long, "
+                  "delta_record_count long")
+
+    def files_df(self) -> DataFrame:
+        plan = self.new_scan().plan()
+        rows = [(json.dumps(e.partition), e.bucket, e.file_path, e.level,
+                 e.row_count, e.file_size, e.min_seq, e.max_seq)
+                for e in plan.entries]
+        return self.spark.createDataFrame(
+            rows, "partition string, bucket int, file_path string, level int, "
+                  "record_count long, file_size_in_bytes long, min_sequence_number long, "
+                  "max_sequence_number long")
+
+    def partitions_df(self) -> DataFrame:
+        plan = self.new_scan().plan()
+        agg: dict[tuple, list[int]] = {}
+        for e in plan.entries:
+            k = tuple(e.partition.get(p) for p in self.schema.partition_keys)
+            a = agg.setdefault(k, [0, 0, 0])
+            a[0] += e.row_count
+            a[1] += e.file_size
+            a[2] += 1
+        rows = [(json.dumps(dict(zip(self.schema.partition_keys, k))), *v)
+                for k, v in agg.items()]
+        return self.spark.createDataFrame(
+            rows, "partition string, record_count long, file_size_in_bytes long, file_count long")
+
+    def tags_df(self) -> DataFrame:
+        rows = [(name, sid) for name, sid in self.paths.list_tags().items()]
+        return self.spark.createDataFrame(rows, "tag_name string, snapshot_id long")
+
+    # -------- catalog functions (ref: PaimonFunctions.scala:44-85) --------
+
+    def max_pt(self) -> str | None:
+        """Latest (max) partition value with live data."""
+        plan = self.new_scan().plan()
+        if not plan.entries or not self.schema.partition_keys:
+            return None
+        key = self.schema.partition_keys[0]
+        return max(e.partition.get(key) for e in plan.entries)
