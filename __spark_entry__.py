@@ -1,38 +1,594 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exercises the paimon_spark engine (lakehouse tables with
+merge-on-read, time travel, incremental reads) plus the training-data
+pipeline operators; `oracle_sql()` mirrors each query in DuckDB ANSI SQL
+over the raw parquet views.
+
+Cross-engine determinism rules used throughout:
+- aggregates of doubles go through DECIMAL casts (exact, order-independent)
+  and come back as DOUBLE;
+- timestamps are never emitted raw — always formatted as strings;
+- every count/size is cast BIGINT on both sides (DuckDB len() is BIGINT,
+  Spark size() is INT; DuckDB SUM(BIGINT) is HUGEINT);
+- hash-based operators (minhash/simhash/LSH) use md5-derived integers and
+  deterministic literal coefficients inlined into both engines.
 """
 
 from __future__ import annotations
 
+import atexit
+import datetime as dt
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
+from paimon_spark import P, Table
+from paimon_spark.functions import dedup as DD
+from paimon_spark.functions import similarity as SIM
+from paimon_spark.functions import text as TX
+
+CUTOFF = dt.datetime(2000, 1, 1)
+Q3_DATE = dt.datetime(1997, 6, 30)
+
+# ---------------------------------------------------------------------------
+# warehouse: testdata ingested into paimon_spark tables (cached per sf_dir)
+# ---------------------------------------------------------------------------
+
+_WAREHOUSES: dict[str, dict[str, Table]] = {}
+_WH_DIRS: list[str] = []
+atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _WH_DIRS])
+
+
+def _dec(c, p=18, s=4):
+    return F.col(c).cast(f"decimal({p},{s})") if isinstance(c, str) else c.cast(f"decimal({p},{s})")
+
+
+def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
+    if sf_dir in _WAREHOUSES:
+        return _WAREHOUSES[sf_dir]
+    root = tempfile.mkdtemp(prefix="paimon_wh_")
+    _WH_DIRS.append(root)
+    out: dict[str, Table] = {}
+
+    raw = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+           for n in ("lineitem", "orders", "events")}
+
+    # ---- lineitem: append table partitioned by l_returnflag ----
+    li = raw["lineitem"]
+    t = Table.create(f"{root}/lineitem", li.schema,
+                     partition_keys=["l_returnflag"], spark=spark)
+    t.append(li)
+    out["lineitem"] = t
+
+    # ---- orders_pk: PK table, 3 commits (insert / update / delete) ----
+    odf = raw["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority")
+    t = Table.create(f"{root}/orders_pk", odf.schema,
+                     primary_keys=["o_orderkey"], options={"bucket": "4"},
+                     spark=spark)
+    t.append(odf)                                                   # snapshot 1
+    upd = (odf.filter(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+           .withColumn("o_orderpriority", F.lit("9-UPDATED")))
+    t.append(upd)                                                   # snapshot 2
+    t.delete_where(P.expr("o_orderkey % 7 = 3"))                    # snapshot 3
+    out["orders_pk"] = t
+
+    # ---- user_stats: aggregation merge engine over events ----
+    ev = raw["events"].select(
+        "user_id",
+        F.lit(1).cast("long").alias("cnt"),
+        _dec("value", 18, 6).alias("total_value"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+         .cast("long").alias("n_purchases"),
+        F.col("event_type").alias("last_event"),
+        F.col("value").alias("max_value"),
+        "event_id")
+    t = Table.create(
+        f"{root}/user_stats", ev.schema, primary_keys=["user_id"],
+        options={"bucket": "4", "merge-engine": "aggregation",
+                 "sequence.field": "event_id",
+                 "fields.cnt.aggregate-function": "sum",
+                 "fields.total_value.aggregate-function": "sum",
+                 "fields.n_purchases.aggregate-function": "sum",
+                 "fields.last_event.aggregate-function": "last_value",
+                 "fields.max_value.aggregate-function": "max",
+                 "fields.event_id.aggregate-function": "max"},
+        spark=spark)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    out["user_stats"] = t
+
+    # ---- orders_partial: partial-update with two sequence groups ----
+    b1 = raw["orders"].select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"), F.lit(1).cast("long").alias("s_ts"),
+        F.col("o_totalprice").alias("amount"), F.lit(1).cast("long").alias("a_ts"),
+        F.col("o_orderpriority").alias("note"))
+    t = Table.create(
+        f"{root}/orders_partial", b1.schema, primary_keys=["order_id"],
+        options={"bucket": "4", "merge-engine": "partial-update",
+                 "fields.s_ts.sequence-group": "status",
+                 "fields.a_ts.sequence-group": "amount"},
+        spark=spark)
+    t.append(b1)
+    t.append(b1.filter(F.col("order_id") % 3 == 0).select(
+        "order_id", F.lit("X").alias("status"), F.lit(2).cast("long").alias("s_ts"),
+        F.lit(None).cast("double").alias("amount"), F.lit(None).cast("long").alias("a_ts"),
+        F.lit(None).cast("string").alias("note")))
+    t.append(b1.filter(F.col("order_id") % 5 == 0).select(
+        "order_id", F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("s_ts"),
+        (F.col("amount") * 0.5).alias("amount"),
+        F.lit(0).cast("long").alias("a_ts"),       # stale: rejected vs a_ts=1
+        F.lit("halved").alias("note")))
+    out["orders_partial"] = t
+
+    # ---- events_first: first-row merge engine ----
+    ef = raw["events"].select("user_id", "event_type", "event_id", "value")
+    t = Table.create(
+        f"{root}/events_first", ef.schema,
+        primary_keys=["user_id", "event_type"],
+        options={"bucket": "4", "merge-engine": "first-row",
+                 "sequence.field": "event_id"},
+        spark=spark)
+    t.append(ef.filter(F.col("event_id") % 2 == 0))
+    t.append(ef.filter(F.col("event_id") % 2 == 1))
+    out["events_first"] = t
+
+    _WAREHOUSES[sf_dir] = out
+    return out
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    df = t.read(P.le("l_shipdate", CUTOFF))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec(disc, 18, 6)).cast("double").alias("sum_disc_price"),
+        F.sum(_dec(disc * (1 + F.col("l_tax")), 18, 6)).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order")))
+
+
+def q3_top_revenue(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = t.read(P.gt("l_shipdate", Q3_DATE))
+    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)) \
+        .cast("double").alias("revenue")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                     "o_orderpriority")
+            .agg(rev)
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def q5_region_revenue(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = t.read()
+    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)) \
+        .cast("double").alias("revenue")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name").agg(rev))
+
+
+def q6_revenue(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    df = t.read(P.and_(
+        P.ge("l_shipdate", dt.datetime(1996, 1, 1)),
+        P.lt("l_shipdate", dt.datetime(1997, 1, 1)),
+        P.between("l_discount", 0.05, 0.07),
+        P.lt("l_quantity", 24.0)))
+    return df.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 6))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"))
+
+
+def topn_orders(spark, sf_dir):
+    t = _wh(spark, sf_dir)["orders_pk"]
+    return (t.read(projection=["o_orderkey", "o_totalprice", "o_orderpriority"])
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10))
+
+
+def point_lookup(spark, sf_dir):
+    t = _wh(spark, sf_dir)["orders_pk"]
+    return t.read(P.eq("o_orderkey", 20))
+
+
+def metadata_count(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    n = t.new_scan().metadata_count()
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def metadata_minmax(spark, sf_dir):
+    t = _wh(spark, sf_dir)["lineitem"]
+    mn, mx = t.new_scan().metadata_min_max("l_shipdate")
+    return spark.createDataFrame(
+        [(mn.strftime("%Y-%m-%d"), mx.strftime("%Y-%m-%d"))],
+        "min_shipdate string, max_shipdate string")
+
+
+def pk_upsert_latest(spark, sf_dir):
+    return _wh(spark, sf_dir)["orders_pk"].read(snapshot_id=2)
+
+
+def pk_after_delete(spark, sf_dir):
+    return _wh(spark, sf_dir)["orders_pk"].read()
+
+
+def time_travel_v1(spark, sf_dir):
+    return _wh(spark, sf_dir)["orders_pk"].read(snapshot_id=1)
+
+
+def incremental_diff(spark, sf_dir):
+    return _wh(spark, sf_dir)["orders_pk"].read_incremental(1, 2)
+
+
+def audit_log_counts(spark, sf_dir):
+    t = _wh(spark, sf_dir)["orders_pk"]
+    return (t.read_audit_log().groupBy("rowkind")
+            .agg(F.count("*").alias("cnt")))
+
+
+def agg_engine_user_stats(spark, sf_dir):
+    t = _wh(spark, sf_dir)["user_stats"]
+    return t.read().select(
+        "user_id", "cnt", F.col("total_value").cast("double").alias("total_value"),
+        "n_purchases", "last_event", "max_value", "event_id")
+
+
+def partial_update_orders(spark, sf_dir):
+    return _wh(spark, sf_dir)["orders_partial"].read()
+
+
+def first_row_events(spark, sf_dir):
+    return _wh(spark, sf_dir)["events_first"].read()
+
+
+def compact_preserves(spark, sf_dir):
+    t = _wh(spark, sf_dir)["user_stats"]
+    t.compact()
+    return agg_engine_user_stats(spark, sf_dir)
+
+
+# ---- training-data pipeline operators ----
+
+def dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = DD.exact_dedup(docs, "doc_id", ["text"])
+    return out.select("content_hash", F.col("keep_id").cast("long"),
+                      F.col("n_copies").cast("long"))
+
+
+def dedup_minhash_bands(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", *DD.minhash_signature(F.col("text"), 16))
+    return sig.select("doc_id", *DD.band_keys(16, 4))
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash(F.col("text"), 32).alias("simhash"))
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    DD.shingles(F.col("text")).alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    DD.shingles(F.col("text")).alias("sh_b"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("jaccard",
+                         F.round(DD.jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 6))
+             .filter(F.col("jaccard") > 0)
+             .select("id_a", "id_b", "jaccard"))
+    return pairs
+
+
+def text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def text_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def text_langid(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def ann_brute_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    out = SIM.brute_force_topk(emb, [0, 1, 2, 3, 4], k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    out = SIM.lsh_topk(emb, [0, 1, 2, 3, 4], k=5, n_planes=4)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
+
+
+def window_user_ranks(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 2))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_revenue": q6_revenue,
+        "topn_orders": topn_orders,
+        "point_lookup": point_lookup,
+        "metadata_count": metadata_count,
+        "metadata_minmax": metadata_minmax,
+        "pk_upsert_latest": pk_upsert_latest,
+        "pk_after_delete": pk_after_delete,
+        "time_travel_v1": time_travel_v1,
+        "incremental_diff": incremental_diff,
+        "audit_log_counts": audit_log_counts,
+        "agg_engine_user_stats": agg_engine_user_stats,
+        "partial_update_orders": partial_update_orders,
+        "first_row_events": first_row_events,
+        "compact_preserves": compact_preserves,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_bands": dedup_minhash_bands,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "window_user_ranks": window_user_ranks,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on raw parquet views)
+# ---------------------------------------------------------------------------
+
+_MERGED_12 = """
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         CASE WHEN o_orderkey % 10 = 0 THEN '9-UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+"""
+
+_USER_STATS = """
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+         arg_max(event_type, event_id) AS last_event,
+         max(value) AS max_value,
+         max(event_id) AS event_id
+  FROM events GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    disc = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+    charge = "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))"
+    ann_brute = f"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id IN (0,1,2,3,4)),
+      s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({SIM.sql_cosine('q.qv', 'e.embedding')}, 4) AS score
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 5"""
+    ann_lsh = f"""
+      WITH b AS (SELECT vec_id, embedding,
+                        {SIM.sql_lsh_bucket('embedding', 4)} AS bucket_id
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, bucket_id FROM b
+            WHERE vec_id IN (0,1,2,3,4)),
+      s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round({SIM.sql_cosine('q.qv', 'c.embedding')}, 4) AS score
+            FROM b c JOIN q USING (bucket_id) WHERE c.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 5"""
+    mh = DD.sql_minhash_signature("text", 16)
+    bands = DD.sql_band_keys(16, 4)
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({disc}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_revenue": f"""
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority, CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-06-30'
+              AND l_shipdate > TIMESTAMP '1997-06-30'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "q5_region_revenue": f"""
+            SELECT n_name, CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM lineitem, orders, supplier, customer, nation, region
+            WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        "q6_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""",
+        "topn_orders": f"""
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "point_lookup": f"""
+            SELECT * FROM ({_MERGED_12})
+            WHERE o_orderkey = 20 AND NOT (o_orderkey % 7 = 3)""",
+        "metadata_count": "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+        "metadata_minmax": """
+            SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+                   strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+            FROM lineitem""",
+        "pk_upsert_latest": _MERGED_12,
+        "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
+        "time_travel_v1": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+            FROM orders""",
+        "incremental_diff": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   '9-UPDATED' AS o_orderpriority,
+                   CAST(2 AS BIGINT) AS _sequence_number, '+I' AS _row_kind
+            FROM orders WHERE o_orderkey % 10 = 0""",
+        "audit_log_counts": """
+            SELECT '+I' AS rowkind,
+                   CAST((SELECT count(*) FROM orders)
+                      + (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)
+                      AS BIGINT) AS cnt
+            UNION ALL
+            SELECT '-D', CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 7 = 3""",
+        "agg_engine_user_stats": _USER_STATS,
+        "partial_update_orders": """
+            SELECT o_orderkey AS order_id,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 3 = 0 THEN CAST(2 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS s_ts,
+                   o_totalprice AS amount,
+                   CAST(1 AS BIGINT) AS a_ts,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'halved'
+                        ELSE o_orderpriority END AS note
+            FROM orders""",
+        "first_row_events": """
+            SELECT user_id, event_type,
+                   arg_min(event_id, event_id) AS event_id,
+                   arg_min(value, event_id) AS value
+            FROM events GROUP BY user_id, event_type""",
+        "compact_preserves": _USER_STATS,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "dedup_minhash_bands": f"""
+            SELECT doc_id, {', '.join(bands)}
+            FROM (SELECT doc_id, {', '.join(mh)} FROM documents)""",
+        "dedup_minhash_pairs": f"""
+            WITH sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+            bk AS (SELECT doc_id, {', '.join(bands)} FROM sig),
+            st AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bk UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bk UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bk UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bk)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM st a JOIN st b ON a.bk = b.bk AND a.doc_id < b.doc_id""",
+        "dedup_simhash": f"""
+            SELECT doc_id, {DD.sql_simhash('text', 32)} AS simhash FROM documents""",
+        "ngram_jaccard_pairs": f"""
+            WITH d AS (SELECT doc_id, list_distinct({DD.sql_shingles('text')}) AS sh
+                       FROM documents WHERE doc_id < 40)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round({inter} * 1.0 / (len(a.sh) + len(b.sh) - {inter}), 6) AS jaccard
+            FROM d a, d b
+            WHERE a.doc_id < b.doc_id AND {inter} > 0""",
+        "text_quality": f"SELECT doc_id, {TX.sql_quality('text')} AS quality FROM documents",
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(len({TX.sql_tokens('text')}) AS BIGINT) AS n_tokens,
+                   CAST({TX.sql_bpe_count('text')} AS BIGINT) AS n_bpe,
+                   {TX.sql_fingerprint('text')} AS fingerprint
+            FROM documents""",
+        "text_langid": f"SELECT doc_id, {TX.sql_lang_id('text')} AS lang_pred FROM documents",
+        "ann_brute_topk": ann_brute,
+        "ann_lsh_topk": ann_lsh,
+        "window_user_ranks": """
+            SELECT user_id, event_type, cnt, rnk FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
+              FROM events GROUP BY user_id, event_type)
+            WHERE rnk <= 2""",
+    }

@@ -1,0 +1,50 @@
+"""Benchmark: run the declared query set at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+`ingest` = building the lakehouse tables (write path incl. LSM commits);
+each query then measures the engine read path + Catalyst execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import __spark_entry__ as E
+    from paimon_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    E._wh(spark, sf_dir)
+    timings["ingest"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_seconds_ingest_plus_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

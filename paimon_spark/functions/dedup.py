@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything is JVM-side Catalyst expressions (array lambdas, no Python UDFs).
+The only string hash is one md5 per shingle; the k MinHash permutations are
+affine transforms h_j(x) = (a_j*x32 + b_j) mod 2^31-1 with deterministic
+coefficients generated in pure Python (seeded) and inlined as literals into
+BOTH the Spark plan and the DuckDB oracle SQL — exact cross-engine parity
+with no shared-hash-library requirement.
+
+Scale notes (100 TB): shingling/minhashing is embarrassingly parallel
+per-row; the LSH bucket-join shuffles only (band_key, doc_id) pairs —
+k*|docs| tiny rows — and the candidate verification joins shingle SETS
+only for docs that share a bucket. No all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from paimon_spark.functions.text import md5_long, sql_tokens, tokens
+
+MERSENNE31 = 2147483647
+
+
+def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (LCG, no RNG libraries)."""
+    out, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % 999983 + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % 999979
+        out.append((a, b))
+    return out
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; whole text if shorter than n tokens.
+    DuckDB mirror: sql_shingles()."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return grams
+
+
+def sql_shingles(x: str, n: int = 3) -> str:
+    t = sql_tokens(x)
+    return (f"list_transform(range(1, greatest(len({t}) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string({t}[i:i+{n - 1}], ' '))")
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """32-bit hash per shingle (low 8 hex chars of md5)."""
+    return F.transform(
+        shingles(col, n),
+        lambda s: F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def sql_shingle_hashes(x: str, n: int = 3) -> str:
+    return (f"list_transform({sql_shingles(x, n)}, "
+            f"s -> (('0x' || substr(md5(s), 1, 8))::BIGINT))")
+
+
+def _affine(a: int, b: int):
+    # closure factory — PySpark treats lambda default-args as extra params
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> list[Column]:
+    """k MinHash values as separate columns mh0..mh{k-1}."""
+    hashes = shingle_hashes(col, n)
+    sig = []
+    for j, (a, b) in enumerate(_coeffs(k)):
+        mh = F.array_min(F.transform(hashes, _affine(a, b)))
+        sig.append(mh.alias(f"mh{j}"))
+    return sig
+
+
+def sql_minhash_signature(x: str, k: int = 16, n: int = 3) -> list[str]:
+    hashes = sql_shingle_hashes(x, n)
+    return [
+        f"list_min(list_transform({hashes}, h -> (h * {a} + {b}) % {MERSENNE31})) AS mh{j}"
+        for j, (a, b) in enumerate(_coeffs(k))
+    ]
+
+
+def band_keys(k: int = 16, bands: int = 4) -> list[Column]:
+    """LSH band keys: md5 over each band's minhash values."""
+    r = k // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh{j}").cast("string") for j in range(b * r, (b + 1) * r)]
+        out.append(F.md5(F.encode(F.concat_ws(",", *cols), "UTF-8")).alias(f"band{b}"))
+    return out
+
+
+def sql_band_keys(k: int = 16, bands: int = 4) -> list[str]:
+    r = k // bands
+    return [
+        "md5(" + " || ',' || ".join(f"mh{j}::VARCHAR" for j in range(b * r, (b + 1) * r)) + f") AS band{b}"
+        for b in range(bands)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket.
+    Returns distinct (id_a < id_b) pairs. Shuffle = `bands` tiny rows per doc.
+
+    The (id, band keys) projection is persisted BEFORE the explode:
+    Catalyst otherwise collapses the whole k-permutation minhash tree into
+    the Generate operator, which evaluates it interpreted (no codegen) and
+    once per emitted band — ~100x slower. Materializing the tiny signature
+    table once is also what you want at 100 TB: signatures are ~1% of
+    corpus size, and the self-join only ships (band_key, id) pairs."""
+    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), k, n))
+    sig = sig.select(id_col, *band_keys(k, bands)).persist()
+    stacked = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+        ])).alias("bk"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (a.join(b, "bk")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens: bit j set iff more token-hashes have bit j
+    set than clear. Pure array ops — no explode, no shuffle."""
+    h = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast("long"),
+    )
+    def _bit_set(j: int):
+        return lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size(h)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        cnt = F.size(F.filter(h, _bit_set(j)))
+        bit = F.when((cnt * 2) > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + F.shiftleft(bit, j)
+    return acc
+
+
+def sql_simhash(x: str, bits: int = 32) -> str:
+    t = sql_tokens(x)
+    h = f"list_transform({t}, tok -> (('0x' || substr(md5(tok), 1, 8))::BIGINT))"
+    terms = []
+    for j in range(bits):
+        cnt = f"len(list_filter(__h, v -> (v >> {j}) & 1 = 1))"
+        terms.append(f"(CASE WHEN {cnt} * 2 > len(__h) THEN CAST(1 AS BIGINT) ELSE 0 END << {j})")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {h} AS __h) __s)"
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard_shingles(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets, parity-safe:
+    |A∩B| via explicit contains-filter, |A∪B| = |A|+|B|-|A∩B|."""
+    sa, sb = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.filter(sa, lambda x: F.array_contains(sb, x)))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+
+
+def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Exact dedup on content hash: keep min id per group, count copies."""
+    key = F.md5(F.encode(F.concat_ws("", *[F.col(c) for c in cols]), "UTF-8"))
+    return (df.withColumn("__k", key)
+            .groupBy("__k")
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+            .withColumnRenamed("__k", "content_hash"))

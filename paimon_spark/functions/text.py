@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Catalyst column expressions (no Python UDFs) so they
+run JVM-side inside whole-stage codegen at any scale, and each has an exact
+DuckDB-SQL mirror (oracle_text_* builders) for the correctness gate.
+
+Shared hash: h(s) = int(first 15 hex chars of md5(s)) — 60-bit positive,
+computed identically by Spark (conv/substring/md5) and DuckDB
+(('0x'||substr(md5(s),1,15))::BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# deliberately small, fixed stopword sets — mirrored verbatim in oracle SQL
+EN_STOP = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"]
+FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "des"]
+ES_STOP = ["el", "los", "las", "y", "es", "un", "una", "que"]
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# BPE-ish subword pieces: runs of letters, digits, or single punctuation
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit integer hash from md5 — DuckDB mirror:
+    ('0x' || substr(md5(x),1,15))::BIGINT"""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase word tokens; empty strings filtered.
+    DuckDB mirror: list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t <> '')"""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pieces (letter runs / digit runs / punct marks).
+    DuckDB mirror: len(regexp_extract_all(x, '...'))"""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def stopword_count(col: Column, stopwords: list[str]) -> Column:
+    sw = list(stopwords)
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*sw)))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]:
+    0.4 * min(1, tokens/64)             — length credit
+    + 0.3 * (1 - punct_chars/chars)     — punctuation penalty
+    + 0.3 * min(1, 4*stopwords/tokens)  — natural-language signal
+    Rounded to 6 dp. Mirrors oracle_quality_sql()."""
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(col, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    n_stop = stopword_count(col, EN_STOP).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(64.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), F.when(n_tok > 0, F.lit(4.0) * n_stop / n_tok).otherwise(0.0))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword language heuristic → 'zh'|'en'|'de'|'fr'|'es'|'und'.
+    CJK codepoint present → zh; else argmax stopword hits (ties: en>de>fr>es)."""
+    t = tokens(col)
+    c_en = F.size(F.filter(t, lambda x: x.isin(*EN_STOP)))
+    c_de = F.size(F.filter(t, lambda x: x.isin(*DE_STOP)))
+    c_fr = F.size(F.filter(t, lambda x: x.isin(*FR_STOP)))
+    c_es = F.size(F.filter(t, lambda x: x.isin(*ES_STOP)))
+    has_cjk = col.rlike("[\\u4e00-\\u9fff]")
+    return (
+        F.when(has_cjk, "zh")
+        .when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (rolling-hash flavor: stable under whitespace/punct-spacing changes)"""
+    return F.md5(F.encode(F.array_join(tokens(col), " "), "UTF-8"))
+
+
+# ---------------- DuckDB oracle fragments ----------------
+
+def sql_tokens(x: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({x}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def sql_stop_count(x: str, stopwords: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({sql_tokens(x)}, t -> t IN ({lst})))"
+
+
+def sql_quality(x: str) -> str:
+    toks = sql_tokens(x)
+    return f"""round(
+      0.4 * least(1.0, len({toks}) / 64.0)
+      + 0.3 * (1.0 - CASE WHEN length({x}) > 0
+          THEN (length({x}) - length(regexp_replace({x}, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / length({x})
+          ELSE 0.0 END)
+      + 0.3 * least(1.0, CASE WHEN len({toks}) > 0
+          THEN 4.0 * {sql_stop_count(x, EN_STOP)} / len({toks}) ELSE 0.0 END)
+    , 6)"""
+
+
+def sql_lang_id(x: str) -> str:
+    def c(stop):
+        return sql_stop_count(x, stop)
+    return f"""CASE
+      WHEN regexp_matches({x}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+      WHEN {c(EN_STOP)} >= {c(DE_STOP)} AND {c(EN_STOP)} >= {c(FR_STOP)}
+           AND {c(EN_STOP)} >= {c(ES_STOP)} AND {c(EN_STOP)} > 0 THEN 'en'
+      WHEN {c(DE_STOP)} >= {c(FR_STOP)} AND {c(DE_STOP)} >= {c(ES_STOP)}
+           AND {c(DE_STOP)} > 0 THEN 'de'
+      WHEN {c(FR_STOP)} >= {c(ES_STOP)} AND {c(FR_STOP)} > 0 THEN 'fr'
+      WHEN {c(ES_STOP)} > 0 THEN 'es'
+      ELSE 'und' END"""
+
+
+def sql_fingerprint(x: str) -> str:
+    return f"md5(array_to_string({sql_tokens(x)}, ' '))"
+
+
+def sql_bpe_count(x: str) -> str:
+    return f"len(regexp_extract_all({x}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"

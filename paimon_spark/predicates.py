@@ -189,6 +189,23 @@ class Or(Predicate):
     def test_stats(self, rc, stats): return any(c.test_stats(rc, stats) for c in self.children)
 
 
+@dataclass
+class Expr(Predicate):
+    """Opaque SQL expression predicate: participates in residual filtering
+    only — never prunes (refs() reports an unknown column so partition_only
+    is False and every file may-match)."""
+    sql: str
+
+    def refs(self) -> set[str]:
+        return {"__opaque_expr__"}
+
+    def to_spark(self) -> Column:
+        return F.expr(self.sql)
+
+    def test_partition(self, values): return True
+    def test_stats(self, rc, stats): return True
+
+
 class P:
     """Predicate builders (≈ PredicateBuilder.java:626)."""
     @staticmethod
@@ -223,3 +240,5 @@ class P:
     def and_(*ps): return And(list(ps))
     @staticmethod
     def or_(*ps): return Or(list(ps))
+    @staticmethod
+    def expr(sql): return Expr(sql)

@@ -31,6 +31,11 @@ def get_spark(app: str = "paimon_spark", shuffle_partitions: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # testdata events.parquet has TIMESTAMP(NANOS) — read as raw int64
+        # (Spark 4 otherwise rejects the file; DuckDB reads ns natively)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps have no usable footer stats; micros do
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

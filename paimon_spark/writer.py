@@ -58,7 +58,10 @@ def collect_footer_stats(path: str, columns: list[str]) -> tuple[int, int, dict]
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for col, idx in want.items():
-            st = g.column(idx).statistics
+            try:
+                st = g.column(idx).statistics
+            except Exception:
+                st = None  # e.g. INT96 or other statless physical types
             s = stats.setdefault(col, {"min": None, "max": None, "nulls": 0})
             if st is None:
                 s["nulls"] = None
@@ -67,15 +70,15 @@ def collect_footer_stats(path: str, columns: list[str]) -> tuple[int, int, dict]
                 s["nulls"] = None
             else:
                 s["nulls"] += st.null_count
-            if st.has_min_max:
-                mn, mx = st.min, st.max
-                try:
+            try:
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
                     if s["min"] is None or mn < s["min"]:
                         s["min"] = mn
                     if s["max"] is None or mx > s["max"]:
                         s["max"] = mx
-                except TypeError:
-                    pass
+            except (TypeError, NotImplementedError, Exception):
+                pass  # statless physical type (e.g. INT96, some decimals)
     return md.num_rows, os.path.getsize(path), stats
 
 
@@ -130,15 +133,24 @@ class BatchWriter:
                 part_cols = pkeys + [BUCKET_COL]
             elif BUCKET_COL in df.columns:
                 part_cols = pkeys + [BUCKET_COL]
+            if BUCKET_COL in df.columns:
+                # co-locate each (partition, bucket) in one task → one file
+                # per sorted run (ref: PaimonSparkWriter.scala:583-584)
+                df = df.repartition(*part_cols)
             # cluster within files by key for locality (LSM sorted-run flavor,
             # ref: mergetree/MergeTreeWriter.java:139-145)
             df = df.sortWithinPartitions(*[c for c in schema.trimmed_primary_keys if c in df.columns]) \
                 if schema.trimmed_primary_keys else df
 
-        # order columns: physical file schema
-        phys = [f.name for f in schema.struct.fields if f.name not in pkeys]
+        # order columns & enforce declared types (merges/aggregations may
+        # have widened them, e.g. sum(decimal(18,6)) -> decimal(28,6))
+        phys = [f for f in schema.struct.fields if f.name not in pkeys]
         extra = [c for c in (SEQ_COL, KIND_COL) if c in df.columns]
-        df = df.select(*part_cols, *[F.col(c) for c in phys if c in df.columns], *extra)
+        df = df.select(
+            *part_cols,
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in phys if f.name in df.columns],
+            *extra)
 
         staging = os.path.join(self.paths.staging_dir, uuid.uuid4().hex)
         writer = df.write.mode("append")
