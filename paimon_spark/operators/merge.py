@@ -110,6 +110,13 @@ def merge_partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
     return df.groupBy(*pks).agg(*aggs)
 
 
+def _sorted_by_order(lst: Column) -> Column:
+    """Sort array of {o, v} structs by o only — v may be a map/struct that
+    Spark cannot order directly."""
+    return F.array_sort(lst, lambda l, r: (
+        F.when(l["o"] < r["o"], -1).when(l["o"] > r["o"], 1).otherwise(0)))
+
+
 def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
     """One merged column for the aggregation engine.
     (ref: mergetree/compact/aggregate/factory/Field*AggFactory.java NAME consts)"""
@@ -132,16 +139,19 @@ def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
         return F.min_by(col, F.when(col.isNotNull(), order)).alias(c)
     if fname == "listagg":
         # deterministic: order elements by sequence before joining
-        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
         return F.array_join(F.transform(lst, lambda x: x["v"]), ",").alias(c)
     if fname == "collect":
-        return F.array_sort(F.collect_set(col)).alias(c)
-    if fname == "collect_list":
-        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
-        return F.transform(lst, lambda x: x["v"]).alias(c)
+        # field type is ARRAY<T>; rows carry (singleton) arrays, merge =
+        # distinct union (ref: FieldCollectAgg with distinct=true)
+        return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))).alias(c)
+    if fname in ("collect_list", "nested_update"):
+        # order-preserving union of row arrays (seq order, then flatten)
+        lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        return F.flatten(F.transform(lst, lambda x: x["v"])).alias(c)
     if fname == "merge_map":
         # later maps win per key (requires mapKeyDedupPolicy=LAST_WIN)
-        lst = F.array_sort(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
         return F.map_from_entries(
             F.flatten(F.transform(lst, lambda x: F.map_entries(x["v"])))).alias(c)
     if fname == "bool_and":
@@ -149,8 +159,9 @@ def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
     if fname == "bool_or":
         return F.bool_or(col).alias(c)
     if fname in ("rbm32", "rbm64"):
-        # roaring-bitmap union ≈ distinct int set (semantic equivalent)
-        return F.array_sort(F.collect_set(col)).alias(c)
+        # roaring-bitmap union ≈ distinct int-set union (semantic equivalent;
+        # field type ARRAY<INT|BIGINT>, rows carry arrays)
+        return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))).alias(c)
     if fname == "count":
         return F.count(col).alias(c)
     raise ValueError(f"unsupported aggregate-function: {fname}")

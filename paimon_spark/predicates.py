@@ -119,7 +119,13 @@ class Leaf(Predicate):
         if mn is None or mx is None:
             # no min/max stats; only null-based pruning possible
             return True
-        if self.op in ("eq", "lt", "le", "gt", "ge", "between", "in") and not _cmp_ok(mn, v if self.op != "in" else next(iter(v), None)):
+        probe = v
+        if self.op == "in":
+            probe = next(iter(v), None)
+        elif self.op == "between":
+            probe = v[0]
+        if self.op in ("eq", "lt", "le", "gt", "ge", "between", "in") \
+                and not _cmp_ok(mn, probe):
             return True
         try:
             if self.op == "eq":

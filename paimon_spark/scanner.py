@@ -114,9 +114,12 @@ class Scanner:
                 groups.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
             raw_groups, merge_groups = [], []
             for g in groups.values():
-                # rawConvertible: single file per bucket, or non-overlapping
-                # sequence ranges after compaction (all same max level here).
-                if len(g) == 1:
+                # rawConvertible (ref: DataSplit rawConvertible /
+                # ReadOptimizedTable): a single fully-compacted file is
+                # guaranteed one-row-per-key with no pending merges; L0
+                # sorted runs may hold intra-commit duplicates and must go
+                # through the merge path even when alone.
+                if len(g) == 1 and all(e.level >= 5 for e in g):
                     raw_groups.append(g)
                 else:
                     merge_groups.append(g)

@@ -361,7 +361,11 @@ class Table:
             victims = plan.entries
             if len(victims) <= 1:
                 return latest
-            df = self._read_files(victims).select(*self.schema.field_names)
+            target_bytes = int(self.schema.options.get("target-file-size",
+                                                       str(128 << 20)))
+            n_out = max(1, sum(e.file_size for e in victims) // target_bytes + 1)
+            df = (self._read_files(victims).select(*self.schema.field_names)
+                  .coalesce(int(n_out)))
             adds = w.stage(df, level=COMPACTED_LEVEL)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in victims]
         return w.commit(adds + deletes, COMMIT_COMPACT)
@@ -411,9 +415,10 @@ class Table:
                 continue
             snap = self.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
             live_manifests.update(snap.manifests)
-            for m in snap.manifests:
-                for e in self.paths.read_manifest(m):
-                    referenced.add(os.path.normpath(e.file_path))
+            # a file is referenced iff LIVE in some retained snapshot
+            # (ADD entries later cancelled by DELETE are safe to drop)
+            for e in self.paths.live_entries(snap):
+                referenced.add(os.path.normpath(e.file_path))
         removed = 0
         for dirpath, _d, files in os.walk(self.path):
             rel = os.path.relpath(dirpath, self.path)

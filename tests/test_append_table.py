@@ -1,0 +1,111 @@
+"""Append-table path: write/read, pruning, overwrite, row-level ops,
+metadata-only aggregates, schema evolution read, compaction."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+
+
+def test_roundtrip_and_pruning(spark, wh, lineitem):
+    t = Table.create(f"{wh}/li", lineitem.schema,
+                     partition_keys=["l_returnflag"], spark=spark)
+    t.append(lineitem)
+    assert t.read().count() == lineitem.count()
+
+    # partition pruning
+    plan = t.new_scan().plan(P.eq("l_returnflag", "A"))
+    assert plan.files_skipped >= 2
+    got = t.read(P.eq("l_returnflag", "A")).count()
+    exp = lineitem.filter(F.col("l_returnflag") == "A").count()
+    assert got == exp
+
+    # stats pruning on non-partition column
+    plan = t.new_scan().plan(P.gt("l_shipdate", dt.datetime(2030, 1, 1)))
+    assert len(plan.entries) == 0
+
+
+def test_metadata_aggregates(spark, wh, lineitem):
+    t = Table.create(f"{wh}/li", lineitem.schema,
+                     partition_keys=["l_returnflag"], spark=spark)
+    t.append(lineitem)
+    sc = t.new_scan()
+    assert sc.metadata_count() == lineitem.count()
+    assert sc.metadata_count(P.eq("l_returnflag", "N")) == \
+        lineitem.filter(F.col("l_returnflag") == "N").count()
+    mn, mx = sc.metadata_min_max("l_quantity")
+    row = lineitem.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    assert (mn, mx) == (row[0], row[1])
+
+
+def test_overwrite_and_truncate(spark, wh):
+    schema = T.StructType([T.StructField("p", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/t", schema, partition_keys=["p"], spark=spark)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema))
+    t.overwrite(spark.createDataFrame([("a", 10)], schema))  # dynamic
+    assert sorted(tuple(r) for r in t.read().collect()) == [("a", 10), ("b", 2)]
+    t.overwrite(spark.createDataFrame([("c", 3)], schema), dynamic=False)
+    assert sorted(tuple(r) for r in t.read().collect()) == [("c", 3)]
+    t.truncate()
+    assert t.read().count() == 0
+
+
+def test_delete_metadata_only_vs_cow(spark, wh):
+    schema = T.StructType([T.StructField("p", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/t", schema, partition_keys=["p"], spark=spark)
+    t.append(spark.createDataFrame([("a", i) for i in range(10)]
+                                   + [("b", i) for i in range(10)], schema))
+    # partition-aligned → metadata-only (no new data files)
+    files_before = {e.file_path for e in t.new_scan().plan().entries}
+    t.delete_where(P.eq("p", "a"))
+    files_after = {e.file_path for e in t.new_scan().plan().entries}
+    assert files_after < files_before
+    assert t.read().count() == 10
+    # non-aligned → copy-on-write rewrite
+    t.delete_where(P.lt("v", 5))
+    assert sorted(r["v"] for r in t.read().collect()) == [5, 6, 7, 8, 9]
+
+
+def test_update_append_table(spark, wh):
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/t", schema, spark=spark)
+    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], schema))
+    t.update_where(P.ge("k", 2), {"v": F.col("v") + 1})
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, 10), (2, 21), (3, 31)]
+
+
+def test_append_compaction_binpack(spark, wh):
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/t", schema, spark=spark)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], schema))
+    assert len(t.new_scan().plan().entries) >= 4
+    t.compact()
+    assert len(t.new_scan().plan().entries) < 4
+    assert sorted(r["v"] for r in t.read().collect()) == [0, 1, 2, 3]
+
+
+def test_schema_evolution_read(spark, wh):
+    schema = T.StructType([T.StructField("c1", T.IntegerType()),
+                           T.StructField("c2", T.StringType())])
+    t = Table.create(f"{wh}/t", schema, spark=spark)
+    t.append(spark.createDataFrame([(1, "x")], schema))
+    t.alter(lambda s: s.add_column("c3", T.DoubleType()))
+    t.append(spark.createDataFrame([(2, "y", 2.5)], t.schema.struct))
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "x", None), (2, "y", 2.5)]
+
+
+def test_snapshots_and_system_tables(spark, wh):
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/t", schema, spark=spark)
+    t.append(spark.createDataFrame([(1,)], schema))
+    t.append(spark.createDataFrame([(2,)], schema))
+    snaps = t.snapshots_df().collect()
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[-1]["total_record_count"] == 2
+    assert t.files_df().count() == 2

@@ -1,0 +1,119 @@
+"""Pipeline operators: dedup / text / similarity vs hand-computed facts
+and DuckDB mini-oracles."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark.functions import dedup as DD, similarity as SIM, text as TX
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{EMB}'")
+    return con
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], "id long, text string")
+    out = {r["keep_id"]: r["n_copies"]
+           for r in DD.exact_dedup(df, "id", ["text"]).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_duplicates(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "home tonight while seven silver ships sail slowly south seeking "
+            "shelter from sudden storms near rocky shores")
+    near = base + " extra"          # high-jaccard near-duplicate
+    far = "completely different content about spark query engines and parquet files"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    # 8 bands of 2 rows: catches j≈0.9 with near-certainty
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DD.minhash_lsh_pairs(df, "id", "text", k=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "totally other words entirely")],
+        "id long, text string")
+    got = {r["id"]: r["sh"] for r in
+           df.select("id", DD.simhash(F.col("text"), 32).alias("sh")).collect()}
+    d12 = bin(got[1] ^ got[2]).count("1")
+    d13 = bin(got[1] ^ got[3]).count("1")
+    assert d12 < d13
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "id long, text string")
+    sh = df.select("id", DD.shingles(F.col("text")).alias("s"))
+    a = sh.filter("id=1").select(F.col("s").alias("sa"))
+    b = sh.filter("id=2").select(F.col("s").alias("sb"))
+    j = a.crossJoin(b).select(
+        DD.jaccard_shingles(F.col("sa"), F.col("sb")).alias("j")).collect()[0]["j"]
+    # shingles: {abc,bcd} vs {abc,bce} → 1/3
+    assert abs(j - 1 / 3) < 1e-9
+
+
+def test_text_quality_bounds_and_oracle(docs, duck):
+    got = docs.select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in got)
+    exp = dict(duck.execute(
+        f"SELECT doc_id, {TX.sql_quality('text')} FROM documents").fetchall())
+    for r in got:
+        assert abs(r["q"] - float(exp[r["doc_id"]])) < 1e-9
+
+
+def test_langid_zh_detection(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is nice"),
+         (2, "der hund ist nicht da und das ist gut"),
+         (3, "这是一个中文句子"),
+         (4, "xyzzy plugh")],
+        "id long, text string")
+    got = {r["id"]: r["l"] for r in
+           df.select("id", TX.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "zh", 4: "und"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other")],
+        "id long, text string")
+    got = {r["id"]: r["f"] for r in
+           df.select("id", TX.fingerprint(F.col("text")).alias("f")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_brute_force_topk_is_exact(spark, duck):
+    emb = spark.read.parquet(EMB)
+    got = SIM.brute_force_topk(emb, [0], k=3).collect()
+    exp = duck.execute(f"""
+        SELECT vec_id, round({SIM.sql_cosine('e.embedding', 'q.embedding')}, 4) AS s
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0 ORDER BY s DESC, e.vec_id LIMIT 3""").fetchall()
+    assert [(r["neighbor_id"], r["score"]) for r in got] == [(a, b) for a, b in exp]
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    emb = spark.read.parquet(EMB)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.brute_force_topk(emb, [0, 1, 2], k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in SIM.lsh_topk(emb, [0, 1, 2], k=5, n_planes=2).collect()}
+    # 2 planes → 4 big buckets → decent recall on 100 vectors
+    assert len(brute & approx) >= len(brute) * 0.3

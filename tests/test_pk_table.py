@@ -1,0 +1,154 @@
+"""Primary-key table: LSM semantics, merge-on-read, row-level ops,
+compaction, time travel, incremental reads."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+
+KV = T.StructType([T.StructField("k", T.LongType()),
+                   T.StructField("name", T.StringType()),
+                   T.StructField("v", T.LongType())])
+
+
+def _kv(spark, wh, **opts):
+    options = {"bucket": "4"}
+    options.update({k.replace("_", "-"): v for k, v in opts.items()})
+    return Table.create(f"{wh}/kv", KV, primary_keys=["k"],
+                        options=options, spark=spark)
+
+
+def rows(t, **kw):
+    return sorted(tuple(r) for r in t.read(**kw).collect())
+
+
+def test_upsert_last_wins(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2)], KV))
+    t.append(spark.createDataFrame([(1, "a2", 11), (3, "c", 3)], KV))
+    t.append(spark.createDataFrame([(1, "a3", 111)], KV))
+    assert rows(t) == [(1, "a3", 111), (2, "b", 2), (3, "c", 3)]
+
+
+def test_sequence_field_out_of_order(spark, wh):
+    t = _kv(spark, wh, **{"sequence.field": "v"})
+    t.append(spark.createDataFrame([(1, "new", 100)], KV))
+    t.append(spark.createDataFrame([(1, "stale", 50)], KV))  # lower seq → loses
+    assert rows(t) == [(1, "new", 100)]
+
+
+def test_delete_and_update(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(i, f"n{i}", i * 10) for i in range(10)], KV))
+    t.delete_where(P.lt("k", 3))
+    assert [r[0] for r in rows(t)] == list(range(3, 10))
+    t.update_where(P.eq("k", 5), {"v": 999})
+    assert (5, "n5", 999) in rows(t)
+
+
+def test_merge_into_all_actions(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2), (3, "c", 3)], KV))
+    src = spark.createDataFrame([(2, "B", 20), (4, "d", 4)], KV)
+    t.merge_into(src, ["k"], matched_update="all", not_matched_insert=True)
+    assert rows(t) == [(1, "a", 1), (2, "B", 20), (3, "c", 3), (4, "d", 4)]
+    # matched_delete
+    t.merge_into(spark.createDataFrame([(1, "", 0)], KV), ["k"],
+                 matched_delete=True, not_matched_insert=False)
+    assert [r[0] for r in rows(t)] == [2, 3, 4]
+
+
+def test_compaction_and_raw_convertible(spark, wh):
+    t = _kv(spark, wh)
+    for i in range(3):
+        t.append(spark.createDataFrame([(j, f"v{i}", i) for j in range(8)], KV))
+    before = rows(t)
+    plan = t.new_scan().plan()
+    assert plan.merge_groups  # multi-run buckets need merge
+    t.compact()
+    plan = t.new_scan().plan()
+    assert not plan.merge_groups  # all buckets single-run now
+    assert rows(t) == before
+    # further upserts after compaction still merge correctly
+    t.append(spark.createDataFrame([(0, "post", 99)], KV))
+    assert (0, "post", 99) in rows(t)
+
+
+def test_time_travel_and_tags(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "v1", 1)], KV))
+    t.append(spark.createDataFrame([(1, "v2", 2)], KV))
+    t.create_tag("first", 1)
+    assert rows(t, snapshot_id=1) == [(1, "v1", 1)]
+    assert rows(t, tag="first") == [(1, "v1", 1)]
+    assert rows(t) == [(1, "v2", 2)]
+    t.rollback_to(1)
+    assert rows(t) == [(1, "v1", 1)]
+
+
+def test_as_of_timestamp(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "v1", 1)], KV))
+    s1 = t.paths.latest_snapshot()
+    t.append(spark.createDataFrame([(1, "v2", 2)], KV))
+    assert rows(t, as_of_timestamp_ms=s1.timestamp_ms) == [(1, "v1", 1)]
+
+
+def test_incremental_and_audit(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2)], KV))
+    t.append(spark.createDataFrame([(1, "a2", 11)], KV))
+    inc = t.read_incremental(1, 2).collect()
+    assert len(inc) == 1 and inc[0]["k"] == 1 and inc[0]["_row_kind"] == "+I"
+    t.delete_where(P.eq("k", 2))
+    kinds = dict(t.read_audit_log().groupBy("rowkind").count().collect())
+    assert kinds == {"+I": 3, "-D": 1}
+
+
+def test_expire_and_orphan_gc(spark, wh):
+    t = _kv(spark, wh)
+    for i in range(4):
+        t.append(spark.createDataFrame([(1, f"v{i}", i)], KV))
+    t.compact()
+    removed = t.expire_snapshots(retain_last=1)
+    assert removed >= 3
+    orphans = t.remove_orphan_files()
+    assert orphans >= 1
+    assert rows(t) == [(1, "v3", 3)]
+    with pytest.raises(FileNotFoundError):
+        t.read(snapshot_id=1).collect()
+
+
+def test_point_lookup_bucket_pruning(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(i, f"n{i}", i) for i in range(100)], KV))
+    full = t.new_scan().plan()
+    point = t.new_scan().plan(P.eq("k", 42))
+    assert len(point.entries) < len(full.entries)
+    assert rows(t, predicate=P.eq("k", 42)) == [(42, "n42", 42)]
+
+
+def test_partitioned_pk_table(spark, wh):
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/pkp", schema, partition_keys=["dt"],
+                     primary_keys=["dt", "k"], options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame([("d1", 1, 1), ("d2", 1, 2)], schema))
+    t.append(spark.createDataFrame([("d1", 1, 10)], schema))
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [("d1", 1, 10), ("d2", 1, 2)]
+    plan = t.new_scan().plan(P.eq("dt", "d1"))
+    assert all(e.partition["dt"] == "d1" for e in plan.entries)
+
+
+def test_concurrent_commit_conflict(spark, wh):
+    t = _kv(spark, wh)
+    t.append(spark.createDataFrame([(1, "a", 1)], KV))
+    w1, w2 = t.writer(), t.writer()
+    e1 = w1.stage(spark.createDataFrame([(2, "b", 2)], KV))
+    e2 = w2.stage(spark.createDataFrame([(3, "c", 3)], KV))
+    s1 = w1.commit(e1)
+    s2 = w2.commit(e2)
+    assert {s1.id, s2.id} == {2, 3}
+    assert len(rows(t)) == 3

@@ -1,0 +1,59 @@
+"""Randomized LSM round-trip: seeded random upsert/delete batches replayed
+against a Python dict model (mirrors the reference's randomized
+MergeTreeTestBase, ref: paimon-core/src/test/java/org/apache/paimon/
+mergetree/MergeTreeTestBase.java + TestKeyValueGenerator.java:71-106)."""
+
+import random
+
+from pyspark.sql import types as T
+
+from paimon_spark import Table
+
+SCHEMA = T.StructType([
+    T.StructField("dt", T.StringType()),
+    T.StructField("shop", T.IntegerType()),
+    T.StructField("order_id", T.LongType()),
+    T.StructField("item", T.LongType()),
+    T.StructField("comment", T.StringType()),
+    T.StructField("kind", T.StringType()),
+])
+
+
+def test_random_upsert_delete_roundtrip(spark, wh):
+    rng = random.Random(42)
+    t = Table.create(
+        f"{wh}/rand", SCHEMA, partition_keys=["dt"],
+        primary_keys=["dt", "shop", "order_id"],
+        options={"bucket": "4", "rowkind.field": "kind"}, spark=spark)
+
+    model: dict[tuple, tuple] = {}
+    n_batches, batch_size = 5, 400
+    for b in range(n_batches):
+        batch, seen_in_batch = [], set()
+        for _ in range(batch_size):
+            key = (f"2026080{rng.randint(1, 3)}", rng.randint(0, 4),
+                   rng.randint(0, 150))
+            if key in seen_in_batch:
+                continue  # same-key-same-commit order is undefined; skip
+            seen_in_batch.add(key)
+            is_delete = rng.random() < 0.1 and key in model
+            if is_delete:
+                batch.append((*key, 0, "", "-D"))
+                model.pop(key, None)
+            else:
+                val = (rng.randint(0, 10**6), f"c{rng.randint(0, 999)}")
+                batch.append((*key, *val, "+I"))
+                model[key] = val
+        t.append(spark.createDataFrame(batch, SCHEMA))
+        if b == 2:
+            t.compact()  # mid-stream compaction must not change results
+
+    got = {(r["dt"], r["shop"], r["order_id"]): (r["item"], r["comment"])
+           for r in t.read().collect()}
+    assert got == model
+
+    # and after a final full compaction
+    t.compact()
+    got = {(r["dt"], r["shop"], r["order_id"]): (r["item"], r["comment"])
+           for r in t.read().collect()}
+    assert got == model

@@ -1,0 +1,88 @@
+"""Unit tests for TableSchema (evolution) and the Predicate AST — no Spark."""
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from paimon_spark.predicates import P
+from paimon_spark.schema import TableSchema
+
+
+def _schema():
+    return TableSchema.create(
+        T.StructType([
+            T.StructField("dt", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]),
+        partition_keys=["dt"], primary_keys=["dt", "k"],
+        options={"bucket": "4"})
+
+
+def test_schema_roundtrip():
+    s = _schema()
+    s2 = TableSchema.from_json(s.to_json())
+    assert s2.struct == s.struct
+    assert s2.primary_keys == ["dt", "k"]
+    assert s2.bucket_keys == ["k"]
+    assert s2.num_buckets == 4
+
+
+def test_schema_evolution():
+    s = _schema()
+    s = s.add_column("c3", T.DoubleType())
+    assert s.schema_id == 1 and s.highest_field_id == 3
+    s = s.rename_column("c3", "c3r")
+    assert "c3r" in s.field_names and "c3" not in s.field_names
+    s = s.update_column_type("v", T.StringType())
+    assert isinstance(s.data_type("v"), T.StringType)
+    s = s.drop_column("c3r")
+    assert "c3r" not in s.field_names
+    # ids survive rename path
+    assert s.schema_id == 4
+
+
+def test_predicate_partition_test():
+    p = P.eq("dt", "a") & P.gt("k", 5)
+    assert p.test_partition({"dt": "a"})
+    assert not p.test_partition({"dt": "b"})
+    assert P.isin("dt", ["a", "b"]).test_partition({"dt": "b"})
+    assert not P.isin("dt", ["a"]).test_partition({"dt": "z"})
+    assert (P.eq("dt", "a") | P.eq("dt", "b")).test_partition({"dt": "b"})
+
+
+def test_predicate_stats_test():
+    stats = {"k": {"min": 10, "max": 20, "nulls": 0}}
+    assert P.eq("k", 15).test_stats(100, stats)
+    assert not P.eq("k", 25).test_stats(100, stats)
+    assert not P.lt("k", 10).test_stats(100, stats)
+    assert P.le("k", 10).test_stats(100, stats)
+    assert not P.gt("k", 20).test_stats(100, stats)
+    assert P.between("k", 18, 30).test_stats(100, stats)
+    assert not P.between("k", 21, 30).test_stats(100, stats)
+    assert P.isin("k", [1, 12]).test_stats(100, stats)
+    assert not P.isin("k", [1, 2]).test_stats(100, stats)
+    # null handling
+    nstats = {"k": {"min": None, "max": None, "nulls": 100}}
+    assert P.is_null("k").test_stats(100, nstats)
+    assert not P.not_null("k").test_stats(100, nstats)
+    assert not P.eq("k", 1).test_stats(100, nstats)
+    # unknown column → keep
+    assert P.eq("zzz", 1).test_stats(100, stats)
+    # date stats
+    dstats = {"d": {"min": dt.datetime(1995, 1, 1), "max": dt.datetime(1996, 1, 1), "nulls": 0}}
+    assert P.le("d", dt.datetime(1995, 6, 1)).test_stats(10, dstats)
+    assert not P.gt("d", dt.datetime(1996, 1, 1)).test_stats(10, dstats)
+
+
+def test_string_prefix_stats():
+    stats = {"s": {"min": "apple", "max": "melon", "nulls": 0}}
+    assert P.starts_with("s", "ba").test_stats(10, stats)
+    assert not P.starts_with("s", "zz").test_stats(10, stats)
+    assert P.contains("s", "anything").test_stats(10, stats)  # may-match
+
+
+def test_partition_only():
+    assert P.eq("dt", "a").partition_only(["dt"])
+    assert not (P.eq("dt", "a") & P.gt("k", 1)).partition_only(["dt"])
+    assert not P.expr("k % 7 = 3").partition_only(["dt", "k"])
