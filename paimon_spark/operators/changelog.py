@@ -1,0 +1,82 @@
+"""Changelog production: row-level +I/-U/+U/-D streams from table changes.
+
+Producers (ref: CoreOptions.java:4963-4972):
+- `input`: rows are stored with their input row kind — the audit log IS the
+  changelog (Table.read_audit_log / read_incremental).
+- `full-compaction` / `lookup`: changelog must be DERIVED by comparing the
+  pre- and post-state per key. The reference retrieves old values via
+  LookupLevels point reads or during full compaction
+  (ref: mergetree/compact/FullChangelogMergeFunctionWrapper.java:40,
+   LookupChangelogMergeFunctionWrapper.java:54); Spark-first, the same
+  semantics is one full-outer join of the two merged states — shuffle on
+  the PK, no point reads, scales with the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from paimon_spark.schema import KIND_COL
+from paimon_spark.table import Table
+
+
+def derive_changelog(table: Table, from_snapshot: int | None,
+                     to_snapshot: int | None = None) -> DataFrame:
+    """Changelog between two snapshots of a PK table: full-outer join of
+    merged states → +I (new key), -D (dropped key), -U/+U pair (changed).
+
+    Row order within a key: -U before +U (same as RowKind semantics).
+    """
+    schema = table.schema
+    if not schema.is_pk_table:
+        raise ValueError("changelog derivation requires a PK table")
+    pks = schema.primary_keys
+    vals = [c for c in schema.field_names if c not in pks]
+
+    new = table.read(snapshot_id=to_snapshot) if to_snapshot is not None \
+        else table.read()
+    if from_snapshot is None or from_snapshot < 1:
+        return new.withColumn(KIND_COL, F.lit("+I"))
+    old = table.read(snapshot_id=from_snapshot)
+
+    o = old.select(*pks, F.struct(*vals).alias("__old"))
+    n = new.select(*pks, F.struct(*vals).alias("__new"))
+    j = o.join(n, pks, "full_outer")
+
+    inserted = (j.filter(F.col("__old").isNull() & F.col("__new").isNotNull())
+                .select(*pks, *[F.col(f"__new.{c}").alias(c) for c in vals])
+                .withColumn(KIND_COL, F.lit("+I")))
+    deleted = (j.filter(F.col("__new").isNull() & F.col("__old").isNotNull())
+               .select(*pks, *[F.col(f"__old.{c}").alias(c) for c in vals])
+               .withColumn(KIND_COL, F.lit("-D")))
+    changed = j.filter(F.col("__old").isNotNull() & F.col("__new").isNotNull()
+                       & (F.col("__old") != F.col("__new")))
+    before = (changed.select(*pks, *[F.col(f"__old.{c}").alias(c) for c in vals])
+              .withColumn(KIND_COL, F.lit("-U")))
+    after = (changed.select(*pks, *[F.col(f"__new.{c}").alias(c) for c in vals])
+             .withColumn(KIND_COL, F.lit("+U")))
+    return inserted.unionByName(before).unionByName(after).unionByName(deleted)
+
+
+def binlog(table: Table, from_snapshot: int | None = None,
+           to_snapshot: int | None = None) -> DataFrame:
+    """$binlog flavor (ref: table/system/BinlogTable.java): pack -U/+U pairs
+    into one row with ARRAY-valued columns [before, after]; +I/-D become
+    singleton arrays."""
+    schema = table.schema
+    pks = schema.primary_keys
+    vals = [c for c in schema.field_names if c not in pks]
+    cl = derive_changelog(table, from_snapshot, to_snapshot)
+    is_update = F.col(KIND_COL).isin("-U", "+U")
+    packed_updates = (
+        cl.filter(is_update)
+        .groupBy(*pks)
+        .agg(*[F.array(
+            F.max_by(F.col(c), F.when(F.col(KIND_COL) == "-U", 1)),
+            F.max_by(F.col(c), F.when(F.col(KIND_COL) == "+U", 1)),
+        ).alias(c) for c in vals])
+        .withColumn("rowkind", F.lit("+U")))
+    singles = (cl.filter(~is_update)
+               .select(*pks, *[F.array(F.col(c)).alias(c) for c in vals],
+                       F.col(KIND_COL).alias("rowkind")))
+    return singles.unionByName(packed_updates.select(*singles.columns))

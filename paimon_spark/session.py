@@ -16,6 +16,12 @@ def get_spark(app: str = "paimon_spark", shuffle_partitions: int | None = None,
               cpus: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or cpus
+    # make paimon_spark importable in Python workers (data source runners,
+    # mapInPandas) regardless of the driver's cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + os.pathsep + \
+            os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")

@@ -1,0 +1,197 @@
+"""Python DataSource V2 ("paimon") — native Structured Streaming surface.
+
+Registers a PySpark 4 Python data source so standard Spark APIs work:
+
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    df = spark.readStream.format("paimon").option("path", tbl.path).load()
+    q = df.writeStream.foreachBatch(...).trigger(availableNow=True).start()
+
+Offsets are snapshot ids (ref: PaimonMicroBatchStream.scala:33,67-90 —
+offset = snapshot id + split index; we use whole snapshots per batch, with
+`maxSnapshotsPerBatch` as the read limit).
+
+NOTE the fast/slow path split: this reader ships rows through Arrow from
+Python workers, which is the right surface for *streaming* (incremental
+deltas are small); large BATCH scans should use `Table.read()` which plans
+files driver-side and scans parquet in the JVM. The batch reader here
+exists for API completeness and delegates to the same manifest planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition,
+)
+from pyspark.sql import types as T
+
+from paimon_spark.schema import KIND_COL, TableSchema
+from paimon_spark.table import Table
+
+
+def _load_table(options) -> Table:
+    path = options.get("path")
+    if not path:
+        raise ValueError("option 'path' is required for the paimon source")
+    return Table.load(path)
+
+
+def _stream_schema(schema: TableSchema) -> T.StructType:
+    fields = list(schema.struct.fields)
+    fields.append(T.StructField(KIND_COL, T.StringType(), True))
+    return T.StructType(fields)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, paths: list[str], partition: dict, columns: list[str]):
+        self.paths = paths
+        self.partition = partition
+        self.columns = columns
+
+
+class PaimonBatchReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.options = options
+        self.schema = schema
+
+    def partitions(self):
+        table = _load_table(self.options)
+        plan = table.new_scan().plan()
+        file_cols = [f.name for f in table.schema.spark_read_struct().fields]
+        out = []
+        for e in plan.entries:
+            out.append(_FilePartition(
+                [f"{table.path}/{e.file_path}"], dict(e.partition),
+                [c for c in self.schema.fieldNames() if c in file_cols]))
+        return out or [_FilePartition([], {}, [])]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+        for p in partition.paths:
+            tbl = pq.read_table(p, columns=partition.columns)
+            # re-attach hive-partition values stored in the path
+            for k, v in partition.partition.items():
+                if k in self.schema.fieldNames():
+                    import pyarrow as pa
+                    tbl = tbl.append_column(k, pa.array([v] * len(tbl)))
+            order = [c for c in self.schema.fieldNames() if c in tbl.column_names]
+            for batch in tbl.select(order).to_batches():
+                yield batch
+
+
+class _StreamPartition(InputPartition):
+    """One unit of executor-side read work: a group of files (one bucket for
+    the initial full-state merge, one file for deltas)."""
+
+    def __init__(self, table_path: str, files: list[str],
+                 partitions: list[dict], merge_full_state: bool):
+        self.table_path = table_path
+        self.files = files
+        self.partitions = partitions
+        self.merge_full_state = merge_full_state
+
+
+class PaimonStreamReader(DataSourceStreamReader):
+    """Micro-batch = a range of snapshots; offset = {'snapshot': last_id}.
+    Partition planning is driver-side (manifest metadata only); file reads
+    happen on EXECUTORS — the same split model as the reference
+    (PaimonMicroBatchStream planInputPartitions → PaimonPartitionReader)."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.options = options
+        self.schema = schema
+        self.max_snapshots = int(options.get("maxsnapshotsperbatch", "10"))
+
+    def initialOffset(self) -> dict:
+        table = _load_table(self.options)
+        mode = self.options.get("scan.mode", "latest-full")
+        latest = table.paths.latest_snapshot_id() or 0
+        if mode == "latest-full":
+            return {"snapshot": 0}          # 0 = full state still pending
+        if mode == "from-snapshot":
+            return {"snapshot": int(self.options.get("scan.snapshot-id", "1")) - 1}
+        return {"snapshot": latest}         # latest: deltas only
+
+    def latestOffset(self) -> dict:
+        table = _load_table(self.options)
+        return {"snapshot": table.paths.latest_snapshot_id() or 0}
+
+    def partitions(self, start: dict, end: dict):
+        table = _load_table(self.options)
+        s, e = start["snapshot"], end["snapshot"]
+        out: list[_StreamPartition] = []
+        if s == 0:
+            # initial full state, merged per bucket (bucket-local merge is
+            # globally correct: a key lives in exactly one bucket)
+            if table.schema.is_pk_table and table.schema.merge_engine != "deduplicate":
+                raise ValueError(
+                    "latest-full streaming via format('paimon') supports the "
+                    "deduplicate engine; use scan.mode=latest or StreamScanner")
+            groups: dict[tuple, list] = {}
+            for ent in table.new_scan().plan(snapshot_id=e).entries:
+                key = (tuple(sorted(ent.partition.items())), ent.bucket)
+                groups.setdefault(key, []).append(ent)
+            for g in groups.values():
+                out.append(_StreamPartition(
+                    table.path, [x.file_path for x in g],
+                    [dict(x.partition) for x in g], True))
+        else:
+            for ent in table.delta_entries(s, e):
+                out.append(_StreamPartition(
+                    table.path, [ent.file_path], [dict(ent.partition)], False))
+        return out or [_StreamPartition(table.path, [], [], False)]
+
+    def read(self, partition: _StreamPartition):
+        import pyarrow.parquet as pq
+
+        from paimon_spark.schema import SEQ_COL
+        table = Table.load(partition.table_path)
+        names = self.schema.fieldNames()
+        rows: list[dict] = []
+        for fp, pvals in zip(partition.files, partition.partitions):
+            tbl = pq.read_table(f"{partition.table_path}/{fp}")
+            for r in tbl.to_pylist():
+                r.update(pvals)
+                rows.append(r)
+        if partition.merge_full_state and table.schema.is_pk_table:
+            pks = table.schema.primary_keys
+            seq_fields = table.schema.sequence_field
+            best: dict[tuple, tuple] = {}
+            for r in rows:
+                k = tuple(r[c] for c in pks)
+                order = tuple(r.get(c) for c in seq_fields) + (r.get(SEQ_COL, 0),)
+                if k not in best or order >= best[k][0]:
+                    best[k] = (order, r)
+            rows = [r for _o, r in best.values()
+                    if r.get(KIND_COL, "+I") not in ("-D", "-U")]
+            for r in rows:
+                r[KIND_COL] = "+I"
+        for r in rows:
+            yield tuple(r.get(c, "+I" if c == KIND_COL else None) for c in names)
+
+    def commit(self, end: dict):
+        pass
+
+
+class PaimonDataSource(DataSource):
+    """`format("paimon")` — batch + streaming read of paimon_spark tables."""
+
+    @classmethod
+    def name(cls):
+        return "paimon"
+
+    def schema(self):
+        table = _load_table(self.options)
+        if self.options.get("streaming", "true") == "true":
+            return _stream_schema(table.schema)
+        return table.schema.struct
+
+    def reader(self, schema):
+        return PaimonBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return PaimonStreamReader(self.options, schema)
+
+
+def register(spark):
+    spark.dataSource.register(PaimonDataSource)
