@@ -295,7 +295,7 @@ def dedup_exact(spark, sf_dir):
 
 def dedup_minhash_bands(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *DD.minhash_signature(F.col("text"), 16))
+    sig = DD.with_minhash(docs, "doc_id", "text", 16)
     return sig.select("doc_id", *DD.band_keys(16, 4))
 
 
@@ -306,7 +306,7 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 def dedup_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash(F.col("text"), 32).alias("simhash"))
+    return DD.with_simhash(docs, "doc_id", "text", 32)
 
 
 def ngram_jaccard_pairs(spark, sf_dir):

@@ -70,13 +70,32 @@ def _affine(a: int, b: int):
 
 
 def minhash_signature(col: Column, k: int = 16, n: int = 3) -> list[Column]:
-    """k MinHash values as separate columns mh0..mh{k-1}."""
+    """k MinHash values as separate columns mh0..mh{k-1}.
+
+    NOTE: inlining these k expressions into one projection re-evaluates the
+    md5 shingle-hash subtree k times; prefer `with_minhash(df, ...)` which
+    shares the hash array across the k permutations (~k× faster)."""
     hashes = shingle_hashes(col, n)
     sig = []
     for j, (a, b) in enumerate(_coeffs(k)):
         mh = F.array_min(F.transform(hashes, _affine(a, b)))
         sig.append(mh.alias(f"mh{j}"))
     return sig
+
+
+def with_minhash(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 16, n: int = 3) -> DataFrame:
+    """(id, mh0..mh{k-1}) with the md5 shingle-hash array computed ONCE.
+
+    Two projections: the hash array is a named intermediate referenced k
+    times, which Catalyst's CollapseProject keeps as its own (codegen'd)
+    stage instead of duplicating the expensive subtree into every
+    permutation — k× less md5 work than the naive single-select."""
+    h = df.select(F.col(id_col), shingle_hashes(F.col(text_col), n).alias("__sh"))
+    return h.select(
+        id_col,
+        *[F.array_min(F.transform(F.col("__sh"), _affine(a, b))).alias(f"mh{j}")
+          for j, (a, b) in enumerate(_coeffs(k))])
 
 
 def sql_minhash_signature(x: str, k: int = 16, n: int = 3) -> list[str]:
@@ -116,7 +135,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     once per emitted band — ~100x slower. Materializing the tiny signature
     table once is also what you want at 100 TB: signatures are ~1% of
     corpus size, and the self-join only ships (band_key, id) pairs."""
-    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), k, n))
+    sig = with_minhash(df, id_col, text_col, k, n)
     sig = sig.select(id_col, *band_keys(k, bands)).persist()
     stacked = sig.select(
         F.col(id_col),
@@ -131,13 +150,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return pairs
 
 
-def simhash(col: Column, bits: int = 32) -> Column:
-    """SimHash over word tokens: bit j set iff more token-hashes have bit j
-    set than clear. Pure array ops — no explode, no shuffle."""
-    h = F.transform(
+def token_hashes(col: Column) -> Column:
+    """32-bit md5-derived hash per word token."""
+    return F.transform(
         tokens(col),
         lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast("long"),
     )
+
+
+def _simhash_bits(h: Column, bits: int) -> Column:
     def _bit_set(j: int):
         return lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1
 
@@ -148,6 +169,21 @@ def simhash(col: Column, bits: int = 32) -> Column:
         bit = F.when((cnt * 2) > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = acc + F.shiftleft(bit, j)
     return acc
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens: bit j set iff more token-hashes have bit j
+    set than clear. Pure array ops — no explode, no shuffle.
+    Prefer `with_simhash(df, ...)`, which hashes tokens once, not per bit."""
+    return _simhash_bits(token_hashes(col), bits)
+
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str,
+                 bits: int = 32) -> DataFrame:
+    """(id, simhash) with the token-hash array materialized once and shared
+    by all bit-counters (same CollapseProject rationale as with_minhash)."""
+    h = df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("__th"))
+    return h.select(id_col, _simhash_bits(F.col("__th"), bits).alias("simhash"))
 
 
 def sql_simhash(x: str, bits: int = 32) -> str:

@@ -131,6 +131,12 @@ class BatchWriter:
             if schema.num_buckets > 0 and BUCKET_COL not in df.columns:
                 df = df.withColumn(BUCKET_COL, bucket_expr(schema))
                 part_cols = pkeys + [BUCKET_COL]
+            elif (schema.num_buckets == -1 and BUCKET_COL not in df.columns
+                  and "dynamic-bucket.target-row-count" in schema.options):
+                # HASH_DYNAMIC mode (ref: index/HashBucketAssigner.java)
+                from paimon_spark.operators.dynamic_bucket import assign_buckets
+                df = assign_buckets(df.sparkSession, self.paths.root, schema, df)
+                part_cols = pkeys + [BUCKET_COL]
             elif BUCKET_COL in df.columns:
                 part_cols = pkeys + [BUCKET_COL]
             if BUCKET_COL in df.columns:
