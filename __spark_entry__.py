@@ -143,6 +143,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     t.append(ef.filter(F.col("event_id") % 2 == 1))
     out["events_first"] = t
 
+    # ---- user_latest_dyn: dynamic-bucket PK table ----
+    ed = raw["events"].select("user_id", "event_type", "event_id",
+                              F.col("value").alias("value"))
+    t = Table.create(
+        f"{root}/user_latest_dyn", ed.schema,
+        primary_keys=["user_id", "event_type"],
+        options={"bucket": "-1", "dynamic-bucket.target-row-count": "2000",
+                 "sequence.field": "event_id"},
+        spark=spark)
+    t.append(ed.filter(F.col("event_id") % 2 == 0))
+    t.append(ed.filter(F.col("event_id") % 2 == 1))
+    out["user_latest_dyn"] = t
+
     _WAREHOUSES[sf_dir] = out
     return out
 
@@ -284,6 +297,23 @@ def compact_preserves(spark, sf_dir):
     return agg_engine_user_stats(spark, sf_dir)
 
 
+def dynamic_bucket_latest(spark, sf_dir):
+    """Last event per (user, type) through a dynamic-bucket PK table."""
+    return _wh(spark, sf_dir)["user_latest_dyn"].read()
+
+
+def zorder_cluster_preserves(spark, sf_dir):
+    """Z-order sort-compact then re-aggregate — results must be invariant."""
+    from paimon_spark.procedures import call
+    t = _wh(spark, sf_dir)["lineitem"]
+    call(spark, "compact", table=t, order_strategy="zorder",
+         order_by="l_partkey,l_suppkey")
+    df = t.read(P.lt("l_partkey", 1000))
+    return df.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("cnt"))
+
+
 # ---- training-data pipeline operators ----
 
 def dedup_exact(spark, sf_dir):
@@ -391,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_update_orders": partial_update_orders,
         "first_row_events": first_row_events,
         "compact_preserves": compact_preserves,
+        "dynamic_bucket_latest": dynamic_bucket_latest,
+        "zorder_cluster_preserves": zorder_cluster_preserves,
         "dedup_exact": dedup_exact,
         "dedup_minhash_bands": dedup_minhash_bands,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -548,6 +580,16 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(value, event_id) AS value
             FROM events GROUP BY user_id, event_type""",
         "compact_preserves": _USER_STATS,
+        "dynamic_bucket_latest": """
+            SELECT user_id, event_type,
+                   arg_max(event_id, event_id) AS event_id,
+                   arg_max(value, event_id) AS value
+            FROM events GROUP BY user_id, event_type""",
+        "zorder_cluster_preserves": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem WHERE l_partkey < 1000 GROUP BY l_returnflag""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
                    CAST(count(*) AS BIGINT) AS n_copies

@@ -331,13 +331,20 @@ class Table:
     # ---------------- maintenance ----------------
 
     def compact(self, full: bool = True) -> Snapshot | None:
-        """Full compaction: merge every multi-run bucket into one max-level
-        file; preserves per-row sequence numbers so later merges stay
-        correct. (ref: procedure/CompactProcedure.java:113,
-        MergeTreeCompactManager.java)"""
+        """Compaction (ref: procedure/CompactProcedure.java:113,
+        MergeTreeCompactManager.java).
+
+        full=True: merge every multi-run bucket into one max-level file.
+        full=False: universal strategy — the size-amplification/size-ratio/
+        run-count picker chooses a newest-first prefix of runs per bucket
+        (ref: UniversalCompaction.java); partial rewrites keep tombstones
+        and sequence numbers so merging with older runs stays correct.
+        """
         latest = self.paths.latest_snapshot()
         if latest is None:
             return None
+        if not full and self.schema.is_pk_table:
+            return self._compact_universal()
         w = self.writer()
         plan = self.new_scan().plan()
         if self.schema.is_pk_table:
@@ -368,6 +375,60 @@ class Table:
                   .coalesce(int(n_out)))
             adds = w.stage(df, level=COMPACTED_LEVEL)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in victims]
+        return w.commit(adds + deletes, COMMIT_COMPACT)
+
+    def _compact_universal(self) -> Snapshot | None:
+        """Universal-strategy compaction over every bucket."""
+        from paimon_spark.operators.compaction import pick_compaction
+        from paimon_spark.operators.merge import order_struct
+
+        trigger = int(self.schema.options.get(
+            "num-sorted-run.compaction-trigger", "5"))
+        amp = int(self.schema.options.get(
+            "compaction.max-size-amplification-percent", "200"))
+        ratio = int(self.schema.options.get("compaction.size-ratio", "1"))
+
+        plan = self.new_scan().plan()
+        groups: dict[tuple, list[FileEntry]] = {}
+        for e in plan.entries:
+            groups.setdefault((tuple(sorted(e.partition.items())), e.bucket),
+                              []).append(e)
+        full_victims: list[FileEntry] = []
+        partial_victims: list[FileEntry] = []
+        for g in groups.values():
+            pick = pick_compaction(g, trigger, amp, ratio)
+            if pick is None:
+                continue
+            # partial combine is only merge-safe for the deduplicate engine
+            # (other engines' partial aggregates are associative too, but
+            # tombstone resets are not prefix-local) — promote to full.
+            if pick.full or self.schema.merge_engine != "deduplicate":
+                full_victims.extend(g)
+            else:
+                partial_victims.extend(pick.entries)
+        if not full_victims and not partial_victims:
+            return self.paths.latest_snapshot()
+        w = self.writer()
+        adds: list[FileEntry] = []
+        if full_victims:
+            df = self._read_files(full_victims)
+            merged = apply_merge(df, self.schema)
+            seqs = (df.groupBy(*self.schema.primary_keys)
+                    .agg(F.max(SEQ_COL).alias(SEQ_COL)))
+            merged = (merged.join(seqs, self.schema.primary_keys, "left")
+                      .withColumn(KIND_COL, F.lit("+I")))
+            adds += w.stage(merged, level=COMPACTED_LEVEL)
+        if partial_victims:
+            df = self._read_files(partial_victims)
+            pks = self.schema.primary_keys
+            keep = [c for c in df.columns if c not in pks and c != BUCKET_COL]
+            top = F.max_by(F.struct(*[F.col(c) for c in keep]),
+                           order_struct(self.schema)).alias("__top")
+            out = (df.groupBy(*pks).agg(top)
+                   .select(*pks, *[F.col(f"__top.{c}").alias(c) for c in keep]))
+            adds += w.stage(out, level=1)
+        deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                   for e in full_victims + partial_victims]
         return w.commit(adds + deletes, COMMIT_COMPACT)
 
     def create_tag(self, name: str, snapshot_id: int | None = None):
