@@ -235,9 +235,23 @@ class TablePaths:
         os.replace(tmp, self.manifest_file(name))
         return name
 
+    _manifest_cache: dict[str, list["FileEntry"]] = {}
+    _MANIFEST_CACHE_MAX = 4096
+
     def read_manifest(self, name: str) -> list[FileEntry]:
-        with open(self.manifest_file(name)) as f:
-            return [FileEntry.from_json(json.loads(line)) for line in f if line.strip()]
+        """Manifest files are immutable once written → process-wide cache.
+        (ref: SegmentsCache — WriteRestoreScanBenchmark.java:257-284 shows
+        ~30x on repeated scan planning)"""
+        key = self.manifest_file(name)
+        hit = TablePaths._manifest_cache.get(key)
+        if hit is not None:
+            return hit
+        with open(key) as f:
+            entries = [FileEntry.from_json(json.loads(line))
+                       for line in f if line.strip()]
+        if len(TablePaths._manifest_cache) < TablePaths._MANIFEST_CACHE_MAX:
+            TablePaths._manifest_cache[key] = entries
+        return entries
 
     def live_entries(self, snap: Snapshot) -> list[FileEntry]:
         """Replay ADD/DELETE across the snapshot's manifest list → live files."""

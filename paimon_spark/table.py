@@ -503,6 +503,11 @@ class Table:
         prev = self.paths.read_snapshot(from_snapshot) if from_snapshot >= 1 else None
         prev_n = len(prev.manifests) if prev else 0
         cur = self.paths.read_snapshot(to_snapshot)
+        if prev is not None and cur.manifests[:prev_n] != prev.manifests:
+            # manifest-list compaction rewrote the prefix → diff live sets
+            before = {e.dedup_key() for e in self.paths.live_entries(prev)}
+            return [e for e in self.paths.live_entries(cur)
+                    if e.dedup_key() not in before]
         for m in cur.manifests[prev_n:]:
             out.extend(e for e in self.paths.read_manifest(m) if e.kind == ADD)
         return out
@@ -534,6 +539,65 @@ class Table:
                     .withColumnRenamed(KIND_COL, "rowkind").drop(SEQ_COL))
         df = self._read_files(plan.entries)
         return (df.select(*self.schema.field_names, F.col(KIND_COL).alias("rowkind")))
+
+    def read_optimized(self) -> DataFrame:
+        """$read_optimized: only fully-compacted files, no merge cost —
+        results may lag the latest un-compacted writes.
+        (ref: table/system/ReadOptimizedTable.java)"""
+        plan = self.new_scan().plan()
+        entries = [e for e in plan.entries if e.level >= COMPACTED_LEVEL] \
+            if self.schema.is_pk_table else plan.entries
+        if not entries:
+            return self._empty_df()
+        df = self._read_files(entries)
+        if self.schema.is_pk_table:
+            df = df.filter(~F.col(KIND_COL).isin("-D", "-U"))
+        return df.select(*self.schema.field_names)
+
+    # ---------------- ANALYZE (ref: PaimonAnalyzeTableColumnCommand.scala,
+    # core stats/, table/system/StatisticTable.java) ----------------
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """Compute table+column statistics, persist keyed to the snapshot."""
+        snap = self.paths.latest_snapshot()
+        if snap is None:
+            return {}
+        df = self.read()
+        cols = columns or [f.name for f in self.schema.struct.fields
+                           if not isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                                          T.StructType, T.BinaryType))]
+        aggs = [F.count("*").alias("__rc")]
+        for c in cols:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            "snapshot_id": snap.id,
+            "row_count": row["__rc"],
+            "columns": {c: {"distinct_count": row[f"__ndv_{c}"],
+                            "null_count": row[f"__nulls_{c}"]} for c in cols},
+        }
+        d = os.path.join(self.path, "statistics")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"stats-{snap.id}.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return stats
+
+    def statistics_df(self) -> DataFrame:
+        d = os.path.join(self.path, "statistics")
+        rows = []
+        if os.path.isdir(d):
+            for n in sorted(os.listdir(d)):
+                with open(os.path.join(d, n)) as f:
+                    s = json.load(f)
+                for c, cs in s["columns"].items():
+                    rows.append((s["snapshot_id"], s["row_count"], c,
+                                 cs["distinct_count"], cs["null_count"]))
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, row_count long, column string, "
+                  "distinct_count long, null_count long")
 
     # ---------------- system tables (ref: SystemTableLoader.java:71-93) ----
 

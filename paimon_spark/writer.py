@@ -236,11 +236,27 @@ class BatchWriter:
                     if e.kind == DELETE and e.dedup_key() not in live:
                         raise RuntimeError(
                             f"commit conflict: {e.file_path} no longer live")
+            new_manifests = manifests + [manifest]
+            # manifest-list compaction: when the cumulative list grows past
+            # the threshold, fold it into ONE consolidated manifest of the
+            # live entries — snapshot replay stays O(live files), not
+            # O(historical commits). (ref: compact_manifest procedure /
+            # full manifest compaction in FileStoreCommitImpl)
+            if len(new_manifests) > int(self.schema.options.get(
+                    "manifest.compaction-trigger", "50")):
+                live: dict[tuple, FileEntry] = {}
+                for m in new_manifests:
+                    for e in self.paths.read_manifest(m):
+                        if e.kind == ADD:
+                            live[e.dedup_key()] = e
+                        else:
+                            live.pop(e.dedup_key(), None)
+                new_manifests = [self.paths.write_manifest(live.values())]
             snap = Snapshot(
                 id=sid, schema_id=self.schema.schema_id, commit_kind=kind,
                 commit_user=self.commit_user, commit_identifier=sid,
                 timestamp_ms=int(time.time() * 1000),
-                manifests=manifests + [manifest],
+                manifests=new_manifests,
                 total_record_count=total + added - deleted,
                 delta_record_count=added - deleted,
                 max_sequence=max(max_seq, max_seq_new),

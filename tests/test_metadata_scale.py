@@ -1,0 +1,59 @@
+"""Metadata-layer scale features: manifest-list compaction, manifest cache,
+ANALYZE statistics, read-optimized view."""
+
+from pyspark.sql import types as T
+
+from paimon_spark import Table
+from paimon_spark.metadata import TablePaths
+
+KV = T.StructType([T.StructField("k", T.LongType()),
+                   T.StructField("v", T.StringType())])
+
+
+def test_manifest_list_compaction_and_incremental_fallback(spark, wh):
+    t = Table.create(f"{wh}/m", KV, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "manifest.compaction-trigger": "3"}, spark=spark)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, f"v{i}")], KV))
+    snap = t.paths.latest_snapshot()
+    # the list folded at least once → far fewer than 6 manifests
+    assert len(snap.manifests) < 6
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
+    # incremental across a consolidation boundary uses the live-diff path
+    inc = t.read_incremental(1, 6)
+    assert sorted(r["k"] for r in inc.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_manifest_cache_hits(spark, wh):
+    t = Table.create(f"{wh}/c", KV, primary_keys=["k"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], KV))
+    name = t.paths.latest_snapshot().manifests[0]
+    first = t.paths.read_manifest(name)
+    assert t.paths.read_manifest(name) is first  # cached object identity
+
+
+def test_analyze_and_statistics_table(spark, wh):
+    t = Table.create(f"{wh}/a", KV, spark=spark)
+    t.append(spark.createDataFrame(
+        [(i % 10, None if i % 5 == 0 else "x") for i in range(100)], KV))
+    stats = t.analyze()
+    assert stats["row_count"] == 100
+    assert stats["columns"]["v"]["null_count"] == 20
+    assert 8 <= stats["columns"]["k"]["distinct_count"] <= 12  # approx ndv
+    sdf = {r["column"]: r for r in t.statistics_df().collect()}
+    assert sdf["v"]["null_count"] == 20
+
+
+def test_read_optimized_lags_until_compact(spark, wh):
+    t = Table.create(f"{wh}/ro", KV, primary_keys=["k"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], KV))
+    assert t.read_optimized().count() == 0       # nothing compacted yet
+    t.compact()
+    assert [tuple(r) for r in t.read_optimized().collect()] == [(1, "a")]
+    t.append(spark.createDataFrame([(1, "b")], KV))
+    # read-optimized still serves the compacted state; full read merges
+    assert [tuple(r) for r in t.read_optimized().collect()] == [(1, "a")]
+    assert [tuple(r) for r in t.read().collect()] == [(1, "b")]
