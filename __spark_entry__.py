@@ -44,11 +44,27 @@ _WH_DIRS: list[str] = []
 atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _WH_DIRS])
 
 
+def _ensure_conf(spark: SparkSession):
+    """The driver hands us ITS session — set the dynamic SQL confs this
+    engine depends on (all runtime-settable)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),     # events.parquet ns
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),          # merge_map
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def _dec(c, p=18, s=4):
     return F.col(c).cast(f"decimal({p},{s})") if isinstance(c, str) else c.cast(f"decimal({p},{s})")
 
 
 def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
+    _ensure_conf(spark)
     if sf_dir in _WAREHOUSES:
         return _WAREHOUSES[sf_dir]
     root = tempfile.mkdtemp(prefix="paimon_wh_")
@@ -161,6 +177,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
 
 
 def _read(spark, sf_dir, name):
+    _ensure_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
