@@ -246,6 +246,77 @@ def q6_revenue(spark, sf_dir):
         F.count("*").alias("n_rows"))
 
 
+def q4_late_orders(spark, sf_dir):
+    """Orders with at least one lineitem shipped after the order date
+    (semi join), counted per priority — TPC-H q4 flavor."""
+    t = _wh(spark, sf_dir)["lineitem"]
+    orders = _read(spark, sf_dir, "orders")
+    li = t.read(projection=["l_orderkey", "l_shipdate"])
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """Revenue lost to returns per customer, top 20 — TPC-H q10 flavor."""
+    t = _wh(spark, sf_dir)["lineitem"]
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = t.read(P.eq("l_returnflag", "R"))
+    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)) \
+        .cast("double").alias("revenue")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name").agg(rev)
+            .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+def q12_priority_class(spark, sf_dir):
+    """High/low-priority lineitem counts per linestatus — q12 flavor."""
+    t = _wh(spark, sf_dir)["lineitem"]
+    orders = _read(spark, sf_dir, "orders")
+    li = t.read(projection=["l_orderkey", "l_linestatus"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_count")))
+
+
+def q14_promo_share(spark, sf_dir):
+    """Share of revenue from PROMO parts — q14 flavor."""
+    t = _wh(spark, sf_dir)["lineitem"]
+    part = _read(spark, sf_dir, "part")
+    li = t.read()
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,6)"))).alias("__promo"),
+        F.sum(rev).alias("__total"))
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("__promo").cast("double")
+                / F.col("__total").cast("double"), 4).alias("promo_share"))
+
+
+def q18_big_orders(spark, sf_dir):
+    """Orders whose total quantity exceeds 150, with customer — q18 flavor."""
+    t = _wh(spark, sf_dir)["lineitem"]
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = t.read(projection=["l_orderkey", "l_quantity"])
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey", "sum_qty",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+            .orderBy(F.desc("sum_qty"), F.asc("o_orderkey")).limit(20))
+
+
 def topn_orders(spark, sf_dir):
     t = _wh(spark, sf_dir)["orders_pk"]
     return (t.read(projection=["o_orderkey", "o_totalprice", "o_orderpriority"])
@@ -425,6 +496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
         "q6_revenue": q6_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q14_promo_share": q14_promo_share,
+        "q18_big_orders": q18_big_orders,
         "topn_orders": topn_orders,
         "point_lookup": point_lookup,
         "metadata_count": metadata_count,
@@ -549,6 +625,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""",
+        "q4_late_orders": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
+        "q10_returned_revenue": f"""
+            SELECT c_custkey, c_name, CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer
+            WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem, orders WHERE l_orderkey = o_orderkey
+            GROUP BY l_linestatus""",
+        "q14_promo_share": f"""
+            SELECT round(100.0
+                * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {disc}
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM({disc}) AS DOUBLE), 4) AS promo_share
+            FROM lineitem, part WHERE l_partkey = p_partkey""",
+        "q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150)
+            SELECT c_name, o_orderkey, sum_qty,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM big, orders, customer
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 20""",
         "topn_orders": f"""
             SELECT o_orderkey, o_totalprice, o_orderpriority
             FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)

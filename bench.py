@@ -35,6 +35,27 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
 
+    # plain spark.read.parquet baseline for the scan-heavy queries —
+    # BASELINE.json's anchor is "within 2x of raw parquet on this machine"
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base: dict[str, float] = {}
+    t0 = time.perf_counter()
+    (li.filter(F.col("l_shipdate") <= E.CUTOFF)
+       .groupBy("l_returnflag", "l_linestatus")
+       .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+       .count())
+    base["q1_raw"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (li.filter((F.col("l_shipdate") >= "1996-01-01")
+               & (F.col("l_shipdate") < "1997-01-01")
+               & F.col("l_discount").between(0.05, 0.07)
+               & (F.col("l_quantity") < 24))
+       .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).collect())
+    base["q6_raw"] = round(time.perf_counter() - t0, 3)
+
+    engine = timings.get("q1_pricing_summary", 0) + timings.get("q6_revenue", 0)
+    raw = base["q1_raw"] + base["q6_raw"]
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -42,6 +63,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "baseline_raw_parquet": base,
+        "engine_vs_raw_ratio_q1_q6": round(engine / raw, 3) if raw else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

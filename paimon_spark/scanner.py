@@ -180,6 +180,41 @@ class Scanner:
     # only safe when no delete rows / DVs exist (we require append table
     # or fully-compacted single-run PK buckets with no -D rows).
 
+    def plan_topn(self, col: str, n: int, descending: bool = True,
+                  predicate: Predicate | None = None) -> ScanPlan:
+        """TopN-aware planning (ref: PaimonScanBuilder.scala:44-89 pushTopN,
+        predicate/TopN.java): order candidate files by their min/max stats
+        for the sort column and stop once the kept files are guaranteed to
+        contain the global top-n.
+
+        Only exact for append tables (no delete/merge rows). A file can be
+        dropped when n rows have already been found in files whose WORST
+        value (min for desc) still beats the candidate's BEST value (max
+        for desc)."""
+        plan = self.plan(predicate)
+        if self.schema.is_pk_table or not plan.entries:
+            return plan
+
+        def best(e): return e.stats.get(col, {}).get("max" if descending else "min")
+        def worst(e): return e.stats.get(col, {}).get("min" if descending else "max")
+
+        if any(best(e) is None or worst(e) is None for e in plan.entries):
+            return plan
+        ordered = sorted(plan.entries, key=lambda e: best(e), reverse=descending)
+        kept: list[FileEntry] = []
+        for e in ordered:
+            # skip e iff kept files already guarantee >= n rows that are all
+            # at least as extreme as anything in e
+            guaranteed = sum(
+                f.row_count for f in kept
+                if (descending and worst(f) >= best(e))
+                or (not descending and worst(f) <= best(e)))
+            if guaranteed >= n:
+                continue
+            kept.append(e)
+        skipped = plan.files_skipped + (len(plan.entries) - len(kept))
+        return ScanPlan(plan.snapshot, kept, [kept], [], files_skipped=skipped)
+
     def metadata_count(self, predicate: Predicate | None = None) -> int | None:
         if self.schema.is_pk_table:
             return None

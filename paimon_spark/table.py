@@ -184,6 +184,21 @@ class Table:
             return keep[0] if len(keep) == 1 else And(keep)
         return pred if pred.refs() <= safe else None
 
+    def read_topn(self, col: str, n: int, descending: bool = True,
+                  predicate: Predicate | None = None) -> DataFrame:
+        """ORDER BY col [DESC] LIMIT n with stats-based file pruning
+        (append tables; PK tables fall back to a full merged sort).
+        Execution is Spark's TakeOrderedAndProject."""
+        plan = self.new_scan().plan_topn(col, n, descending, predicate)
+        if not plan.entries:
+            df = self._empty_df()
+        else:
+            df = self._assemble(plan, predicate, with_hidden=False)
+            if predicate is not None:
+                df = df.filter(predicate.to_spark())
+        order = F.desc(col) if descending else F.asc(col)
+        return df.orderBy(order).limit(n)
+
     def to_df(self) -> DataFrame:
         return self.read()
 

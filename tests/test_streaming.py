@@ -93,13 +93,23 @@ def test_python_datasource_batch_and_stream(spark, wh, tmp_path):
     assert df.count() == 3  # raw rows (merge is the engine's job)
 
     # streaming surface: availableNow drains the initial full (merged) state
+    # (retried once: python-worker startup can time out under full-suite load)
+    import shutil as _sh
     sink: list = []
-    q = (spark.readStream.format("paimon").option("path", t.path).load()
-         .writeStream.foreachBatch(lambda b, i: sink.append(
-             sorted((r["k"], r["v"], r["_row_kind"]) for r in b.collect())))
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    for attempt in range(2):
+        try:
+            q = (spark.readStream.format("paimon").option("path", t.path).load()
+                 .writeStream.foreachBatch(lambda b, i: sink.append(
+                     sorted((r["k"], r["v"], r["_row_kind"]) for r in b.collect())))
+                 .option("checkpointLocation", str(tmp_path / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            sink.clear()
+            _sh.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
     rows = [r for batch in sink for r in batch]
     assert sorted(rows) == [(1, "a2", "+I"), (2, "b", "+I")]
 
