@@ -73,7 +73,12 @@ def stat_from_json(v: Any) -> Any:
 
 @dataclass
 class FileEntry:
-    """One data file tracked by a manifest (≈ ManifestEntry + DataFileMeta)."""
+    """One data file tracked by a manifest (≈ ManifestEntry + DataFileMeta).
+
+    dv_path/dv_count: optional deletion vector — a parquet sidecar of
+    (file_path, pos) rows masking deleted positions without rewriting the
+    data file (ref: paimon-core/.../deletionvectors/DeletionVector.java,
+    DataFileMeta deleteRowCount)."""
     kind: str                      # ADD | DELETE
     partition: dict[str, str]      # raw hive-path string values, in partition-key order
     bucket: int                    # -1 = unaware (append table)
@@ -85,9 +90,11 @@ class FileEntry:
     max_seq: int
     schema_id: int
     stats: dict[str, dict[str, Any]]  # col -> {min,max,nulls} (JSON-decoded values)
+    dv_path: str | None = None
+    dv_count: int = 0
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "kind": self.kind,
             "partition": self.partition,
             "bucket": self.bucket,
@@ -104,6 +111,10 @@ class FileEntry:
                 for c, s in self.stats.items()
             },
         }
+        if self.dv_path:
+            out["dv_path"] = self.dv_path
+            out["dv_count"] = self.dv_count
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
@@ -114,6 +125,7 @@ class FileEntry:
             stats={c: {"min": stat_from_json(s.get("min")), "max": stat_from_json(s.get("max")),
                        "nulls": s.get("nulls")}
                    for c, s in d.get("stats", {}).items()},
+            dv_path=d.get("dv_path"), dv_count=d.get("dv_count", 0),
         )
 
     def dedup_key(self) -> tuple:

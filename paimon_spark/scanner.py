@@ -224,13 +224,15 @@ class Scanner:
             if not predicate.partition_only(self.schema.partition_keys):
                 return None
             plan_entries = [e for e in plan.entries if self._may_match(e, predicate)]
-            return sum(e.row_count for e in plan_entries)
-        return sum(e.row_count for e in plan.entries)
+            return sum(e.row_count - e.dv_count for e in plan_entries)
+        return sum(e.row_count - e.dv_count for e in plan.entries)
 
     def metadata_min_max(self, col: str) -> tuple[Any, Any] | None:
         if self.schema.is_pk_table:
             return None
         plan = self.plan()
+        if any(e.dv_count for e in plan.entries):
+            return None  # a deleted row may have held the extreme (DvAwareStats)
         mns = [e.stats.get(col, {}).get("min") for e in plan.entries]
         mxs = [e.stats.get(col, {}).get("max") for e in plan.entries]
         if not plan.entries or any(v is None for v in mns) or any(v is None for v in mxs):

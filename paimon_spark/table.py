@@ -106,13 +106,41 @@ class Table:
             fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
+    def _reader(self):
+        return (self.spark.read
+                .schema(self._read_struct_with_partitions())
+                .option("basePath", self.path))
+
     def _read_files(self, entries: list[FileEntry],
                     for_schema_id: int | None = None) -> DataFrame:
-        paths = [os.path.join(self.path, e.file_path) for e in entries]
-        reader = (self.spark.read
-                  .schema(self._read_struct_with_partitions())
-                  .option("basePath", self.path))
-        return reader.parquet(*paths)
+        plain = [e for e in entries if not e.dv_path]
+        dvd = [e for e in entries if e.dv_path]
+        parts: list[DataFrame] = []
+        cols: list[str] | None = None
+        if plain:
+            df = self._reader().parquet(
+                *[os.path.join(self.path, e.file_path) for e in plain])
+            cols = df.columns
+            parts.append(df)
+        if dvd:
+            # apply deletion vectors: positional anti-join on
+            # (_metadata.file_path, _metadata.row_index)
+            # (ref: ApplyDeletionVectorReader.java)
+            df = self._reader().parquet(
+                *[os.path.join(self.path, e.file_path) for e in dvd])
+            cols = cols or df.columns
+            df = df.select("*",
+                           F.col("_metadata.file_path").alias("__fp"),
+                           F.col("_metadata.row_index").alias("__pos"))
+            dv = self.spark.read.parquet(
+                *sorted({os.path.join(self.path, e.dv_path) for e in dvd}))
+            cond = (F.col("__fp") == dv["file_path"]) & (F.col("__pos") == dv["pos"])
+            df = df.join(F.broadcast(dv), cond, "left_anti").select(*cols)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, predicate: Predicate | None = None,
              projection: list[str] | None = None,
@@ -243,17 +271,60 @@ class Table:
                        for e in self.paths.live_entries(latest)
                        if scan._may_match(e, predicate)]
             return w.commit(deletes, COMMIT_OVERWRITE)
-        # copy-on-write: rewrite touched files without matching rows
         scan = self.new_scan()
         plan = scan.plan(predicate)
         touched = plan.entries
         if not touched:
             return latest
+        if self.schema.options.get("deletion-vectors.enabled", "false") == "true":
+            return self._delete_with_dv(touched, predicate)
+        # copy-on-write: rewrite touched files without matching rows
         df = self._read_files(touched).filter(~predicate.to_spark())
         df = df.select(*[c for c in self.schema.field_names])
         adds = w.stage(df)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
         return w.commit(adds + deletes, COMMIT_OVERWRITE)
+
+    def _delete_with_dv(self, touched: list[FileEntry],
+                        predicate: Predicate) -> Snapshot:
+        """Metadata-only delete: record matching row POSITIONS in a deletion
+        vector sidecar; data files are untouched. New positions merge with
+        each file's existing vector. (ref: deletionvectors/, option
+        CoreOptions.java:2117 deletion-vectors.enabled)"""
+        import uuid as _uuid
+
+        w = self.writer()
+        meta = self._reader().parquet(
+            *[os.path.join(self.path, e.file_path) for e in touched]).select(
+            "*", F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"))
+        new_pos = meta.filter(predicate.to_spark()).select("file_path", "pos")
+        old_dvs = sorted({os.path.join(self.path, e.dv_path)
+                          for e in touched if e.dv_path})
+        if old_dvs:
+            new_pos = new_pos.unionByName(
+                self.spark.read.parquet(*old_dvs)).distinct()
+        dv_dir = os.path.join(self.path, "dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        staging = os.path.join(dv_dir, f".tmp-{_uuid.uuid4().hex}")
+        new_pos.coalesce(1).write.parquet(staging)
+        dv_name = f"dv/dv-{_uuid.uuid4().hex}.parquet"
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), os.path.join(self.path, dv_name))
+        shutil.rmtree(staging, ignore_errors=True)
+        # data file names are UUIDs → match URI spellings via basename
+        counts = {os.path.basename(r["file_path"]): r["cnt"] for r in
+                  self.spark.read.parquet(os.path.join(self.path, dv_name))
+                  .groupBy("file_path").agg(F.count("*").alias("cnt")).collect()}
+        entries: list[FileEntry] = []
+        for e in touched:
+            cnt = counts.get(os.path.basename(e.file_path), 0)
+            entries.append(FileEntry(**{**e.__dict__, "kind": DELETE}))
+            entries.append(FileEntry(**{
+                **e.__dict__, "kind": ADD,
+                "dv_path": dv_name if cnt else None,
+                "dv_count": cnt}))
+        return w.commit(entries, COMMIT_OVERWRITE)
 
     def update_where(self, predicate: Predicate | None,
                      assignments: dict[str, Any]) -> Snapshot:
