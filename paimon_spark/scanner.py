@@ -71,11 +71,24 @@ class Scanner:
     #      CoreOptions scan.snapshot-id :1227 / scan.tag-name :1234
 
     def resolve_snapshot(self, snapshot_id: int | None = None, tag: str | None = None,
-                         as_of_timestamp_ms: int | None = None) -> Snapshot | None:
+                         as_of_timestamp_ms: int | None = None,
+                         watermark: int | None = None) -> Snapshot | None:
         if tag is not None:
             snapshot_id = self.paths.read_tag(tag)
         if snapshot_id is not None:
             return self.paths.read_snapshot(snapshot_id)
+        if watermark is not None:
+            # earliest snapshot whose watermark has passed the requested one
+            # (ref: scan.watermark CoreOptions.java:1203)
+            latest = self.paths.latest_snapshot_id()
+            for sid in range(1, (latest or 0) + 1):
+                try:
+                    s = self.paths.read_snapshot(sid)
+                except FileNotFoundError:
+                    continue
+                if s.watermark is not None and s.watermark >= watermark:
+                    return s
+            return None
         if as_of_timestamp_ms is not None:
             latest = self.paths.latest_snapshot_id()
             if latest is None:
@@ -96,8 +109,9 @@ class Scanner:
     def plan(self, predicate: Predicate | None = None,
              snapshot_id: int | None = None, tag: str | None = None,
              as_of_timestamp_ms: int | None = None,
-             limit: int | None = None) -> ScanPlan:
-        snap = self.resolve_snapshot(snapshot_id, tag, as_of_timestamp_ms)
+             limit: int | None = None,
+             watermark: int | None = None) -> ScanPlan:
+        snap = self.resolve_snapshot(snapshot_id, tag, as_of_timestamp_ms, watermark)
         if snap is None:
             return ScanPlan(None, [], [], [])
         entries = self.paths.live_entries(snap)

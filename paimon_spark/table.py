@@ -147,10 +147,12 @@ class Table:
              snapshot_id: int | None = None, tag: str | None = None,
              as_of_timestamp_ms: int | None = None,
              limit: int | None = None,
-             with_hidden: bool = False) -> DataFrame:
+             with_hidden: bool = False,
+             watermark: int | None = None) -> DataFrame:
         """Batch read → DataFrame of logical columns."""
         scan = self.new_scan()
-        plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit)
+        plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit,
+                         watermark)
         if not plan.entries:
             df = self._empty_df(with_hidden and self.schema.is_pk_table)
         else:

@@ -207,6 +207,27 @@ class BatchWriter:
                 ))
         return entries
 
+    def _watermark_from_stats(self, entries: list[FileEntry]) -> int | None:
+        """Watermark = max(event-time field) - delay, read from the footer
+        stats already collected per file — no extra data pass.
+        (ref: Snapshot.java:172 watermark; scan.watermark CoreOptions:1203)"""
+        import datetime as dt
+
+        field = self.schema.options.get("watermark.field")
+        if not field:
+            return None
+        delay_ms = int(self.schema.options.get("watermark.delay-ms", "0"))
+        vals = []
+        for e in entries:
+            if e.kind != ADD:
+                continue
+            v = e.stats.get(field, {}).get("max")
+            if isinstance(v, dt.datetime):
+                v = int(v.timestamp() * 1000)
+            if isinstance(v, (int, float)):
+                vals.append(int(v))
+        return (max(vals) - delay_ms) if vals else None
+
     # ---------------- commit ----------------
 
     def commit(self, entries: list[FileEntry], kind: str = COMMIT_APPEND,
@@ -221,6 +242,7 @@ class BatchWriter:
         added = sum(e.row_count for e in entries if e.kind == ADD)
         deleted = sum(e.row_count for e in entries if e.kind == DELETE)
         max_seq_new = max((e.max_seq for e in entries if e.kind == ADD), default=0)
+        watermark = self._watermark_from_stats(entries)
 
         for _ in range(max_retries):
             latest = self.paths.latest_snapshot()
@@ -260,6 +282,9 @@ class BatchWriter:
                 total_record_count=total + added - deleted,
                 delta_record_count=added - deleted,
                 max_sequence=max(max_seq, max_seq_new),
+                watermark=max(filter(None, (watermark,
+                                            latest.watermark if latest else None)),
+                              default=None),
             )
             if self.paths.try_commit_snapshot(snap):
                 return snap
