@@ -163,19 +163,40 @@ class Snapshot:
 # ---------------- on-disk layout helpers ----------------
 
 class TablePaths:
-    def __init__(self, table_path: str):
+    """Filesystem layout. With `branch` set, snapshot/schema/tag metadata
+    lives under branch/branch-<name>/ while manifests and data files stay
+    shared at the table root — a branch is a metadata fork, data is never
+    copied (ref: paimon-core/.../utils/BranchManager.java:55-66 branch
+    directory layout)."""
+
+    def __init__(self, table_path: str, branch: str | None = None):
         self.root = table_path
+        self.branch = branch
+        self.meta_root = (table_path if branch is None
+                          else os.path.join(table_path, "branch", f"branch-{branch}"))
 
     @property
-    def schema_dir(self): return os.path.join(self.root, "schema")
+    def schema_dir(self): return os.path.join(self.meta_root, "schema")
     @property
-    def snapshot_dir(self): return os.path.join(self.root, "snapshot")
+    def snapshot_dir(self): return os.path.join(self.meta_root, "snapshot")
     @property
     def manifest_dir(self): return os.path.join(self.root, "manifest")
     @property
-    def tag_dir(self): return os.path.join(self.root, "tag")
+    def tag_dir(self): return os.path.join(self.meta_root, "tag")
     @property
     def staging_dir(self): return os.path.join(self.root, ".staging")
+    @property
+    def branch_root(self): return os.path.join(self.root, "branch")
+
+    def branch_meta_file(self):
+        return os.path.join(self.meta_root, "BRANCH.json")
+
+    def list_branches(self) -> list[str]:
+        try:
+            names = os.listdir(self.branch_root)
+        except FileNotFoundError:
+            return []
+        return sorted(n[len("branch-"):] for n in names if n.startswith("branch-"))
 
     def schema_file(self, sid: int): return os.path.join(self.schema_dir, f"schema-{sid}.json")
     def snapshot_file(self, sid: int): return os.path.join(self.snapshot_dir, f"snapshot-{sid}.json")

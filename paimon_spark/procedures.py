@@ -104,8 +104,90 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
     return table
 
 
+def create_branch(spark, table, branch: str, snapshot: int | None = None,
+                  tag: str | None = None, **_):
+    return _t(table).with_spark(spark).create_branch(branch, snapshot, tag)
+
+
+def delete_branch(spark, table, branch: str, **_):
+    _t(table).with_spark(spark).delete_branch(branch)
+
+
+def fast_forward(spark, table, branch: str, **_):
+    _t(table).with_spark(spark).fast_forward(branch)
+
+
+def expire_partitions(spark, table, expiration_time: str,
+                      timestamp_formatter: str = "%Y-%m-%d",
+                      timestamp_pattern: str | None = None, **_):
+    """Drop whole partitions whose time value is older than now-expiration.
+    Metadata-only: emits DELETE entries for every live file in an expired
+    partition (ref: procedure/ExpirePartitionsProcedure.java; partition
+    value parsed per partition.timestamp-formatter like
+    PartitionValuesTimeExpireStrategy)."""
+    import datetime as _dt
+    import re as _re
+
+    t = _t(table).with_spark(spark)
+    m = _re.fullmatch(r"(\d+)\s*([smhd])", expiration_time.strip())
+    if not m:
+        raise ValueError("expiration_time like '7 d', '12 h', '30 m'")
+    secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+    cutoff = _dt.datetime.now() - _dt.timedelta(seconds=secs)
+    pkeys = t.schema.partition_keys
+    if not pkeys:
+        raise ValueError("table is not partitioned")
+    field = (timestamp_pattern or "$" + pkeys[0]).lstrip("$")
+
+    latest = t.paths.latest_snapshot()
+    if latest is None:
+        return []
+    expired_parts, deletes = set(), []
+    from paimon_spark.metadata import COMMIT_OVERWRITE, DELETE
+    import dataclasses
+    for e in t.paths.live_entries(latest):
+        raw = e.partition.get(field)
+        try:
+            val = _dt.datetime.strptime(raw, timestamp_formatter)
+        except (TypeError, ValueError):
+            continue
+        if val < cutoff:
+            expired_parts.add(tuple(sorted(e.partition.items())))
+            deletes.append(dataclasses.replace(e, kind=DELETE))
+    if deletes:
+        t.writer().commit(deletes, COMMIT_OVERWRITE)
+    return sorted(dict(p) [field] for p in expired_parts)
+
+
+def mark_partition_done(spark, table, partitions: list[dict] | dict, **_):
+    """Write a partition-done marker (_SUCCESS file) so downstream schedulers
+    can poll readiness (ref: procedure/MarkPartitionDoneProcedure.java,
+    SuccessFileMarkDoneAction)."""
+    import json as _json
+    import time as _time
+
+    t = _t(table).with_spark(spark)
+    if isinstance(partitions, dict):
+        partitions = [partitions]
+    marked = []
+    for part in partitions:
+        rel = "/".join(f"{k}={urllib.parse.quote(str(part[k]), safe='')}"
+                       for k in t.schema.partition_keys)
+        d = os.path.join(t.path, rel)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            _json.dump({"creationTime": int(_time.time() * 1000)}, f)
+        marked.append(rel)
+    return marked
+
+
 PROCEDURES = {
     "compact": compact,
+    "create_branch": create_branch,
+    "delete_branch": delete_branch,
+    "fast_forward": fast_forward,
+    "expire_partitions": expire_partitions,
+    "mark_partition_done": mark_partition_done,
     "expire_snapshots": expire_snapshots,
     "create_tag": create_tag,
     "delete_tag": delete_tag,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -37,10 +38,12 @@ COMPACTED_LEVEL = 5
 
 
 class Table:
-    def __init__(self, path: str, schema: TableSchema, spark: SparkSession | None = None):
+    def __init__(self, path: str, schema: TableSchema, spark: SparkSession | None = None,
+                 branch: str | None = None):
         self.path = path
         self.schema = schema
-        self.paths = TablePaths(path)
+        self.branch_name = branch
+        self.paths = TablePaths(path, branch)
         self.spark = spark
 
     # ---------------- lifecycle ----------------
@@ -61,14 +64,15 @@ class Table:
         return Table(path, schema, spark)
 
     @staticmethod
-    def load(path: str, spark: SparkSession | None = None) -> "Table":
-        paths = TablePaths(path)
+    def load(path: str, spark: SparkSession | None = None,
+             branch: str | None = None) -> "Table":
+        paths = TablePaths(path, branch)
         sids = [int(n[len("schema-"):-len(".json")])
                 for n in os.listdir(paths.schema_dir)
                 if n.startswith("schema-") and n.endswith(".json")]
         with open(paths.schema_file(max(sids))) as f:
             schema = TableSchema.from_json(f.read())
-        return Table(path, schema, spark)
+        return Table(path, schema, spark, branch)
 
     def _save_schema(self, schema: TableSchema):
         with open(self.paths.schema_file(schema.schema_id), "w") as f:
@@ -526,6 +530,95 @@ class Table:
     def delete_tag(self, name: str):
         os.remove(self.paths.tag_file(name))
 
+    # ---------------- branches ----------------
+    # (ref: paimon-core/.../utils/BranchManager.java — createBranch,
+    #  dropBranch, fastForward. A branch forks snapshot/schema/tag metadata
+    #  under branch/branch-<name>/; manifests and data files are shared with
+    #  the main table, so branching is O(metadata) regardless of data size.)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      tag: str | None = None) -> "Table":
+        """Fork a branch from a snapshot (default: latest; or a tag).
+        With no snapshots yet, creates an empty branch sharing the schema."""
+        if self.branch_name is not None:
+            raise ValueError("create_branch must be called on the main table")
+        if name in self.paths.list_branches():
+            raise FileExistsError(f"branch {name} exists")
+        if tag is not None:
+            snapshot_id = self.paths.read_tag(tag)
+        if snapshot_id is None:
+            snapshot_id = self.paths.latest_snapshot_id()
+        bp = TablePaths(self.path, name)
+        bp.ensure()
+        for n in os.listdir(self.paths.schema_dir):
+            if n.startswith("schema-") and n.endswith(".json"):
+                shutil.copyfile(os.path.join(self.paths.schema_dir, n),
+                                os.path.join(bp.schema_dir, n))
+        if snapshot_id is not None:
+            shutil.copyfile(self.paths.snapshot_file(snapshot_id),
+                            bp.snapshot_file(snapshot_id))
+            bp.write_latest_hint(snapshot_id)
+        with open(bp.branch_meta_file(), "w") as f:
+            json.dump({"name": name, "created_from_snapshot": snapshot_id,
+                       "created_ms": int(time.time() * 1000)}, f)
+        return Table(self.path, self.schema, self.spark, name)
+
+    def delete_branch(self, name: str):
+        shutil.rmtree(os.path.join(self.paths.branch_root, f"branch-{name}"))
+
+    def branch(self, name: str) -> "Table":
+        """Open an existing branch of this table."""
+        return Table.load(self.path, self.spark, branch=name)
+
+    def list_branches(self) -> list[str]:
+        return self.paths.list_branches()
+
+    def fast_forward(self, name: str):
+        """Make main identical to the branch: drop main snapshots newer than
+        the branch's fork point, then copy the branch's snapshots/schemas in.
+        (ref: BranchManager.java fastForward)"""
+        if self.branch_name is not None:
+            raise ValueError("fast_forward must be called on the main table")
+        bp = TablePaths(self.path, name)
+        with open(bp.branch_meta_file()) as f:
+            base = json.load(f).get("created_from_snapshot") or 0
+        latest_main = self.paths.latest_snapshot_id() or 0
+        for sid in range(base + 1, latest_main + 1):
+            try:
+                os.remove(self.paths.snapshot_file(sid))
+            except FileNotFoundError:
+                pass
+        branch_latest = bp.latest_snapshot_id() or base
+        for n in os.listdir(bp.snapshot_dir):
+            if n.startswith("snapshot-") and n.endswith(".json"):
+                shutil.copyfile(os.path.join(bp.snapshot_dir, n),
+                                os.path.join(self.paths.snapshot_dir, n))
+        for n in os.listdir(bp.schema_dir):
+            if (n.startswith("schema-") and n.endswith(".json")
+                    and not os.path.exists(os.path.join(self.paths.schema_dir, n))):
+                shutil.copyfile(os.path.join(bp.schema_dir, n),
+                                os.path.join(self.paths.schema_dir, n))
+        for bname, sid in bp.list_tags().items():
+            self.paths.write_tag(bname, sid)
+        if branch_latest:
+            self.paths.write_latest_hint(branch_latest)
+        self.schema = Table.load(self.path).schema
+
+    def branches_df(self) -> DataFrame:
+        rows = []
+        for b in self.paths.list_branches():
+            bp = TablePaths(self.path, b)
+            try:
+                with open(bp.branch_meta_file()) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                meta = {}
+            rows.append((b, meta.get("created_from_snapshot"),
+                         bp.latest_snapshot_id(), meta.get("created_ms")))
+        return self.spark.createDataFrame(
+            rows, "branch string, created_from_snapshot bigint, "
+                  "latest_snapshot bigint, created_ms bigint")
+
     def rollback_to(self, snapshot_id: int):
         """Drop snapshots newer than snapshot_id. (ref: Table.java:123)"""
         latest = self.paths.latest_snapshot_id()
@@ -559,19 +652,29 @@ class Table:
         (ref: RemoveOrphanFilesProcedure.java)"""
         referenced: set[str] = set()
         live_manifests: set[str] = set()
-        for n in os.listdir(self.paths.snapshot_dir):
-            if not n.startswith("snapshot-") or not n.endswith(".json"):
+        # branches share manifests + data files with main → their snapshots
+        # pin files too
+        metas = [self.paths] + [TablePaths(self.path, b)
+                                for b in self.paths.list_branches()]
+        for paths in metas:
+            try:
+                names = os.listdir(paths.snapshot_dir)
+            except FileNotFoundError:
                 continue
-            snap = self.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
-            live_manifests.update(snap.manifests)
-            # a file is referenced iff LIVE in some retained snapshot
-            # (ADD entries later cancelled by DELETE are safe to drop)
-            for e in self.paths.live_entries(snap):
-                referenced.add(os.path.normpath(e.file_path))
+            for n in names:
+                if not n.startswith("snapshot-") or not n.endswith(".json"):
+                    continue
+                snap = paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
+                live_manifests.update(snap.manifests)
+                # a file is referenced iff LIVE in some retained snapshot
+                # (ADD entries later cancelled by DELETE are safe to drop)
+                for e in paths.live_entries(snap):
+                    referenced.add(os.path.normpath(e.file_path))
         removed = 0
         for dirpath, _d, files in os.walk(self.path):
             rel = os.path.relpath(dirpath, self.path)
-            if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag", ".staging"):
+            if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag",
+                                        "branch", ".staging"):
                 continue
             for fn in files:
                 rp = os.path.normpath(os.path.join(rel, fn))

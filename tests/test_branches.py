@@ -1,0 +1,93 @@
+"""Branches: metadata fork, isolated writes, fast-forward, orphan safety.
+
+(ref: paimon-core/.../utils/BranchManager.java; docs maintenance/manage-branches)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from paimon_spark import P, Table
+from paimon_spark.procedures import call
+
+SCHEMA = T.StructType([T.StructField("id", T.LongType()),
+                       T.StructField("v", T.StringType())])
+
+
+def _mk(spark, wh, n=3):
+    t = Table.create(f"{wh}/t", SCHEMA, spark=spark)
+    for i in range(n):
+        t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+    return t
+
+
+def test_branch_isolated_writes(spark, wh):
+    t = _mk(spark, wh)
+    b = t.create_branch("dev")
+    assert t.list_branches() == ["dev"]
+    # branch starts at main's latest
+    assert b.read().count() == 3
+    # write to branch — invisible on main
+    b.append(spark.createDataFrame([(100, "branch-only")], SCHEMA))
+    assert b.read().count() == 4
+    assert t.read().count() == 3
+    # write to main — invisible on branch
+    t.append(spark.createDataFrame([(200, "main-only")], SCHEMA))
+    assert t.read().count() == 4
+    assert b.read().count() == 4
+    assert b.read(P.eq("id", 200)).count() == 0
+
+
+def test_branch_from_tag_and_delete(spark, wh):
+    t = _mk(spark, wh)
+    t.create_tag("s1", 1)
+    b = call(spark, "create_branch", table=t, branch="old", tag="s1")
+    assert b.read().count() == 1
+    call(spark, "delete_branch", table=t, branch="old")
+    assert t.list_branches() == []
+
+
+def test_fast_forward_replaces_main(spark, wh):
+    t = _mk(spark, wh, n=2)
+    b = t.create_branch("fix")
+    b.append(spark.createDataFrame([(10, "fixed")], SCHEMA))
+    b.create_tag("fix-tag")
+    # main diverges after the fork point
+    t.append(spark.createDataFrame([(99, "divergent")], SCHEMA))
+    call(spark, "fast_forward", table=t, branch="fix")
+    got = {r.id for r in t.read().collect()}
+    assert got == {0, 1, 10}                      # divergent write dropped
+    assert "fix-tag" in dict(t.paths.list_tags())  # branch tags copied
+
+
+def test_orphan_files_respects_branches(spark, wh):
+    t = _mk(spark, wh, n=2)
+    b = t.create_branch("keep")
+    b.append(spark.createDataFrame([(7, "branch-data")], SCHEMA))
+    removed = t.remove_orphan_files()
+    assert removed == 0
+    assert b.read().count() == 3
+
+
+def test_expire_partitions(spark, wh):
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/p", schema, partition_keys=["dt"], spark=spark)
+    t.append(spark.createDataFrame(
+        [("2020-01-01", 1), ("2020-01-02", 2), ("2999-01-01", 3)], schema))
+    expired = call(spark, "expire_partitions", table=t,
+                   expiration_time="7 d", timestamp_formatter="%Y-%m-%d")
+    assert sorted(expired) == ["2020-01-01", "2020-01-02"]
+    assert [r.v for r in t.read().collect()] == [3]
+
+
+def test_mark_partition_done(spark, wh):
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/m", schema, partition_keys=["dt"], spark=spark)
+    t.append(spark.createDataFrame([("2024-06-01", 1)], schema))
+    marked = call(spark, "mark_partition_done", table=t,
+                  partitions={"dt": "2024-06-01"})
+    assert marked == ["dt=2024-06-01"]
+    assert os.path.exists(os.path.join(t.path, "dt=2024-06-01", "_SUCCESS"))
