@@ -481,6 +481,36 @@ def window_user_ranks(spark, sf_dir):
             .filter(F.col("rnk") <= 2))
 
 
+def sketch_hll_users(spark, sf_dir):
+    """HLL sketch build+union per segment; emits exact count and a
+    within-2% flag so the non-SQL estimate is still oracle-checkable."""
+    from paimon_spark.functions.sketches import hll_estimate_col, hll_sketch_agg
+    ev = _read(spark, sf_dir, "events")
+    est = (ev.groupBy("event_type")
+           .agg(hll_sketch_agg(F.col("user_id")).alias("sk"),
+                F.countDistinct("user_id").cast("long").alias("exact_users"))
+           .select("event_type", "exact_users",
+                   hll_estimate_col(F.col("sk")).alias("est")))
+    return est.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users"))
+         <= 0.02 * F.col("exact_users") + F.lit(3)).alias("est_ok"))
+
+
+def sketch_theta_custkeys(spark, sf_dir):
+    from paimon_spark.functions.sketches import theta_estimate_col, theta_sketch_agg
+    orders = _read(spark, sf_dir, "orders")
+    est = (orders.groupBy("o_orderpriority")
+           .agg(theta_sketch_agg(F.col("o_custkey")).alias("sk"),
+                F.countDistinct("o_custkey").cast("long").alias("exact_keys"))
+           .select("o_orderpriority", "exact_keys",
+                   theta_estimate_col(F.col("sk")).alias("est")))
+    return est.select(
+        "o_orderpriority", "exact_keys",
+        (F.abs(F.col("est") - F.col("exact_keys"))
+         <= 0.05 * F.col("exact_keys") + F.lit(3)).alias("est_ok"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -527,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "window_user_ranks": window_user_ranks,
+        "sketch_hll_users": sketch_hll_users,
+        "sketch_theta_custkeys": sketch_theta_custkeys,
     }
 
 
@@ -765,4 +797,14 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
               FROM events GROUP BY user_id, event_type)
             WHERE rnk <= 2""",
+        "sketch_hll_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS est_ok
+            FROM events GROUP BY event_type""",
+        "sketch_theta_custkeys": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_keys,
+                   TRUE AS est_ok
+            FROM orders GROUP BY o_orderpriority""",
     }

@@ -92,6 +92,7 @@ class FileEntry:
     stats: dict[str, dict[str, Any]]  # col -> {min,max,nulls} (JSON-decoded values)
     dv_path: str | None = None
     dv_count: int = 0
+    index_path: str | None = None  # standalone file index sidecar (bloom)
 
     def to_json(self) -> dict:
         out = {
@@ -114,6 +115,8 @@ class FileEntry:
         if self.dv_path:
             out["dv_path"] = self.dv_path
             out["dv_count"] = self.dv_count
+        if self.index_path:
+            out["index_path"] = self.index_path
         return out
 
     @staticmethod
@@ -126,6 +129,7 @@ class FileEntry:
                        "nulls": s.get("nulls")}
                    for c, s in d.get("stats", {}).items()},
             dv_path=d.get("dv_path"), dv_count=d.get("dv_count", 0),
+            index_path=d.get("index_path"),
         )
 
     def dedup_key(self) -> tuple:

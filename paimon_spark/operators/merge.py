@@ -164,6 +164,16 @@ def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
         return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))).alias(c)
     if fname == "count":
         return F.count(col).alias(c)
+    if fname == "hll_sketch":
+        # field type BINARY; rows carry HLL blobs, merge = register-max union
+        # (ref: FieldHllSketchAgg.java — DataSketches union, here portable
+        #  pure-python sketch, see functions/sketches.py)
+        from paimon_spark.functions.sketches import hll_union_agg
+        return hll_union_agg(col).alias(c)
+    if fname == "theta_sketch":
+        # (ref: FieldThetaSketchAgg.java — KMV keep-k union)
+        from paimon_spark.functions.sketches import theta_union_agg
+        return theta_union_agg(col).alias(c)
     raise ValueError(f"unsupported aggregate-function: {fname}")
 
 

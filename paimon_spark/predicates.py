@@ -47,6 +47,12 @@ class Predicate:
     def test_partition(self, values: dict[str, Any]) -> bool: ...
     def test_stats(self, row_count: int, stats: dict[str, dict]) -> bool: ...
 
+    def test_file_index(self, lookup) -> bool:
+        """May-match against a per-file index. lookup(col, value) returns
+        False (definitely absent), True (maybe), or None (not indexed).
+        Conservative default: maybe. (ref: fileindex/FileIndexPredicate.java)"""
+        return True
+
     def partition_only(self, partition_keys: Sequence[str]) -> bool:
         return self.refs() <= set(partition_keys)
 
@@ -155,6 +161,18 @@ class Leaf(Predicate):
             return not (mn == mx and mn in v)
         return True
 
+    def test_file_index(self, lookup) -> bool:
+        """Bloom can only refute membership → eq and in."""
+        if self.op == "eq":
+            r = lookup(self.field, self.literal)
+            return True if r is None else r
+        if self.op == "in":
+            results = [lookup(self.field, v) for v in self.literal]
+            if any(r is None for r in results):
+                return True
+            return any(results)
+        return True
+
 
 @dataclass
 class And(Predicate):
@@ -170,6 +188,7 @@ class And(Predicate):
 
     def test_partition(self, values): return all(c.test_partition(values) for c in self.children)
     def test_stats(self, rc, stats): return all(c.test_stats(rc, stats) for c in self.children)
+    def test_file_index(self, lookup): return all(c.test_file_index(lookup) for c in self.children)
 
     def partition_pruning_part(self, partition_keys: Sequence[str]) -> "Predicate | None":
         """Conjuncts referencing only partition keys (safe to prune with)."""
@@ -193,6 +212,7 @@ class Or(Predicate):
 
     def test_partition(self, values): return any(c.test_partition(values) for c in self.children)
     def test_stats(self, rc, stats): return any(c.test_stats(rc, stats) for c in self.children)
+    def test_file_index(self, lookup): return any(c.test_file_index(lookup) for c in self.children)
 
 
 @dataclass

@@ -160,7 +160,12 @@ class Scanner:
         }
         if not pred.test_partition(part_values):
             return False
-        return pred.test_stats(e.row_count, e.stats)
+        if not pred.test_stats(e.row_count, e.stats):
+            return False
+        if e.index_path:
+            from paimon_spark.fileindex import make_lookup
+            return pred.test_file_index(make_lookup(self.paths.root, e.index_path))
+        return True
 
     def _prune_buckets(self, entries: list[FileEntry], pred: Predicate | None) -> list[FileEntry]:
         """Point-lookup optimization: equality on ALL bucket keys pins one

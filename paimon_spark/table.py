@@ -670,6 +670,10 @@ class Table:
                 # (ADD entries later cancelled by DELETE are safe to drop)
                 for e in paths.live_entries(snap):
                     referenced.add(os.path.normpath(e.file_path))
+                    if e.dv_path:
+                        referenced.add(os.path.normpath(e.dv_path))
+                    if e.index_path:
+                        referenced.add(os.path.normpath(e.index_path))
         removed = 0
         for dirpath, _d, files in os.walk(self.path):
             rel = os.path.relpath(dirpath, self.path)
@@ -678,7 +682,10 @@ class Table:
                 continue
             for fn in files:
                 rp = os.path.normpath(os.path.join(rel, fn))
-                if fn.endswith(".parquet") and rp not in referenced:
+                prunable = (fn.endswith(".parquet")
+                            or (rel.split(os.sep)[0] == "index"
+                                and fn.endswith(".json")))
+                if prunable and rp not in referenced:
                     os.remove(os.path.join(dirpath, fn))
                     removed += 1
         for m in os.listdir(self.paths.manifest_dir):

@@ -173,6 +173,10 @@ class BatchWriter:
         schema = self.schema
         stat_cols = [f.name for f in schema.struct.fields
                      if f.name not in schema.partition_keys] + [SEQ_COL]
+        # standalone bloom index (ref: CoreOptions file-index.bloom-filter.columns)
+        index_cols = [c.strip() for c in schema.options.get(
+            "file-index.bloom-filter.columns", "").split(",") if c.strip()]
+        index_fpp = float(schema.options.get("file-index.bloom-filter.fpp", "0.01"))
         entries: list[FileEntry] = []
         for dirpath, _dirs, files in os.walk(staging):
             for fn in files:
@@ -198,12 +202,17 @@ class BatchWriter:
                     os.remove(dest)
                     continue
                 seq_stats = stats.pop(SEQ_COL, None) or {}
+                index_path = None
+                if index_cols:
+                    from paimon_spark.fileindex import write_file_index
+                    index_path = write_file_index(
+                        self.paths.root, dest, index_cols, index_fpp)
                 entries.append(FileEntry(
                     kind=ADD, partition=partition, bucket=bucket, level=level,
                     file_path=os.path.relpath(dest, self.paths.root),
                     row_count=rows, file_size=size,
                     min_seq=seq_stats.get("min") or 0, max_seq=seq_stats.get("max") or 0,
-                    schema_id=schema.schema_id, stats=stats,
+                    schema_id=schema.schema_id, stats=stats, index_path=index_path,
                 ))
         return entries
 
