@@ -481,6 +481,191 @@ def window_user_ranks(spark, sf_dir):
             .filter(F.col("rnk") <= 2))
 
 
+def q7_nation_volume(spark, sf_dir):
+    """Revenue flow between supplier-nation and customer-nation pairs by
+    ship year (TPC-H q7 flavor; no n_name filter — small domain here)."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount", "l_shipdate"])
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                   F.col("n_name").alias("cust_nation")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(n1, F.col("s_nationkey") == F.col("sk"))
+            .join(n2, F.col("c_nationkey") == F.col("ck"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6))
+                 .cast("double").alias("volume")))
+
+
+def q8_market_share(spark, sf_dir):
+    """Share of one region's revenue sourced from one supplier nation, by
+    year (q8 flavor) — numerator/denominator emitted separately to keep the
+    comparison division-free across engines."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    n_c = F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                    F.col("n_regionkey").alias("crk")))
+    n_s = F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation")))
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)
+    first_nation = nation.orderBy("n_nationkey").limit(1).collect()[0].n_name
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(n_c, F.col("c_nationkey") == F.col("ck"))
+            .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+            .filter(F.col("r_name") == "AMERICA")
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(n_s, F.col("s_nationkey") == F.col("sk"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == first_nation, vol)
+                       .otherwise(F.lit(0).cast("decimal(18,6)")))
+                 .cast("double").alias("mkt_num"),
+                 F.sum(vol).cast("double").alias("mkt_den")))
+
+
+def q9_product_profit(spark, sf_dir):
+    """Pseudo-profit by supplier nation and year over green parts
+    (q9 flavor: p_retailprice*l_quantity stands in for ps_supplycost)."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_shipdate"])
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    profit = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - F.col("p_retailprice") * F.col("l_quantity") * 0.1, 18, 6)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").cast("long").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("sum_profit")))
+
+
+def q11_important_parts(spark, sf_dir):
+    """Parts whose shipped value exceeds 0.05% of total shipped value
+    (q11 flavor on lineitem; threshold kept division-free)."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_extendedprice", "l_discount"])
+    val = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("value_dec") * 2000 > F.col("total_dec"))
+            .select("l_partkey", F.col("value_dec").cast("double").alias("value")))
+
+
+def q13_customer_orders(spark, sf_dir):
+    """Distribution of customers by order count, including zero-order
+    customers (q13)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Suppliers achieving the maximum revenue in a ship-date window (q15);
+    exact decimal revenue makes the max-equality deterministic."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        P.and_(P.ge("l_shipdate", dt.datetime(1996, 1, 1)),
+               P.lt("l_shipdate", dt.datetime(1996, 7, 1))),
+        projection=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    supp = _read(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           18, 6)).alias("total_dec")))
+    top = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (rev.crossJoin(F.broadcast(top))
+            .filter(F.col("total_dec") == F.col("max_dec"))
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_dec").cast("double").alias("total_revenue")))
+
+
+def q16_brand_suppliers(spark, sf_dir):
+    """Distinct supplier count per (brand, type, size-bucket), excluding one
+    brand (q16 flavor via lineitem as the part-supplier bridge)."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_suppkey"])
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", (F.col("p_size") % 5).alias("size_bucket"))
+            .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")))
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Revenue from orders of quantity below 20% of the part's average
+    (q17) — the avg comparison is cross-multiplied to stay division-free:
+    qty < 0.2*sum/cnt  ⇔  5*qty*cnt < sum."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    stats = (li.groupBy(F.col("l_partkey").alias("sp"))
+             .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+                  F.count("*").alias("cnt")))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(stats, li.l_partkey == F.col("sp"))
+            .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+            .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("small_revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Disjunction of brand/size/quantity branches (q19) — exercises OR
+    predicate planning."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30))))
+    return j.filter(cond).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"))
+
+
+def q22_idle_customers(spark, sf_dir):
+    """Customers above the average positive account balance with no orders,
+    per nation (q22 flavor; avg comparison cross-multiplied)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_pos"),
+        F.count("*").alias("n_pos"))
+    rich = (cust.crossJoin(F.broadcast(pos))
+            .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos")))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal")))
+
+
 def sketch_hll_users(spark, sf_dir):
     """HLL sketch build+union per segment; emits exact count and a
     within-2% flag so the non-SQL estimate is still oracle-checkable."""
@@ -531,6 +716,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q12_priority_class,
         "q14_promo_share": q14_promo_share,
         "q18_big_orders": q18_big_orders,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_orders": q13_customer_orders,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_brand_suppliers": q16_brand_suppliers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "topn_orders": topn_orders,
         "point_lookup": point_lookup,
         "metadata_count": metadata_count,
@@ -797,6 +992,115 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY count(*) DESC, event_type) AS BIGINT) AS rnk
               FROM events GROUP BY user_id, event_type)
             WHERE rnk <= 2""",
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({disc}) AS DOUBLE) AS volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3""",
+        "q8_market_share": f"""
+            WITH first_nation AS (
+              SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 1)
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = (SELECT n_name FROM first_nation)
+                            THEN {disc} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                       AS mkt_num,
+                   CAST(SUM({disc}) AS DOUBLE) AS mkt_den
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1""",
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'ECONOMY'
+            GROUP BY 1, 2""",
+        "q11_important_parts": f"""
+            WITH per_part AS (
+              SELECT l_partkey, SUM({disc.replace('(18,6)', '(18,6)')}) AS value_dec
+              FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+            FROM per_part, tot WHERE value_dec * 2000 > total_dec""",
+        "q13_customer_orders": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count""",
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, SUM({disc}) AS total_dec
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-07-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_dec = (SELECT max(total_dec) FROM rev)""",
+        "q16_brand_suppliers": """
+            SELECT p_brand, p_type, p_size % 5 AS size_bucket,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+            GROUP BY 1, 2, 3""",
+        "q17_small_quantity_revenue": """
+            WITH stats AS (
+              SELECT l_partkey AS sp,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS small_revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            JOIN part  ON l_partkey = p_partkey
+            JOIN stats ON l_partkey = sp
+            WHERE p_brand = 'Brand#23'
+              AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty""",
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({disc}) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "q22_idle_customers": """
+            WITH pos AS (
+              SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos,
+                     CAST(count(*) AS BIGINT) AS n_pos
+              FROM customer WHERE c_acctbal > 0),
+            rich AS (
+              SELECT c_custkey, c_nationkey, c_acctbal FROM customer, pos
+              WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos)
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       AS totacctbal
+            FROM rich WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey
+                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey""",
         "sketch_hll_users": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
