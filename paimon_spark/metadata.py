@@ -164,6 +164,32 @@ class Snapshot:
         return Snapshot(**d)
 
 
+def manifest_row_to_entry(kind, partition_json, bucket, level, file_path,
+                          row_count, file_size, min_seq, max_seq, schema_id,
+                          stats_json, dv_path, dv_count, index_path) -> "FileEntry":
+    """Decode one columnar-manifest row (shared by pyarrow + Spark readers)."""
+    return FileEntry.from_json({
+        "kind": kind, "partition": json.loads(partition_json),
+        "bucket": int(bucket), "level": int(level), "file_path": file_path,
+        "row_count": int(row_count), "file_size": int(file_size),
+        "min_seq": int(min_seq), "max_seq": int(max_seq),
+        "schema_id": int(schema_id), "stats": json.loads(stats_json),
+        "dv_path": dv_path, "dv_count": int(dv_count or 0),
+        "index_path": index_path,
+    })
+
+
+def _read_manifest_parquet(path: str) -> list["FileEntry"]:
+    import pyarrow.parquet as pq
+
+    cols = pq.read_table(path).to_pydict()
+    n = len(cols["kind"])
+    return [manifest_row_to_entry(*(cols[c][i] for c in (
+        "kind", "partition_json", "bucket", "level", "file_path", "row_count",
+        "file_size", "min_seq", "max_seq", "schema_id", "stats_json",
+        "dv_path", "dv_count", "index_path"))) for i in range(n)]
+
+
 # ---------------- on-disk layout helpers ----------------
 
 class TablePaths:
@@ -262,13 +288,51 @@ class TablePaths:
 
     # -------- manifests --------
 
-    def write_manifest(self, entries: Iterable[FileEntry]) -> str:
-        name = f"manifest-{uuid.uuid4().hex}.jsonl"
+    def write_manifest(self, entries: Iterable[FileEntry],
+                       fmt: str = "json") -> str:
+        """fmt='json' → JSONL (debuggable); fmt='parquet' → columnar manifest
+        (≈ the reference's avro manifests, ManifestFile.java): ~10× smaller,
+        splittable, and readable by Spark itself for distributed planning of
+        million-file tables."""
         os.makedirs(self.manifest_dir, exist_ok=True)
+        if fmt == "parquet":
+            return self._write_manifest_parquet(entries)
+        name = f"manifest-{uuid.uuid4().hex}.jsonl"
         tmp = self.manifest_file(name + ".tmp")
         with open(tmp, "w") as f:
             for e in entries:
                 f.write(json.dumps(e.to_json(), separators=(",", ":")) + "\n")
+        os.replace(tmp, self.manifest_file(name))
+        return name
+
+    def _write_manifest_parquet(self, entries: Iterable[FileEntry]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"manifest-{uuid.uuid4().hex}.parquet"
+        rows = [e.to_json() for e in entries]
+        table = pa.table({
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "partition_json": pa.array(
+                [json.dumps(r["partition"], sort_keys=True) for r in rows],
+                pa.string()),
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+            "level": pa.array([r["level"] for r in rows], pa.int64()),
+            "file_path": pa.array([r["file_path"] for r in rows], pa.string()),
+            "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+            "file_size": pa.array([r["file_size"] for r in rows], pa.int64()),
+            "min_seq": pa.array([r["min_seq"] for r in rows], pa.int64()),
+            "max_seq": pa.array([r["max_seq"] for r in rows], pa.int64()),
+            "schema_id": pa.array([r["schema_id"] for r in rows], pa.int64()),
+            "stats_json": pa.array(
+                [json.dumps(r["stats"], separators=(",", ":")) for r in rows],
+                pa.string()),
+            "dv_path": pa.array([r.get("dv_path") for r in rows], pa.string()),
+            "dv_count": pa.array([r.get("dv_count", 0) for r in rows], pa.int64()),
+            "index_path": pa.array([r.get("index_path") for r in rows], pa.string()),
+        })
+        tmp = self.manifest_file(name + ".tmp")
+        pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, self.manifest_file(name))
         return name
 
@@ -283,9 +347,12 @@ class TablePaths:
         hit = TablePaths._manifest_cache.get(key)
         if hit is not None:
             return hit
-        with open(key) as f:
-            entries = [FileEntry.from_json(json.loads(line))
-                       for line in f if line.strip()]
+        if name.endswith(".parquet"):
+            entries = _read_manifest_parquet(key)
+        else:
+            with open(key) as f:
+                entries = [FileEntry.from_json(json.loads(line))
+                           for line in f if line.strip()]
         if len(TablePaths._manifest_cache) < TablePaths._MANIFEST_CACHE_MAX:
             TablePaths._manifest_cache[key] = entries
         return entries

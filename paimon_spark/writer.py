@@ -247,7 +247,10 @@ class BatchWriter:
             latest = self.paths.latest_snapshot()
             if latest:
                 return latest
-        manifest = self.paths.write_manifest(entries)
+        # parquet (columnar, splittable, Spark-readable) is the scale default,
+        # mirroring the reference's avro manifests; json is the debug option
+        mfmt = self.schema.options.get("manifest.format", "parquet")
+        manifest = self.paths.write_manifest(entries, fmt=mfmt)
         added = sum(e.row_count for e in entries if e.kind == ADD)
         deleted = sum(e.row_count for e in entries if e.kind == DELETE)
         max_seq_new = max((e.max_seq for e in entries if e.kind == ADD), default=0)
@@ -282,7 +285,8 @@ class BatchWriter:
                             live[e.dedup_key()] = e
                         else:
                             live.pop(e.dedup_key(), None)
-                new_manifests = [self.paths.write_manifest(live.values())]
+                new_manifests = [self.paths.write_manifest(live.values(),
+                                                           fmt=mfmt)]
             snap = Snapshot(
                 id=sid, schema_id=self.schema.schema_id, commit_kind=kind,
                 commit_user=self.commit_user, commit_identifier=sid,
