@@ -666,6 +666,20 @@ def q22_idle_customers(spark, sf_dir):
                  F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal")))
 
 
+def variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT round-trip: JSON → parse_json → typed
+    variant_get (Spark 4 native, JVM-side; ref SURVEY F6)."""
+    from paimon_spark.functions.variant import to_variant, variant_get
+    docs = _read(spark, sf_dir, "documents")
+    js = F.concat(F.lit('{"lang":"'), F.col("lang"), F.lit('","n":'),
+                  F.col("n_chars").cast("string"), F.lit("}"))
+    with_v = docs.select("doc_id", to_variant(js).alias("v"))
+    return with_v.select(
+        "doc_id",
+        variant_get("v", "$.lang", "string").alias("vlang"),
+        variant_get("v", "$.n", "bigint").alias("vn"))
+
+
 def sketch_hll_users(spark, sf_dir):
     """HLL sketch build+union per segment; emits exact count and a
     within-2% flag so the non-SQL estimate is still oracle-checkable."""
@@ -752,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "window_user_ranks": window_user_ranks,
+        "variant_extract": variant_extract,
         "sketch_hll_users": sketch_hll_users,
         "sketch_theta_custkeys": sketch_theta_custkeys,
     }
@@ -1101,6 +1116,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey
                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "variant_extract": """
+            SELECT doc_id,
+                   json_extract_string(js, '$.lang') AS vlang,
+                   CAST(json_extract(js, '$.n') AS BIGINT) AS vn
+            FROM (SELECT doc_id,
+                         '{"lang":"' || lang || '","n":' ||
+                         CAST(n_chars AS VARCHAR) || '}' AS js
+                  FROM documents)""",
         "sketch_hll_users": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

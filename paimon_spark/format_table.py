@@ -1,0 +1,87 @@
+"""FormatTable: plain format directories (parquet/orc/csv/json/text/avro)
+exposed with the Table-ish read surface but no snapshots or manifests.
+
+(ref: paimon-core/.../table/FormatTable.java — a table whose storage is just
+ a (possibly hive-partitioned) directory of files in one format; reads/writes
+ go straight through the format, schema evolution and time travel don't
+ apply.)
+
+Spark-first: this is a thin veneer over `spark.read.<fmt>` /
+`df.write.<fmt>` — Catalyst already does partition discovery, pushdown and
+pruning for these sources, so the engine adds only the predicate AST bridge
+and partition-path helpers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from paimon_spark.predicates import Predicate
+
+FORMATS = ("parquet", "orc", "avro", "csv", "json", "text")
+
+
+class FormatTable:
+    def __init__(self, path: str, fmt: str = "parquet",
+                 spark: SparkSession | None = None,
+                 partition_keys: list[str] | None = None,
+                 options: dict[str, str] | None = None):
+        if fmt not in FORMATS:
+            raise ValueError(f"format must be one of {FORMATS}")
+        self.path = path
+        self.fmt = fmt
+        self.spark = spark
+        self.partition_keys = partition_keys or []
+        self.options = options or {}
+
+    def with_spark(self, spark: SparkSession) -> "FormatTable":
+        self.spark = spark
+        return self
+
+    def read(self, predicate: Predicate | None = None,
+             projection: list[str] | None = None) -> DataFrame:
+        reader = self.spark.read.format(self.fmt).option("basePath", self.path)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        if self.fmt == "csv" and "header" not in self.options:
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.load(self.path)
+        if predicate is not None:
+            df = df.filter(predicate.to_spark())
+        if projection is not None:
+            df = df.select(*projection)
+        return df
+
+    def write(self, df: DataFrame, mode: str = "append"):
+        writer = df.write.format(self.fmt).mode(mode)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        if self.fmt == "csv":
+            writer = writer.option("header", "true")
+        if self.partition_keys:
+            writer = writer.partitionBy(*self.partition_keys)
+        writer.save(self.path)
+
+    def partitions(self) -> list[dict[str, str]]:
+        """Hive-style partition dirs discovered from the filesystem."""
+        if not self.partition_keys:
+            return []
+        out = []
+
+        def walk(d: str, depth: int, acc: dict):
+            if depth == len(self.partition_keys):
+                out.append(dict(acc))
+                return
+            key = self.partition_keys[depth]
+            try:
+                names = os.listdir(d)
+            except FileNotFoundError:
+                return
+            for n in sorted(names):
+                if n.startswith(f"{key}="):
+                    acc[key] = n.split("=", 1)[1]
+                    walk(os.path.join(d, n), depth + 1, acc)
+        walk(self.path, 0, {})
+        return out

@@ -161,6 +161,11 @@ class Table:
             df = self._empty_df(with_hidden and self.schema.is_pk_table)
         else:
             df = self._assemble(plan, predicate, with_hidden)
+        fb = self.schema.options.get("scan.fallback-branch")
+        if fb and self.branch_name != fb and snapshot_id is None and tag is None:
+            fdf = self._fallback_branch_df(fb, plan, predicate, with_hidden)
+            if fdf is not None:
+                df = df.unionByName(fdf)
         if predicate is not None:
             df = df.filter(predicate.to_spark())
         if projection is not None:
@@ -168,6 +173,28 @@ class Table:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def _fallback_branch_df(self, fb: str, main_plan: ScanPlan,
+                            predicate: Predicate | None,
+                            with_hidden: bool) -> DataFrame | None:
+        """`scan.fallback-branch`: partitions absent from THIS branch are
+        read from the fallback branch instead (ref: table/
+        FallbackReadFileStoreTable.java — partition-granular fallback)."""
+        fbt = Table.load(self.path, self.spark, branch=fb)
+        main_parts = {tuple(sorted(e.partition.items()))
+                      for e in (main_plan.entries if main_plan else [])}
+        fplan = fbt.new_scan().plan(predicate)
+        keep = lambda e: tuple(sorted(e.partition.items())) not in main_parts
+        entries = [e for e in fplan.entries if keep(e)]
+        if not entries:
+            return None
+        sub = ScanPlan(fplan.snapshot, entries,
+                       [[e for e in g if keep(e)] for g in fplan.raw_groups],
+                       [[e for e in g if keep(e)] for g in fplan.merge_groups],
+                       files_skipped=fplan.files_skipped)
+        sub.raw_groups = [g for g in sub.raw_groups if g]
+        sub.merge_groups = [g for g in sub.merge_groups if g]
+        return fbt._assemble(sub, predicate, with_hidden)
 
     def _assemble(self, plan: ScanPlan, predicate: Predicate | None,
                   with_hidden: bool) -> DataFrame:

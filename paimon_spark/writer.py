@@ -26,7 +26,7 @@ import uuid
 from typing import TYPE_CHECKING
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from paimon_spark.metadata import (
     ADD, COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE, DELETE,
@@ -197,7 +197,14 @@ class BatchWriter:
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, final_name)
                 os.rename(src, dest)
-                rows, size, stats = collect_footer_stats(dest, stat_cols)
+                try:
+                    rows, size, stats = collect_footer_stats(dest, stat_cols)
+                except OSError:
+                    # footer holds a logical type pyarrow can't parse yet
+                    # (e.g. Spark 4 VARIANT) — count via Spark, skip stats
+                    # for this file (sound: no stats → never skipped)
+                    rows, size, stats = self._spark_row_count(dest), \
+                        os.path.getsize(dest), {}
                 if rows == 0:
                     os.remove(dest)
                     continue
@@ -215,6 +222,10 @@ class BatchWriter:
                     schema_id=schema.schema_id, stats=stats, index_path=index_path,
                 ))
         return entries
+
+    def _spark_row_count(self, path: str) -> int:
+        spark = self.table.spark or SparkSession.getActiveSession()
+        return spark.read.parquet(path).count()
 
     def _watermark_from_stats(self, entries: list[FileEntry]) -> int | None:
         """Watermark = max(event-time field) - delay, read from the footer

@@ -91,3 +91,22 @@ def test_mark_partition_done(spark, wh):
                   partitions={"dt": "2024-06-01"})
     assert marked == ["dt=2024-06-01"]
     assert os.path.exists(os.path.join(t.path, "dt=2024-06-01", "_SUCCESS"))
+
+
+def test_fallback_branch_read(spark, wh):
+    """scan.fallback-branch: partitions missing from the current branch are
+    served from the fallback branch (ref: FallbackReadFileStoreTable.java)."""
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t3 = Table.create(f"{wh}/fb2", schema, partition_keys=["dt"], spark=spark)
+    t3.append(spark.createDataFrame([("d1", 1), ("d2", 2), ("d3", 3)], schema))
+    t3.create_branch("full")
+    t3.truncate()
+    t3.append(spark.createDataFrame([("d1", 100)], schema))
+    t3.schema.options["scan.fallback-branch"] = "full"
+    got = {(r.dt, r.v) for r in t3.read().collect()}
+    # d1 from main (overwritten), d2/d3 from the fallback branch
+    assert got == {("d1", 100), ("d2", 2), ("d3", 3)}
+    # predicates still push through both branches
+    assert {(r.dt, r.v) for r in t3.read(P.eq("dt", "d2")).collect()} == {("d2", 2)}
+    assert t3.read(P.eq("dt", "d1")).collect()[0].v == 100
