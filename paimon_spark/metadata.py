@@ -93,6 +93,7 @@ class FileEntry:
     dv_path: str | None = None
     dv_count: int = 0
     index_path: str | None = None  # standalone file index sidecar (bloom)
+    first_row_id: int | None = None  # row-tracking: _ROW_ID of this file's row 0
 
     def to_json(self) -> dict:
         out = {
@@ -117,6 +118,8 @@ class FileEntry:
             out["dv_count"] = self.dv_count
         if self.index_path:
             out["index_path"] = self.index_path
+        if self.first_row_id is not None:
+            out["first_row_id"] = self.first_row_id
         return out
 
     @staticmethod
@@ -130,6 +133,7 @@ class FileEntry:
                    for c, s in d.get("stats", {}).items()},
             dv_path=d.get("dv_path"), dv_count=d.get("dv_count", 0),
             index_path=d.get("index_path"),
+            first_row_id=d.get("first_row_id"),
         )
 
     def dedup_key(self) -> tuple:
@@ -152,6 +156,7 @@ class Snapshot:
     max_sequence: int              # highest _sequence_number committed so far
     watermark: int | None = None
     tag: str | None = None
+    next_row_id: int | None = None  # row-tracking: first unassigned _ROW_ID
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -161,12 +166,14 @@ class Snapshot:
         d = json.loads(s)
         d.setdefault("watermark", None)
         d.setdefault("tag", None)
+        d.setdefault("next_row_id", None)
         return Snapshot(**d)
 
 
 def manifest_row_to_entry(kind, partition_json, bucket, level, file_path,
                           row_count, file_size, min_seq, max_seq, schema_id,
-                          stats_json, dv_path, dv_count, index_path) -> "FileEntry":
+                          stats_json, dv_path, dv_count, index_path,
+                          first_row_id=None) -> "FileEntry":
     """Decode one columnar-manifest row (shared by pyarrow + Spark readers)."""
     return FileEntry.from_json({
         "kind": kind, "partition": json.loads(partition_json),
@@ -176,6 +183,7 @@ def manifest_row_to_entry(kind, partition_json, bucket, level, file_path,
         "schema_id": int(schema_id), "stats": json.loads(stats_json),
         "dv_path": dv_path, "dv_count": int(dv_count or 0),
         "index_path": index_path,
+        "first_row_id": None if first_row_id is None else int(first_row_id),
     })
 
 
@@ -184,10 +192,11 @@ def _read_manifest_parquet(path: str) -> list["FileEntry"]:
 
     cols = pq.read_table(path).to_pydict()
     n = len(cols["kind"])
-    return [manifest_row_to_entry(*(cols[c][i] for c in (
+    none = [None] * n
+    return [manifest_row_to_entry(*(cols.get(c, none)[i] for c in (
         "kind", "partition_json", "bucket", "level", "file_path", "row_count",
         "file_size", "min_seq", "max_seq", "schema_id", "stats_json",
-        "dv_path", "dv_count", "index_path"))) for i in range(n)]
+        "dv_path", "dv_count", "index_path", "first_row_id"))) for i in range(n)]
 
 
 # ---------------- on-disk layout helpers ----------------
@@ -330,6 +339,8 @@ class TablePaths:
             "dv_path": pa.array([r.get("dv_path") for r in rows], pa.string()),
             "dv_count": pa.array([r.get("dv_count", 0) for r in rows], pa.int64()),
             "index_path": pa.array([r.get("index_path") for r in rows], pa.string()),
+            "first_row_id": pa.array([r.get("first_row_id") for r in rows],
+                                     pa.int64()),
         })
         tmp = self.manifest_file(name + ".tmp")
         pq.write_table(table, tmp, compression="zstd")

@@ -214,7 +214,8 @@ class Scanner:
         entries = [manifest_row_to_entry(
             r.kind, r.partition_json, r.bucket, r.level, r.file_path,
             r.row_count, r.file_size, r.min_seq, r.max_seq, r.schema_id,
-            r.stats_json, r.dv_path, r.dv_count, r.index_path) for r in rows]
+            r.stats_json, r.dv_path, r.dv_count, r.index_path,
+            getattr(r, "first_row_id", None)) for r in rows]
         return entries, n_live - len(entries)
 
     def _may_match(self, e: FileEntry, pred: Predicate) -> bool:

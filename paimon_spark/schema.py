@@ -26,6 +26,7 @@ FIELD_ID_KEY = "paimon.field.id"
 SEQ_COL = "_sequence_number"
 KIND_COL = "_row_kind"
 BUCKET_COL = "__bucket"
+ROW_ID_COL = "_ROW_ID"   # row-tracking lineage id (ref: special row-id cols)
 HIDDEN_COLS = (SEQ_COL, KIND_COL)
 
 ROW_KINDS = ("+I", "-U", "+U", "-D")  # ref: paimon-api/.../types/RowKind.java:35-56

@@ -31,7 +31,8 @@ from paimon_spark.metadata import (
 from paimon_spark.operators.merge import apply_merge
 from paimon_spark.predicates import And, Predicate
 from paimon_spark.scanner import Scanner, ScanPlan
-from paimon_spark.schema import BUCKET_COL, KIND_COL, SEQ_COL, TableSchema
+from paimon_spark.schema import (BUCKET_COL, KIND_COL, ROW_ID_COL, SEQ_COL,
+                                 TableSchema)
 from paimon_spark.writer import BatchWriter
 
 COMPACTED_LEVEL = 5
@@ -245,6 +246,62 @@ class Table:
             return keep[0] if len(keep) == 1 else And(keep)
         return pred if pred.refs() <= safe else None
 
+    # ---------------- row lineage (row-tracking.enabled) ----------------
+    # ref: Iceberg-v3-style row lineage — metadata assigns a contiguous
+    # first_row_id per file at commit; _ROW_ID = first_row_id + row position.
+    # Files rewritten by compaction/DELETE/UPDATE carry _ROW_ID physically
+    # (materialized before rewrite), so ids survive any layout change.
+
+    def _is_row_tracking(self) -> bool:
+        return (self.schema.options.get("row-tracking.enabled", "false")
+                == "true" and not self.schema.is_pk_table)
+
+    def read_with_lineage(self, predicate: Predicate | None = None) -> DataFrame:
+        """Logical columns + stable `_ROW_ID` (append tables only)."""
+        if not self._is_row_tracking():
+            raise ValueError("table has no row-tracking.enabled=true")
+        plan = self.new_scan().plan(predicate)
+        if not plan.entries:
+            return self._empty_df().withColumn(
+                ROW_ID_COL, F.lit(None).cast("long"))
+        df = self._lineage_df(plan.entries)
+        if predicate is not None:
+            df = df.filter(predicate.to_spark())
+        return df
+
+    def _lineage_df(self, entries: list[FileEntry]) -> DataFrame:
+        struct = self._read_struct_with_partitions()
+        names = {f.name for f in struct.fields}
+        with_id = T.StructType(
+            list(struct.fields) + ([T.StructField(ROW_ID_COL, T.LongType())]
+                                   if ROW_ID_COL not in names else []))
+        df = (self.spark.read.schema(with_id).option("basePath", self.path)
+              .parquet(*[os.path.join(self.path, e.file_path) for e in entries])
+              .select("*",
+                      F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                                   -1).alias("__fn"),
+                      F.col("_metadata.file_path").alias("__fp"),
+                      F.col("_metadata.row_index").alias("__idx")))
+        fmap = self.spark.createDataFrame(
+            [(os.path.basename(e.file_path), max(e.first_row_id or 0, 0))
+             for e in entries], "__fn string, __first long")
+        df = df.join(F.broadcast(fmap), "__fn")
+        dvd = sorted({os.path.join(self.path, e.dv_path)
+                      for e in entries if e.dv_path})
+        if dvd:
+            dv = self.spark.read.parquet(*dvd)
+            cond = (F.col("__fp") == dv["file_path"]) & (F.col("__idx") == dv["pos"])
+            df = df.join(F.broadcast(dv), cond, "left_anti")
+        rid = F.coalesce(F.col(ROW_ID_COL), F.col("__first") + F.col("__idx"))
+        return df.select(*self.schema.field_names, rid.alias(ROW_ID_COL))
+
+    def _rewrite_source_df(self, entries: list[FileEntry]) -> DataFrame:
+        """Rows for a file rewrite; materializes _ROW_ID first when the
+        table tracks lineage so rewrites never reassign ids."""
+        if self._is_row_tracking():
+            return self._lineage_df(entries)
+        return self._read_files(entries)
+
     def read_topn(self, col: str, n: int, descending: bool = True,
                   predicate: Predicate | None = None) -> DataFrame:
         """ORDER BY col [DESC] LIMIT n with stats-based file pruning
@@ -312,8 +369,10 @@ class Table:
         if self.schema.options.get("deletion-vectors.enabled", "false") == "true":
             return self._delete_with_dv(touched, predicate)
         # copy-on-write: rewrite touched files without matching rows
-        df = self._read_files(touched).filter(~predicate.to_spark())
-        df = df.select(*[c for c in self.schema.field_names])
+        df = self._rewrite_source_df(touched).filter(~predicate.to_spark())
+        keep = self.schema.field_names + (
+            [ROW_ID_COL] if ROW_ID_COL in df.columns else [])
+        df = df.select(*keep)
         adds = w.stage(df)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
         return w.commit(adds + deletes, COMMIT_OVERWRITE)
@@ -378,11 +437,12 @@ class Table:
         touched = plan.entries
         if not touched:
             return self.paths.latest_snapshot()
-        df = self._read_files(touched)
+        df = self._rewrite_source_df(touched)
         cond = predicate.to_spark() if predicate is not None else F.lit(True)
         for c, e in set_exprs.items():
             df = df.withColumn(c, F.when(cond, e).otherwise(F.col(c)))
-        df = df.select(*self.schema.field_names)
+        df = df.select(*(self.schema.field_names
+                         + ([ROW_ID_COL] if ROW_ID_COL in df.columns else [])))
         adds = w.stage(df)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
         return w.commit(adds + deletes, COMMIT_OVERWRITE)
@@ -490,8 +550,10 @@ class Table:
             target_bytes = int(self.schema.options.get("target-file-size",
                                                        str(128 << 20)))
             n_out = max(1, sum(e.file_size for e in victims) // target_bytes + 1)
-            df = (self._read_files(victims).select(*self.schema.field_names)
-                  .coalesce(int(n_out)))
+            src = self._rewrite_source_df(victims)
+            keep = self.schema.field_names + (
+                [ROW_ID_COL] if ROW_ID_COL in src.columns else [])
+            df = src.select(*keep).coalesce(int(n_out))
             adds = w.stage(df, level=COMPACTED_LEVEL)
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in victims]
         return w.commit(adds + deletes, COMMIT_COMPACT)

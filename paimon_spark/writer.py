@@ -32,7 +32,8 @@ from paimon_spark.metadata import (
     ADD, COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE, DELETE,
     FileEntry, Snapshot, TablePaths,
 )
-from paimon_spark.schema import BUCKET_COL, KIND_COL, SEQ_COL, TableSchema
+from paimon_spark.schema import (BUCKET_COL, KIND_COL, ROW_ID_COL, SEQ_COL,
+                                 TableSchema)
 
 if TYPE_CHECKING:
     from paimon_spark.table import Table
@@ -51,9 +52,13 @@ def bucket_expr(schema: TableSchema):
 def collect_footer_stats(path: str, columns: list[str]) -> tuple[int, int, dict]:
     """Aggregate per-row-group parquet stats into per-file {col: min/max/nulls}.
     Footer-only read — O(KB) per file regardless of file size."""
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     names = md.schema.names
     want = {c: names.index(c) for c in columns if c in names}
+    # arrow-level types for decimals: pyarrow can't decode logical-decimal
+    # min/max from INT32/INT64 physical stats — min_raw/max_raw + scale can
+    arrow_types = {f.name: f.type for f in pf.schema_arrow}
     stats: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -72,13 +77,23 @@ def collect_footer_stats(path: str, columns: list[str]) -> tuple[int, int, dict]
                 s["nulls"] += st.null_count
             try:
                 if st.has_min_max:
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        import decimal as _dec
+                        import pyarrow as _pa
+                        at = arrow_types.get(col)
+                        if at is not None and _pa.types.is_decimal(at):
+                            mn = _dec.Decimal(st.min_raw).scaleb(-at.scale)
+                            mx = _dec.Decimal(st.max_raw).scaleb(-at.scale)
+                        else:
+                            raise
                     if s["min"] is None or mn < s["min"]:
                         s["min"] = mn
                     if s["max"] is None or mx > s["max"]:
                         s["max"] = mx
             except (TypeError, NotImplementedError, Exception):
-                pass  # statless physical type (e.g. INT96, some decimals)
+                pass  # statless physical type (e.g. INT96)
     return md.num_rows, os.path.getsize(path), stats
 
 
@@ -151,7 +166,7 @@ class BatchWriter:
         # order columns & enforce declared types (merges/aggregations may
         # have widened them, e.g. sum(decimal(18,6)) -> decimal(28,6))
         phys = [f for f in schema.struct.fields if f.name not in pkeys]
-        extra = [c for c in (SEQ_COL, KIND_COL) if c in df.columns]
+        extra = [c for c in (SEQ_COL, KIND_COL, ROW_ID_COL) if c in df.columns]
         df = df.select(
             *part_cols,
             *[F.col(f.name).cast(f.dataType).alias(f.name)
@@ -165,6 +180,11 @@ class BatchWriter:
         writer.parquet(staging)
 
         entries = self._adopt_staged(staging, level)
+        if ROW_ID_COL in extra:
+            # rows carried their lineage ids physically into the new files —
+            # mark so commit doesn't burn fresh id ranges on them
+            for e in entries:
+                e.first_row_id = -1
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -261,6 +281,33 @@ class BatchWriter:
         # parquet (columnar, splittable, Spark-readable) is the scale default,
         # mirroring the reference's avro manifests; json is the debug option
         mfmt = self.schema.options.get("manifest.format", "parquet")
+
+        # row tracking: assign contiguous _ROW_ID ranges to new files at
+        # commit time (ref: row-tracking / Iceberg-v3-style first_row_id —
+        # files rewritten by compaction carry ids physically and ignore the
+        # metadata assignment, see Table.read_with_lineage)
+        track = (self.schema.options.get("row-tracking.enabled", "false")
+                 == "true" and not self.schema.is_pk_table)
+
+        # assignable = fresh ADD entries only: first_row_id None. -1 means
+        # ids are embedded in the file (rewrite); >=0 means already assigned
+        # (e.g. a DV commit re-adding an existing file) — never reassign.
+        assignable = sorted((x for x in entries
+                             if x.kind == ADD and x.first_row_id is None),
+                            key=lambda x: x.file_path)
+
+        def _assign(base: int) -> int:
+            nxt = base
+            for e in assignable:
+                e.first_row_id = nxt
+                nxt += e.row_count
+            return nxt
+
+        assigned_base = next_row_id_val = None
+        if track:
+            latest0 = self.paths.latest_snapshot()
+            assigned_base = (latest0.next_row_id or 0) if latest0 else 0
+            next_row_id_val = _assign(assigned_base)
         manifest = self.paths.write_manifest(entries, fmt=mfmt)
         added = sum(e.row_count for e in entries if e.kind == ADD)
         deleted = sum(e.row_count for e in entries if e.kind == DELETE)
@@ -269,6 +316,12 @@ class BatchWriter:
 
         for _ in range(max_retries):
             latest = self.paths.latest_snapshot()
+            if track:
+                base = (latest.next_row_id or 0) if latest else 0
+                if base != assigned_base:      # lost a race: re-base ids
+                    assigned_base = base
+                    next_row_id_val = _assign(base)
+                    manifest = self.paths.write_manifest(entries, fmt=mfmt)
             if latest is None:
                 sid, manifests, total, max_seq = 1, [], 0, 0
             else:
@@ -309,6 +362,8 @@ class BatchWriter:
                 watermark=max(filter(None, (watermark,
                                             latest.watermark if latest else None)),
                               default=None),
+                next_row_id=(next_row_id_val if track
+                             else (latest.next_row_id if latest else None)),
             )
             if self.paths.try_commit_snapshot(snap):
                 return snap

@@ -1,0 +1,97 @@
+"""F7 type-coverage fixture: one column per supported type root round-trips
+through write → manifest stats → read, with nulls and extremes.
+
+(ref: FIXTURES.md F7; reference type roots DataTypeRoot.java:50-115)
+"""
+
+import datetime as dt
+import decimal
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+
+FIELDS = [
+    ("c_bool", T.BooleanType(), [True, False, None]),
+    ("c_byte", T.ByteType(), [-128, 127, None]),
+    ("c_short", T.ShortType(), [-32768, 32767, None]),
+    ("c_int", T.IntegerType(), [-2147483648, 2147483647, 0]),
+    ("c_long", T.LongType(), [-9223372036854775808, 9223372036854775807, 1]),
+    ("c_float", T.FloatType(), [-1.5, 3.5, None]),
+    ("c_double", T.DoubleType(), [-2.25, 1e300, 0.0]),
+    ("c_dec10", T.DecimalType(10, 2), [decimal.Decimal("-99999999.99"),
+                                       decimal.Decimal("12345.67"), None]),
+    ("c_dec20", T.DecimalType(20, 4), [decimal.Decimal("-1234567890.1234"),
+                                       decimal.Decimal("0.0001"), None]),
+    ("c_str", T.StringType(), ["", "héllo wörld ünïcode ✓", None]),
+    ("c_bin", T.BinaryType(), [b"\x00\xff", b"abc", None]),
+    ("c_date", T.DateType(), [dt.date(1970, 1, 1), dt.date(2261, 12, 31), None]),
+    ("c_ts", T.TimestampType(), [dt.datetime(2020, 1, 1, 0, 0, 0, 123000),
+                                 dt.datetime(1999, 12, 31, 23, 59, 59), None]),
+    ("c_arr", T.ArrayType(T.IntegerType()), [[1, 2, 3], [], None]),
+    ("c_map", T.MapType(T.StringType(), T.IntegerType()),
+     [{"a": 1}, {}, None]),
+    ("c_row", T.StructType([T.StructField("a", T.IntegerType()),
+                            T.StructField("b", T.StringType())]),
+     [(1, "x"), (None, None), None]),
+    ("c_arr_row", T.ArrayType(T.StructType([T.StructField("x", T.IntegerType())])),
+     [[(7,)], [], None]),
+]
+
+SCHEMA = T.StructType([T.StructField("id", T.LongType())]
+                      + [T.StructField(n, t) for n, t, _ in FIELDS])
+ROWS = [tuple([i] + [vals[i] for _n, _t, vals in FIELDS]) for i in range(3)]
+
+
+def test_all_type_roots_roundtrip(spark, wh):
+    t = Table.create(f"{wh}/types", SCHEMA, spark=spark)
+    t.append(spark.createDataFrame(ROWS, SCHEMA))
+    got = {r.id: r for r in t.read().collect()}
+    assert len(got) == 3
+    for i, row in enumerate(ROWS):
+        for (name, dtype, _), expect in zip(FIELDS, row[1:]):
+            actual = got[i][name]
+            if isinstance(dtype, T.StructType) and expect is not None:
+                actual = tuple(actual)
+            elif isinstance(dtype, T.ArrayType) and \
+                    isinstance(dtype.elementType, T.StructType) and expect:
+                actual = [tuple(x) for x in actual]
+            elif isinstance(dtype, T.FloatType) and expect is not None:
+                assert abs(actual - expect) < 1e-6
+                continue
+            assert actual == expect, (name, actual, expect)
+
+
+def test_stats_and_skipping_per_scalar_type(spark, wh):
+    """min/max stats must be correct for every orderable scalar type —
+    verified indirectly: an out-of-range predicate skips the file."""
+    t = Table.create(f"{wh}/types2", SCHEMA, spark=spark)
+    t.append(spark.createDataFrame(ROWS, SCHEMA).coalesce(1))
+    probes = [
+        ("c_int", P.gt("c_int", 2147483647)),
+        ("c_long", P.lt("c_long", -9223372036854775808)),
+        ("c_double", P.gt("c_double", 1e301)),
+        ("c_str", P.gt("c_str", "héllo wörld ünïcode ✓")),
+        ("c_date", P.gt("c_date", dt.date(2262, 1, 1))),
+        ("c_dec10", P.gt("c_dec10", decimal.Decimal("12345.68"))),
+    ]
+    for name, pred in probes:
+        plan = t.new_scan().plan(pred)
+        assert plan.files_skipped == 1, f"stats skip failed for {name}"
+        assert len(plan.entries) == 0
+    # in-range predicate keeps the file
+    assert t.new_scan().plan(P.eq("c_int", 0)).entries
+
+
+def test_pk_merge_with_exotic_value_types(spark, wh):
+    """Merge engines must carry nested/map/binary values through max_by."""
+    t = Table.create(f"{wh}/types3", SCHEMA, primary_keys=["id"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame(ROWS, SCHEMA))
+    upd = [tuple([0] + [vals[1] for _n, _t, vals in FIELDS])]
+    t.append(spark.createDataFrame(upd, SCHEMA))
+    got = {r.id: r for r in t.read().collect()}
+    assert len(got) == 3
+    assert got[0].c_str == "héllo wörld ünïcode ✓"   # updated
+    assert got[1].c_str == "héllo wörld ünïcode ✓"   # unchanged row 1
