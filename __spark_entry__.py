@@ -172,6 +172,13 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     t.append(ed.filter(F.col("event_id") % 2 == 1))
     out["user_latest_dyn"] = t
 
+    # ---- events_stream: append table committed as 3 "stream" snapshots ----
+    es = raw["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    t = Table.create(f"{root}/events_stream", es.schema, spark=spark)
+    for i in range(3):
+        t.append(es.filter(F.col("event_id") % 3 == i))
+    out["events_stream"] = t
+
     _WAREHOUSES[sf_dir] = out
     return out
 
@@ -666,6 +673,31 @@ def q22_idle_customers(spark, sf_dir):
                  F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal")))
 
 
+def stream_window_counts(spark, sf_dir):
+    """Structured Streaming end-to-end: the paimon Python DataSource drained
+    with availableNow, event-time watermark + 5-minute tumbling window
+    counts (complete mode). Deterministic: equals the batch aggregation."""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    t = _wh(spark, sf_dir)["events_stream"]
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    ts = F.timestamp_seconds(F.floor(F.col("ts") / F.lit(1_000_000_000))
+                             .cast("long"))
+    q = (spark.readStream.format("paimon").option("path", t.path).load()
+         .withColumn("ets", ts)
+         .withWatermark("ets", "7 days")
+         .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
+         .agg(F.count("*").alias("cnt"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(sink)
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "event_type", "cnt"))
+
+
 def variant_extract(spark, sf_dir):
     """Semi-structured VARIANT round-trip: JSON → parse_json → typed
     variant_get (Spark 4 native, JVM-side; ref SURVEY F6)."""
@@ -766,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "window_user_ranks": window_user_ranks,
+        "stream_window_counts": stream_window_counts,
         "variant_extract": variant_extract,
         "sketch_hll_users": sketch_hll_users,
         "sketch_theta_custkeys": sketch_theta_custkeys,
@@ -1116,6 +1149,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey
                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "stream_window_counts": """
+            SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+                                          // 300) * 300),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2""",
         "variant_extract": """
             SELECT doc_id,
                    json_extract_string(js, '$.lang') AS vlang,
