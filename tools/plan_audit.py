@@ -23,16 +23,20 @@ def main():
     for name, fn in E.queries().items():
         try:
             df = fn(spark, sf)
+            df.collect()  # run so AQE finalizes and codegen ids are real
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # AQE prints final + initial plan; keep the final section only
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as exc:  # streaming queries have no batch plan
             print(f"{name:32s} SKIP ({type(exc).__name__})")
             continue
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
-        ex = plan.count("Exchange")
-        wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
-        pushed = "PushedFilters: [" in plan and \
-            not re.search(r"PushedFilters: \[\]", plan)
+        ex = len(re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            plan))
+        wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        pushed = bool(re.search(r"PushedFilters: \[[^\],]", plan))
         print(f"{name:32s} bhj={bhj:2d} smj={smj:2d} shuffles={ex:2d} "
               f"codegen={wsc:2d} pushed={'Y' if pushed else '-'}")
 
