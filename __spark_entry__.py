@@ -479,6 +479,15 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: banded sign-LSH candidates → exact
+    cosine ≥ 0.4 verify (threshold fits this synthetic corpus — max
+    pairwise cosine is ~0.51; real near-dup corpora use ~0.9+)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup(emb, threshold=0.4, n_planes=8,
+                                  band_bits=2)
+
+
 def window_user_ranks(spark, sf_dir):
     from pyspark.sql import Window
     ev = _read(spark, sf_dir, "events")
@@ -797,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "window_user_ranks": window_user_ranks,
         "stream_window_counts": stream_window_counts,
         "variant_extract": variant_extract,
@@ -862,6 +872,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s)
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
       FROM r WHERE rank <= 5"""
+    _sb = SIM.sql_sign_bits("embedding", 8)
+    _bands = ", ".join(
+        f"({i} * 4 + __b{2 * i} + 2 * __b{2 * i + 1})" for i in range(4))
+    emb_near_dup = f"""
+      WITH s AS (SELECT vec_id, embedding,
+                        {', '.join(f'{e} AS __b{j}' for j, e in enumerate(_sb))}
+                 FROM embeddings),
+      k AS (SELECT vec_id, embedding, [{_bands}] AS bks FROM s),
+      e AS (SELECT vec_id, embedding, unnest(bks) AS bk FROM k),
+      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b,
+             round({SIM.sql_cosine('ea.embedding', 'eb.embedding')}, 4) AS score
+      FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+             JOIN embeddings eb ON eb.vec_id = p.id_b
+      WHERE round({SIM.sql_cosine('ea.embedding', 'eb.embedding')}, 4) >= 0.4"""
     mh = DD.sql_minhash_signature("text", 16)
     bands = DD.sql_band_keys(16, 4)
     inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
@@ -1033,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"SELECT doc_id, {TX.sql_lang_id('text')} AS lang_pred FROM documents",
         "ann_brute_topk": ann_brute,
         "ann_lsh_topk": ann_lsh,
+        "dedup_embedding_cosine": emb_near_dup,
         "window_user_ranks": """
             SELECT user_id, event_type, cnt, rnk FROM (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -91,6 +91,69 @@ def sql_lsh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def with_band_keys(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_planes: int = 8,
+                   band_bits: int = 2, dim: int = 64) -> DataFrame:
+    """(id, vec, band-key ints): sign bits from `n_planes` hyperplanes,
+    grouped into bands of `band_bits`; key = band_idx*2^band_bits + value.
+    The sign-bit dot folds are computed in their own projection so
+    CollapseProject can't push them under a later Generate (same rationale
+    as dedup.with_minhash)."""
+    planes = _hyperplanes(n_planes, dim)
+    bits = emb.select(
+        F.col(id_col), F.col(vec_col),
+        *[(dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) > 0)
+          .cast("int").alias(f"__b{j}") for j, p in enumerate(planes)])
+    keys = []
+    for i in range(n_planes // band_bits):
+        v = F.lit(i * (1 << band_bits))
+        for j in range(band_bits):
+            v = v + F.col(f"__b{i * band_bits + j}") * (1 << j)
+        keys.append(v.alias(f"bandk{i}"))
+    return bits.select(id_col, vec_col, *keys)
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
+                       n_planes: int = 8, band_bits: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
+    generation (docs sharing ≥1 band bucket), then EXACT cosine verify at
+    `threshold`. Returns (id_a < id_b, score). This is the standard
+    candidate→verify dedup shape: the self-join ships (band_key, id)
+    pairs — never all-pairs — and the signature table (persisted before
+    the explode, see minhash_lsh_pairs) is a few bytes per vector, so at
+    100 TB the exact cosine runs only on colliding candidates."""
+    nb = n_planes // band_bits
+    sig = with_band_keys(emb, id_col, vec_col, n_planes, band_bits, dim) \
+        .persist()
+    stacked = sig.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
+        .alias("bk"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (a.join(b, "bk")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col(f"a.{vec_col}").alias("__va"),
+                     F.col(f"b.{vec_col}").alias("__vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score"))
+
+
+def sql_sign_bits(vec: str, n_planes: int = 8, dim: int = 64) -> list[str]:
+    """DuckDB mirror of the `with_band_keys` sign bits (same hyperplanes)."""
+    out = []
+    for p in _hyperplanes(n_planes, dim):
+        arr = "[" + ", ".join(str(w) for w in p) + "]"
+        out.append(f"(CASE WHEN {sql_dot(vec, arr)} > 0 THEN 1 ELSE 0 END)")
+    return out
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_planes: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -15,6 +15,7 @@ FAST = [
     "incremental_diff", "agg_engine_user_stats", "partial_update_orders",
     "first_row_events", "dedup_exact", "dedup_simhash", "text_quality",
     "text_langid", "ann_brute_topk", "window_user_ranks",
+    "dedup_embedding_cosine",
 ]
 
 
