@@ -181,8 +181,40 @@ def mark_partition_done(spark, table, partitions: list[dict] | dict, **_):
     return marked
 
 
+def compact_manifest(spark, table, **_):
+    """Fold the manifest list into one consolidated manifest
+    (ref: procedure/CompactManifestProcedure.java)."""
+    return _t(table).with_spark(spark).compact_manifests()
+
+
+def rewrite_file_index(spark, table, **_):
+    """Build missing file-index sidecars for live data files
+    (ref: procedure/RewriteFileIndexProcedure.java)."""
+    return _t(table).with_spark(spark).rewrite_file_index()
+
+
+def expire_tags(spark, table, older_than: str, **_):
+    """Delete tags created before `older_than` ('YYYY-mm-dd HH:MM:SS')
+    (ref: procedure/ExpireTagsProcedure.java)."""
+    import datetime as _dt
+
+    cutoff = int(_dt.datetime.strptime(
+        older_than, "%Y-%m-%d %H:%M:%S").timestamp() * 1000)
+    return _t(table).with_spark(spark).expire_tags(cutoff)
+
+
+def copy_into(spark, table, source: str, file_format: str = "parquet",
+              options: dict | None = None, **_):
+    """Idempotent bulk file load (ref: paimon-spark copyinto/)."""
+    return _t(table).with_spark(spark).copy_into(source, file_format, options)
+
+
 PROCEDURES = {
     "compact": compact,
+    "compact_manifest": compact_manifest,
+    "rewrite_file_index": rewrite_file_index,
+    "expire_tags": expire_tags,
+    "copy_into": copy_into,
     "create_branch": create_branch,
     "delete_branch": delete_branch,
     "fast_forward": fast_forward,

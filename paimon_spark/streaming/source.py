@@ -89,7 +89,24 @@ class StreamScanner:
             return (latest + 1 if latest else 1), False
         if self.mode == "from-snapshot":
             return (self.from_snapshot or 1), False
-        if self.mode == "from-timestamp":
+        if self.mode == "from-snapshot-full":
+            # full state AT from_snapshot, then deltas after it
+            # (ref: StaticFromSnapshotStartingScanner "-full" variants)
+            s = self.from_snapshot or latest or 1
+            return s + 1, latest is not None
+        if self.mode == "compacted-full":
+            # full state at the latest COMPACT snapshot (compaction output
+            # reads merge-free), then deltas (ref: CompactedStartingScanner)
+            start = latest
+            for sid in range((latest or 0), 0, -1):
+                try:
+                    if self.table.paths.read_snapshot(sid).commit_kind == "COMPACT":
+                        start = sid
+                        break
+                except FileNotFoundError:
+                    continue
+            return ((start or 0) + 1 if start else 1), latest is not None
+        if self.mode in ("from-timestamp", "from-creation-timestamp"):
             sc = self.table.new_scan()
             snap = sc.resolve_snapshot(as_of_timestamp_ms=self.from_timestamp_ms)
             return ((snap.id + 1) if snap else 1), False

@@ -841,6 +841,121 @@ class Table:
             df = df.filter(~F.col(KIND_COL).isin("-D", "-U"))
         return df.select(*self.schema.field_names)
 
+    # ---------------- metadata maintenance ----------------
+
+    def compact_manifests(self) -> Snapshot | None:
+        """CALL sys.compact_manifest: fold the cumulative manifest list into
+        ONE consolidated manifest of live entries. Metadata-only — no data
+        file moves; snapshot replay afterwards is O(live files).
+        (ref: CompactManifestProcedure / full manifest compaction in
+        FileStoreCommitImpl.java)"""
+        latest = self.paths.latest_snapshot()
+        if latest is None or len(latest.manifests) <= 1:
+            return latest
+        mfmt = self.schema.options.get("manifest.format", "parquet")
+        for _ in range(5):
+            live = self.paths.live_entries(latest)
+            m = self.paths.write_manifest(live, fmt=mfmt)
+            snap = Snapshot(
+                id=latest.id + 1, schema_id=self.schema.schema_id,
+                commit_kind=COMMIT_COMPACT, commit_user="compact-manifest",
+                commit_identifier=latest.id + 1,
+                timestamp_ms=int(time.time() * 1000), manifests=[m],
+                total_record_count=latest.total_record_count,
+                delta_record_count=0, max_sequence=latest.max_sequence,
+                watermark=latest.watermark, next_row_id=latest.next_row_id)
+            if self.paths.try_commit_snapshot(snap):
+                return snap
+            latest = self.paths.latest_snapshot()
+        raise RuntimeError("compact_manifests lost the commit race repeatedly")
+
+    def rewrite_file_index(self) -> Snapshot | None:
+        """CALL sys.rewrite_file_index: build index sidecars for live data
+        files that lack one (e.g. `file-index.bloom-filter.columns` was set
+        after the data was written). Data files are untouched; the commit
+        swaps manifest entries to point at the new sidecars.
+        (ref: RewriteFileIndexProcedure.java)"""
+        import dataclasses
+
+        from paimon_spark.fileindex import write_file_index
+
+        cols = [c.strip() for c in self.schema.options.get(
+            "file-index.bloom-filter.columns", "").split(",") if c.strip()]
+        latest = self.paths.latest_snapshot()
+        if not cols or latest is None:
+            return latest
+        entries, swaps = self.paths.live_entries(latest), []
+        for e in entries:
+            if e.index_path is not None:
+                continue
+            rel = write_file_index(
+                self.path, os.path.join(self.path, e.file_path), cols)
+            if rel is not None:
+                swaps.append((e, dataclasses.replace(
+                    e, kind=ADD, index_path=rel)))
+        if not swaps:
+            return latest
+        w = self.writer()
+        delta = [dataclasses.replace(old, kind=DELETE) for old, _ in swaps] \
+            + [new for _, new in swaps]
+        return w.commit(delta, COMMIT_COMPACT)
+
+    def expire_tags(self, older_than_ms: int) -> list[str]:
+        """CALL sys.expire_tags: delete tags created before the cutoff.
+        (ref: ExpireTagsProcedure.java)"""
+        removed = []
+        for name in list(self.paths.list_tags()):
+            try:
+                with open(self.paths.tag_file(name)) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if meta.get("created_ms", 0) < older_than_ms:
+                os.remove(self.paths.tag_file(name))
+                removed.append(name)
+        return removed
+
+    def copy_into(self, source: str, fmt: str = "parquet",
+                  options: dict | None = None) -> int:
+        """COPY INTO: idempotently load external files into the table.
+        Files already loaded (tracked in copy-history.json) are skipped, so
+        re-running after new files land loads only the delta — the load
+        history is the dedup key, exactly COPY INTO's contract.
+        (ref: paimon-spark copyinto/ command set)"""
+        reader = self.spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        hist_path = os.path.join(self.path, "copy-history.json")
+        try:
+            with open(hist_path) as f:
+                loaded = set(json.load(f)["files"])
+        except (OSError, ValueError, KeyError):
+            loaded = set()
+        import glob as _glob
+        candidates = sorted(
+            p for p in _glob.glob(os.path.join(source, "**", "*"),
+                                  recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith(
+                (".", "_")) and p not in loaded)
+        if not candidates:
+            return 0
+        df = reader.load(candidates)
+        cast = df.select(*[
+            F.col(fld.name).cast(fld.dataType) for fld in
+            self.schema.struct.fields if fld.name in df.columns])
+        missing = [f.name for f in self.schema.struct.fields
+                   if f.name not in df.columns]
+        for name in missing:
+            cast = cast.withColumn(
+                name, F.lit(None).cast(self.schema.data_type(name)))
+        n = cast.count()
+        self.append(cast.select(*self.schema.field_names))
+        tmp = hist_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(loaded | set(candidates))}, f)
+        os.replace(tmp, hist_path)
+        return n
+
     # ---------------- ANALYZE (ref: PaimonAnalyzeTableColumnCommand.scala,
     # core stats/, table/system/StatisticTable.java) ----------------
 

@@ -82,3 +82,71 @@ def test_migrate_table_hardlinks(spark, wh, tmp_path):
     assert t.new_scan().metadata_count() == 100
     got = t.read(P.eq("p", "a")).agg(F.sum("v")).collect()[0][0]
     assert got == sum(range(100))
+
+
+def test_compact_manifest_consolidates(spark, wh):
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/cm", schema,
+                     options={"manifest.compaction-trigger": "1000"},
+                     spark=spark)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], schema))
+    assert len(t.paths.latest_snapshot().manifests) == 5
+    snap = call(spark, "compact_manifest", table=t)
+    assert snap.commit_kind == "COMPACT"
+    assert len(snap.manifests) == 1
+    assert t.read().count() == 5
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_rewrite_file_index_backfills_sidecars(spark, wh):
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    t = Table.create(f"{wh}/rfi", schema, spark=spark)
+    t.append(spark.createDataFrame([(i, f"s{i}") for i in range(200)], schema))
+    assert all(e.index_path is None
+               for e in t.paths.live_entries(t.paths.latest_snapshot()))
+    # enable the index AFTER data exists, then backfill
+    t.alter(lambda s: s.set_option("file-index.bloom-filter.columns", "s"))
+    call(spark, "rewrite_file_index", table=t)
+    entries = t.paths.live_entries(t.paths.latest_snapshot())
+    assert entries and all(e.index_path is not None for e in entries)
+    # bloom now prunes non-member point lookups at plan time
+    miss = t.new_scan().plan(P.eq("s", "not-there"))
+    assert miss.files_skipped == len(entries)
+    assert t.read(P.eq("s", "s7")).count() == 1
+
+
+def test_expire_tags(spark, wh):
+    import json as _json
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/et", schema, spark=spark)
+    t.append(spark.createDataFrame([(1,)], schema))
+    call(spark, "create_tag", table=t, tag="old")
+    call(spark, "create_tag", table=t, tag="new")
+    # age the 'old' tag artificially
+    p = t.paths.tag_file("old")
+    meta = _json.load(open(p))
+    meta["created_ms"] = 1000
+    _json.dump(meta, open(p, "w"))
+    removed = call(spark, "expire_tags", table=t,
+                   older_than="2001-01-01 00:00:00")
+    assert removed == ["old"]
+    assert sorted(t.paths.list_tags()) == ["new"]
+
+
+def test_copy_into_idempotent(spark, wh, tmp_path):
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/ci", schema, spark=spark)
+    src = str(tmp_path / "stage")
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1) \
+        .write.parquet(src)
+    assert call(spark, "copy_into", table=t, source=src) == 2
+    # second run: nothing new to load
+    assert call(spark, "copy_into", table=t, source=src) == 0
+    # a new file landing in the stage dir loads incrementally
+    spark.createDataFrame([(3, "c")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    assert call(spark, "copy_into", table=t, source=src) == 1
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]

@@ -124,3 +124,33 @@ def test_python_datasource_batch_and_stream(spark, wh, tmp_path):
     q2.awaitTermination(120)
     rows2 = [r for batch in sink2 for r in batch]
     assert sorted(rows2) == [(3, "c", "+I")]
+
+
+def test_stream_scanner_from_snapshot_full(spark, wh):
+    t = _t(spark, wh, "fsf")
+    t.append(spark.createDataFrame([(1, "a")], KV))       # s1
+    t.append(spark.createDataFrame([(2, "b")], KV))       # s2
+    t.append(spark.createDataFrame([(3, "c")], KV))       # s3
+    sc = StreamScanner(t, mode="from-snapshot-full", from_snapshot=2)
+    b0 = sc.next_batch()
+    # full state AT snapshot 2
+    assert sorted((r["k"], r["v"]) for r in b0.collect()) == [(1, "a"), (2, "b")]
+    # then deltas after it
+    b1 = sc.next_batch()
+    assert [(r["k"], r["v"]) for r in b1.collect()] == [(3, "c")]
+    assert sc.next_batch() is None
+
+
+def test_stream_scanner_compacted_full(spark, wh):
+    t = _t(spark, wh, "cf")
+    t.append(spark.createDataFrame([(1, "a"), (1, "a2")], KV))   # s1
+    t.append(spark.createDataFrame([(2, "b")], KV))              # s2
+    t.compact()                                                  # s3 COMPACT
+    t.append(spark.createDataFrame([(3, "c")], KV))              # s4
+    sc = StreamScanner(t, mode="compacted-full")
+    b0 = sc.next_batch()
+    # full (merged) state at the compact snapshot: no pre-compact dups
+    assert sorted((r["k"], r["v"]) for r in b0.collect()) == \
+        [(1, "a2"), (2, "b")]
+    b1 = sc.next_batch()
+    assert [(r["k"], r["v"]) for r in b1.collect()] == [(3, "c")]
