@@ -127,20 +127,32 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
     nb = n_planes // band_bits
     sig = with_band_keys(emb, id_col, vec_col, n_planes, band_bits, dim) \
         .persist()
+    # candidate generation ships (band_key, id) ONLY — vectors rejoin after
+    # the pair dedup, so the band self-join and distinct stay tiny at scale
     stacked = sig.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         F.explode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
         .alias("bk"))
     a, b = stacked.alias("a"), stacked.alias("b")
     pairs = (a.join(b, "bk")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col(f"a.{vec_col}").alias("__va"),
-                     F.col(f"b.{vec_col}").alias("__vb"))
-             .dropDuplicates(["id_a", "id_b"]))
-    return (pairs
-            .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    # precompute each vector's norm once (scalar carried with the vector) —
+    # the per-pair work is then a single dot fold; norm folds run N times,
+    # not 2×|candidates| times. Same expression tree as the exact cosine
+    # (dot / (norm_a * norm_b)), so results are bit-identical.
+    nv = emb.select(F.col(id_col), F.col(vec_col),
+                    norm(F.col(vec_col)).alias("__n"))
+    ua = nv.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                   F.col("__n").alias("__na"))
+    ub = nv.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                   F.col("__n").alias("__nb"))
+    return (pairs.join(ua, "id_a").join(ub, "id_b")
+            .withColumn("score", F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 4))
             .filter(F.col("score") >= threshold)
             .select("id_a", "id_b", "score"))
 

@@ -142,11 +142,32 @@ class PaimonStreamReader(DataSourceStreamReader):
         return out or [_StreamPartition(table.path, [], [], False)]
 
     def read(self, partition: _StreamPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from paimon_spark.schema import SEQ_COL
         table = Table.load(partition.table_path)
         names = self.schema.fieldNames()
+        data_cols = [c for c in names if c != KIND_COL]
+        if not partition.merge_full_state and all(
+                not pvals and all(
+                    c in pq.ParquetFile(
+                        f"{partition.table_path}/{fp}").schema_arrow.names
+                    for c in data_cols)
+                for fp, pvals in zip(partition.files, partition.partitions)):
+            # fast path: ship Arrow record batches (no per-row Python
+            # objects) — applies when every schema column is physically in
+            # the file (or is the appended _row_kind); partition-in-path
+            # values use the row path below.
+            for fp in partition.files:
+                tbl = pq.read_table(f"{partition.table_path}/{fp}")
+                kind = tbl.column(KIND_COL) if KIND_COL in tbl.column_names \
+                    else pa.array(["+I"] * len(tbl), type=pa.string())
+                cols = [tbl.column(c) if c != KIND_COL else kind
+                        for c in names]
+                for batch in pa.table(cols, names=names).to_batches():
+                    yield batch
+            return
         rows: list[dict] = []
         for fp, pvals in zip(partition.files, partition.partitions):
             tbl = pq.read_table(f"{partition.table_path}/{fp}")
