@@ -49,3 +49,16 @@ class Catalog:
                           if os.path.isdir(os.path.join(base, n, "schema")))
         except FileNotFoundError:
             return []
+
+    def register_views(self, db: str | None = None,
+                       system_tables: bool = False) -> list[str]:
+        """Register every table as a Spark temp view so plain
+        `spark.sql("SELECT ... FROM tbl")` works — the SQL entry point a
+        reference user expects (ref: SparkCatalog.java loadTable; system
+        tables `tbl$snapshots` map to `tbl__snapshots` since `$` is not a
+        valid temp-view identifier)."""
+        names = []
+        for n in self.list_tables(db):
+            t = self.get_table(f"{db}.{n}" if db else n)
+            names += t.register_views(n, system_tables=system_tables)
+        return names

@@ -841,6 +841,32 @@ class Table:
             df = df.filter(~F.col(KIND_COL).isin("-D", "-U"))
         return df.select(*self.schema.field_names)
 
+    # ---------------- SQL surface ----------------
+
+    def register_views(self, name: str,
+                       system_tables: bool = False) -> list[str]:
+        """Expose the table to `spark.sql(...)` as temp views: `name` for
+        the merged current state, plus `name__snapshots` / `__files` /
+        `__partitions` / `__tags` / `__branches` / `__audit_log` when
+        `system_tables` (the reference's `tbl$snapshots` family —
+        ref: table/system/*Table.java; `$` isn't a valid view identifier).
+        Views are DataFrames planned at registration time — re-register
+        after commits you want visible."""
+        self.read().createOrReplaceTempView(name)
+        out = [name]
+        if system_tables:
+            for suffix, df_fn in (
+                    ("snapshots", self.snapshots_df),
+                    ("files", self.files_df),
+                    ("partitions", self.partitions_df),
+                    ("tags", self.tags_df),
+                    ("branches", self.branches_df),
+                    ("audit_log", self.read_audit_log)):
+                v = f"{name}__{suffix}"
+                df_fn().createOrReplaceTempView(v)
+                out.append(v)
+        return out
+
     # ---------------- metadata maintenance ----------------
 
     def compact_manifests(self) -> Snapshot | None:

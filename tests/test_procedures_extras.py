@@ -150,3 +150,24 @@ def test_copy_into_idempotent(spark, wh, tmp_path):
         .write.mode("append").parquet(src)
     assert call(spark, "copy_into", table=t, source=src) == 1
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_sql_view_registration(spark, wh):
+    from paimon_spark import Catalog
+    cat = Catalog(f"{wh}/sqlwh", spark)
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = cat.create_table("ev", schema, primary_keys=["k"],
+                         options={"bucket": "2"})
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.append(spark.createDataFrame([(1, "a2")], schema))
+    views = cat.register_views(system_tables=True)
+    assert "ev" in views and "ev__snapshots" in views
+    # merged current state through plain SQL
+    got = {(r.k, r.v) for r in
+           spark.sql("SELECT k, v FROM ev ORDER BY k").collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    assert spark.sql("SELECT count(*) c FROM ev__snapshots").collect()[0].c == 2
+    assert spark.sql(
+        "SELECT count(*) c FROM ev__audit_log WHERE rowkind='+I'"
+    ).collect()[0].c >= 2
