@@ -479,6 +479,13 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flavor ANN: nearest-centroid inverted lists, probe 2 lists per
+    query, exact cosine top-5 within them (scale path alongside LSH)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=16, nprobe=2)
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup: banded sign-LSH candidates → exact
     cosine ≥ 0.4 verify (threshold fits this synthetic corpus — max
@@ -806,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "window_user_ranks": window_user_ranks,
         "stream_window_counts": stream_window_counts,
@@ -872,6 +880,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s)
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
       FROM r WHERE rank <= 5"""
+    _c = SIM.sql_cosine
+    ann_ivf = f"""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS r
+        FROM (SELECT e.vec_id, e.embedding, c.cid,
+                     round({_c('e.embedding', 'c.cv')}, 6) AS sim
+              FROM embeddings e, cents c)),
+      member AS (SELECT vec_id, embedding, cid AS cluster
+                 FROM assign WHERE r = 1),
+      probes AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round({_c('q.embedding', 'c.cv')}, 6)
+                                             DESC, c.cid) AS r
+          FROM embeddings q, cents c WHERE q.vec_id IN (0,1,2,3,4))
+        WHERE r <= 2),
+      cand AS (SELECT p.query_id, m.vec_id AS neighbor_id,
+                      round({_c('p.qv', 'm.embedding')}, 4) AS score
+               FROM member m JOIN probes p ON m.cluster = p.cluster
+               WHERE m.vec_id <> p.query_id),
+      rnk AS (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id)
+                     AS rank
+              FROM cand)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+      FROM rnk WHERE rank <= 5"""
     _sb = SIM.sql_sign_bits("embedding", 8)
     _bands = ", ".join(
         f"({i} * 4 + __b{2 * i} + 2 * __b{2 * i + 1})" for i in range(4))
@@ -1059,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"SELECT doc_id, {TX.sql_lang_id('text')} AS lang_pred FROM documents",
         "ann_brute_topk": ann_brute,
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "dedup_embedding_cosine": emb_near_dup,
         "window_user_ranks": """
             SELECT user_id, event_type, cnt, rnk FROM (

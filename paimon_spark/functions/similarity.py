@@ -91,6 +91,49 @@ def sql_lsh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flavor ANN: partition vectors into `n_centroids` inverted lists
+    (nearest-centroid assignment), probe the query's `nprobe` closest lists,
+    exact cosine top-k within them. Centroids are the first `n_centroids`
+    vectors by id — deterministic, so both engines build identical lists
+    (real systems would k-means; the *query* path is identical either way).
+    At scale: assignment is a broadcast of C centroids (C ≪ N) against each
+    vector once at index-build; a query touches N·nprobe/C candidates."""
+    cents = (emb.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("__cid"),
+                     F.col(vec_col).alias("__cv")))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("__sim", F.round(cosine(F.col(vec_col), F.col("__cv")), 6)))
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
+                                                  F.asc("__cid"))
+    member = (scored.withColumn("__r", F.row_number().over(w_assign))
+              .filter(F.col("__r") == 1)
+              .select(id_col, vec_col, F.col("__cid").alias("__cluster"))
+              .persist())
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
+                                                      F.asc("__cid"))
+    probes = (emb.filter(F.col(id_col).isin(query_ids))
+              .select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("qv"))
+              .crossJoin(F.broadcast(cents))
+              .withColumn("__sim", F.round(cosine(F.col("qv"), F.col("__cv")), 6))
+              .withColumn("__r", F.row_number().over(w_probe))
+              .filter(F.col("__r") <= nprobe)
+              .select("query_id", "qv", F.col("__cid").alias("__cluster")))
+    cand = (member.join(F.broadcast(probes), "__cluster")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .withColumn("score",
+                        F.round(cosine(F.col("qv"), F.col(vec_col)), 4)))
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                    F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w_top))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    F.col("rank").cast("long").alias("rank"), "score"))
+
+
 def with_band_keys(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_planes: int = 8,
                    band_bits: int = 2, dim: int = 64) -> DataFrame:
