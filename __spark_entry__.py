@@ -324,6 +324,50 @@ def q18_big_orders(spark, sf_dir):
             .orderBy(F.desc("sum_qty"), F.asc("o_orderkey")).limit(20))
 
 
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 flavor: suppliers that were the ONLY late shipper on a
+    finished multi-supplier order ("late" = shipped >90 days after the
+    order date; the testdata has no commit/receipt dates). Exercises
+    EXISTS (left-semi) + NOT EXISTS (left-anti) self-joins."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier")
+    l1 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .filter(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey"))
+    all_pairs = li.select(F.col("l_orderkey").alias("p_ok"),
+                          F.col("l_suppkey").alias("p_sk")).distinct()
+    late_pairs = l1.distinct().select(F.col("l_orderkey").alias("p_ok"),
+                                      F.col("l_suppkey").alias("p_sk"))
+    multi = l1.join(all_pairs,
+                    (l1.l_orderkey == all_pairs.p_ok)
+                    & (l1.l_suppkey != all_pairs.p_sk), "left_semi")
+    only_late = multi.join(late_pairs,
+                           (multi.l_orderkey == late_pairs.p_ok)
+                           & (multi.l_suppkey != late_pairs.p_sk),
+                           "left_anti")
+    return (only_late.join(F.broadcast(supp),
+                           only_late.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
+
+
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    with grouping_id — grouping-sets coverage (SURVEY §2.4 'pure Spark')."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_returnflag", "l_linestatus", "l_extendedprice",
+                    "l_discount"])
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+                 F.count("*").cast("long").alias("n_rows"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
 def topn_orders(spark, sf_dir):
     t = _wh(spark, sf_dir)["orders_pk"]
     return (t.read(projection=["o_orderkey", "o_totalprice", "o_orderpriority"])
@@ -778,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q12_priority_class,
         "q14_promo_share": q14_promo_share,
         "q18_big_orders": q18_big_orders,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "rollup_pricing": rollup_pricing,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -1217,6 +1263,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey
                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "q21_waiting_suppliers": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate
+                                    > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_price,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "stream_window_counts": """
             SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
                                           // 300) * 300),
