@@ -203,6 +203,12 @@ def expire_tags(spark, table, older_than: str, **_):
     return _t(table).with_spark(spark).expire_tags(cutoff)
 
 
+def rescale(spark, table, bucket: int, **_):
+    """Rewrite the table under a new fixed bucket count
+    (ref: procedure/RescaleProcedure.java)."""
+    return _t(table).with_spark(spark).rescale(bucket)
+
+
 def copy_into(spark, table, source: str, file_format: str = "parquet",
               options: dict | None = None, **_):
     """Idempotent bulk file load (ref: paimon-spark copyinto/)."""
@@ -215,6 +221,7 @@ PROCEDURES = {
     "rewrite_file_index": rewrite_file_index,
     "expire_tags": expire_tags,
     "copy_into": copy_into,
+    "rescale": rescale,
     "create_branch": create_branch,
     "delete_branch": delete_branch,
     "fast_forward": fast_forward,

@@ -926,6 +926,30 @@ class Table:
             + [new for _, new in swaps]
         return w.commit(delta, COMMIT_COMPACT)
 
+    def rescale(self, num_buckets: int) -> Snapshot | None:
+        """CALL sys.rescale: change the fixed bucket count by rewriting
+        every live file under the new hash assignment. Raw rows — including
+        tombstones, row kinds, and sequence numbers — are redistributed
+        unchanged, so merge-on-read semantics are byte-identical before and
+        after; only the (partition, bucket) placement moves.
+        (ref: RescaleProcedure / postpone-bucket rescale in the reference)"""
+        import dataclasses
+
+        if not self.schema.is_pk_table or self.schema.num_buckets <= 0:
+            raise ValueError("rescale applies to fixed-bucket PK tables")
+        if num_buckets <= 0:
+            raise ValueError("num_buckets must be positive")
+        latest = self.paths.latest_snapshot()
+        entries = self.paths.live_entries(latest) if latest else []
+        df = self._read_files(entries).drop(BUCKET_COL) if entries else None
+        self._save_schema(self.schema.set_option("bucket", str(num_buckets)))
+        if df is None:
+            return latest
+        w = self.writer()
+        delta = [dataclasses.replace(e, kind=DELETE) for e in entries] \
+            + w.stage(df)
+        return w.commit(delta, COMMIT_OVERWRITE)
+
     def expire_tags(self, older_than_ms: int) -> list[str]:
         """CALL sys.expire_tags: delete tags created before the cutoff.
         (ref: ExpireTagsProcedure.java)"""

@@ -171,3 +171,29 @@ def test_sql_view_registration(spark, wh):
     assert spark.sql(
         "SELECT count(*) c FROM ev__audit_log WHERE rowkind='+I'"
     ).collect()[0].c >= 2
+
+
+def test_rescale_preserves_merge_semantics(spark, wh):
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/rs", schema, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(50)], schema))
+    t.append(spark.createDataFrame([(i, f"new{i}") for i in range(0, 50, 5)],
+                                   schema))
+    t.delete_where(P.eq("k", 3))
+    before = {(r.k, r.v) for r in t.read().collect()}
+    call(spark, "rescale", table=t, bucket=8)
+    assert t.schema.num_buckets == 8
+    after = {(r.k, r.v) for r in t.read().collect()}
+    assert after == before
+    # every live file now sits in a bucket < 8, and >2 distinct buckets used
+    buckets = {e.bucket for e in t.paths.live_entries(t.paths.latest_snapshot())}
+    assert buckets <= set(range(8)) and len(buckets) > 2
+    # point lookup pruning still works against the new layout
+    plan = t.new_scan().plan(P.eq("k", 10))
+    assert plan.files_skipped > 0
+    # writes after the rescale keep merging correctly
+    t.append(spark.createDataFrame([(10, "post")], schema))
+    assert dict((r.k, r.v) for r in t.read(P.eq("k", 10)).collect()) == \
+        {10: "post"}
