@@ -203,6 +203,24 @@ def expire_tags(spark, table, older_than: str, **_):
     return _t(table).with_spark(spark).expire_tags(cutoff)
 
 
+def clear_consumers(spark, table, consumer_id: str | None = None, **_):
+    """Drop durable consumer progress files (all, or one id)
+    (ref: procedure/ClearConsumersProcedure.java)."""
+    t = _t(table)
+    d = os.path.join(t.path, "consumer")
+    removed = []
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return removed
+    for n in names:
+        cid = n[len("consumer-"):-len(".json")]
+        if consumer_id is None or cid == consumer_id:
+            os.remove(os.path.join(d, n))
+            removed.append(cid)
+    return sorted(removed)
+
+
 def rescale(spark, table, bucket: int, **_):
     """Rewrite the table under a new fixed bucket count
     (ref: procedure/RescaleProcedure.java)."""
@@ -222,6 +240,7 @@ PROCEDURES = {
     "expire_tags": expire_tags,
     "copy_into": copy_into,
     "rescale": rescale,
+    "clear_consumers": clear_consumers,
     "create_branch": create_branch,
     "delete_branch": delete_branch,
     "fast_forward": fast_forward,

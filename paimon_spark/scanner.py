@@ -225,9 +225,16 @@ class Scanner:
         }
         if not pred.test_partition(part_values):
             return False
-        if not pred.test_stats(e.row_count, e.stats):
+        # columns with a read-time default: stored nulls will be rewritten
+        # to the default, so stats/indexes over stored values must not prune
+        defaulted = {k[len("fields."):-len(".default-value")]
+                     for k in self.schema.options
+                     if k.startswith("fields.") and k.endswith(".default-value")}
+        stats = {c: s for c, s in e.stats.items() if c not in defaulted} \
+            if defaulted else e.stats
+        if not pred.test_stats(e.row_count, stats):
             return False
-        if e.index_path:
+        if e.index_path and not (defaulted & pred.refs()):
             from paimon_spark.fileindex import make_lookup
             return pred.test_file_index(make_lookup(self.paths.root, e.index_path))
         return True

@@ -167,12 +167,29 @@ class Table:
             fdf = self._fallback_branch_df(fb, plan, predicate, with_hidden)
             if fdf is not None:
                 df = df.unionByName(fdf)
+        df = self._apply_defaults(df)
         if predicate is not None:
             df = df.filter(predicate.to_spark())
         if projection is not None:
             df = df.select(*projection)
         if limit is not None:
             df = df.limit(limit)
+        return df
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """`fields.<col>.default-value`: read-time null fill, like the
+        reference's DefaultValueAssigner — old files written before a
+        schema-evolved column get the default too. File-skipping stats see
+        stored values, so predicates on defaulted columns are evaluated
+        only after the fill (the residual filter in read()).
+        (ref: paimon-core/.../schema/DefaultValueAssigner usage)"""
+        fills = {k[len("fields."):-len(".default-value")]: v
+                 for k, v in self.schema.options.items()
+                 if k.startswith("fields.") and k.endswith(".default-value")}
+        for c, v in fills.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.coalesce(
+                    F.col(c), F.lit(v).cast(self.schema.data_type(c))))
         return df
 
     def _fallback_branch_df(self, fb: str, main_plan: ScanPlan,
@@ -839,7 +856,7 @@ class Table:
         df = self._read_files(entries)
         if self.schema.is_pk_table:
             df = df.filter(~F.col(KIND_COL).isin("-D", "-U"))
-        return df.select(*self.schema.field_names)
+        return self._apply_defaults(df.select(*self.schema.field_names))
 
     # ---------------- SQL surface ----------------
 

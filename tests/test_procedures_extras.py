@@ -197,3 +197,34 @@ def test_rescale_preserves_merge_semantics(spark, wh):
     t.append(spark.createDataFrame([(10, "post")], schema))
     assert dict((r.k, r.v) for r in t.read(P.eq("k", 10)).collect()) == \
         {10: "post"}
+
+
+def test_default_values_read_time(spark, wh):
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    t = Table.create(f"{wh}/dv", schema,
+                     options={"fields.v.default-value": "none",
+                              "fields.n.default-value": "7"}, spark=spark)
+    t.append(spark.createDataFrame([(1, None, None), (2, "x", 3)], schema))
+    got = {(r.k, r.v, r.n) for r in t.read().collect()}
+    assert got == {(1, "none", 7), (2, "x", 3)}
+    # predicate over the defaulted value matches the filled row, and the
+    # stats-based skipper must NOT prune the all-null file
+    assert {r.k for r in t.read(P.eq("n", 7)).collect()} == {1}
+    # schema evolution: column added later defaults for old files too
+    t.alter(lambda s: s.add_column("extra", T.StringType()))
+    t.alter(lambda s: s.set_option("fields.extra.default-value", "fresh"))
+    assert {r.extra for r in t.read().collect()} == {"fresh"}
+
+
+def test_clear_consumers(spark, wh):
+    from paimon_spark.streaming.source import StreamScanner
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/cc", schema, spark=spark)
+    t.append(spark.createDataFrame([(1,)], schema))
+    for cid in ("a", "b"):
+        sc = StreamScanner(t, mode="latest-full", consumer_id=cid)
+        sc.next_batch()
+    assert call(spark, "clear_consumers", table=t, consumer_id="a") == ["a"]
+    assert call(spark, "clear_consumers", table=t) == ["b"]
