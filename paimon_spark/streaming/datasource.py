@@ -127,14 +127,26 @@ class PaimonStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     "latest-full streaming via format('paimon') supports the "
                     "deduplicate engine; use scan.mode=latest or StreamScanner")
-            groups: dict[tuple, list] = {}
-            for ent in table.new_scan().plan(snapshot_id=e).entries:
-                key = (tuple(sorted(ent.partition.items())), ent.bucket)
-                groups.setdefault(key, []).append(ent)
-            for g in groups.values():
-                out.append(_StreamPartition(
-                    table.path, [x.file_path for x in g],
-                    [dict(x.partition) for x in g], True))
+            entries = table.new_scan().plan(snapshot_id=e).entries
+            if not table.schema.is_pk_table:
+                # append table: no merge → one split per FILE (full read
+                # parallelism; a single-group split would serialize the
+                # whole table through one task at scale)
+                for ent in entries:
+                    out.append(_StreamPartition(
+                        table.path, [ent.file_path], [dict(ent.partition)],
+                        False))
+            else:
+                # PK table: bucket-local merge is globally correct (a key
+                # lives in exactly one bucket) → one split per bucket
+                groups: dict[tuple, list] = {}
+                for ent in entries:
+                    key = (tuple(sorted(ent.partition.items())), ent.bucket)
+                    groups.setdefault(key, []).append(ent)
+                for g in groups.values():
+                    out.append(_StreamPartition(
+                        table.path, [x.file_path for x in g],
+                        [dict(x.partition) for x in g], True))
         else:
             for ent in table.delta_entries(s, e):
                 out.append(_StreamPartition(
