@@ -21,6 +21,7 @@ user sequence field wins, commit sequence breaks ties
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from paimon_spark.schema import KIND_COL, SEQ_COL, TableSchema
 
@@ -29,8 +30,27 @@ RETRACT_KINDS = ("-U", "-D")
 
 
 def order_struct(schema: TableSchema, extra: list[str] | None = None) -> Column:
-    cols = (extra or schema.sequence_field) + [SEQ_COL]
-    return F.struct(*[F.col(c) for c in cols])
+    """Merge-order key: (user sequence fields..., commit sequence).
+    `sequence.field.sort-order = descending` reverses the USER fields only
+    (smallest value wins) while commit order still breaks ties ascending —
+    numeric/timestamp/date fields are negated so a single max_by works.
+    (ref: CoreOptions SORT_ORDER :4889-4891, SequenceGenerator)"""
+    user = extra or schema.sequence_field
+    desc = schema.options.get(
+        "sequence.field.sort-order", "ascending") == "descending"
+    cols: list[Column] = []
+    for c in user:
+        col = F.col(c)
+        if desc:
+            dt = schema.data_type(c) if c in schema.field_names else None
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                col = -F.unix_micros(col.cast("timestamp"))
+            elif isinstance(dt, T.DateType):
+                col = -F.datediff(col, F.lit("1970-01-01"))
+            else:
+                col = -col
+        cols.append(col)
+    return F.struct(*cols, F.col(SEQ_COL))
 
 
 def _value_cols(schema: TableSchema, df: DataFrame) -> list[str]:

@@ -132,3 +132,22 @@ def test_first_row_engine(spark, wh):
     t.append(spark.createDataFrame([(1, "first", 1)], schema))
     got = sorted(tuple(r) for r in t.read().collect())
     assert got == [(1, "first", 1), (2, "only", 1)]
+
+
+def test_sequence_field_sort_order_descending(spark, wh):
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType()),
+                           T.StructField("prio", T.LongType())])
+    t = Table.create(f"{wh}/seqdesc", schema, primary_keys=["k"],
+                     options={"bucket": "1", "sequence.field": "prio",
+                              "sequence.field.sort-order": "descending"},
+                     spark=spark)
+    # smaller prio wins under descending sort order
+    t.append(spark.createDataFrame([(1, "p9", 9), (2, "p5", 5)], schema))
+    t.append(spark.createDataFrame([(1, "p3", 3), (2, "p7", 7)], schema))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "p3"), (2, "p5")}
+    # tie on prio: later commit still wins
+    t.append(spark.createDataFrame([(1, "p3b", 3)], schema))
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "p3b"), (2, "p5")}
