@@ -831,6 +831,50 @@ class Table:
             cols += [SEQ_COL, KIND_COL]
         return df.select(*cols)
 
+    def read_incremental_between_timestamps(
+            self, from_ms: int, to_ms: int,
+            with_kind: bool = True) -> DataFrame:
+        """paimon_incremental_between_timestamp TVF: resolve each bound to
+        the newest snapshot committed at-or-before it, then diff.
+        (ref: PaimonTableValuedFunctions.scala:58)"""
+        sc = self.new_scan()
+        lo = sc.resolve_snapshot(as_of_timestamp_ms=from_ms)
+        hi = sc.resolve_snapshot(as_of_timestamp_ms=to_ms)
+        if hi is None or (lo is not None and lo.id >= hi.id):
+            return self._empty_df(with_kind and self.schema.is_pk_table)
+        return self.read_incremental(lo.id if lo else 0, hi.id, with_kind)
+
+    def read_incremental_to_auto_tag(self, end_tag: str,
+                                     with_kind: bool = True) -> DataFrame:
+        """paimon_incremental_to_auto_tag TVF: delta from the nearest
+        earlier tag (by snapshot id) up to `end_tag`; empty if none before.
+        (ref: PaimonTableValuedFunctions.scala:60, IncrementalTagStartingScanner)"""
+        tags = self.paths.list_tags()
+        if end_tag not in tags:
+            raise ValueError(f"unknown tag {end_tag}")
+        end_sid = tags[end_tag]
+        earlier = [sid for sid in tags.values() if sid < end_sid]
+        if not earlier:
+            return self._empty_df(with_kind and self.schema.is_pk_table)
+        return self.read_incremental(max(earlier), end_sid, with_kind)
+
+    def consumers_df(self) -> DataFrame:
+        """`$consumers` system table: durable reader progress.
+        (ref: table/system/ConsumersTable.java)"""
+        import glob as _glob
+        rows = []
+        for p in sorted(_glob.glob(os.path.join(self.path, "consumer",
+                                                "consumer-*.json"))):
+            cid = os.path.basename(p)[len("consumer-"):-len(".json")]
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                rows.append((cid, int(d["next_snapshot"])))
+            except (OSError, ValueError, KeyError):
+                continue
+        return self.spark.createDataFrame(
+            rows, "consumer_id string, next_snapshot long")
+
     def read_audit_log(self, snapshot_id: int | None = None) -> DataFrame:
         """$audit_log system table: raw rows with a `rowkind` column.
         (ref: table/system/AuditLogTable.java)"""

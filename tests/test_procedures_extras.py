@@ -228,3 +228,36 @@ def test_clear_consumers(spark, wh):
         sc.next_batch()
     assert call(spark, "clear_consumers", table=t, consumer_id="a") == ["a"]
     assert call(spark, "clear_consumers", table=t) == ["b"]
+
+
+def test_incremental_tvf_variants(spark, wh):
+    import time as _time
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/tvf", schema, spark=spark)
+    t.append(spark.createDataFrame([(1,)], schema))      # s1
+    ts_after_s1 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], schema))      # s2
+    t.create_tag("a", 1)
+    t.create_tag("b", 2)
+    ts_after_s2 = int(_time.time() * 1000)
+    # between timestamps: (after s1, after s2] → only row from s2
+    got = {r.k for r in t.read_incremental_between_timestamps(
+        ts_after_s1, ts_after_s2).collect()}
+    assert got == {2}
+    # to_auto_tag: delta from tag a to tag b
+    assert {r.k for r in t.read_incremental_to_auto_tag("b").collect()} == {2}
+    # earliest tag has no predecessor → empty
+    assert t.read_incremental_to_auto_tag("a").count() == 0
+
+
+def test_consumers_df(spark, wh):
+    from paimon_spark.streaming.source import StreamScanner
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/cons", schema, spark=spark)
+    t.append(spark.createDataFrame([(1,)], schema))
+    sc = StreamScanner(t, mode="latest-full", consumer_id="job1")
+    sc.next_batch()
+    rows = {(r.consumer_id, r.next_snapshot)
+            for r in t.consumers_df().collect()}
+    assert rows == {("job1", 2)}
