@@ -57,3 +57,40 @@ def test_random_upsert_delete_roundtrip(spark, wh):
     got = {(r["dt"], r["shop"], r["order_id"]): (r["item"], r["comment"])
            for r in t.read().collect()}
     assert got == model
+
+
+def test_random_roundtrip_with_rescale(spark, wh):
+    """Same seeded replay, but the bucket count changes mid-stream and at
+    the end — rescale must be invisible to merge results."""
+    rng = random.Random(7)
+    t = Table.create(
+        f"{wh}/rand_rs", SCHEMA, partition_keys=["dt"],
+        primary_keys=["dt", "shop", "order_id"],
+        options={"bucket": "2", "rowkind.field": "kind"}, spark=spark)
+
+    model: dict[tuple, tuple] = {}
+    for b in range(4):
+        batch, seen_in_batch = [], set()
+        for _ in range(300):
+            key = (f"2026080{rng.randint(1, 2)}", rng.randint(0, 3),
+                   rng.randint(0, 120))
+            if key in seen_in_batch:
+                continue
+            seen_in_batch.add(key)
+            if rng.random() < 0.1 and key in model:
+                batch.append((*key, 0, "", "-D"))
+                model.pop(key, None)
+            else:
+                val = (rng.randint(0, 10**6), f"c{rng.randint(0, 999)}")
+                batch.append((*key, *val, "+I"))
+                model[key] = val
+        t.append(spark.createDataFrame(batch, SCHEMA))
+        if b == 1:
+            t.rescale(5)
+        if b == 2:
+            t.compact()
+
+    t.rescale(3)
+    got = {(r["dt"], r["shop"], r["order_id"]): (r["item"], r["comment"])
+           for r in t.read().collect()}
+    assert got == model
