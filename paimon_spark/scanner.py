@@ -115,6 +115,10 @@ class Scanner:
         if snap is None:
             return ScanPlan(None, [], [], [])
         entries, pre_pruned = self._live_entries(snap, predicate)
+        if self.schema.num_buckets == -2:
+            # postpone tables: unbucketed (-2) writes are invisible until
+            # compaction assigns buckets (ref: BucketMode POSTPONE_MODE)
+            entries = [e for e in entries if e.bucket != -2]
         total = len(entries) + pre_pruned
 
         if predicate is not None:

@@ -107,7 +107,8 @@ class Table:
         fields = list(self.schema.spark_read_struct().fields)
         for k in self.schema.partition_keys:
             fields.append(T.StructField(k, self.schema.data_type(k), True))
-        if self.schema.is_pk_table and self.schema.num_buckets > 0:
+        if self.schema.is_pk_table and self.schema.num_buckets != -1:
+            # fixed buckets AND postpone (-2) lay files out under __bucket=
             fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
@@ -539,6 +540,8 @@ class Table:
         latest = self.paths.latest_snapshot()
         if latest is None:
             return None
+        if self.schema.num_buckets == -2:
+            return self._compact_postpone()
         if not full and self.schema.is_pk_table:
             return self._compact_universal()
         w = self.writer()
@@ -901,6 +904,32 @@ class Table:
         if self.schema.is_pk_table:
             df = df.filter(~F.col(KIND_COL).isin("-D", "-U"))
         return self._apply_defaults(df.select(*self.schema.field_names))
+
+    def _compact_postpone(self) -> Snapshot | None:
+        """Postpone-table (bucket=-2) compaction: assign real buckets to the
+        unbucketed (-2) writes and make them readable. Raw rows — kinds and
+        sequence numbers included — are redistributed unchanged as L0 runs,
+        so merge-on-read resolves versions exactly as if buckets had been
+        assigned at write time. (ref: BucketMode.java:64-73 POSTPONE_MODE,
+        paimon-core/.../postpone/ compaction flow)"""
+        import dataclasses
+
+        from paimon_spark.writer import bucket_expr
+
+        latest = self.paths.latest_snapshot()
+        pending = [e for e in self.paths.live_entries(latest)
+                   if e.bucket == -2]
+        if not pending:
+            return latest
+        n = int(self.schema.options.get("postpone.default-bucket-num", "4"))
+        df = self._read_files(pending)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        df = df.withColumn(BUCKET_COL, bucket_expr(self.schema, n))
+        w = self.writer()
+        delta = [dataclasses.replace(e, kind=DELETE) for e in pending] \
+            + w.stage(df)
+        return w.commit(delta, COMMIT_COMPACT)
 
     # ---------------- SQL surface ----------------
 

@@ -41,10 +41,10 @@ if TYPE_CHECKING:
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
-def bucket_expr(schema: TableSchema):
+def bucket_expr(schema: TableSchema, n: int | None = None):
     """Bucket assignment (ref: table/sink/FixedBucketRowKeyExtractor.java).
     xxhash64 is stable and JVM-evaluated; we own both write & read sides."""
-    n = schema.num_buckets
+    n = schema.num_buckets if n is None else n
     keys = schema.bucket_keys
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
@@ -145,6 +145,12 @@ class BatchWriter:
                     df = df.withColumn(KIND_COL, F.lit("+I"))
             if schema.num_buckets > 0 and BUCKET_COL not in df.columns:
                 df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+                part_cols = pkeys + [BUCKET_COL]
+            elif schema.num_buckets == -2 and BUCKET_COL not in df.columns:
+                # postpone mode: writes land unbucketed in the -2 pseudo
+                # bucket; compaction assigns real buckets later
+                # (ref: BucketMode.java:64-73 POSTPONE_MODE)
+                df = df.withColumn(BUCKET_COL, F.lit(-2))
                 part_cols = pkeys + [BUCKET_COL]
             elif (schema.num_buckets == -1 and BUCKET_COL not in df.columns
                   and "dynamic-bucket.target-row-count" in schema.options):

@@ -152,3 +152,28 @@ def test_concurrent_commit_conflict(spark, wh):
     s2 = w2.commit(e2)
     assert {s1.id, s2.id} == {2, 3}
     assert len(rows(t)) == 3
+
+
+def test_postpone_table_bucket_minus_2(spark, wh):
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/postpone", schema, primary_keys=["k"],
+                     options={"bucket": "-2",
+                              "postpone.default-bucket-num": "4"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.append(spark.createDataFrame([(1, "a2")], schema))
+    # postpone writes are invisible until compaction assigns buckets
+    assert t.read().count() == 0
+    t.compact()
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    buckets = {e.bucket for e in t.paths.live_entries(t.paths.latest_snapshot())}
+    assert -2 not in buckets and buckets <= set(range(4))
+    # new writes land postponed again; merge picks them up on next compact
+    t.append(spark.createDataFrame([(2, "b2"), (3, "c")], schema))
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a2"), (2, "b")}
+    t.compact()
+    assert {(r.k, r.v) for r in t.read().collect()} == \
+        {(1, "a2"), (2, "b2"), (3, "c")}
