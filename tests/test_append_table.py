@@ -109,3 +109,31 @@ def test_snapshots_and_system_tables(spark, wh):
     assert [s["snapshot_id"] for s in snaps] == [1, 2]
     assert snaps[-1]["total_record_count"] == 2
     assert t.files_df().count() == 2
+
+
+def test_threaded_commit_race(spark, wh):
+    """Six writers stage and commit simultaneously: the put-if-absent
+    protocol must serialize them into distinct snapshots with no lost
+    entries (ref: FileStoreCommitImpl optimistic retry)."""
+    import threading
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/race", schema, spark=spark)
+    snaps, errs = [], []
+
+    def work(i):
+        try:
+            w = t.writer()
+            entries = w.stage(spark.createDataFrame([(i,)], schema))
+            snaps.append(w.commit(entries))
+        except Exception as ex:     # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(s.id for s in snaps) == [1, 2, 3, 4, 5, 6]
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
