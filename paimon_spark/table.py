@@ -745,6 +745,14 @@ class Table:
             return 0
         tag_pins = set(self.paths.list_tags().values())
         cutoff = latest - retain_last + 1
+        # consumer pin: never expire a snapshot an active consumer has not
+        # read yet (ref: consumer/ConsumerManager minNextSnapshot in
+        # SnapshotDeletion; our consumer files store next_snapshot)
+        consumers = self._list_consumers()
+        if consumers:
+            # keep next-1 too: it is the diff base of the consumer's next
+            # incremental read
+            cutoff = min(cutoff, min(n for _c, n in consumers) - 1)
         removed = 0
         for sid in range(1, cutoff):
             if sid in tag_pins:
@@ -861,9 +869,7 @@ class Table:
             return self._empty_df(with_kind and self.schema.is_pk_table)
         return self.read_incremental(max(earlier), end_sid, with_kind)
 
-    def consumers_df(self) -> DataFrame:
-        """`$consumers` system table: durable reader progress.
-        (ref: table/system/ConsumersTable.java)"""
+    def _list_consumers(self) -> list[tuple[str, int]]:
         import glob as _glob
         rows = []
         for p in sorted(_glob.glob(os.path.join(self.path, "consumer",
@@ -871,12 +877,16 @@ class Table:
             cid = os.path.basename(p)[len("consumer-"):-len(".json")]
             try:
                 with open(p) as f:
-                    d = json.load(f)
-                rows.append((cid, int(d["next_snapshot"])))
+                    rows.append((cid, int(json.load(f)["next_snapshot"])))
             except (OSError, ValueError, KeyError):
                 continue
+        return rows
+
+    def consumers_df(self) -> DataFrame:
+        """`$consumers` system table: durable reader progress.
+        (ref: table/system/ConsumersTable.java)"""
         return self.spark.createDataFrame(
-            rows, "consumer_id string, next_snapshot long")
+            self._list_consumers(), "consumer_id string, next_snapshot long")
 
     def read_audit_log(self, snapshot_id: int | None = None) -> DataFrame:
         """$audit_log system table: raw rows with a `rowkind` column.

@@ -154,3 +154,18 @@ def test_stream_scanner_compacted_full(spark, wh):
         [(1, "a2"), (2, "b")]
     b1 = sc.next_batch()
     assert [(r["k"], r["v"]) for r in b1.collect()] == [(3, "c")]
+
+
+def test_expire_snapshots_respects_consumer_pin(spark, wh):
+    t = _t(spark, wh, "pin")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"v{i}")], KV))      # s1..s4
+    sc = StreamScanner(t, mode="from-snapshot", from_snapshot=2,
+                       consumer_id="lagging")
+    sc.max_snapshots = 1
+    sc.next_batch()                       # consumed s2 → next = 3
+    removed = t.expire_snapshots(retain_last=1)
+    # s2 (diff base) and everything the consumer still needs are pinned;
+    # only s1 expires
+    assert removed == 1
+    assert {(r["k"], r["v"]) for r in sc.next_batch().collect()} == {(2, "v2")}
