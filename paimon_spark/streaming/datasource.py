@@ -42,41 +42,25 @@ def _stream_schema(schema: TableSchema) -> T.StructType:
     return T.StructType(fields)
 
 
-class _FilePartition(InputPartition):
-    def __init__(self, paths: list[str], partition: dict, columns: list[str]):
-        self.paths = paths
-        self.partition = partition
-        self.columns = columns
-
-
 class PaimonBatchReader(DataSourceReader):
+    """Batch surface of `format("paimon")`: MERGED current state, same
+    semantics as `Table.read()` (PK buckets merge executor-side; append
+    files stream through as Arrow batches). The primary batch path is
+    still `Table.read()` — it plans JVM-side parquet scans with pushdown;
+    this reader exists so plain `spark.read.format("paimon")` behaves
+    correctly too."""
+
     def __init__(self, options, schema: T.StructType):
         self.options = options
         self.schema = schema
 
     def partitions(self):
         table = _load_table(self.options)
-        plan = table.new_scan().plan()
-        file_cols = [f.name for f in table.schema.spark_read_struct().fields]
-        out = []
-        for e in plan.entries:
-            out.append(_FilePartition(
-                [f"{table.path}/{e.file_path}"], dict(e.partition),
-                [c for c in self.schema.fieldNames() if c in file_cols]))
-        return out or [_FilePartition([], {}, [])]
+        return _plan_full_state(table)
 
-    def read(self, partition: _FilePartition):
-        import pyarrow.parquet as pq
-        for p in partition.paths:
-            tbl = pq.read_table(p, columns=partition.columns)
-            # re-attach hive-partition values stored in the path
-            for k, v in partition.partition.items():
-                if k in self.schema.fieldNames():
-                    import pyarrow as pa
-                    tbl = tbl.append_column(k, pa.array([v] * len(tbl)))
-            order = [c for c in self.schema.fieldNames() if c in tbl.column_names]
-            for batch in tbl.select(order).to_batches():
-                yield batch
+    def read(self, partition: _StreamPartition):
+        names = self.schema.fieldNames()
+        yield from _read_split(partition, names)
 
 
 class _StreamPartition(InputPartition):
@@ -89,6 +73,87 @@ class _StreamPartition(InputPartition):
         self.files = files
         self.partitions = partitions
         self.merge_full_state = merge_full_state
+
+
+def _plan_full_state(table: Table, snapshot_id: int | None = None
+                     ) -> list[_StreamPartition]:
+    """Split plan for a full-state read: per FILE for append tables (max
+    parallelism), per BUCKET for PK tables (bucket-local merge is globally
+    correct — a key lives in exactly one bucket)."""
+    if table.schema.is_pk_table and (
+            table.schema.merge_engine != "deduplicate"
+            or table.schema.options.get(
+                "sequence.field.sort-order", "ascending") == "descending"):
+        raise ValueError(
+            "full-state reads via format('paimon') support the deduplicate "
+            "engine (ascending sequence); use Table.read() or StreamScanner")
+    entries = table.new_scan().plan(snapshot_id=snapshot_id).entries
+    out: list[_StreamPartition] = []
+    if not table.schema.is_pk_table:
+        for ent in entries:
+            out.append(_StreamPartition(
+                table.path, [ent.file_path], [dict(ent.partition)], False))
+    else:
+        groups: dict[tuple, list] = {}
+        for ent in entries:
+            key = (tuple(sorted(ent.partition.items())), ent.bucket)
+            groups.setdefault(key, []).append(ent)
+        for g in groups.values():
+            out.append(_StreamPartition(
+                table.path, [x.file_path for x in g],
+                [dict(x.partition) for x in g], True))
+    return out or [_StreamPartition(table.path, [], [], False)]
+
+
+def _read_split(partition: _StreamPartition, names: list[str]):
+    """Executor-side split read. Arrow-batch fast path when every wanted
+    column is physically in the files; Python-row path otherwise (partition
+    values in the path, or a bucket merge). `names` may or may not include
+    `_row_kind` — batch readers omit it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paimon_spark.schema import SEQ_COL
+    data_cols = [c for c in names if c != KIND_COL]
+    if not partition.merge_full_state and all(
+            not pvals and all(
+                c in pq.ParquetFile(
+                    f"{partition.table_path}/{fp}").schema_arrow.names
+                for c in data_cols)
+            for fp, pvals in zip(partition.files, partition.partitions)):
+        for fp in partition.files:
+            tbl = pq.read_table(f"{partition.table_path}/{fp}")
+            cols = []
+            for c in names:
+                if c in tbl.column_names:
+                    cols.append(tbl.column(c))
+                else:  # KIND_COL absent in append-table files
+                    cols.append(pa.array(["+I"] * len(tbl), type=pa.string()))
+            for batch in pa.table(cols, names=names).to_batches():
+                yield batch
+        return
+    table = Table.load(partition.table_path)
+    rows: list[dict] = []
+    for fp, pvals in zip(partition.files, partition.partitions):
+        tbl = pq.read_table(f"{partition.table_path}/{fp}")
+        for r in tbl.to_pylist():
+            r.update(pvals)
+            rows.append(r)
+    if partition.merge_full_state and table.schema.is_pk_table:
+        pks = table.schema.primary_keys
+        seq_fields = table.schema.sequence_field
+        best: dict[tuple, tuple] = {}
+        for r in rows:
+            k = tuple(r[c] for c in pks)
+            order = tuple(r.get(c) for c in seq_fields) + (r.get(SEQ_COL, 0),)
+            if k not in best or order >= best[k][0]:
+                best[k] = (order, r)
+        rows = [r for _o, r in best.values()
+                if r.get(KIND_COL, "+I") not in ("-D", "-U")]
+        for r in rows:
+            r[KIND_COL] = "+I"
+    for r in rows:
+        yield tuple(r.get(c, "+I" if c == KIND_COL else None) for c in names)
 
 
 class PaimonStreamReader(DataSourceStreamReader):
@@ -121,86 +186,15 @@ class PaimonStreamReader(DataSourceStreamReader):
         s, e = start["snapshot"], end["snapshot"]
         out: list[_StreamPartition] = []
         if s == 0:
-            # initial full state, merged per bucket (bucket-local merge is
-            # globally correct: a key lives in exactly one bucket)
-            if table.schema.is_pk_table and table.schema.merge_engine != "deduplicate":
-                raise ValueError(
-                    "latest-full streaming via format('paimon') supports the "
-                    "deduplicate engine; use scan.mode=latest or StreamScanner")
-            entries = table.new_scan().plan(snapshot_id=e).entries
-            if not table.schema.is_pk_table:
-                # append table: no merge → one split per FILE (full read
-                # parallelism; a single-group split would serialize the
-                # whole table through one task at scale)
-                for ent in entries:
-                    out.append(_StreamPartition(
-                        table.path, [ent.file_path], [dict(ent.partition)],
-                        False))
-            else:
-                # PK table: bucket-local merge is globally correct (a key
-                # lives in exactly one bucket) → one split per bucket
-                groups: dict[tuple, list] = {}
-                for ent in entries:
-                    key = (tuple(sorted(ent.partition.items())), ent.bucket)
-                    groups.setdefault(key, []).append(ent)
-                for g in groups.values():
-                    out.append(_StreamPartition(
-                        table.path, [x.file_path for x in g],
-                        [dict(x.partition) for x in g], True))
-        else:
-            for ent in table.delta_entries(s, e):
-                out.append(_StreamPartition(
-                    table.path, [ent.file_path], [dict(ent.partition)], False))
+            # initial full state (merged per bucket for PK tables)
+            return _plan_full_state(table, snapshot_id=e)
+        for ent in table.delta_entries(s, e):
+            out.append(_StreamPartition(
+                table.path, [ent.file_path], [dict(ent.partition)], False))
         return out or [_StreamPartition(table.path, [], [], False)]
 
     def read(self, partition: _StreamPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from paimon_spark.schema import SEQ_COL
-        table = Table.load(partition.table_path)
-        names = self.schema.fieldNames()
-        data_cols = [c for c in names if c != KIND_COL]
-        if not partition.merge_full_state and all(
-                not pvals and all(
-                    c in pq.ParquetFile(
-                        f"{partition.table_path}/{fp}").schema_arrow.names
-                    for c in data_cols)
-                for fp, pvals in zip(partition.files, partition.partitions)):
-            # fast path: ship Arrow record batches (no per-row Python
-            # objects) — applies when every schema column is physically in
-            # the file (or is the appended _row_kind); partition-in-path
-            # values use the row path below.
-            for fp in partition.files:
-                tbl = pq.read_table(f"{partition.table_path}/{fp}")
-                kind = tbl.column(KIND_COL) if KIND_COL in tbl.column_names \
-                    else pa.array(["+I"] * len(tbl), type=pa.string())
-                cols = [tbl.column(c) if c != KIND_COL else kind
-                        for c in names]
-                for batch in pa.table(cols, names=names).to_batches():
-                    yield batch
-            return
-        rows: list[dict] = []
-        for fp, pvals in zip(partition.files, partition.partitions):
-            tbl = pq.read_table(f"{partition.table_path}/{fp}")
-            for r in tbl.to_pylist():
-                r.update(pvals)
-                rows.append(r)
-        if partition.merge_full_state and table.schema.is_pk_table:
-            pks = table.schema.primary_keys
-            seq_fields = table.schema.sequence_field
-            best: dict[tuple, tuple] = {}
-            for r in rows:
-                k = tuple(r[c] for c in pks)
-                order = tuple(r.get(c) for c in seq_fields) + (r.get(SEQ_COL, 0),)
-                if k not in best or order >= best[k][0]:
-                    best[k] = (order, r)
-            rows = [r for _o, r in best.values()
-                    if r.get(KIND_COL, "+I") not in ("-D", "-U")]
-            for r in rows:
-                r[KIND_COL] = "+I"
-        for r in rows:
-            yield tuple(r.get(c, "+I" if c == KIND_COL else None) for c in names)
+        yield from _read_split(partition, self.schema.fieldNames())
 
     def commit(self, end: dict):
         pass

@@ -90,7 +90,8 @@ def test_python_datasource_batch_and_stream(spark, wh, tmp_path):
     # batch surface
     df = (spark.read.format("paimon").option("path", t.path)
           .option("streaming", "false").load())
-    assert df.count() == 3  # raw rows (merge is the engine's job)
+    assert df.count() == 2  # MERGED state, like Table.read()
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "a2"), (2, "b")}
 
     # streaming surface: availableNow drains the initial full (merged) state
     # (retried once: python-worker startup can time out under full-suite load)
