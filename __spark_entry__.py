@@ -523,6 +523,32 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
 
 
+def multimodal_bytes_meta(spark, sf_dir):
+    """Multimodal plumbing end-to-end: an opaque BINARY payload column
+    pushed through Arrow-batched mapInPandas computing byte-level metadata
+    — the exact batch shape real image/audio decode uses (decode itself is
+    stubbed per functions/multimodal.py; this proves the binary round-trip
+    Spark→Arrow→pandas→Spark is byte-exact)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def run(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "n_bytes": b["payload"].map(len).astype("int64"),
+                "content_md5": b["payload"].map(
+                    lambda x: hashlib.md5(bytes(x)).hexdigest()),
+            })
+
+    return docs.mapInPandas(
+        run, "doc_id long, n_bytes long, content_md5 string")
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-flavor ANN: nearest-centroid inverted lists, probe 2 lists per
     query, exact cosine top-5 within them (scale path alongside LSH)."""
@@ -860,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "window_user_ranks": window_user_ranks,
         "stream_window_counts": stream_window_counts,
@@ -1146,6 +1173,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": ann_brute,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "multimodal_bytes_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents""",
         "dedup_embedding_cosine": emb_near_dup,
         "window_user_ranks": """
             SELECT user_id, event_type, cnt, rnk FROM (
