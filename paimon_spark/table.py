@@ -101,51 +101,101 @@ class Table:
                        T.StructField(KIND_COL, T.StringType())]
         return self.spark.createDataFrame([], T.StructType(fields))
 
-    def _read_struct_with_partitions(self) -> T.StructType:
+    def _schema_at(self, sid: int) -> TableSchema:
+        if sid == self.schema.schema_id:
+            return self.schema
+        cache = self.__dict__.setdefault("_schema_cache", {})
+        if sid not in cache:
+            with open(self.paths.schema_file(sid)) as f:
+                cache[sid] = TableSchema.from_json(f.read())
+        return cache[sid]
+
+    def _read_struct_with_partitions(self,
+                                     schema: TableSchema | None = None
+                                     ) -> T.StructType:
         """File schema + typed partition cols (+ bucket dir col) so Spark
         casts hive-path values to the table's declared types."""
-        fields = list(self.schema.spark_read_struct().fields)
-        for k in self.schema.partition_keys:
-            fields.append(T.StructField(k, self.schema.data_type(k), True))
-        if self.schema.is_pk_table and self.schema.num_buckets != -1:
+        schema = schema or self.schema
+        fields = list(schema.spark_read_struct().fields)
+        for k in schema.partition_keys:
+            fields.append(T.StructField(k, schema.data_type(k), True))
+        if schema.is_pk_table and schema.num_buckets != -1:
             # fixed buckets AND postpone (-2) lay files out under __bucket=
             fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
-    def _reader(self):
+    def _reader(self, schema: TableSchema | None = None):
         return (self.spark.read
-                .schema(self._read_struct_with_partitions())
+                .schema(self._read_struct_with_partitions(schema))
                 .option("basePath", self.path))
+
+    def _evolve(self, df: DataFrame, old: TableSchema) -> DataFrame:
+        """Map a DataFrame read under an OLD schema version to the current
+        logical shape via stable field ids: renamed columns re-alias,
+        type-widened columns cast, later-added columns fill null. Hidden
+        cols (seq/kind/bucket/row-id) pass through by their fixed names.
+        (ref: SchemaEvolutionUtil / cast-executor field-id mapping)"""
+        from paimon_spark.schema import FIELD_ID_KEY
+        old_by_id = {f.metadata.get(FIELD_ID_KEY): f
+                     for f in old.struct.fields}
+        sel = []
+        for f in self.schema.struct.fields:
+            if f.name in self.schema.partition_keys:
+                sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                continue
+            src = old_by_id.get(f.metadata.get(FIELD_ID_KEY))
+            if src is not None:
+                sel.append(F.col(src.name).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        for c in (SEQ_COL, KIND_COL, ROW_ID_COL, BUCKET_COL):
+            if c in df.columns:
+                sel.append(F.col(c))
+        return df.select(*sel)
+
+    def _read_sid_group(self, sid: int, paths: list[str]) -> DataFrame:
+        old = self._schema_at(sid)
+        df = self._reader(old).parquet(*paths)
+        return self._evolve(df, old) if sid != self.schema.schema_id else df
 
     def _read_files(self, entries: list[FileEntry],
                     for_schema_id: int | None = None) -> DataFrame:
         plain = [e for e in entries if not e.dv_path]
         dvd = [e for e in entries if e.dv_path]
         parts: list[DataFrame] = []
-        cols: list[str] | None = None
-        if plain:
-            df = self._reader().parquet(
-                *[os.path.join(self.path, e.file_path) for e in plain])
-            cols = df.columns
-            parts.append(df)
-        if dvd:
+
+        by_sid: dict[int, list[FileEntry]] = {}
+        for e in plain:
+            by_sid.setdefault(e.schema_id, []).append(e)
+        for sid, group in sorted(by_sid.items()):
+            parts.append(self._read_sid_group(
+                sid, [os.path.join(self.path, e.file_path) for e in group]))
+
+        by_sid_dv: dict[int, list[FileEntry]] = {}
+        for e in dvd:
+            by_sid_dv.setdefault(e.schema_id, []).append(e)
+        for sid, group in sorted(by_sid_dv.items()):
             # apply deletion vectors: positional anti-join on
             # (_metadata.file_path, _metadata.row_index)
             # (ref: ApplyDeletionVectorReader.java)
-            df = self._reader().parquet(
-                *[os.path.join(self.path, e.file_path) for e in dvd])
-            cols = cols or df.columns
+            old = self._schema_at(sid)
+            df = self._reader(old).parquet(
+                *[os.path.join(self.path, e.file_path) for e in group])
+            cols = df.columns
             df = df.select("*",
                            F.col("_metadata.file_path").alias("__fp"),
                            F.col("_metadata.row_index").alias("__pos"))
             dv = self.spark.read.parquet(
-                *sorted({os.path.join(self.path, e.dv_path) for e in dvd}))
+                *sorted({os.path.join(self.path, e.dv_path) for e in group}))
             cond = (F.col("__fp") == dv["file_path"]) & (F.col("__pos") == dv["pos"])
             df = df.join(F.broadcast(dv), cond, "left_anti").select(*cols)
+            if sid != self.schema.schema_id:
+                df = self._evolve(df, old)
             parts.append(df)
+
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def read(self, predicate: Predicate | None = None,

@@ -86,3 +86,31 @@ def test_partition_only():
     assert P.eq("dt", "a").partition_only(["dt"])
     assert not (P.eq("dt", "a") & P.gt("k", 1)).partition_only(["dt"])
     assert not P.expr("k % 7 = 3").partition_only(["dt", "k"])
+
+
+def test_field_id_evolution_reads_old_files(spark, wh):
+    """F6 fixture semantics: files written under an old schema version read
+    correctly after RENAME / type-widen / ADD via stable field ids."""
+    from paimon_spark import P, Table
+
+    schema = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+    t = Table.create(f"{wh}/evo", schema, spark=spark)
+    t.append(spark.createDataFrame([(1, "x")], schema))
+    t.alter(lambda s: s.rename_column("b", "b2"))
+    t.append(spark.createDataFrame([(2, "y")], "a int, b2 string"))
+    assert sorted((r.a, r.b2) for r in t.read().collect()) == \
+        [(1, "x"), (2, "y")]
+    t.alter(lambda s: s.update_column_type("a", T.LongType()))
+    t.append(spark.createDataFrame([(3_000_000_000, "z")], "a long, b2 string"))
+    t.alter(lambda s: s.add_column("c", T.DoubleType()))
+    t.append(spark.createDataFrame([(4, "w", 1.5)],
+                                   "a long, b2 string, c double"))
+    got = sorted((r.a, r.b2, r.c) for r in t.read().collect())
+    assert got == [(1, "x", None), (2, "y", None), (4, "w", 1.5),
+                   (3_000_000_000, "z", None)]
+    # predicates across schema versions: renamed col + widened col
+    assert t.read(P.eq("b2", "x")).count() == 1
+    assert t.read(P.ge("a", 3_000_000_000)).count() == 1
+    # metadata-only count still exact across versions
+    assert t.new_scan().metadata_count() == 4
