@@ -68,11 +68,13 @@ class _StreamPartition(InputPartition):
     the initial full-state merge, one file for deltas)."""
 
     def __init__(self, table_path: str, files: list[str],
-                 partitions: list[dict], merge_full_state: bool):
+                 partitions: list[dict], merge_full_state: bool,
+                 schema_ids: list[int] | None = None):
         self.table_path = table_path
         self.files = files
         self.partitions = partitions
         self.merge_full_state = merge_full_state
+        self.schema_ids = schema_ids or [0] * len(files)
 
 
 def _plan_full_state(table: Table, snapshot_id: int | None = None
@@ -92,7 +94,8 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
     if not table.schema.is_pk_table:
         for ent in entries:
             out.append(_StreamPartition(
-                table.path, [ent.file_path], [dict(ent.partition)], False))
+                table.path, [ent.file_path], [dict(ent.partition)], False,
+                [ent.schema_id]))
     else:
         groups: dict[tuple, list] = {}
         for ent in entries:
@@ -101,7 +104,8 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
         for g in groups.values():
             out.append(_StreamPartition(
                 table.path, [x.file_path for x in g],
-                [dict(x.partition) for x in g], True))
+                [dict(x.partition) for x in g], True,
+                [x.schema_id for x in g]))
     return out or [_StreamPartition(table.path, [], [], False)]
 
 
@@ -113,14 +117,17 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from paimon_spark.schema import SEQ_COL
+    from paimon_spark.schema import FIELD_ID_KEY, SEQ_COL
+    table = Table.load(partition.table_path)
+    cur_sid = table.schema.schema_id
     data_cols = [c for c in names if c != KIND_COL]
     if not partition.merge_full_state and all(
-            not pvals and all(
+            not pvals and sid == cur_sid and all(
                 c in pq.ParquetFile(
                     f"{partition.table_path}/{fp}").schema_arrow.names
                 for c in data_cols)
-            for fp, pvals in zip(partition.files, partition.partitions)):
+            for fp, pvals, sid in zip(partition.files, partition.partitions,
+                                      partition.schema_ids)):
         for fp in partition.files:
             tbl = pq.read_table(f"{partition.table_path}/{fp}")
             cols = []
@@ -132,11 +139,29 @@ def _read_split(partition: _StreamPartition, names: list[str]):
             for batch in pa.table(cols, names=names).to_batches():
                 yield batch
         return
-    table = Table.load(partition.table_path)
+
+    def _name_map(sid: int) -> dict[str, str]:
+        """old physical name → current logical name, by stable field id."""
+        if sid == cur_sid:
+            return {}
+        with open(table.paths.schema_file(sid)) as f:
+            from paimon_spark.schema import TableSchema as _TS
+            old = _TS.from_json(f.read())
+        cur_by_id = {f2.metadata.get(FIELD_ID_KEY): f2.name
+                     for f2 in table.schema.struct.fields}
+        return {f2.name: cur_by_id[f2.metadata.get(FIELD_ID_KEY)]
+                for f2 in old.struct.fields
+                if f2.metadata.get(FIELD_ID_KEY) in cur_by_id
+                and cur_by_id[f2.metadata.get(FIELD_ID_KEY)] != f2.name}
+
     rows: list[dict] = []
-    for fp, pvals in zip(partition.files, partition.partitions):
+    for fp, pvals, sid in zip(partition.files, partition.partitions,
+                              partition.schema_ids):
         tbl = pq.read_table(f"{partition.table_path}/{fp}")
+        remap = _name_map(sid)
         for r in tbl.to_pylist():
+            if remap:
+                r = {remap.get(k, k): v for k, v in r.items()}
             r.update(pvals)
             rows.append(r)
     if partition.merge_full_state and table.schema.is_pk_table:
@@ -190,7 +215,8 @@ class PaimonStreamReader(DataSourceStreamReader):
             return _plan_full_state(table, snapshot_id=e)
         for ent in table.delta_entries(s, e):
             out.append(_StreamPartition(
-                table.path, [ent.file_path], [dict(ent.partition)], False))
+                table.path, [ent.file_path], [dict(ent.partition)], False,
+                [ent.schema_id]))
         return out or [_StreamPartition(table.path, [], [], False)]
 
     def read(self, partition: _StreamPartition):

@@ -170,3 +170,18 @@ def test_expire_snapshots_respects_consumer_pin(spark, wh):
     # only s1 expires
     assert removed == 1
     assert {(r["k"], r["v"]) for r in sc.next_batch().collect()} == {(2, "v2")}
+
+
+def test_datasource_reads_across_schema_evolution(spark, wh):
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    from pyspark.sql import types as TT
+    schema = TT.StructType([TT.StructField("k", TT.LongType()),
+                            TT.StructField("v", TT.StringType())])
+    t = Table.create(f"{wh}/dse", schema, spark=spark)
+    t.append(spark.createDataFrame([(1, "old")], schema))
+    t.alter(lambda s: s.rename_column("v", "v2"))
+    t.append(spark.createDataFrame([(2, "new")], "k long, v2 string"))
+    df = (spark.read.format("paimon").option("path", t.path)
+          .option("streaming", "false").load())
+    assert {(r.k, r.v2) for r in df.collect()} == {(1, "old"), (2, "new")}
