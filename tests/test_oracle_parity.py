@@ -15,7 +15,8 @@ FAST = [
     "incremental_diff", "agg_engine_user_stats", "partial_update_orders",
     "first_row_events", "dedup_exact", "dedup_simhash", "text_quality",
     "text_langid", "ann_brute_topk", "window_user_ranks",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "ann_ivf_topk", "q21_waiting_suppliers",
+    "rollup_pricing", "multimodal_bytes_meta",
 ]
 
 
