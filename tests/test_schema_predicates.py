@@ -114,3 +114,20 @@ def test_field_id_evolution_reads_old_files(spark, wh):
     assert t.read(P.ge("a", 3_000_000_000)).count() == 1
     # metadata-only count still exact across versions
     assert t.new_scan().metadata_count() == 4
+
+
+def test_evolution_then_compact_and_delete(spark, wh):
+    from paimon_spark import P, Table
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/evc", schema, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.alter(lambda s: s.rename_column("v", "v2"))
+    t.append(spark.createDataFrame([(1, "a2")], "k long, v2 string"))
+    t.compact()   # rewrites mixed-schema files under the current schema
+    assert sorted((r.k, r.v2) for r in t.read().collect()) == \
+        [(1, "a2"), (2, "b")]
+    t.delete_where(P.eq("k", 2))
+    assert [(r.k, r.v2) for r in t.read().collect()] == [(1, "a2")]
