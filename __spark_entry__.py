@@ -52,6 +52,11 @@ def _ensure_conf(spark: SparkSession):
         ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),          # merge_map
         ("spark.sql.session.timeZone", "UTC"),
+        # right-size shuffles for the gate's data scale (a vanilla session
+        # defaults to 200 partitions — pure overhead at sf0.01)
+        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
