@@ -991,6 +991,31 @@ class Table:
             + w.stage(df)
         return w.commit(delta, COMMIT_COMPACT)
 
+    def vector_search(self, query: list[float], k: int = 10,
+                      vec_col: str = "embedding",
+                      method: str = "brute") -> DataFrame:
+        """Top-k rows of this table by cosine similarity to `query`
+        (≈ VectorSearchTable, ref: table/VectorSearchTable.java:35 — a
+        readonly view of the origin table with a vector-search spec).
+        method='brute': exact scan scored in whole-stage codegen, top-k via
+        TakeOrderedAndProject (no full sort). method='lsh': score only the
+        query's sign-LSH bucket — the 100 TB path (candidates cut by
+        2^planes)."""
+        from paimon_spark.functions import similarity as S
+
+        df = self.read()
+        qcol = F.array(*[F.lit(float(x)) for x in query])
+        if method == "lsh":
+            n_planes, dim = 4, len(query)
+            df = df.filter(
+                S.lsh_bucket(F.col(vec_col), n_planes, dim)
+                == S.lsh_bucket(qcol, n_planes, dim))
+        elif method != "brute":
+            raise ValueError("method must be 'brute' or 'lsh'")
+        return (df.withColumn("_score", S.cosine(F.col(vec_col), qcol))
+                .orderBy(F.desc("_score"))
+                .limit(k))
+
     # ---------------- SQL surface ----------------
 
     def register_views(self, name: str,

@@ -261,3 +261,18 @@ def test_consumers_df(spark, wh):
     rows = {(r.consumer_id, r.next_snapshot)
             for r in t.consumers_df().collect()}
     assert rows == {("job1", 2)}
+
+
+def test_vector_search_table(spark, wh):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = Table.create(f"{wh}/vs", emb.schema, spark=spark)
+    t.append(emb)
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    top = t.vector_search(list(q), k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    # the query vector itself is its own nearest neighbor at score ~1.0
+    assert rows[0].vec_id == 0 and abs(rows[0]._score - 1.0) < 1e-9
+    # LSH variant returns a subset ranked identically at the top
+    lsh = t.vector_search(list(q), k=5, method="lsh").collect()
+    assert lsh[0].vec_id == 0
