@@ -137,3 +137,44 @@ def sql_fingerprint(x: str) -> str:
 
 def sql_bpe_count(x: str) -> str:
     return f"len(regexp_extract_all({x}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+
+
+def bm25_search(df, query: str, k: int = 10, text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k over a text column, entirely in Catalyst.
+    (≈ FullTextSearchTable, ref: table/FullTextSearchTable.java — a
+    readonly view of the origin table with a full-text spec.)
+
+    One corpus-stats aggregation collects |terms|+1 scalars to the driver
+    (avg doc length + per-term document frequencies — O(query size), not
+    O(corpus)); scoring then runs distributed in whole-stage codegen and
+    top-k is TakeOrderedAndProject. At 100 TB a real system would keep an
+    inverted index; this is the index-free exact scorer."""
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    toks = tokens(F.col(text_col))
+
+    def tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[F.sum((tf(t) > 0).cast("long")).alias(f"df{i}")
+          for i, t in enumerate(terms)]).collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"] or 1.0
+    import math
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = stats[f"df{i}"] or 0
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tfc = tf(t).cast("double")
+        score = score + F.lit(idf) * (tfc * (k1 + 1)) / (
+            tfc + F.lit(k1) * (1 - b + b * F.col("__dl") / F.lit(avgdl)))
+    return (df.withColumn("__dl", F.size(toks).cast("double"))
+            .withColumn("_score", score)
+            .filter(F.col("_score") > 0)
+            .orderBy(F.desc("_score"))
+            .limit(k)
+            .drop("__dl"))

@@ -1016,6 +1016,14 @@ class Table:
                 .orderBy(F.desc("_score"))
                 .limit(k))
 
+    def full_text_search(self, query: str, k: int = 10,
+                         text_col: str = "text") -> DataFrame:
+        """BM25 top-k rows matching `query` (≈ FullTextSearchTable,
+        ref: table/FullTextSearchTable.java). See functions.text.bm25_search
+        for the scoring and scale notes."""
+        from paimon_spark.functions.text import bm25_search
+        return bm25_search(self.read(), query, k, text_col)
+
     # ---------------- SQL surface ----------------
 
     def register_views(self, name: str,

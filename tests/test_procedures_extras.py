@@ -276,3 +276,19 @@ def test_vector_search_table(spark, wh):
     # LSH variant returns a subset ranked identically at the top
     lsh = t.vector_search(list(q), k=5, method="lsh").collect()
     assert lsh[0].vec_id == 0
+
+
+def test_full_text_search_bm25(spark, wh):
+    rows = [(1, "spark engine for big data"),
+            (2, "the spark spark spark engine"),
+            (3, "a cat sat on the mat"),
+            (4, "data pipelines with spark")]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    t = Table.create(f"{wh}/fts", schema, spark=spark)
+    t.append(spark.createDataFrame(rows, schema))
+    top = t.full_text_search("spark engine", k=3).collect()
+    assert [r.id for r in top][0] == 2          # highest tf for both terms
+    assert {r.id for r in top} <= {1, 2, 4}     # doc 3 matches nothing
+    assert all(top[i]._score >= top[i + 1]._score
+               for i in range(len(top) - 1))
