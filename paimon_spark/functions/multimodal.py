@@ -94,3 +94,17 @@ def frame_sample_plan(assets: DataFrame, fps: float = 1.0) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(step_ms))
                   ).alias("frame_ts_ms"),
     )
+
+
+def object_table(spark, directory: str, pattern: str | None = None):
+    """Table over unstructured object files (≈ ObjectTable,
+    ref: paimon-core/.../table/object/ObjectTable.java — a readonly view
+    of a file directory with path/size/mtime metadata plus content).
+    Spark's binaryFile source does exactly this: distributed listing,
+    predicate pushdown on path/length/modificationTime, lazy content
+    loading. Pair with `extract_features`/`frame_sample_plan` for the
+    decode pipeline."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    return reader.load(directory)

@@ -40,3 +40,16 @@ def test_frame_sample_plan_metadata_only(assets):
     # one video, 3000 ms, 1 fps → ts 0,1000,2000
     assert [(r["asset_id"], r["frame_ts_ms"]) for r in plan] == \
         [(3, 0), (3, 1000), (3, 2000)]
+
+
+def test_object_table(spark, tmp_path):
+    from paimon_spark.functions.multimodal import object_table
+    d = tmp_path / "objs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"hello")
+    (d / "b.bin").write_bytes(b"world!!")
+    (d / "skip.txt").write_bytes(b"nope")
+    df = object_table(spark, str(d), pattern="*.bin")
+    rows = {(r.path.rsplit("/", 1)[-1], r.length, bytes(r.content))
+            for r in df.collect()}
+    assert rows == {("a.bin", 5, b"hello"), ("b.bin", 7, b"world!!")}
