@@ -215,6 +215,82 @@ class Or(Predicate):
     def test_file_index(self, lookup): return any(c.test_file_index(lookup) for c in self.children)
 
 
+def _xf_year(v):
+    if hasattr(v, "year"):
+        return v.year
+    if isinstance(v, str):
+        return int(v[:4])
+    return None
+
+
+def _xf_to_date(v):
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        return v.date()
+    if isinstance(v, _dt.date):
+        return v
+    if isinstance(v, str):
+        return _dt.date.fromisoformat(v[:10])
+    return None
+
+
+@dataclass
+class Transform(Leaf):
+    """Monotone function-transform predicate, e.g. year(ts) = 2024 — the
+    skipping-capable subset of the reference's transform predicates
+    (ref: predicate/Transform.java:36-42; only monotone transforms can use
+    min/max stats: a file's [min,max] maps to [fn(min), fn(max)]).
+    Non-monotone transforms (month, hour, substring-mid) stay residual-only
+    via P.expr."""
+    fn: str = "year"
+
+    _FNS = {"year": (_xf_year, F.year),
+            "to_date": (_xf_to_date, F.to_date)}
+
+    def to_spark(self) -> Column:
+        _py, sp = self._FNS[self.fn]
+        return {
+            "eq": lambda c: c == F.lit(self.literal),
+            "ne": lambda c: c != F.lit(self.literal),
+            "lt": lambda c: c < F.lit(self.literal),
+            "le": lambda c: c <= F.lit(self.literal),
+            "gt": lambda c: c > F.lit(self.literal),
+            "ge": lambda c: c >= F.lit(self.literal),
+            "in": lambda c: c.isin(*self.literal),
+            "between": lambda c: c.between(F.lit(self.literal[0]),
+                                           F.lit(self.literal[1])),
+        }[self.op](sp(F.col(self.field)))
+
+    def _apply(self, v):
+        try:
+            return self._FNS[self.fn][0](v)
+        except (ValueError, TypeError):
+            return None
+
+    def test_partition(self, values):
+        if self.field not in values:
+            return True
+        x = self._apply(values[self.field])
+        if x is None:
+            return True
+        return Leaf(self.op, self.field, self.literal).test_partition(
+            {self.field: x})
+
+    def test_stats(self, row_count, stats):
+        s = stats.get(self.field)
+        if s is None:
+            return True
+        mn, mx = self._apply(s.get("min")), self._apply(s.get("max"))
+        if mn is None or mx is None:
+            return True
+        return Leaf(self.op, self.field, self.literal).test_stats(
+            row_count, {self.field: {"min": mn, "max": mx,
+                                     "nulls": s.get("nulls")}})
+
+    def test_file_index(self, lookup):
+        return True     # indexes hold raw values, not transformed ones
+
+
 @dataclass
 class Expr(Predicate):
     """Opaque SQL expression predicate: participates in residual filtering
@@ -262,6 +338,14 @@ class P:
     def contains(f, v): return Leaf("contains", f, v)
     @staticmethod
     def between(f, lo, hi): return Leaf("between", f, (lo, hi))
+    @staticmethod
+    def transform(fn, op, f, v):
+        """Monotone transform predicate with stats skipping:
+        P.transform('year', 'eq', 'ts', 2024)."""
+        if fn not in Transform._FNS:
+            raise ValueError(f"unsupported transform {fn}; "
+                             f"use P.expr for residual-only predicates")
+        return Transform(op, f, v, fn=fn)
     @staticmethod
     def and_(*ps): return And(list(ps))
     @staticmethod

@@ -131,3 +131,27 @@ def test_evolution_then_compact_and_delete(spark, wh):
         [(1, "a2"), (2, "b")]
     t.delete_where(P.eq("k", 2))
     assert [(r.k, r.v2) for r in t.read().collect()] == [(1, "a2")]
+
+
+def test_transform_predicate_year_skipping(spark, wh):
+    import datetime as dt_
+    from paimon_spark import P, Table
+
+    schema = T.StructType([T.StructField("ts", T.TimestampNTZType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/yr", schema, spark=spark)
+    for year in (2023, 2024, 2025):
+        t.append(spark.createDataFrame(
+            [(dt_.datetime(year, m, 1), year * 100 + m) for m in (1, 6, 12)],
+            schema))
+    pred = P.transform("year", "eq", "ts", 2024)
+    plan = t.new_scan().plan(pred)
+    assert plan.files_skipped > 0          # 2023/2025 files pruned by stats
+    rows = t.read(pred).collect()
+    assert len(rows) == 3 and all(r.ts.year == 2024 for r in rows)
+    # to_date transform + between
+    p2 = P.transform("to_date", "between", "ts",
+                     (dt_.date(2024, 5, 1), dt_.date(2024, 12, 31)))
+    assert t.read(p2).count() == 2
+    # soundness: never prunes a file that contains a match
+    assert t.read(P.transform("year", "ge", "ts", 2025)).count() == 3
