@@ -384,6 +384,18 @@ def point_lookup(spark, sf_dir):
     return t.read(P.eq("o_orderkey", 20))
 
 
+def transform_year_filter(spark, sf_dir):
+    """Monotone transform predicate: year(o_orderdate) = 1996 skips files
+    whose [min,max] date range can't contain 1996, then residual-filters —
+    the skipping-capable subset of the reference's transform predicates."""
+    t = _wh(spark, sf_dir)["orders_pk"]
+    pred = P.transform("year", "eq", "o_orderdate", 1996)
+    df = t.read(pred)
+    return (df.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total")))
+
+
 def metadata_count(spark, sf_dir):
     t = _wh(spark, sf_dir)["lineitem"]
     n = t.new_scan().metadata_count()
@@ -869,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": point_lookup,
         "metadata_count": metadata_count,
         "metadata_minmax": metadata_minmax,
+        "transform_year_filter": transform_year_filter,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1095,6 +1108,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
                    strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
             FROM lineitem""",
+        "transform_year_filter": f"""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total
+            FROM ({_MERGED_12})
+            WHERE NOT (o_orderkey % 7 = 3)
+              AND year(CAST(o_orderdate AS DATE)) = 1996
+            GROUP BY o_orderpriority""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
