@@ -79,110 +79,126 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     raw = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
            for n in ("lineitem", "orders", "events")}
 
-    # ---- lineitem: append table partitioned by l_returnflag ----
-    li = raw["lineitem"]
-    t = Table.create(f"{root}/lineitem", li.schema,
-                     partition_keys=["l_returnflag"], spark=spark)
-    t.append(li)
-    out["lineitem"] = t
+    def _build_0():
+        # ---- lineitem: append table partitioned by l_returnflag ----
+        li = raw["lineitem"]
+        t = Table.create(f"{root}/lineitem", li.schema,
+                         partition_keys=["l_returnflag"], spark=spark)
+        t.append(li)
+        out["lineitem"] = t
 
-    # ---- orders_pk: PK table, 3 commits (insert / update / delete) ----
-    odf = raw["orders"].select(
-        "o_orderkey", "o_orderstatus", "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        "o_orderpriority")
-    t = Table.create(f"{root}/orders_pk", odf.schema,
-                     primary_keys=["o_orderkey"], options={"bucket": "4"},
-                     spark=spark)
-    t.append(odf)                                                   # snapshot 1
-    upd = (odf.filter(F.col("o_orderkey") % 10 == 0)
-           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-           .withColumn("o_orderpriority", F.lit("9-UPDATED")))
-    t.append(upd)                                                   # snapshot 2
-    t.delete_where(P.expr("o_orderkey % 7 = 3"))                    # snapshot 3
-    out["orders_pk"] = t
+    def _build_1():
+        # ---- orders_pk: PK table, 3 commits (insert / update / delete) ----
+        odf = raw["orders"].select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority")
+        t = Table.create(f"{root}/orders_pk", odf.schema,
+                         primary_keys=["o_orderkey"], options={"bucket": "4"},
+                         spark=spark)
+        t.append(odf)                                                   # snapshot 1
+        upd = (odf.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+               .withColumn("o_orderpriority", F.lit("9-UPDATED")))
+        t.append(upd)                                                   # snapshot 2
+        t.delete_where(P.expr("o_orderkey % 7 = 3"))                    # snapshot 3
+        out["orders_pk"] = t
 
-    # ---- user_stats: aggregation merge engine over events ----
-    ev = raw["events"].select(
-        "user_id",
-        F.lit(1).cast("long").alias("cnt"),
-        _dec("value", 18, 6).alias("total_value"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-         .cast("long").alias("n_purchases"),
-        F.col("event_type").alias("last_event"),
-        F.col("value").alias("max_value"),
-        "event_id")
-    t = Table.create(
-        f"{root}/user_stats", ev.schema, primary_keys=["user_id"],
-        options={"bucket": "4", "merge-engine": "aggregation",
-                 "sequence.field": "event_id",
-                 "fields.cnt.aggregate-function": "sum",
-                 "fields.total_value.aggregate-function": "sum",
-                 "fields.n_purchases.aggregate-function": "sum",
-                 "fields.last_event.aggregate-function": "last_value",
-                 "fields.max_value.aggregate-function": "max",
-                 "fields.event_id.aggregate-function": "max"},
-        spark=spark)
-    t.append(ev.filter(F.col("event_id") % 2 == 0))
-    t.append(ev.filter(F.col("event_id") % 2 == 1))
-    out["user_stats"] = t
+    def _build_2():
+        # ---- user_stats: aggregation merge engine over events ----
+        ev = raw["events"].select(
+            "user_id",
+            F.lit(1).cast("long").alias("cnt"),
+            _dec("value", 18, 6).alias("total_value"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+             .cast("long").alias("n_purchases"),
+            F.col("event_type").alias("last_event"),
+            F.col("value").alias("max_value"),
+            "event_id")
+        t = Table.create(
+            f"{root}/user_stats", ev.schema, primary_keys=["user_id"],
+            options={"bucket": "4", "merge-engine": "aggregation",
+                     "sequence.field": "event_id",
+                     "fields.cnt.aggregate-function": "sum",
+                     "fields.total_value.aggregate-function": "sum",
+                     "fields.n_purchases.aggregate-function": "sum",
+                     "fields.last_event.aggregate-function": "last_value",
+                     "fields.max_value.aggregate-function": "max",
+                     "fields.event_id.aggregate-function": "max"},
+            spark=spark)
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        out["user_stats"] = t
 
-    # ---- orders_partial: partial-update with two sequence groups ----
-    b1 = raw["orders"].select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_orderstatus").alias("status"), F.lit(1).cast("long").alias("s_ts"),
-        F.col("o_totalprice").alias("amount"), F.lit(1).cast("long").alias("a_ts"),
-        F.col("o_orderpriority").alias("note"))
-    t = Table.create(
-        f"{root}/orders_partial", b1.schema, primary_keys=["order_id"],
-        options={"bucket": "4", "merge-engine": "partial-update",
-                 "fields.s_ts.sequence-group": "status",
-                 "fields.a_ts.sequence-group": "amount"},
-        spark=spark)
-    t.append(b1)
-    t.append(b1.filter(F.col("order_id") % 3 == 0).select(
-        "order_id", F.lit("X").alias("status"), F.lit(2).cast("long").alias("s_ts"),
-        F.lit(None).cast("double").alias("amount"), F.lit(None).cast("long").alias("a_ts"),
-        F.lit(None).cast("string").alias("note")))
-    t.append(b1.filter(F.col("order_id") % 5 == 0).select(
-        "order_id", F.lit(None).cast("string").alias("status"),
-        F.lit(None).cast("long").alias("s_ts"),
-        (F.col("amount") * 0.5).alias("amount"),
-        F.lit(0).cast("long").alias("a_ts"),       # stale: rejected vs a_ts=1
-        F.lit("halved").alias("note")))
-    out["orders_partial"] = t
+    def _build_3():
+        # ---- orders_partial: partial-update with two sequence groups ----
+        b1 = raw["orders"].select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"), F.lit(1).cast("long").alias("s_ts"),
+            F.col("o_totalprice").alias("amount"), F.lit(1).cast("long").alias("a_ts"),
+            F.col("o_orderpriority").alias("note"))
+        t = Table.create(
+            f"{root}/orders_partial", b1.schema, primary_keys=["order_id"],
+            options={"bucket": "4", "merge-engine": "partial-update",
+                     "fields.s_ts.sequence-group": "status",
+                     "fields.a_ts.sequence-group": "amount"},
+            spark=spark)
+        t.append(b1)
+        t.append(b1.filter(F.col("order_id") % 3 == 0).select(
+            "order_id", F.lit("X").alias("status"), F.lit(2).cast("long").alias("s_ts"),
+            F.lit(None).cast("double").alias("amount"), F.lit(None).cast("long").alias("a_ts"),
+            F.lit(None).cast("string").alias("note")))
+        t.append(b1.filter(F.col("order_id") % 5 == 0).select(
+            "order_id", F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("long").alias("s_ts"),
+            (F.col("amount") * 0.5).alias("amount"),
+            F.lit(0).cast("long").alias("a_ts"),       # stale: rejected vs a_ts=1
+            F.lit("halved").alias("note")))
+        out["orders_partial"] = t
 
-    # ---- events_first: first-row merge engine ----
-    ef = raw["events"].select("user_id", "event_type", "event_id", "value")
-    t = Table.create(
-        f"{root}/events_first", ef.schema,
-        primary_keys=["user_id", "event_type"],
-        options={"bucket": "4", "merge-engine": "first-row",
-                 "sequence.field": "event_id"},
-        spark=spark)
-    t.append(ef.filter(F.col("event_id") % 2 == 0))
-    t.append(ef.filter(F.col("event_id") % 2 == 1))
-    out["events_first"] = t
+    def _build_4():
+        # ---- events_first: first-row merge engine ----
+        ef = raw["events"].select("user_id", "event_type", "event_id", "value")
+        t = Table.create(
+            f"{root}/events_first", ef.schema,
+            primary_keys=["user_id", "event_type"],
+            options={"bucket": "4", "merge-engine": "first-row",
+                     "sequence.field": "event_id"},
+            spark=spark)
+        t.append(ef.filter(F.col("event_id") % 2 == 0))
+        t.append(ef.filter(F.col("event_id") % 2 == 1))
+        out["events_first"] = t
 
-    # ---- user_latest_dyn: dynamic-bucket PK table ----
-    ed = raw["events"].select("user_id", "event_type", "event_id",
-                              F.col("value").alias("value"))
-    t = Table.create(
-        f"{root}/user_latest_dyn", ed.schema,
-        primary_keys=["user_id", "event_type"],
-        options={"bucket": "-1", "dynamic-bucket.target-row-count": "2000",
-                 "sequence.field": "event_id"},
-        spark=spark)
-    t.append(ed.filter(F.col("event_id") % 2 == 0))
-    t.append(ed.filter(F.col("event_id") % 2 == 1))
-    out["user_latest_dyn"] = t
+    def _build_5():
+        # ---- user_latest_dyn: dynamic-bucket PK table ----
+        ed = raw["events"].select("user_id", "event_type", "event_id",
+                                  F.col("value").alias("value"))
+        t = Table.create(
+            f"{root}/user_latest_dyn", ed.schema,
+            primary_keys=["user_id", "event_type"],
+            options={"bucket": "-1", "dynamic-bucket.target-row-count": "2000",
+                     "sequence.field": "event_id"},
+            spark=spark)
+        t.append(ed.filter(F.col("event_id") % 2 == 0))
+        t.append(ed.filter(F.col("event_id") % 2 == 1))
+        out["user_latest_dyn"] = t
 
-    # ---- events_stream: append table committed as 3 "stream" snapshots ----
-    es = raw["events"].select("event_id", "ts", "user_id", "event_type", "value")
-    t = Table.create(f"{root}/events_stream", es.schema, spark=spark)
-    for i in range(3):
-        t.append(es.filter(F.col("event_id") % 3 == i))
-    out["events_stream"] = t
+    def _build_6():
+        # ---- events_stream: append table committed as 3 "stream" snapshots ----
+        es = raw["events"].select("event_id", "ts", "user_id", "event_type", "value")
+        t = Table.create(f"{root}/events_stream", es.schema, spark=spark)
+        for i in range(3):
+            t.append(es.filter(F.col("event_id") % 3 == i))
+        out["events_stream"] = t
+
+    # the tables are independent — build them on a thread pool
+    # (Spark schedules the overlapping jobs; each table's commits stay
+    # sequential inside its builder; `out` writes are GIL-atomic)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6)]
+        for _f in _futs:
+            _f.result()
 
     _WAREHOUSES[sf_dir] = out
     return out
