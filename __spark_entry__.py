@@ -191,12 +191,38 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             t.append(es.filter(F.col("event_id") % 3 == i))
         out["events_stream"] = t
 
+    def _build_7():
+        # ---- agg_rich: collect/rbm/bool aggregates (array-typed fields
+        # with flatten-union merge, per FieldCollectAgg semantics) ----
+        ar = raw["orders"].select(
+            F.col("o_orderpriority").alias("prio"),
+            F.array(F.col("o_orderstatus")).alias("statuses"),
+            F.array((F.col("o_custkey") % 64).cast("long")).alias("cust_set"),
+            (F.col("o_totalprice") > 200000).alias("any_high"),
+            (F.col("o_orderstatus") == "F").alias("all_f"),
+            F.lit(1).cast("long").alias("n"),
+            F.col("o_orderkey").alias("seq_k"))
+        t = Table.create(
+            f"{root}/agg_rich", ar.schema, primary_keys=["prio"],
+            options={"bucket": "2", "merge-engine": "aggregation",
+                     "sequence.field": "seq_k",
+                     "fields.statuses.aggregate-function": "collect",
+                     "fields.cust_set.aggregate-function": "rbm32",
+                     "fields.any_high.aggregate-function": "bool_or",
+                     "fields.all_f.aggregate-function": "bool_and",
+                     "fields.n.aggregate-function": "sum",
+                     "fields.seq_k.aggregate-function": "max"},
+            spark=spark)
+        t.append(ar.filter(F.col("seq_k") % 2 == 0))
+        t.append(ar.filter(F.col("seq_k") % 2 == 1))
+        out["agg_rich"] = t
+
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=4) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7)]
         for _f in _futs:
             _f.result()
 
@@ -410,6 +436,15 @@ def transform_year_filter(spark, sf_dir):
     return (df.groupBy("o_orderpriority")
             .agg(F.count("*").cast("long").alias("cnt"),
                  F.sum(_dec("o_totalprice")).cast("double").alias("total")))
+
+
+def agg_engine_rich(spark, sf_dir):
+    """Aggregation merge engine: collect (distinct array union), rbm32
+    (int-set union), bool_or/bool_and, retractable sum — merged across two
+    interleaved commits, read back merge-on-read."""
+    t = _wh(spark, sf_dir)["agg_rich"]
+    return t.read(projection=["prio", "statuses", "cust_set", "any_high",
+                              "all_f", "n"])
 
 
 def metadata_count(spark, sf_dir):
@@ -898,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_count": metadata_count,
         "metadata_minmax": metadata_minmax,
         "transform_year_filter": transform_year_filter,
+        "agg_engine_rich": agg_engine_rich,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1132,6 +1168,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o_orderkey % 7 = 3)
               AND year(CAST(o_orderdate AS DATE)) = 1996
             GROUP BY o_orderpriority""",
+        "agg_engine_rich": """
+            SELECT o_orderpriority AS prio,
+                   list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+                   list_sort(list(DISTINCT o_custkey % 64)) AS cust_set,
+                   bool_or(o_totalprice > 200000) AS any_high,
+                   bool_and(o_orderstatus = 'F') AS all_f,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
