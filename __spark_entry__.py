@@ -217,6 +217,22 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.append(ar.filter(F.col("seq_k") % 2 == 1))
         out["agg_rich"] = t
 
+        # ---- agg_listagg: listagg ordered by sequence field ----
+        la = raw["orders"].filter(F.col("o_orderkey") % 199 == 0).select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderkey").alias("seq_k"))
+        t2 = Table.create(
+            f"{root}/agg_listagg", la.schema, primary_keys=["st"],
+            options={"bucket": "1", "merge-engine": "aggregation",
+                     "sequence.field": "seq_k",
+                     "fields.prio.aggregate-function": "listagg",
+                     "fields.seq_k.aggregate-function": "max"},
+            spark=spark)
+        t2.append(la.filter(F.col("seq_k") % 2 == 0))
+        t2.append(la.filter(F.col("seq_k") % 2 == 1))
+        out["agg_listagg"] = t2
+
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
@@ -445,6 +461,14 @@ def agg_engine_rich(spark, sf_dir):
     t = _wh(spark, sf_dir)["agg_rich"]
     return t.read(projection=["prio", "statuses", "cust_set", "any_high",
                               "all_f", "n"])
+
+
+def agg_engine_listagg(spark, sf_dir):
+    """listagg field aggregate: comma-joined in sequence-field order
+    (deterministic because the merge sorts by (sequence.field, commit
+    seq) before concatenating)."""
+    t = _wh(spark, sf_dir)["agg_listagg"]
+    return t.read(projection=["st", "prio"])
 
 
 def metadata_count(spark, sf_dir):
@@ -934,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_minmax": metadata_minmax,
         "transform_year_filter": transform_year_filter,
         "agg_engine_rich": agg_engine_rich,
+        "agg_engine_listagg": agg_engine_listagg,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1176,6 +1201,11 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(o_orderstatus = 'F') AS all_f,
                    CAST(count(*) AS BIGINT) AS n
             FROM orders GROUP BY 1""",
+        "agg_engine_listagg": """
+            SELECT o_orderstatus AS st,
+                   string_agg(o_orderpriority, ',' ORDER BY o_orderkey)
+                       AS prio
+            FROM orders WHERE o_orderkey % 199 = 0 GROUP BY 1""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
