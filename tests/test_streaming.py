@@ -185,3 +185,45 @@ def test_datasource_reads_across_schema_evolution(spark, wh):
     df = (spark.read.format("paimon").option("path", t.path)
           .option("streaming", "false").load())
     assert {(r.k, r.v2) for r in df.collect()} == {(1, "old"), (2, "new")}
+
+
+def test_apply_in_pandas_with_state_over_stream(spark, wh, tmp_path):
+    """T8: custom stateful operator (applyInPandasWithState) downstream of
+    the paimon micro-batch source — per-key running counts survive across
+    micro-batches via the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from paimon_spark.streaming.datasource import register
+
+    register(spark)
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/stateful", schema, spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (1, "c")], schema))
+    t.append(spark.createDataFrame([(1, "d"), (3, "e")], schema))
+
+    def count_state(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "cnt": [n]})
+
+    import uuid as _uuid
+    sink = f"st_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("paimon").option("path", t.path)
+         .option("maxSnapshotsPerBatch", "1").load()
+         .groupBy("k")
+         .applyInPandasWithState(
+             count_state, "k long, cnt long", "cnt long",
+             "update", GroupStateTimeout.NoTimeout)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # last emitted count per key = total rows per key across both snapshots
+    final = {r.k: r.cnt for r in
+             spark.sql(f"SELECT k, max(cnt) AS cnt FROM {sink} GROUP BY k")
+             .collect()}
+    assert final == {1: 3, 2: 1, 3: 1}
