@@ -233,6 +233,23 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t2.append(la.filter(F.col("seq_k") % 2 == 1))
         out["agg_listagg"] = t2
 
+        # ---- agg_map: merge_map (later maps win per key, seq order) ----
+        mm = raw["orders"].filter(F.col("o_orderkey") % 97 == 0).select(
+            F.col("o_orderstatus").alias("st"),
+            F.create_map(F.col("o_orderpriority"),
+                         F.col("o_orderkey")).alias("m"),
+            F.col("o_orderkey").alias("seq_k"))
+        t3 = Table.create(
+            f"{root}/agg_map", mm.schema, primary_keys=["st"],
+            options={"bucket": "1", "merge-engine": "aggregation",
+                     "sequence.field": "seq_k",
+                     "fields.m.aggregate-function": "merge_map",
+                     "fields.seq_k.aggregate-function": "max"},
+            spark=spark)
+        t3.append(mm.filter(F.col("seq_k") % 2 == 0))
+        t3.append(mm.filter(F.col("seq_k") % 2 == 1))
+        out["agg_map"] = t3
+
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
@@ -469,6 +486,18 @@ def agg_engine_listagg(spark, sf_dir):
     seq) before concatenating)."""
     t = _wh(spark, sf_dir)["agg_listagg"]
     return t.read(projection=["st", "prio"])
+
+
+def agg_engine_merge_map(spark, sf_dir):
+    """merge_map field aggregate: later maps win per key in sequence order
+    (LAST_WIN dedup). Output canonicalized to sorted 'k=v' strings so both
+    engines hash identically (map/struct stringification differs)."""
+    t = _wh(spark, sf_dir)["agg_map"]
+    df = t.read(projection=["st", "m"])
+    ents = F.transform(
+        F.map_entries(F.col("m")),
+        lambda e: F.concat_ws("=", e.key, e.value.cast("string")))
+    return df.select("st", F.array_sort(ents).alias("m_entries"))
 
 
 def metadata_count(spark, sf_dir):
@@ -959,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_year_filter": transform_year_filter,
         "agg_engine_rich": agg_engine_rich,
         "agg_engine_listagg": agg_engine_listagg,
+        "agg_engine_merge_map": agg_engine_merge_map,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1206,6 +1236,14 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(o_orderpriority, ',' ORDER BY o_orderkey)
                        AS prio
             FROM orders WHERE o_orderkey % 199 = 0 GROUP BY 1""",
+        "agg_engine_merge_map": """
+            WITH last AS (
+              SELECT o_orderstatus AS st, o_orderpriority AS prio,
+                     max(o_orderkey) AS okey
+              FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1, 2)
+            SELECT st, list_sort(list(prio || '=' || CAST(okey AS VARCHAR)))
+                       AS m_entries
+            FROM last GROUP BY st""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
