@@ -500,6 +500,19 @@ def agg_engine_merge_map(spark, sf_dir):
     return df.select("st", F.array_sort(ents).alias("m_entries"))
 
 
+def changelog_old_vs_new(spark, sf_dir):
+    """Changelog derivation (full-compaction/lookup producer semantics):
+    diff of merged states between snapshot 1 and current — -U/+U pairs for
+    updated keys, -D for deleted keys, summarized per row kind."""
+    from paimon_spark.operators.changelog import derive_changelog
+    t = _wh(spark, sf_dir)["orders_pk"]
+    cl = derive_changelog(t, from_snapshot=1)
+    return (cl.groupBy("_row_kind")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
 def metadata_count(spark, sf_dir):
     t = _wh(spark, sf_dir)["lineitem"]
     n = t.new_scan().metadata_count()
@@ -989,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_engine_rich": agg_engine_rich,
         "agg_engine_listagg": agg_engine_listagg,
         "agg_engine_merge_map": agg_engine_merge_map,
+        "changelog_old_vs_new": changelog_old_vs_new,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1244,6 +1258,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT st, list_sort(list(prio || '=' || CAST(okey AS VARCHAR)))
                        AS m_entries
             FROM last GROUP BY st""",
+        "changelog_old_vs_new": """
+            WITH changed AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 3 THEN 'del'
+                          WHEN o_orderkey % 10 = 0 THEN 'upd'
+                     END AS chg
+              FROM orders),
+            kinds AS (
+              SELECT '-D' AS _row_kind, o_orderkey
+              FROM changed WHERE chg = 'del'
+              UNION ALL
+              SELECT '-U', o_orderkey FROM changed WHERE chg = 'upd'
+              UNION ALL
+              SELECT '+U', o_orderkey FROM changed WHERE chg = 'upd')
+            SELECT _row_kind, CAST(count(*) AS BIGINT) AS cnt,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM kinds GROUP BY 1""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
