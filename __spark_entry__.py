@@ -250,6 +250,18 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t3.append(mm.filter(F.col("seq_k") % 2 == 1))
         out["agg_map"] = t3
 
+        # ---- orders_ro: compact, then one more append (ro lags it) ----
+        ro = raw["orders"].filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        t4 = Table.create(
+            f"{root}/orders_ro", ro.schema, primary_keys=["o_orderkey"],
+            options={"bucket": "2"}, spark=spark)
+        t4.append(ro)
+        t4.compact()
+        t4.append(ro.filter(F.col("o_orderkey") % 6 == 0)
+                  .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
+        out["orders_ro"] = t4
+
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
@@ -511,6 +523,17 @@ def changelog_old_vs_new(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("cnt"),
                  F.min("o_orderkey").alias("min_key"),
                  F.max("o_orderkey").alias("max_key")))
+
+
+def read_optimized_lag(spark, sf_dir):
+    """$ro view: only fully-compacted files — merge-free reads that lag
+    post-compaction writes. The un-compacted second append (price+500
+    updates) must NOT be visible here."""
+    t = _wh(spark, sf_dir)["orders_ro"]
+    return (t.read_optimized()
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total")))
 
 
 def metadata_count(spark, sf_dir):
@@ -1003,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_engine_listagg": agg_engine_listagg,
         "agg_engine_merge_map": agg_engine_merge_map,
         "changelog_old_vs_new": changelog_old_vs_new,
+        "read_optimized_lag": read_optimized_lag,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "time_travel_v1": time_travel_v1,
@@ -1275,6 +1299,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT _row_kind, CAST(count(*) AS BIGINT) AS cnt,
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
             FROM kinds GROUP BY 1""",
+        "read_optimized_lag": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total
+            FROM orders WHERE o_orderkey % 3 = 0
+            GROUP BY o_orderstatus""",
         "pk_upsert_latest": _MERGED_12,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
