@@ -916,6 +916,61 @@ def q22_idle_customers(spark, sf_dir):
                  F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal")))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 flavor: for each STANDARD size-15 part, the EUROPE
+    supplier(s) with the minimum supply cost. The testdata has no partsupp
+    table, so lineitem is the part-supplier bridge and supply cost is
+    min(l_extendedprice) per (part, supplier) — decimal-exact so the
+    min-equality is deterministic across engines."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_suppkey", "l_extendedprice"])
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    eur = (supp.join(F.broadcast(nation),
+                     supp.s_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+           .filter(F.col("r_name") == "EUROPE")
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(_dec("l_extendedprice")).alias("cost_dec")))
+    j = (cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+         .join(F.broadcast(eur), cost.l_suppkey == F.col("s_suppkey")))
+    minc = j.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("cost_dec").alias("min_dec"))
+    return (j.join(F.broadcast(minc),
+                   (j.p_partkey == F.col("mp"))
+                   & (F.col("cost_dec") == F.col("min_dec")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    F.col("cost_dec").cast("double").alias("supply_cost")))
+
+
+def q20_excess_shipments(spark, sf_dir):
+    """TPC-H q20 flavor: suppliers of PROMO parts whose 1996 shipments
+    exceed half their all-time shipped quantity for that part (the
+    available-stock comparison re-based on shipment history; cross-
+    multiplied to stay division-free)."""
+    li = _wh(spark, sf_dir)["lineitem"].read(
+        projection=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    qty96 = F.sum(F.when(F.year("l_shipdate") == 1996, _dec("l_quantity"))
+                  .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("qty96")
+    pairs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(qty96, F.sum(_dec("l_quantity")).alias("qty_total"))
+             .filter((F.col("qty96") * 2 > F.col("qty_total"))
+                     & (F.col("qty96") > 0)))
+    hot = (pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey,
+                      "left_semi")
+           .select("l_suppkey").distinct())
+    return (hot.join(F.broadcast(supp), hot.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey", "s_name", "n_name"))
+
+
 def stream_window_counts(spark, sf_dir):
     """Structured Streaming end-to-end: the paimon Python DataSource drained
     with availableNow, event-time watermark + 5-minute tumbling window
@@ -1017,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_shipments": q20_excess_shipments,
         "topn_orders": topn_orders,
         "point_lookup": point_lookup,
         "metadata_count": metadata_count,
@@ -1526,6 +1583,46 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_shipdate
                                     > o_orderdate + INTERVAL 90 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost_dec
+              FROM lineitem GROUP BY 1, 2),
+            eur AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            j AS (
+              SELECT p_partkey, s_acctbal, s_name, n_name, cost_dec
+              FROM cost
+              JOIN part ON l_partkey = p_partkey
+              JOIN eur  ON l_suppkey = s_suppkey
+              WHERE p_size = 15 AND p_type = 'STANDARD')
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   CAST(cost_dec AS DOUBLE) AS supply_cost
+            FROM j
+            WHERE cost_dec = (SELECT MIN(cost_dec) FROM j j2
+                              WHERE j2.p_partkey = j.p_partkey)""",
+        "q20_excess_shipments": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CASE WHEN year(l_shipdate) = 1996
+                              THEN CAST(l_quantity AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty96,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_total
+              FROM lineitem GROUP BY 1, 2),
+            hot AS (
+              SELECT DISTINCT l_suppkey FROM pairs
+              WHERE qty96 * 2 > qty_total AND qty96 > 0
+                AND EXISTS (SELECT 1 FROM part
+                            WHERE p_partkey = pairs.l_partkey
+                              AND p_type = 'PROMO'))
+            SELECT s_suppkey, s_name, n_name
+            FROM hot
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey""",
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
