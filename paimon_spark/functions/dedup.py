@@ -85,13 +85,29 @@ def minhash_signature(col: Column, k: int = 16, n: int = 3) -> list[Column]:
 
 def with_minhash(df: DataFrame, id_col: str, text_col: str,
                  k: int = 16, n: int = 3) -> DataFrame:
-    """(id, mh0..mh{k-1}) with the md5 shingle-hash array computed ONCE.
+    """(id, mh0..mh{k-1}) with each expensive intermediate computed ONCE.
 
-    Two projections: the hash array is a named intermediate referenced k
-    times, which Catalyst's CollapseProject keeps as its own (codegen'd)
-    stage instead of duplicating the expensive subtree into every
-    permutation — k× less md5 work than the naive single-select."""
-    h = df.select(F.col(id_col), shingle_hashes(F.col(text_col), n).alias("__sh"))
+    THREE projections, each a named intermediate referenced >1 time so
+    Catalyst's CollapseProject keeps it as its own stage instead of
+    duplicating the subtree:
+    1. `__tok` — the token array. Without this, `split(lower(text))` is
+       inlined into the shingle lambda's BODY, and higher-order-function
+       lambdas evaluate interpreted per element → O(tokens²) per doc
+       (measured 5× on sf0.1 documents).
+    2. `__sh` — the md5 shingle-hash array, shared by all k permutations
+       (k× less md5 work than the naive single-select).
+    3. the k affine-permutation mins."""
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    tk = F.col("__tok")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, n), " "))
+    h = t.select(
+        F.col(id_col),
+        F.transform(
+            grams,
+            lambda s: F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8),
+                             16, 10).cast("long")).alias("__sh"))
     return h.select(
         id_col,
         *[F.array_min(F.transform(F.col("__sh"), _affine(a, b))).alias(f"mh{j}")
