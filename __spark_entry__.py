@@ -266,7 +266,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as _pool:
+    with ThreadPoolExecutor(max_workers=8) as _pool:
         _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7)]
         for _f in _futs:
             _f.result()
