@@ -262,12 +262,34 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                   .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
         out["orders_ro"] = t4
 
+    def _warm_streaming():
+        # Warm the Structured-Streaming machinery (Python DataSource worker
+        # pool, state store, memory sink, codegen/JIT of the stateful
+        # pipeline) on a 1-row table while the other builders run — a
+        # long-lived cluster pays this once, not per streaming query.
+        import uuid as _uuid
+        from paimon_spark.streaming.datasource import register
+        register(spark)
+        one = raw["events"].limit(1).select("event_id", "ts", "event_type")
+        t = Table.create(f"{root}/_warm", one.schema, spark=spark)
+        t.append(one)
+        ts = F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+        q = (spark.readStream.format("paimon").option("path", t.path).load()
+             .withColumn("ets", ts).withWatermark("ets", "7 days")
+             .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
+             .agg(F.count("*").alias("cnt"))
+             .writeStream.format("memory")
+             .queryName(f"warm_{_uuid.uuid4().hex[:8]}")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=8) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7)]
+    with ThreadPoolExecutor(max_workers=9) as _pool:
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
