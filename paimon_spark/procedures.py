@@ -233,6 +233,244 @@ def copy_into(spark, table, source: str, file_format: str = "parquet",
     return _t(table).with_spark(spark).copy_into(source, file_format, options)
 
 
+def _snapshots_sorted(t: Table):
+    out = []
+    try:
+        names = os.listdir(t.paths.snapshot_dir)
+    except FileNotFoundError:
+        return []
+    for n in names:
+        if n.startswith("snapshot-") and n.endswith(".json"):
+            out.append(t.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")])))
+    return sorted(out, key=lambda s: s.id)
+
+
+def rollback_to_timestamp(spark, table, timestamp: int, **_):
+    """Rollback to the latest snapshot committed at or before `timestamp`
+    (epoch ms). (ref: RollbackToTimestampProcedure.java)"""
+    t = _t(table).with_spark(spark)
+    cands = [s for s in _snapshots_sorted(t) if s.timestamp_ms <= timestamp]
+    if not cands:
+        raise ValueError(f"no snapshot committed at or before {timestamp}")
+    t.rollback_to(cands[-1].id)
+    return cands[-1].id
+
+
+def rollback_to_watermark(spark, table, watermark: int, **_):
+    """Rollback to the latest snapshot whose commit watermark ≤ `watermark`.
+    (ref: RollbackToWatermarkProcedure.java)"""
+    t = _t(table).with_spark(spark)
+    cands = [s for s in _snapshots_sorted(t)
+             if s.watermark is not None and s.watermark <= watermark]
+    if not cands:
+        raise ValueError(f"no snapshot with watermark <= {watermark}")
+    t.rollback_to(cands[-1].id)
+    return cands[-1].id
+
+
+def create_tag_from_timestamp(spark, table, tag: str, timestamp: int, **_):
+    """Tag the earliest snapshot committed at or after `timestamp` (the
+    reference's SnapshotManager.laterOrEqualTimeMills pick).
+    (ref: CreateTagFromTimestampProcedure.java:89)"""
+    t = _t(table).with_spark(spark)
+    cands = [s for s in _snapshots_sorted(t) if s.timestamp_ms >= timestamp]
+    if not cands:
+        raise ValueError(f"no snapshot committed at or after {timestamp}")
+    t.create_tag(tag, cands[0].id)
+    return cands[0].id
+
+
+def replace_tag(spark, table, tag: str, snapshot: int | None = None, **_):
+    """Re-point an EXISTING tag (errors if absent — create_tag is the
+    create path). (ref: TagManager.java:143 replaceTag)"""
+    t = _t(table).with_spark(spark)
+    if tag not in t.paths.list_tags():
+        raise ValueError(f"tag {tag} doesn't exist")
+    sid = snapshot if snapshot is not None else t.paths.latest_snapshot_id()
+    t.paths.write_tag(tag, sid)
+    return sid
+
+
+def rename_tag(spark, table, tag: str, target_tag: str, **_):
+    """(ref: TagManager.java:195 renameTag)"""
+    t = _t(table).with_spark(spark)
+    tags = t.paths.list_tags()
+    if tag not in tags:
+        raise ValueError(f"tag {tag} doesn't exist")
+    if target_tag in tags:
+        raise ValueError(f"tag {target_tag} already exists")
+    t.paths.write_tag(target_tag, tags[tag])
+    os.remove(t.paths.tag_file(tag))
+
+
+def rename_branch(spark, table, branch: str, target_branch: str, **_):
+    """(ref: FileSystemBranchManager renameBranch)"""
+    import json as _json
+    t = _t(table).with_spark(spark)
+    if branch not in t.paths.list_branches():
+        raise ValueError(f"branch {branch} doesn't exist")
+    if target_branch in t.paths.list_branches():
+        raise ValueError(f"branch {target_branch} already exists")
+    src = os.path.join(t.paths.branch_root, f"branch-{branch}")
+    dst = os.path.join(t.paths.branch_root, f"branch-{target_branch}")
+    os.rename(src, dst)
+    from paimon_spark.metadata import TablePaths
+    bp = TablePaths(t.path, target_branch)
+    try:
+        with open(bp.branch_meta_file()) as f:
+            meta = _json.load(f)
+        meta["name"] = target_branch
+        with open(bp.branch_meta_file(), "w") as f:
+            _json.dump(meta, f)
+    except FileNotFoundError:
+        pass
+
+
+def merge_branch(spark, table, branch: str, **_):
+    """Merge a branch into main for APPEND tables: commit the branch's live
+    data files that main doesn't already reference (file-identity diff, no
+    data rewrite). The reference restricts merge to append-only tables
+    (PK-table merges would need key-range conflict resolution) — so do we.
+    (ref: FileSystemBranchManager.java:230 mergeBranch / :401 computeMergeDiff)"""
+    t = _t(table).with_spark(spark)
+    if t.schema.primary_keys:
+        raise ValueError("merge_branch supports append-only tables "
+                         "(ref validateAppendOnly)")
+    bt = t.branch(branch).with_spark(spark)
+    b_latest = bt.paths.latest_snapshot()
+    if b_latest is None:
+        raise ValueError(f"branch {branch} has no snapshot")
+    main_latest = t.paths.latest_snapshot()
+    have = set()
+    if main_latest is not None:
+        have = {(tuple(sorted(e.partition.items())), e.bucket, e.file_path)
+                for e in t.paths.live_entries(main_latest)}
+    diff = [e for e in bt.paths.live_entries(b_latest)
+            if (tuple(sorted(e.partition.items())), e.bucket, e.file_path)
+            not in have]
+    if not diff:
+        return 0
+    adds = [FileEntry(**{**e.__dict__, "kind": ADD}) for e in diff]
+    t.writer().commit(adds, COMMIT_APPEND)
+    return len(adds)
+
+
+def purge_files(spark, table, **_):
+    """Reset the table to empty: drop branches, tags, consumers, then
+    truncate (an OVERWRITE commit deleting every live file — history stays
+    rewindable until expiration, matching our snapshot model).
+    (ref: PurgeFilesProcedure.java → FileStoreTable.java:168 purgeFiles)"""
+    t = _t(table).with_spark(spark)
+    for b in list(t.paths.list_branches()):
+        t.delete_branch(b)
+    for tag in list(t.paths.list_tags()):
+        t.delete_tag(tag)
+    shutil.rmtree(os.path.join(t.path, "consumer"), ignore_errors=True)
+    t.truncate()
+    return "Success"
+
+
+def reset_consumer(spark, table, consumer_id: str, next_snapshot_id: int | None = None, **_):
+    """Set a consumer's next snapshot (or delete the consumer when no id is
+    given). (ref: ResetConsumerProcedure.java)"""
+    import json as _json
+    import time as _time
+    t = _t(table)
+    cpath = os.path.join(t.path, "consumer", f"consumer-{consumer_id}.json")
+    if next_snapshot_id is None:
+        if os.path.exists(cpath):
+            os.remove(cpath)
+        return None
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
+    tmp = cpath + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"next_snapshot": int(next_snapshot_id),
+                    "updated_ms": int(_time.time() * 1000)}, f)
+    os.replace(tmp, cpath)
+    return int(next_snapshot_id)
+
+
+def migrate_database(spark, source_dir: str, target_dir: str,
+                     file_format: str = "parquet", **_):
+    """migrate_table for every table-like subdirectory of `source_dir`.
+    (ref: MigrateDatabaseProcedure.java)"""
+    migrated = []
+    for name in sorted(os.listdir(source_dir)):
+        sub = os.path.join(source_dir, name)
+        if not os.path.isdir(sub):
+            continue
+        has_files = any(fn.endswith(f".{file_format}")
+                        for _, _, fns in os.walk(sub) for fn in fns)
+        if not has_files:
+            continue
+        migrate_table(spark, sub, os.path.join(target_dir, name))
+        migrated.append(name)
+    return migrated
+
+
+def compact_database(spark, warehouse: str, **_):
+    """Compact every paimon table under `warehouse`.
+    (ref: CompactDatabaseProcedure.java)"""
+    done = []
+    for name in sorted(os.listdir(warehouse)):
+        sub = os.path.join(warehouse, name)
+        if os.path.isdir(os.path.join(sub, "snapshot")):
+            Table.load(sub, spark).compact()
+            done.append(name)
+    return done
+
+
+def remove_unexisting_files(spark, table, dry_run: bool = False, **_):
+    """Repair: drop manifest entries whose data files are physically gone
+    (e.g. deleted by hand). Commits DELETE entries for the missing files.
+    (ref: RemoveUnexistingFilesProcedure.java)"""
+    t = _t(table).with_spark(spark)
+    latest = t.paths.latest_snapshot()
+    if latest is None:
+        return []
+    missing = [e for e in t.paths.live_entries(latest)
+               if not os.path.exists(os.path.join(t.path, e.file_path))]
+    if missing and not dry_run:
+        from paimon_spark.metadata import DELETE
+        dels = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in missing]
+        t.writer().commit(dels, COMMIT_APPEND)
+    return [e.file_path for e in missing]
+
+
+def trigger_tag_automatic_creation(spark, table, **_):
+    """Create the period tag for the latest snapshot per the table's
+    `tag.automatic-creation` options (process-time mode; daily/hourly
+    periods via `tag.creation-period`). Idempotent — existing period tags
+    are left alone. (ref: TriggerTagAutomaticCreationProcedure.java,
+    CoreOptions tag.automatic-creation)"""
+    import datetime as _dt
+    t = _t(table).with_spark(spark)
+    opts = t.schema.options or {}
+    mode = opts.get("tag.automatic-creation", "none")
+    if mode == "none":
+        return None
+    latest = t.paths.latest_snapshot()
+    if latest is None:
+        return None
+    if mode == "watermark" and latest.watermark is not None:
+        base_ms = latest.watermark // 1_000_000 if latest.watermark > 10**14 \
+            else latest.watermark
+    else:
+        base_ms = latest.timestamp_ms
+    stamp = _dt.datetime.fromtimestamp(base_ms / 1000, _dt.timezone.utc)
+    period = opts.get("tag.creation-period", "daily")
+    if period == "hourly":
+        name = stamp.strftime("%Y-%m-%d %H")
+    elif period == "two-hours":
+        name = stamp.replace(hour=stamp.hour - stamp.hour % 2).strftime("%Y-%m-%d %H")
+    else:
+        name = stamp.strftime("%Y-%m-%d")
+    if name in t.paths.list_tags():
+        return name
+    t.create_tag(name, latest.id)
+    return name
+
+
 PROCEDURES = {
     "compact": compact,
     "compact_manifest": compact_manifest,
@@ -252,6 +490,19 @@ PROCEDURES = {
     "rollback": rollback,
     "remove_orphan_files": remove_orphan_files,
     "migrate_table": migrate_table,
+    "rollback_to_timestamp": rollback_to_timestamp,
+    "rollback_to_watermark": rollback_to_watermark,
+    "create_tag_from_timestamp": create_tag_from_timestamp,
+    "replace_tag": replace_tag,
+    "rename_tag": rename_tag,
+    "rename_branch": rename_branch,
+    "merge_branch": merge_branch,
+    "purge_files": purge_files,
+    "reset_consumer": reset_consumer,
+    "migrate_database": migrate_database,
+    "compact_database": compact_database,
+    "remove_unexisting_files": remove_unexisting_files,
+    "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
 }
 
 

@@ -1,0 +1,170 @@
+"""Second batch of maintenance procedures: tag/branch lifecycle extras,
+rollback variants, repair, database-wide ops, consumer reset.
+
+(ref: paimon-spark/.../procedure/{RollbackToTimestamp,RollbackToWatermark,
+ CreateTagFromTimestamp,ReplaceTag,RenameTag,RenameBranch,MergeBranch,
+ PurgeFiles,ResetConsumer,MigrateDatabase,CompactDatabase,
+ RemoveUnexistingFiles,TriggerTagAutomaticCreation}Procedure.java)
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import Table
+from paimon_spark.procedures import call
+
+SCHEMA = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType())])
+
+
+def _mk(spark, wh, name, n_commits=3, **kw):
+    t = Table.create(f"{wh}/{name}", SCHEMA, spark=spark, **kw)
+    for i in range(n_commits):
+        t.append(spark.createDataFrame([(i * 10 + j, f"c{i}") for j in range(5)],
+                                       SCHEMA))
+    return t
+
+
+def test_rollback_to_timestamp(spark, wh):
+    t = _mk(spark, wh, "rb_ts")
+    s2 = t.paths.read_snapshot(2)
+    sid = call(spark, "rollback_to_timestamp", table=t, timestamp=s2.timestamp_ms)
+    assert sid == 2
+    assert t.paths.latest_snapshot_id() == 2
+    assert t.read().count() == 10
+
+
+def test_rollback_to_timestamp_no_candidate(spark, wh):
+    t = _mk(spark, wh, "rb_ts0", n_commits=1)
+    with pytest.raises(ValueError):
+        call(spark, "rollback_to_timestamp", table=t, timestamp=0)
+
+
+def test_rollback_to_watermark(spark, wh):
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("ev", T.LongType())])
+    t = Table.create(f"{wh}/rb_wm", sch,
+                     options={"watermark.field": "ev"}, spark=spark)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, 1000 * (i + 1))], sch))
+    w2 = t.paths.read_snapshot(2).watermark
+    assert w2 is not None
+    sid = call(spark, "rollback_to_watermark", table=t, watermark=w2)
+    assert sid == 2
+
+
+def test_create_tag_from_timestamp_and_replace_and_rename(spark, wh):
+    t = _mk(spark, wh, "tags2")
+    s2 = t.paths.read_snapshot(2)
+    sid = call(spark, "create_tag_from_timestamp", table=t, tag="tt",
+               timestamp=s2.timestamp_ms)
+    assert sid == 2 and t.paths.list_tags()["tt"] == 2
+    # replace re-points an existing tag; errors on a missing one
+    call(spark, "replace_tag", table=t, tag="tt", snapshot=3)
+    assert t.paths.list_tags()["tt"] == 3
+    with pytest.raises(ValueError):
+        call(spark, "replace_tag", table=t, tag="nope")
+    call(spark, "rename_tag", table=t, tag="tt", target_tag="tt2")
+    tags = t.paths.list_tags()
+    assert "tt" not in tags and tags["tt2"] == 3
+    # time travel through the renamed tag still works
+    assert t.read(tag="tt2").count() == 15
+
+
+def test_rename_branch(spark, wh):
+    t = _mk(spark, wh, "rbr")
+    t.create_branch("dev", 2)
+    call(spark, "rename_branch", table=t, branch="dev", target_branch="qa")
+    assert t.list_branches() == ["qa"]
+    assert t.branch("qa").read().count() == 10
+
+
+def test_merge_branch_appends_diff_files(spark, wh):
+    t = _mk(spark, wh, "mb", n_commits=2)           # 10 rows on main
+    b = t.create_branch("feature")
+    bt = t.branch("feature").with_spark(spark)
+    bt.append(spark.createDataFrame([(100 + j, "feat") for j in range(4)],
+                                    SCHEMA))
+    n = call(spark, "merge_branch", table=t, branch="feature")
+    assert n > 0
+    got = t.with_spark(spark).read()
+    assert got.count() == 14
+    assert got.filter(F.col("v") == "feat").count() == 4
+    # merging again is a no-op (diff empty)
+    assert call(spark, "merge_branch", table=t, branch="feature") == 0
+
+
+def test_merge_branch_rejects_pk_tables(spark, wh):
+    t = Table.create(f"{wh}/mb_pk", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.create_branch("dev")
+    with pytest.raises(ValueError):
+        call(spark, "merge_branch", table=t, branch="dev")
+
+
+def test_purge_files(spark, wh):
+    t = _mk(spark, wh, "purge")
+    t.create_tag("keep", 1)
+    t.create_branch("dev", 1)
+    os.makedirs(f"{t.path}/consumer", exist_ok=True)
+    with open(f"{t.path}/consumer/consumer-c1.json", "w") as f:
+        json.dump({"next_snapshot": 2}, f)
+    assert call(spark, "purge_files", table=t) == "Success"
+    assert t.read().count() == 0
+    assert t.paths.list_tags() == {}
+    assert t.list_branches() == []
+    assert not os.path.exists(f"{t.path}/consumer/consumer-c1.json")
+
+
+def test_reset_consumer(spark, wh):
+    t = _mk(spark, wh, "rc", n_commits=1)
+    call(spark, "reset_consumer", table=t, consumer_id="ci", next_snapshot_id=7)
+    with open(f"{t.path}/consumer/consumer-ci.json") as f:
+        assert json.load(f)["next_snapshot"] == 7
+    call(spark, "reset_consumer", table=t, consumer_id="ci")   # delete
+    assert not os.path.exists(f"{t.path}/consumer/consumer-ci.json")
+
+
+def test_migrate_database_and_compact_database(spark, wh, tmp_path):
+    src = tmp_path / "db"
+    for name in ("ta", "tb"):
+        spark.createDataFrame([(1, name)], SCHEMA).write.parquet(
+            str(src / name))
+    out = call(spark, "migrate_database", source_dir=str(src),
+               target_dir=f"{wh}/mdb")
+    assert out == ["ta", "tb"]
+    for name in ("ta", "tb"):
+        assert Table.load(f"{wh}/mdb/{name}", spark).read().count() == 1
+    done = call(spark, "compact_database", warehouse=f"{wh}/mdb")
+    assert done == ["ta", "tb"]
+
+
+def test_remove_unexisting_files(spark, wh):
+    t = _mk(spark, wh, "repair", n_commits=2)
+    latest = t.paths.latest_snapshot()
+    victim = t.paths.live_entries(latest)[0]
+    os.remove(os.path.join(t.path, victim.file_path))
+    listed = call(spark, "remove_unexisting_files", table=t, dry_run=True)
+    assert listed == [victim.file_path]
+    call(spark, "remove_unexisting_files", table=t)
+    # scan no longer references the missing file; reads succeed
+    assert t.read().count() == 10 - victim.row_count
+    assert call(spark, "remove_unexisting_files", table=t, dry_run=True) == []
+
+
+def test_trigger_tag_automatic_creation(spark, wh):
+    t = Table.create(f"{wh}/autotag", SCHEMA,
+                     options={"tag.automatic-creation": "process-time",
+                              "tag.creation-period": "daily"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    name = call(spark, "trigger_tag_automatic_creation", table=t)
+    assert name in t.paths.list_tags()
+    # idempotent
+    assert call(spark, "trigger_tag_automatic_creation", table=t) == name
+    # none-mode tables do nothing
+    t2 = _mk(spark, wh, "autotag_none", n_commits=1)
+    assert call(spark, "trigger_tag_automatic_creation", table=t2) is None
