@@ -137,10 +137,13 @@ def _sorted_by_order(lst: Column) -> Column:
         F.when(l["o"] < r["o"], -1).when(l["o"] > r["o"], 1).otherwise(0)))
 
 
-def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
+def _field_agg(fname: str, c: str, order: Column, order_nn: Column,
+               schema: TableSchema | None = None,
+               field: str | None = None) -> Column:
     """One merged column for the aggregation engine.
     (ref: mergetree/compact/aggregate/factory/Field*AggFactory.java NAME consts)"""
     col = F.col(c)
+    opts = (schema.options if schema is not None else {})
     if fname == "sum":
         return F.sum(col).alias(c)
     if fname == "product":
@@ -165,10 +168,71 @@ def _field_agg(fname: str, c: str, order: Column, order_nn: Column) -> Column:
         # field type is ARRAY<T>; rows carry (singleton) arrays, merge =
         # distinct union (ref: FieldCollectAgg with distinct=true)
         return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))).alias(c)
-    if fname in ("collect_list", "nested_update"):
-        # order-preserving union of row arrays (seq order, then flatten)
+    if fname in ("collect_list", "nested_update", "nested_partial_update"):
+        # field type ARRAY<STRUCT>; rows carry arrays; union in seq order
         lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
-        return F.flatten(F.transform(lst, lambda x: x["v"])).alias(c)
+        rows = F.flatten(F.transform(lst, lambda x: x["v"]))
+        nested_key = [k.strip() for k in
+                      opts.get(f"fields.{field}.nested-key", "").split(",")
+                      if k.strip()]
+        if not nested_key:
+            if fname == "nested_partial_update":
+                raise ValueError("nested_partial_update requires "
+                                 f"fields.{field}.nested-key")
+            # unkeyed nested_update / collect_list: order-preserving concat
+            return rows.alias(c)
+        rows = F.filter(rows, lambda r: r.isNotNull())
+        kx = lambda r: F.struct(*[r[k].alias(k) for k in nested_key])  # noqa: E731
+        if fname == "nested_update":
+            # keyed upsert: LAST row per nested key wins whole
+            # (ref: FieldNestedUpdateAgg.agg — HashMap.put in input order;
+            #  mapKeyDedupPolicy=LAST_WIN gives the same last-wins here)
+            m = F.map_from_entries(F.transform(
+                rows, lambda r: F.struct(kx(r).alias("key"), r.alias("value"))))
+            return F.map_values(m).alias(c)
+        # nested_partial_update: per key, per nested field LAST NON-NULL wins
+        # (ref: FieldNestedPartialUpdateAgg.partialUpdate). For each distinct
+        # key (first-seen order) take, per field, the value of the last row
+        # of that key where the field is non-null.
+        keys_arr = F.array_distinct(F.transform(rows, kx))
+
+        def _merge_rows(k):
+            grp = F.filter(rows, lambda r: kx(r) == k)
+
+            def _lastnn(fld):
+                nn = F.filter(grp, lambda r: r[fld].isNotNull())
+                return F.get(nn, F.size(nn) - 1)[fld].alias(fld)
+            first = F.get(grp, 0)
+            names = [f.name for f in schema.data_type(field).elementType.fields]
+            return F.struct(*[_lastnn(n) for n in names]) if names else first
+        return F.transform(keys_arr, _merge_rows).alias(c)
+    if fname == "merge_map_with_keytime":
+        # MAP<K, STRUCT<..., ts>>: per key, newer ts wins; a NULL struct
+        # removes the key; a NULL ts in the incoming row is skipped
+        # (ref: FieldMergeMapWithKeyTimeAgg.mergeInputMap; ts field =
+        #  fields.<f>.ts-field option, default = last struct field)
+        lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
+        ents = F.flatten(F.transform(
+            F.filter(lst, lambda x: x["v"].isNotNull()),
+            lambda x: F.map_entries(x["v"])))
+        vtype = schema.data_type(field).valueType
+        ts = opts.get(f"fields.{field}.ts-field", vtype.fields[-1].name)
+
+        def _step(acc, e):
+            existing = F.when(F.map_contains_key(acc, e["key"]),
+                              F.element_at(acc, e["key"]))
+            newer = (existing.isNull() | existing[ts].isNull()
+                     | (e["value"][ts] > existing[ts]))
+            upsert = F.map_concat(
+                F.map_filter(acc, lambda k, _v: k != e["key"]),
+                F.map_from_entries(F.array(e)))
+            return (F.when(e["value"].isNull(),
+                           F.map_filter(acc, lambda k, _v: k != e["key"]))
+                    .when(e["value"][ts].isNull(), acc)
+                    .when(newer, upsert)
+                    .otherwise(acc))
+        empty = F.map_from_entries(F.slice(ents, 1, 0))
+        return F.aggregate(ents, empty, _step).alias(c)
     if fname == "merge_map":
         # later maps win per key (requires mapKeyDedupPolicy=LAST_WIN)
         lst = _sorted_by_order(F.collect_list(F.struct(order.alias("o"), col.alias("v"))))
@@ -226,7 +290,8 @@ def merge_aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
         else:
             # ignore-retract: only +I/+U rows contribute
             df = df.withColumn(f"__v_{c}", F.when(is_add, F.col(c)))
-            aggs.append(_field_agg(fname, f"__v_{c}", order, order).alias(c))
+            aggs.append(_field_agg(fname, f"__v_{c}", order, order,
+                                   schema, c).alias(c))
     out = df.groupBy(*pks).agg(*aggs)
     return out
 

@@ -151,3 +151,72 @@ def test_sequence_field_sort_order_descending(spark, wh):
     # tie on prio: later commit still wins
     t.append(spark.createDataFrame([(1, "p3b", 3)], schema))
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "p3b"), (2, "p5")}
+
+
+def test_nested_update_keyed_and_partial(spark, wh):
+    """nested_update with nested-key = per-key whole-row last-wins;
+    nested_partial_update = per-key per-field last-non-null.
+    (ref: FieldNestedUpdateAgg / FieldNestedPartialUpdateAgg)"""
+    el = T.StructType([T.StructField("nk", T.LongType()),
+                       T.StructField("a", T.StringType()),
+                       T.StructField("b", T.StringType())])
+    sch = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("rows_u", T.ArrayType(el)),
+        T.StructField("rows_p", T.ArrayType(el)),
+        T.StructField("seq", T.LongType()),
+    ])
+    t = Table.create(
+        f"{wh}/nested_keyed", sch, primary_keys=["pk"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "sequence.field": "seq",
+                 "fields.rows_u.aggregate-function": "nested_update",
+                 "fields.rows_u.nested-key": "nk",
+                 "fields.rows_p.aggregate-function": "nested_partial_update",
+                 "fields.rows_p.nested-key": "nk",
+                 "fields.seq.aggregate-function": "max"}, spark=spark)
+    r = lambda nk, a, b: {"nk": nk, "a": a, "b": b}  # noqa: E731
+    t.append(spark.createDataFrame(
+        [(1, [r(10, "a1", "b1"), r(20, "a2", "b2")],
+             [r(10, "a1", "b1"), r(20, "a2", "b2")], 1)], sch))
+    t.append(spark.createDataFrame(
+        [(1, [r(10, "a1x", None)], [r(10, None, "b1x")], 2)], sch))
+    got = {row.pk: row for row in t.read().collect()}
+    u = sorted((x["nk"], x["a"], x["b"]) for x in got[1].rows_u)
+    # whole-row replace: b overwritten by None
+    assert u == [(10, "a1x", None), (20, "a2", "b2")]
+    p = sorted((x["nk"], x["a"], x["b"]) for x in got[1].rows_p)
+    # per-field: a kept from seq1, b updated by seq2
+    assert p == [(10, "a1", "b1x"), (20, "a2", "b2")]
+
+
+def test_merge_map_with_keytime(spark, wh):
+    """Per map key the row with the larger ts wins; NULL row removes the
+    key; NULL incoming ts is ignored. (ref: FieldMergeMapWithKeyTimeAgg)"""
+    val = T.StructType([T.StructField("v", T.StringType()),
+                        T.StructField("ts", T.StringType())])
+    sch = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), val)),
+        T.StructField("seq", T.LongType()),
+    ])
+    t = Table.create(
+        f"{wh}/mm_keytime", sch, primary_keys=["pk"],
+        options={"bucket": "1", "merge-engine": "aggregation",
+                 "sequence.field": "seq",
+                 "fields.m.aggregate-function": "merge_map_with_keytime",
+                 "fields.m.ts-field": "ts",
+                 "fields.seq.aggregate-function": "max"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, {"k1": {"v": "old", "ts": "2024-01-02"},
+              "k2": {"v": "keep", "ts": "2024-01-05"},
+              "k3": {"v": "gone", "ts": "2024-01-01"}}, 1)], sch))
+    t.append(spark.createDataFrame(
+        [(1, {"k1": {"v": "new", "ts": "2024-01-03"},      # newer -> wins
+              "k2": {"v": "stale", "ts": "2024-01-04"},    # older -> loses
+              "k3": None,                                   # remove
+              "k4": {"v": "skipped", "ts": None},           # null ts -> skip
+              "k5": {"v": "add", "ts": "2024-01-06"}}, 2)], sch))
+    got = t.read().collect()[0].m
+    flat = {k: (v["v"] if v else None) for k, v in got.items()}
+    assert flat == {"k1": "new", "k2": "keep", "k5": "add"}
