@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -72,13 +74,91 @@ def zvalue(table: Table, cols: list[str]) -> Column:
     return acc
 
 
+def hilbert_index(coords, bits: int):
+    """True Hilbert index (Skilling's transpose algorithm, "Programming
+    the Hilbert curve", AIP 2004) — vectorized numpy over an (N, n)
+    uint64 array of coordinates in [0, 2^bits). Returns (N,) uint64.
+
+    Unlike the z-order interleave, consecutive Hilbert indexes are always
+    adjacent cells (Manhattan distance 1), so range-partitioning the index
+    yields files whose min/max boxes are tighter on every dimension.
+    (ref: HilbertSorter.java:32-48 — the reference delegates to a Hilbert
+    library; this is the same curve computed directly.)"""
+    import numpy as np
+
+    X = np.ascontiguousarray(coords, dtype=np.uint64).copy()
+    n = X.shape[1]
+    # inverse undo excess work
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            cond = (X[:, i] & Q) != 0
+            X[:, 0] = np.where(cond, X[:, 0] ^ P, X[:, 0])        # invert
+            t = np.where(~cond, (X[:, 0] ^ X[:, i]) & P,
+                         np.uint64(0))                            # exchange
+            X[:, 0] ^= t
+            X[:, i] ^= t
+        Q >>= one
+    # Gray encode
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(X.shape[0], dtype=np.uint64)
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        t = np.where((X[:, n - 1] & Q) != 0, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(n):
+        X[:, i] ^= t
+    # untranspose: bit j of dim i → index bit j*n + (n-1-i)
+    h = np.zeros(X.shape[0], dtype=np.uint64)
+    for j in range(bits):
+        for i in range(n):
+            h |= ((X[:, i] >> np.uint64(j)) & one) << np.uint64(j * n + (n - 1 - i))
+    return h
+
+
+def hilbert_value(table: Table, cols: list[str]) -> Column:
+    """Hilbert index column over normalized dimensions. The normalization
+    is the same manifest-stats min-max scaling as z-order (JVM-side); only
+    the bit transform runs in an Arrow-batched pandas UDF — a genuine
+    can't-express-in-Catalyst case (per-row loop-carried bit swaps)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = len(cols)
+    bits = min(Z_BITS, 62 // n)   # keep the index inside a signed BIGINT
+    shift = Z_BITS - bits
+
+    def _go(*series):
+        import numpy as np
+        coords = np.stack(
+            [s.to_numpy(dtype="int64").astype(np.uint64) >> np.uint64(shift)
+             for s in series], axis=1)
+        return pd.Series(hilbert_index(coords, bits).astype("int64"))
+
+    # fixed-arity wrappers: pandas_udf's type-hint inference rejects *args
+    if n == 1:
+        def _h(a: pd.Series) -> pd.Series: return _go(a)
+    elif n == 2:
+        def _h(a: pd.Series, b: pd.Series) -> pd.Series: return _go(a, b)
+    elif n == 3:
+        def _h(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+            return _go(a, b, c)
+    elif n == 4:
+        def _h(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+            return _go(a, b, c, d)
+    else:
+        raise ValueError("hilbert supports 1-4 dimensions")
+    return pandas_udf("long")(_h)(*[_normalized(table, c) for c in cols])
+
+
 def sort_compact(table: Table, order_by: list[str],
                  strategy: str = "zorder", n_files: int | None = None):
     """Rewrite the whole table clustered by `order_by`.
 
-    strategy: 'order' (lexicographic range), 'zorder', 'hilbert'
-    (hilbert ≈ zorder here: same bit-interleave backbone — documented
-    approximation; the reference's Hilbert curve differs in rotation).
+    strategy: 'order' (lexicographic range), 'zorder', or 'hilbert'
+    (true Hilbert curve via `hilbert_index`).
     """
     plan = table.new_scan().plan()
     if not plan.entries:
@@ -96,7 +176,9 @@ def sort_compact(table: Table, order_by: list[str],
         out = df.repartitionByRange(int(n_files), *[F.col(c) for c in order_by]) \
                 .sortWithinPartitions(*order_by)
     elif strategy in ("zorder", "hilbert"):
-        z = df.withColumn("__z", zvalue(table, order_by))
+        idx = (hilbert_value(table, order_by) if strategy == "hilbert"
+               else zvalue(table, order_by))
+        z = df.withColumn("__z", idx)
         out = (z.repartitionByRange(int(n_files), F.col("__z"))
                .sortWithinPartitions("__z").drop("__z"))
     else:

@@ -292,3 +292,38 @@ def test_full_text_search_bm25(spark, wh):
     assert {r.id for r in top} <= {1, 2, 4}     # doc 3 matches nothing
     assert all(top[i]._score >= top[i + 1]._score
                for i in range(len(top) - 1))
+
+
+def test_hilbert_index_is_true_hilbert_curve():
+    """Definitive property: on a full 2^bits x 2^bits grid the Hilbert
+    index is a permutation of 0..4^bits-1 and consecutive indexes are
+    Manhattan-distance-1 neighbors (z-order fails this — its diagonal
+    jumps are why Hilbert clusters tighter)."""
+    import numpy as np
+    from paimon_spark.operators.sort_compact import hilbert_index
+
+    bits = 4
+    side = 1 << bits
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.uint64)
+    h = hilbert_index(coords, bits)
+    assert sorted(h.tolist()) == list(range(side * side))
+    order = np.argsort(h)
+    steps = np.abs(np.diff(coords[order].astype(np.int64), axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_hilbert_sort_compact(spark, wh):
+    schema = T.StructType([T.StructField("x", T.LongType()),
+                           T.StructField("y", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/hil", schema, options={"target-file-size": "8192"},
+                     spark=spark)
+    rows = [(i % 100, (i * 37) % 100, float(i)) for i in range(5000)]
+    t.append(spark.createDataFrame(rows, schema).repartition(8))
+    call(spark, "compact", table=t, order_strategy="hilbert", order_by="x,y")
+    after = t.new_scan().plan(P.eq("x", 5) & P.eq("y", 5))
+    assert after.files_skipped > 0
+    assert t.read().count() == 5000
+    got = t.read(P.eq("x", 5) & P.eq("y", 5)).count()
+    assert got == sum(1 for x, y, _v in rows if x == 5 and y == 5)
