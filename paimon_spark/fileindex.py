@@ -91,13 +91,21 @@ def write_file_index(table_root: str, data_file_abs: str, columns: list[str],
                      fpp: float = 0.01) -> str | None:
     """Build bloom filters for `columns` of one data file → sidecar under
     index/. Returns the sidecar path relative to table root."""
-    import pyarrow.parquet as pq
+    if data_file_abs.endswith(".orc"):
+        import pyarrow.orc as _orc
+        pf = _orc.ORCFile(data_file_abs)
+        present = [c for c in columns if c in pf.schema.names]
+        if not present:
+            return None
+        tbl = pf.read(columns=present)
+    else:
+        import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(data_file_abs)
-    present = [c for c in columns if c in pf.schema_arrow.names]
-    if not present:
-        return None
-    tbl = pf.read(columns=present)
+        pf = pq.ParquetFile(data_file_abs)
+        present = [c for c in columns if c in pf.schema_arrow.names]
+        if not present:
+            return None
+        tbl = pf.read(columns=present)
     payload = {c: BloomFilter.build(tbl.column(c).to_pylist(), fpp).to_json()
                for c in present}
     os.makedirs(os.path.join(table_root, INDEX_DIR), exist_ok=True)

@@ -117,19 +117,31 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _read_table(path, columns=None):
+        # (file.format=orc tables: pyarrow.orc instead of parquet)
+        if path.endswith(".orc"):
+            import pyarrow.orc as _orc
+            return _orc.ORCFile(path).read(columns=columns)
+        return pq.read_table(path, columns=columns)
+
+    def _file_schema_names(path):
+        if path.endswith(".orc"):
+            import pyarrow.orc as _orc
+            return _orc.ORCFile(path).schema.names
+        return pq.ParquetFile(path).schema_arrow.names
+
     from paimon_spark.schema import FIELD_ID_KEY, SEQ_COL
     table = Table.load(partition.table_path)
     cur_sid = table.schema.schema_id
     data_cols = [c for c in names if c != KIND_COL]
     if not partition.merge_full_state and all(
             not pvals and sid == cur_sid and all(
-                c in pq.ParquetFile(
-                    f"{partition.table_path}/{fp}").schema_arrow.names
+                c in _file_schema_names(f"{partition.table_path}/{fp}")
                 for c in data_cols)
             for fp, pvals, sid in zip(partition.files, partition.partitions,
                                       partition.schema_ids)):
         for fp in partition.files:
-            tbl = pq.read_table(f"{partition.table_path}/{fp}")
+            tbl = _read_table(f"{partition.table_path}/{fp}")
             cols = []
             for c in names:
                 if c in tbl.column_names:
@@ -157,7 +169,7 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     rows: list[dict] = []
     for fp, pvals, sid in zip(partition.files, partition.partitions,
                               partition.schema_ids):
-        tbl = pq.read_table(f"{partition.table_path}/{fp}")
+        tbl = _read_table(f"{partition.table_path}/{fp}")
         remap = _name_map(sid)
         for r in tbl.to_pylist():
             if remap:

@@ -153,9 +153,14 @@ class Table:
                 sel.append(F.col(c))
         return df.select(*sel)
 
+    @property
+    def file_format(self) -> str:
+        """Data-file format (`file.format` option): parquet or orc."""
+        return self.schema.options.get("file.format", "parquet")
+
     def _read_sid_group(self, sid: int, paths: list[str]) -> DataFrame:
         old = self._schema_at(sid)
-        df = self._reader(old).parquet(*paths)
+        df = self._reader(old).format(self.file_format).load(paths)
         return self._evolve(df, old) if sid != self.schema.schema_id else df
 
     def _read_files(self, entries: list[FileEntry],
@@ -179,8 +184,8 @@ class Table:
             # (_metadata.file_path, _metadata.row_index)
             # (ref: ApplyDeletionVectorReader.java)
             old = self._schema_at(sid)
-            df = self._reader(old).parquet(
-                *[os.path.join(self.path, e.file_path) for e in group])
+            df = self._reader(old).format(self.file_format).load(
+                [os.path.join(self.path, e.file_path) for e in group])
             cols = df.columns
             df = df.select("*",
                            F.col("_metadata.file_path").alias("__fp"),
@@ -344,7 +349,8 @@ class Table:
             list(struct.fields) + ([T.StructField(ROW_ID_COL, T.LongType())]
                                    if ROW_ID_COL not in names else []))
         df = (self.spark.read.schema(with_id).option("basePath", self.path)
-              .parquet(*[os.path.join(self.path, e.file_path) for e in entries])
+              .format(self.file_format)
+              .load([os.path.join(self.path, e.file_path) for e in entries])
               .select("*",
                       F.element_at(F.split(F.col("_metadata.file_path"), "/"),
                                    -1).alias("__fn"),
@@ -454,8 +460,8 @@ class Table:
         import uuid as _uuid
 
         w = self.writer()
-        meta = self._reader().parquet(
-            *[os.path.join(self.path, e.file_path) for e in touched]).select(
+        meta = self._reader().format(self.file_format).load(
+            [os.path.join(self.path, e.file_path) for e in touched]).select(
             "*", F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("pos"))
         new_pos = meta.filter(predicate.to_spark()).select("file_path", "pos")

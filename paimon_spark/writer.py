@@ -183,7 +183,7 @@ class BatchWriter:
         writer = df.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(staging)
+        writer.format(self.file_format).save(staging)
 
         entries = self._adopt_staged(staging, level)
         if ROW_ID_COL in extra:
@@ -194,11 +194,53 @@ class BatchWriter:
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
+    @property
+    def file_format(self) -> str:
+        """Data-file format: parquet (default) or orc.
+        (ref: CoreOptions.java:337 `file.format` — the reference also
+        supports avro/csv/json for data files; columnar formats are the
+        scale path and the only ones we write natively.)"""
+        fmt = self.schema.options.get("file.format", "parquet")
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported file.format {fmt} "
+                             "(parquet and orc are supported)")
+        return fmt
+
+    def _staged_stats_spark(self, staging: str, stat_cols: list[str]) -> dict:
+        """Per-file rows + min/max/null stats via ONE Spark aggregation over
+        the staged directory — the stats path for formats whose footers
+        pyarrow can't mine (ORC: stripe stats aren't exposed). One extra
+        columnar pass over just-written files; parquet avoids it entirely
+        via footers."""
+        spark = self.table.spark or SparkSession.getActiveSession()
+        df = (spark.read.format(self.file_format)
+              .option("recursiveFileLookup", "true").load(staging))
+        cols = [c for c in stat_cols if c in df.columns]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"),
+                     F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")]
+        out = {}
+        for r in (df.groupBy(F.input_file_name().alias("__f"))
+                  .agg(*aggs).collect()):
+            path = urllib.parse.unquote(r["__f"])
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            stats = {c: {"min": r[f"__mn_{c}"], "max": r[f"__mx_{c}"],
+                         "nulls": r[f"__nl_{c}"]} for c in cols}
+            out[os.path.normpath(path)] = (r["__rows"], stats)
+        return out
+
     def _adopt_staged(self, staging: str, level: int) -> list[FileEntry]:
         """Move staged files into the table tree; collect footer stats."""
         schema = self.schema
+        fmt = self.file_format
         stat_cols = [f.name for f in schema.struct.fields
                      if f.name not in schema.partition_keys] + [SEQ_COL]
+        spark_stats = (self._staged_stats_spark(staging, stat_cols)
+                       if fmt != "parquet" else None)
         # standalone bloom index (ref: CoreOptions file-index.bloom-filter.columns)
         index_cols = [c.strip() for c in schema.options.get(
             "file-index.bloom-filter.columns", "").split(",") if c.strip()]
@@ -206,7 +248,7 @@ class BatchWriter:
         entries: list[FileEntry] = []
         for dirpath, _dirs, files in os.walk(staging):
             for fn in files:
-                if not fn.endswith(".parquet"):
+                if not fn.endswith(f".{fmt}"):
                     continue
                 src = os.path.join(dirpath, fn)
                 rel_dir = os.path.relpath(dirpath, staging)
@@ -218,19 +260,24 @@ class BatchWriter:
                     for seg in rel_dir.split(os.sep):
                         if seg.startswith(BUCKET_COL + "="):
                             bucket = int(seg.split("=", 1)[1])
-                final_name = f"data-L{level}-{uuid.uuid4().hex}.parquet"
+                final_name = f"data-L{level}-{uuid.uuid4().hex}.{fmt}"
                 dest_dir = os.path.join(self.paths.root, rel_dir)
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, final_name)
                 os.rename(src, dest)
-                try:
-                    rows, size, stats = collect_footer_stats(dest, stat_cols)
-                except OSError:
-                    # footer holds a logical type pyarrow can't parse yet
-                    # (e.g. Spark 4 VARIANT) — count via Spark, skip stats
-                    # for this file (sound: no stats → never skipped)
-                    rows, size, stats = self._spark_row_count(dest), \
-                        os.path.getsize(dest), {}
+                if spark_stats is not None:
+                    rows, stats = spark_stats.get(
+                        os.path.normpath(src), (0, {}))
+                    size = os.path.getsize(dest)
+                else:
+                    try:
+                        rows, size, stats = collect_footer_stats(dest, stat_cols)
+                    except OSError:
+                        # footer holds a logical type pyarrow can't parse yet
+                        # (e.g. Spark 4 VARIANT) — count via Spark, skip stats
+                        # for this file (sound: no stats → never skipped)
+                        rows, size, stats = self._spark_row_count(dest), \
+                            os.path.getsize(dest), {}
                 if rows == 0:
                     os.remove(dest)
                     continue
