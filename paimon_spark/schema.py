@@ -195,6 +195,55 @@ class TableSchema:
         s.options[key] = value
         return s
 
+    def remove_option(self, key: str) -> "TableSchema":
+        """(ref: SchemaChange.java removeOption)"""
+        s = self._bump()
+        s.options.pop(key, None)
+        return s
+
+    def update_column_nullability(self, name: str, nullable: bool) -> "TableSchema":
+        """(ref: SchemaChange.java updateColumnNullability). Tightening to
+        NOT NULL is a declaration for new writes — like the reference, old
+        files are not re-validated."""
+        if not nullable and name in self.primary_keys:
+            pass  # PK columns are implicitly non-null already
+        s = self._bump()
+        s.struct = T.StructType([
+            T.StructField(f.name, f.dataType,
+                          nullable if f.name == name else f.nullable, f.metadata)
+            for f in self.struct.fields])
+        return s
+
+    def update_column_comment(self, name: str, comment: str) -> "TableSchema":
+        """(ref: SchemaChange.java updateColumnComment)"""
+        s = self._bump()
+        fields = []
+        for f in self.struct.fields:
+            md = dict(f.metadata)
+            if f.name == name:
+                md["comment"] = comment
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        s.struct = T.StructType(fields)
+        return s
+
+    def move_column(self, name: str, position: str = "first",
+                    after: str | None = None) -> "TableSchema":
+        """Reorder a column: position='first' or 'after' another column —
+        purely logical; files are untouched and reads keep resolving by
+        field id. (ref: SchemaChange.java Move FIRST/AFTER)"""
+        fields = [f for f in self.struct.fields if f.name != name]
+        target = next(f for f in self.struct.fields if f.name == name)
+        if position == "first":
+            fields.insert(0, target)
+        elif position == "after":
+            idx = next(i for i, f in enumerate(fields) if f.name == after)
+            fields.insert(idx + 1, target)
+        else:
+            raise ValueError("position must be 'first' or 'after'")
+        s = self._bump()
+        s.struct = T.StructType(fields)
+        return s
+
     # ---------------- (de)serialization ----------------
 
     def to_json(self) -> str:

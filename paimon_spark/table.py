@@ -1050,6 +1050,10 @@ class Table:
                     ("partitions", self.partitions_df),
                     ("tags", self.tags_df),
                     ("branches", self.branches_df),
+                    ("consumers", self.consumers_df),
+                    ("options", self.options_df),
+                    ("schemas", self.schemas_df),
+                    ("manifests", self.manifests_df),
                     ("audit_log", self.read_audit_log)):
                 v = f"{name}__{suffix}"
                 df_fn().createOrReplaceTempView(v)
@@ -1281,6 +1285,40 @@ class Table:
     def tags_df(self) -> DataFrame:
         rows = [(name, sid) for name, sid in self.paths.list_tags().items()]
         return self.spark.createDataFrame(rows, "tag_name string, snapshot_id long")
+
+    def options_df(self) -> DataFrame:
+        """`$options` system table. (ref: table/system/OptionsTable.java)"""
+        rows = sorted((self.schema.options or {}).items())
+        return self.spark.createDataFrame(rows, "key string, value string")
+
+    def schemas_df(self) -> DataFrame:
+        """`$schemas` system table: one row per schema version.
+        (ref: table/system/SchemasTable.java)"""
+        rows = []
+        for n in sorted(os.listdir(self.paths.schema_dir)):
+            if n.startswith("schema-") and n.endswith(".json"):
+                with open(os.path.join(self.paths.schema_dir, n)) as f:
+                    raw = f.read()
+                d = json.loads(raw)
+                rows.append((int(n[len("schema-"):-len(".json")]),
+                             json.dumps(d.get("fields", d), separators=(",", ":")),
+                             ",".join(d.get("partitionKeys", []) or []),
+                             ",".join(d.get("primaryKeys", []) or []),
+                             json.dumps(d.get("options", {}), separators=(",", ":"))))
+        return self.spark.createDataFrame(
+            rows, "schema_id long, fields string, partition_keys string, "
+                  "primary_keys string, options string")
+
+    def manifests_df(self) -> DataFrame:
+        """`$manifests` system table: the latest snapshot's manifest files.
+        (ref: table/system/ManifestsTable.java)"""
+        latest = self.paths.latest_snapshot()
+        rows = []
+        if latest is not None:
+            for m in latest.manifests:
+                p = os.path.join(self.paths.manifest_dir, m)
+                rows.append((m, os.path.getsize(p) if os.path.exists(p) else None))
+        return self.spark.createDataFrame(rows, "file_name string, file_size long")
 
     # -------- catalog functions (ref: PaimonFunctions.scala:44-85) --------
 

@@ -171,6 +171,12 @@ def test_sql_view_registration(spark, wh):
     assert spark.sql(
         "SELECT count(*) c FROM ev__audit_log WHERE rowkind='+I'"
     ).collect()[0].c >= 2
+    # $options / $schemas / $manifests / $consumers family
+    assert spark.sql("SELECT value FROM ev__options WHERE key='bucket'"
+                     ).collect()[0].value == "2"
+    assert spark.sql("SELECT count(*) c FROM ev__schemas").collect()[0].c >= 1
+    assert spark.sql("SELECT count(*) c FROM ev__manifests").collect()[0].c >= 1
+    assert spark.sql("SELECT count(*) c FROM ev__consumers").collect()[0].c == 0
 
 
 def test_rescale_preserves_merge_semantics(spark, wh):

@@ -155,3 +155,26 @@ def test_transform_predicate_year_skipping(spark, wh):
     assert t.read(p2).count() == 2
     # soundness: never prunes a file that contains a match
     assert t.read(P.transform("year", "ge", "ts", 2025)).count() == 3
+
+
+def test_schema_change_extras(spark, wh):
+    """Nullability / comment / move / remove-option schema changes evolve
+    the schema id and keep reads correct (ref: SchemaChange.java:87-166)."""
+    from paimon_spark import Table
+    schema = T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType()),
+                           T.StructField("c", T.DoubleType())])
+    t = Table.create(f"{wh}/sce", schema, options={"k1": "v1"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "x", 0.5)], schema))
+    t.alter(lambda s: s.update_column_nullability("b", False))
+    t.alter(lambda s: s.update_column_comment("b", "the b column"))
+    t.alter(lambda s: s.move_column("c", "first"))
+    t.alter(lambda s: s.move_column("a", "after", after="c"))
+    t.alter(lambda s: s.remove_option("k1"))
+    t2 = Table.load(t.path, spark)
+    assert [f.name for f in t2.schema.struct.fields] == ["c", "a", "b"]
+    assert t2.schema.struct["b"].nullable is False
+    assert t2.schema.struct["b"].metadata.get("comment") == "the b column"
+    assert "k1" not in t2.schema.options
+    # old file still reads correctly (by field id) after the reorder
+    assert [tuple(r) for r in t2.read().collect()] == [(0.5, 1, "x")]
