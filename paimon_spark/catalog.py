@@ -62,3 +62,69 @@ class Catalog:
             t = self.get_table(f"{db}.{n}" if db else n)
             names += t.register_views(n, system_tables=system_tables)
         return names
+
+    # ------- function catalog (ref: CreateFunctionProcedure.java,
+    #         paimon-api/.../function/FunctionDefinition.java — we persist
+    #         the `sql` definition kind; `file`/JVM-lambda kinds are engine-
+    #         specific code shipping, out of scope for a PySpark engine) ----
+
+    def _fn_dir(self) -> str:
+        d = os.path.join(self.warehouse, "_functions")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _fn_path(self, name: str) -> str:
+        return os.path.join(self._fn_dir(), f"{name}.json")
+
+    def create_function(self, name: str, input_params: list[tuple[str, str]],
+                        return_type: str, definition: str,
+                        replace: bool = False) -> None:
+        """Persist a SQL scalar function: `input_params` = [(name, sqlType)],
+        `definition` = a SQL expression over the params. Registered into
+        Spark as a native SQL UDF (fully Catalyst-optimizable — inlined
+        into plans, no python round-trip)."""
+        import json
+        if not replace and os.path.exists(self._fn_path(name)):
+            raise FileExistsError(f"function {name} exists")
+        with open(self._fn_path(name), "w") as f:
+            json.dump({"name": name, "inputParams": list(map(list, input_params)),
+                       "returnType": return_type, "definition": definition,
+                       "kind": "sql"}, f, indent=2)
+        if self.spark is not None:
+            self._register_fn(self.spark, name)
+
+    def alter_function(self, name: str, definition: str) -> None:
+        import json
+        with open(self._fn_path(name)) as f:
+            d = json.load(f)
+        d["definition"] = definition
+        with open(self._fn_path(name), "w") as f:
+            json.dump(d, f, indent=2)
+        if self.spark is not None:
+            self._register_fn(self.spark, name)
+
+    def drop_function(self, name: str) -> None:
+        os.remove(self._fn_path(name))
+
+    def list_functions(self) -> list[str]:
+        try:
+            return sorted(n[:-len(".json")] for n in os.listdir(self._fn_dir())
+                          if n.endswith(".json"))
+        except FileNotFoundError:
+            return []
+
+    def _register_fn(self, spark: SparkSession, name: str) -> None:
+        import json
+        with open(self._fn_path(name)) as f:
+            d = json.load(f)
+        params = ", ".join(f"{p} {t}" for p, t in d["inputParams"])
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+                  f"RETURNS {d['returnType']} RETURN {d['definition']}")
+
+    def register_functions(self, spark: SparkSession | None = None) -> list[str]:
+        """Re-register every persisted function into the session."""
+        spark = spark or self.spark
+        out = self.list_functions()
+        for n in out:
+            self._register_fn(spark, n)
+        return out

@@ -471,6 +471,26 @@ def trigger_tag_automatic_creation(spark, table, **_):
     return name
 
 
+def create_function(spark, warehouse: str, name: str,
+                    input_params: list, return_type: str,
+                    definition: str, replace: bool = False, **_):
+    """(ref: CreateFunctionProcedure.java — SQL-definition kind)"""
+    from paimon_spark.catalog import Catalog
+    Catalog(warehouse, spark).create_function(
+        name, [tuple(p) for p in input_params], return_type, definition,
+        replace=replace)
+
+
+def alter_function(spark, warehouse: str, name: str, definition: str, **_):
+    from paimon_spark.catalog import Catalog
+    Catalog(warehouse, spark).alter_function(name, definition)
+
+
+def drop_function(spark, warehouse: str, name: str, **_):
+    from paimon_spark.catalog import Catalog
+    Catalog(warehouse, spark).drop_function(name)
+
+
 PROCEDURES = {
     "compact": compact,
     "compact_manifest": compact_manifest,
@@ -503,6 +523,9 @@ PROCEDURES = {
     "compact_database": compact_database,
     "remove_unexisting_files": remove_unexisting_files,
     "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
+    "create_function": create_function,
+    "alter_function": alter_function,
+    "drop_function": drop_function,
 }
 
 

@@ -168,3 +168,27 @@ def test_trigger_tag_automatic_creation(spark, wh):
     # none-mode tables do nothing
     t2 = _mk(spark, wh, "autotag_none", n_commits=1)
     assert call(spark, "trigger_tag_automatic_creation", table=t2) is None
+
+
+def test_function_catalog(spark, wh):
+    """Persisted SQL scalar functions, registered as native Spark SQL UDFs
+    (Catalyst-inlined, no Python round-trip).
+    (ref: CreateFunctionProcedure.java, FunctionDefinition.java sql kind)"""
+    from paimon_spark.catalog import Catalog
+    whf = f"{wh}/fnwh"
+    call(spark, "create_function", warehouse=whf, name="disc_price",
+         input_params=[("p", "DOUBLE"), ("d", "DOUBLE")],
+         return_type="DOUBLE", definition="p * (1 - d)")
+    assert spark.sql("SELECT disc_price(10.0, 0.1) AS v").collect()[0].v == 9.0
+    # persisted: a fresh Catalog re-registers it
+    cat = Catalog(whf, spark)
+    assert cat.list_functions() == ["disc_price"]
+    call(spark, "alter_function", warehouse=whf, name="disc_price",
+         definition="p * (1 - d) * 2")
+    assert spark.sql("SELECT disc_price(10.0, 0.1) AS v").collect()[0].v == 18.0
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        call(spark, "create_function", warehouse=whf, name="disc_price",
+             input_params=[("x", "INT")], return_type="INT", definition="x")
+    call(spark, "drop_function", warehouse=whf, name="disc_price")
+    assert cat.list_functions() == []
