@@ -938,6 +938,24 @@ def q22_idle_customers(spark, sf_dir):
                  F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal")))
 
 
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in ONE declarative plan:
+    language gate (en) → quality gate (score ≥ 0.3) → exact dedup (keep
+    lowest doc_id per content hash) → token/char stats on the survivors.
+    The whole pipeline is a single Catalyst DAG — one scan, one shuffle
+    (the dedup groupBy) — the shape a 100 TB corpus-cleaning job wants."""
+    docs = _read(spark, sf_dir, "documents")
+    gated = docs.filter((TX.lang_id(F.col("text")) == "en")
+                        & (TX.quality_score(F.col("text")) >= 0.3))
+    keep = (gated.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    survivors = keep.join(docs, "doc_id").select("doc_id", "text")
+    return survivors.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H q2 flavor: for each STANDARD size-15 part, the EUROPE
     supplier(s) with the minimum supply cost. The testdata has no partsupp
@@ -1094,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q20_excess_shipments": q20_excess_shipments,
         "topn_orders": topn_orders,
@@ -1605,6 +1624,18 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_shipdate
                                     > o_orderdate + INTERVAL 90 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "pipeline_clean_corpus": f"""
+            WITH gated AS (
+              SELECT doc_id, text FROM documents
+              WHERE {TX.sql_lang_id('text')} = 'en'
+                AND {TX.sql_quality('text')} >= 0.3),
+            keep AS (
+              SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+              FROM gated GROUP BY md5(text))
+            SELECT d.doc_id,
+                   CAST(len({TX.sql_tokens('d.text')}) AS BIGINT) AS n_tokens,
+                   CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM keep JOIN documents d ON keep.doc_id = d.doc_id""",
         "q2_min_cost_supplier": """
             WITH cost AS (
               SELECT l_partkey, l_suppkey,

@@ -17,7 +17,7 @@ FAST = [
     "text_langid", "ann_brute_topk", "window_user_ranks",
     "dedup_embedding_cosine", "ann_ivf_topk", "q21_waiting_suppliers",
     "rollup_pricing", "multimodal_bytes_meta", "q2_min_cost_supplier",
-    "q20_excess_shipments",
+    "q20_excess_shipments", "pipeline_clean_corpus",
 ]
 
 
