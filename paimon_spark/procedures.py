@@ -523,6 +523,10 @@ PROCEDURES = {
     "compact_database": compact_database,
     "remove_unexisting_files": remove_unexisting_files,
     "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
+    "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=16, **_:
+        _t(table).with_spark(spark).create_vector_index(vec_col, id_col, n_centroids),
+    "drop_global_index": lambda spark, table, vec_col="embedding", **_:
+        _t(table).with_spark(spark).drop_vector_index(vec_col),
     "create_function": create_function,
     "alter_function": alter_function,
     "drop_function": drop_function,

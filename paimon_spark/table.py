@@ -853,6 +853,10 @@ class Table:
             if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag",
                                         "branch", ".staging"):
                 continue
+            # the vector index is a rebuildable sidecar managed by
+            # create/drop_vector_index, not manifest-tracked — skip it
+            if rel.startswith(os.path.join("index", "vector")):
+                continue
             for fn in files:
                 rp = os.path.normpath(os.path.join(rel, fn))
                 prunable = (fn.endswith(".parquet")
@@ -1009,18 +1013,101 @@ class Table:
         2^planes)."""
         from paimon_spark.functions import similarity as S
 
-        df = self.read()
         qcol = F.array(*[F.lit(float(x)) for x in query])
+        if method == "ivf":
+            # persisted-index path: probe the nprobe nearest inverted lists
+            # — centroid ranking is driver-side pure python (C ≪ N), the
+            # cluster filter partition-prunes the index parquet, and only
+            # ~nprobe/C of the vectors are scored
+            meta = self.vector_index_meta(vec_col)
+            if meta is None or meta.get("snapshot_id") != \
+                    self.paths.latest_snapshot_id():
+                # missing/stale index (table advanced past it): exact scan
+                # keeps results correct; rebuild with create_vector_index
+                return self.vector_search(query, k, vec_col, "brute")
+            import math
+            def _cos(a, b):
+                d = sum(x * y for x, y in zip(a, b))
+                na = math.sqrt(sum(x * x for x in a))
+                nb = math.sqrt(sum(x * x for x in b))
+                return d / (na * nb) if na and nb else 0.0
+            ranked = sorted(enumerate(meta["centroids"]),
+                            key=lambda ic: -_cos(query, ic[1]))
+            probes = [i for i, _ in ranked[:max(2, len(ranked) // 8)]]
+            inv = (self.spark.read.parquet(self._vector_index_dir(vec_col))
+                   .filter(F.col("cluster").isin(probes)))
+            topk = (inv.withColumn("_score", S.cosine(F.col("vec"), qcol))
+                    .orderBy(F.desc("_score")).limit(k)
+                    .select(F.col("id").alias(meta["id_col"]), "_score"))
+            return (self.read().join(F.broadcast(topk), meta["id_col"])
+                    .orderBy(F.desc("_score")).limit(k))
+        df = self.read()
         if method == "lsh":
             n_planes, dim = 4, len(query)
             df = df.filter(
                 S.lsh_bucket(F.col(vec_col), n_planes, dim)
                 == S.lsh_bucket(qcol, n_planes, dim))
         elif method != "brute":
-            raise ValueError("method must be 'brute' or 'lsh'")
+            raise ValueError("method must be 'brute', 'lsh', or 'ivf'")
         return (df.withColumn("_score", S.cosine(F.col(vec_col), qcol))
                 .orderBy(F.desc("_score"))
                 .limit(k))
+
+    # ------- persisted vector index (≈ CreateGlobalIndexProcedure +
+    #         VectorSearchTable's index-backed path) -------
+
+    def _vector_index_dir(self, vec_col: str) -> str:
+        return os.path.join(self.path, "index", "vector", vec_col)
+
+    def create_vector_index(self, vec_col: str = "embedding",
+                            id_col: str | None = None,
+                            n_centroids: int = 16) -> int:
+        """Build and persist an IVF index: rows are assigned to their
+        nearest-centroid inverted list and written PARTITIONED BY cluster,
+        so a search reads only the probed lists via partition pruning —
+        index once, prune every query (the 100 TB path; rebuilding is one
+        broadcast-join pass over the table).
+        (ref: procedure/CreateGlobalIndexProcedure.java,
+        table/VectorSearchTable.java — the reference's global vector index
+        serves the same touch-nprobe/C-of-the-data contract.)"""
+        from paimon_spark.functions.similarity import cosine
+
+        from pyspark.sql import Window
+
+        id_col = id_col or self.schema.field_names[0]
+        df = self.read(projection=[id_col, vec_col])
+        cent_rows = (df.orderBy(id_col).limit(n_centroids).collect())
+        centroids = [[float(x) for x in r[1]] for r in cent_rows]
+        cents = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            f"__cid int, __cv array<double>")
+        assigned = (df.crossJoin(F.broadcast(cents))
+                    .withColumn("__sim", F.round(
+                        cosine(F.col(vec_col), F.col("__cv")), 6)))
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+        inv = (assigned.withColumn("__r", F.row_number().over(w))
+               .filter(F.col("__r") == 1)
+               .select(F.col("__cid").alias("cluster"),
+                       F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+        out = self._vector_index_dir(vec_col)
+        shutil.rmtree(out, ignore_errors=True)
+        inv.write.partitionBy("cluster").parquet(out)
+        with open(os.path.join(out, "_meta.json"), "w") as f:
+            json.dump({"vec_col": vec_col, "id_col": id_col,
+                       "n_centroids": n_centroids, "centroids": centroids,
+                       "snapshot_id": self.paths.latest_snapshot_id()}, f)
+        return n_centroids
+
+    def drop_vector_index(self, vec_col: str = "embedding") -> None:
+        shutil.rmtree(self._vector_index_dir(vec_col), ignore_errors=True)
+
+    def vector_index_meta(self, vec_col: str = "embedding") -> dict | None:
+        try:
+            with open(os.path.join(self._vector_index_dir(vec_col),
+                                   "_meta.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def full_text_search(self, query: str, k: int = 10,
                          text_col: str = "text") -> DataFrame:

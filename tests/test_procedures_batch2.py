@@ -192,3 +192,45 @@ def test_function_catalog(spark, wh):
              input_params=[("x", "INT")], return_type="INT", definition="x")
     call(spark, "drop_function", warehouse=whf, name="disc_price")
     assert cat.list_functions() == []
+
+
+def test_persisted_vector_index(spark, wh):
+    """IVF index persisted under index/vector/<col>, partition-pruned at
+    query time; stale index falls back to the exact scan.
+    (ref: CreateGlobalIndexProcedure.java, VectorSearchTable.java)"""
+    import os as _os
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    t = Table.create(f"{wh}/vidx", sch, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    call(spark, "create_global_index", table=t, vec_col="embedding",
+         id_col="vid", n_centroids=8)
+    meta = t.vector_index_meta("embedding")
+    assert meta and meta["n_centroids"] == 8
+    assert _os.path.isdir(f"{t.path}/index/vector/embedding/cluster=0")
+    q = rows[17][1]
+    got = [r.vid for r in t.vector_search(q, k=3, method="ivf").collect()]
+    assert got[0] == 17                       # self is its own nearest
+    # brute agrees on the top hit
+    brute = [r.vid for r in t.vector_search(q, k=3, method="brute").collect()]
+    assert brute[0] == 17
+    # stale: new commit → falls back to exact scan (still correct)
+    t.append(spark.createDataFrame([(999, rows[17][1])], sch))
+    got2 = [r.vid for r in t.vector_search(q, k=2, method="ivf").collect()]
+    assert set(got2) == {17, 999}
+    call(spark, "drop_global_index", table=t, vec_col="embedding")
+    assert t.vector_index_meta("embedding") is None
+
+
+def test_remove_orphans_spares_vector_index(spark, wh):
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    t = Table.create(f"{wh}/vidx_gc", sch, spark=spark)
+    t.append(spark.createDataFrame([(i, [float(i), 1.0]) for i in range(20)], sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=2)
+    t.remove_orphan_files()
+    assert t.vector_index_meta("embedding") is not None
+    assert [r.vid for r in t.vector_search([19.0, 1.0], k=1, method="ivf").collect()] == [19]
