@@ -471,6 +471,63 @@ def trigger_tag_automatic_creation(spark, table, **_):
     return name
 
 
+def copy_files(spark, source_table, target_table: str,
+               where: str | None = None, **_):
+    """Clone a table: copy schema and commit the source's live data files
+    (optionally filtered by a partition predicate) into a fresh table at
+    `target_table` — hard links where possible, no data rewrite.
+    (ref: CopyFilesProcedure.java)"""
+    src = _t(source_table).with_spark(spark)
+    latest = src.paths.latest_snapshot()
+    tgt = Table.create(target_table, src.schema.struct,
+                       partition_keys=list(src.schema.partition_keys),
+                       primary_keys=list(src.schema.primary_keys),
+                       options=dict(src.schema.options), spark=spark)
+    if latest is None:
+        return 0
+    entries = src.paths.live_entries(latest)
+    if where is not None and src.schema.partition_keys:
+        # evaluate the partition predicate with Spark over the distinct
+        # partition values (stored as raw strings)
+        parts = sorted({tuple(sorted(e.partition.items())) for e in entries})
+        pdf = spark.createDataFrame([dict(p) for p in parts])
+        keep = {tuple(sorted(r.asDict().items()))
+                for r in pdf.filter(where).collect()}
+        entries = [e for e in entries
+                   if tuple(sorted(e.partition.items())) in keep]
+    src_abs = os.path.abspath(src.path)
+    dst_abs = os.path.abspath(target_table)
+    adds = []
+    for e in entries:
+        # data file + DV / index sidecars all travel with the clone
+        # (dropping a DV would resurrect deleted rows)
+        for rel in filter(None, (e.file_path, e.dv_path, e.index_path)):
+            dest = os.path.join(target_table, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if os.path.exists(dest):
+                continue
+            srcf = os.path.join(src.path, rel)
+            if rel == e.dv_path:
+                # DV rows reference ABSOLUTE data-file URIs of the source
+                # table — rewrite them to the clone's root
+                import pyarrow as pa
+                import pyarrow.parquet as _pq
+                tbl = _pq.read_table(srcf)
+                fp = pa.compute.replace_substring(
+                    tbl.column("file_path"), src_abs, dst_abs)
+                _pq.write_table(tbl.set_column(
+                    tbl.schema.get_field_index("file_path"), "file_path", fp),
+                    dest)
+                continue
+            try:
+                os.link(srcf, dest)
+            except OSError:
+                shutil.copy2(srcf, dest)
+        adds.append(FileEntry(**{**e.__dict__, "kind": ADD}))
+    tgt.writer().commit(adds, COMMIT_APPEND)
+    return len(adds)
+
+
 def create_function(spark, warehouse: str, name: str,
                     input_params: list, return_type: str,
                     definition: str, replace: bool = False, **_):
@@ -523,6 +580,7 @@ PROCEDURES = {
     "compact_database": compact_database,
     "remove_unexisting_files": remove_unexisting_files,
     "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
+    "copy_files": copy_files,
     "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=16, **_:
         _t(table).with_spark(spark).create_vector_index(vec_col, id_col, n_centroids),
     "drop_global_index": lambda spark, table, vec_col="embedding", **_:

@@ -234,3 +234,28 @@ def test_remove_orphans_spares_vector_index(spark, wh):
     t.remove_orphan_files()
     assert t.vector_index_meta("embedding") is not None
     assert [r.vid for r in t.vector_search([19.0, 1.0], k=1, method="ivf").collect()] == [19]
+
+
+def test_copy_files_clones_table(spark, wh):
+    """Clone with partition filter; DV sidecars travel so deletes hold.
+    (ref: CopyFilesProcedure.java)"""
+    from paimon_spark import P
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("p", T.StringType()),
+                        T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/cf_src", sch, partition_keys=["p"],
+                     options={"deletion-vectors.enabled": "true"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(20)], sch))
+    t.delete_where(P.lt("k", 4))          # DV-masked rows
+    n = call(spark, "copy_files", source_table=t, target_table=f"{wh}/cf_all")
+    assert n > 0
+    clone = Table.load(f"{wh}/cf_all", spark)
+    assert {tuple(r) for r in clone.read().collect()} == \
+           {tuple(r) for r in t.read().collect()}
+    # filtered clone: only partition b
+    call(spark, "copy_files", source_table=t, target_table=f"{wh}/cf_b",
+         where="p = 'b'")
+    got = Table.load(f"{wh}/cf_b", spark).read()
+    assert got.count() == t.read(P.eq("p", "b")).count()
+    assert {r.p for r in got.collect()} == {"b"}
