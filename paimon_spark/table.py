@@ -887,11 +887,15 @@ class Table:
             out.extend(e for e in self.paths.read_manifest(m) if e.kind == ADD)
         return out
 
-    def read_incremental(self, from_snapshot: int, to_snapshot: int,
+    def read_incremental(self, from_snapshot: int | str, to_snapshot: int | str,
                          with_kind: bool = True) -> DataFrame:
-        """Rows added between two snapshots (changelog for PK tables with
-        changelog-producer=input). (ref: PaimonTableValuedFunctions.scala:56-67
-        paimon_incremental_query)"""
+        """Rows added between two snapshots — bounds may be snapshot ids OR
+        tag names (the reference TVF accepts both).
+        (ref: PaimonTableValuedFunctions.scala:56-67 paimon_incremental_query)"""
+        if isinstance(from_snapshot, str):
+            from_snapshot = self.paths.read_tag(from_snapshot)
+        if isinstance(to_snapshot, str):
+            to_snapshot = self.paths.read_tag(to_snapshot)
         entries = [e for e in self.delta_entries(from_snapshot, to_snapshot)
                    if e.level == 0 or not self.schema.is_pk_table]
         if not entries:

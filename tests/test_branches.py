@@ -110,3 +110,18 @@ def test_fallback_branch_read(spark, wh):
     # predicates still push through both branches
     assert {(r.dt, r.v) for r in t3.read(P.eq("dt", "d2")).collect()} == {("d2", 2)}
     assert t3.read(P.eq("dt", "d1")).collect()[0].v == 100
+
+
+def test_read_incremental_between_tags(spark, wh):
+    """The incremental TVF accepts tag names for both bounds
+    (ref: paimon_incremental_query('t','tag1','tag2'))."""
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/inc_tags", sch, spark=spark)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, f"c{i}")], sch))
+    t.create_tag("t1", 1)
+    t.create_tag("t2", 3)
+    got = sorted(r.k for r in t.read_incremental("t1", "t2").collect())
+    assert got == [1, 2]
