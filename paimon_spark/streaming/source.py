@@ -164,7 +164,23 @@ def stream_to(table: Table, sink: Callable[[DataFrame, int], None],
             time.sleep(poll_interval_s)
 
 
-def write_stream_to_table(batch_df: DataFrame, table: Table):
-    """Streaming sink body: idempotent-enough micro-batch append (pair with
-    Spark checkpoint / consumer file for exactly-once)."""
-    table.append(batch_df)
+def write_stream_to_table(batch_df: DataFrame, table: Table,
+                          batch_id: int | None = None,
+                          commit_user: str = "stream"):
+    """Streaming sink body for foreachBatch. With `batch_id`, the commit is
+    EXACTLY-ONCE: the (commit_user, batch_id) pair is stored as the
+    snapshot's commitIdentifier and a replayed batch (restart between a
+    successful commit and the checkpoint write) is skipped.
+    (ref: PaimonSink.scala:31 + FileStoreCommitImpl filterCommitted —
+    recovery drops already-committed identifiers)"""
+    from paimon_spark.writer import BatchWriter
+    if batch_id is not None:
+        for n in os.listdir(table.paths.snapshot_dir):
+            if not (n.startswith("snapshot-") and n.endswith(".json")):
+                continue
+            s = table.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
+            if s.commit_user == commit_user and s.commit_identifier == batch_id:
+                return None          # replay of an already-committed batch
+        w = BatchWriter(table, commit_user=commit_user)
+        return w.commit(w.stage(batch_df), commit_identifier=batch_id)
+    return table.append(batch_df)

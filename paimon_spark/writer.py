@@ -324,7 +324,8 @@ class BatchWriter:
     # ---------------- commit ----------------
 
     def commit(self, entries: list[FileEntry], kind: str = COMMIT_APPEND,
-               max_retries: int = 20) -> Snapshot:
+               max_retries: int = 20,
+               commit_identifier: int | None = None) -> Snapshot:
         """Optimistic commit: write manifest once, retry snapshot id on race.
         (ref: FileStoreCommitImpl.java:359-397)"""
         if not entries:
@@ -406,7 +407,9 @@ class BatchWriter:
                                                            fmt=mfmt)]
             snap = Snapshot(
                 id=sid, schema_id=self.schema.schema_id, commit_kind=kind,
-                commit_user=self.commit_user, commit_identifier=sid,
+                commit_user=self.commit_user,
+                commit_identifier=(commit_identifier
+                                   if commit_identifier is not None else sid),
                 timestamp_ms=int(time.time() * 1000),
                 manifests=new_manifests,
                 total_record_count=total + added - deleted,

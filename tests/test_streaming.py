@@ -227,3 +227,20 @@ def test_apply_in_pandas_with_state_over_stream(spark, wh, tmp_path):
              spark.sql(f"SELECT k, max(cnt) AS cnt FROM {sink} GROUP BY k")
              .collect()}
     assert final == {1: 3, 2: 1, 3: 1}
+
+
+def test_exactly_once_sink_skips_replayed_batch(spark, wh):
+    """foreachBatch sink with batch_id: a replayed (commit_user, batch_id)
+    pair is a no-op, so restart-between-commit-and-checkpoint cannot
+    double-write. (ref: FileStoreCommitImpl filterCommitted)"""
+    from paimon_spark.streaming.source import write_stream_to_table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/eo_sink", sch, spark=spark)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], sch)
+    assert write_stream_to_table(b0, t, batch_id=0) is not None
+    assert write_stream_to_table(b0, t, batch_id=0) is None   # replay
+    assert t.read().count() == 2
+    b1 = spark.createDataFrame([(3, "c")], sch)
+    write_stream_to_table(b1, t, batch_id=1)
+    assert t.read().count() == 3
