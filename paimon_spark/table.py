@@ -1121,6 +1121,49 @@ class Table:
         from paimon_spark.functions.text import bm25_search
         return bm25_search(self.read(), query, k, text_col)
 
+    def hybrid_search(self, text_query: str, vector_query: list[float],
+                      k: int = 10, id_col: str | None = None,
+                      text_col: str = "text", vec_col: str = "embedding",
+                      text_weight: float = 0.5, vector_weight: float = 0.5,
+                      route_limit: int | None = None,
+                      vector_method: str = "brute") -> DataFrame:
+        """Hybrid retrieval ≈ HybridSearchTable (ref: table/
+        HybridSearchTable.java, source/HybridSearchBuilder.java — weighted
+        full-text + vector routes merged): run BM25 and cosine routes to
+        `route_limit`, fuse with weighted Reciprocal-Rank-Fusion
+        (w/(60+rank) — scale-free, so BM25 and cosine magnitudes never
+        need cross-normalizing), return top-k table rows with `_score`.
+        Each route is the already-scale-shaped operator (TakeOrdered
+        top-k); the fusion joins two k-row DataFrames — driver-light."""
+        from pyspark.sql import Window
+
+        id_col = id_col or self.schema.field_names[0]
+        route_limit = route_limit or max(4 * k, 20)
+        rrf_k = 60.0
+
+        def _route(df, w):
+            win = Window.orderBy(F.desc("_score"), F.asc(id_col))
+            return (df.select(id_col, "_score")
+                    .withColumn("__rrf",
+                                F.lit(w) / (F.lit(rrf_k)
+                                            + F.row_number().over(win)))
+                    .select(id_col, "__rrf"))
+
+        ft = _route(self.full_text_search(text_query, route_limit, text_col),
+                    text_weight)
+        # non-positive cosine = not a match (mirrors BM25's score>0 gate)
+        vs = _route(self.vector_search(vector_query, route_limit, vec_col,
+                                       vector_method)
+                    .filter(F.col("_score") > 0), vector_weight)
+        fused = (ft.withColumnRenamed("__rrf", "__a")
+                 .join(vs.withColumnRenamed("__rrf", "__b"), id_col, "full_outer")
+                 .select(id_col,
+                         (F.coalesce(F.col("__a"), F.lit(0.0))
+                          + F.coalesce(F.col("__b"), F.lit(0.0))).alias("_score"))
+                 .orderBy(F.desc("_score"), F.asc(id_col)).limit(k))
+        return (self.read().join(F.broadcast(fused), id_col)
+                .orderBy(F.desc("_score"), F.asc(id_col)))
+
     # ---------------- SQL surface ----------------
 
     def register_views(self, name: str,

@@ -333,3 +333,28 @@ def test_hilbert_sort_compact(spark, wh):
     assert t.read().count() == 5000
     got = t.read(P.eq("x", 5) & P.eq("y", 5)).count()
     assert got == sum(1 for x, y, _v in rows if x == 5 and y == 5)
+
+
+def test_hybrid_search_fuses_routes(spark, wh):
+    """Weighted-RRF fusion of BM25 + cosine routes ≈ HybridSearchTable.
+    A doc strong on BOTH routes beats docs strong on only one."""
+    rows = [
+        (1, "spark engine for data", [1.0, 0.0, 0.0]),
+        (2, "the spark spark engine", [0.9, 0.1, 0.0]),   # strong both
+        (3, "a cat sat on the mat",  [0.95, 0.05, 0.0]),  # vector-only
+        (4, "spark spark spark spark engine engine", [0.0, 1.0, 0.0]),  # text-only
+    ]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    t = Table.create(f"{wh}/hybrid", schema, spark=spark)
+    t.append(spark.createDataFrame(rows, schema))
+    top = t.hybrid_search("spark engine", [1.0, 0.0, 0.0], k=4,
+                          id_col="id").collect()
+    # docs strong on BOTH routes (1, 2) outrank single-route docs (3, 4)
+    assert {r.id for r in top[:2]} == {1, 2}
+    assert all(top[i]._score >= top[i + 1]._score for i in range(len(top) - 1))
+    # weights steer the fusion: all-vector weight ranks pure-vector doc first
+    vtop = t.hybrid_search("spark engine", [1.0, 0.0, 0.0], k=1, id_col="id",
+                           text_weight=0.0, vector_weight=1.0).collect()
+    assert vtop[0].id == 1
