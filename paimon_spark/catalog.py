@@ -63,6 +63,68 @@ class Catalog:
             names += t.register_views(n, system_tables=system_tables)
         return names
 
+    # ------- view catalog (ref: view/ in paimon-core — persisted SQL
+    #         views with per-engine dialects; AlterViewDialectProcedure) ----
+
+    def _view_dir(self) -> str:
+        d = os.path.join(self.warehouse, "_views")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _view_path(self, name: str) -> str:
+        return os.path.join(self._view_dir(), f"{name}.json")
+
+    def create_view(self, name: str, query: str, dialect: str = "spark",
+                    replace: bool = False) -> None:
+        """Persist a named SQL view. `dialect` keys alternate SQL texts for
+        other engines (the reference's view dialects); `spark` is what
+        `register_sql_views` executes."""
+        import json
+        existing = {}
+        if os.path.exists(self._view_path(name)):
+            if not replace:
+                raise FileExistsError(f"view {name} exists")
+            with open(self._view_path(name)) as f:
+                existing = json.load(f).get("dialects", {})
+        existing[dialect] = query
+        with open(self._view_path(name), "w") as f:
+            json.dump({"name": name, "dialects": existing}, f, indent=2)
+
+    def alter_view_dialect(self, name: str, dialect: str, query: str) -> None:
+        """(ref: AlterViewDialectProcedure.java)"""
+        if not os.path.exists(self._view_path(name)):
+            raise FileNotFoundError(f"view {name} doesn't exist")
+        self.create_view(name, query, dialect, replace=True)
+
+    def drop_view(self, name: str) -> None:
+        os.remove(self._view_path(name))
+
+    def list_views(self) -> list[str]:
+        try:
+            return sorted(n[:-len(".json")] for n in os.listdir(self._view_dir())
+                          if n.endswith(".json"))
+        except FileNotFoundError:
+            return []
+
+    def view_sql(self, name: str, dialect: str = "spark") -> str:
+        import json
+        with open(self._view_path(name)) as f:
+            return json.load(f)["dialects"][dialect]
+
+    def register_sql_views(self, spark: SparkSession | None = None) -> list[str]:
+        """Register every persisted view's spark dialect as a temp view.
+        Call after `register_views()` so base tables resolve."""
+        spark = spark or self.spark
+        out = []
+        for n in self.list_views():
+            try:
+                sql = self.view_sql(n)
+            except KeyError:
+                continue          # no spark dialect for this view
+            spark.sql(sql).createOrReplaceTempView(n)
+            out.append(n)
+        return out
+
     # ------- function catalog (ref: CreateFunctionProcedure.java,
     #         paimon-api/.../function/FunctionDefinition.java — we persist
     #         the `sql` definition kind; `file`/JVM-lambda kinds are engine-

@@ -259,3 +259,23 @@ def test_copy_files_clones_table(spark, wh):
     got = Table.load(f"{wh}/cf_b", spark).read()
     assert got.count() == t.read(P.eq("p", "b")).count()
     assert {r.p for r in got.collect()} == {"b"}
+
+
+def test_view_catalog(spark, wh):
+    """Persisted SQL views with per-engine dialects.
+    (ref: view catalog + AlterViewDialectProcedure.java)"""
+    from paimon_spark.catalog import Catalog
+    cat = Catalog(f"{wh}/vwh", spark)
+    t = cat.create_table("base", SCHEMA)
+    t.append(spark.createDataFrame([(i, "x") for i in range(10)], SCHEMA))
+    cat.register_views()
+    cat.create_view("big_k", "SELECT k FROM base WHERE k >= 5")
+    cat.alter_view_dialect("big_k", "duckdb",
+                           "SELECT k FROM base WHERE k >= 5")
+    assert cat.register_sql_views() == ["big_k"]
+    assert spark.sql("SELECT count(*) c FROM big_k").collect()[0].c == 5
+    assert "WHERE k >= 5" in cat.view_sql("big_k", "duckdb")
+    with pytest.raises(FileExistsError):
+        cat.create_view("big_k", "SELECT 1")
+    cat.drop_view("big_k")
+    assert cat.list_views() == []
