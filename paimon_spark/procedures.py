@@ -471,6 +471,38 @@ def trigger_tag_automatic_creation(spark, table, **_):
     return name
 
 
+def repair(spark, table, **_):
+    """Re-sync table metadata with the filesystem: recreate missing
+    metadata dirs and fix the LATEST hint if it drifted from the actual
+    newest snapshot file. (ref: RepairProcedure.java → Catalog.repairTable
+    — ours is a filesystem catalog, so repair = hint/dir consistency.)"""
+    t = _t(table)
+    t.paths.ensure()
+    snaps = _snapshots_sorted(t)
+    if snaps:
+        t.paths.write_latest_hint(snaps[-1].id)
+    return True
+
+
+def repair_earliest_snapshot(spark, table, snapshot: int, **_):
+    """Make `snapshot` the earliest retained snapshot by deleting all
+    earlier snapshot files; returns the previous earliest.
+    (ref: RepairEarliestSnapshotProcedure.java →
+    SnapshotManager.repairEarliestSnapshot:279)"""
+    t = _t(table)
+    snaps = _snapshots_sorted(t)
+    if not snaps:
+        raise ValueError("cannot repair earliest snapshot for an empty table")
+    previous, latest = snaps[0].id, snaps[-1].id
+    if not previous <= snapshot <= latest:
+        raise ValueError(f"snapshot {snapshot} must be within "
+                         f"[{previous}, {latest}]")
+    for s in snaps:
+        if s.id < snapshot:
+            os.remove(t.paths.snapshot_file(s.id))
+    return previous
+
+
 def copy_files(spark, source_table, target_table: str,
                where: str | None = None, **_):
     """Clone a table: copy schema and commit the source's live data files
@@ -581,6 +613,8 @@ PROCEDURES = {
     "remove_unexisting_files": remove_unexisting_files,
     "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
     "copy_files": copy_files,
+    "repair": repair,
+    "repair_earliest_snapshot": repair_earliest_snapshot,
     "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=16, **_:
         _t(table).with_spark(spark).create_vector_index(vec_col, id_col, n_centroids),
     "drop_global_index": lambda spark, table, vec_col="embedding", **_:

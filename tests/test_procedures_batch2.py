@@ -279,3 +279,17 @@ def test_view_catalog(spark, wh):
         cat.create_view("big_k", "SELECT 1")
     cat.drop_view("big_k")
     assert cat.list_views() == []
+
+
+def test_repair_and_repair_earliest_snapshot(spark, wh):
+    t = _mk(spark, wh, "repair2")
+    # drift the LATEST hint, then repair fixes it
+    t.paths.write_latest_hint(1)
+    assert call(spark, "repair", table=t) is True
+    assert t.paths.latest_snapshot_id() == 3
+    prev = call(spark, "repair_earliest_snapshot", table=t, snapshot=2)
+    assert prev == 1
+    assert not os.path.exists(t.paths.snapshot_file(1))
+    assert t.read().count() == 15            # latest state unaffected
+    with pytest.raises(ValueError):
+        call(spark, "repair_earliest_snapshot", table=t, snapshot=99)
