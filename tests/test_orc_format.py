@@ -87,3 +87,17 @@ def test_orc_python_datasource_batch_read(spark, wh):
                                    SCHEMA))
     df = spark.read.format("paimon").option("path", t.path).load()
     assert sorted(r.k for r in df.select("k").collect()) == list(range(10))
+
+
+def test_orc_schema_evolution_reads_old_files(spark, wh):
+    """Field-id mapping at read works for ORC files too (rename + widen +
+    add after files were written)."""
+    t = Table.create(f"{wh}/orc_evo", SCHEMA,
+                     options={"file.format": "orc"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a", 1.5)], SCHEMA))
+    t.alter(lambda s: s.rename_column("v", "v2"))
+    t.alter(lambda s: s.add_column("extra", T.LongType()))
+    t2 = Table.load(t.path, spark)
+    t2.append(spark.createDataFrame([(2, "b", 2.5, 9)], t2.schema.struct))
+    got = sorted(tuple(r) for r in t2.read().collect())
+    assert got == [(1, "a", 1.5, None), (2, "b", 2.5, 9)]
