@@ -117,3 +117,31 @@ def test_lsh_topk_recall_vs_brute(spark):
               for r in SIM.lsh_topk(emb, [0, 1, 2], k=5, n_planes=2).collect()}
     # 2 planes → 4 big buckets → decent recall on 100 vectors
     assert len(brute & approx) >= len(brute) * 0.3
+
+
+def test_cdc_computed_columns(spark):
+    """Name→expression vocabulary of the reference's CDC computed columns
+    (ref: paimon-flink-cdc/.../Expression.java:65-150)."""
+    import datetime as dt
+    from paimon_spark.functions.cdc import computed_column as cc
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 7, 8, 9), "Hello World ", 1234)],
+        "ts timestamp, s string, n long")
+    row = df.select(
+        cc("year", "ts").alias("y"), cc("month", "ts").alias("mo"),
+        cc("day", "ts").alias("d"), cc("hour", "ts").alias("h"),
+        cc("minute", "ts").alias("mi"), cc("second", "ts").alias("se"),
+        cc("date_format", "ts", "yyyy-MM-dd").alias("df"),
+        cc("substring", "s", "0", "5").alias("sub"),
+        cc("truncate", "n", "100").alias("tr"),
+        cc("cast", "n", "string").alias("ca"),
+        cc("upper", "s").alias("up"), cc("lower", "s").alias("lo"),
+        cc("trim", "s").alias("t")).collect()[0]
+    assert (row.y, row.mo, row.d, row.h, row.mi, row.se) == (2024, 3, 5, 7, 8, 9)
+    assert row.df == "2024-03-05" and row.sub == "Hello"
+    assert row.tr == 1200 and row.ca == "1234"
+    assert row.up == "HELLO WORLD " and row.lo == "hello world "
+    assert row.t == "Hello World"
+    import pytest as _p
+    with _p.raises(ValueError):
+        cc("nope", "s")
