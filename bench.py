@@ -34,6 +34,9 @@ def main():
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+        # queries are independent: drop persisted intermediates (LSH/IVF
+        # signature caches) so they can't pile up GC pressure on later ones
+        spark.catalog.clearCache()
 
     # plain spark.read.parquet baseline for the scan-heavy queries —
     # BASELINE.json's anchor is "within 2x of raw parquet on this machine"
