@@ -94,3 +94,59 @@ def test_random_roundtrip_with_rescale(spark, wh):
     got = {(r["dt"], r["shop"], r["order_id"]): (r["item"], r["comment"])
            for r in t.read().collect()}
     assert got == model
+
+
+def test_random_merge_map_with_keytime_vs_model(spark, wh):
+    """Seeded random map-merge batches replayed against the reference
+    algorithm in pure Python (ref: FieldMergeMapWithKeyTimeAgg.agg)."""
+    rng = random.Random(7)
+    val = T.StructType([T.StructField("v", T.LongType()),
+                        T.StructField("ts", T.StringType())])
+    sch = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), val)),
+        T.StructField("seq", T.LongType()),
+    ])
+    t = Table.create(
+        f"{wh}/rand_mmkt", sch, primary_keys=["pk"],
+        options={"bucket": "2", "merge-engine": "aggregation",
+                 "sequence.field": "seq",
+                 "fields.m.aggregate-function": "merge_map_with_keytime",
+                 "fields.seq.aggregate-function": "max"}, spark=spark)
+
+    model: dict[int, dict] = {}
+    seq = 0
+    for _batch in range(4):
+        rows = []
+        for _ in range(30):
+            seq += 1
+            pk = rng.randrange(8)
+            m = {}
+            for key in rng.sample("abcdef", rng.randrange(1, 4)):
+                if rng.random() < 0.15:
+                    m[key] = None                          # remove marker
+                elif rng.random() < 0.15:
+                    m[key] = {"v": seq, "ts": None}        # skipped
+                else:
+                    m[key] = {"v": seq,
+                              "ts": f"2024-01-{rng.randrange(1, 29):02d}"}
+            rows.append((pk, m, seq))
+        # replay the reference merge rule on the model, in seq order
+        for pk, m, s in sorted(rows, key=lambda r: r[2]):
+            acc = model.setdefault(pk, {})
+            for key, new in m.items():
+                if new is None:
+                    acc.pop(key, None)
+                    continue
+                if new["ts"] is None:
+                    continue
+                old = acc.get(key)
+                if old is None or old["ts"] is None or new["ts"] > old["ts"]:
+                    acc[key] = new
+        t.append(spark.createDataFrame(rows, sch))
+
+    got = {r.pk: {k: (dict(v.asDict()) if v is not None else None)
+                  for k, v in (r.m or {}).items()}
+           for r in t.read().collect()}
+    for pk, acc in model.items():
+        assert got.get(pk) == acc, f"pk {pk}: {got.get(pk)} != {acc}"
