@@ -20,8 +20,13 @@ exists for API completeness and delegates to the same manifest planning.
 
 from __future__ import annotations
 
+import os
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition,
+    DataSource, DataSourceArrowWriter, DataSourceReader,
+    DataSourceStreamReader, InputPartition, WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -256,6 +261,79 @@ class PaimonDataSource(DataSource):
 
     def streamReader(self, schema):
         return PaimonStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        return PaimonBatchWriter(self.options, schema, overwrite)
+
+
+@dataclass
+class _FileCommitMessage(WriterCommitMessage):
+    file: str | None = None
+
+
+class PaimonBatchWriter(DataSourceArrowWriter):
+    """`df.write.format("paimon").mode("append"|"overwrite").save()` for
+    APPEND tables: executor tasks stream their partition to staged parquet
+    (Arrow, no driver data transfer); the driver adopts the staged files
+    with footer stats and commits one snapshot — the same distributed
+    write shape as PaimonSparkWriter.scala (tasks write / driver commits).
+    PK tables raise: the Python DataSource writer API cannot request a
+    bucket distribution (no requiredDistribution hook), so bucketed writes
+    go through `Table.append`, which repartitions first."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.options = options
+        self.schema = schema
+        self.overwrite = overwrite
+        t = _load_table(options)
+        if t.schema.is_pk_table:
+            raise ValueError(
+                "format('paimon') writes support append-only tables; "
+                "use Table.append for primary-key tables (bucketing needs "
+                "a repartition the DataSource writer API can't request)")
+        if t.schema.partition_keys:
+            raise ValueError(
+                "format('paimon') writes support unpartitioned tables; "
+                "use Table.append for partitioned tables")
+        self.table_path = t.path
+        self.staging = os.path.join(t.path, ".staging",
+                                    f"dsv2-{uuid.uuid4().hex}")
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator):
+        # iterator of pyarrow RecordBatches (DataSourceArrowWriter) — the
+        # task's rows never materialize as Python objects
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        batches = [b for b in iterator if b.num_rows]
+        fn = None
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            fn = f"part-{uuid.uuid4().hex}.parquet"
+            pq_.write_table(tbl, os.path.join(self.staging, fn))
+        return _FileCommitMessage(fn)
+
+    def commit(self, messages):
+        from paimon_spark.metadata import COMMIT_OVERWRITE, DELETE, FileEntry
+        t = Table.load(self.table_path)
+        w = t.writer()
+        entries = w._adopt_staged(self.staging, 0)
+        import shutil as _sh
+        _sh.rmtree(self.staging, ignore_errors=True)
+        if self.overwrite:
+            latest = t.paths.latest_snapshot()
+            deletes = []
+            if latest is not None:
+                deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                           for e in t.paths.live_entries(latest)]
+            w.commit(entries + deletes, COMMIT_OVERWRITE)
+        else:
+            w.commit(entries)
+
+    def abort(self, messages):
+        import shutil as _sh
+        _sh.rmtree(self.staging, ignore_errors=True)
 
 
 def register(spark):

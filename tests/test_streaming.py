@@ -244,3 +244,32 @@ def test_exactly_once_sink_skips_replayed_batch(spark, wh):
     b1 = spark.createDataFrame([(3, "c")], sch)
     write_stream_to_table(b1, t, batch_id=1)
     assert t.read().count() == 3
+
+
+def test_dataframe_write_api(spark, wh):
+    """df.write.format('paimon') appends/overwrites an append table via the
+    DataSourceArrowWriter (tasks stage Arrow batches, driver commits)."""
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/dsv2w", sch, spark=spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], sch)
+    df.repartition(4).write.format("paimon").option("path", t.path) \
+        .mode("append").save()
+    assert t.with_spark(spark).read().count() == 50
+    # second append accumulates; overwrite replaces
+    df.write.format("paimon").option("path", t.path).mode("append").save()
+    assert Table.load(t.path, spark).read().count() == 100
+    spark.createDataFrame([(999, "only")], sch).write.format("paimon") \
+        .option("path", t.path).mode("overwrite").save()
+    got = Table.load(t.path, spark).read().collect()
+    assert [(r.k, r.v) for r in got] == [(999, "only")]
+    # snapshot history preserved across the overwrite
+    assert Table.load(t.path, spark).read(snapshot_id=2).count() == 100
+    # PK tables direct users to Table.append
+    tp = Table.create(f"{wh}/dsv2w_pk", sch, primary_keys=["k"],
+                      options={"bucket": "2"}, spark=spark)
+    import pytest as _p
+    with _p.raises(Exception):
+        df.write.format("paimon").option("path", tp.path).mode("append").save()
