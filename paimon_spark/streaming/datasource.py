@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource, DataSourceArrowWriter, DataSourceReader,
-    DataSourceStreamReader, InputPartition, WriterCommitMessage,
+    DataSourceStreamArrowWriter, DataSourceStreamReader, InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -265,6 +266,9 @@ class PaimonDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return PaimonBatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return PaimonStreamWriter(self.options, schema)
+
 
 @dataclass
 class _FileCommitMessage(WriterCommitMessage):
@@ -338,3 +342,84 @@ class PaimonBatchWriter(DataSourceArrowWriter):
 
 def register(spark):
     spark.dataSource.register(PaimonDataSource)
+
+
+class PaimonStreamWriter(DataSourceStreamArrowWriter):
+    """`df.writeStream.format("paimon")` — the native streaming sink.
+    Executor tasks stage each micro-batch as Arrow-written parquet; the
+    driver commits ONE snapshot per batch with the batch id as the
+    commitIdentifier, so a replayed batch (restart between commit and
+    checkpoint) is skipped — exactly-once, same protocol as
+    `write_stream_to_table` (ref: PaimonSink.scala:31 +
+    FileStoreCommitImpl filterCommitted)."""
+
+    COMMIT_USER = "paimon-stream-write"
+
+    def __init__(self, options, schema):
+        self.options = options
+        self.schema = schema
+        t = _load_table(options)
+        if t.schema.is_pk_table or t.schema.partition_keys:
+            raise ValueError(
+                "format('paimon') streaming writes support unpartitioned "
+                "append-only tables; use foreachBatch + "
+                "write_stream_to_table otherwise")
+        self.table_path = t.path
+        self.staging = os.path.join(t.path, ".staging",
+                                    f"stream-{uuid.uuid4().hex}")
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator):
+        # NOTE: executors hold deserialized COPIES of this writer — the
+        # staged path must travel in the commit message (absolute), not be
+        # recomputed from driver-side state
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        os.makedirs(self.staging, exist_ok=True)
+        batches = [b for b in iterator if b.num_rows]
+        fn = None
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            fn = os.path.join(self.staging,
+                              f"part-{uuid.uuid4().hex}.parquet")
+            pq_.write_table(tbl, fn)
+        return _FileCommitMessage(fn)
+
+    def commit(self, messages, batchId):
+        import shutil as _sh
+
+        t = Table.load(self.table_path)
+        staged = [m.file for m in messages if m and m.file]
+        # exactly-once: skip a replayed (user, batchId) commit
+        for n in os.listdir(t.paths.snapshot_dir):
+            if not (n.startswith("snapshot-") and n.endswith(".json")):
+                continue
+            s = t.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
+            if (s.commit_user == self.COMMIT_USER
+                    and s.commit_identifier == batchId):
+                for f in staged:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                return
+        # adopt ONLY this batch's files
+        batch_dir = os.path.join(self.staging, f"b{batchId}")
+        os.makedirs(batch_dir, exist_ok=True)
+        for f in staged:
+            os.rename(f, os.path.join(batch_dir, os.path.basename(f)))
+        from paimon_spark.writer import BatchWriter
+        w = BatchWriter(t, commit_user=self.COMMIT_USER)
+        entries = w._adopt_staged(batch_dir, 0)
+        _sh.rmtree(batch_dir, ignore_errors=True)
+        if entries:
+            w.commit(entries, commit_identifier=batchId)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass

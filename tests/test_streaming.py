@@ -273,3 +273,32 @@ def test_dataframe_write_api(spark, wh):
     import pytest as _p
     with _p.raises(Exception):
         df.write.format("paimon").option("path", tp.path).mode("append").save()
+
+
+def test_writestream_format_paimon_sink(spark, wh):
+    """Native streaming sink: rate-limited paimon→paimon pipe through
+    writeStream.format('paimon'), one snapshot per micro-batch, exactly-once
+    commitIdentifiers."""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    src = Table.create(f"{wh}/sw_src", sch, spark=spark)
+    for i in range(2):
+        src.append(spark.createDataFrame(
+            [(i * 10 + j, f"b{i}") for j in range(5)], sch))
+    dst = Table.create(f"{wh}/sw_dst", sch, spark=spark)
+    ckpt = f"{wh}/sw_ckpt_{_uuid.uuid4().hex[:6]}"
+    q = (spark.readStream.format("paimon").option("path", src.path).load()
+         .select("k", "v")
+         .writeStream.format("paimon").option("path", dst.path)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = Table.load(dst.path, spark)
+    assert sorted(r.k for r in out.read().collect()) == sorted(
+        list(range(5)) + list(range(10, 15)))
+    snaps = [out.paths.read_snapshot(i)
+             for i in range(1, out.paths.latest_snapshot_id() + 1)]
+    assert all(s.commit_user == "paimon-stream-write" for s in snaps)
