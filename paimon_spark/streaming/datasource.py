@@ -209,24 +209,61 @@ class PaimonStreamReader(DataSourceStreamReader):
         self.options = options
         self.schema = schema
         self.max_snapshots = int(options.get("maxsnapshotsperbatch", "10"))
+        self.max_rows = int(options.get("maxrowsperbatch", "0")) or None
+        self.min_rows = int(options.get("minrowsperbatch", "0")) or None
+        self._last_end: int | None = None   # driver-side batch cursor
 
     def initialOffset(self) -> dict:
         table = _load_table(self.options)
         mode = self.options.get("scan.mode", "latest-full")
         latest = table.paths.latest_snapshot_id() or 0
         if mode == "latest-full":
-            return {"snapshot": 0}          # 0 = full state still pending
-        if mode == "from-snapshot":
-            return {"snapshot": int(self.options.get("scan.snapshot-id", "1")) - 1}
-        return {"snapshot": latest}         # latest: deltas only
+            off = {"snapshot": 0}           # 0 = full state still pending
+        elif mode == "from-snapshot":
+            off = {"snapshot": int(self.options.get("scan.snapshot-id", "1")) - 1}
+        else:
+            off = {"snapshot": latest}      # latest: deltas only
+        self._last_end = off["snapshot"]
+        return off
 
     def latestOffset(self) -> dict:
+        """Next batch end, honoring the read limits (T5 ≈ ReadLimit
+        maxFiles/maxRows/minRows in PaimonMicroBatchStream.scala:67-90):
+        `maxSnapshotsPerBatch` caps snapshot count, `maxRowsPerBatch` caps
+        cumulative delta rows (always ≥1 snapshot so the stream advances),
+        `minRowsPerBatch` holds the batch until enough rows accumulate.
+        The cursor is driver-side state; after a checkpoint restart the
+        first batch is uncapped (start offset isn't visible here)."""
         table = _load_table(self.options)
-        return {"snapshot": table.paths.latest_snapshot_id() or 0}
+        latest = table.paths.latest_snapshot_id() or 0
+        base = self._last_end
+        if base is None:
+            # fresh instance (Spark may run initialOffset on a different
+            # one): derive the cursor from the configured start; a restart
+            # replays the pending batch through partitions() first, which
+            # corrects the cursor before the next latestOffset
+            base = self.initialOffset()["snapshot"]
+        end = min(latest, base + self.max_snapshots)
+        if self.max_rows is not None:
+            rows, e = 0, base
+            while e < latest and e - base < self.max_snapshots:
+                snap = table.paths.read_snapshot(e + 1)
+                if rows and rows + (snap.delta_record_count or 0) > self.max_rows:
+                    break
+                rows += snap.delta_record_count or 0
+                e += 1
+            end = max(e, base + 1) if latest > base else base
+        if self.min_rows is not None and end > base:
+            pending = sum((table.paths.read_snapshot(i).delta_record_count or 0)
+                          for i in range(base + 1, end + 1))
+            if pending < self.min_rows:
+                end = base            # hold until enough rows accumulate
+        return {"snapshot": end}
 
     def partitions(self, start: dict, end: dict):
         table = _load_table(self.options)
         s, e = start["snapshot"], end["snapshot"]
+        self._last_end = e
         out: list[_StreamPartition] = []
         if s == 0:
             # initial full state (merged per bucket for PK tables)

@@ -302,3 +302,33 @@ def test_writestream_format_paimon_sink(spark, wh):
     snaps = [out.paths.read_snapshot(i)
              for i in range(1, out.paths.latest_snapshot_id() + 1)]
     assert all(s.commit_user == "paimon-stream-write" for s in snaps)
+
+
+def test_stream_read_limits_rows_and_snapshots(spark, wh):
+    """maxSnapshotsPerBatch / maxRowsPerBatch bound each micro-batch
+    (≈ ReadLimit in PaimonMicroBatchStream.scala:67-90)."""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    sch = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/limits", sch, spark=spark)
+    for i in range(6):                      # 6 snapshots x 10 rows
+        t.append(spark.createDataFrame([(i * 10 + j,) for j in range(10)], sch))
+    sink = f"lim_{_uuid.uuid4().hex[:6]}"
+    q = (spark.readStream.format("paimon").option("path", t.path)
+         .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+         .option("maxRowsPerBatch", "25").load()
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").start())
+    import time as _t
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if spark.table(sink).count() == 60:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    assert spark.table(sink).count() == 60
+    # row cap => at least 3 micro-batches moved data
+    progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progressed) >= 3
+    assert all(p["numInputRows"] <= 30 for p in progressed)
