@@ -220,8 +220,18 @@ def test_apply_in_pandas_with_state_over_stream(spark, wh, tmp_path):
          .writeStream.format("memory").queryName(sink)
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+         .start())
+    # maxSnapshotsPerBatch=1 → state must carry across ≥2 micro-batches
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        got = {r.k: r.cnt for r in
+               spark.sql(f"SELECT k, max(cnt) AS cnt FROM {sink} GROUP BY k")
+               .collect()}
+        if got == {1: 3, 2: 1, 3: 1}:
+            break
+        _time.sleep(0.5)
+    q.stop()
     # last emitted count per key = total rows per key across both snapshots
     final = {r.k: r.cnt for r in
              spark.sql(f"SELECT k, max(cnt) AS cnt FROM {sink} GROUP BY k")
