@@ -212,6 +212,9 @@ class BatchWriter:
         pyarrow can't mine (ORC: stripe stats aren't exposed). One extra
         columnar pass over just-written files; parquet avoids it entirely
         via footers."""
+        if not any(fn.endswith(f".{self.file_format}")
+                   for _, _, fns in os.walk(staging) for fn in fns):
+            return {}                        # empty stage (e.g. no-op batch)
         spark = self.table.spark or SparkSession.getActiveSession()
         df = (spark.read.format(self.file_format)
               .option("recursiveFileLookup", "true").load(staging))

@@ -150,3 +150,47 @@ def test_random_merge_map_with_keytime_vs_model(spark, wh):
            for r in t.read().collect()}
     for pk, acc in model.items():
         assert got.get(pk) == acc, f"pk {pk}: {got.get(pk)} != {acc}"
+
+
+def test_chaos_orc_evolution_compaction_roundtrip(spark, wh):
+    """Chaos interleaving on an ORC PK table: upserts, deletes, compaction,
+    a column rename mid-stream, rescale — replayed against a dict model."""
+    from paimon_spark import P
+    from paimon_spark.procedures import call
+    from pyspark.sql import types as TT
+
+    rng = random.Random(99)
+    sch = TT.StructType([TT.StructField("k", TT.LongType()),
+                         TT.StructField("v", TT.StringType()),
+                         TT.StructField("x", TT.DoubleType())])
+    t = Table.create(f"{wh}/chaos_orc", sch, primary_keys=["k"],
+                     options={"bucket": "2", "file.format": "orc"},
+                     spark=spark)
+    model: dict[int, tuple] = {}
+    tbl = t
+    renamed = False
+    for step in range(8):
+        batch = [(rng.randrange(40), f"s{step}", float(step))
+                 for _ in range(25)]
+        uniq = {}
+        for k, v, x in batch:
+            uniq[k] = (v, x)
+        tbl.append(spark.createDataFrame(
+            [(k, v, x) for k, (v, x) in uniq.items()], tbl.schema.struct))
+        model.update(uniq)
+        op = rng.random()
+        if op < 0.3:
+            victim = rng.randrange(40)
+            tbl.delete_where(P.eq("k", victim))
+            model.pop(victim, None)
+        elif op < 0.5:
+            tbl.compact()
+        elif op < 0.6 and not renamed:
+            tbl.alter(lambda s: s.rename_column("v", "val"))
+            tbl = Table.load(tbl.path, spark)
+            renamed = True
+        elif op < 0.7:
+            call(spark, "rescale", table=tbl, bucket=4)
+            tbl = Table.load(tbl.path, spark)
+    got = {r[0]: (r[1], r[2]) for r in tbl.read().collect()}
+    assert got == model
