@@ -59,12 +59,18 @@ def remove_orphan_files(spark, table, **_):
 def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
                   partition_keys: list[str] | None = None,
                   primary_keys: list[str] | None = None,
-                  options: dict | None = None, **_) -> Table:
-    """Import an existing parquet directory (hive-partitioned or flat) as a
-    paimon_spark table WITHOUT rewriting data: files are hard-linked into
-    the table layout and committed as ADD entries.
-    (ref: procedure/MigrateTableProcedure.java)"""
-    src_df = spark.read.option("basePath", source_dir).parquet(source_dir)
+                  options: dict | None = None,
+                  file_format: str = "parquet", **_) -> Table:
+    """Import an existing parquet/orc directory (hive-partitioned or flat)
+    as a paimon_spark table WITHOUT rewriting data: files are hard-linked
+    into the table layout and committed as ADD entries.
+    (ref: procedure/MigrateTableProcedure.java — the reference migrates
+    Hive tables in orc too)"""
+    src_df = (spark.read.option("basePath", source_dir)
+              .format(file_format).load(source_dir))
+    options = dict(options or {})
+    if file_format != "parquet":
+        options.setdefault("file.format", file_format)
     table = Table.create(target_path, src_df.schema,
                          partition_keys=partition_keys,
                          primary_keys=primary_keys, options=options,
@@ -80,7 +86,7 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
     entries = []
     for dirpath, _dirs, files in os.walk(source_dir):
         for fn in files:
-            if not fn.endswith(".parquet"):
+            if not fn.endswith(f".{file_format}"):
                 continue
             src = os.path.join(dirpath, fn)
             rel_dir = os.path.relpath(dirpath, source_dir)
@@ -89,12 +95,19 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
                 os.path.join(rel_dir, fn), schema.partition_keys)
             dest_dir = os.path.join(target_path, rel_dir)
             os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"data-L0-{uuid.uuid4().hex}.parquet")
+            dest = os.path.join(dest_dir,
+                                f"data-L0-{uuid.uuid4().hex}.{file_format}")
             try:
                 os.link(src, dest)          # no data copy on same fs
             except OSError:
                 shutil.copy2(src, dest)
-            rows, size, stats = collect_footer_stats(dest, stat_cols)
+            if file_format == "parquet":
+                rows, size, stats = collect_footer_stats(dest, stat_cols)
+            else:
+                # no pyarrow footer stats for orc: exact row count via one
+                # tiny count job, no min/max (sound — never skipped)
+                rows = spark.read.format(file_format).load(dest).count()
+                size, stats = os.path.getsize(dest), {}
             entries.append(FileEntry(
                 kind=ADD, partition=partition, bucket=-1, level=0,
                 file_path=os.path.relpath(dest, target_path),

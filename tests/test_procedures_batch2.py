@@ -293,3 +293,16 @@ def test_repair_and_repair_earliest_snapshot(spark, wh):
     assert t.read().count() == 15            # latest state unaffected
     with pytest.raises(ValueError):
         call(spark, "repair_earliest_snapshot", table=t, snapshot=99)
+
+
+def test_migrate_table_orc(spark, wh, tmp_path):
+    src = str(tmp_path / "legacy_orc")
+    spark.createDataFrame([(i, "x") for i in range(30)], SCHEMA) \
+        .write.format("orc").save(src)
+    t = call(spark, "migrate_table", source_dir=src,
+             target_path=f"{wh}/migrated_orc", file_format="orc")
+    assert t.read().count() == 30
+    assert t.schema.options.get("file.format") == "orc"
+    # appends keep working on the migrated table
+    t.with_spark(spark).append(spark.createDataFrame([(99, "y")], SCHEMA))
+    assert Table.load(t.path, spark).read().count() == 31
