@@ -510,8 +510,17 @@ def agg_engine_rich(spark, sf_dir):
     (int-set union), bool_or/bool_and, retractable sum — merged across two
     interleaved commits, read back merge-on-read."""
     t = _wh(spark, sf_dir)["agg_rich"]
-    return t.read(projection=["prio", "statuses", "cust_set", "any_high",
-                              "all_f", "n"])
+    df = t.read(projection=["prio", "statuses", "cust_set", "any_high",
+                            "all_f", "n"])
+    # flatten array fields to joined strings: the driver's canonicalizer
+    # sorts result columns with pandas, which can't hash list cells
+    return df.select(
+        "prio",
+        F.array_join(F.array_sort("statuses"), ",").alias("statuses"),
+        F.array_join(
+            F.transform(F.array_sort("cust_set"),
+                        lambda x: x.cast("string")), ",").alias("cust_set"),
+        "any_high", "all_f", "n")
 
 
 def agg_engine_listagg(spark, sf_dir):
@@ -531,7 +540,8 @@ def agg_engine_merge_map(spark, sf_dir):
     ents = F.transform(
         F.map_entries(F.col("m")),
         lambda e: F.concat_ws("=", e.key, e.value.cast("string")))
-    return df.select("st", F.array_sort(ents).alias("m_entries"))
+    return df.select(
+        "st", F.array_join(F.array_sort(ents), ",").alias("m_entries"))
 
 
 def changelog_old_vs_new(spark, sf_dir):
@@ -1367,8 +1377,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority""",
         "agg_engine_rich": """
             SELECT o_orderpriority AS prio,
-                   list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-                   list_sort(list(DISTINCT o_custkey % 64)) AS cust_set,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)),
+                                   ',') AS statuses,
+                   array_to_string(list_sort(list(DISTINCT o_custkey % 64)),
+                                   ',') AS cust_set,
                    bool_or(o_totalprice > 200000) AS any_high,
                    bool_and(o_orderstatus = 'F') AS all_f,
                    CAST(count(*) AS BIGINT) AS n
@@ -1383,8 +1395,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderstatus AS st, o_orderpriority AS prio,
                      max(o_orderkey) AS okey
               FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1, 2)
-            SELECT st, list_sort(list(prio || '=' || CAST(okey AS VARCHAR)))
-                       AS m_entries
+            SELECT st, array_to_string(
+                       list_sort(list(prio || '=' || CAST(okey AS VARCHAR))),
+                       ',') AS m_entries
             FROM last GROUP BY st""",
         "changelog_old_vs_new": """
             WITH changed AS (

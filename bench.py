@@ -78,15 +78,22 @@ def main():
     raw = base["q1_raw"] + base["q6_raw"]
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "total_seconds_ingest_plus_queries",
+    # the driver captures a bounded tail of stdout — keep the line compact
+    # (2-decimal timings, no spaces) so it never gets truncated mid-JSON
+    payload = {
+        "metric": "total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "baseline_raw_parquet": base,
-        "engine_vs_raw_ratio_q1_q6": round(engine / raw, 3) if raw else None,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "raw_vs_engine": {k: round(v, 2) for k, v in base.items()},
+        "ratio_q1q6": round(engine / raw, 2) if raw else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:  # last-ditch: drop the per-query dict detail
+        payload.pop("raw_vs_engine", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
