@@ -273,10 +273,9 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         one = raw["events"].limit(1).select("event_id", "ts", "event_type")
         t = Table.create(f"{root}/_warm", one.schema, spark=spark)
         t.append(one)
-        ts = F.timestamp_seconds(
-            F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long"))
-        q = (spark.readStream.format("paimon").option("path", t.path).load()
-             .withColumn("ets", ts).withWatermark("ets", "7 days")
+        sdf = spark.readStream.format("paimon").option("path", t.path).load()
+        q = (sdf.withColumn("ets", _event_time(sdf))
+             .withWatermark("ets", "7 days")
              .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
              .agg(F.count("*").alias("cnt"))
              .writeStream.format("memory")
@@ -300,6 +299,18 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
 def _read(spark, sf_dir, name):
     _ensure_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _event_time(df, col="ts"):
+    """events.ts as an event-time column, robust to the testdata generator
+    emitting either epoch-nanos (int64) or a real timestamp type."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype.startswith("timestamp"):
+        # watermarks require TIMESTAMP (ltz); session tz is UTC, so the
+        # cast from NTZ keeps the wall clock == duckdb's epoch() reading
+        return F.col(col).cast("timestamp")
+    return F.timestamp_seconds(
+        F.floor(F.col(col) / F.lit(1_000_000_000)).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1036,10 +1047,8 @@ def stream_window_counts(spark, sf_dir):
     register(spark)
     t = _wh(spark, sf_dir)["events_stream"]
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    ts = F.timestamp_seconds(F.floor(F.col("ts") / F.lit(1_000_000_000))
-                             .cast("long"))
-    q = (spark.readStream.format("paimon").option("path", t.path).load()
-         .withColumn("ets", ts)
+    sdf = spark.readStream.format("paimon").option("path", t.path).load()
+    q = (sdf.withColumn("ets", _event_time(sdf))
          .withWatermark("ets", "7 days")
          .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
          .agg(F.count("*").alias("cnt"))
