@@ -223,6 +223,12 @@ class Table:
             fdf = self._fallback_branch_df(fb, plan, predicate, with_hidden)
             if fdf is not None:
                 df = df.unionByName(fdf)
+        if (self.schema.options.get("chain-table.enabled") == "true"
+                and self.branch_name is None
+                and snapshot_id is None and tag is None):
+            cdf = self._chain_read_df(plan, predicate, with_hidden)
+            if cdf is not None:
+                df = df.unionByName(cdf)
         df = self._apply_defaults(df)
         if predicate is not None:
             df = df.filter(predicate.to_spark())
@@ -269,6 +275,139 @@ class Table:
         sub.raw_groups = [g for g in sub.raw_groups if g]
         sub.merge_groups = [g for g in sub.merge_groups if g]
         return fbt._assemble(sub, predicate, with_hidden)
+
+    def _chain_read_df(self, main_plan: ScanPlan | None,
+                       predicate: Predicate | None,
+                       with_hidden: bool) -> DataFrame | None:
+        """`chain-table.enabled`: three-level partition fallback. A partition
+        absent from the main branch is served from the chain snapshot branch
+        (`scan.fallback-snapshot-branch`); a partition absent from both is
+        RECONSTRUCTED by PK-merging the latest snapshot partition at-or-below
+        it in chain order (the anchor) with the delta-branch partitions in
+        (anchor, p], then projecting partition values to p. Chain order runs
+        over `chain-table.chain-partition-keys` (default: all partition
+        keys); the non-chain prefix groups independent chains.
+        (ref: CoreOptions.java:269-301 chain-table.*; utils/
+         ChainTableUtils.java findFirstLatestPartitions/getDeltaPartitions;
+         ChainPartitionProjector; FallbackReadFileStoreTable chained)"""
+        from paimon_spark.operators.merge import order_struct
+        from paimon_spark.predicates import P
+
+        opts = self.schema.options
+        sb = opts.get("scan.fallback-snapshot-branch")
+        db = opts.get("scan.fallback-delta-branch")
+        pkeys = self.schema.partition_keys
+        if not pkeys or not (sb or db):
+            return None
+        existing = set(self.paths.list_branches())
+        st = Table.load(self.path, self.spark, branch=sb) if sb in existing else None
+        dt = Table.load(self.path, self.spark, branch=db) if db in existing else None
+        if st is None and dt is None:
+            return None
+
+        chain = [k.strip() for k in
+                 opts.get("chain-table.chain-partition-keys", "").split(",")
+                 if k.strip()] or pkeys
+        prefix = [k for k in pkeys if k not in chain]
+
+        def ptup(part): return tuple(part[k] for k in pkeys)
+        def ckey(part): return tuple(part[k] for k in chain)
+        def gkey(part): return tuple(part[k] for k in prefix)
+
+        main_parts = {ptup(e.partition)
+                      for e in (main_plan.entries if main_plan else [])}
+
+        def branch_parts(t):
+            if t is None:
+                return {}
+            return {ptup(e.partition): dict(e.partition)
+                    for e in t.new_scan().plan(None).entries}
+
+        snap_parts = branch_parts(st)
+        delta_parts = branch_parts(dt)
+        union_parts = {**snap_parts, **delta_parts}
+        targets = [part for key, part in sorted(union_parts.items())
+                   if key not in main_parts
+                   and (predicate is None or predicate.test_partition(part))]
+        if not targets:
+            return None
+
+        def part_eq(part):
+            return P.and_(*[P.eq(k, part[k]) for k in pkeys])
+
+        def project_to(df, part):
+            for k in pkeys:
+                df = df.withColumn(
+                    k, F.lit(part[k]).cast(self.schema.data_type(k)))
+            return df
+
+        pks = self.schema.primary_keys
+        vals = [c for c in self.schema.field_names if c not in pks]
+        out: list[DataFrame] = []
+        for part in targets:
+            if ptup(part) in snap_parts:
+                out.append(st.read(part_eq(part), with_hidden=with_hidden))
+                continue
+            # reconstruct: anchor snapshot partition + deltas in (anchor, p]
+            anchors = [s for s in snap_parts.values()
+                       if gkey(s) == gkey(part) and ckey(s) < ckey(part)]
+            anchor = max(anchors, key=ckey) if anchors else None
+            lo = ckey(anchor) if anchor else None
+            deltas = sorted(
+                (d for d in delta_parts.values()
+                 if gkey(d) == gkey(part)
+                 and (lo is None or ckey(d) > lo) and ckey(d) <= ckey(part)),
+                key=ckey)
+            srcs: list[DataFrame] = []
+            if anchor is not None:
+                srcs.append(st.read(part_eq(anchor), with_hidden=True)
+                            .withColumn("__chain_rank", F.lit(0)))
+            if deltas:
+                ddf = dt.read(P.or_(*[part_eq(d) for d in deltas]),
+                              with_hidden=True)
+                rank = F.lit(None).cast("int")
+                for i, d in enumerate(reversed(deltas)):
+                    cond = None
+                    for k in pkeys:
+                        c = F.col(k).eqNullSafe(
+                            F.lit(d[k]).cast(self.schema.data_type(k)))
+                        cond = c if cond is None else (cond & c)
+                    rank = F.when(cond, F.lit(len(deltas) - i)).otherwise(rank)
+                srcs.append(ddf.withColumn("__chain_rank", rank))
+            if not srcs:
+                continue
+            u = srcs[0]
+            for s in srcs[1:]:
+                u = u.unionByName(s)
+            # project partition values to the target BEFORE the merge so
+            # PKs that include chain partition columns line up across
+            # branches (ref: ChainPartitionProjector)
+            u = project_to(u, part)
+            if with_hidden and self.schema.is_pk_table:
+                out.append(u.drop("__chain_rank"))
+                continue
+            if self.schema.is_pk_table:
+                # cross-branch dedup: chain rank outranks sequence ordering
+                order = F.struct(F.col("__chain_rank"), order_struct(self.schema))
+                top = F.max_by(
+                    F.struct(*[F.col(c) for c in vals], F.col(KIND_COL)),
+                    order).alias("__top")
+                m = (u.groupBy(*pks).agg(top)
+                     .select(*pks,
+                             *[F.col(f"__top.{c}").alias(c) for c in vals],
+                             F.col(f"__top.{KIND_COL}").alias(KIND_COL)))
+                u = (m.filter(~F.col(KIND_COL).isin("-D", "-U"))
+                     .drop(KIND_COL))
+                u = u.select(*self.schema.field_names)
+            else:
+                u = u.drop("__chain_rank").select(*self.schema.field_names)
+            out.append(u)
+        if not out:
+            return None
+        df = out[0]
+        for p in out[1:]:
+            df = df.unionByName(p)
+        return df
 
     def _assemble(self, plan: ScanPlan, predicate: Predicate | None,
                   with_hidden: bool) -> DataFrame:

@@ -125,3 +125,48 @@ def test_read_incremental_between_tags(spark, wh):
     t.create_tag("t2", 3)
     got = sorted(r.k for r in t.read_incremental("t1", "t2").collect())
     assert got == [1, 2]
+
+
+def test_chain_table_three_level_fallback(spark, wh):
+    """chain-table.enabled: main wins, then the chain snapshot branch, and
+    partitions in neither are reconstructed by merging the anchor snapshot
+    partition with the delta partitions up to the target, projected to the
+    target partition value (ref: CoreOptions.java chain-table.*;
+    ChainTableUtils.findFirstLatestPartitions/getDeltaPartitions;
+    ChainPartitionProjector)."""
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/chain", schema, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    t.append(spark.createDataFrame([("d1", 1, "main")], schema))
+    snap.append(spark.createDataFrame(
+        [("d2", i, "snap") for i in (1, 2, 3)], schema))
+    delta.append(spark.createDataFrame(
+        [("d3", 2, "d3-upd"), ("d3", 9, "d3-new")], schema))
+    delta.append(spark.createDataFrame([("d4", 1, "d4-upd")], schema))
+
+    got = {(r.dt, r.id): r.v for r in t.read().collect()}
+    assert got == {
+        ("d1", 1): "main",                         # main branch
+        ("d2", 1): "snap", ("d2", 2): "snap", ("d2", 3): "snap",  # snapshot
+        # d3 = snapshot d2 merged with delta d3
+        ("d3", 1): "snap", ("d3", 2): "d3-upd", ("d3", 3): "snap",
+        ("d3", 9): "d3-new",
+        # d4 = snapshot d2 + delta d3 + delta d4 (delta order matters)
+        ("d4", 1): "d4-upd", ("d4", 2): "d3-upd", ("d4", 3): "snap",
+        ("d4", 9): "d3-new",
+    }
+    # partition predicate prunes the chain work to one target
+    only_d3 = {(r.dt, r.id): r.v for r in t.read(P.eq("dt", "d3")).collect()}
+    assert only_d3 == {("d3", 1): "snap", ("d3", 2): "d3-upd",
+                       ("d3", 3): "snap", ("d3", 9): "d3-new"}
+    # non-partition predicates still apply to reconstructed rows
+    assert {r.dt for r in t.read(P.eq("v", "d3-new")).collect()} == {"d3", "d4"}
