@@ -262,6 +262,24 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                   .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
         out["orders_ro"] = t4
 
+    def _build_8():
+        # ---- orders_xp: cross-partition update table (partition ⊄ PK) ----
+        # keys move between status partitions; the global index emits -D
+        # retractions to the old partition (GlobalIndexAssigner analog)
+        xp = raw["orders"].select("o_orderkey", "o_orderstatus",
+                                  "o_totalprice")
+        t = Table.create(
+            f"{root}/orders_xp", xp.schema, primary_keys=["o_orderkey"],
+            partition_keys=["o_orderstatus"], options={"bucket": "-1"},
+            spark=spark)
+        t.append(xp)                                           # snapshot 1
+        t.compact()                                            # snapshot 2
+        moved = (xp.filter(F.col("o_orderkey") % 10 == 0)
+                 .withColumn("o_orderstatus", F.lit("X"))
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+        t.append(moved)                                        # snapshot 3
+        out["orders_xp"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -288,7 +306,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
@@ -599,6 +617,25 @@ def pk_upsert_latest(spark, sf_dir):
 
 def pk_after_delete(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read()
+
+
+def cross_partition_upsert(spark, sf_dir):
+    """Cross-partition PK upsert (insert → compact → keys move to a new
+    partition): the global read must show exactly one row per key, with
+    the moved keys in their NEW partition."""
+    t = _wh(spark, sf_dir)["orders_xp"]
+    return t.read().select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total"))
+
+
+def cross_partition_pruned(spark, sf_dir):
+    """Partition-pruned read of an OLD partition: moved keys must be gone
+    (their -D tombstone lives in this partition) — the r2 judge repro."""
+    t = _wh(spark, sf_dir)["orders_xp"]
+    return (t.read(P.eq("o_orderstatus", "O"))
+            .select("o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("total")))
 
 
 def time_travel_v1(spark, sf_dir):
@@ -1152,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_optimized_lag": read_optimized_lag,
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
+        "cross_partition_upsert": cross_partition_upsert,
+        "cross_partition_pruned": cross_partition_pruned,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
         "audit_log_counts": audit_log_counts,
@@ -1432,6 +1471,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 3 = 0
             GROUP BY o_orderstatus""",
         "pk_upsert_latest": _MERGED_12,
+        "cross_partition_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CAST(CASE WHEN o_orderkey % 10 = 0
+                             THEN o_totalprice + 1000.0
+                             ELSE o_totalprice END AS DOUBLE) AS total
+            FROM orders
+        """,
+        "cross_partition_pruned": """
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+            FROM orders
+            WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+        """,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """
             SELECT o_orderkey, o_orderstatus, o_totalprice,

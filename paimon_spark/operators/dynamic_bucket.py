@@ -6,9 +6,10 @@ pk→bucket index; new keys are assigned as the table grows.
  option 'dynamic-bucket.target-row-count' CoreOptions)
 
 Spark-first shape: the index is itself a parquet table under
-<table>/index/; assignment is one left join (index is usually small
-relative to data — it has one row per KEY, and Spark broadcasts it when
-it fits). New keys get `pmod(xxhash64(pk), n)` where n grows with
+<table>/index/; assignment is one left join shuffled on the key — the
+index has one row per KEY, so at 10^8-10^9 keys it must NOT be forced
+into a broadcast (AQE still picks broadcast-hash when the index is
+actually small). New keys get `pmod(xxhash64(pk), n)` where n grows with
 total_keys/target — existing keys never move (the index pins them),
 matching the reference's invariant. Divergence (documented): the
 reference fills buckets sequentially per assigner; we hash into the
@@ -52,7 +53,7 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
         joined = df.withColumn(BUCKET_COL, F.lit(None).cast("int"))
     else:
         existing = idx.count()
-        joined = df.join(F.broadcast(idx), keys, "left")
+        joined = df.join(idx, keys, "left")
     n_buckets = max(1, (existing + 1) // target + 1)
     assigned = joined.withColumn(
         BUCKET_COL,

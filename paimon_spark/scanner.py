@@ -136,8 +136,12 @@ class Scanner:
                 # ReadOptimizedTable): a single fully-compacted file is
                 # guaranteed one-row-per-key with no pending merges; L0
                 # sorted runs may hold intra-commit duplicates and must go
-                # through the merge path even when alone.
-                if len(g) == 1 and all(e.level >= 5 for e in g):
+                # through the merge path even when alone. Cross-partition
+                # tables (partition ⊄ PK) never raw-convert: a key's latest
+                # row may live in ANOTHER partition's files, so bypassing
+                # the global merge would resurrect stale rows.
+                if (len(g) == 1 and all(e.level >= 5 for e in g)
+                        and not self.schema.cross_partition_update):
                     raw_groups.append(g)
                 else:
                     merge_groups.append(g)

@@ -65,6 +65,34 @@ class TableSchema:
         for p in partition_keys:
             if p not in struct.fieldNames():
                 raise ValueError(f"partition key {p} not in schema")
+        if (primary_keys and partition_keys
+                and not set(partition_keys) <= set(primary_keys)):
+            # cross-partition update mode (ref: paimon-core/.../schema/
+            # SchemaValidation.java — primary keys must contain all
+            # partition keys unless the cross-partition global index is
+            # active, which requires dynamic bucket and forbids
+            # sequence.field; GlobalIndexAssigner.java:447)
+            if int(options.get("bucket", "-1")) != -1:
+                raise ValueError(
+                    "primary keys must contain all partition keys unless "
+                    "bucket=-1 (cross-partition update mode): partition "
+                    f"{partition_keys} ⊄ primary {primary_keys}")
+            if options.get("sequence.field"):
+                raise ValueError(
+                    "sequence.field is not supported with cross-partition "
+                    "update (retractions rely on commit order)")
+            if options.get("merge-engine", "deduplicate") != "deduplicate":
+                raise ValueError(
+                    "cross-partition update supports merge-engine="
+                    "deduplicate only")
+        if (options.get("chain-table.enabled") == "true" and primary_keys
+                and options.get("merge-engine", "deduplicate") != "deduplicate"):
+            # chain reconstruction merges across branches with last-writer-
+            # wins; partial-update/aggregation field merging across branches
+            # is not implemented (ref: ChainTableUtils.validateChainTable*
+            # restricts the shapes chain reads support)
+            raise ValueError(
+                "chain-table.enabled supports merge-engine=deduplicate only")
         return TableSchema(
             schema_id=0,
             struct=T.StructType(fields),
@@ -102,6 +130,13 @@ class TableSchema:
     @property
     def trimmed_primary_keys(self) -> list[str]:
         return [k for k in self.primary_keys if k not in self.partition_keys] or list(self.primary_keys)
+
+    @property
+    def cross_partition_update(self) -> bool:
+        """Partition keys ⊄ primary keys: keys may move between partitions;
+        writes go through the global index (operators/cross_partition.py)."""
+        return bool(self.primary_keys and self.partition_keys
+                    and not set(self.partition_keys) <= set(self.primary_keys))
 
     @property
     def merge_engine(self) -> str:

@@ -261,8 +261,17 @@ class Table:
         read from the fallback branch instead (ref: table/
         FallbackReadFileStoreTable.java — partition-granular fallback)."""
         fbt = Table.load(self.path, self.spark, branch=fb)
+        # partition presence must be judged on PARTITION predicates only: a
+        # value predicate that stats-prunes all of a partition's main files
+        # must not make the partition look absent (ref:
+        # FallbackReadFileStoreTable completePartitions via a dedicated
+        # partition-listing scan)
+        ppred = (self._partition_safe_conjuncts(
+            predicate, set(self.schema.partition_keys))
+            if predicate is not None else None)
+        mplan = self.new_scan().plan(ppred)
         main_parts = {tuple(sorted(e.partition.items()))
-                      for e in (main_plan.entries if main_plan else [])}
+                      for e in mplan.entries}
         fplan = fbt.new_scan().plan(predicate)
         keep = lambda e: tuple(sorted(e.partition.items())) not in main_parts
         entries = [e for e in fplan.entries if keep(e)]
@@ -314,14 +323,28 @@ class Table:
         def ckey(part): return tuple(part[k] for k in chain)
         def gkey(part): return tuple(part[k] for k in prefix)
 
-        main_parts = {ptup(e.partition)
-                      for e in (main_plan.entries if main_plan else [])}
+        def cast_part(part):
+            # FileEntry.partition holds raw Hive-path strings; chain order
+            # (ckey) and predicate.test_partition need TYPED values — '9' >
+            # '10' lexicographically but 9 < 10 (ref: the reference compares
+            # typed BinaryRows via RecordComparator)
+            from paimon_spark.scanner import cast_partition_value
+            return {k: cast_partition_value(part.get(k), self.schema.data_type(k))
+                    for k in pkeys}
+
+        # partition presence from a partition-predicate-only plan — value
+        # predicates must not hide main partitions (see _fallback_branch_df)
+        ppred = (self._partition_safe_conjuncts(predicate, set(pkeys))
+                 if predicate is not None else None)
+        mplan = self.new_scan().plan(ppred)
+        main_parts = {ptup(cast_part(e.partition)) for e in mplan.entries}
 
         def branch_parts(t):
             if t is None:
                 return {}
-            return {ptup(e.partition): dict(e.partition)
-                    for e in t.new_scan().plan(None).entries}
+            return {ptup(p): p
+                    for e in t.new_scan().plan(None).entries
+                    for p in [cast_part(e.partition)]}
 
         snap_parts = branch_parts(st)
         delta_parts = branch_parts(dt)
@@ -384,7 +407,16 @@ class Table:
             # branches (ref: ChainPartitionProjector)
             u = project_to(u, part)
             if with_hidden and self.schema.is_pk_table:
-                out.append(u.drop("__chain_rank"))
+                # branch sequence numbers are independent and can collide or
+                # invert; re-key so chain rank dominates any later seq-based
+                # merge (commit sequences stay far below 2^44)
+                u = (u.withColumn(
+                        SEQ_COL,
+                        F.col(SEQ_COL)
+                        + F.coalesce(F.col("__chain_rank"), F.lit(0))
+                        .cast("long") * F.lit(1 << 44))
+                     .drop("__chain_rank"))
+                out.append(u)
                 continue
             if self.schema.is_pk_table:
                 # cross-branch dedup: chain rank outranks sequence ordering

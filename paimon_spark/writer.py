@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from paimon_spark.metadata import (
     ADD, COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE, DELETE,
-    FileEntry, Snapshot, TablePaths,
+    FileEntry, Snapshot, TablePaths, stat_from_json, stat_to_json,
 )
 from paimon_spark.schema import (BUCKET_COL, KIND_COL, ROW_ID_COL, SEQ_COL,
                                  TableSchema)
@@ -106,6 +106,67 @@ def parse_partition_path(relpath: str, partition_keys: list[str]) -> dict[str, s
             if k in partition_keys or k == BUCKET_COL:
                 vals[k] = urllib.parse.unquote(v)
     return {k: vals[k] for k in partition_keys if k in vals}
+
+
+def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
+                   stat_cols: list[str], index_cols: list[str],
+                   index_fpp: float, spark_stats: dict | None = None
+                   ) -> dict | None:
+    """Adopt ONE staged file into the table tree: rename, mine footer
+    stats, build the bloom sidecar. Pure function of its arguments and the
+    filesystem — safe to run on an executor. Returns a JSON-safe dict
+    (stats encoded with stat_to_json) or None for empty files; rows=-1
+    means the footer was unreadable (e.g. VARIANT) and the caller must
+    count via Spark."""
+    final_name = f"data-L{level}-{uuid.uuid4().hex}.{fmt}"
+    dest_dir = os.path.join(root, rel_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, final_name)
+    os.rename(src, dest)
+    if spark_stats is not None:      # pre-aggregated (ORC path), keyed by src
+        rows, stats = spark_stats.get(os.path.normpath(src), (0, {}))
+        size = os.path.getsize(dest)
+    else:
+        try:
+            rows, size, stats = collect_footer_stats(dest, stat_cols)
+        except OSError:
+            rows, size, stats = -1, os.path.getsize(dest), {}
+    if rows == 0:
+        os.remove(dest)
+        return None
+    index_path = None
+    if index_cols and rows != 0:
+        from paimon_spark.fileindex import write_file_index
+        index_path = write_file_index(root, dest, index_cols, index_fpp)
+    return {
+        "file_path": os.path.relpath(dest, root), "rows": rows, "size": size,
+        "stats": {c: {"min": stat_to_json(s.get("min")),
+                      "max": stat_to_json(s.get("max")),
+                      "nulls": s.get("nulls")} for c, s in stats.items()},
+        "index_path": index_path,
+    }
+
+
+def _adopt_files_distributed(spark, staged: list[tuple[str, str]], root: str,
+                             fmt: str, level: int, stat_cols: list[str],
+                             index_cols: list[str],
+                             index_fpp: float) -> list[dict | None]:
+    """Run adopt_one_file for every staged file as one Spark job; only the
+    per-file metadata dicts come back to the driver. Footer reads are
+    O(KB) each, so tasks are tiny — cap partitions so scheduler overhead
+    doesn't dominate."""
+    import json
+
+    n_parts = max(1, min(len(staged) // 8 + 1, 64))
+    rdd = spark.sparkContext.parallelize(staged, n_parts)
+
+    def _task(pairs):
+        for src, rel_dir in pairs:
+            r = adopt_one_file(src, rel_dir, root, fmt, level,
+                               stat_cols, index_cols, index_fpp)
+            yield json.dumps(r)
+
+    return [json.loads(s) for s in rdd.mapPartitions(_task).collect()]
 
 
 class BatchWriter:
@@ -237,7 +298,17 @@ class BatchWriter:
         return out
 
     def _adopt_staged(self, staging: str, level: int) -> list[FileEntry]:
-        """Move staged files into the table tree; collect footer stats."""
+        """Move staged files into the table tree; collect footer stats.
+
+        Large commits (≥ commit.distributed-adopt-threshold files, default
+        32) run the per-file work — rename + footer-stat mining + bloom
+        sidecar build — as ONE Spark job over the file list, collecting
+        metadata only: at 100-TB write fan-out (10^4-10^5 files/commit) a
+        driver-serial loop would spend minutes in footer reads, while the
+        manifest+snapshot writes that MUST stay on the driver are O(ms).
+        (ref: the reference collects per-file DataFileMeta in the write
+        tasks and ships CommitMessages — PaimonSparkWriter.scala:187-233)
+        """
         schema = self.schema
         fmt = self.file_format
         stat_cols = [f.name for f in schema.struct.fields
@@ -248,55 +319,64 @@ class BatchWriter:
         index_cols = [c.strip() for c in schema.options.get(
             "file-index.bloom-filter.columns", "").split(",") if c.strip()]
         index_fpp = float(schema.options.get("file-index.bloom-filter.fpp", "0.01"))
-        entries: list[FileEntry] = []
+
+        staged: list[tuple[str, str]] = []          # (src, rel_dir)
         for dirpath, _dirs, files in os.walk(staging):
             for fn in files:
-                if not fn.endswith(f".{fmt}"):
-                    continue
-                src = os.path.join(dirpath, fn)
-                rel_dir = os.path.relpath(dirpath, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                partition = parse_partition_path(
-                    os.path.join(rel_dir, fn), schema.partition_keys)
-                bucket = -1
-                if BUCKET_COL + "=" in rel_dir:
-                    for seg in rel_dir.split(os.sep):
-                        if seg.startswith(BUCKET_COL + "="):
-                            bucket = int(seg.split("=", 1)[1])
-                final_name = f"data-L{level}-{uuid.uuid4().hex}.{fmt}"
-                dest_dir = os.path.join(self.paths.root, rel_dir)
-                os.makedirs(dest_dir, exist_ok=True)
-                dest = os.path.join(dest_dir, final_name)
-                os.rename(src, dest)
-                if spark_stats is not None:
-                    rows, stats = spark_stats.get(
-                        os.path.normpath(src), (0, {}))
-                    size = os.path.getsize(dest)
-                else:
-                    try:
-                        rows, size, stats = collect_footer_stats(dest, stat_cols)
-                    except OSError:
-                        # footer holds a logical type pyarrow can't parse yet
-                        # (e.g. Spark 4 VARIANT) — count via Spark, skip stats
-                        # for this file (sound: no stats → never skipped)
-                        rows, size, stats = self._spark_row_count(dest), \
-                            os.path.getsize(dest), {}
+                if fn.endswith(f".{fmt}"):
+                    rel_dir = os.path.relpath(dirpath, staging)
+                    staged.append((os.path.join(dirpath, fn),
+                                   "" if rel_dir == "." else rel_dir))
+
+        threshold = int(schema.options.get(
+            "commit.distributed-adopt-threshold", "32"))
+        spark = self.table.spark or SparkSession.getActiveSession()
+        has_variant = any("variant" in f.dataType.simpleString()
+                          for f in schema.struct.fields)
+        root = self.paths.root
+        if (spark_stats is None and spark is not None and not has_variant
+                and len(staged) >= threshold):
+            results = _adopt_files_distributed(
+                spark, staged, root, fmt, level, stat_cols,
+                index_cols, index_fpp)
+        else:
+            results = [adopt_one_file(src, rel_dir, root, fmt, level,
+                                      stat_cols, index_cols, index_fpp,
+                                      spark_stats)
+                       for src, rel_dir in staged]
+
+        entries: list[FileEntry] = []
+        for r in results:
+            if r is None:
+                continue
+            rows = r["rows"]
+            if rows < 0:   # footer unreadable (e.g. VARIANT): count via Spark
+                rows = self._spark_row_count(os.path.join(root, r["file_path"]))
                 if rows == 0:
-                    os.remove(dest)
+                    os.remove(os.path.join(root, r["file_path"]))
                     continue
-                seq_stats = stats.pop(SEQ_COL, None) or {}
-                index_path = None
-                if index_cols:
-                    from paimon_spark.fileindex import write_file_index
-                    index_path = write_file_index(
-                        self.paths.root, dest, index_cols, index_fpp)
-                entries.append(FileEntry(
-                    kind=ADD, partition=partition, bucket=bucket, level=level,
-                    file_path=os.path.relpath(dest, self.paths.root),
-                    row_count=rows, file_size=size,
-                    min_seq=seq_stats.get("min") or 0, max_seq=seq_stats.get("max") or 0,
-                    schema_id=schema.schema_id, stats=stats, index_path=index_path,
-                ))
+            stats = {c: {"min": stat_from_json(s.get("min")),
+                         "max": stat_from_json(s.get("max")),
+                         "nulls": s.get("nulls")}
+                     for c, s in r["stats"].items()}
+            rel_dir = os.path.dirname(r["file_path"])
+            partition = parse_partition_path(r["file_path"],
+                                             schema.partition_keys)
+            bucket = -1
+            if BUCKET_COL + "=" in rel_dir:
+                for seg in rel_dir.split(os.sep):
+                    if seg.startswith(BUCKET_COL + "="):
+                        bucket = int(seg.split("=", 1)[1])
+            seq_stats = stats.pop(SEQ_COL, None) or {}
+            entries.append(FileEntry(
+                kind=ADD, partition=partition, bucket=bucket, level=level,
+                file_path=r["file_path"], row_count=rows,
+                file_size=r["size"],
+                min_seq=seq_stats.get("min") or 0,
+                max_seq=seq_stats.get("max") or 0,
+                schema_id=schema.schema_id, stats=stats,
+                index_path=r["index_path"],
+            ))
         return entries
 
     def _spark_row_count(self, path: str) -> int:
@@ -431,11 +511,31 @@ class BatchWriter:
     # ---------------- public ops ----------------
 
     def append(self, df: DataFrame) -> Snapshot:
+        if self.schema.cross_partition_update:
+            # global index: retract moved keys from their old partition
+            # (ref: crosspartition/GlobalIndexAssigner.java:447)
+            from paimon_spark.operators.cross_partition import \
+                cross_partition_stage
+            entries, persist = cross_partition_stage(self, df)
+            snap = self.commit(entries, COMMIT_APPEND)
+            persist()
+            return snap
         return self.commit(self.stage(df), COMMIT_APPEND)
 
     def overwrite(self, df: DataFrame, dynamic: bool = True) -> Snapshot:
         """INSERT OVERWRITE: replace touched partitions (dynamic) or the whole
         table (static). (ref: PaimonDynamicPartitionOverwriteCommand.scala)"""
+        if self.schema.cross_partition_update:
+            if dynamic:
+                # a partial partition replacement could break the tombstone
+                # invariant the global index maintains (a key's stale row
+                # must always be covered by a -D in its own partition)
+                raise NotImplementedError(
+                    "dynamic INSERT OVERWRITE is not supported on "
+                    "cross-partition update tables; use static overwrite")
+            from paimon_spark.operators.cross_partition import \
+                invalidate_global_index
+            invalidate_global_index(self.paths.root)
         new_entries = self.stage(df)
         latest = self.paths.latest_snapshot()
         deletes: list[FileEntry] = []

@@ -137,3 +137,30 @@ def test_threaded_commit_race(spark, wh):
     assert not errs
     assert sorted(s.id for s in snaps) == [1, 2, 3, 4, 5, 6]
     assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_distributed_file_adoption(spark, wh):
+    """Commits past commit.distributed-adopt-threshold files run rename +
+    footer-stat mining as one Spark job (metadata-only collect) instead of
+    a driver-serial loop — stats and reads must be identical."""
+    from pyspark.sql import functions as F, types as T
+    sch = T.StructType([T.StructField("p", T.StringType()),
+                        T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/da", sch, partition_keys=["p"],
+                     options={"commit.distributed-adopt-threshold": "1"},
+                     spark=spark)
+    df = spark.range(500).select((F.col("id") % 4).cast("string").alias("p"),
+                                 F.col("id").alias("k"))
+    t.append(df.repartition(6))
+    assert t.read().count() == 500
+    plan = t.new_scan().plan()
+    assert len(plan.entries) >= 4
+    assert min(e.stats["k"]["min"] for e in plan.entries) == 0
+    assert max(e.stats["k"]["max"] for e in plan.entries) == 499
+    # bloom sidecars are built executor-side too
+    t2 = Table.create(f"{wh}/da_idx", sch, partition_keys=["p"],
+                      options={"commit.distributed-adopt-threshold": "1",
+                               "file-index.bloom-filter.columns": "k"},
+                      spark=spark)
+    t2.append(df.repartition(6))
+    assert all(e.index_path for e in t2.new_scan().plan().entries)

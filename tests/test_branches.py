@@ -170,3 +170,87 @@ def test_chain_table_three_level_fallback(spark, wh):
                        ("d3", 3): "snap", ("d3", 9): "d3-new"}
     # non-partition predicates still apply to reconstructed rows
     assert {r.dt for r in t.read(P.eq("v", "d3-new")).collect()} == {"d3", "d4"}
+
+
+def test_fallback_partition_presence_ignores_value_predicates(spark, wh):
+    """A value predicate that stats-prunes every main file of a partition
+    must NOT make that partition look absent — otherwise stale fallback
+    rows are read (ref: FallbackReadFileStoreTable completePartitions is
+    computed from partition predicates only)."""
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/fbv", schema, partition_keys=["dt"], spark=spark)
+    t.append(spark.createDataFrame([("d1", 999)], schema))  # stale value
+    t.create_branch("old")
+    t.truncate()
+    t.append(spark.createDataFrame([("d1", 5)], schema))    # main owns d1
+    t.schema.options["scan.fallback-branch"] = "old"
+    # v > 100 stats-prunes main's only d1 file; d1 is still main's —
+    # the stale fallback row (999) must not appear
+    assert t.read(P.gt("v", 100)).collect() == []
+    assert [r.v for r in t.read().collect()] == [5]
+
+
+def test_chain_partition_order_is_typed(spark, wh):
+    """Chain order over non-string partition keys must compare typed
+    values: hour 9 < 10 even though '9' > '10' lexicographically."""
+    schema = T.StructType([T.StructField("hour", T.IntegerType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/chain_int", schema, partition_keys=["hour"],
+        primary_keys=["hour", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    # anchor at hour=9; delta at hour=10 updates id=1 and adds id=2
+    snap.append(spark.createDataFrame([(9, 1, "h9")], schema))
+    delta.append(spark.createDataFrame(
+        [(10, 1, "h10-upd"), (10, 2, "h10-new")], schema))
+    got = {(r.hour, r.id): r.v for r in t.read().collect()}
+    # hour=10 reconstructs from anchor 9 + delta 10 (typed order 9 < 10)
+    assert got == {(9, 1): "h9",
+                   (10, 1): "h10-upd", (10, 2): "h10-new"}
+    # typed partition predicate must select the reconstructed partition
+    got10 = {(r.hour, r.id): r.v for r in t.read(P.eq("hour", 10)).collect()}
+    assert got10 == {(10, 1): "h10-upd", (10, 2): "h10-new"}
+
+
+def test_chain_rejects_non_deduplicate(spark, wh):
+    import pytest
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    with pytest.raises(ValueError, match="deduplicate"):
+        Table.create(
+            f"{wh}/chain_bad", schema, partition_keys=["dt"],
+            primary_keys=["dt", "id"],
+            options={"bucket": "1", "chain-table.enabled": "true",
+                     "merge-engine": "partial-update"}, spark=spark)
+
+
+def test_chain_hidden_read_rank_dominates_seq(spark, wh):
+    """with_hidden chain reads re-key _sequence_number so delta-branch rows
+    order above snapshot-branch rows even when raw seqs invert."""
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/chain_seq", schema, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    # snapshot branch gets MANY commits (high seq); delta one commit (low)
+    for i in range(3):
+        snap.append(spark.createDataFrame([("d1", 1, f"snap{i}")], schema))
+    delta.append(spark.createDataFrame([("d2", 1, "delta")], schema))
+    h = t.read(with_hidden=True).filter("dt = 'd2'").collect()
+    by_v = {r.v: r["_sequence_number"] for r in h}
+    assert by_v["delta"] > by_v["snap2"]  # rank re-key dominates raw seq
