@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 from paimon_spark.metadata import ADD, COMMIT_APPEND, FileEntry
 from paimon_spark.table import Table
-from paimon_spark.writer import collect_footer_stats, parse_partition_path
+from paimon_spark.writer import parse_partition_path
 
 
 def _t(table) -> Table:
@@ -83,16 +83,52 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
     schema = table.schema
     stat_cols = [f.name for f in schema.struct.fields
                  if f.name not in schema.partition_keys]
-    entries = []
+    staged: list[tuple[str, str]] = []
     for dirpath, _dirs, files in os.walk(source_dir):
         for fn in files:
-            if not fn.endswith(f".{file_format}"):
+            if fn.endswith(f".{file_format}"):
+                rel_dir = os.path.relpath(dirpath, source_dir)
+                staged.append((os.path.join(dirpath, fn),
+                               "" if rel_dir == "." else rel_dir))
+
+    entries = []
+    if file_format == "parquet":
+        # hard-link + footer-stat mining distributed past the same commit
+        # threshold the writer uses — a 10^5-file Hive table migrates in
+        # one metadata-only Spark job, not a driver-serial walk
+        from paimon_spark.writer import (_adopt_files_distributed,
+                                         adopt_one_file)
+        threshold = int(schema.options.get(
+            "commit.distributed-adopt-threshold", "256"))
+        if len(staged) >= threshold:
+            results = _adopt_files_distributed(
+                spark, staged, target_path, file_format, 0, stat_cols,
+                [], 0.01, mode="link")
+        else:
+            results = [adopt_one_file(src, rel_dir, target_path,
+                                      file_format, 0, stat_cols, [], 0.01,
+                                      mode="link")
+                       for src, rel_dir in staged]
+        from paimon_spark.metadata import stat_from_json
+        for r in results:
+            if r is None:
                 continue
-            src = os.path.join(dirpath, fn)
-            rel_dir = os.path.relpath(dirpath, source_dir)
-            rel_dir = "" if rel_dir == "." else rel_dir
+            entries.append(FileEntry(
+                kind=ADD,
+                partition=parse_partition_path(r["file_path"],
+                                               schema.partition_keys),
+                bucket=-1, level=0, file_path=r["file_path"],
+                row_count=r["rows"], file_size=r["size"], min_seq=0,
+                max_seq=0, schema_id=0,
+                stats={c: {"min": stat_from_json(s.get("min")),
+                           "max": stat_from_json(s.get("max")),
+                           "nulls": s.get("nulls")}
+                       for c, s in r["stats"].items()}))
+    else:
+        for src, rel_dir in staged:
             partition = parse_partition_path(
-                os.path.join(rel_dir, fn), schema.partition_keys)
+                os.path.join(rel_dir, os.path.basename(src)),
+                schema.partition_keys)
             dest_dir = os.path.join(target_path, rel_dir)
             os.makedirs(dest_dir, exist_ok=True)
             dest = os.path.join(dest_dir,
@@ -101,18 +137,14 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
                 os.link(src, dest)          # no data copy on same fs
             except OSError:
                 shutil.copy2(src, dest)
-            if file_format == "parquet":
-                rows, size, stats = collect_footer_stats(dest, stat_cols)
-            else:
-                # no pyarrow footer stats for orc: exact row count via one
-                # tiny count job, no min/max (sound — never skipped)
-                rows = spark.read.format(file_format).load(dest).count()
-                size, stats = os.path.getsize(dest), {}
+            # no pyarrow footer stats for orc: exact row count via one
+            # tiny count job, no min/max (sound — never skipped)
+            rows = spark.read.format(file_format).load(dest).count()
             entries.append(FileEntry(
                 kind=ADD, partition=partition, bucket=-1, level=0,
                 file_path=os.path.relpath(dest, target_path),
-                row_count=rows, file_size=size, min_seq=0, max_seq=0,
-                schema_id=0, stats=stats))
+                row_count=rows, file_size=os.path.getsize(dest),
+                min_seq=0, max_seq=0, schema_id=0, stats={}))
     w.commit(entries, COMMIT_APPEND)
     return table
 

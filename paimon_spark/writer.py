@@ -110,8 +110,8 @@ def parse_partition_path(relpath: str, partition_keys: list[str]) -> dict[str, s
 
 def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
                    stat_cols: list[str], index_cols: list[str],
-                   index_fpp: float, spark_stats: dict | None = None
-                   ) -> dict | None:
+                   index_fpp: float, spark_stats: dict | None = None,
+                   mode: str = "rename") -> dict | None:
     """Adopt ONE staged file into the table tree: rename, mine footer
     stats, build the bloom sidecar. Pure function of its arguments and the
     filesystem — safe to run on an executor. Returns a JSON-safe dict
@@ -122,7 +122,13 @@ def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
     dest_dir = os.path.join(root, rel_dir)
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, final_name)
-    os.rename(src, dest)
+    if mode == "link":               # migrate: no data copy on same fs
+        try:
+            os.link(src, dest)
+        except OSError:
+            shutil.copy2(src, dest)
+    else:
+        os.rename(src, dest)
     if spark_stats is not None:      # pre-aggregated (ORC path), keyed by src
         rows, stats = spark_stats.get(os.path.normpath(src), (0, {}))
         size = os.path.getsize(dest)
@@ -149,8 +155,8 @@ def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
 
 def _adopt_files_distributed(spark, staged: list[tuple[str, str]], root: str,
                              fmt: str, level: int, stat_cols: list[str],
-                             index_cols: list[str],
-                             index_fpp: float) -> list[dict | None]:
+                             index_cols: list[str], index_fpp: float,
+                             mode: str = "rename") -> list[dict | None]:
     """Run adopt_one_file for every staged file as one Spark job; only the
     per-file metadata dicts come back to the driver. Footer reads are
     O(KB) each, so tasks are tiny — cap partitions so scheduler overhead
@@ -163,7 +169,7 @@ def _adopt_files_distributed(spark, staged: list[tuple[str, str]], root: str,
     def _task(pairs):
         for src, rel_dir in pairs:
             r = adopt_one_file(src, rel_dir, root, fmt, level,
-                               stat_cols, index_cols, index_fpp)
+                               stat_cols, index_cols, index_fpp, mode=mode)
             yield json.dumps(r)
 
     return [json.loads(s) for s in rdd.mapPartitions(_task).collect()]
@@ -329,7 +335,7 @@ class BatchWriter:
                                    "" if rel_dir == "." else rel_dir))
 
         threshold = int(schema.options.get(
-            "commit.distributed-adopt-threshold", "32"))
+            "commit.distributed-adopt-threshold", "256"))
         spark = self.table.spark or SparkSession.getActiveSession()
         has_variant = any("variant" in f.dataType.simpleString()
                           for f in schema.struct.fields)
