@@ -273,6 +273,85 @@ class TablePaths:
         with open(self.snapshot_file(sid)) as f:
             return Snapshot.from_json(f.read())
 
+    def earliest_snapshot_id(self) -> int | None:
+        """Smallest retained snapshot id (one directory listing)."""
+        try:
+            ids = [int(n[len("snapshot-"):-len(".json")])
+                   for n in os.listdir(self.snapshot_dir)
+                   if n.startswith("snapshot-") and n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        return min(ids) if ids else None
+
+    def _bsearch_snapshots(self, pred) -> Snapshot | None:
+        """Largest-id snapshot satisfying a MONOTONE-DECREASING predicate
+        (true for a prefix of ids, false after) — O(log n) snapshot file
+        reads instead of a linear scan over 10^5 retained snapshots
+        (ref: SnapshotManager earlierOrEqual* binary searches)."""
+        lo, hi = self.earliest_snapshot_id(), self.latest_snapshot_id()
+        if lo is None or hi is None:
+            return None
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            try:
+                s = self.read_snapshot(mid)
+            except FileNotFoundError:   # concurrently expired prefix
+                lo = mid + 1
+                continue
+            if pred(s):
+                best, lo = s, mid + 1
+            else:
+                hi = mid - 1
+        return best
+
+    def snapshot_earlier_or_equal_ts(self, ts_ms: int) -> Snapshot | None:
+        """Latest snapshot with timestamp_ms <= ts_ms (timestamps are
+        monotone in id)."""
+        return self._bsearch_snapshots(lambda s: s.timestamp_ms <= ts_ms)
+
+    def snapshot_later_or_equal_ts(self, ts_ms: int) -> Snapshot | None:
+        """Earliest snapshot with timestamp_ms >= ts_ms."""
+        before = self._bsearch_snapshots(lambda s: s.timestamp_ms < ts_ms)
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return None
+        sid = (before.id + 1) if before is not None else \
+            self.earliest_snapshot_id()
+        if sid is None or sid > latest:
+            return None
+        try:
+            return self.read_snapshot(sid)
+        except FileNotFoundError:
+            return None
+
+    def snapshot_for_watermark(self, watermark: int) -> Snapshot | None:
+        """Earliest snapshot whose watermark has passed `watermark`.
+        Watermarks are monotone once set (commit folds max with the
+        previous snapshot), with a possible None prefix."""
+        below = self._bsearch_snapshots(
+            lambda s: s.watermark is None or s.watermark < watermark)
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return None
+        sid = (below.id + 1) if below is not None else \
+            self.earliest_snapshot_id()
+        if sid is None or sid > latest:
+            return None
+        try:
+            s = self.read_snapshot(sid)
+        except FileNotFoundError:
+            return None
+        return s if (s.watermark is not None
+                     and s.watermark >= watermark) else None
+
+    def snapshot_earlier_or_equal_watermark(self, watermark: int
+                                            ) -> Snapshot | None:
+        """Latest snapshot with a watermark <= `watermark` (rollback)."""
+        s = self._bsearch_snapshots(
+            lambda x: x.watermark is None or x.watermark <= watermark)
+        return None if (s is None or s.watermark is None) else s
+
     def latest_snapshot(self) -> Snapshot | None:
         sid = self.latest_snapshot_id()
         return self.read_snapshot(sid) if sid is not None else None

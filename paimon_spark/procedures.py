@@ -294,23 +294,22 @@ def rollback_to_timestamp(spark, table, timestamp: int, **_):
     """Rollback to the latest snapshot committed at or before `timestamp`
     (epoch ms). (ref: RollbackToTimestampProcedure.java)"""
     t = _t(table).with_spark(spark)
-    cands = [s for s in _snapshots_sorted(t) if s.timestamp_ms <= timestamp]
-    if not cands:
+    s = t.paths.snapshot_earlier_or_equal_ts(timestamp)
+    if s is None:
         raise ValueError(f"no snapshot committed at or before {timestamp}")
-    t.rollback_to(cands[-1].id)
-    return cands[-1].id
+    t.rollback_to(s.id)
+    return s.id
 
 
 def rollback_to_watermark(spark, table, watermark: int, **_):
     """Rollback to the latest snapshot whose commit watermark ≤ `watermark`.
     (ref: RollbackToWatermarkProcedure.java)"""
     t = _t(table).with_spark(spark)
-    cands = [s for s in _snapshots_sorted(t)
-             if s.watermark is not None and s.watermark <= watermark]
-    if not cands:
+    s = t.paths.snapshot_earlier_or_equal_watermark(watermark)
+    if s is None:
         raise ValueError(f"no snapshot with watermark <= {watermark}")
-    t.rollback_to(cands[-1].id)
-    return cands[-1].id
+    t.rollback_to(s.id)
+    return s.id
 
 
 def create_tag_from_timestamp(spark, table, tag: str, timestamp: int, **_):
@@ -318,11 +317,11 @@ def create_tag_from_timestamp(spark, table, tag: str, timestamp: int, **_):
     reference's SnapshotManager.laterOrEqualTimeMills pick).
     (ref: CreateTagFromTimestampProcedure.java:89)"""
     t = _t(table).with_spark(spark)
-    cands = [s for s in _snapshots_sorted(t) if s.timestamp_ms >= timestamp]
-    if not cands:
+    s = t.paths.snapshot_later_or_equal_ts(timestamp)
+    if s is None:
         raise ValueError(f"no snapshot committed at or after {timestamp}")
-    t.create_tag(tag, cands[0].id)
-    return cands[0].id
+    t.create_tag(tag, s.id)
+    return s.id
 
 
 def replace_tag(spark, table, tag: str, snapshot: int | None = None, **_):

@@ -79,29 +79,13 @@ class Scanner:
             return self.paths.read_snapshot(snapshot_id)
         if watermark is not None:
             # earliest snapshot whose watermark has passed the requested one
-            # (ref: scan.watermark CoreOptions.java:1203)
-            latest = self.paths.latest_snapshot_id()
-            for sid in range(1, (latest or 0) + 1):
-                try:
-                    s = self.paths.read_snapshot(sid)
-                except FileNotFoundError:
-                    continue
-                if s.watermark is not None and s.watermark >= watermark:
-                    return s
-            return None
+            # — O(log n) binary search, watermarks are monotone in id
+            # (ref: scan.watermark CoreOptions.java:1203; SnapshotManager)
+            return self.paths.snapshot_for_watermark(watermark)
         if as_of_timestamp_ms is not None:
-            latest = self.paths.latest_snapshot_id()
-            if latest is None:
-                return None
-            best = None
-            for sid in range(1, latest + 1):
-                try:
-                    s = self.paths.read_snapshot(sid)
-                except FileNotFoundError:
-                    continue  # expired
-                if s.timestamp_ms <= as_of_timestamp_ms:
-                    best = s
-            return best
+            # timestamps are monotone in id → binary search instead of a
+            # linear read of every retained snapshot (10^5 at scale)
+            return self.paths.snapshot_earlier_or_equal_ts(as_of_timestamp_ms)
         return self.paths.latest_snapshot()
 
     # ---------------- planning ----------------

@@ -57,3 +57,53 @@ def test_read_optimized_lags_until_compact(spark, wh):
     # read-optimized still serves the compacted state; full read merges
     assert [tuple(r) for r in t.read_optimized().collect()] == [(1, "a")]
     assert [tuple(r) for r in t.read().collect()] == [(1, "b")]
+
+
+def test_snapshot_resolution_is_logarithmic(spark, wh, monkeypatch):
+    """Timestamp/watermark time travel binary-searches the snapshot range:
+    with 1000 retained snapshots the resolver may open O(log n) snapshot
+    files, never the full range (ref: SnapshotManager earlierOrEqual*)."""
+    import json
+    import os
+
+    from paimon_spark.metadata import Snapshot, TablePaths
+    from paimon_spark.table import Table
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("k", T.LongType())])
+    t = Table.create(f"{wh}/logn", sch, spark=spark)
+    t.append(spark.createDataFrame([(1,)], sch))
+    base = t.paths.read_snapshot(1)
+    # fabricate 999 more snapshots with monotone timestamps/watermarks
+    # (metadata-only — they all reuse snapshot 1's manifests)
+    for sid in range(2, 1001):
+        s = Snapshot(**{**base.__dict__, "id": sid,
+                        "timestamp_ms": base.timestamp_ms + sid * 1000,
+                        "watermark": sid * 10})
+        with open(t.paths.snapshot_file(sid), "w") as f:
+            f.write(s.to_json())
+    t.paths.write_latest_hint(1000)
+
+    opens = {"n": 0}
+    real = TablePaths.read_snapshot
+
+    def counting(self, sid):
+        opens["n"] += 1
+        return real(self, sid)
+
+    monkeypatch.setattr(TablePaths, "read_snapshot", counting)
+
+    opens["n"] = 0
+    s = t.paths.snapshot_earlier_or_equal_ts(base.timestamp_ms + 500 * 1000)
+    assert s.id == 500
+    assert opens["n"] <= 14          # ~log2(1000) + slack
+
+    opens["n"] = 0
+    s = t.paths.snapshot_for_watermark(7770)
+    assert s.id == 777
+    assert opens["n"] <= 14
+
+    opens["n"] = 0
+    s = t.paths.snapshot_later_or_equal_ts(base.timestamp_ms + 999 * 1000 + 1)
+    assert s.id == 1000
+    assert opens["n"] <= 15
