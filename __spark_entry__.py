@@ -280,6 +280,25 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.append(moved)                                        # snapshot 3
         out["orders_xp"] = t
 
+    def _build_9():
+        # ---- part_merge: MERGE INTO an append table (COW rewrite) ----
+        pm = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+              .select("p_partkey",
+                      F.col("p_retailprice").cast("double").alias("price"),
+                      "p_brand"))
+        t = Table.create(f"{root}/part_merge", pm.schema, spark=spark)
+        t.append(pm)
+        upd = (pm.filter(F.col("p_partkey") % 10 == 0)
+               .withColumn("price", F.col("price") + 1000.0))
+        ins = (pm.filter(F.col("p_partkey") % 97 == 0)
+               .withColumn("p_partkey", F.col("p_partkey") + 3000000))
+        t.merge_into(upd.unionByName(ins), on=["p_partkey"],
+                     matched_update="all")                # update + insert
+        t.merge_into(pm.filter(F.col("p_partkey") % 7 == 3),
+                     on=["p_partkey"], matched_delete=True,
+                     not_matched_insert=False)            # delete
+        out["part_merge"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -306,7 +325,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
@@ -636,6 +655,12 @@ def cross_partition_pruned(spark, sf_dir):
     return (t.read(P.eq("o_orderstatus", "O"))
             .select("o_orderkey",
                     F.col("o_totalprice").cast("double").alias("total")))
+
+
+def merge_into_append(spark, sf_dir):
+    """MERGE INTO an append (non-PK) table: update-all + insert, then a
+    delete merge — copy-on-write rewrite of touched files only."""
+    return _wh(spark, sf_dir)["part_merge"].read()
 
 
 def time_travel_v1(spark, sf_dir):
@@ -1191,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_after_delete": pk_after_delete,
         "cross_partition_upsert": cross_partition_upsert,
         "cross_partition_pruned": cross_partition_pruned,
+        "merge_into_append": merge_into_append,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
         "audit_log_counts": audit_log_counts,
@@ -1484,6 +1510,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
             FROM orders
             WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+        """,
+        "merge_into_append": """
+            WITH merged AS (
+              SELECT p_partkey,
+                     CAST(CASE WHEN p_partkey % 10 = 0
+                               THEN p_retailprice + 1000.0
+                               ELSE p_retailprice END AS DOUBLE) AS price,
+                     p_brand
+              FROM part
+              UNION ALL
+              SELECT p_partkey + 3000000,
+                     CAST(p_retailprice AS DOUBLE) AS price, p_brand
+              FROM part WHERE p_partkey % 97 = 0
+            )
+            SELECT * FROM merged
+            WHERE NOT (p_partkey % 7 = 3 AND p_partkey < 3000000)
         """,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """

@@ -700,7 +700,8 @@ class Table:
         (ref: MergeIntoPaimonTable.scala:47). PK tables emit +U/-D/+I rows
         (merge-on-read); append tables rewrite touched files (COW)."""
         if not self.schema.is_pk_table:
-            raise NotImplementedError("MERGE INTO currently requires a PK table")
+            return self._merge_into_append(source, on, matched_update,
+                                           matched_delete, not_matched_insert)
         from pyspark.sql import Column
 
         w = self.writer()
@@ -751,6 +752,90 @@ class Table:
         for r in out_rows[1:]:
             changes = changes.unionByName(r)
         return w.commit(w.stage(changes), COMMIT_APPEND)
+
+    def _merge_into_append(self, source: DataFrame, on: list[str],
+                           matched_update, matched_delete: bool,
+                           not_matched_insert: bool) -> Snapshot:
+        """MERGE INTO an append (non-PK) table: copy-on-write of touched
+        files only (ref: MergeIntoPaimonTable.scala:47 non-PK path —
+        findTouchedFiles semi-join, rewrite, insert).
+
+        Touched-file discovery reads ONLY the join columns (+ file path
+        metadata) and semi-joins the source keys — column-pruned scan, one
+        shuffle-or-broadcast join; untouched files are never rewritten."""
+        from pyspark.sql import Column
+
+        w = self.writer()
+        tcols = self.schema.field_names
+        latest = self.paths.latest_snapshot()
+        src = source.dropDuplicates(on)
+
+        def _val(v, default_col):
+            if isinstance(v, Column):
+                return v
+            if isinstance(v, str) and (v.startswith("s.") or v.startswith("t.")):
+                return F.col(v)
+            return F.lit(v) if v is not None else default_col
+
+        touched: list[FileEntry] = []
+        plan = None
+        if latest is not None and (matched_update is not None or matched_delete):
+            plan = self.new_scan().plan()
+            if plan.entries:
+                scan_df = (self._reader().format(self.file_format)
+                           .load([os.path.join(self.path, e.file_path)
+                                  for e in plan.entries])
+                           .select(*on,
+                                   F.col("_metadata.file_path").alias("__fp")))
+                hit = (scan_df.join(src.select(*on).distinct(), on, "leftsemi")
+                       .select("__fp").distinct().collect())
+                names = {os.path.basename(r["__fp"]) for r in hit}
+                touched = [e for e in plan.entries
+                           if os.path.basename(e.file_path) in names]
+
+        adds: list[FileEntry] = []
+        deletes: list[FileEntry] = []
+        if touched:
+            tdf = self._rewrite_source_df(touched)
+            keep_cols = tcols + ([ROW_ID_COL] if ROW_ID_COL in tdf.columns
+                                 else [])
+            joined = (tdf.alias("t")
+                      .join(src.withColumn("__s_exists", F.lit(True))
+                            .alias("s"), on, "left"))
+            exists = F.col("__s_exists") == F.lit(True)
+            if matched_delete:
+                out = (joined.filter(F.col("__s_exists").isNull())
+                       .select(*[(F.col(c) if c in on
+                                  else F.col(f"t.{c}")).alias(c)
+                                 for c in keep_cols]))
+            else:
+                cols = []
+                for c in keep_cols:
+                    if c in on or c == ROW_ID_COL:
+                        cols.append((F.col(c) if c in on
+                                     else F.col(f"t.{c}")).alias(c))
+                    elif matched_update == "all":
+                        cols.append(F.when(exists, F.col(f"s.{c}"))
+                                    .otherwise(F.col(f"t.{c}")).alias(c))
+                    elif c in matched_update:
+                        cols.append(F.when(
+                            exists,
+                            _val(matched_update[c], F.col(f"t.{c}")))
+                            .otherwise(F.col(f"t.{c}")).alias(c))
+                    else:
+                        cols.append(F.col(f"t.{c}").alias(c))
+                out = joined.select(*cols)
+            adds += w.stage(out)
+            deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                       for e in touched]
+        if not_matched_insert:
+            existing_keys = self.read(projection=list(on)).dropDuplicates()
+            ins = (src.join(existing_keys, on, "left_anti")
+                   .select(*[F.col(c) for c in tcols]))
+            adds += w.stage(ins)
+        if not adds and not deletes:
+            return latest
+        return w.commit(adds + deletes, COMMIT_OVERWRITE)
 
     # ---------------- maintenance ----------------
 

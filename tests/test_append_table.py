@@ -164,3 +164,38 @@ def test_distributed_file_adoption(spark, wh):
                       spark=spark)
     t2.append(df.repartition(6))
     assert all(e.index_path for e in t2.new_scan().plan().entries)
+
+
+def test_merge_into_append_table(spark, wh):
+    """COW MERGE INTO on a non-PK table: update + delete + insert, with
+    untouched files left physically intact
+    (ref: MergeIntoPaimonTable.scala non-PK touched-file rewrite)."""
+    from pyspark.sql import functions as F, types as T
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType()),
+                        T.StructField("amt", T.DoubleType())])
+    t = Table.create(f"{wh}/ma", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], sch))
+    t.append(spark.createDataFrame([(3, "c", 3.0), (4, "d", 4.0)], sch))
+    before = {e.file_path for e in t.new_scan().plan().entries}
+
+    src = spark.createDataFrame([(2, "B", 20.0), (9, "i", 9.0)], sch)
+    t.merge_into(src, on=["k"], matched_update="all")
+    got = {r.k: (r.v, r.amt) for r in t.read().collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0),
+                   4: ("d", 4.0), 9: ("i", 9.0)}
+    after = {e.file_path for e in t.new_scan().plan().entries}
+    # the (3,4) file was untouched: still present under its old name
+    assert any(p in after for p in before)
+
+    # matched_delete + expression update on a fresh table
+    t2 = Table.create(f"{wh}/ma2", sch, spark=spark)
+    t2.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], sch))
+    t2.merge_into(spark.createDataFrame([(2, "x", 0.0)], sch), on=["k"],
+                  matched_delete=True, not_matched_insert=False)
+    assert sorted(r.k for r in t2.read().collect()) == [1, 3]
+    t2.merge_into(spark.createDataFrame([(1, "z", 100.0)], sch), on=["k"],
+                  matched_update={"amt": F.col("s.amt") + F.col("t.amt")},
+                  not_matched_insert=False)
+    assert t2.read().filter("k = 1").collect()[0].amt == 101.0
