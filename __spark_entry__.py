@@ -299,6 +299,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                      not_matched_insert=False)            # delete
         out["part_merge"] = t
 
+    def _build_10():
+        # ---- orders_avro: PK merge-on-read over AVRO data files ----
+        oa = raw["orders"].filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        t = Table.create(f"{root}/orders_avro", oa.schema,
+                         primary_keys=["o_orderkey"],
+                         options={"bucket": "2", "file.format": "avro"},
+                         spark=spark)
+        t.append(oa)
+        t.append(oa.filter(F.col("o_orderkey") % 9 == 0)
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
+        out["orders_avro"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -325,7 +338,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
@@ -655,6 +668,15 @@ def cross_partition_pruned(spark, sf_dir):
     return (t.read(P.eq("o_orderstatus", "O"))
             .select("o_orderkey",
                     F.col("o_totalprice").cast("double").alias("total")))
+
+
+def pk_avro_upsert(spark, sf_dir):
+    """PK merge-on-read over a table whose data files are AVRO (row
+    format, addressed by class name)."""
+    t = _wh(spark, sf_dir)["orders_avro"]
+    return t.read().select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total"))
 
 
 def merge_into_append(spark, sf_dir):
@@ -1217,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_partition_upsert": cross_partition_upsert,
         "cross_partition_pruned": cross_partition_pruned,
         "merge_into_append": merge_into_append,
+        "pk_avro_upsert": pk_avro_upsert,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
         "audit_log_counts": audit_log_counts,
@@ -1510,6 +1533,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
             FROM orders
             WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+        """,
+        "pk_avro_upsert": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(CASE WHEN o_orderkey % 9 = 0
+                             THEN o_totalprice + 500.0
+                             ELSE o_totalprice END AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey % 3 = 0
         """,
         "merge_into_append": """
             WITH merged AS (

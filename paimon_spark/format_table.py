@@ -42,7 +42,9 @@ class FormatTable:
 
     def read(self, predicate: Predicate | None = None,
              projection: list[str] | None = None) -> DataFrame:
-        reader = self.spark.read.format(self.fmt).option("basePath", self.path)
+        from paimon_spark.writer import spark_format_name
+        reader = (self.spark.read.format(spark_format_name(self.fmt))
+                  .option("basePath", self.path))
         for k, v in self.options.items():
             reader = reader.option(k, v)
         if self.fmt == "csv" and "header" not in self.options:
@@ -55,7 +57,8 @@ class FormatTable:
         return df
 
     def write(self, df: DataFrame, mode: str = "append"):
-        writer = df.write.format(self.fmt).mode(mode)
+        from paimon_spark.writer import spark_format_name
+        writer = df.write.format(spark_format_name(self.fmt)).mode(mode)
         for k, v in self.options.items():
             writer = writer.option(k, v)
         if self.fmt == "csv":

@@ -85,6 +85,36 @@ class TableSchema:
                 raise ValueError(
                     "cross-partition update supports merge-engine="
                     "deduplicate only")
+        fmt = options.get("file.format", "parquet")
+        if fmt == "csv":
+            bad = [f.name for f in struct.fields
+                   if isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                              T.StructType, T.BinaryType))
+                   or type(f.dataType).__name__ == "VariantType"]
+            if bad:
+                raise ValueError(
+                    f"file.format=csv supports flat atomic schemas only; "
+                    f"complex/binary fields: {bad}")
+        if fmt == "json":
+            bad = [f.name for f in struct.fields
+                   if type(f.dataType).__name__ == "VariantType"]
+            if bad:
+                raise ValueError(
+                    f"file.format=json cannot store VARIANT fields: {bad}")
+        if fmt not in ("parquet", "orc"):
+            # deletion vectors / row lineage address rows by the file-source
+            # _metadata.row_index, which Spark generates for parquet/orc only
+            for opt in ("deletion-vectors.enabled", "row-tracking.enabled"):
+                if options.get(opt, "false") == "true":
+                    raise ValueError(
+                        f"{opt} requires file.format parquet or orc "
+                        f"(positional row addressing), got {fmt}")
+            if options.get("file-index.bloom-filter.columns", "").strip():
+                # sidecars are mined from the written file with pyarrow,
+                # which reads parquet/orc only
+                raise ValueError(
+                    "file-index sidecars require file.format parquet or "
+                    f"orc, got {fmt}")
         if (options.get("chain-table.enabled") == "true" and primary_keys
                 and options.get("merge-engine", "deduplicate") != "deduplicate"):
             # chain reconstruction merges across branches with last-writer-

@@ -155,12 +155,28 @@ class Table:
 
     @property
     def file_format(self) -> str:
-        """Data-file format (`file.format` option): parquet or orc."""
-        return self.schema.options.get("file.format", "parquet")
+        """Data-file format (`file.format` option): parquet, orc, avro,
+        csv or json (avro needs the external spark-avro module)."""
+        fmt = self.schema.options.get("file.format", "parquet")
+        if fmt == "avro" and self.spark is not None:
+            from paimon_spark.writer import require_avro
+            require_avro(self.spark)
+        return fmt
+
+    def _freader(self, schema: TableSchema | None = None, struct=None):
+        """Format-aware file reader: explicit schema + basePath (partition
+        cols from the path) + per-format options (csv null sentinel)."""
+        from paimon_spark.writer import format_options, spark_format_name
+        return (self.spark.read
+                .schema(struct if struct is not None
+                        else self._read_struct_with_partitions(schema))
+                .option("basePath", self.path)
+                .format(spark_format_name(self.file_format))
+                .options(**format_options(self.file_format)))
 
     def _read_sid_group(self, sid: int, paths: list[str]) -> DataFrame:
         old = self._schema_at(sid)
-        df = self._reader(old).format(self.file_format).load(paths)
+        df = self._freader(old).load(paths)
         return self._evolve(df, old) if sid != self.schema.schema_id else df
 
     def _read_files(self, entries: list[FileEntry],
@@ -184,7 +200,7 @@ class Table:
             # (_metadata.file_path, _metadata.row_index)
             # (ref: ApplyDeletionVectorReader.java)
             old = self._schema_at(sid)
-            df = self._reader(old).format(self.file_format).load(
+            df = self._freader(old).load(
                 [os.path.join(self.path, e.file_path) for e in group])
             cols = df.columns
             df = df.select("*",
@@ -519,8 +535,7 @@ class Table:
         with_id = T.StructType(
             list(struct.fields) + ([T.StructField(ROW_ID_COL, T.LongType())]
                                    if ROW_ID_COL not in names else []))
-        df = (self.spark.read.schema(with_id).option("basePath", self.path)
-              .format(self.file_format)
+        df = (self._freader(struct=with_id)
               .load([os.path.join(self.path, e.file_path) for e in entries])
               .select("*",
                       F.element_at(F.split(F.col("_metadata.file_path"), "/"),
@@ -631,7 +646,7 @@ class Table:
         import uuid as _uuid
 
         w = self.writer()
-        meta = self._reader().format(self.file_format).load(
+        meta = self._freader().load(
             [os.path.join(self.path, e.file_path) for e in touched]).select(
             "*", F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("pos"))
@@ -782,7 +797,7 @@ class Table:
         if latest is not None and (matched_update is not None or matched_delete):
             plan = self.new_scan().plan()
             if plan.entries:
-                scan_df = (self._reader().format(self.file_format)
+                scan_df = (self._freader()
                            .load([os.path.join(self.path, e.file_path)
                                   for e in plan.entries])
                            .select(*on,

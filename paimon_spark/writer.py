@@ -27,6 +27,7 @@ from typing import TYPE_CHECKING
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from paimon_spark.metadata import (
     ADD, COMMIT_APPEND, COMMIT_COMPACT, COMMIT_OVERWRITE, DELETE,
@@ -39,6 +40,48 @@ if TYPE_CHECKING:
     from paimon_spark.table import Table
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# data-file formats (ref: CoreOptions.java:337 `file.format` — parquet/orc
+# are the columnar scale path; avro/csv/json are row formats the reference
+# also writes). avro needs the external spark-avro module — gated below.
+DATA_FORMATS = ("parquet", "orc", "avro", "csv", "json")
+
+# csv cannot distinguish null from "" without a sentinel; use the classic
+# Hive \N marker on BOTH write and read so round-trips are lossless
+_FORMAT_OPTS = {"csv": {"nullValue": "\\N", "header": "false"}}
+
+
+def format_options(fmt: str) -> dict:
+    return dict(_FORMAT_OPTS.get(fmt, {}))
+
+
+_AVRO_OK: bool | None = None
+
+# the 'avro' short name is registered only by the external spark-avro
+# module, but the classes themselves ship inside spark-sql — address the
+# file format by class name so avro works on a bare pyspark install
+AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def spark_format_name(fmt: str) -> str:
+    return AVRO_CLASS if fmt == "avro" else fmt
+
+
+def require_avro(spark) -> None:
+    """Probe the classpath once; fail with a deployment hint instead of a
+    lookup error mid-query when the avro classes are truly absent."""
+    global _AVRO_OK
+    if _AVRO_OK is None:
+        try:
+            spark._jvm.java.lang.Class.forName(AVRO_CLASS)
+            _AVRO_OK = True
+        except Exception:
+            _AVRO_OK = False
+    if not _AVRO_OK:
+        raise RuntimeError(
+            "file.format=avro requires the spark-avro classes on the "
+            "classpath (e.g. --packages org.apache.spark:spark-avro_2.13); "
+            "they are not deployed in this session")
 
 
 def bucket_expr(schema: TableSchema, n: int | None = None):
@@ -250,9 +293,13 @@ class BatchWriter:
         writer = df.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.format(self.file_format).save(staging)
+        fmt = self.file_format
+        writer.format(spark_format_name(fmt)) \
+              .options(**format_options(fmt)).save(staging)
 
-        entries = self._adopt_staged(staging, level)
+        staged_struct = T.StructType(
+            [f for f in df.schema.fields if f.name not in part_cols])
+        entries = self._adopt_staged(staging, level, staged_struct)
         if ROW_ID_COL in extra:
             # rows carried their lineage ids physically into the new files —
             # mark so commit doesn't burn fresh id ranges on them
@@ -263,28 +310,37 @@ class BatchWriter:
 
     @property
     def file_format(self) -> str:
-        """Data-file format: parquet (default) or orc.
-        (ref: CoreOptions.java:337 `file.format` — the reference also
-        supports avro/csv/json for data files; columnar formats are the
-        scale path and the only ones we write natively.)"""
+        """Data-file format: parquet (default), orc, avro, csv, or json.
+        (ref: CoreOptions.java:337 `file.format`.) Columnar formats are
+        the scale path; row formats serve write-heavy/changelog tables.
+        Stats for non-parquet formats come from one Spark aggregation over
+        the staged files (parquet mines footers)."""
         fmt = self.schema.options.get("file.format", "parquet")
-        if fmt not in ("parquet", "orc"):
+        if fmt not in DATA_FORMATS:
             raise ValueError(f"unsupported file.format {fmt} "
-                             "(parquet and orc are supported)")
+                             f"(supported: {', '.join(DATA_FORMATS)})")
+        if fmt == "avro":
+            require_avro(self.table.spark or SparkSession.getActiveSession())
         return fmt
 
-    def _staged_stats_spark(self, staging: str, stat_cols: list[str]) -> dict:
+    def _staged_stats_spark(self, staging: str, stat_cols: list[str],
+                            staged_struct: T.StructType | None = None) -> dict:
         """Per-file rows + min/max/null stats via ONE Spark aggregation over
         the staged directory — the stats path for formats whose footers
-        pyarrow can't mine (ORC: stripe stats aren't exposed). One extra
-        columnar pass over just-written files; parquet avoids it entirely
-        via footers."""
+        pyarrow can't mine (ORC stripe stats aren't exposed; avro/csv/json
+        have no footers at all). One extra pass over just-written files;
+        parquet avoids it entirely via footers. csv/json NEED the explicit
+        staged_struct (csv is positional and untyped on disk)."""
         if not any(fn.endswith(f".{self.file_format}")
                    for _, _, fns in os.walk(staging) for fn in fns):
             return {}                        # empty stage (e.g. no-op batch)
         spark = self.table.spark or SparkSession.getActiveSession()
-        df = (spark.read.format(self.file_format)
-              .option("recursiveFileLookup", "true").load(staging))
+        reader = (spark.read.format(spark_format_name(self.file_format))
+                  .options(**format_options(self.file_format))
+                  .option("recursiveFileLookup", "true"))
+        if staged_struct is not None:
+            reader = reader.schema(staged_struct)
+        df = reader.load(staging)
         cols = [c for c in stat_cols if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
@@ -303,7 +359,9 @@ class BatchWriter:
             out[os.path.normpath(path)] = (r["__rows"], stats)
         return out
 
-    def _adopt_staged(self, staging: str, level: int) -> list[FileEntry]:
+    def _adopt_staged(self, staging: str, level: int,
+                      staged_struct: T.StructType | None = None
+                      ) -> list[FileEntry]:
         """Move staged files into the table tree; collect footer stats.
 
         Large commits (≥ commit.distributed-adopt-threshold files, default
@@ -319,7 +377,8 @@ class BatchWriter:
         fmt = self.file_format
         stat_cols = [f.name for f in schema.struct.fields
                      if f.name not in schema.partition_keys] + [SEQ_COL]
-        spark_stats = (self._staged_stats_spark(staging, stat_cols)
+        spark_stats = (self._staged_stats_spark(staging, stat_cols,
+                                                staged_struct)
                        if fmt != "parquet" else None)
         # standalone bloom index (ref: CoreOptions file-index.bloom-filter.columns)
         index_cols = [c.strip() for c in schema.options.get(

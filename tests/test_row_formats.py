@@ -1,0 +1,117 @@
+"""`file.format=csv|json` snapshot tables: full LSM semantics over row
+formats — write, Spark-computed stats pruning, PK merge-on-read, null
+round-trips, partitioned layout, time travel. avro is gated on the
+external spark-avro module (absent here: the gate itself is tested).
+(ref: CoreOptions.java:337 file.format — the reference writes
+avro/csv/json data files too)"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+
+SCHEMA = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType()),
+                       T.StructField("x", T.DoubleType())])
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "avro"])
+def test_row_format_roundtrip_and_pruning(spark, wh, fmt):
+    t = Table.create(f"{wh}/{fmt}_a", SCHEMA,
+                     options={"file.format": fmt}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)], SCHEMA))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100, 200)], SCHEMA))
+    assert all(e.file_path.endswith(f".{fmt}")
+               for e in t.paths.live_entries(t.paths.latest_snapshot()))
+    assert t.read().count() == 200
+    plan = t.new_scan().plan(P.le("k", 50))
+    assert plan.files_skipped > 0          # Spark-agg stats drive skipping
+    assert sorted(r.k for r in t.read(P.le("k", 50)).collect()) == \
+        list(range(51))
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "avro"])
+def test_row_format_pk_merge(spark, wh, fmt):
+    t = Table.create(f"{wh}/{fmt}_pk", SCHEMA, primary_keys=["k"],
+                     options={"file.format": fmt, "bucket": "2"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(i, "a", 1.0) for i in range(20)], SCHEMA))
+    t.append(spark.createDataFrame([(i, "b", 2.0) for i in range(0, 20, 2)],
+                                   SCHEMA))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[2] == "b" and got[3] == "a" and len(got) == 20
+    t.delete_where(P.lt("k", 5))
+    assert t.read().count() == 15
+    t.compact()
+    assert t.read().count() == 15
+    assert t.read(snapshot_id=1).count() == 20     # time travel intact
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_row_format_null_and_empty_string(spark, wh, fmt):
+    """csv uses the \\N sentinel so NULL and '' survive a round trip."""
+    t = Table.create(f"{wh}/{fmt}_null", SCHEMA,
+                     options={"file.format": fmt}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, None, None), (2, "", 0.0), (3, "x", 3.0)], SCHEMA))
+    got = {r.k: (r.v, r.x) for r in t.read().collect()}
+    assert got[1] == (None, None)
+    assert got[2] == ("", 0.0)
+    assert got[3] == ("x", 3.0)
+
+
+def test_row_format_partitioned_with_timestamp(spark, wh):
+    sch = T.StructType([T.StructField("p", T.StringType()),
+                        T.StructField("k", T.LongType()),
+                        T.StructField("ts", T.TimestampType())])
+    t = Table.create(f"{wh}/csv_part", sch, partition_keys=["p"],
+                     options={"file.format": "csv"}, spark=spark)
+    rows = [("a", 1, dt.datetime(2026, 1, 1, 12, 0, 0)),
+            ("b", 2, dt.datetime(2026, 6, 30, 23, 59, 59))]
+    t.append(spark.createDataFrame(rows, sch))
+    got = sorted((r.p, r.k, r.ts) for r in t.read().collect())
+    assert got == sorted(rows)
+    assert [r.k for r in t.read(P.eq("p", "b")).collect()] == [2]
+
+
+def test_csv_rejects_complex_types(spark, wh):
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("arr", T.ArrayType(T.LongType()))])
+    with pytest.raises(ValueError, match="csv"):
+        Table.create(f"{wh}/csv_bad", sch,
+                     options={"file.format": "csv"}, spark=spark)
+
+
+def test_dv_requires_columnar_format(spark, wh):
+    with pytest.raises(ValueError, match="parquet or orc"):
+        Table.create(f"{wh}/avro_dv", SCHEMA, primary_keys=["k"],
+                     options={"file.format": "avro", "bucket": "1",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+
+
+def test_avro_partitioned_layout(spark, wh):
+    """avro (addressed by class name — Spark 4 ships the classes inside
+    spark-sql without the short-name registration) with a partitioned
+    layout; sidecar indexes are parquet/orc-only and rejected early."""
+    sch = T.StructType([T.StructField("p", T.StringType()),
+                        T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/avro_part", sch, partition_keys=["p"],
+                     options={"file.format": "avro"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [("a", i, f"u{i}") for i in range(50)] +
+        [("b", i, f"w{i}") for i in range(50)], sch))
+    es = t.paths.live_entries(t.paths.latest_snapshot())
+    assert all(e.file_path.endswith(".avro") for e in es)
+    assert t.read(P.eq("p", "b")).count() == 50
+    assert sorted(r.k for r in t.read(P.eq("v", "u7")).collect()) == [7]
+    with pytest.raises(ValueError, match="parquet or orc"):
+        Table.create(f"{wh}/avro_bloom", sch,
+                     options={"file.format": "avro",
+                              "file-index.bloom-filter.columns": "v"},
+                     spark=spark)
