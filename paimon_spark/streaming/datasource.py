@@ -221,6 +221,15 @@ class PaimonStreamReader(DataSourceStreamReader):
             off = {"snapshot": 0}           # 0 = full state still pending
         elif mode == "from-snapshot":
             off = {"snapshot": int(self.options.get("scan.snapshot-id", "1")) - 1}
+        elif mode == "from-timestamp":
+            # deltas from the first snapshot committed AFTER the timestamp
+            # (ref: ContinuousFromTimestampStartingScanner); binary search
+            ts = int(self.options.get("scan.timestamp-millis", "0"))
+            s = table.paths.snapshot_earlier_or_equal_ts(ts)
+            # ts before the earliest snapshot → 0 = full-state sentinel
+            # (equivalent to replaying every retained delta)
+            off = {"snapshot": s.id if s is not None
+                   else (table.paths.earliest_snapshot_id() or 1) - 1}
         else:
             off = {"snapshot": latest}      # latest: deltas only
         self._last_end = off["snapshot"]

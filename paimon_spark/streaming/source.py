@@ -40,16 +40,22 @@ class StreamScanner:
     def __init__(self, table: Table, mode: str = "latest-full",
                  from_snapshot: int | None = None,
                  from_timestamp_ms: int | None = None,
+                 to_snapshot: int | None = None,
                  consumer_id: str | None = None,
                  max_snapshots_per_batch: int | None = None):
         self.table = table
         self.mode = mode
         self.from_snapshot = from_snapshot
         self.from_timestamp_ms = from_timestamp_ms
+        self.to_snapshot = to_snapshot
         self.consumer_id = consumer_id
         self.max_snapshots = max_snapshots_per_batch
         self._next: int | None = None          # next snapshot id to consume
         self._did_initial = False
+        if mode == "incremental" and (from_snapshot is None
+                                      or to_snapshot is None):
+            raise ValueError("scan.mode=incremental needs from_snapshot "
+                             "and to_snapshot")
 
     # ------------- consumer persistence (ref: consumer/Consumer.java) ------
 
@@ -117,6 +123,43 @@ class StreamScanner:
     def next_batch(self) -> DataFrame | None:
         """Next micro-batch of changelog rows (with `_row_kind`), or None if
         caught up. First batch under latest-full is the full current state."""
+        if self.mode == "incremental":
+            # bounded replay of (from, to] as ONE batch, then caught up —
+            # the streaming face of the incremental TVF
+            # (ref: CoreOptions.java INCREMENTAL scan mode)
+            if self._did_initial:
+                return None
+            self._did_initial = True
+            df = self.table.read_incremental(self.from_snapshot,
+                                             self.to_snapshot, with_kind=True)
+            if not self.table.schema.is_pk_table and KIND_COL not in df.columns:
+                df = df.withColumn(KIND_COL, F.lit("+I"))
+            if SEQ_COL in df.columns:
+                df = df.drop(SEQ_COL)
+            return df
+        if self._next is None and self.mode == "from-file-creation-time":
+            # initial state = live data files CREATED at/after the cutoff,
+            # then deltas (ref: FileCreationTimeStartingScanner /
+            # CoreOptions scan.file-creation-time-millis). The reference
+            # reads DataFileMeta.creationTime; we use filesystem mtime —
+            # same signal for immutable, written-once data files.
+            latest = self.table.paths.latest_snapshot()
+            self._next = (latest.id + 1) if latest else 1
+            self._did_initial = True
+            self._save_consumer()
+            if latest is not None:
+                cutoff = (self.from_timestamp_ms or 0) / 1000.0
+                ents = [e for e in self.table.paths.live_entries(latest)
+                        if os.path.getmtime(os.path.join(
+                            self.table.path, e.file_path)) >= cutoff]
+                if ents:
+                    df = self.table._read_files(ents)
+                    if self.table.schema.is_pk_table:
+                        from paimon_spark.operators.merge import apply_merge
+                        df = apply_merge(df, self.table.schema)
+                    df = df.select(*self.table.schema.field_names)
+                    return df.withColumn(KIND_COL, F.lit("+I"))
+            return None
         if self._next is None:
             self._next, emit_full = self._resolve_start()
             if emit_full and not self._did_initial:

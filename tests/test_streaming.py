@@ -342,3 +342,73 @@ def test_stream_read_limits_rows_and_snapshots(spark, wh):
     progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(progressed) >= 3
     assert all(p["numInputRows"] <= 30 for p in progressed)
+
+
+SCHEMA3 = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType()),
+                        T.StructField("x", T.DoubleType())])
+
+
+def test_startup_mode_from_file_creation_time(spark, wh):
+    """Initial state = live files created at/after the cutoff, then deltas
+    (ref: FileCreationTimeStartingScanner; file mtime stands in for
+    DataFileMeta.creationTime on immutable data files)."""
+    import time as _time
+
+    from paimon_spark.streaming.source import StreamScanner
+    t = Table.create(f"{wh}/fct", SCHEMA3, spark=spark)
+    t.append(spark.createDataFrame([(1, "old", 0.0)], SCHEMA3))
+    _time.sleep(1.1)
+    cutoff_ms = int(_time.time() * 1000)
+    t.append(spark.createDataFrame([(2, "new", 0.0)], SCHEMA3))
+
+    sc = StreamScanner(t, mode="from-file-creation-time",
+                       from_timestamp_ms=cutoff_ms)
+    first = sc.next_batch()
+    assert [r.k for r in first.collect()] == [2]   # old file skipped
+    # follow-up deltas arrive normally
+    t.append(spark.createDataFrame([(3, "late", 0.0)], SCHEMA3))
+    nxt = sc.next_batch()
+    assert [r.k for r in nxt.collect()] == [3]
+    assert sc.next_batch() is None
+
+
+def test_startup_mode_incremental_bounded(spark, wh):
+    """scan.mode=incremental replays (from, to] as one batch then stops —
+    the streaming face of the incremental TVF."""
+    from paimon_spark.streaming.source import StreamScanner
+    t = Table.create(f"{wh}/incs", SCHEMA3, spark=spark)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"c{i}", 0.0)], SCHEMA3))
+    sc = StreamScanner(t, mode="incremental", from_snapshot=1, to_snapshot=3)
+    b = sc.next_batch()
+    assert sorted(r.k for r in b.collect()) == [1, 2]
+    assert "_row_kind" in b.columns
+    assert sc.next_batch() is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="incremental"):
+        StreamScanner(t, mode="incremental", from_snapshot=1)
+
+
+def test_datasource_from_timestamp_offset(spark, wh):
+    """format('paimon') streaming with scan.mode=from-timestamp starts at
+    the first snapshot committed after the timestamp."""
+    import uuid as _uuid
+
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    t = Table.create(f"{wh}/dts", SCHEMA3, spark=spark)
+    t.append(spark.createDataFrame([(1, "a", 0.0)], SCHEMA3))
+    ts_after_1 = t.paths.latest_snapshot().timestamp_ms
+    t.append(spark.createDataFrame([(2, "b", 0.0)], SCHEMA3))
+    q = (spark.readStream.format("paimon")
+         .option("path", t.path)
+         .option("scan.mode", "from-timestamp")
+         .option("scan.timestamp-millis", str(ts_after_1))
+         .load()
+         .writeStream.format("memory")
+         .queryName(f"fts_{_uuid.uuid4().hex[:8]}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(f"select k from {q.name}").collect()
+    assert sorted(r.k for r in rows) == [2]
