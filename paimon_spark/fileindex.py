@@ -1,10 +1,24 @@
-"""Standalone per-file indexes: bloom filters evaluated at plan time.
+"""Standalone per-file indexes: bloom filters + exact bitmaps at plan time.
 
 (ref: paimon-common/src/main/java/org/apache/paimon/fileindex/
- bloomfilter/BloomFilterFileIndex.java; docs: file-index.bloom-filter.columns.
- Paimon writes an index sidecar per data file and tests equality predicates
- against it during scan planning, skipping files min/max stats can't —
- high-cardinality point lookups where every file's [min,max] spans the key.)
+ bloomfilter/BloomFilterFileIndex.java — file-index.bloom-filter.columns;
+ bitmap/BitmapFileIndex.java — file-index.bitmap.columns.
+ Paimon writes an index sidecar per data file and tests predicates against
+ it during scan planning, skipping files min/max stats can't.)
+
+Two index kinds:
+- **bloom** (high-cardinality point lookups): probabilistic, refutes
+  eq/in membership — a false positive only costs a scan.
+- **bitmap** (LOW-cardinality columns): the EXACT distinct-value set of
+  the file (plus per-value counts and a null marker). Exactness enables
+  pruning bloom cannot do: eq/in on unsorted low-card data without false
+  positives, and crucially ne / NOT IN — a file whose whole value set is
+  contained in the rejected set is skipped. The reference stores one
+  roaring bitmap of row positions per value; at FILE granularity (the
+  only granularity this planner prunes) that collapses to the value set +
+  counts, so that is what the sidecar stores. Columns above
+  `file-index.bitmap.max-cardinality` (default 1024) are left unindexed
+  in that file (sound: absent index → never skipped).
 
 Spark-first shape: the index is built from the staged parquet file with a
 single pyarrow column read at commit time and stored as one small JSON
@@ -87,10 +101,76 @@ class BloomFilter:
         return BloomFilter(bytearray(base64.b64decode(d["bits"])), d["m"], d["k"])
 
 
-def write_file_index(table_root: str, data_file_abs: str, columns: list[str],
+class BitmapIndex:
+    """Exact distinct-value index of ONE file's column (+counts, +null)."""
+
+    def __init__(self, values: dict[str, int], has_null: bool):
+        self.values = values           # encoded value -> row count
+        self.has_null = has_null
+
+    @staticmethod
+    def build(raw, max_cardinality: int = 1024) -> "BitmapIndex | None":
+        vals: dict[str, int] = {}
+        has_null = False
+        for v in raw:
+            if v is None:
+                has_null = True
+                continue
+            k = base64.b64encode(_encode(v)).decode()
+            vals[k] = vals.get(k, 0) + 1
+            if len(vals) > max_cardinality:
+                return None            # too wide for a bitmap — no index
+        return BitmapIndex(vals, has_null)
+
+    def may_contain(self, value) -> bool:
+        if value is None:
+            return self.has_null
+        return base64.b64encode(_encode(value)).decode() in self.values
+
+    def distinct(self) -> tuple[frozenset, bool]:
+        return frozenset(self.values), self.has_null
+
+    def to_json(self) -> dict:
+        return {"t": "bm", "vals": self.values, "null": self.has_null}
+
+    @staticmethod
+    def from_json(d: dict) -> "BitmapIndex":
+        return BitmapIndex(dict(d["vals"]), bool(d["null"]))
+
+
+def encode_literal(value) -> str:
+    """Probe-side encoding matching BitmapIndex storage."""
+    return base64.b64encode(_encode(value)).decode()
+
+
+def index_spec(options: dict) -> dict | None:
+    """Parse file-index options → {"bloom": [...], "fpp": f, "bitmap": [...],
+    "max_card": n} or None when no index is configured."""
+    bloom = [c.strip() for c in options.get(
+        "file-index.bloom-filter.columns", "").split(",") if c.strip()]
+    bitmap = [c.strip() for c in options.get(
+        "file-index.bitmap.columns", "").split(",") if c.strip()]
+    if not bloom and not bitmap:
+        return None
+    return {"bloom": [c for c in bloom if c not in bitmap],
+            "fpp": float(options.get("file-index.bloom-filter.fpp", "0.01")),
+            "bitmap": bitmap,
+            "max_card": int(options.get("file-index.bitmap.max-cardinality",
+                                        "1024"))}
+
+
+def write_file_index(table_root: str, data_file_abs: str,
+                     spec: dict | list | None,
                      fpp: float = 0.01) -> str | None:
-    """Build bloom filters for `columns` of one data file → sidecar under
-    index/. Returns the sidecar path relative to table root."""
+    """Build the configured index sidecar for one data file. `spec` is an
+    index_spec() dict (a bare column list means bloom-only, kept for older
+    callers). Returns the sidecar path relative to table root."""
+    if isinstance(spec, (list, tuple)):
+        spec = {"bloom": list(spec), "fpp": fpp, "bitmap": [],
+                "max_card": 1024}
+    if not spec:
+        return None
+    columns = list(dict.fromkeys(spec["bloom"] + spec["bitmap"]))
     if data_file_abs.endswith(".orc"):
         import pyarrow.orc as _orc
         pf = _orc.ORCFile(data_file_abs)
@@ -106,8 +186,18 @@ def write_file_index(table_root: str, data_file_abs: str, columns: list[str],
         if not present:
             return None
         tbl = pf.read(columns=present)
-    payload = {c: BloomFilter.build(tbl.column(c).to_pylist(), fpp).to_json()
-               for c in present}
+    payload = {}
+    for c in present:
+        raw = tbl.column(c).to_pylist()
+        if c in spec["bitmap"]:
+            bm = BitmapIndex.build(raw, spec["max_card"])
+            if bm is not None:
+                payload[c] = bm.to_json()
+                continue               # over-cardinality: no index for c
+        if c in spec["bloom"]:
+            payload[c] = BloomFilter.build(raw, spec["fpp"]).to_json()
+    if not payload:
+        return None
     os.makedirs(os.path.join(table_root, INDEX_DIR), exist_ok=True)
     rel = os.path.join(INDEX_DIR, f"index-{uuid.uuid4().hex}.json")
     tmp = os.path.join(table_root, rel + ".tmp")
@@ -117,11 +207,11 @@ def write_file_index(table_root: str, data_file_abs: str, columns: list[str],
     return rel
 
 
-_index_cache: dict[str, dict[str, BloomFilter]] = {}
+_index_cache: dict[str, dict[str, Any]] = {}
 _INDEX_CACHE_MAX = 8192
 
 
-def load_file_index(table_root: str, rel_path: str) -> dict[str, BloomFilter]:
+def load_file_index(table_root: str, rel_path: str) -> dict[str, Any]:
     """Immutable once written → process-wide cache (like manifests)."""
     key = os.path.join(table_root, rel_path)
     hit = _index_cache.get(key)
@@ -129,7 +219,9 @@ def load_file_index(table_root: str, rel_path: str) -> dict[str, BloomFilter]:
         return hit
     with open(key) as f:
         payload = json.load(f)
-    out = {c: BloomFilter.from_json(d) for c, d in payload.items()}
+    out = {c: (BitmapIndex.from_json(d) if d.get("t") == "bm"
+               else BloomFilter.from_json(d))
+           for c, d in payload.items()}
     if len(_index_cache) < _INDEX_CACHE_MAX:
         _index_cache[key] = out
     return out
@@ -137,15 +229,24 @@ def load_file_index(table_root: str, rel_path: str) -> dict[str, BloomFilter]:
 
 def make_lookup(table_root: str, rel_path: str | None) -> Callable[[str, Any], bool | None]:
     """lookup(col, value) -> False = definitely absent, True = maybe,
-    None = column not indexed."""
+    None = column not indexed. The callable also carries a `.distinct(col)`
+    attribute → (frozenset of encoded values, has_null) for bitmap-indexed
+    columns (exact-set pruning: ne / NOT IN), else None."""
     if not rel_path:
-        return lambda col, value: None
+        fn = lambda col, value: None               # noqa: E731
+        fn.distinct = lambda col: None
+        return fn
     idx = load_file_index(table_root, rel_path)
 
     def lookup(col: str, value: Any):
-        bf = idx.get(col)
-        if bf is None:
+        ix = idx.get(col)
+        if ix is None:
             return None
-        return bf.may_contain(value)
+        return ix.may_contain(value)
 
+    def distinct(col: str):
+        ix = idx.get(col)
+        return ix.distinct() if isinstance(ix, BitmapIndex) else None
+
+    lookup.distinct = distinct
     return lookup

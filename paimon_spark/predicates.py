@@ -162,7 +162,11 @@ class Leaf(Predicate):
         return True
 
     def test_file_index(self, lookup) -> bool:
-        """Bloom can only refute membership → eq and in."""
+        """Bloom refutes membership (eq/in); a bitmap index additionally
+        carries the file's EXACT distinct-value set, enabling ne / NOT IN
+        pruning (skip when the whole set is rejected) — low-cardinality
+        pruning min/max stats and bloom cannot do
+        (ref: fileindex/bitmap/BitmapFileIndex.java)."""
         if self.op == "eq":
             r = lookup(self.field, self.literal)
             return True if r is None else r
@@ -171,6 +175,16 @@ class Leaf(Predicate):
             if any(r is None for r in results):
                 return True
             return any(results)
+        if self.op in ("ne", "not_in"):
+            dfn = getattr(lookup, "distinct", None)
+            d = dfn(self.field) if dfn is not None else None
+            if d is None:
+                return True
+            values, _has_null = d      # NULL never passes ne / NOT IN
+            from paimon_spark.fileindex import encode_literal
+            rejected = ({encode_literal(self.literal)} if self.op == "ne"
+                        else {encode_literal(v) for v in self.literal})
+            return bool(values - rejected)   # some value survives → scan
         return True
 
 

@@ -103,10 +103,10 @@ def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
         if len(staged) >= threshold:
             results = _adopt_files_distributed(
                 spark, staged, target_path, file_format, 0, stat_cols,
-                [], 0.01, mode="link")
+                None, mode="link")
         else:
             results = [adopt_one_file(src, rel_dir, target_path,
-                                      file_format, 0, stat_cols, [], 0.01,
+                                      file_format, 0, stat_cols, None,
                                       mode="link")
                        for src, rel_dir in staged]
         from paimon_spark.metadata import stat_from_json

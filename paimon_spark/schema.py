@@ -109,7 +109,8 @@ class TableSchema:
                     raise ValueError(
                         f"{opt} requires file.format parquet or orc "
                         f"(positional row addressing), got {fmt}")
-            if options.get("file-index.bloom-filter.columns", "").strip():
+            if (options.get("file-index.bloom-filter.columns", "").strip()
+                    or options.get("file-index.bitmap.columns", "").strip()):
                 # sidecars are mined from the written file with pyarrow,
                 # which reads parquet/orc only
                 raise ValueError(

@@ -1501,19 +1501,18 @@ class Table:
         (ref: RewriteFileIndexProcedure.java)"""
         import dataclasses
 
-        from paimon_spark.fileindex import write_file_index
+        from paimon_spark.fileindex import index_spec, write_file_index
 
-        cols = [c.strip() for c in self.schema.options.get(
-            "file-index.bloom-filter.columns", "").split(",") if c.strip()]
+        spec = index_spec(self.schema.options)
         latest = self.paths.latest_snapshot()
-        if not cols or latest is None:
+        if spec is None or latest is None:
             return latest
         entries, swaps = self.paths.live_entries(latest), []
         for e in entries:
             if e.index_path is not None:
                 continue
             rel = write_file_index(
-                self.path, os.path.join(self.path, e.file_path), cols)
+                self.path, os.path.join(self.path, e.file_path), spec)
             if rel is not None:
                 swaps.append((e, dataclasses.replace(
                     e, kind=ADD, index_path=rel)))

@@ -152,8 +152,8 @@ def parse_partition_path(relpath: str, partition_keys: list[str]) -> dict[str, s
 
 
 def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
-                   stat_cols: list[str], index_cols: list[str],
-                   index_fpp: float, spark_stats: dict | None = None,
+                   stat_cols: list[str], index_spec: dict | None,
+                   index_fpp: float = 0.01, spark_stats: dict | None = None,
                    mode: str = "rename") -> dict | None:
     """Adopt ONE staged file into the table tree: rename, mine footer
     stats, build the bloom sidecar. Pure function of its arguments and the
@@ -184,9 +184,9 @@ def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
         os.remove(dest)
         return None
     index_path = None
-    if index_cols and rows != 0:
+    if index_spec and rows != 0:
         from paimon_spark.fileindex import write_file_index
-        index_path = write_file_index(root, dest, index_cols, index_fpp)
+        index_path = write_file_index(root, dest, index_spec, index_fpp)
     return {
         "file_path": os.path.relpath(dest, root), "rows": rows, "size": size,
         "stats": {c: {"min": stat_to_json(s.get("min")),
@@ -198,7 +198,7 @@ def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
 
 def _adopt_files_distributed(spark, staged: list[tuple[str, str]], root: str,
                              fmt: str, level: int, stat_cols: list[str],
-                             index_cols: list[str], index_fpp: float,
+                             index_spec: dict | None, index_fpp: float = 0.01,
                              mode: str = "rename") -> list[dict | None]:
     """Run adopt_one_file for every staged file as one Spark job; only the
     per-file metadata dicts come back to the driver. Footer reads are
@@ -212,7 +212,7 @@ def _adopt_files_distributed(spark, staged: list[tuple[str, str]], root: str,
     def _task(pairs):
         for src, rel_dir in pairs:
             r = adopt_one_file(src, rel_dir, root, fmt, level,
-                               stat_cols, index_cols, index_fpp, mode=mode)
+                               stat_cols, index_spec, index_fpp, mode=mode)
             yield json.dumps(r)
 
     return [json.loads(s) for s in rdd.mapPartitions(_task).collect()]
@@ -380,10 +380,10 @@ class BatchWriter:
         spark_stats = (self._staged_stats_spark(staging, stat_cols,
                                                 staged_struct)
                        if fmt != "parquet" else None)
-        # standalone bloom index (ref: CoreOptions file-index.bloom-filter.columns)
-        index_cols = [c.strip() for c in schema.options.get(
-            "file-index.bloom-filter.columns", "").split(",") if c.strip()]
-        index_fpp = float(schema.options.get("file-index.bloom-filter.fpp", "0.01"))
+        # standalone sidecar indexes (ref: CoreOptions
+        # file-index.bloom-filter.columns / file-index.bitmap.columns)
+        from paimon_spark.fileindex import index_spec as _ispec
+        index_spec = _ispec(schema.options)
 
         staged: list[tuple[str, str]] = []          # (src, rel_dir)
         for dirpath, _dirs, files in os.walk(staging):
@@ -402,12 +402,11 @@ class BatchWriter:
         if (spark_stats is None and spark is not None and not has_variant
                 and len(staged) >= threshold):
             results = _adopt_files_distributed(
-                spark, staged, root, fmt, level, stat_cols,
-                index_cols, index_fpp)
+                spark, staged, root, fmt, level, stat_cols, index_spec)
         else:
             results = [adopt_one_file(src, rel_dir, root, fmt, level,
-                                      stat_cols, index_cols, index_fpp,
-                                      spark_stats)
+                                      stat_cols, index_spec,
+                                      spark_stats=spark_stats)
                        for src, rel_dir in staged]
 
         entries: list[FileEntry] = []

@@ -78,3 +78,82 @@ def test_index_survives_compaction_and_orphans(spark, wh):
     assert removed >= 2   # pre-compaction data files + their index sidecars
     assert t.read().count() == 2000
     assert t.new_scan().plan(P.eq("k", 100)).entries  # index still loadable
+
+
+def test_bitmap_index_exact_and_negative_pruning(spark, wh):
+    """file-index.bitmap.columns stores the EXACT per-file value set:
+    eq/in prune without false positives AND ne/NOT IN prune — which bloom
+    (membership-only) can never do (ref: fileindex/bitmap/BitmapFileIndex)."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("cat", T.StringType())])
+    t = Table.create(f"{wh}/bm", sch,
+                     options={"file-index.bitmap.columns": "cat"},
+                     spark=spark)
+    # 3 files, each a distinct slice of a 6-value category column
+    for cats in (("a", "b"), ("c", "d"), ("e", "f")):
+        t.append(spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cats * 5)], sch).coalesce(1))
+    plan_all = t.new_scan().plan()
+    assert len(plan_all.entries) == 3
+    assert all(e.index_path for e in plan_all.entries)
+
+    # IN over low-card values: only the file containing them survives
+    p_in = t.new_scan().plan(P.isin("cat", ["c", "d"]))
+    assert len(p_in.entries) == 1 and p_in.files_skipped >= 2
+    # eq: exact single-file pin
+    p_eq = t.new_scan().plan(P.eq("cat", "e"))
+    assert len(p_eq.entries) == 1
+    # NOT IN rejecting a file's whole value set skips it — stats/bloom
+    # cannot (min/max spans, membership can't refute a negation)
+    p_not = t.new_scan().plan(P.not_in("cat", ["a", "b"]))
+    assert len(p_not.entries) == 2 and p_not.files_skipped >= 1
+    p_ne = t.new_scan().plan(P.not_in("cat", ["e", "f"]))
+    assert len(p_ne.entries) == 2
+    # results still correct through the residual filter
+    assert sorted({r.cat for r in t.read(P.not_in("cat", ["a", "b"])).collect()}) \
+        == ["c", "d", "e", "f"]
+
+
+def test_bitmap_over_cardinality_falls_back(spark, wh):
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("u", T.StringType())])
+    t = Table.create(f"{wh}/bm_wide", sch,
+                     options={"file-index.bitmap.columns": "u",
+                              "file-index.bitmap.max-cardinality": "10"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], sch).coalesce(1))  # 100 > 10
+    # over-cardinality: column unindexed (sound: never skipped)
+    p = t.new_scan().plan(P.ne("u", "u5"))
+    assert len(p.entries) == 1
+    assert t.read(P.ne("u", "u5")).count() == 99
+
+
+def test_bitmap_and_bloom_coexist(spark, wh):
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("cat", T.StringType()),
+                        T.StructField("uid", T.LongType())])
+    t = Table.create(f"{wh}/bm_mix", sch,
+                     options={"file-index.bitmap.columns": "cat",
+                              "file-index.bloom-filter.columns": "uid"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, "x", 1000 + i) for i in range(50)], sch).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(i, "y", 2000 + i) for i in range(50)], sch).coalesce(1))
+    assert len(t.new_scan().plan(P.eq("cat", "y")).entries) == 1
+    assert len(t.new_scan().plan(P.eq("uid", 1004)).entries) == 1
+    got = t.read(P.and_(P.eq("cat", "x"), P.eq("uid", 1004))).collect()
+    assert len(got) == 1 and got[0].k == 4
+
+
+def test_rewrite_file_index_builds_bitmap(spark, wh):
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("cat", T.StringType())])
+    t = Table.create(f"{wh}/bm_rw", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], sch))
+    assert all(e.index_path is None for e in t.new_scan().plan().entries)
+    t.schema.options["file-index.bitmap.columns"] = "cat"
+    t.rewrite_file_index()
+    assert all(e.index_path for e in t.new_scan().plan().entries)
+    assert t.new_scan().plan(P.not_in("cat", ["a", "b"])).entries == []
