@@ -412,3 +412,25 @@ def test_datasource_from_timestamp_offset(spark, wh):
     q.awaitTermination(120)
     rows = spark.sql(f"select k from {q.name}").collect()
     assert sorted(r.k for r in rows) == [2]
+
+
+def test_changelog_delta_optimization_equivalence(spark, wh):
+    """The delta-restricted changelog (semi-join on the window's delta
+    keys before the merge shuffles) must equal the full two-state diff,
+    including deletes and truncation windows."""
+    from paimon_spark.operators.changelog import _delta_key_df, derive_changelog
+    from paimon_spark.predicates import P
+    t = _t(spark, wh, "cl_opt")
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(1000)], KV))
+    t.append(spark.createDataFrame([(i, f"u{i}") for i in range(0, 1000, 100)], KV))
+    t.delete_where(P.expr("k % 250 = 1"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fast = derive_changelog(t, 1)
+    slow = derive_changelog(t, 1, optimize=False)
+    assert canon(fast) == canon(slow)
+    # only touched keys enter the merge: 10 updates + 4 deletes
+    keys = _delta_key_df(t, 1, t.paths.latest_snapshot_id())
+    assert keys.count() == 14
