@@ -50,6 +50,13 @@ class Catalog:
         except FileNotFoundError:
             return []
 
+    def sql(self, statement: str):
+        """The SQL entry point: DML (INSERT/UPDATE/DELETE/MERGE/TRUNCATE),
+        CALL sys.*, SHOW, and SELECT passthrough — the surface a reference
+        user drives through Spark SQL (see paimon_spark/sql.py)."""
+        from paimon_spark.sql import SQLRouter
+        return SQLRouter(self).sql(statement)
+
     def register_views(self, db: str | None = None,
                        system_tables: bool = False) -> list[str]:
         """Register every table as a Spark temp view so plain

@@ -1,0 +1,297 @@
+"""SQL entry point: route the reference's SQL surface to engine calls.
+
+A reference user drives the lakehouse almost entirely through Spark SQL
+(ref: paimon-spark/.../SparkCatalog.java:307 loadTable + the command set
+ UpdatePaimonTableCommand.scala:37, DeletePaimonTableCommand,
+ MergeIntoPaimonTable.scala:47, PaimonDynamicPartitionOverwriteCommand,
+ procedure/* via CALL sys.*). Without a JVM catalog plugin those
+statements never reach a Python engine, so `Catalog.sql()` provides the
+same surface: DML statements are parsed here (a small, conservative
+grammar covering the reference's documented shapes) and dispatched to the
+Table API; everything else (SELECT/WITH/EXPLAIN/VALUES…) passes through
+`spark.sql` over the registered views.
+
+Supported statements:
+  INSERT INTO t [(cols)] SELECT …|VALUES …
+  INSERT OVERWRITE t [PARTITION (k=v,…)] SELECT …|VALUES …
+  UPDATE t SET c = expr[, …] [WHERE cond]
+  DELETE FROM t [WHERE cond]
+  MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k [AND …]
+    [WHEN MATCHED THEN UPDATE SET *|c = expr[, …]]
+    [WHEN MATCHED THEN DELETE]
+    [WHEN NOT MATCHED THEN INSERT *]
+  TRUNCATE TABLE t
+  CALL sys.proc(name => value, …)
+  SHOW TABLES / SHOW PARTITIONS t
+  SELECT … (passthrough; `t$snapshots`-style system views as t__snapshots)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from paimon_spark.predicates import P
+
+if TYPE_CHECKING:
+    from paimon_spark.catalog import Catalog
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.$]*"
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on top-level separators (outside parens/quotes)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+class SQLRouter:
+    def __init__(self, catalog: "Catalog"):
+        self.catalog = catalog
+        self.spark = catalog.spark
+
+    # ---------------- public ----------------
+
+    def sql(self, statement: str) -> DataFrame | None:
+        s = statement.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "MERGE":
+            return self._merge(s)
+        if head == "TRUNCATE":
+            return self._truncate(s)
+        if head == "CALL":
+            return self._call(s)
+        if head == "SHOW":
+            return self._show(s)
+        # SELECT / WITH / EXPLAIN / VALUES …: plain Spark SQL over views
+        self.catalog.register_views(system_tables=True)
+        self.catalog.register_sql_views()
+        return self.spark.sql(s)
+
+    # ---------------- helpers ----------------
+
+    def _table(self, name: str):
+        return self.catalog.get_table(name.strip("`"))
+
+    def _source_df(self, src_sql: str, table, cols: list[str] | None
+                  ) -> DataFrame:
+        """SELECT …/VALUES … → DataFrame shaped like the table schema."""
+        self.catalog.register_views()
+        src_sql = src_sql.strip()
+        if src_sql.upper().startswith("VALUES"):
+            names = cols or table.schema.field_names
+            src_sql = (f"SELECT * FROM ({src_sql}) AS "
+                       f"__v({', '.join(names)})")
+        df = self.spark.sql(src_sql)
+        if cols:
+            df = df.toDF(*cols)
+            for f in table.schema.struct.fields:
+                if f.name not in cols:
+                    df = df.withColumn(f.name,
+                                       F.lit(None).cast(f.dataType))
+        else:
+            df = df.toDF(*table.schema.field_names)
+        return df.select(*table.schema.field_names)
+
+    # ---------------- statements ----------------
+
+    def _insert(self, s: str):
+        m = re.match(
+            rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+            rf"(\(([^)]*)\))?\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(.+)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s[:120]}")
+        kind, name, _g, cols_s, part_s, rest = m.groups()
+        t = self._table(name)
+        cols = [c.strip().strip("`") for c in cols_s.split(",")] \
+            if cols_s else None
+        df = self._source_df(rest, t, cols)
+        if part_s:
+            # static partition values: PARTITION (dt='2024-01-01')
+            for kv in _split_top(part_s):
+                k, _, v = kv.partition("=")
+                df = df.withColumn(
+                    k.strip(), F.expr(v.strip())
+                    .cast(t.schema.data_type(k.strip())))
+        if kind.upper() == "OVERWRITE":
+            t.writer().overwrite(df, dynamic=part_s is None)
+        else:
+            t.append(df)
+        return None
+
+    def _update(self, s: str):
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s[:120]}")
+        name, set_s, where = m.groups()
+        t = self._table(name)
+        assigns: dict[str, Any] = {}
+        for a in _split_top(set_s):
+            c, _, e = a.partition("=")
+            assigns[c.strip().strip("`")] = F.expr(e.strip())
+        pred = P.expr(where) if where else None
+        t.update_where(pred, assigns)
+        return None
+
+    def _delete(self, s: str):
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s[:120]}")
+        name, where = m.groups()
+        t = self._table(name)
+        if where:
+            t.delete_where(P.expr(where))
+        else:
+            t.truncate()
+        return None
+
+    def _truncate(self, s: str):
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE: {s[:120]}")
+        self._table(m.group(1)).truncate()
+        return None
+
+    def _merge(self, s: str):
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
+            rf"USING\s+({_IDENT}|\(.*?\))(?:\s+AS\s+(\w+)|\s+(\w+))?\s+"
+            rf"ON\s+(.*?)\s+(WHEN\s+.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse MERGE: {s[:120]}")
+        tname, ta1, ta2, src, sa1, sa2, on_s, when_s = m.groups()
+        talias = ta1 or ta2 or tname
+        salias = sa1 or sa2 or src
+        t = self._table(tname)
+        self.catalog.register_views()
+        src_df = (self.spark.sql(src[1:-1]) if src.startswith("(")
+                  else self.spark.table(src))
+
+        # equality join keys from "a.k = b.k AND …"
+        on = []
+        for c in re.split(r"\s+AND\s+", on_s, flags=re.IGNORECASE):
+            em = re.match(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", c)
+            if not em:
+                raise ValueError(f"MERGE ON supports t.k = s.k only: {c}")
+            q1, c1, q2, c2 = em.groups()
+            if {q1, q2} != {talias, salias}:
+                raise ValueError(f"MERGE ON qualifiers must be the two "
+                                 f"aliases ({talias}, {salias}): {c}")
+            if c1 != c2:
+                raise ValueError("MERGE ON needs same-named key columns")
+            on.append(c1)
+
+        matched_update = None
+        matched_delete = False
+        not_matched_insert = False
+        for clause in re.findall(
+                r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(.*?)(?=\s+WHEN\s+|$)",
+                when_s, re.IGNORECASE | re.DOTALL):
+            neg, action = clause
+            a = action.strip()
+            if neg:
+                if not re.match(r"INSERT\s*(\*)?$", a, re.IGNORECASE):
+                    raise ValueError(
+                        f"only INSERT * supported for NOT MATCHED: {a}")
+                not_matched_insert = True
+            elif re.match(r"DELETE$", a, re.IGNORECASE):
+                matched_delete = True
+            else:
+                um = re.match(r"UPDATE\s+SET\s+(.*)$", a,
+                              re.IGNORECASE | re.DOTALL)
+                if not um:
+                    raise ValueError(f"cannot parse WHEN MATCHED: {a}")
+                body = um.group(1).strip()
+                if body == "*":
+                    matched_update = "all"
+                else:
+                    matched_update = {}
+                    for asg in _split_top(body):
+                        c, _, e = asg.partition("=")
+                        col = c.strip().strip("`")
+                        col = col.split(".", 1)[1] if "." in col else col
+                        e = e.strip()
+                        # rewrite alias refs to the join's s./t. convention
+                        e = re.sub(rf"\b{re.escape(salias)}\.", "s.", e)
+                        e = re.sub(rf"\b{re.escape(talias)}\.", "t.", e)
+                        matched_update[col] = F.expr(e)
+        t.merge_into(src_df, on=on, matched_update=matched_update,
+                     matched_delete=matched_delete,
+                     not_matched_insert=not_matched_insert)
+        return None
+
+    def _call(self, s: str):
+        m = re.match(r"CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse CALL: {s[:120]}")
+        proc, args_s = m.groups()
+        from paimon_spark.procedures import call
+        kwargs: dict[str, Any] = {}
+        for a in _split_top(args_s):
+            km = re.match(r"(\w+)\s*=>\s*(.*)$", a, re.DOTALL)
+            if not km:
+                raise ValueError(f"CALL args must be name => value: {a}")
+            k, v = km.group(1), km.group(2).strip()
+            if re.fullmatch(r"-?\d+", v):
+                kwargs[k] = int(v)
+            elif re.fullmatch(r"-?\d+\.\d+", v):
+                kwargs[k] = float(v)
+            elif v.upper() in ("TRUE", "FALSE"):
+                kwargs[k] = v.upper() == "TRUE"
+            else:
+                kwargs[k] = v.strip("'\"")
+        if "table" in kwargs:
+            kwargs["table"] = self._table(str(kwargs["table"]))
+        out = call(self.spark, proc.lower(), **kwargs)
+        if isinstance(out, DataFrame):
+            return out
+        return None
+
+    def _show(self, s: str):
+        m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})$", s, re.IGNORECASE)
+        if m:
+            return self._table(m.group(1)).partitions_df()
+        if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
+            rows = [(n,) for n in self.catalog.list_tables()]
+            return self.spark.createDataFrame(rows or [("",)],
+                                              "tableName string") \
+                .filter(F.col("tableName") != "")
+        self.catalog.register_views(system_tables=True)
+        return self.spark.sql(s)

@@ -1,0 +1,114 @@
+"""Catalog.sql(): the SQL DML surface a reference user drives through
+Spark SQL — INSERT/UPDATE/DELETE/MERGE/TRUNCATE/CALL/SHOW routed to the
+engine, SELECT passthrough over registered views
+(ref: SparkCatalog.java:307; commands/UpdatePaimonTableCommand.scala:37,
+ MergeIntoPaimonTable.scala:47; procedure/*)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from paimon_spark.catalog import Catalog
+
+KV = T.StructType([T.StructField("k", T.LongType()),
+                   T.StructField("v", T.StringType()),
+                   T.StructField("amt", T.DoubleType())])
+
+
+def _cat(spark, wh):
+    return Catalog(wh, spark)
+
+
+def rows(c, name):
+    return sorted(tuple(r) for r in c.get_table(name).read().collect())
+
+
+def test_insert_values_and_select(spark, wh):
+    c = _cat(spark, wh)
+    c.create_table("t", KV, primary_keys=["k"], options={"bucket": "2"})
+    c.sql("INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    assert rows(c, "t") == [(1, "a", 1.5), (2, "b", 2.5)]
+    got = c.sql("SELECT v FROM t WHERE k = 2").collect()
+    assert [r.v for r in got] == ["b"]
+    # upsert through SQL
+    c.sql("INSERT INTO t VALUES (2, 'B', 9.0)")
+    assert rows(c, "t") == [(1, "a", 1.5), (2, "B", 9.0)]
+
+
+def test_insert_select_and_column_list(spark, wh):
+    c = _cat(spark, wh)
+    c.create_table("src", KV)
+    c.create_table("dst", KV)
+    c.sql("INSERT INTO src VALUES (1, 'x', 10.0), (2, 'y', 20.0)")
+    c.sql("INSERT INTO dst SELECT k, v, amt * 2 AS amt FROM src")
+    assert rows(c, "dst") == [(1, "x", 20.0), (2, "y", 40.0)]
+    c.sql("INSERT INTO dst (k, v) VALUES (3, 'z')")
+    assert (3, "z", None) in rows(c, "dst")
+
+
+def test_update_delete_truncate(spark, wh):
+    c = _cat(spark, wh)
+    c.create_table("u", KV, primary_keys=["k"], options={"bucket": "1"})
+    c.sql("INSERT INTO u VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    c.sql("UPDATE u SET amt = amt + 100, v = upper(v) WHERE k <= 2")
+    assert rows(c, "u") == [(1, "A", 101.0), (2, "B", 102.0), (3, "c", 3.0)]
+    c.sql("DELETE FROM u WHERE k = 2")
+    assert [r[0] for r in rows(c, "u")] == [1, 3]
+    c.sql("TRUNCATE TABLE u")
+    assert rows(c, "u") == []
+
+
+def test_merge_into_sql(spark, wh):
+    c = _cat(spark, wh)
+    c.create_table("m", KV, primary_keys=["k"], options={"bucket": "1"})
+    c.create_table("chg", KV)
+    c.sql("INSERT INTO m VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    c.sql("INSERT INTO chg VALUES (2, 'B', 20.0), (9, 'i', 9.0)")
+    c.sql("""MERGE INTO m AS t USING chg AS s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert rows(c, "m") == [(1, "a", 1.0), (2, "B", 20.0), (9, "i", 9.0)]
+    c.sql("""MERGE INTO m AS t USING chg AS s ON t.k = s.k
+             WHEN MATCHED THEN DELETE""")
+    assert [r[0] for r in rows(c, "m")] == [1]
+    # expression update with alias refs
+    c.sql("INSERT INTO m VALUES (9, 'i', 9.0)")
+    c.sql("""MERGE INTO m AS t USING chg AS s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt""")
+    got = {r[0]: r[2] for r in rows(c, "m")}
+    assert got[9] == 18.0
+
+
+def test_call_procedures_sql(spark, wh):
+    c = _cat(spark, wh)
+    c.create_table("p", KV, primary_keys=["k"], options={"bucket": "1"})
+    c.sql("INSERT INTO p VALUES (1, 'a', 1.0)")
+    c.sql("INSERT INTO p VALUES (1, 'b', 2.0)")
+    c.sql("CALL sys.compact(table => 'p')")
+    assert rows(c, "p") == [(1, "b", 2.0)]
+    c.sql("CALL sys.create_tag(table => 'p', tag => 'v1')")
+    assert "v1" in dict(c.get_table("p").paths.list_tags())
+
+
+def test_show_and_system_views(spark, wh):
+    c = _cat(spark, wh)
+    sch = T.StructType([T.StructField("dt", T.StringType()),
+                        T.StructField("x", T.LongType())])
+    c.create_table("sp", sch, partition_keys=["dt"])
+    c.sql("INSERT INTO sp VALUES ('d1', 1), ('d2', 2)")
+    names = {r.tableName for r in c.sql("SHOW TABLES").collect()}
+    assert "sp" in names
+    parts = c.sql("SHOW PARTITIONS sp")
+    assert parts.count() == 2
+    snaps = c.sql("SELECT * FROM sp__snapshots")
+    assert snaps.count() >= 1
+
+
+def test_insert_overwrite_sql(spark, wh):
+    c = _cat(spark, wh)
+    sch = T.StructType([T.StructField("dt", T.StringType()),
+                        T.StructField("x", T.LongType())])
+    c.create_table("ow", sch, partition_keys=["dt"])
+    c.sql("INSERT INTO ow VALUES ('d1', 1), ('d2', 2)")
+    c.sql("INSERT OVERWRITE ow VALUES ('d1', 100)")
+    got = sorted((r.dt, r.x) for r in c.get_table("ow").read().collect())
+    assert got == [("d1", 100), ("d2", 2)]     # dynamic: d2 untouched
