@@ -370,6 +370,15 @@ class Table:
                    and (predicate is None or predicate.test_partition(part))]
         if not targets:
             return None
+        # plan size grows linearly with reconstructed partitions (one
+        # DataFrame branch each) — warn before Catalyst analysis blows up
+        if len(targets) > 64:
+            import warnings
+            warnings.warn(
+                f"chain read reconstructs {len(targets)} partitions in one "
+                "plan; narrow the partition predicate or materialize the "
+                "snapshot branch (each partition adds a plan branch)",
+                stacklevel=3)
 
         def part_eq(part):
             return P.and_(*[P.eq(k, part[k]) for k in pkeys])
