@@ -102,22 +102,23 @@ class BloomFilter:
 
 
 class BitmapIndex:
-    """Exact distinct-value index of ONE file's column (+counts, +null)."""
+    """Exact distinct-value index of ONE file's column (+counts, +null).
+    Values are kept as DECODED python objects so plan-time predicate
+    leaves (ranges, string ops, negations) evaluate exactly over them."""
 
-    def __init__(self, values: dict[str, int], has_null: bool):
-        self.values = values           # encoded value -> row count
+    def __init__(self, values: dict[Any, int], has_null: bool):
+        self.values = values           # distinct value -> row count
         self.has_null = has_null
 
     @staticmethod
     def build(raw, max_cardinality: int = 1024) -> "BitmapIndex | None":
-        vals: dict[str, int] = {}
+        vals: dict[Any, int] = {}
         has_null = False
         for v in raw:
             if v is None:
                 has_null = True
                 continue
-            k = base64.b64encode(_encode(v)).decode()
-            vals[k] = vals.get(k, 0) + 1
+            vals[v] = vals.get(v, 0) + 1
             if len(vals) > max_cardinality:
                 return None            # too wide for a bitmap — no index
         return BitmapIndex(vals, has_null)
@@ -125,22 +126,26 @@ class BitmapIndex:
     def may_contain(self, value) -> bool:
         if value is None:
             return self.has_null
-        return base64.b64encode(_encode(value)).decode() in self.values
+        try:
+            return value in self.values
+        except TypeError:
+            return True
 
     def distinct(self) -> tuple[frozenset, bool]:
         return frozenset(self.values), self.has_null
 
     def to_json(self) -> dict:
-        return {"t": "bm", "vals": self.values, "null": self.has_null}
+        from paimon_spark.metadata import stat_to_json
+        return {"t": "bm",
+                "vals": [[stat_to_json(v), n]
+                         for v, n in self.values.items()],
+                "null": self.has_null}
 
     @staticmethod
     def from_json(d: dict) -> "BitmapIndex":
-        return BitmapIndex(dict(d["vals"]), bool(d["null"]))
-
-
-def encode_literal(value) -> str:
-    """Probe-side encoding matching BitmapIndex storage."""
-    return base64.b64encode(_encode(value)).decode()
+        from paimon_spark.metadata import stat_from_json
+        return BitmapIndex({stat_from_json(v): n for v, n in d["vals"]},
+                           bool(d["null"]))
 
 
 def index_spec(options: dict) -> dict | None:

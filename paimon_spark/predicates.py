@@ -86,11 +86,9 @@ class Leaf(Predicate):
             "between": lambda: c.between(F.lit(v[0]), F.lit(v[1])),
         }[self.op]()
 
-    # --- partition exact-value test (ref: predicate/PartitionPredicateVisitor.java) ---
-    def test_partition(self, values: dict[str, Any]) -> bool:
-        if self.field not in values:
-            return True
-        x, v = values[self.field], self.literal
+    def _test_value(self, x: Any) -> bool:
+        """Exact per-value evaluation of this leaf (None = SQL NULL)."""
+        v = self.literal
         if x is None:
             return self.op == "is_null"
         try:
@@ -107,6 +105,12 @@ class Leaf(Predicate):
             }[self.op]()
         except TypeError:
             return True
+
+    # --- partition exact-value test (ref: predicate/PartitionPredicateVisitor.java) ---
+    def test_partition(self, values: dict[str, Any]) -> bool:
+        if self.field not in values:
+            return True
+        return self._test_value(values[self.field])
 
     # --- file stats may-match test (ref: predicate leaf test(min,max,nullCount)) ---
     def test_stats(self, row_count: int, stats: dict[str, dict]) -> bool:
@@ -162,11 +166,21 @@ class Leaf(Predicate):
         return True
 
     def test_file_index(self, lookup) -> bool:
-        """Bloom refutes membership (eq/in); a bitmap index additionally
-        carries the file's EXACT distinct-value set, enabling ne / NOT IN
-        pruning (skip when the whole set is rejected) — low-cardinality
-        pruning min/max stats and bloom cannot do
-        (ref: fileindex/bitmap/BitmapFileIndex.java)."""
+        """Bloom refutes membership (eq/in). A bitmap index carries the
+        file's EXACT distinct-value set, so EVERY leaf op evaluates
+        exactly over it — eq/in without false positives, ne/NOT IN (skip
+        when the whole set is rejected), and range/string ops where
+        min/max overlaps but no actual value falls in the window (the
+        file-granularity analog of the reference's range-bitmap/BSI
+        indexes; ref: fileindex/bitmap/BitmapFileIndex.java,
+        rangebitmap/RangeBitmapFileIndex.java)."""
+        dfn = getattr(lookup, "distinct", None)
+        d = dfn(self.field) if dfn is not None else None
+        if d is not None:
+            values, has_null = d
+            if self.op == "is_null":
+                return has_null
+            return any(self._test_value(x) for x in values)
         if self.op == "eq":
             r = lookup(self.field, self.literal)
             return True if r is None else r
@@ -175,16 +189,6 @@ class Leaf(Predicate):
             if any(r is None for r in results):
                 return True
             return any(results)
-        if self.op in ("ne", "not_in"):
-            dfn = getattr(lookup, "distinct", None)
-            d = dfn(self.field) if dfn is not None else None
-            if d is None:
-                return True
-            values, _has_null = d      # NULL never passes ne / NOT IN
-            from paimon_spark.fileindex import encode_literal
-            rejected = ({encode_literal(self.literal)} if self.op == "ne"
-                        else {encode_literal(v) for v in self.literal})
-            return bool(values - rejected)   # some value survives → scan
         return True
 
 

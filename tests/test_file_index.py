@@ -157,3 +157,34 @@ def test_rewrite_file_index_builds_bitmap(spark, wh):
     t.rewrite_file_index()
     assert all(e.index_path for e in t.new_scan().plan().entries)
     assert t.new_scan().plan(P.not_in("cat", ["a", "b"])).entries == []
+
+
+def test_bitmap_range_refutation_beyond_stats(spark, wh):
+    """Exact value sets refute RANGE predicates min/max stats cannot:
+    a file holding {1, 1000000} overlaps BETWEEN 10 AND 20 by stats but
+    contains no value in the window (file-level range-bitmap/BSI analog,
+    ref: fileindex/rangebitmap/RangeBitmapFileIndex.java)."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("g", T.LongType())])
+    t = Table.create(f"{wh}/bm_rng", sch,
+                     options={"file-index.bitmap.columns": "g"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, 1), (2, 1000000)], sch).coalesce(1))        # gap in the middle
+    t.append(spark.createDataFrame(
+        [(3, 15), (4, 16)], sch).coalesce(1))            # inside the window
+    from paimon_spark.predicates import Leaf
+    p = t.new_scan().plan(Leaf("between", "g", (10, 20)))
+    assert len(p.entries) == 1 and p.files_skipped == 1
+    assert sorted(r.k for r in t.read(
+        Leaf("between", "g", (10, 20))).collect()) == [3, 4]
+    # string ops are exact too
+    sch2 = T.StructType([T.StructField("k", T.LongType()),
+                         T.StructField("s", T.StringType())])
+    t2 = Table.create(f"{wh}/bm_str", sch2,
+                      options={"file-index.bitmap.columns": "s"},
+                      spark=spark)
+    t2.append(spark.createDataFrame([(1, "apple"), (2, "avocado")], sch2)
+              .coalesce(1))
+    t2.append(spark.createDataFrame([(3, "banana")], sch2).coalesce(1))
+    assert len(t2.new_scan().plan(P.starts_with("s", "a")).entries) == 1
