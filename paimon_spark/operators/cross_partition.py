@@ -76,7 +76,10 @@ def load_global_index(spark, table_path: str,
 
 def _persist_mappings(df: DataFrame, schema: TableSchema, table_path: str,
                       seq: int) -> None:
-    """Append (pk..., partition..., __g_seq) rows to the index dataset."""
+    """Append (pk..., partition..., __g_seq) rows to the index dataset;
+    consolidate when the append-only file set grows past ~64 files so
+    index loads stay one bounded scan (single-logical-writer assumption,
+    same as BatchWriter's)."""
     pks = schema.primary_keys
     parts = schema.partition_keys
     # one mapping per key: deterministic max over partition struct when a
@@ -85,8 +88,28 @@ def _persist_mappings(df: DataFrame, schema: TableSchema, table_path: str,
     out = (df.groupBy(*pks).agg(top)
            .select(*pks, *[F.col(f"__p.{k}").alias(k) for k in parts],
                    F.lit(seq).cast("long").alias("__g_seq")))
-    os.makedirs(global_index_dir(table_path), exist_ok=True)
-    out.write.mode("append").parquet(global_index_dir(table_path))
+    d = global_index_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    out.write.mode("append").parquet(d)
+    old = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if len(old) > 64:
+        spark = df.sparkSession
+        idx = spark.read.parquet(d)
+        cur = (idx.groupBy(*pks)
+               .agg(F.max_by(F.struct(*[F.col(k) for k in parts]),
+                             F.col("__g_seq")).alias("__p"),
+                    F.max("__g_seq").alias("__g_seq"))
+               .select(*pks, *[F.col(f"__p.{k}").alias(k) for k in parts],
+                       "__g_seq"))
+        tmp = d + f".compact-{uuid.uuid4().hex}"
+        cur.write.parquet(tmp)
+        for f in old:
+            os.remove(os.path.join(d, f))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f), os.path.join(d, f))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def invalidate_global_index(table_path: str) -> None:

@@ -134,3 +134,29 @@ def test_bulk_partition_migration(spark, wh):
     # time travel: snapshot 2 (the compact) still shows everything in p0
     old = {r.id: r.dt for r in t.read(snapshot_id=2).collect()}
     assert len(old) == 200 and set(old.values()) == {"p0"}
+
+
+def test_global_index_consolidation(spark, wh):
+    """The append-only pk→partition index folds into one consolidated
+    file set past ~64 files, preserving last-wins mappings."""
+    import os
+
+    from paimon_spark.operators.cross_partition import (
+        _persist_mappings, global_index_dir, load_global_index)
+    t = _mk(spark, wh, "xc")
+    base = spark.createDataFrame([("A", i, i) for i in range(8)], SCHEMA)
+    t.append(base)
+    d = global_index_dir(t.path)
+    # force many small index appends
+    for s in range(70):
+        _persist_mappings(
+            spark.createDataFrame([("B" if s % 2 else "C", s % 8, 0)],
+                                  SCHEMA),
+            t.schema, t.path, seq=100 + s)
+    n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_files <= 64            # consolidated at least once
+    idx = load_global_index(spark, t.path, t.schema)
+    got = {r["id"]: r["__old_dt"] for r in idx.collect()}
+    # last-wins by seq: id 7 last written at s=63 (odd → B),
+    # id 0 last written at s=64 (even → C)
+    assert got[7] == "B" and got[0] == "C"
