@@ -225,5 +225,12 @@ def write_stream_to_table(batch_df: DataFrame, table: Table,
             if s.commit_user == commit_user and s.commit_identifier == batch_id:
                 return None          # replay of an already-committed batch
         w = BatchWriter(table, commit_user=commit_user)
+        if table.schema.cross_partition_update:
+            from paimon_spark.operators.cross_partition import \
+                cross_partition_stage
+            entries, persist = cross_partition_stage(w, batch_df)
+            snap = w.commit(entries, commit_identifier=batch_id)
+            persist()
+            return snap
         return w.commit(w.stage(batch_df), commit_identifier=batch_id)
     return table.append(batch_df)

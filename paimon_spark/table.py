@@ -619,7 +619,9 @@ class Table:
         if self.schema.is_pk_table:
             victims = self.read(predicate, projection=self.schema.field_names)
             victims = victims.withColumn(KIND_COL, F.lit("-D"))
-            return w.commit(w.stage(victims), COMMIT_APPEND)
+            # append() routes cross-partition tables through the global
+            # index (delete routing / retractions)
+            return w.append(victims)
         latest = self.paths.latest_snapshot()
         if latest is None:
             raise RuntimeError("empty table")
@@ -700,7 +702,9 @@ class Table:
             for c, e in set_exprs.items():
                 cur = cur.withColumn(c, e)
             cur = cur.withColumn(KIND_COL, F.lit("+U"))
-            return w.commit(w.stage(cur), COMMIT_APPEND)
+            # an assignment may move rows across partitions — append()
+            # emits the retraction on cross-partition tables
+            return w.append(cur)
         scan = self.new_scan()
         plan = scan.plan(predicate)
         touched = plan.entries
@@ -775,7 +779,7 @@ class Table:
         changes = out_rows[0]
         for r in out_rows[1:]:
             changes = changes.unionByName(r)
-        return w.commit(w.stage(changes), COMMIT_APPEND)
+        return w.append(changes)
 
     def _merge_into_append(self, source: DataFrame, on: list[str],
                            matched_update, matched_delete: bool,

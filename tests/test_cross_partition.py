@@ -160,3 +160,26 @@ def test_global_index_consolidation(spark, wh):
     # last-wins by seq: id 7 last written at s=63 (odd → B),
     # id 0 last written at s=64 (even → C)
     assert got[7] == "B" and got[0] == "C"
+
+
+def test_update_moving_partition_column(spark, wh):
+    """UPDATE that assigns a new partition value must retract the old
+    row (DML routes through append() → global index)."""
+    from pyspark.sql import functions as F
+    t = _mk(spark, wh, "xupd")
+    t.append(spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 20), ("B", 3, 30)], SCHEMA))
+    t.compact()
+    t.update_where(P.eq("id", 1), {"dt": F.lit("B"), "v": F.lit(99)})
+    assert rows(t) == [("A", 2, 20), ("B", 1, 99), ("B", 3, 30)]
+    assert rows(t, predicate=P.eq("dt", "A")) == [("A", 2, 20)]
+
+
+def test_delete_where_cross_partition(spark, wh):
+    t = _mk(spark, wh, "xdw")
+    t.append(spark.createDataFrame(
+        [("A", 1, 10), ("B", 2, 20)], SCHEMA))
+    t.compact()
+    t.delete_where(P.eq("id", 1))
+    assert rows(t) == [("B", 2, 20)]
+    assert rows(t, predicate=P.eq("dt", "A")) == []
