@@ -1143,9 +1143,15 @@ class Table:
                 continue
             for fn in files:
                 rp = os.path.normpath(os.path.join(rel, fn))
-                prunable = (fn.endswith(".parquet")
-                            or (rel.split(os.sep)[0] == "index"
-                                and fn.endswith(".json")))
+                if rel.split(os.sep)[0] == "index":
+                    # under index/: only manifest-referenced sidecars
+                    # (.json, tracked via index_path) are prunable — the
+                    # dynamic-bucket (index/*.parquet) and cross-partition
+                    # (index/global/*.parquet) datasets are living state,
+                    # not orphans
+                    prunable = fn.endswith(".json")
+                else:
+                    prunable = fn.endswith(".parquet")
                 if prunable and rp not in referenced:
                     os.remove(os.path.join(dirpath, fn))
                     removed += 1

@@ -183,3 +183,21 @@ def test_delete_where_cross_partition(spark, wh):
     t.delete_where(P.eq("id", 1))
     assert rows(t) == [("B", 2, 20)]
     assert rows(t, predicate=P.eq("dt", "A")) == []
+
+
+def test_orphan_removal_keeps_index_datasets(spark, wh):
+    """remove_orphan_files must not delete the dynamic-bucket or global
+    index parquet datasets (living state, not manifest-tracked)."""
+    import os
+    t = _mk(spark, wh, "xorph")
+    t.append(spark.createDataFrame([("A", 1, 10)], SCHEMA))
+    t.compact()
+    t.append(spark.createDataFrame([("B", 1, 99)], SCHEMA))
+    t.remove_orphan_files()
+    from paimon_spark.operators.cross_partition import global_index_dir
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(global_index_dir(t.path)))
+    # index still functional: another move stays correct
+    t.append(spark.createDataFrame([("C", 1, 7)], SCHEMA))
+    assert rows(t) == [("C", 1, 7)]
+    assert rows(t, predicate=P.eq("dt", "B")) == []
