@@ -1052,6 +1052,11 @@ class Table:
         if branch_latest:
             self.paths.write_latest_hint(branch_latest)
         self.schema = Table.load(self.path).schema
+        if self.schema.cross_partition_update:
+            # main's history just changed wholesale — see rollback_to
+            from paimon_spark.operators.cross_partition import \
+                invalidate_global_index
+            invalidate_global_index(self.paths.root)
 
     def branches_df(self) -> DataFrame:
         rows = []
@@ -1077,6 +1082,14 @@ class Table:
             except FileNotFoundError:
                 pass
         self.paths.write_latest_hint(snapshot_id)
+        if self.schema.cross_partition_update:
+            # the pk→partition index reflects the undone commits; drop it
+            # so the next append re-bootstraps from the rewound state —
+            # a stale mapping would skip the retraction for a key whose
+            # move was rolled back (duplicate rows)
+            from paimon_spark.operators.cross_partition import \
+                invalidate_global_index
+            invalidate_global_index(self.paths.root)
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""

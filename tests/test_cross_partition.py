@@ -201,3 +201,17 @@ def test_orphan_removal_keeps_index_datasets(spark, wh):
     t.append(spark.createDataFrame([("C", 1, 7)], SCHEMA))
     assert rows(t) == [("C", 1, 7)]
     assert rows(t, predicate=P.eq("dt", "B")) == []
+
+
+def test_rollback_invalidates_global_index(spark, wh):
+    """Rolling back a cross-partition move must drop the index — a stale
+    mapping would skip the retraction on the key's NEXT move."""
+    t = _mk(spark, wh, "xrb")
+    t.append(spark.createDataFrame([("A", 1, 10)], SCHEMA))   # snapshot 1
+    t.append(spark.createDataFrame([("B", 1, 20)], SCHEMA))   # move → snap 2
+    t.rollback_to(1)
+    assert rows(t) == [("A", 1, 10)]
+    # index re-bootstraps: the move to C must retract the LIVE row in A
+    t.append(spark.createDataFrame([("C", 1, 30)], SCHEMA))
+    assert rows(t) == [("C", 1, 30)]
+    assert rows(t, predicate=P.eq("dt", "A")) == []
