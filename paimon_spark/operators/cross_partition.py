@@ -128,7 +128,9 @@ def cross_partition_stage(writer, df: DataFrame):
     """
     schema: TableSchema = writer.schema
     spark = df.sparkSession
-    root = writer.paths.root
+    # index scoped to the BRANCH metadata root: branch histories
+    # diverge, so they must not share key->partition mappings
+    root = writer.paths.meta_root
     pks = schema.primary_keys
     parts = schema.partition_keys
     key_parts = [p for p in parts if p in pks]       # move with the key

@@ -1056,7 +1056,7 @@ class Table:
             # main's history just changed wholesale — see rollback_to
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
-            invalidate_global_index(self.paths.root)
+            invalidate_global_index(self.paths.meta_root)
 
     def branches_df(self) -> DataFrame:
         rows = []
@@ -1089,7 +1089,7 @@ class Table:
             # move was rolled back (duplicate rows)
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
-            invalidate_global_index(self.paths.root)
+            invalidate_global_index(self.paths.meta_root)
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""

@@ -599,7 +599,7 @@ class BatchWriter:
                     "cross-partition update tables; use static overwrite")
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
-            invalidate_global_index(self.paths.root)
+            invalidate_global_index(self.paths.meta_root)
         new_entries = self.stage(df)
         latest = self.paths.latest_snapshot()
         deletes: list[FileEntry] = []
