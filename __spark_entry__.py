@@ -312,6 +312,33 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                  .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
         out["orders_avro"] = t
 
+    def _build_11():
+        # ---- nation_sql: the Catalog.sql() DML surface end-to-end ----
+        from paimon_spark.catalog import Catalog
+        cat = Catalog(f"{root}/sqlcat", spark)
+        nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        t = cat.create_table("nation_sql", nat.schema,
+                             primary_keys=["n_nationkey"],
+                             options={"bucket": "1"})
+        t.append(nat)
+        cat.sql("UPDATE nation_sql SET n_regionkey = 99 "
+                "WHERE n_nationkey % 5 = 0")
+        cat.sql("DELETE FROM nation_sql WHERE n_nationkey % 7 = 3")
+        out["nation_sql"] = t
+
+        # ---- supplier_csv: PK merge-on-read over CSV data files ----
+        sup = spark.read.parquet(
+            os.path.join(sf_dir, "supplier.parquet")).select(
+            "s_suppkey", "s_name", "s_acctbal")
+        t2 = Table.create(f"{root}/supplier_csv", sup.schema,
+                          primary_keys=["s_suppkey"],
+                          options={"bucket": "1", "file.format": "csv"},
+                          spark=spark)
+        t2.append(sup)
+        t2.append(sup.filter(F.col("s_suppkey") % 3 == 0)
+                  .withColumn("s_acctbal", F.col("s_acctbal") + 100.0))
+        out["supplier_csv"] = t2
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -338,7 +365,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
@@ -677,6 +704,20 @@ def pk_avro_upsert(spark, sf_dir):
     return t.read().select(
         "o_orderkey", "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("total"))
+
+
+def sql_dml_roundtrip(spark, sf_dir):
+    """UPDATE + DELETE issued through the Catalog.sql() surface."""
+    return _wh(spark, sf_dir)["nation_sql"].read().select(
+        "n_nationkey", "n_name", "n_regionkey")
+
+
+def format_csv_pk(spark, sf_dir):
+    """PK merge-on-read over csv data files (\\N null sentinel path)."""
+    t = _wh(spark, sf_dir)["supplier_csv"]
+    return t.read().select(
+        "s_suppkey", "s_name",
+        F.col("s_acctbal").cast("double").alias("acctbal"))
 
 
 def merge_into_append(spark, sf_dir):
@@ -1240,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_partition_pruned": cross_partition_pruned,
         "merge_into_append": merge_into_append,
         "pk_avro_upsert": pk_avro_upsert,
+        "sql_dml_roundtrip": sql_dml_roundtrip,
+        "format_csv_pk": format_csv_pk,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
         "audit_log_counts": audit_log_counts,
@@ -1533,6 +1576,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
             FROM orders
             WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+        """,
+        "sql_dml_roundtrip": """
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_nationkey % 5 = 0 THEN 99
+                        ELSE n_regionkey END AS n_regionkey
+            FROM nation WHERE n_nationkey % 7 <> 3
+        """,
+        "format_csv_pk": """
+            SELECT s_suppkey, s_name,
+                   CAST(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+                             ELSE s_acctbal END AS DOUBLE) AS acctbal
+            FROM supplier
         """,
         "pk_avro_upsert": """
             SELECT o_orderkey, o_orderstatus,
