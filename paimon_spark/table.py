@@ -1177,6 +1177,14 @@ class Table:
 
     def delta_entries(self, from_snapshot: int, to_snapshot: int) -> list[FileEntry]:
         """ADD entries committed in (from, to] (delta manifests only)."""
+        earliest = self.paths.earliest_snapshot_id()
+        if earliest is not None:
+            for sid in (from_snapshot, to_snapshot):
+                if 1 <= sid < earliest:
+                    raise ValueError(
+                        f"snapshot {sid} has been expired (earliest "
+                        f"retained: {earliest}); incremental bounds must "
+                        "be retained snapshots or tags")
         out: list[FileEntry] = []
         prev = self.paths.read_snapshot(from_snapshot) if from_snapshot >= 1 else None
         prev_n = len(prev.manifests) if prev else 0

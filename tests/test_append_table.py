@@ -199,3 +199,17 @@ def test_merge_into_append_table(spark, wh):
                   matched_update={"amt": F.col("s.amt") + F.col("t.amt")},
                   not_matched_insert=False)
     assert t2.read().filter("k = 1").collect()[0].amt == 101.0
+
+
+def test_incremental_over_expired_bound_clear_error(spark, wh):
+    from pyspark.sql import types as T
+    import pytest
+    t = Table.create(f"{wh}/exp",
+                     T.StructType([T.StructField("k", T.LongType())]),
+                     spark=spark)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], t.schema.struct))
+    t.expire_snapshots(retain_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_incremental(1, 5)
+    assert t.read_incremental(4, 5).count() == 1   # retained range works

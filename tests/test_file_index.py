@@ -188,3 +188,28 @@ def test_bitmap_range_refutation_beyond_stats(spark, wh):
               .coalesce(1))
     t2.append(spark.createDataFrame([(3, "banana")], sch2).coalesce(1))
     assert len(t2.new_scan().plan(P.starts_with("s", "a")).entries) == 1
+
+
+def test_bitmap_typed_values_roundtrip(spark, wh):
+    """Dates/decimals survive the sidecar's JSON encoding and compare
+    correctly against typed predicate literals."""
+    import datetime as dt
+    import decimal
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("d", T.DateType()),
+                        T.StructField("m", T.DecimalType(10, 2))])
+    t = Table.create(f"{wh}/bm_typed", sch,
+                     options={"file-index.bitmap.columns": "d,m"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, dt.date(2026, 1, 1), decimal.Decimal("1.50")),
+         (2, dt.date(2026, 1, 2), decimal.Decimal("2.50"))], sch).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(3, dt.date(2026, 6, 1), decimal.Decimal("9.99"))], sch).coalesce(1))
+    assert len(t.new_scan().plan(P.eq("d", dt.date(2026, 6, 1))).entries) == 1
+    assert len(t.new_scan().plan(
+        P.eq("m", decimal.Decimal("2.50"))).entries) == 1
+    assert len(t.new_scan().plan(
+        P.not_in("d", [dt.date(2026, 1, 1), dt.date(2026, 1, 2)])).entries) == 1
+    assert sorted(r.k for r in
+                  t.read(P.eq("d", dt.date(2026, 6, 1))).collect()) == [3]
