@@ -215,3 +215,43 @@ def test_rollback_invalidates_global_index(spark, wh):
     t.append(spark.createDataFrame([("C", 1, 30)], SCHEMA))
     assert rows(t) == [("C", 1, 30)]
     assert rows(t, predicate=P.eq("dt", "A")) == []
+
+
+def test_randomized_cross_partition_model(spark, wh):
+    """Model-based chaos: random upserts/deletes moving keys between
+    partitions, with periodic compaction; the table must match a python
+    dict model globally AND under partition-pruned reads (where the r2
+    bug lived)."""
+    import random
+    rng = random.Random(7)
+    sch = T.StructType(list(SCHEMA.fields) +
+                       [T.StructField("kind", T.StringType())])
+    t = Table.create(f"{wh}/xchaos", sch, partition_keys=["dt"],
+                     primary_keys=["id"],
+                     options={"bucket": "-1", "rowkind.field": "kind"},
+                     spark=spark)
+    model = {}
+    parts = ["p0", "p1", "p2"]
+    for b in range(6):
+        batch, seen = [], set()
+        for _ in range(40):
+            k = rng.randint(0, 30)
+            if k in seen:
+                continue
+            seen.add(k)
+            if rng.random() < 0.15 and k in model:
+                batch.append((rng.choice(parts), k, 0, "-D"))
+                del model[k]
+            else:
+                p, v = rng.choice(parts), rng.randint(0, 10**6)
+                batch.append((p, k, v, "+I"))
+                model[k] = (p, v)
+        t.append(spark.createDataFrame(batch, sch))
+        if b % 2 == 1:
+            t.compact(full=bool(b % 4 == 3))
+        got = {r.id: (r.dt, r.v) for r in t.read().collect()}
+        assert got == model, f"batch {b}: global mismatch"
+        for p in parts:
+            got_p = {r.id: r.v for r in t.read(P.eq("dt", p)).collect()}
+            want_p = {k: v for k, (pp, v) in model.items() if pp == p}
+            assert got_p == want_p, f"batch {b}: pruned {p} mismatch"
