@@ -136,16 +136,26 @@ class SQLRouter:
         t = self._table(name)
         cols = [c.strip().strip("`") for c in cols_s.split(",")] \
             if cols_s else None
-        df = self._source_df(rest, t, cols)
+        spec: dict[str, str] = {}
         if part_s:
             # static partition values: PARTITION (dt='2024-01-01')
             for kv in _split_top(part_s):
                 k, _, v = kv.partition("=")
-                df = df.withColumn(
-                    k.strip(), F.expr(v.strip())
-                    .cast(t.schema.data_type(k.strip())))
+                spec[k.strip()] = v.strip()
+            if cols is None:
+                # source supplies every column except the static keys
+                cols = [f for f in t.schema.field_names if f not in spec]
+        df = self._source_df(rest, t, cols)
+        for k, v in spec.items():
+            df = df.withColumn(k, F.expr(v).cast(t.schema.data_type(k)))
+        df = df.select(*t.schema.field_names)
+        spec = {k: v.strip("'\"") for k, v in spec.items()}
         if kind.upper() == "OVERWRITE":
-            t.writer().overwrite(df, dynamic=part_s is None)
+            # PARTITION (k=v,…) → replace exactly the matched partitions
+            # (never the whole table); no spec → Paimon's default
+            # dynamic-partition-overwrite (replace touched partitions only)
+            t.writer().overwrite(df, dynamic=not spec,
+                                 static_partition=spec or None)
         else:
             t.append(df)
         return None

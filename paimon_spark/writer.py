@@ -23,7 +23,7 @@ import shutil
 import time
 import urllib.parse
 import uuid
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Any
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -365,7 +365,7 @@ class BatchWriter:
         """Move staged files into the table tree; collect footer stats.
 
         Large commits (≥ commit.distributed-adopt-threshold files, default
-        32) run the per-file work — rename + footer-stat mining + bloom
+        256) run the per-file work — rename + footer-stat mining + bloom
         sidecar build — as ONE Spark job over the file list, collecting
         metadata only: at 100-TB write fan-out (10^4-10^5 files/commit) a
         driver-serial loop would spend minutes in footer reads, while the
@@ -586,17 +586,21 @@ class BatchWriter:
             return snap
         return self.commit(self.stage(df), COMMIT_APPEND)
 
-    def overwrite(self, df: DataFrame, dynamic: bool = True) -> Snapshot:
-        """INSERT OVERWRITE: replace touched partitions (dynamic) or the whole
-        table (static). (ref: PaimonDynamicPartitionOverwriteCommand.scala)"""
+    def overwrite(self, df: DataFrame, dynamic: bool = True,
+                  static_partition: dict[str, Any] | None = None) -> Snapshot:
+        """INSERT OVERWRITE: replace touched partitions (dynamic), the whole
+        table (static, no spec), or exactly the partitions matched by a
+        static PARTITION (k=v, …) spec — possibly a prefix of the partition
+        keys. (ref: PaimonDynamicPartitionOverwriteCommand.scala; static
+        spec semantics per Spark's INSERT OVERWRITE ... PARTITION)"""
         if self.schema.cross_partition_update:
-            if dynamic:
+            if dynamic or static_partition:
                 # a partial partition replacement could break the tombstone
                 # invariant the global index maintains (a key's stale row
                 # must always be covered by a -D in its own partition)
                 raise NotImplementedError(
-                    "dynamic INSERT OVERWRITE is not supported on "
-                    "cross-partition update tables; use static overwrite")
+                    "partial INSERT OVERWRITE is not supported on "
+                    "cross-partition update tables; use full static overwrite")
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
             invalidate_global_index(self.paths.meta_root)
@@ -604,9 +608,26 @@ class BatchWriter:
         latest = self.paths.latest_snapshot()
         deletes: list[FileEntry] = []
         if latest is not None:
-            touched = {tuple(sorted(e.partition.items())) for e in new_entries}
-            for e in self.paths.live_entries(latest):
-                if not dynamic or tuple(sorted(e.partition.items())) in touched:
-                    d = FileEntry(**{**e.__dict__, "kind": DELETE})
-                    deletes.append(d)
+            if static_partition:
+                # delete exactly the live entries matching the spec (typed
+                # compare: entry partitions are raw hive-path strings)
+                from paimon_spark.scanner import cast_partition_value
+                spec = {k: cast_partition_value(
+                            None if v is None else str(v),
+                            self.schema.data_type(k))
+                        for k, v in static_partition.items()}
+                for e in self.paths.live_entries(latest):
+                    if all(cast_partition_value(e.partition.get(k),
+                                                self.schema.data_type(k)) == v
+                           for k, v in spec.items()):
+                        deletes.append(
+                            FileEntry(**{**e.__dict__, "kind": DELETE}))
+            else:
+                touched = {tuple(sorted(e.partition.items()))
+                           for e in new_entries}
+                for e in self.paths.live_entries(latest):
+                    if (not dynamic
+                            or tuple(sorted(e.partition.items())) in touched):
+                        deletes.append(
+                            FileEntry(**{**e.__dict__, "kind": DELETE}))
         return self.commit(new_entries + deletes, COMMIT_OVERWRITE)

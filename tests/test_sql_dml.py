@@ -112,3 +112,36 @@ def test_insert_overwrite_sql(spark, wh):
     c.sql("INSERT OVERWRITE ow VALUES ('d1', 100)")
     got = sorted((r.dt, r.x) for r in c.get_table("ow").read().collect())
     assert got == [("d1", 100), ("d2", 2)]     # dynamic: d2 untouched
+
+
+def test_insert_overwrite_static_partition_sql(spark, wh):
+    """INSERT OVERWRITE … PARTITION (k=v) replaces ONLY that partition —
+    regression for the r3 advice bug where the static path wiped every
+    partition of the table."""
+    c = _cat(spark, wh)
+    sch = T.StructType([T.StructField("dt", T.StringType()),
+                        T.StructField("x", T.LongType())])
+    c.create_table("owp", sch, partition_keys=["dt"])
+    c.sql("INSERT INTO owp VALUES ('d1', 1), ('d1', 11), ('d2', 2), "
+          "('d3', 3)")
+    c.sql("INSERT OVERWRITE owp PARTITION (dt='d1') VALUES (100)")
+    got = sorted((r.dt, r.x) for r in c.get_table("owp").read().collect())
+    assert got == [("d1", 100), ("d2", 2), ("d3", 3)]
+    # an overwrite of a partition with NO live rows in the source clears it
+    c.sql("INSERT OVERWRITE owp PARTITION (dt='d2') "
+          "SELECT x FROM owp WHERE x < 0")
+    got = sorted((r.dt, r.x) for r in c.get_table("owp").read().collect())
+    assert got == [("d1", 100), ("d3", 3)]
+
+
+def test_insert_overwrite_static_partition_typed(spark, wh):
+    """Static spec over a non-string partition key compares typed, not
+    string-vs-string."""
+    c = _cat(spark, wh)
+    sch = T.StructType([T.StructField("pk", T.IntegerType()),
+                        T.StructField("x", T.LongType())])
+    c.create_table("owi", sch, partition_keys=["pk"])
+    c.sql("INSERT INTO owi VALUES (1, 10), (2, 20)")
+    c.sql("INSERT OVERWRITE owi PARTITION (pk=1) VALUES (999)")
+    got = sorted((r.pk, r.x) for r in c.get_table("owi").read().collect())
+    assert got == [(1, 999), (2, 20)]
