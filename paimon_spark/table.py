@@ -209,7 +209,11 @@ class Table:
             dv = self.spark.read.parquet(
                 *sorted({os.path.join(self.path, e.dv_path) for e in group}))
             cond = (F.col("__fp") == dv["file_path"]) & (F.col("__pos") == dv["pos"])
-            df = df.join(F.broadcast(dv), cond, "left_anti").select(*cols)
+            # no broadcast hint: the DV side is one row per deleted position
+            # (10^8-10^9 rows for a delete-heavy table at scale) — AQE
+            # broadcasts it only when it is genuinely small, else this is a
+            # shuffled anti-join on (file_path, pos)
+            df = df.join(dv, cond, "left_anti").select(*cols)
             if sid != self.schema.schema_id:
                 df = self._evolve(df, old)
             parts.append(df)
@@ -560,7 +564,8 @@ class Table:
         if dvd:
             dv = self.spark.read.parquet(*dvd)
             cond = (F.col("__fp") == dv["file_path"]) & (F.col("__idx") == dv["pos"])
-            df = df.join(F.broadcast(dv), cond, "left_anti")
+            # unhinted: AQE decides (see _read_files — DV side can be huge)
+            df = df.join(dv, cond, "left_anti")
         rid = F.coalesce(F.col(ROW_ID_COL), F.col("__first") + F.col("__idx"))
         return df.select(*self.schema.field_names, rid.alias(ROW_ID_COL))
 
@@ -669,12 +674,15 @@ class Table:
                 self.spark.read.parquet(*old_dvs)).distinct()
         dv_dir = os.path.join(self.path, "dv")
         os.makedirs(dv_dir, exist_ok=True)
-        staging = os.path.join(dv_dir, f".tmp-{_uuid.uuid4().hex}")
-        new_pos.coalesce(1).write.parquet(staging)
-        dv_name = f"dv/dv-{_uuid.uuid4().hex}.parquet"
-        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
-        os.rename(os.path.join(staging, part), os.path.join(self.path, dv_name))
-        shutil.rmtree(staging, ignore_errors=True)
+        # distributed DV write: a dv sidecar is a parquet DATASET (dir)
+        # hashed on file_path so a large delete fans out across tasks
+        # instead of serializing through coalesce(1); small deletes still
+        # produce one file. Readers spark.read.parquet() the directory.
+        n_parts = max(1, min(len(touched), int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32"))))
+        dv_name = f"dv/dv-{_uuid.uuid4().hex}"
+        new_pos.repartition(n_parts, "file_path").write.parquet(
+            os.path.join(self.path, dv_name))
         # data file names are UUIDs → match URI spellings via basename
         counts = {os.path.basename(r["file_path"]): r["cnt"] for r in
                   self.spark.read.parquet(os.path.join(self.path, dv_name))
@@ -1165,7 +1173,10 @@ class Table:
                     prunable = fn.endswith(".json")
                 else:
                     prunable = fn.endswith(".parquet")
-                if prunable and rp not in referenced:
+                # a dv sidecar may be a parquet DATASET directory — its
+                # parts are referenced via their parent dir
+                if prunable and rp not in referenced \
+                        and os.path.normpath(rel) not in referenced:
                     os.remove(os.path.join(dirpath, fn))
                     removed += 1
         for m in os.listdir(self.paths.manifest_dir):

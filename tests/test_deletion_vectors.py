@@ -54,6 +54,44 @@ def test_dv_update_rewrites_clean(spark, wh):
     assert t.new_scan().metadata_count() == 19
 
 
+def test_dv_no_forced_broadcast_and_distributed_write(spark, wh):
+    """Scale regression (r3 verdict #1): the DV anti-join must NOT carry a
+    forced broadcast hint (AQE decides; a delete-heavy table's DV side is
+    one row per deleted position), and the DV sidecar write must not
+    serialize through a single coalesce(1) task."""
+    import os
+    t = _t(spark, wh)
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20_000)], S))
+    t.delete_where(P.expr("k % 5 = 0"))          # 20% deleted
+    assert t.read().count() == 16_000
+    # logical plan: no explicit broadcast hint on the DV side.  AQE may
+    # still CHOOSE a broadcast for this small test table — forbidden is
+    # only the unconditional hint (ResolvedHint/UnresolvedHint).
+    logical = t.read()._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in logical.lower(), logical
+    # the sidecar is a parquet dataset directory (distributed write path),
+    # not a single hand-renamed part file
+    dv_entries = [e for e in t.new_scan().plan().entries if e.dv_path]
+    assert dv_entries
+    for e in dv_entries:
+        assert os.path.isdir(os.path.join(t.path, e.dv_path))
+    # second delete merges into a fresh dataset and stays correct
+    t.delete_where(P.expr("k % 5 = 1"))
+    assert t.read().count() == 12_000
+    assert t.new_scan().metadata_count() == 12_000
+
+
+def test_dv_dirs_survive_orphan_cleanup(spark, wh):
+    import os
+    t = _t(spark, wh)
+    t.append(spark.createDataFrame([(i, "x") for i in range(100)], S))
+    t.delete_where(P.lt("k", 30))
+    from paimon_spark.procedures import call
+    call(spark, "remove_orphan_files", table=t)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(30, 100))
+
+
 def test_dv_compact_clears_vectors(spark, wh):
     t = _t(spark, wh)
     for i in range(3):
