@@ -339,6 +339,47 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                   .withColumn("s_acctbal", F.col("s_acctbal") + 100.0))
         out["supplier_csv"] = t2
 
+    def _build_12():
+        # ---- sup_merge_full: full MERGE clause surface through SQL ----
+        # conditional matched clauses (first-match-wins), INSERT (cols)
+        # VALUES, and NOT MATCHED BY SOURCE UPDATE/DELETE
+        # (ref: MergeIntoPaimonTable.scala:47)
+        from paimon_spark.catalog import Catalog
+        cat = Catalog(f"{root}/sqlcat2", spark)
+        sup = spark.read.parquet(
+            os.path.join(sf_dir, "supplier.parquet")).select(
+            "s_suppkey", "s_name", "s_acctbal")
+        t = cat.create_table("sup_merge_full", sup.schema,
+                             primary_keys=["s_suppkey"],
+                             options={"bucket": "2"})
+        t.append(sup)
+        src = (sup.filter(F.col("s_suppkey") % 2 == 0)
+               .select("s_suppkey",
+                       F.concat(F.lit("SRC-"), F.col("s_name"))
+                        .alias("s_name"),
+                       (F.col("s_acctbal") + 100).cast(
+                           sup.schema["s_acctbal"].dataType)
+                        .alias("s_acctbal"))
+               .unionByName(
+                   sup.filter(F.col("s_suppkey") % 5 == 0)
+                   .select((F.col("s_suppkey") + 1000000)
+                           .alias("s_suppkey"), "s_name", "s_acctbal")))
+        src.createOrReplaceTempView("sup_merge_src")
+        cat.sql("""MERGE INTO sup_merge_full AS t USING sup_merge_src AS s
+                   ON t.s_suppkey = s.s_suppkey
+                   WHEN MATCHED AND t.s_acctbal < 0 THEN DELETE
+                   WHEN MATCHED AND s.s_acctbal > 5000 THEN
+                     UPDATE SET s_acctbal = t.s_acctbal + s.s_acctbal
+                   WHEN MATCHED THEN UPDATE SET s_name = s.s_name
+                   WHEN NOT MATCHED AND s.s_acctbal > 1000 THEN
+                     INSERT (s_suppkey, s_name, s_acctbal)
+                     VALUES (s.s_suppkey, upper(s.s_name), s.s_acctbal)
+                   WHEN NOT MATCHED BY SOURCE AND t.s_suppkey % 10 = 7
+                     THEN DELETE
+                   WHEN NOT MATCHED BY SOURCE THEN
+                     UPDATE SET s_acctbal = t.s_acctbal * 2""")
+        out["sup_merge_full"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -365,7 +406,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _warm_streaming)]
         for _f in _futs:
             _f.result()
 
@@ -724,6 +765,15 @@ def merge_into_append(spark, sf_dir):
     """MERGE INTO an append (non-PK) table: update-all + insert, then a
     delete merge — copy-on-write rewrite of touched files only."""
     return _wh(spark, sf_dir)["part_merge"].read()
+
+
+def merge_full_surface(spark, sf_dir):
+    """Full MERGE INTO clause surface: conditional matched clauses
+    (first-match-wins), INSERT (cols) VALUES, NOT MATCHED BY SOURCE
+    UPDATE/DELETE — all through Catalog.sql()."""
+    return _wh(spark, sf_dir)["sup_merge_full"].read().select(
+        "s_suppkey", "s_name",
+        F.col("s_acctbal").cast("double").alias("acctbal"))
 
 
 def time_travel_v1(spark, sf_dir):
@@ -1280,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_partition_upsert": cross_partition_upsert,
         "cross_partition_pruned": cross_partition_pruned,
         "merge_into_append": merge_into_append,
+        "merge_full_surface": merge_full_surface,
         "pk_avro_upsert": pk_avro_upsert,
         "sql_dml_roundtrip": sql_dml_roundtrip,
         "format_csv_pk": format_csv_pk,
@@ -1611,6 +1662,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM merged
             WHERE NOT (p_partkey % 7 = 3 AND p_partkey < 3000000)
+        """,
+        "merge_full_surface": """
+            WITH src AS (
+              SELECT s_suppkey, 'SRC-' || s_name AS s_name,
+                     s_acctbal + 100 AS s_acctbal
+              FROM supplier WHERE s_suppkey % 2 = 0
+              UNION ALL
+              SELECT s_suppkey + 1000000, s_name, s_acctbal
+              FROM supplier WHERE s_suppkey % 5 = 0
+            ),
+            tgt AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+            matched_out AS (
+              SELECT t.s_suppkey,
+                     CASE WHEN s.s_acctbal > 5000 THEN t.s_name
+                          ELSE s.s_name END AS s_name,
+                     CAST(CASE WHEN s.s_acctbal > 5000
+                               THEN t.s_acctbal + s.s_acctbal
+                               ELSE t.s_acctbal END AS DOUBLE) AS acctbal
+              FROM tgt t JOIN src s ON t.s_suppkey = s.s_suppkey
+              WHERE NOT (t.s_acctbal < 0)
+            ),
+            nmbs_out AS (
+              SELECT s_suppkey, s_name,
+                     CAST(s_acctbal * 2 AS DOUBLE) AS acctbal
+              FROM tgt
+              WHERE s_suppkey NOT IN (SELECT s_suppkey FROM src)
+                AND s_suppkey % 10 <> 7
+            ),
+            ins_out AS (
+              SELECT s.s_suppkey, upper(s.s_name) AS s_name,
+                     CAST(s.s_acctbal AS DOUBLE) AS acctbal
+              FROM src s
+              WHERE s.s_suppkey NOT IN (SELECT s_suppkey FROM tgt)
+                AND s.s_acctbal > 1000
+            )
+            SELECT * FROM matched_out
+            UNION ALL SELECT * FROM nmbs_out
+            UNION ALL SELECT * FROM ins_out
         """,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
         "time_travel_v1": """

@@ -374,6 +374,58 @@ class TablePaths:
         self.write_latest_hint(snap.id)
         return True
 
+    # -------- per-user commit identifiers (streaming exactly-once) --------
+
+    def _identifier_hint_file(self, commit_user: str) -> str:
+        safe = "".join(ch if ch.isalnum() or ch in "-_." else "_"
+                       for ch in commit_user)
+        return os.path.join(self.snapshot_dir, f".latest-identifier-{safe}")
+
+    def record_commit_identifier(self, commit_user: str, identifier: int):
+        """Persist the largest committed identifier for a commit user
+        (one-line sidecar, monotone advance). Makes the streaming replay
+        check O(1) instead of O(#snapshots)
+        (ref: FileStoreCommitImpl filterCommitted reads descending — the
+        hint is a cache of that scan's answer)."""
+        path = self._identifier_hint_file(commit_user)
+        prev = None
+        try:
+            with open(path) as f:
+                prev = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        if prev is not None and prev >= identifier:
+            return
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(identifier))
+        os.replace(tmp, path)
+
+    def latest_commit_identifier(self, commit_user: str) -> int | None:
+        """Largest commitIdentifier committed by `commit_user`. Reads the
+        sidecar hint when present; otherwise scans snapshots DESCENDING
+        from latest with early exit at that user's first (= most recent)
+        snapshot — identifiers are monotone per user, so the most recent
+        snapshot by the user carries the largest one
+        (ref: FileStoreCommitImpl filterCommitted)."""
+        try:
+            with open(self._identifier_hint_file(commit_user)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return None
+        earliest = self.earliest_snapshot_id() or 1
+        for sid in range(latest, earliest - 1, -1):
+            try:
+                s = self.read_snapshot(sid)
+            except FileNotFoundError:
+                continue
+            if s.commit_user == commit_user:
+                return s.commit_identifier
+        return None
+
     # -------- manifests --------
 
     def write_manifest(self, entries: Iterable[FileEntry],

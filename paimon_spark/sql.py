@@ -227,44 +227,115 @@ class SQLRouter:
                 raise ValueError("MERGE ON needs same-named key columns")
             on.append(c1)
 
-        matched_update = None
-        matched_delete = False
-        not_matched_insert = False
-        for clause in re.findall(
-                r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(.*?)(?=\s+WHEN\s+|$)",
-                when_s, re.IGNORECASE | re.DOTALL):
-            neg, action = clause
-            a = action.strip()
-            if neg:
-                if not re.match(r"INSERT\s*(\*)?$", a, re.IGNORECASE):
-                    raise ValueError(
-                        f"only INSERT * supported for NOT MATCHED: {a}")
-                not_matched_insert = True
-            elif re.match(r"DELETE$", a, re.IGNORECASE):
-                matched_delete = True
-            else:
-                um = re.match(r"UPDATE\s+SET\s+(.*)$", a,
-                              re.IGNORECASE | re.DOTALL)
-                if not um:
-                    raise ValueError(f"cannot parse WHEN MATCHED: {a}")
-                body = um.group(1).strip()
-                if body == "*":
-                    matched_update = "all"
-                else:
-                    matched_update = {}
-                    for asg in _split_top(body):
-                        c, _, e = asg.partition("=")
-                        col = c.strip().strip("`")
-                        col = col.split(".", 1)[1] if "." in col else col
-                        e = e.strip()
-                        # rewrite alias refs to the join's s./t. convention
-                        e = re.sub(rf"\b{re.escape(salias)}\.", "s.", e)
-                        e = re.sub(rf"\b{re.escape(talias)}\.", "t.", e)
-                        matched_update[col] = F.expr(e)
-        t.merge_into(src_df, on=on, matched_update=matched_update,
-                     matched_delete=matched_delete,
-                     not_matched_insert=not_matched_insert)
+        matched, not_matched, nmbs = self._merge_when_clauses(
+            when_s, talias, salias)
+        t.merge_into(src_df, on=on, matched=matched,
+                     not_matched=not_matched, not_matched_by_source=nmbs)
         return None
+
+    def _merge_when_clauses(self, when_s: str, talias: str, salias: str):
+        """Parse the WHEN section of a MERGE into ordered MergeClause
+        lists. Every clause must match a supported shape — anything else
+        raises (a silently-dropped clause would change merge semantics).
+        Supported (ref: MergeIntoPaimonTable.scala:47):
+          WHEN MATCHED [AND cond] THEN UPDATE SET * | c = e, …
+          WHEN MATCHED [AND cond] THEN DELETE
+          WHEN NOT MATCHED [BY TARGET] [AND cond] THEN
+              INSERT * | INSERT (cols) VALUES (exprs)
+          WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+              UPDATE SET … | DELETE
+        """
+        from paimon_spark.table import MergeClause
+
+        def _rw(e: str) -> str:
+            e = re.sub(rf"\b{re.escape(salias)}\.", "s.", e)
+            return re.sub(rf"\b{re.escape(talias)}\.", "t.", e)
+
+        # split on top-level WHEN keywords (outside parens/quotes)
+        pieces, depth, quote, buf, i = [], 0, None, [], 0
+        up = when_s.upper()
+        while i < len(when_s):
+            ch = when_s[i]
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif (depth == 0 and up[i:i + 5] == "WHEN "
+                  and (i == 0 or not when_s[i - 1].isalnum())):
+                if buf and "".join(buf).strip():
+                    pieces.append("".join(buf).strip())
+                buf = []
+                i += 5
+                continue
+            else:
+                buf.append(ch)
+            i += 1
+        if buf and "".join(buf).strip():
+            pieces.append("".join(buf).strip())
+
+        matched: list = []
+        not_matched: list = []
+        nmbs: list = []
+        for p in pieces:
+            m = re.match(
+                r"(?:(NOT\s+MATCHED\s+BY\s+SOURCE)|"
+                r"(NOT\s+MATCHED(?:\s+BY\s+TARGET)?)|(MATCHED))"
+                r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+                p, re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"cannot parse MERGE WHEN clause: WHEN {p}")
+            is_nmbs, is_nm, _is_m, cond_s, action = m.groups()
+            cond = _rw(cond_s.strip()) if cond_s else None
+            a = action.strip()
+            if is_nm:
+                im = re.match(r"INSERT\s*\*$", a, re.IGNORECASE)
+                if im:
+                    not_matched.append(MergeClause.insert("all", cond))
+                    continue
+                im = re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                              a, re.IGNORECASE | re.DOTALL)
+                if not im:
+                    raise ValueError(
+                        f"NOT MATCHED supports INSERT * or INSERT (cols) "
+                        f"VALUES (exprs): {a}")
+                cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+                vals = _split_top(im.group(2))
+                if len(cols) != len(vals):
+                    raise ValueError(f"INSERT arity mismatch: {a}")
+                asg = {c.split(".", 1)[-1]: F.expr(_rw(v))
+                       for c, v in zip(cols, vals)}
+                not_matched.append(MergeClause.insert(asg, cond))
+                continue
+            # MATCHED / NOT MATCHED BY SOURCE → UPDATE or DELETE
+            bucket = nmbs if is_nmbs else matched
+            if re.match(r"DELETE$", a, re.IGNORECASE):
+                bucket.append(MergeClause.delete(cond))
+                continue
+            um = re.match(r"UPDATE\s+SET\s+(.*)$", a,
+                          re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(f"cannot parse MERGE action: {a}")
+            body = um.group(1).strip()
+            if body == "*":
+                bucket.append(MergeClause.update("all", cond))
+                continue
+            asg = {}
+            for s_asg in _split_top(body):
+                c, _, e = s_asg.partition("=")
+                col = c.strip().strip("`")
+                col = col.split(".", 1)[1] if "." in col else col
+                asg[col] = F.expr(_rw(e.strip()))
+            bucket.append(MergeClause.update(asg, cond))
+        return matched, not_matched, nmbs
 
     def _call(self, s: str):
         m = re.match(r"CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$",

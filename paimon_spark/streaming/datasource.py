@@ -493,19 +493,17 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
 
         t = Table.load(self.table_path)
         staged = [m.file for m in messages if m and m.file]
-        # exactly-once: skip a replayed (user, batchId) commit
-        for n in os.listdir(t.paths.snapshot_dir):
-            if not (n.startswith("snapshot-") and n.endswith(".json")):
-                continue
-            s = t.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
-            if (s.commit_user == self.COMMIT_USER
-                    and s.commit_identifier == batchId):
-                for f in staged:
-                    try:
-                        os.remove(f)
-                    except OSError:
-                        pass
-                return
+        # exactly-once: skip a replayed (user, batchId) commit — O(1)
+        # check via the per-user identifier hint / descending early-exit
+        # scan (ref: FileStoreCommitImpl filterCommitted)
+        last = t.paths.latest_commit_identifier(self.COMMIT_USER)
+        if last is not None and batchId <= last:
+            for f in staged:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return
         # adopt ONLY this batch's files
         batch_dir = os.path.join(self.staging, f"b{batchId}")
         os.makedirs(batch_dir, exist_ok=True)

@@ -102,9 +102,17 @@ class StreamScanner:
             return s + 1, latest is not None
         if self.mode == "compacted-full":
             # full state at the latest COMPACT snapshot (compaction output
-            # reads merge-free), then deltas (ref: CompactedStartingScanner)
+            # reads merge-free), then deltas (ref: CompactedStartingScanner).
+            # Bounded: stop at the earliest retained snapshot and cap the
+            # descending reads — with no recent COMPACT the answer is the
+            # same as latest-full, so a long scan buys nothing.
             start = latest
-            for sid in range((latest or 0), 0, -1):
+            earliest = self.table.paths.earliest_snapshot_id() or 1
+            max_reads = 128
+            for sid in range((latest or 0), earliest - 1, -1):
+                if max_reads <= 0:
+                    break
+                max_reads -= 1
                 try:
                     if self.table.paths.read_snapshot(sid).commit_kind == "COMPACT":
                         start = sid
@@ -218,12 +226,12 @@ def write_stream_to_table(batch_df: DataFrame, table: Table,
     recovery drops already-committed identifiers)"""
     from paimon_spark.writer import BatchWriter
     if batch_id is not None:
-        for n in os.listdir(table.paths.snapshot_dir):
-            if not (n.startswith("snapshot-") and n.endswith(".json")):
-                continue
-            s = table.paths.read_snapshot(int(n[len("snapshot-"):-len(".json")]))
-            if s.commit_user == commit_user and s.commit_identifier == batch_id:
-                return None          # replay of an already-committed batch
+        # O(1) replay check: identifiers are monotone per commit user
+        # (sidecar hint, else descending early-exit scan —
+        #  ref: FileStoreCommitImpl filterCommitted)
+        last = table.paths.latest_commit_identifier(commit_user)
+        if last is not None and batch_id <= last:
+            return None          # replay of an already-committed batch
         w = BatchWriter(table, commit_user=commit_user)
         if table.schema.cross_partition_update:
             from paimon_spark.operators.cross_partition import \

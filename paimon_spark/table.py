@@ -38,6 +38,46 @@ from paimon_spark.writer import BatchWriter
 COMPACTED_LEVEL = 5
 
 
+class MergeClause:
+    """One WHEN clause of a MERGE INTO statement
+    (ref: MergeIntoPaimonTable.scala:47 — matchedActions /
+     notMatchedActions / notMatchedBySourceActions, first-match-wins).
+
+    action:       'update' | 'delete' | 'insert'
+    condition:    optional Column or SQL string ('WHEN … AND cond');
+                  None means unconditional
+    assignments:  'all' (UPDATE SET * / INSERT *), a {col: expr} dict
+                  (exprs reference the join's 's.'/'t.' aliases), or
+                  None for DELETE
+    """
+
+    def __init__(self, action: str, condition=None, assignments=None):
+        if action not in ("update", "delete", "insert"):
+            raise ValueError(f"bad merge action: {action}")
+        self.action = action
+        self.condition = condition
+        self.assignments = assignments
+
+    def cond_col(self):
+        if self.condition is None:
+            return F.lit(True)
+        if isinstance(self.condition, str):
+            return F.expr(self.condition)
+        return self.condition
+
+    @staticmethod
+    def update(assignments, condition=None) -> "MergeClause":
+        return MergeClause("update", condition, assignments)
+
+    @staticmethod
+    def delete(condition=None) -> "MergeClause":
+        return MergeClause("delete", condition)
+
+    @staticmethod
+    def insert(assignments="all", condition=None) -> "MergeClause":
+        return MergeClause("insert", condition, assignments)
+
+
 class Table:
     def __init__(self, path: str, schema: TableSchema, spark: SparkSession | None = None,
                  branch: str | None = None):
@@ -728,96 +768,162 @@ class Table:
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in touched]
         return w.commit(adds + deletes, COMMIT_OVERWRITE)
 
+    @staticmethod
+    def _merge_clauses(matched_update, matched_delete, not_matched_insert,
+                       matched, not_matched, not_matched_by_source):
+        """Normalize the legacy kwargs and the clause-list API into three
+        ordered MergeClause lists."""
+        if matched is None:
+            matched = []
+            # legacy: delete-first preserved the old PK-path precedence
+            if matched_delete:
+                matched.append(MergeClause.delete())
+            if matched_update is not None:
+                matched.append(MergeClause.update(matched_update))
+        if not_matched is None:
+            not_matched = ([MergeClause.insert("all")]
+                           if not_matched_insert else [])
+        not_matched_by_source = not_matched_by_source or []
+        for cl in matched + not_matched_by_source:
+            if cl.action == "insert":
+                raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+        for cl in not_matched:
+            if cl.action != "insert":
+                raise ValueError("WHEN NOT MATCHED supports INSERT only")
+        return matched, not_matched, not_matched_by_source
+
+    def _merge_val(self, v, c: str, default_col):
+        """Assignment value → typed Column. Columns pass through, strings
+        prefixed 's.'/'t.' are join-side refs, other values are literals
+        (SQL-parsed assignments arrive as Columns already)."""
+        from pyspark.sql import Column
+        if isinstance(v, Column):
+            out = v
+        elif isinstance(v, str) and (v.startswith("s.")
+                                     or v.startswith("t.")):
+            out = F.col(v)
+        elif v is None:
+            return default_col
+        else:
+            out = F.lit(v)
+        return out.cast(self.schema.data_type(c))
+
+    def _merge_cascade(self, region, clauses, on, tcols, side_for_keep):
+        """First-match-wins CASE cascade over `clauses` within a join
+        region. Returns (selected_filter, kind_col, {col: value_col}):
+        rows where no clause condition holds are NOT selected."""
+        conds = [region & cl.cond_col() for cl in clauses]
+        selected = conds[0]
+        for c in conds[1:]:
+            selected = selected | c
+        kind = None
+        for cond, cl in zip(conds, clauses):
+            k = {"update": "+U", "delete": "-D", "insert": "+I"}[cl.action]
+            kind = (F.when(cond, F.lit(k)) if kind is None
+                    else kind.when(cond, F.lit(k)))
+        values: dict[str, Any] = {}
+        for c in tcols:
+            keep = (F.col(c) if c in on
+                    else F.col(f"{side_for_keep}.{c}"))
+            expr = None
+            for cond, cl in zip(conds, clauses):
+                if cl.action == "delete":
+                    v = keep
+                elif cl.assignments == "all":
+                    v = F.col(c) if c in on else F.col(f"s.{c}")
+                elif cl.action == "insert":
+                    v = self._merge_val(cl.assignments.get(c), c,
+                                        F.lit(None).cast(
+                                            self.schema.data_type(c)))
+                    if c in on and cl.assignments.get(c) is None:
+                        v = F.col(c)       # key travels from the source
+                else:
+                    v = self._merge_val(cl.assignments.get(c), c, keep)
+                expr = (F.when(cond, v) if expr is None
+                        else expr.when(cond, v))
+            values[c] = expr.otherwise(keep)
+        return selected, kind, values
+
     def merge_into(self, source: DataFrame, on: list[str],
                    matched_update: dict[str, Any] | str | None = None,
                    matched_delete: bool = False,
-                   not_matched_insert: bool = True) -> Snapshot:
+                   not_matched_insert: bool = True,
+                   matched: list[MergeClause] | None = None,
+                   not_matched: list[MergeClause] | None = None,
+                   not_matched_by_source: list[MergeClause] | None = None,
+                   ) -> Snapshot:
         """MERGE INTO target USING source ON target.k = source.k …
-        (ref: MergeIntoPaimonTable.scala:47). PK tables emit +U/-D/+I rows
-        (merge-on-read); append tables rewrite touched files (COW)."""
+        (ref: MergeIntoPaimonTable.scala:47). Full clause surface:
+        multiple conditional WHEN MATCHED UPDATE/DELETE (first-match-wins),
+        WHEN NOT MATCHED [AND cond] INSERT */(cols) VALUES, and WHEN NOT
+        MATCHED BY SOURCE UPDATE/DELETE. PK tables emit +U/-D/+I rows
+        (merge-on-read); append tables rewrite touched files (COW).
+        Clause conditions/assignments reference the join as 't.'/'s.'."""
+        matched, not_matched, nmbs = self._merge_clauses(
+            matched_update, matched_delete, not_matched_insert,
+            matched, not_matched, not_matched_by_source)
+        if not (matched or not_matched or nmbs):
+            return self.paths.latest_snapshot()
         if not self.schema.is_pk_table:
-            return self._merge_into_append(source, on, matched_update,
-                                           matched_delete, not_matched_insert)
-        from pyspark.sql import Column
+            return self._merge_into_append(source, on, matched,
+                                           not_matched, nmbs)
 
         w = self.writer()
         tcols = self.schema.field_names
-        target = self.read().withColumn("__t_exists", F.lit(True))
-        joined = source.alias("s").join(target.alias("t"), on, "left")
-        exists = F.col("__t_exists") == F.lit(True)
-
-        def _val(v, default_col):
-            if isinstance(v, Column):
-                return v
-            if isinstance(v, str) and (v.startswith("s.") or v.startswith("t.")):
-                return F.col(v)
-            return F.lit(v) if v is not None else default_col
+        src = source.withColumn("__s_exists", F.lit(True)).alias("s")
+        tgt = (self.read().withColumn("__t_exists", F.lit(True))
+               .alias("t"))
+        # full_outer only when NOT MATCHED BY SOURCE needs unmatched
+        # target rows; otherwise a left join from the source suffices
+        joined = src.join(tgt, on, "full_outer" if nmbs else "left")
+        s_ex = F.col("__s_exists").isNotNull()
+        t_ex = F.col("__t_exists").isNotNull()
 
         out_rows = []
-        if matched_delete:
-            dels = (joined.filter(exists)
-                    .select(*[(F.col(c) if c in on else F.col(f"t.{c}")).alias(c)
-                              for c in tcols])
-                    .withColumn(KIND_COL, F.lit("-D")))
-            out_rows.append(dels)
-        elif matched_update is not None:
-            upd = joined.filter(exists)
-            if matched_update == "all":
-                upd = upd.select(*[(F.col(c) if c in on else F.col(f"s.{c}")).alias(c)
-                                   for c in tcols])
-            else:
-                cols = []
-                for c in tcols:
-                    if c in on:
-                        cols.append(F.col(c))
-                    elif c in matched_update:
-                        cols.append(_val(matched_update[c], F.col(f"t.{c}")).alias(c))
-                    else:
-                        cols.append(F.col(f"t.{c}").alias(c))
-                upd = upd.select(*cols)
-            out_rows.append(upd.withColumn(KIND_COL, F.lit("+U")))
-        if not_matched_insert:
-            ins = (joined.filter(F.col("__t_exists").isNull())
-                   .select(*[(F.col(c) if c in on else F.col(f"s.{c}")).alias(c)
-                             for c in tcols])
-                   .withColumn(KIND_COL, F.lit("+I")))
-            out_rows.append(ins)
-        if not out_rows:
-            return self.paths.latest_snapshot()
+        if matched:
+            sel, kind, vals = self._merge_cascade(
+                s_ex & t_ex, matched, on, tcols, "t")
+            out_rows.append(joined.filter(sel).select(
+                *[vals[c].alias(c) for c in tcols], kind.alias(KIND_COL)))
+        if not_matched:
+            sel, kind, vals = self._merge_cascade(
+                s_ex & ~t_ex, not_matched, on, tcols, "s")
+            out_rows.append(joined.filter(sel).select(
+                *[vals[c].alias(c) for c in tcols], kind.alias(KIND_COL)))
+        if nmbs:
+            sel, kind, vals = self._merge_cascade(
+                ~s_ex & t_ex, nmbs, on, tcols, "t")
+            out_rows.append(joined.filter(sel).select(
+                *[vals[c].alias(c) for c in tcols], kind.alias(KIND_COL)))
         changes = out_rows[0]
         for r in out_rows[1:]:
             changes = changes.unionByName(r)
         return w.append(changes)
 
     def _merge_into_append(self, source: DataFrame, on: list[str],
-                           matched_update, matched_delete: bool,
-                           not_matched_insert: bool) -> Snapshot:
+                           matched: list[MergeClause],
+                           not_matched: list[MergeClause],
+                           nmbs: list[MergeClause]) -> Snapshot:
         """MERGE INTO an append (non-PK) table: copy-on-write of touched
         files only (ref: MergeIntoPaimonTable.scala:47 non-PK path —
         findTouchedFiles semi-join, rewrite, insert).
 
         Touched-file discovery reads ONLY the join columns (+ file path
         metadata) and semi-joins the source keys — column-pruned scan, one
-        shuffle-or-broadcast join; untouched files are never rewritten."""
-        from pyspark.sql import Column
-
+        shuffle-or-broadcast join; untouched files are never rewritten.
+        WHEN NOT MATCHED BY SOURCE clauses may change any target row, so
+        they widen the rewrite to every live file."""
         w = self.writer()
         tcols = self.schema.field_names
         latest = self.paths.latest_snapshot()
         src = source.dropDuplicates(on)
 
-        def _val(v, default_col):
-            if isinstance(v, Column):
-                return v
-            if isinstance(v, str) and (v.startswith("s.") or v.startswith("t.")):
-                return F.col(v)
-            return F.lit(v) if v is not None else default_col
-
         touched: list[FileEntry] = []
-        plan = None
-        if latest is not None and (matched_update is not None or matched_delete):
+        if latest is not None and (matched or nmbs):
             plan = self.new_scan().plan()
-            if plan.entries:
+            if nmbs:
+                touched = list(plan.entries)
+            elif plan.entries:
                 scan_df = (self._freader()
                            .load([os.path.join(self.path, e.file_path)
                                   for e in plan.entries])
@@ -838,36 +944,51 @@ class Table:
             joined = (tdf.alias("t")
                       .join(src.withColumn("__s_exists", F.lit(True))
                             .alias("s"), on, "left"))
-            exists = F.col("__s_exists") == F.lit(True)
-            if matched_delete:
-                out = (joined.filter(F.col("__s_exists").isNull())
-                       .select(*[(F.col(c) if c in on
-                                  else F.col(f"t.{c}")).alias(c)
-                                 for c in keep_cols]))
-            else:
-                cols = []
-                for c in keep_cols:
-                    if c in on or c == ROW_ID_COL:
-                        cols.append((F.col(c) if c in on
-                                     else F.col(f"t.{c}")).alias(c))
-                    elif matched_update == "all":
-                        cols.append(F.when(exists, F.col(f"s.{c}"))
-                                    .otherwise(F.col(f"t.{c}")).alias(c))
-                    elif c in matched_update:
-                        cols.append(F.when(
-                            exists,
-                            _val(matched_update[c], F.col(f"t.{c}")))
-                            .otherwise(F.col(f"t.{c}")).alias(c))
+            s_ex = F.col("__s_exists").isNotNull()
+            # one pass over the rewrite set: per (region, clause) in order,
+            # first matching condition decides keep/update/delete
+            pairs = ([(s_ex, cl) for cl in matched]
+                     + [(~s_ex, cl) for cl in nmbs])
+            dropped = None
+            for region, cl in pairs:
+                cond = region & cl.cond_col()
+                d = F.lit(cl.action == "delete")
+                dropped = (F.when(cond, d) if dropped is None
+                           else dropped.when(cond, d))
+            dropped = dropped.otherwise(F.lit(False)) if pairs \
+                else F.lit(False)
+            cols = []
+            for c in keep_cols:
+                keep = F.col(c) if c in on else F.col(f"t.{c}")
+                if c == ROW_ID_COL or c in on:
+                    cols.append(keep.alias(c))
+                    continue
+                expr = None
+                for region, cl in pairs:
+                    cond = region & cl.cond_col()
+                    if cl.action == "delete":
+                        v = keep
+                    elif cl.assignments == "all":
+                        v = F.col(f"s.{c}")
                     else:
-                        cols.append(F.col(f"t.{c}").alias(c))
-                out = joined.select(*cols)
+                        v = self._merge_val(cl.assignments.get(c), c, keep)
+                    expr = (F.when(cond, v) if expr is None
+                            else expr.when(cond, v))
+                cols.append((expr.otherwise(keep) if expr is not None
+                             else keep).alias(c))
+            out = joined.select(dropped.alias("__drop"), *cols) \
+                        .filter(~F.col("__drop")).drop("__drop")
             adds += w.stage(out)
             deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
                        for e in touched]
-        if not_matched_insert:
+        if not_matched:
             existing_keys = self.read(projection=list(on)).dropDuplicates()
-            ins = (src.join(existing_keys, on, "left_anti")
-                   .select(*[F.col(c) for c in tcols]))
+            unmatched = (src.withColumn("__s_exists", F.lit(True)).alias("s")
+                         .join(existing_keys, on, "left_anti"))
+            sel, _kind, vals = self._merge_cascade(
+                F.lit(True), not_matched, on, tcols, "s")
+            ins = unmatched.filter(sel).select(
+                *[vals[c].alias(c) for c in tcols])
             adds += w.stage(ins)
         if not adds and not deletes:
             return latest

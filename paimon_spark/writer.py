@@ -569,6 +569,10 @@ class BatchWriter:
                              else (latest.next_row_id if latest else None)),
             )
             if self.paths.try_commit_snapshot(snap):
+                if commit_identifier is not None:
+                    # keep the streaming replay check O(1)
+                    self.paths.record_commit_identifier(
+                        self.commit_user, commit_identifier)
                 return snap
         raise RuntimeError("commit failed after retries (too many concurrent writers)")
 

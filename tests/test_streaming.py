@@ -434,3 +434,69 @@ def test_changelog_delta_optimization_equivalence(spark, wh):
     # only touched keys enter the merge: 10 updates + 4 deletes
     keys = _delta_key_df(t, 1, t.paths.latest_snapshot_id())
     assert keys.count() == 14
+
+
+def test_replay_check_is_o1_not_o_snapshots(spark, wh, monkeypatch):
+    """r3 verdict #3: the exactly-once replay check must not read every
+    retained snapshot per batch commit. With the per-user identifier
+    sidecar present it reads ZERO snapshot files; with the sidecar
+    removed, the descending scan stops at the user's most recent
+    snapshot (O(1) for an active stream, not O(#snapshots))."""
+    import os
+    from paimon_spark.metadata import TablePaths
+    from paimon_spark.streaming.source import write_stream_to_table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/eo_o1", sch, spark=spark)
+    # 40 snapshots from a non-streaming writer
+    for i in range(40):
+        t.append(spark.createDataFrame([(i, "x")], sch))
+    b = spark.createDataFrame([(100, "s")], sch)
+    assert write_stream_to_table(b, t, batch_id=7, commit_user="s1") is not None
+
+    reads = []
+    orig = TablePaths.read_snapshot
+
+    def counting(self, sid):
+        reads.append(sid)
+        return orig(self, sid)
+
+    monkeypatch.setattr(TablePaths, "read_snapshot", counting)
+    # sidecar hint present → replay check reads no snapshot files
+    assert write_stream_to_table(b, t, batch_id=7, commit_user="s1") is None
+    assert reads == []
+    # remove the hint → descending scan, early exit at s1's snapshot
+    # (the most recent one) after O(1) reads
+    os.remove(t.paths._identifier_hint_file("s1"))
+    reads.clear()
+    assert write_stream_to_table(b, t, batch_id=7, commit_user="s1") is None
+    assert len(reads) <= 3, reads
+    # a NEW batch id still commits (and re-records the hint)
+    reads.clear()
+    b2 = spark.createDataFrame([(101, "t")], sch)
+    assert write_stream_to_table(b2, t, batch_id=8, commit_user="s1") is not None
+    assert t.paths.latest_commit_identifier("s1") == 8
+
+
+def test_compacted_full_startup_bounded_reads(spark, wh, monkeypatch):
+    """compacted-full with NO COMPACT snapshot must not read every
+    snapshot JSON during startup resolution (r3 verdict #8)."""
+    from paimon_spark.metadata import TablePaths
+    t = _t(spark, wh, "cfb")
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, "x")], KV))
+    # expire nothing; no COMPACT exists. Patch the cap to 3 via counting.
+    reads = []
+    orig = TablePaths.read_snapshot
+
+    def counting(self, sid):
+        reads.append(sid)
+        return orig(self, sid)
+
+    monkeypatch.setattr(TablePaths, "read_snapshot", counting)
+    sc = StreamScanner(t, mode="compacted-full")
+    nxt, full = sc._resolve_start()
+    assert full and nxt == 7          # falls back to latest-full shape
+    # bounded: reads each retained snapshot at most once (≤ 6 here), and
+    # respects the 128-read cap structurally (can't assert 10^5 here)
+    assert len(reads) <= 6
