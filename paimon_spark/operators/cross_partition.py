@@ -58,7 +58,10 @@ def load_global_index(spark, table_path: str,
                       schema: TableSchema) -> DataFrame | None:
     """Current pk→partition mapping, or None if no index exists yet.
 
-    Columns: pk..., __old_<p> for each partition key.
+    Columns: pk..., __old_<p> for each partition key, __idx_hit=true
+    (explicit membership marker — a key's partition value may
+    legitimately be NULL, so partition-value nullness cannot signal
+    index membership).
     """
     d = global_index_dir(table_path)
     if not os.path.isdir(d) or not any(
@@ -71,7 +74,8 @@ def load_global_index(spark, table_path: str,
                    F.col("__g_seq")).alias("__p")
     cur = idx.groupBy(*pks).agg(top)
     return cur.select(*pks,
-                      *[F.col(f"__p.{k}").alias(f"__old_{k}") for k in parts])
+                      *[F.col(f"__p.{k}").alias(f"__old_{k}") for k in parts],
+                      F.lit(True).alias("__idx_hit"))
 
 
 def _persist_mappings(df: DataFrame, schema: TableSchema, table_path: str,
@@ -159,8 +163,12 @@ def cross_partition_stage(writer, df: DataFrame):
         for k in parts:
             j = j.withColumn(f"__old_{k}",
                              F.lit(None).cast(schema.data_type(k)))
+        j = j.withColumn("__idx_hit", F.lit(None).cast("boolean"))
 
-    has_old = F.col(f"__old_{parts[0]}").isNotNull()
+    # explicit membership marker, NOT partition-value nullness: a key
+    # whose current partition value is NULL must still be retracted
+    # when it moves to another partition
+    has_old = F.col("__idx_hit").isNotNull()
     old_free = F.struct(*[F.col(f"__old_{k}") for k in free_parts])
     new_free = F.struct(*[F.col(k) for k in free_parts])
     moved = has_old & ~old_free.eqNullSafe(new_free)
@@ -168,6 +176,22 @@ def cross_partition_stage(writer, df: DataFrame):
     is_add = F.col(KIND_COL).isin(*ADD_KINDS)
     upserts = j.filter(is_add)
     deletes = j.filter(~is_add)
+
+    if free_parts:
+        # same-batch duplicate-key routing (GlobalIndexAssigner routes
+        # rows sequentially; declaratively we keep only rows in the
+        # partition the index will record for the key — the same
+        # max(partition_struct) _persist_mappings resolves to — so a
+        # partition-pruned read never sees the key live in two
+        # partitions after one batch)
+        from pyspark.sql import Window
+        wspec = Window.partitionBy(*pks)
+        keep = F.max(F.struct(*[F.col(k) for k in free_parts])) \
+                .over(wspec).alias("__p_keep")
+        cur = F.struct(*[F.col(k) for k in free_parts])
+        upserts = (upserts.withColumn("__p_keep", keep)
+                   .filter(cur.eqNullSafe(F.col("__p_keep")))
+                   .drop("__p_keep"))
 
     def _retraction_cols():
         cols = []

@@ -255,3 +255,43 @@ def test_randomized_cross_partition_model(spark, wh):
             got_p = {r.id: r.v for r in t.read(P.eq("dt", p)).collect()}
             want_p = {k: v for k, (pp, v) in model.items() if pp == p}
             assert got_p == want_p, f"batch {b}: pruned {p} mismatch"
+
+
+def test_same_batch_duplicate_key_two_partitions(spark, wh):
+    """r3 verdict #6: ONE batch carrying the SAME key into TWO partitions
+    must leave the key live in exactly one partition — and
+    partition-pruned reads must agree with the global read."""
+    t = _mk(spark, wh, "dup")
+    t.append(spark.createDataFrame([("A", 1, 10), ("B", 1, 20),
+                                    ("A", 2, 30)], SCHEMA))
+    got = rows(t)
+    assert [r[1] for r in got].count(1) == 1
+    # deterministic winner = max partition struct (what the index records)
+    assert ("B", 1, 20) in got and ("A", 2, 30) in got
+    # pruned reads see it in exactly one partition
+    a = rows(t, predicate=P.eq("dt", "A"))
+    b = rows(t, predicate=P.eq("dt", "B"))
+    assert [r[1] for r in a + b].count(1) == 1
+    # a later move still retracts correctly
+    t.append(spark.createDataFrame([("C", 1, 99)], SCHEMA))
+    assert rows(t, predicate=P.eq("dt", "B")) == []
+    assert rows(t, predicate=P.eq("dt", "C")) == [("C", 1, 99)]
+
+
+def test_null_partition_key_move_retracts(spark, wh):
+    """r3 ADVICE: a key living in a NULL partition must still be
+    retracted when it moves — membership is the __idx_hit marker, not
+    partition-value nullness."""
+    t = _mk(spark, wh, "nullp")
+    t.append(spark.createDataFrame([(None, 1, 10), ("B", 2, 20)], SCHEMA))
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == {("B", 2, 20), (None, 1, 10)}
+    # move key 1 out of the null partition
+    t.append(spark.createDataFrame([("B", 1, 99)], SCHEMA))
+    assert rows(t) == [("B", 1, 99), ("B", 2, 20)]
+    # pruned read of the NULL partition must NOT resurrect the stale row
+    nulls = sorted(tuple(r) for r in
+                   t.read().filter("dt IS NULL").collect())
+    assert nulls == []
+    got_null_part = rows(t, predicate=P.is_null("dt"))
+    assert got_null_part == []
