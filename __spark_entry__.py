@@ -79,6 +79,11 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     raw = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
            for n in ("lineitem", "orders", "events")}
 
+    # register format("paimon") ONCE before the parallel builders —
+    # concurrent register() calls from builder threads can race
+    from paimon_spark.streaming.datasource import register as _register
+    _register(spark)
+
     def _build_0():
         # ---- lineitem: append table partitioned by l_returnflag ----
         li = raw["lineitem"]
@@ -380,14 +385,35 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                      UPDATE SET s_acctbal = t.s_acctbal * 2""")
         out["sup_merge_full"] = t
 
+    def _build_13():
+        # ---- customer_dsw: native df.write.format("paimon") on a
+        # fixed-bucket PK table — write task routes rows to buckets with
+        # the Spark-parity xxhash64 (functions/sparkhash.py), then an
+        # upsert through the same surface must merge-on-read correctly
+        # (format already registered once before the builder pool)
+        cust = spark.read.parquet(
+            os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        t = Table.create(f"{root}/customer_dsw", cust.schema,
+                         primary_keys=["c_custkey"],
+                         options={"bucket": "4"}, spark=spark)
+        cust.write.format("paimon").option("path", t.path) \
+            .mode("append").save()
+        upd = (cust.filter(F.col("c_custkey") % 4 == 1)
+               .withColumn("c_acctbal",
+                           (F.col("c_acctbal") + 500).cast(
+                               cust.schema["c_acctbal"].dataType))
+               .withColumn("c_mktsegment", F.lit("UPDATED")))
+        upd.write.format("paimon").option("path", t.path) \
+            .mode("append").save()
+        out["customer_dsw"] = Table.load(t.path, spark)
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
         # pipeline) on a 1-row table while the other builders run — a
         # long-lived cluster pays this once, not per streaming query.
         import uuid as _uuid
-        from paimon_spark.streaming.datasource import register
-        register(spark)
         one = raw["events"].limit(1).select("event_id", "ts", "event_type")
         t = Table.create(f"{root}/_warm", one.schema, spark=spark)
         t.append(one)
@@ -409,6 +435,11 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _warm_streaming)]
         for _f in _futs:
             _f.result()
+    # _build_13 drives df.write.format("paimon") and must run on the MAIN
+    # thread: Spark 4 keys python-datasource artifacts to the registering
+    # thread's JobArtifactSet, so a save() from a pool thread cannot see
+    # the registration
+    _build_13()
 
     _WAREHOUSES[sf_dir] = out
     return out
@@ -765,6 +796,15 @@ def merge_into_append(spark, sf_dir):
     """MERGE INTO an append (non-PK) table: update-all + insert, then a
     delete merge — copy-on-write rewrite of touched files only."""
     return _wh(spark, sf_dir)["part_merge"].read()
+
+
+def datasource_write_pk(spark, sf_dir):
+    """Fixed-bucket PK table written ONLY through df.write.format('paimon')
+    (task-side xxhash64 bucket routing) — write + upsert, merged read."""
+    return _wh(spark, sf_dir)["customer_dsw"].read().select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment")
 
 
 def merge_full_surface(spark, sf_dir):
@@ -1331,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_partition_pruned": cross_partition_pruned,
         "merge_into_append": merge_into_append,
         "merge_full_surface": merge_full_surface,
+        "datasource_write_pk": datasource_write_pk,
         "pk_avro_upsert": pk_avro_upsert,
         "sql_dml_roundtrip": sql_dml_roundtrip,
         "format_csv_pk": format_csv_pk,
@@ -1662,6 +1703,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM merged
             WHERE NOT (p_partkey % 7 = 3 AND p_partkey < 3000000)
+        """,
+        "datasource_write_pk": """
+            SELECT c_custkey, c_name,
+                   CAST(CASE WHEN c_custkey % 4 = 1
+                             THEN c_acctbal + 500 ELSE c_acctbal END
+                        AS DOUBLE) AS acctbal,
+                   CASE WHEN c_custkey % 4 = 1
+                        THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
         """,
         "merge_full_surface": """
             WITH src AS (

@@ -321,31 +321,156 @@ class _FileCommitMessage(WriterCommitMessage):
     file: str | None = None
 
 
+def _routing_meta(ts) -> dict:
+    """Validate a table for task-side routed DataSource writes and
+    extract the picklable routing metadata the write tasks need."""
+    if ts.options.get("file.format", "parquet") != "parquet":
+        raise ValueError(
+            "format('paimon') writes route task-side for parquet tables "
+            "only; use Table.append for other row formats")
+    if ts.is_pk_table and ts.num_buckets <= 0:
+        raise ValueError(
+            "format('paimon') writes support fixed-bucket PK tables; "
+            "dynamic-bucket/postpone/cross-partition tables need the "
+            "driver-side index machinery — use Table.append")
+    if ts.is_pk_table:
+        from paimon_spark.functions.sparkhash import supported_bucket_type
+        for k in ts.bucket_keys:
+            if not supported_bucket_type(ts.data_type(k)):
+                raise ValueError(
+                    f"bucket key {k}: type {ts.data_type(k)} not supported "
+                    f"by the task-side hash — use Table.append")
+    return {
+        "is_pk": ts.is_pk_table,
+        "num_buckets": ts.num_buckets,
+        "bucket_keys": list(ts.bucket_keys) if ts.is_pk_table else [],
+        "sort_keys": (list(ts.trimmed_primary_keys)
+                      if ts.is_pk_table else []),
+        "partition_keys": list(ts.partition_keys),
+        "fields": list(ts.struct.fields),
+        "rowkind_field": ts.rowkind_field if ts.is_pk_table else None,
+    }
+
+
+def _part_dir(partition_keys: list[str], values: tuple) -> str:
+    import urllib.parse
+    segs = []
+    for k, v in zip(partition_keys, values):
+        if v is None:
+            s = "__HIVE_DEFAULT_PARTITION__"
+        elif isinstance(v, bool):
+            s = "true" if v else "false"
+        else:
+            s = urllib.parse.quote(str(v), safe="")
+        segs.append(f"{k}={s}")
+    return os.path.join(*segs) if segs else ""
+
+
+def _route_and_stage(batches, meta: dict, staging: str,
+                     seq: int | None) -> list[str]:
+    """Task-side routing: align columns/types to the declared schema,
+    hash PK rows to their bucket (Spark-parity xxhash64), group rows by
+    (hive partition dir, bucket) and write one sorted parquet file per
+    group. Returns staged file paths relative to `staging`."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark.sql import types as T
+
+    tbl = pa.Table.from_batches(batches)
+    n = tbl.num_rows
+
+    # align to the declared schema (order + types) BEFORE hashing — the
+    # bucket of a value must not depend on the caller's input dtypes
+    decl = meta["fields"]
+    names = [f.name for f in decl]
+    rk = meta["rowkind_field"]
+    extra = [rk] if rk and rk in tbl.column_names and rk not in names \
+        else []
+    if set(names) <= set(tbl.column_names):
+        tbl = tbl.select(names + extra)
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            target = to_arrow_schema(T.StructType(decl))
+            cols = [tbl.column(f.name).cast(target.field(f.name).type)
+                    for f in decl] + [tbl.column(c) for c in extra]
+            tbl = pa.Table.from_arrays(cols, names=names + extra)
+        except Exception:
+            pass
+
+    if meta["is_pk"]:
+        from paimon_spark.functions.sparkhash import bucket_of
+        from paimon_spark.schema import KIND_COL, SEQ_COL
+        buckets = bucket_of(tbl, decl, meta["bucket_keys"],
+                            meta["num_buckets"])
+        kind = (tbl.column(rk) if rk and rk in tbl.column_names
+                else pa.array(["+I"] * n))
+        tbl = tbl.append_column(SEQ_COL,
+                                pa.array(np.full(n, seq), pa.int64()))
+        tbl = tbl.append_column(KIND_COL, kind)
+    else:
+        buckets = None
+
+    pkeys = meta["partition_keys"]
+    pvals = (list(zip(*[tbl.column(k).to_pylist() for k in pkeys]))
+             if pkeys else None)
+
+    groups: dict = {}
+    if pvals is None and buckets is None:
+        groups[("", None)] = None                 # single group, no copy
+    else:
+        for i in range(n):
+            key = (_part_dir(pkeys, pvals[i]) if pvals else "",
+                   int(buckets[i]) if buckets is not None else None)
+            groups.setdefault(key, []).append(i)
+
+    data_cols = [c for c in tbl.column_names if c not in pkeys]
+    written = []
+    for (pdir, bucket), idxs in groups.items():
+        part = tbl if idxs is None else tbl.take(pa.array(idxs))
+        part = part.select(data_cols)
+        if meta["sort_keys"]:
+            part = part.sort_by([(k, "ascending")
+                                 for k in meta["sort_keys"]])
+        rel = pdir
+        if bucket is not None:
+            rel = os.path.join(rel, f"__bucket={bucket}")
+        os.makedirs(os.path.join(staging, rel), exist_ok=True)
+        fn = os.path.join(rel, f"part-{uuid.uuid4().hex}.parquet")
+        pq_.write_table(part, os.path.join(staging, fn))
+        written.append(fn)
+    return written
+
+
 class PaimonBatchWriter(DataSourceArrowWriter):
-    """`df.write.format("paimon").mode("append"|"overwrite").save()` for
-    APPEND tables: executor tasks stream their partition to staged parquet
-    (Arrow, no driver data transfer); the driver adopts the staged files
-    with footer stats and commits one snapshot — the same distributed
-    write shape as PaimonSparkWriter.scala (tasks write / driver commits).
-    PK tables raise: the Python DataSource writer API cannot request a
-    bucket distribution (no requiredDistribution hook), so bucketed writes
-    go through `Table.append`, which repartitions first."""
+    """`df.write.format("paimon").mode("append"|"overwrite").save()`:
+    executor tasks stream their partition to staged parquet (Arrow, no
+    driver data transfer); the driver adopts the staged files with footer
+    stats and commits one snapshot — the same distributed write shape as
+    PaimonSparkWriter.scala (tasks write / driver commits).
+
+    Partitioned and fixed-bucket PK tables route INSIDE the write task:
+    each row's hive partition dir comes from its partition values and its
+    bucket from the task-side Spark-parity xxhash64
+    (functions/sparkhash.py), producing one file per (partition, bucket)
+    per task — the DataSource API cannot request a distribution, so a
+    task may write several bucket files; the LSM treats each as a sorted
+    run (sorted by key within the file). Dynamic-bucket (-1), postpone
+    (-2) and cross-partition tables still need the driver-side index
+    machinery → Table.append."""
 
     def __init__(self, options, schema, overwrite: bool):
         self.options = options
         self.schema = schema
         self.overwrite = overwrite
         t = _load_table(options)
-        if t.schema.is_pk_table:
-            raise ValueError(
-                "format('paimon') writes support append-only tables; "
-                "use Table.append for primary-key tables (bucketing needs "
-                "a repartition the DataSource writer API can't request)")
-        if t.schema.partition_keys:
-            raise ValueError(
-                "format('paimon') writes support unpartitioned tables; "
-                "use Table.append for partitioned tables")
+        self.meta = _routing_meta(t.schema)
         self.table_path = t.path
+        self.seq = None
+        if self.meta["is_pk"]:
+            latest = t.paths.latest_snapshot()
+            self.seq = (latest.max_sequence + 1) if latest else 1
         self.staging = os.path.join(t.path, ".staging",
                                     f"dsv2-{uuid.uuid4().hex}")
         os.makedirs(self.staging, exist_ok=True)
@@ -353,16 +478,14 @@ class PaimonBatchWriter(DataSourceArrowWriter):
     def write(self, iterator):
         # iterator of pyarrow RecordBatches (DataSourceArrowWriter) — the
         # task's rows never materialize as Python objects
-        import pyarrow as pa
-        import pyarrow.parquet as pq_
-
         batches = [b for b in iterator if b.num_rows]
-        fn = None
-        if batches:
-            tbl = pa.Table.from_batches(batches)
-            fn = f"part-{uuid.uuid4().hex}.parquet"
-            pq_.write_table(tbl, os.path.join(self.staging, fn))
-        return _FileCommitMessage(fn)
+        if not batches:
+            return _FileCommitMessage(None)
+        written = _route_and_stage(batches, self.meta, self.staging,
+                                   self.seq)
+        return _FileCommitMessage(";".join(written))
+
+    # ---- driver side ----
 
     def commit(self, messages):
         from paimon_spark.metadata import COMMIT_OVERWRITE, DELETE, FileEntry
@@ -461,11 +584,16 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
         self.options = options
         self.schema = schema
         t = _load_table(options)
-        if t.schema.is_pk_table or t.schema.partition_keys:
+        if t.schema.is_pk_table:
+            # write() has no batch id, so every micro-batch of a run
+            # would carry the SAME sequence number — breaking
+            # last-write-wins across batches. foreachBatch +
+            # write_stream_to_table stamps a fresh sequence per batch.
             raise ValueError(
-                "format('paimon') streaming writes support unpartitioned "
-                "append-only tables; use foreachBatch + "
-                "write_stream_to_table otherwise")
+                "format('paimon') streaming writes support append-only "
+                "tables; use foreachBatch + write_stream_to_table for "
+                "primary-key tables")
+        self.meta = _routing_meta(t.schema)
         self.table_path = t.path
         self.staging = os.path.join(t.path, ".staging",
                                     f"stream-{uuid.uuid4().hex}")
@@ -473,42 +601,44 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator):
         # NOTE: executors hold deserialized COPIES of this writer — the
-        # staged path must travel in the commit message (absolute), not be
+        # staged paths must travel in the commit message, not be
         # recomputed from driver-side state
-        import pyarrow as pa
-        import pyarrow.parquet as pq_
-
         os.makedirs(self.staging, exist_ok=True)
         batches = [b for b in iterator if b.num_rows]
-        fn = None
-        if batches:
-            tbl = pa.Table.from_batches(batches)
-            fn = os.path.join(self.staging,
-                              f"part-{uuid.uuid4().hex}.parquet")
-            pq_.write_table(tbl, fn)
-        return _FileCommitMessage(fn)
+        if not batches:
+            return _FileCommitMessage(None)
+        written = _route_and_stage(batches, self.meta, self.staging, None)
+        # the task's staging root travels with the rel paths — the
+        # driver-side writer instance has a DIFFERENT staging uuid
+        return _FileCommitMessage(
+            f"{self.staging}|" + ";".join(written))
 
     def commit(self, messages, batchId):
         import shutil as _sh
 
         t = Table.load(self.table_path)
-        staged = [m.file for m in messages if m and m.file]
+        staged: list[tuple[str, str]] = []            # (root, rel)
+        for m in messages:
+            if m and m.file:
+                root, _, rels = m.file.partition("|")
+                staged.extend((root, r) for r in rels.split(";") if r)
         # exactly-once: skip a replayed (user, batchId) commit — O(1)
         # check via the per-user identifier hint / descending early-exit
         # scan (ref: FileStoreCommitImpl filterCommitted)
         last = t.paths.latest_commit_identifier(self.COMMIT_USER)
         if last is not None and batchId <= last:
-            for f in staged:
+            for root, rel in staged:
                 try:
-                    os.remove(f)
+                    os.remove(os.path.join(root, rel))
                 except OSError:
                     pass
             return
-        # adopt ONLY this batch's files
+        # adopt ONLY this batch's files, preserving partition/bucket dirs
         batch_dir = os.path.join(self.staging, f"b{batchId}")
-        os.makedirs(batch_dir, exist_ok=True)
-        for f in staged:
-            os.rename(f, os.path.join(batch_dir, os.path.basename(f)))
+        for root, rel in staged:
+            dest = os.path.join(batch_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(root, rel), dest)
         from paimon_spark.writer import BatchWriter
         w = BatchWriter(t, commit_user=self.COMMIT_USER)
         entries = w._adopt_staged(batch_dir, 0)
@@ -519,7 +649,9 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
     def abort(self, messages, batchId):
         for m in messages:
             if m and m.file:
-                try:
-                    os.remove(m.file)
-                except OSError:
-                    pass
+                root, _, rels = m.file.partition("|")
+                for rel in rels.split(";"):
+                    try:
+                        os.remove(os.path.join(root, rel))
+                    except OSError:
+                        pass
