@@ -196,7 +196,9 @@ class Table:
     @property
     def file_format(self) -> str:
         """Data-file format (`file.format` option): parquet, orc, avro,
-        csv or json (avro needs the external spark-avro module)."""
+        csv, json, or text — text is single-STRING-column append tables
+        (ref: format/text/TextFileFormat.java). avro needs the external
+        spark-avro module."""
         fmt = self.schema.options.get("file.format", "parquet")
         if fmt == "avro" and self.spark is not None:
             from paimon_spark.writer import require_avro

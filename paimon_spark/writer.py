@@ -44,7 +44,13 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # data-file formats (ref: CoreOptions.java:337 `file.format` — parquet/orc
 # are the columnar scale path; avro/csv/json are row formats the reference
 # also writes). avro needs the external spark-avro module — gated below.
-DATA_FORMATS = ("parquet", "orc", "avro", "csv", "json")
+DATA_FORMATS = ("parquet", "orc", "avro", "csv", "json", "text")
+
+
+def format_extension(fmt: str) -> str:
+    """File extension a format's writer produces (Spark's text source
+    writes .txt)."""
+    return "txt" if fmt == "text" else fmt
 
 # csv cannot distinguish null from "" without a sentinel; use the classic
 # Hive \N marker on BOTH write and read so round-trips are lossless
@@ -161,7 +167,7 @@ def adopt_one_file(src: str, rel_dir: str, root: str, fmt: str, level: int,
     (stats encoded with stat_to_json) or None for empty files; rows=-1
     means the footer was unreadable (e.g. VARIANT) and the caller must
     count via Spark."""
-    final_name = f"data-L{level}-{uuid.uuid4().hex}.{fmt}"
+    final_name = f"data-L{level}-{uuid.uuid4().hex}.{format_extension(fmt)}"
     dest_dir = os.path.join(root, rel_dir)
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, final_name)
@@ -321,6 +327,21 @@ class BatchWriter:
                              f"(supported: {', '.join(DATA_FORMATS)})")
         if fmt == "avro":
             require_avro(self.table.spark or SparkSession.getActiveSession())
+        if fmt == "text":
+            # reference parity: TextFileFormat.validateDataFields — one
+            # string column only (partition keys live in the path). PK /
+            # row-tracking tables add system columns to the files.
+            phys = [f for f in self.schema.struct.fields
+                    if f.name not in self.schema.partition_keys]
+            if (len(phys) != 1
+                    or not isinstance(phys[0].dataType, T.StringType)
+                    or self.schema.is_pk_table
+                    or self.schema.options.get("row-tracking.enabled",
+                                               "false") == "true"):
+                raise ValueError(
+                    "file.format=text supports append-only tables with a "
+                    "single STRING data column (ref: text/TextFileFormat "
+                    "validateDataFields)")
         return fmt
 
     def _staged_stats_spark(self, staging: str, stat_cols: list[str],
@@ -331,7 +352,7 @@ class BatchWriter:
         have no footers at all). One extra pass over just-written files;
         parquet avoids it entirely via footers. csv/json NEED the explicit
         staged_struct (csv is positional and untyped on disk)."""
-        if not any(fn.endswith(f".{self.file_format}")
+        if not any(fn.endswith(f".{format_extension(self.file_format)}")
                    for _, _, fns in os.walk(staging) for fn in fns):
             return {}                        # empty stage (e.g. no-op batch)
         spark = self.table.spark or SparkSession.getActiveSession()
@@ -386,9 +407,10 @@ class BatchWriter:
         index_spec = _ispec(schema.options)
 
         staged: list[tuple[str, str]] = []          # (src, rel_dir)
+        ext = format_extension(fmt)
         for dirpath, _dirs, files in os.walk(staging):
             for fn in files:
-                if fn.endswith(f".{fmt}"):
+                if fn.endswith(f".{ext}"):
                     rel_dir = os.path.relpath(dirpath, staging)
                     staged.append((os.path.join(dirpath, fn),
                                    "" if rel_dir == "." else rel_dir))

@@ -115,3 +115,58 @@ def test_avro_partitioned_layout(spark, wh):
                      options={"file.format": "avro",
                               "file-index.bloom-filter.columns": "v"},
                      spark=spark)
+
+
+TEXT_SCHEMA = T.StructType([T.StructField("doc", T.StringType())])
+
+
+def test_text_format_snapshot_table(spark, wh):
+    """file.format=text snapshot table: single STRING column, full LSM
+    commit/stats/time-travel semantics over Spark's text source
+    (ref: format/text/TextFileFormat.java — validateDataFields allows
+    one string column; partition keys live in the path)."""
+    t = Table.create(f"{wh}/txt", TEXT_SCHEMA,
+                     options={"file.format": "text"}, spark=spark)
+    t.append(spark.createDataFrame([(f"line {i}",) for i in range(50)],
+                                   TEXT_SCHEMA))
+    t.append(spark.createDataFrame([(f"line {i}",) for i in range(50, 80)],
+                                   TEXT_SCHEMA))
+    assert all(e.file_path.endswith(".txt")
+               for e in t.paths.live_entries(t.paths.latest_snapshot()))
+    assert t.read().count() == 80
+    # stats-based pruning on the string column
+    plan = t.new_scan().plan(P.eq("doc", "line 7"))
+    assert sorted(r.doc for r in t.read(P.eq("doc", "line 7")).collect()) \
+        == ["line 7"]
+    # time travel
+    assert t.read(snapshot_id=1).count() == 50
+    # snapshot count metadata
+    assert t.new_scan().metadata_count() == 80
+
+
+def test_text_format_partitioned(spark, wh):
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("doc", T.StringType())])
+    t = Table.create(f"{wh}/txtp", sch, partition_keys=["pt"],
+                     options={"file.format": "text"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [("a", "x1"), ("a", "x2"), ("b", "y1")], sch))
+    assert t.read().count() == 3
+    plan = t.new_scan().plan(P.eq("pt", "a"))
+    assert plan.files_skipped > 0
+    assert sorted(r.doc for r in t.read(P.eq("pt", "a")).collect()) == \
+        ["x1", "x2"]
+
+
+def test_text_format_rejects_invalid_shapes(spark, wh):
+    # multi-column
+    t = Table.create(f"{wh}/txt_bad", SCHEMA,
+                     options={"file.format": "text"}, spark=spark)
+    with pytest.raises(ValueError, match="single STRING"):
+        t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    # PK table
+    t2 = Table.create(
+        f"{wh}/txt_bad_pk", TEXT_SCHEMA, primary_keys=["doc"],
+        options={"file.format": "text", "bucket": "1"}, spark=spark)
+    with pytest.raises(ValueError, match="single STRING"):
+        t2.append(spark.createDataFrame([("a",)], TEXT_SCHEMA))
