@@ -38,41 +38,81 @@ def main():
         # signature caches) so they can't pile up GC pressure on later ones
         spark.catalog.clearCache()
 
-    # plain spark.read.parquet baseline for the scan-heavy queries —
-    # BASELINE.json's anchor is "within 2x of raw parquet on this machine"
-    # identical query expressions, raw parquet instead of the engine read
-    # path — the ratio isolates engine overhead (planning, layout, merge)
+    # plain spark.read.parquet baselines for representative queries —
+    # BASELINE.json's anchor is "within 2x of raw parquet on this machine".
+    # Identical query expressions, raw parquet instead of the engine read
+    # path — the per-query RATIO isolates engine overhead (planning,
+    # layout, merge) independent of machine load, so a ratio drift flags a
+    # real regression where wall-time drift may be noise.
     from pyspark.sql import functions as F
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    base: dict[str, float] = {}
-    t0 = time.perf_counter()
-    (li.filter(F.col("l_shipdate") <= E.CUTOFF)
-       .groupBy("l_returnflag", "l_linestatus")
-       .agg(F.sum(E._dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(E._dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(E._dec(disc, 18, 6)).cast("double").alias("sum_disc_price"),
-            F.sum(E._dec(disc * (1 + F.col("l_tax")), 18, 6)).cast("double").alias("sum_charge"),
-            F.count("*").alias("count_order"))
-       .count())
-    base["q1_raw"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    (li.filter((F.col("l_shipdate") >= "1996-01-01")
-               & (F.col("l_shipdate") < "1997-01-01")
-               & F.col("l_discount").between(0.05, 0.07)
-               & (F.col("l_quantity") < 24))
-       .agg(F.sum(E._dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 6))
-            .cast("double").alias("revenue"), F.count("*").alias("n_rows"))
-       .collect())
-    base["q6_raw"] = round(time.perf_counter() - t0, 3)
 
-    # re-measure the engine path at equal warmth for the ratio
-    t0 = time.perf_counter()
-    E.q1_pricing_summary(spark, sf_dir).count()
-    base["q1_engine_warm"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    E.q6_revenue(spark, sf_dir).collect()
-    base["q6_engine_warm"] = round(time.perf_counter() - t0, 3)
+    def raw_q1():
+        (li.filter(F.col("l_shipdate") <= E.CUTOFF)
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(E._dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(E._dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(E._dec(disc, 18, 6)).cast("double").alias("sum_disc_price"),
+                F.sum(E._dec(disc * (1 + F.col("l_tax")), 18, 6)).cast("double").alias("sum_charge"),
+                F.count("*").alias("count_order"))
+           .count())
+
+    def raw_q6():
+        (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01")
+                   & F.col("l_discount").between(0.05, 0.07)
+                   & (F.col("l_quantity") < 24))
+           .agg(F.sum(E._dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 6))
+                .cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+           .collect())
+
+    def raw_q3():
+        rev = F.sum(E._dec(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           18, 6)).cast("double").alias("revenue")
+        (li.filter(F.col("l_shipdate") > E.Q3_DATE)
+           .join(orders.filter(F.col("o_orderdate") < E.Q3_DATE),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_orderpriority")
+           .agg(rev)
+           .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+           .limit(10).collect())
+
+    def raw_topn():
+        (orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+         .limit(10).collect())
+
+    def raw_point():
+        orders.filter(F.col("o_orderkey") == 20).collect()
+
+    pairs = [
+        ("q1", raw_q1, lambda: E.q1_pricing_summary(spark, sf_dir).count()),
+        ("q6", raw_q6, lambda: E.q6_revenue(spark, sf_dir).collect()),
+        ("q3", raw_q3, lambda: E.q3_top_revenue(spark, sf_dir).collect()),
+        ("topn", raw_topn, lambda: E.topn_orders(spark, sf_dir).collect()),
+        ("point", raw_point,
+         lambda: E.point_lookup(spark, sf_dir).collect()),
+    ]
+    base: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name, raw_fn, engine_fn in pairs:
+        t0 = time.perf_counter()
+        raw_fn()
+        base[f"{name}_raw"] = round(time.perf_counter() - t0, 3)
+        # engine path re-measured at equal warmth for the ratio
+        t0 = time.perf_counter()
+        engine_fn()
+        base[f"{name}_engine_warm"] = round(time.perf_counter() - t0, 3)
+        if base[f"{name}_raw"] > 0:
+            ratios[name] = round(
+                base[f"{name}_engine_warm"] / base[f"{name}_raw"], 2)
 
     engine = base["q1_engine_warm"] + base["q6_engine_warm"]
     raw = base["q1_raw"] + base["q6_raw"]
@@ -86,6 +126,7 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "raw_vs_engine": {k: round(v, 2) for k, v in base.items()},
+        "ratios": ratios,
         "ratio_q1q6": round(engine / raw, 2) if raw else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
