@@ -104,24 +104,50 @@ class BloomFilter:
 class BitmapIndex:
     """Exact distinct-value index of ONE file's column (+counts, +null).
     Values are kept as DECODED python objects so plan-time predicate
-    leaves (ranges, string ops, negations) evaluate exactly over them."""
+    leaves (ranges, string ops, negations) evaluate exactly over them.
 
-    def __init__(self, values: dict[Any, int], has_null: bool):
+    Optionally also stores per-value ROW POSITIONS as run-length ranges
+    ([start, end) pairs — the run-encoded flavor of the reference's
+    roaring position bitmaps, ref: fileindex/bitmap/BitmapFileIndex.java).
+    Positions enable sub-file pruning: an eq/IN over an indexed column
+    turns into `_metadata.row_index` range filters so only matching row
+    runs of a huge unsorted file flow into the query. When the data is so
+    scattered the runs stop compressing (> max_runs total), positions are
+    dropped and the index stays value-set-only — sound, file-granularity
+    pruning still applies."""
+
+    def __init__(self, values: dict[Any, int], has_null: bool,
+                 positions: dict[Any, list] | None = None):
         self.values = values           # distinct value -> row count
         self.has_null = has_null
+        self.positions = positions     # value -> [start,end) flat pairs
 
     @staticmethod
-    def build(raw, max_cardinality: int = 1024) -> "BitmapIndex | None":
+    def build(raw, max_cardinality: int = 1024,
+              max_runs: int = 4096) -> "BitmapIndex | None":
         vals: dict[Any, int] = {}
+        runs: dict[Any, list] | None = {}
+        total_runs = 0
         has_null = False
-        for v in raw:
+        for i, v in enumerate(raw):
             if v is None:
                 has_null = True
                 continue
             vals[v] = vals.get(v, 0) + 1
             if len(vals) > max_cardinality:
                 return None            # too wide for a bitmap — no index
-        return BitmapIndex(vals, has_null)
+            if runs is not None:
+                r = runs.get(v)
+                if r is not None and r[-1] == i:
+                    r[-1] = i + 1      # extend current run
+                else:
+                    if r is None:
+                        r = runs[v] = []
+                    r.extend((i, i + 1))
+                    total_runs += 1
+                    if total_runs > max_runs:
+                        runs = None    # too scattered — value set only
+        return BitmapIndex(vals, has_null, runs)
 
     def may_contain(self, value) -> bool:
         if value is None:
@@ -134,18 +160,49 @@ class BitmapIndex:
     def distinct(self) -> tuple[frozenset, bool]:
         return frozenset(self.values), self.has_null
 
+    def ranges_for(self, literals) -> list[tuple[int, int]] | None:
+        """Merged [start, end) row ranges containing every row whose value
+        is in `literals`, or None when positions weren't retained."""
+        if self.positions is None:
+            return None
+        pairs: list[tuple[int, int]] = []
+        for v in literals:
+            try:
+                flat = self.positions.get(v)
+            except TypeError:
+                return None            # unhashable literal — no pruning
+            if flat:
+                pairs.extend(zip(flat[::2], flat[1::2]))
+        if not pairs:
+            return []
+        pairs.sort()
+        merged = [list(pairs[0])]
+        for s, e in pairs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return [(s, e) for s, e in merged]
+
     def to_json(self) -> dict:
         from paimon_spark.metadata import stat_to_json
-        return {"t": "bm",
-                "vals": [[stat_to_json(v), n]
-                         for v, n in self.values.items()],
-                "null": self.has_null}
+        out = {"t": "bm",
+               "vals": [[stat_to_json(v), n]
+                        for v, n in self.values.items()],
+               "null": self.has_null}
+        if self.positions is not None:
+            out["pos"] = [[stat_to_json(v), r]
+                          for v, r in self.positions.items()]
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "BitmapIndex":
         from paimon_spark.metadata import stat_from_json
+        pos = None
+        if "pos" in d:
+            pos = {stat_from_json(v): r for v, r in d["pos"]}
         return BitmapIndex({stat_from_json(v): n for v, n in d["vals"]},
-                           bool(d["null"]))
+                           bool(d["null"]), pos)
 
 
 def index_spec(options: dict) -> dict | None:
@@ -161,7 +218,9 @@ def index_spec(options: dict) -> dict | None:
             "fpp": float(options.get("file-index.bloom-filter.fpp", "0.01")),
             "bitmap": bitmap,
             "max_card": int(options.get("file-index.bitmap.max-cardinality",
-                                        "1024"))}
+                                        "1024")),
+            "max_runs": int(options.get(
+                "file-index.bitmap.position-runs-max", "4096"))}
 
 
 def write_file_index(table_root: str, data_file_abs: str,
@@ -195,7 +254,8 @@ def write_file_index(table_root: str, data_file_abs: str,
     for c in present:
         raw = tbl.column(c).to_pylist()
         if c in spec["bitmap"]:
-            bm = BitmapIndex.build(raw, spec["max_card"])
+            bm = BitmapIndex.build(raw, spec["max_card"],
+                                   spec.get("max_runs", 4096))
             if bm is not None:
                 payload[c] = bm.to_json()
                 continue               # over-cardinality: no index for c
@@ -240,6 +300,7 @@ def make_lookup(table_root: str, rel_path: str | None) -> Callable[[str, Any], b
     if not rel_path:
         fn = lambda col, value: None               # noqa: E731
         fn.distinct = lambda col: None
+        fn.ranges = lambda col, literals: None
         return fn
     idx = load_file_index(table_root, rel_path)
 
@@ -253,5 +314,11 @@ def make_lookup(table_root: str, rel_path: str | None) -> Callable[[str, Any], b
         ix = idx.get(col)
         return ix.distinct() if isinstance(ix, BitmapIndex) else None
 
+    def ranges(col: str, literals):
+        ix = idx.get(col)
+        return (ix.ranges_for(literals)
+                if isinstance(ix, BitmapIndex) else None)
+
     lookup.distinct = distinct
+    lookup.ranges = ranges
     return lookup

@@ -15,6 +15,7 @@ Catalyst further prunes (row groups, pages) with the same predicate.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
@@ -27,6 +28,21 @@ from paimon_spark.schema import BUCKET_COL, TableSchema
 
 if TYPE_CHECKING:
     from paimon_spark.table import Table
+
+
+def _intersect_ranges(a: list[tuple[int, int]],
+                      b: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Intersection of two sorted, merged [start,end) range lists."""
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        s, e = max(a[i][0], b[j][0]), min(a[i][1], b[j][1])
+        if s < e:
+            out.append((s, e))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
 
 
 def cast_partition_value(raw: str | None, dtype: T.DataType) -> Any:
@@ -51,6 +67,10 @@ class ScanPlan:
     raw_groups: list[list[FileEntry]]  # groups readable without merge
     merge_groups: list[list[FileEntry]]  # (partition,bucket) groups needing merge
     files_skipped: int = 0
+    # file basename -> merged [start,end) row ranges that can satisfy the
+    # predicate's eq/IN conjuncts (bitmap position index; sub-file pruning
+    # via _metadata.row_index — ref: fileindex/bitmap/BitmapFileIndex.java)
+    row_ranges: dict[str, list[tuple[int, int]]] | None = None
 
     @property
     def files(self) -> list[FileEntry]:
@@ -106,7 +126,36 @@ class Scanner:
         total = len(entries) + pre_pruned
 
         if predicate is not None:
-            entries = [e for e in entries if self._may_match(e, predicate)]
+            if not self.schema.is_pk_table:
+                entries = [e for e in entries
+                           if self._may_match(e, predicate)]
+            else:
+                # PK tables: per-FILE skipping may only use conjuncts over
+                # key/partition columns — a value-column predicate could
+                # skip the newest version of a key while an older file in
+                # the same merge group still matches, resurrecting the
+                # stale row (ref: KeyValueFileStoreScan key vs value
+                # filter split). Value conjuncts prune at merge-GROUP
+                # granularity below, and only for row-survivor engines.
+                safe = (set(self.schema.trimmed_primary_keys)
+                        | set(self.schema.partition_keys))
+                from paimon_spark.table import Table as _T
+                key_pred = _T._partition_safe_conjuncts(predicate, safe)
+                if key_pred is not None:
+                    entries = [e for e in entries
+                               if self._may_match(e, key_pred)]
+                if self.schema.merge_engine in ("deduplicate", "first-row"):
+                    # merged row = ONE input row, so if no file of a
+                    # (partition,bucket) group can match, no survivor can
+                    groups: dict[tuple, list[FileEntry]] = {}
+                    for e in entries:
+                        groups.setdefault(
+                            (tuple(sorted(e.partition.items())), e.bucket),
+                            []).append(e)
+                    entries = [e for g in groups.values()
+                               if any(self._may_match(x, predicate)
+                                      for x in g)
+                               for e in g]
 
         entries = self._prune_buckets(entries, predicate)
 
@@ -143,7 +192,67 @@ class Scanner:
                 entries, raw_groups = picked, [picked]
 
         return ScanPlan(snap, entries, raw_groups, merge_groups,
-                        files_skipped=total - len(entries))
+                        files_skipped=total - len(entries),
+                        row_ranges=self._row_ranges(entries, predicate))
+
+    def _row_ranges(self, entries: list[FileEntry],
+                    predicate: Predicate | None
+                    ) -> dict[str, list[tuple[int, int]]] | None:
+        """Sub-file pruning from bitmap POSITION indexes: for each
+        surviving file whose sidecar kept per-value row runs, intersect
+        the predicate's top-level eq/IN conjuncts into merged
+        [start, end) row ranges. The reader turns these into
+        `_metadata.row_index` filters, so of a huge unsorted file only
+        the matching runs flow into the query
+        (ref: fileindex/bitmap/BitmapFileIndex.java roaring positions).
+        Append tables only — PK merge groups must see every version of a
+        key (and the residual filter re-applies the predicate anyway, so
+        ranges only ever need to be a superset of matching rows)."""
+        if predicate is None or self.schema.is_pk_table or not entries:
+            return None
+        conj: list[tuple[str, list]] = []
+
+        def walk(p: Predicate):
+            if isinstance(p, Leaf) and p.op == "eq":
+                conj.append((p.field, [p.literal]))
+            elif isinstance(p, Leaf) and p.op == "in":
+                conj.append((p.field, list(p.literal)))
+            elif isinstance(p, And):
+                for c in p.children:
+                    walk(c)
+        walk(predicate)
+        if not conj:
+            return None
+        defaulted = {k[len("fields."):-len(".default-value")]
+                     for k in self.schema.options
+                     if k.startswith("fields.")
+                     and k.endswith(".default-value")}
+        conj = [(f, v) for f, v in conj if f not in defaulted]
+        if not conj:
+            return None
+        from paimon_spark.fileindex import make_lookup
+        out: dict[str, list[tuple[int, int]]] = {}
+        for e in entries:
+            if not e.index_path or e.dv_path:
+                continue
+            lk = make_lookup(self.paths.root, e.index_path)
+            rngs = None
+            for field, vals in conj:
+                r = lk.ranges(field, vals)
+                if r is None:
+                    continue
+                rngs = r if rngs is None else _intersect_ranges(rngs, r)
+            if rngs is None:
+                continue
+            covered = sum(b - a for a, b in rngs)
+            # only worth an expression when it actually drops rows, and
+            # bounded so the filter expression stays small
+            if covered >= e.row_count or len(rngs) > 64:
+                continue
+            out[os.path.basename(e.file_path)] = rngs
+            if len(out) >= 32:
+                break
+        return out or None
 
     def _live_entries(self, snap: Snapshot,
                       predicate: Predicate | None) -> tuple[list[FileEntry], int]:

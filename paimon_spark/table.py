@@ -221,8 +221,34 @@ class Table:
         df = self._freader(old).load(paths)
         return self._evolve(df, old) if sid != self.schema.schema_id else df
 
+    @staticmethod
+    def _row_range_filter(df: DataFrame, row_ranges: dict) -> DataFrame:
+        """Sub-file pruning from bitmap position indexes: keep only rows
+        of the listed files whose `_metadata.row_index` falls in a
+        matching [start, end) run (other files pass untouched). The
+        residual predicate re-applies downstream, so ranges only need to
+        be a superset of matching rows — which the exact position index
+        guarantees. (ref: fileindex/bitmap/BitmapFileIndex.java)"""
+        df = df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+             .alias("__rrfn"),
+            F.col("_metadata.row_index").alias("__rri"))
+        cond = F.lit(True)
+        for fn_, rngs in row_ranges.items():
+            inr = None
+            for s, e in rngs:
+                r = (F.col("__rri") >= s) & (F.col("__rri") < e)
+                inr = r if inr is None else (inr | r)
+            if inr is None:
+                inr = F.lit(False)     # no matching rows in this file
+            cond = cond & F.when(F.col("__rrfn") == fn_, inr) \
+                           .otherwise(F.lit(True))
+        return df.filter(cond).drop("__rrfn", "__rri")
+
     def _read_files(self, entries: list[FileEntry],
-                    for_schema_id: int | None = None) -> DataFrame:
+                    for_schema_id: int | None = None,
+                    row_ranges: dict | None = None) -> DataFrame:
         plain = [e for e in entries if not e.dv_path]
         dvd = [e for e in entries if e.dv_path]
         parts: list[DataFrame] = []
@@ -231,8 +257,19 @@ class Table:
         for e in plain:
             by_sid.setdefault(e.schema_id, []).append(e)
         for sid, group in sorted(by_sid.items()):
-            parts.append(self._read_sid_group(
-                sid, [os.path.join(self.path, e.file_path) for e in group]))
+            if (row_ranges and sid == self.schema.schema_id
+                    and any(os.path.basename(e.file_path) in row_ranges
+                            for e in group)):
+                # range filter needs _metadata, which schema evolution's
+                # projection would drop — old-sid groups skip pruning
+                sub = self._freader(self._schema_at(sid)).load(
+                    [os.path.join(self.path, e.file_path) for e in group])
+                sub = self._row_range_filter(sub, row_ranges)
+            else:
+                sub = self._read_sid_group(
+                    sid, [os.path.join(self.path, e.file_path)
+                          for e in group])
+            parts.append(sub)
 
         by_sid_dv: dict[int, list[FileEntry]] = {}
         for e in dvd:
@@ -519,7 +556,9 @@ class Table:
         hidden = [SEQ_COL, KIND_COL] if (with_hidden and schema.is_pk_table) else []
 
         if not schema.is_pk_table:
-            df = self._read_files(plan.entries)
+            df = self._read_files(plan.entries,
+                                  row_ranges=getattr(plan, "row_ranges",
+                                                     None))
             return df.select(*logical)
 
         parts: list[DataFrame] = []

@@ -213,3 +213,75 @@ def test_bitmap_typed_values_roundtrip(spark, wh):
         P.not_in("d", [dt.date(2026, 1, 1), dt.date(2026, 1, 2)])).entries) == 1
     assert sorted(r.k for r in
                   t.read(P.eq("d", dt.date(2026, 6, 1))).collect()) == [3]
+
+
+def test_bitmap_position_runs_unit():
+    from paimon_spark.fileindex import BitmapIndex
+    # clustered: runs compress
+    raw = ["a"] * 10 + ["b"] * 5 + ["a"] * 5 + [None, "c"]
+    bm = BitmapIndex.build(raw)
+    assert bm.positions is not None
+    assert bm.ranges_for(["a"]) == [(0, 10), (15, 20)]
+    assert bm.ranges_for(["b", "c"]) == [(10, 15), (21, 22)]
+    assert bm.ranges_for(["zzz"]) == []
+    # adjacent ranges merge
+    assert bm.ranges_for(["a", "b"]) == [(0, 20)]
+    # json round-trip preserves positions
+    rt = BitmapIndex.from_json(bm.to_json())
+    assert rt.ranges_for(["a"]) == [(0, 10), (15, 20)]
+    # scattered beyond max_runs: positions dropped, value set kept
+    scattered = ["x", "y"] * 50
+    bm2 = BitmapIndex.build(scattered, max_runs=10)
+    assert bm2.positions is None and bm2.may_contain("x")
+    assert bm2.ranges_for(["x"]) is None
+
+
+def test_bitmap_row_range_pruning_end_to_end(spark, wh):
+    """r3 verdict #10: low-cardinality eq on a huge UNSORTED file —
+    min/max stats can't skip the file, but the bitmap position index
+    turns the eq into _metadata.row_index range filters so only the
+    matching runs flow into the query."""
+    sch = T.StructType([T.StructField("cat", T.StringType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/bmpos", sch,
+                     options={"file-index.bitmap.columns": "cat"},
+                     spark=spark)
+    # one file: 3 clustered category blocks (like time-ordered logs)
+    rows = ([("alpha", i) for i in range(3000)]
+            + [("beta", i) for i in range(3000, 9000)]
+            + [("gamma", i) for i in range(9000, 10000)])
+    t.append(spark.createDataFrame(rows, sch).coalesce(1))
+    plan = t.new_scan().plan(P.eq("cat", "alpha"))
+    assert plan.row_ranges, "expected sub-file row ranges"
+    rngs = next(iter(plan.row_ranges.values()))
+    assert sum(e - s for s, e in rngs) == 3000       # exact run coverage
+    got = t.read(P.eq("cat", "alpha"))
+    assert got.count() == 3000
+    assert {r.cat for r in got.collect()} == {"alpha"}
+    # IN over two categories
+    plan2 = t.new_scan().plan(P.isin("cat", ["alpha", "gamma"]))
+    assert plan2.row_ranges
+    assert t.read(P.isin("cat", ["alpha", "gamma"])).count() == 4000
+    # predicate covering everything → no ranges recorded (no benefit)
+    plan3 = t.new_scan().plan(
+        P.isin("cat", ["alpha", "beta", "gamma"]))
+    assert not plan3.row_ranges
+    # non-indexed column predicates unaffected
+    assert t.read(P.lt("v", 100)).count() == 100
+
+
+def test_bitmap_positions_skip_pk_tables(spark, wh):
+    """PK merge groups must see every version of a key — no sub-file
+    range pruning on PK tables."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("cat", T.StringType())])
+    t = Table.create(f"{wh}/bmpk", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "file-index.bitmap.columns": "cat"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(i, "a") for i in range(100)], sch))
+    t.append(spark.createDataFrame([(i, "b") for i in range(50)], sch))
+    plan = t.new_scan().plan(P.eq("cat", "a"))
+    assert not plan.row_ranges
+    got = {r.k for r in t.read(P.eq("cat", "a")).collect()}
+    assert got == set(range(50, 100))

@@ -177,3 +177,43 @@ def test_postpone_table_bucket_minus_2(spark, wh):
     t.compact()
     assert {(r.k, r.v) for r in t.read().collect()} == \
         {(1, "a2"), (2, "b2"), (3, "c")}
+
+
+def test_value_predicate_cannot_resurrect_stale_version(spark, wh):
+    """Soundness (found in r4): min/max stats or file indexes on a VALUE
+    column must never skip the newest version of a key while an older
+    file still matches — per-file skipping is restricted to
+    key/partition conjuncts; value conjuncts prune whole merge groups
+    (ref: KeyValueFileStoreScan key/value filter split)."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("status", T.StringType())])
+    t = Table.create(f"{wh}/vp", sch, primary_keys=["k"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, "active") for i in range(100)], sch))
+    # newer file flips half the keys to 'deleted' — its stats ("deleted")
+    # don't overlap the predicate literal ("active")
+    t.append(spark.createDataFrame(
+        [(i, "archived") for i in range(50)], sch))
+    got = {r.k for r in t.read(P.eq("status", "active")).collect()}
+    assert got == set(range(50, 100)), \
+        "stale 'active' versions resurrected by value-column skipping"
+    # key-column predicates still skip files
+    plan = t.new_scan().plan(P.eq("k", 5))
+    assert {r.k for r in t.read(P.eq("k", 5)).collect()} == {5}
+
+
+def test_value_predicate_group_skip_still_prunes(spark, wh):
+    """The group-level value skip still prunes: a bucket whose every
+    file fails the predicate drops out of the plan."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("status", T.StringType())])
+    t = Table.create(f"{wh}/vp2", sch, primary_keys=["k"],
+                     options={"bucket": "4"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, "odd" if i % 2 else "even") for i in range(4000)], sch))
+    t.compact()
+    plan_all = t.new_scan().plan()
+    plan = t.new_scan().plan(P.eq("status", "zzz"))
+    assert len(plan.entries) < len(plan_all.entries)
+    assert t.read(P.eq("status", "zzz")).count() == 0
