@@ -1,0 +1,396 @@
+"""REST catalog: protocol client + an embeddable reference-shape server.
+
+≈ the reference's REST catalog
+(ref: paimon-core/src/main/java/org/apache/paimon/rest/RESTCatalog.java;
+ paimon-api/.../rest/ResourcePaths.java — /v1/config,
+ /v1/{prefix}/databases[/{db}[/tables[/{t}]]], /v1/{prefix}/tables/rename;
+ requests/CreateDatabaseRequest.java {name, options},
+ requests/CreateTableRequest.java {identifier, schema},
+ requests/RenameTableRequest.java {source, destination};
+ responses/ConfigResponse {defaults, overrides},
+ ListDatabasesResponse {databases}, ListTablesResponse {tables},
+ GetTableResponse {id, database, name, path, isExternal, schemaId,
+ schema}, ErrorResponse {message, resourceType, resourceName, code};
+ auth/BearTokenAuthProvider — `Authorization: Bearer <token>`).
+
+Split of responsibilities, same as the reference: the REST service owns
+METADATA (databases, table lifecycle, schemas); DATA access — scans,
+commits, compaction — goes straight to the table path the service hands
+out (`GetTableResponse.path`), exactly like RESTCatalog.java loading a
+FileStoreTable against the returned location. So `RESTCatalog.get_table`
+returns a fully functional engine `Table`.
+
+The bundled `RESTCatalogServer` is a stdlib ThreadingHTTPServer over a
+filesystem warehouse — the in-process stand-in for a catalog service
+this container cannot host, serving the SAME wire shapes so the client
+is a real protocol implementation, not a loopback shim. Divergence
+(documented): the `schema` payload uses this engine's TableSchema JSON
+(Spark type notation) rather than Paimon's DataType strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from paimon_spark.schema import TableSchema
+from paimon_spark.table import Table
+
+V1 = "/v1"
+
+
+# --------------------------------------------------------------------------
+# server
+# --------------------------------------------------------------------------
+
+class RESTCatalogServer:
+    """Reference-shape REST catalog service over a local warehouse dir."""
+
+    def __init__(self, warehouse: str, token: str | None = None,
+                 prefix: str = "paimon", host: str = "127.0.0.1",
+                 port: int = 0):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.token = token
+        self.prefix = prefix
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):         # quiet
+                pass
+
+            # ---- plumbing ----
+            def _send(self, status: int, payload: dict | None):
+                body = json.dumps(payload).encode() if payload is not None \
+                    else b""
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _err(self, status: int, message: str, rtype: str | None,
+                     rname: str | None):
+                self._send(status, {"message": message,
+                                    "resourceType": rtype,
+                                    "resourceName": rname,
+                                    "code": status})
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _authed(self) -> bool:
+                if server.token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                if got == f"Bearer {server.token}":
+                    return True
+                self._err(401, "invalid or missing bearer token",
+                          None, None)
+                return False
+
+            def _route(self, method: str):
+                if not self._authed():
+                    return
+                path = urllib.parse.urlparse(self.path).path
+                segs = [urllib.parse.unquote(s)
+                        for s in path.split("/") if s]
+                try:
+                    self._dispatch(method, segs)
+                except FileNotFoundError as e:
+                    self._err(404, str(e), "TABLE", path)
+                except FileExistsError as e:
+                    self._err(409, str(e), "TABLE", path)
+                except Exception as e:      # noqa: BLE001 — wire boundary
+                    self._err(500, f"{type(e).__name__}: {e}", None, None)
+
+            # ---- routes (ResourcePaths.java shapes) ----
+            def _dispatch(self, method: str, segs: list[str]):
+                if segs == ["v1", "config"] and method == "GET":
+                    return self._send(200, {
+                        "defaults": {},
+                        "overrides": {"prefix": server.prefix,
+                                      "warehouse": server.warehouse}})
+                if len(segs) < 2 or segs[0] != "v1" \
+                        or segs[1] != server.prefix:
+                    return self._err(404, "unknown route", None,
+                                     "/".join(segs))
+                rest = segs[2:]
+                if rest[:1] == ["databases"]:
+                    return self._databases(method, rest[1:])
+                if rest == ["tables", "rename"] and method == "POST":
+                    return self._rename()
+                return self._err(404, "unknown route", None,
+                                 "/".join(segs))
+
+            def _db_dir(self, db: str) -> str:
+                return os.path.join(server.warehouse, f"{db}.db")
+
+            def _databases(self, method: str, rest: list[str]):
+                if not rest:
+                    if method == "GET":
+                        dbs = sorted(
+                            n[:-3] for n in os.listdir(server.warehouse)
+                            if n.endswith(".db") and os.path.isdir(
+                                os.path.join(server.warehouse, n)))
+                        return self._send(200, {"databases": dbs,
+                                                "nextPageToken": None})
+                    if method == "POST":
+                        b = self._body()
+                        d = self._db_dir(b["name"])
+                        if os.path.isdir(d):
+                            raise FileExistsError(
+                                f"database {b['name']} exists")
+                        os.makedirs(d)
+                        opts = b.get("options") or {}
+                        if opts:
+                            with open(os.path.join(d, ".db.json"),
+                                      "w") as f:
+                                json.dump(opts, f)
+                        return self._send(200, {"name": b["name"],
+                                                "options": opts})
+                db, rest = rest[0], rest[1:]
+                d = self._db_dir(db)
+                if not rest:
+                    if not os.path.isdir(d):
+                        raise FileNotFoundError(f"database {db}")
+                    if method == "GET":
+                        opts = {}
+                        try:
+                            with open(os.path.join(d, ".db.json")) as f:
+                                opts = json.load(f)
+                        except OSError:
+                            pass
+                        return self._send(200, {"id": db, "name": db,
+                                                "options": opts})
+                    if method == "DELETE":
+                        shutil.rmtree(d)
+                        return self._send(200, None)
+                if rest[0] in ("tables", "table-details"):
+                    return self._tables(method, db, d, rest[1:])
+                return self._err(404, "unknown route", None, db)
+
+            def _tables(self, method: str, db: str, d: str,
+                        rest: list[str]):
+                if not rest:
+                    if method == "GET":
+                        tbls = sorted(
+                            n for n in os.listdir(d) if os.path.isdir(
+                                os.path.join(d, n, "schema"))) \
+                            if os.path.isdir(d) else []
+                        return self._send(200, {"tables": tbls,
+                                                "nextPageToken": None})
+                    if method == "POST":       # CreateTableRequest
+                        b = self._body()
+                        name = b["identifier"]["object"]
+                        path = os.path.join(d, name)
+                        if os.path.isdir(os.path.join(path, "schema")):
+                            raise FileExistsError(f"table {db}.{name}")
+                        sch = TableSchema.from_json(
+                            json.dumps(b["schema"]))
+                        os.makedirs(os.path.join(path, "schema"),
+                                    exist_ok=True)
+                        with open(os.path.join(path, "schema",
+                                               "schema-0.json"),
+                                  "w") as f:
+                            f.write(sch.to_json())
+                        t = Table.load(path)
+                        t.paths.ensure()
+                        return self._table_response(db, name, path)
+                tname = rest[0]
+                path = os.path.join(d, tname)
+                if not os.path.isdir(os.path.join(path, "schema")):
+                    raise FileNotFoundError(f"table {db}.{tname}")
+                if method == "GET":
+                    return self._table_response(db, tname, path)
+                if method == "DELETE":
+                    shutil.rmtree(path)
+                    return self._send(200, None)
+                return self._err(404, "unknown route", None, tname)
+
+            def _table_response(self, db: str, name: str, path: str):
+                t = Table.load(path)
+                return self._send(200, {
+                    "id": f"{db}.{name}",
+                    "database": db,
+                    "name": name,
+                    "path": path,
+                    "isExternal": False,
+                    "schemaId": t.schema.schema_id,
+                    "schema": json.loads(t.schema.to_json())})
+
+            def _rename(self):               # RenameTableRequest
+                b = self._body()
+                src = b["source"]
+                dst = b["destination"]
+                sp = os.path.join(self._db_dir(src["database"]),
+                                  src["object"])
+                dp = os.path.join(self._db_dir(dst["database"]),
+                                  dst["object"])
+                if not os.path.isdir(os.path.join(sp, "schema")):
+                    raise FileNotFoundError(
+                        f"table {src['database']}.{src['object']}")
+                if os.path.exists(dp):
+                    raise FileExistsError(
+                        f"table {dst['database']}.{dst['object']}")
+                os.makedirs(os.path.dirname(dp), exist_ok=True)
+                os.rename(sp, dp)
+                return self._send(200, None)
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def uri(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self) -> str:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.uri
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+# --------------------------------------------------------------------------
+# client
+# --------------------------------------------------------------------------
+
+class RESTCatalog:
+    """Client for a reference-shape REST catalog service.
+
+    Metadata calls go over HTTP with bearer auth; `get_table` binds an
+    engine `Table` to the path the service returns, so reads/writes/
+    procedures all work (the reference's metadata/data split). Table
+    names are `db.table`; bare names land in the `default` database
+    (auto-created)."""
+
+    def __init__(self, uri: str, token: str | None = None,
+                 spark: SparkSession | None = None):
+        self.uri = uri.rstrip("/")
+        self.token = token
+        self.spark = spark
+        cfg = self._call("GET", f"{V1}/config")
+        merged = dict(cfg.get("defaults") or {})
+        merged.update(cfg.get("overrides") or {})
+        self.prefix = merged.get("prefix", "paimon")
+        self.warehouse = merged.get("warehouse")
+
+    # ---- http ----
+    def _call(self, method: str, path: str,
+              body: dict | None = None) -> dict | None:
+        req = urllib.request.Request(
+            self.uri + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {self.token}"}
+                        if self.token else {})})
+        try:
+            with urllib.request.urlopen(req) as r:
+                raw = r.read()
+                return json.loads(raw) if raw else None
+        except urllib.error.HTTPError as e:
+            try:
+                err = json.loads(e.read())
+                msg = err.get("message", str(e))
+            except Exception:
+                msg = str(e)
+            if e.code == 404:
+                raise FileNotFoundError(msg) from None
+            if e.code == 409:
+                raise FileExistsError(msg) from None
+            if e.code == 401:
+                raise PermissionError(msg) from None
+            raise RuntimeError(f"REST catalog error {e.code}: {msg}") \
+                from None
+
+    def _p(self, *segs: str) -> str:
+        enc = "/".join(urllib.parse.quote(s, safe="") for s in segs)
+        return f"{V1}/{self.prefix}/{enc}"
+
+    def _split(self, name: str) -> tuple[str, str]:
+        db, _, tbl = name.rpartition(".")
+        return (db or "default"), tbl
+
+    # ---- databases ----
+    def create_database(self, name: str,
+                        options: dict | None = None) -> None:
+        self._call("POST", self._p("databases"),
+                   {"name": name, "options": options or {}})
+
+    def list_databases(self) -> list[str]:
+        return self._call("GET", self._p("databases"))["databases"]
+
+    def get_database(self, name: str) -> dict:
+        return self._call("GET", self._p("databases", name))
+
+    def drop_database(self, name: str) -> None:
+        self._call("DELETE", self._p("databases", name))
+
+    # ---- tables ----
+    def create_table(self, name: str, struct: T.StructType,
+                     partition_keys: list[str] | None = None,
+                     primary_keys: list[str] | None = None,
+                     options: dict[str, str] | None = None) -> Table:
+        db, tbl = self._split(name)
+        if db not in self.list_databases():
+            self.create_database(db)
+        schema = TableSchema.create(struct, partition_keys, primary_keys,
+                                    options)
+        resp = self._call(
+            "POST", self._p("databases", db, "tables"),
+            {"identifier": {"database": db, "object": tbl},
+             "schema": json.loads(schema.to_json())})
+        return Table.load(resp["path"], self.spark)
+
+    def get_table(self, name: str) -> Table:
+        db, tbl = self._split(name)
+        resp = self._call("GET", self._p("databases", db, "tables", tbl))
+        return Table.load(resp["path"], self.spark)
+
+    def table_exists(self, name: str) -> bool:
+        try:
+            self.get_table(name)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def drop_table(self, name: str) -> None:
+        db, tbl = self._split(name)
+        self._call("DELETE", self._p("databases", db, "tables", tbl))
+
+    def list_tables(self, db: str = "default") -> list[str]:
+        return self._call("GET",
+                          self._p("databases", db, "tables"))["tables"]
+
+    def rename_table(self, src: str, dst: str) -> None:
+        sdb, stbl = self._split(src)
+        ddb, dtbl = self._split(dst)
+        self._call("POST", self._p("tables", "rename"),
+                   {"source": {"database": sdb, "object": stbl},
+                    "destination": {"database": ddb, "object": dtbl}})
