@@ -408,6 +408,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             .mode("append").save()
         out["customer_dsw"] = Table.load(t.path, spark)
 
+    def _build_14():
+        # ---- docs_bm: bitmap POSITION index demo table — one file,
+        # lang-clustered runs (sorted write), mixed langs per file so
+        # min/max can't skip the file but row ranges prune inside it
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "lang", "n_chars")
+        t = Table.create(f"{root}/docs_bm", docs.schema,
+                         options={"file-index.bitmap.columns": "lang"},
+                         spark=spark)
+        t.append(docs.sort("lang", "doc_id").coalesce(1))
+        out["docs_bm"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -432,7 +445,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -926,6 +939,38 @@ def text_langid(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def text_repetition(spark, sf_dir):
+    """Within-doc sentence repetition ratio — the paragraph-dedup signal
+    a corpus-cleaning pipeline thresholds on. Catalyst array ops only."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.repetition_ratio(F.col("text")).alias("rep_ratio"),
+        F.size(TX.sentences(F.col("text"))).alias("n_sentences"))
+
+
+def text_chunks(spark, sf_dir):
+    """Sliding-window chunking (width 64 words, stride 32) — one row per
+    chunk, the LLM-context preprocessing shape. Split/sequence/slice
+    stay in whole-stage codegen; posexplode fans out rows."""
+    docs = _read(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_texts(F.col("text"), 64, 32))
+         .alias("chunk_idx", "chunk"))
+    return c.select("doc_id", F.col("chunk_idx").cast("long"), "chunk")
+
+
+def bitmap_rowrange_lang(spark, sf_dir):
+    """Sub-file row-range pruning: eq over a bitmap-position-indexed
+    low-cardinality column of a file whose min/max can't skip — the
+    plan carries _metadata.row_index range filters
+    (ref: fileindex/bitmap/BitmapFileIndex.java roaring positions)."""
+    t = _wh(spark, sf_dir)["docs_bm"]
+    return (t.read(P.eq("lang", "fr"))
+            .select("doc_id", "lang", "n_chars"))
+
+
 def ann_brute_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     out = SIM.brute_force_topk(emb, [0, 1, 2, 3, 4], k=5)
@@ -1392,6 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_stats": text_stats,
         "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "text_chunks": text_chunks,
+        "bitmap_rowrange_lang": bitmap_rowrange_lang,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1830,6 +1878,26 @@ def oracle_sql() -> dict[str, str]:
                    {TX.sql_fingerprint('text')} AS fingerprint
             FROM documents""",
         "text_langid": f"SELECT doc_id, {TX.sql_lang_id('text')} AS lang_pred FROM documents",
+        "text_repetition": f"""
+            SELECT doc_id, {TX.sql_repetition('text')} AS rep_ratio,
+                   len({TX.sql_sentences('text')}) AS n_sentences
+            FROM documents""",
+        "text_chunks": f"""
+            WITH w AS (
+              SELECT doc_id, {TX.sql_words('text')} AS words FROM documents
+            ), e AS (
+              SELECT doc_id, words,
+                     unnest(range(CAST(greatest(
+                         floor((len(words)-1)/32.0), 0) AS BIGINT) + 1))
+                         AS i
+              FROM w
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(words[(i*32+1):(i*32+64)], ' ') AS chunk
+            FROM e""",
+        "bitmap_rowrange_lang":
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang = 'fr'",
         "ann_brute_topk": ann_brute,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,

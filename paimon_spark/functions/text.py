@@ -96,6 +96,44 @@ def fingerprint(col: Column) -> Column:
 
 # ---------------- DuckDB oracle fragments ----------------
 
+SENT_SPLIT_RE = "\\.\\s+"
+
+
+def sentences(col: Column) -> Column:
+    """Sentence-ish segments (split on '. '), empties dropped.
+    DuckDB mirror: list_filter(regexp_split_to_array(x, '\\.\\s+'),
+    s -> s <> '')"""
+    return F.filter(F.split(col, SENT_SPLIT_RE), lambda s: s != "")
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Within-document repetition: 1 - distinct(sentences)/sentences —
+    the paragraph/sentence-dedup signal a corpus-cleaning pipeline
+    thresholds on (boilerplate, chat-log loops, SEO spam). Catalyst
+    array ops only. DuckDB mirror in sql_repetition()."""
+    s = sentences(col)
+    n = F.size(s).cast("double")
+    d = F.size(F.array_distinct(s)).cast("double")
+    return F.when(n > 0, F.round(F.lit(1.0) - d / n, 6)).otherwise(0.0)
+
+
+def chunk_texts(col: Column, width: int = 64, stride: int = 32) -> Column:
+    """Sliding-window chunking over whitespace words: chunk i covers
+    words [i*stride, i*stride+width); chunks = floor((n-1)/stride)+1
+    (≥1 — empty text yields one empty chunk). The LLM-context chunker:
+    overlap = width - stride. Pure Catalyst (split/sequence/transform/
+    slice); explode downstream for one row per chunk. DuckDB mirror in
+    sql_chunks()."""
+    w = F.filter(F.split(col, "\\s+"), lambda t: t != "")
+    last = F.greatest(
+        F.floor((F.size(w) - F.lit(1)) / F.lit(stride)).cast("long"),
+        F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), last),
+        lambda i: F.array_join(
+            F.slice(w, (i * stride + 1).cast("int"), width), " "))
+
+
 def sql_tokens(x: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({x}), '[^a-z0-9]+'), t -> t <> '')"
 
@@ -137,6 +175,22 @@ def sql_fingerprint(x: str) -> str:
 
 def sql_bpe_count(x: str) -> str:
     return f"len(regexp_extract_all({x}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+
+
+def sql_sentences(x: str) -> str:
+    return (f"list_filter(regexp_split_to_array({x}, '\\.\\s+'), "
+            f"s -> s <> '')")
+
+
+def sql_repetition(x: str) -> str:
+    s = sql_sentences(x)
+    return (f"CASE WHEN len({s}) > 0 THEN "
+            f"round(1.0 - len(list_distinct({s}))::DOUBLE / len({s}), 6) "
+            f"ELSE 0.0 END")
+
+
+def sql_words(x: str) -> str:
+    return f"list_filter(regexp_split_to_array({x}, '\\s+'), t -> t <> '')"
 
 
 def bm25_search(df, query: str, k: int = 10, text_col: str = "text",

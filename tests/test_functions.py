@@ -145,3 +145,30 @@ def test_cdc_computed_columns(spark):
     import pytest as _p
     with _p.raises(ValueError):
         cc("nope", "s")
+
+
+def test_repetition_ratio_and_chunking(spark):
+    from pyspark.sql import functions as F
+    from paimon_spark.functions import text as TX
+    df = spark.createDataFrame(
+        [(1, "a b. a b. c d. "),          # 3 sentences, 1 dup → 1/3
+         (2, "unique one. unique two. "),
+         (3, "")],
+        "id long, t string")
+    got = {r.id: r.rep for r in df.select(
+        "id", TX.repetition_ratio(F.col("t")).alias("rep")).collect()}
+    assert got[1] == round(1 - 2 / 3, 6)
+    assert got[2] == 0.0 and got[3] == 0.0
+    # chunking: 10 words, width 4, stride 3 → chunks at 0,3,6,9 (4 chunks)
+    words = " ".join(f"w{i}" for i in range(10))
+    ch = spark.createDataFrame([(words,)], "t string").select(
+        TX.chunk_texts(F.col("t"), width=4, stride=3).alias("c")
+    ).collect()[0].c
+    assert len(ch) == 4
+    assert ch[0] == "w0 w1 w2 w3"
+    assert ch[1] == "w3 w4 w5 w6"
+    assert ch[3] == "w9"                   # tail chunk truncates
+    # empty text → one empty chunk (stable explode shape)
+    ch0 = spark.createDataFrame([("",)], "t string").select(
+        TX.chunk_texts(F.col("t")).alias("c")).collect()[0].c
+    assert ch0 == [""]
