@@ -358,6 +358,26 @@ class Scanner:
         walk(pred)
         if not all(k in eqs for k in keys):
             return entries
+        # driver-side Spark-parity xxhash64 (functions/sparkhash.py) —
+        # computing one bucket hash must not cost a Spark JOB (~50 ms of
+        # pure scheduling per point lookup)
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from paimon_spark.functions.sparkhash import (
+                bucket_of, supported_bucket_type)
+            fields = [T.StructField(k, self.schema.data_type(k))
+                      for k in keys]
+            if all(supported_bucket_type(f.dataType) for f in fields):
+                arrow = to_arrow_schema(T.StructType(fields))
+                tbl = pa.Table.from_arrays(
+                    [pa.array([eqs[k]], type=arrow.field(k).type)
+                     for k in keys], names=list(keys))
+                target = int(bucket_of(tbl, fields, list(keys), n)[0])
+                return [e for e in entries if e.bucket in (target, -1)]
+        except Exception:
+            pass   # literal/type mismatch → Spark-evaluated fallback
         spark = self.table.spark
         if spark is None:
             return entries
