@@ -1,0 +1,149 @@
+"""Model-based randomized testing of the full MERGE INTO clause surface.
+
+Random clause sets (conditional matched update/delete cascades, NOT
+MATCHED inserts, NOT MATCHED BY SOURCE update/delete) run through the
+engine on BOTH table kinds — PK (changelog merge-on-read) and append
+(copy-on-write) — and against a pure-Python reference model that
+implements first-match-wins directly. Any divergence is a bug in the
+cascade construction (ref: MergeIntoPaimonTable.scala:47 semantics).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from paimon_spark.table import MergeClause, Table
+
+SCHEMA = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.LongType()),
+                       T.StructField("amt", T.DoubleType())])
+
+# condition pool: (engine SQL over t./s. aliases, python predicate)
+MATCHED_CONDS = [
+    (None, lambda t, s: True),
+    ("t.v % 3 = 0", lambda t, s: t["v"] % 3 == 0),
+    ("s.amt > 40", lambda t, s: s["amt"] > 40),
+    ("t.amt < s.amt", lambda t, s: t["amt"] < s["amt"]),
+]
+NM_CONDS = [
+    (None, lambda s: True),
+    ("s.k % 2 = 0", lambda s: s["k"] % 2 == 0),
+    ("s.amt > 30", lambda s: s["amt"] > 30),
+]
+NMBS_CONDS = [
+    (None, lambda t: True),
+    ("t.k % 4 = 1", lambda t: t["k"] % 4 == 1),
+    ("t.v > 50", lambda t: t["v"] > 50),
+]
+
+# update assignment pool: (engine assignments, python effect)
+UPDATES = [
+    ({"v": "s.v"}, lambda t, s: {**t, "v": s["v"]}),
+    ({"amt": "t.amt"}, lambda t, s: t),
+    ("all", lambda t, s: {"k": t["k"], "v": s["v"], "amt": s["amt"]}),
+    ({"v": 777}, lambda t, s: {**t, "v": 777}),
+]
+NMBS_UPDATES = [
+    ({"v": 999}, lambda t: {**t, "v": 999}),
+    ({"amt": 0.0}, lambda t: {**t, "amt": 0.0}),
+]
+
+
+def _gen_clauses(rng):
+    matched, m_model = [], []
+    for _ in range(rng.randint(0, 3)):
+        cond, py = rng.choice(MATCHED_CONDS)
+        if rng.random() < 0.4:
+            matched.append(MergeClause.delete(cond))
+            m_model.append((py, "delete", None))
+        else:
+            asg, eff = rng.choice(UPDATES)
+            matched.append(MergeClause.update(asg, cond))
+            m_model.append((py, "update", eff))
+    not_matched, nm_model = [], []
+    for _ in range(rng.randint(0, 2)):
+        cond, py = rng.choice(NM_CONDS)
+        not_matched.append(MergeClause.insert("all", cond))
+        nm_model.append(py)
+    nmbs, nb_model = [], []
+    for _ in range(rng.randint(0, 2)):
+        cond, py = rng.choice(NMBS_CONDS)
+        if rng.random() < 0.5:
+            nmbs.append(MergeClause.delete(cond))
+            nb_model.append((py, "delete", None))
+        else:
+            asg, eff = rng.choice(NMBS_UPDATES)
+            nmbs.append(MergeClause.update(asg, cond))
+            nb_model.append((py, "update", eff))
+    return (matched, not_matched, nmbs), (m_model, nm_model, nb_model)
+
+
+def _model_merge(target, source, models):
+    m_model, nm_model, nb_model = models
+    src = {r["k"]: r for r in source}
+    out = {}
+    for k, t in target.items():
+        if k in src:
+            s = src[k]
+            fate = "keep"
+            for py, action, eff in m_model:
+                if py(t, s):
+                    fate = action
+                    t = eff(t, s) if action == "update" else t
+                    break
+            if fate != "delete":
+                out[k] = t
+        else:
+            fate = "keep"
+            for py, action, eff in nb_model:
+                if py(t):
+                    fate = action
+                    t = eff(t) if action == "update" else t
+                    break
+            if fate != "delete":
+                out[k] = t
+    for k, s in src.items():
+        if k not in target:
+            for py in nm_model:
+                if py(s):
+                    out[k] = dict(s)
+                    break
+    return out
+
+
+@pytest.mark.parametrize("pk", [True, False])
+def test_randomized_merge_against_model(spark, wh, pk):
+    rng = random.Random(20260814 + pk)
+    for trial in range(6):
+        target = {k: {"k": k, "v": rng.randint(0, 100),
+                      "amt": float(rng.randint(0, 80))}
+                  for k in rng.sample(range(30), rng.randint(5, 18))}
+        source = [{"k": k, "v": rng.randint(0, 100),
+                   "amt": float(rng.randint(0, 80))}
+                  for k in rng.sample(range(36), rng.randint(5, 18))]
+        (matched, not_matched, nmbs), models = _gen_clauses(rng)
+        if not (matched or not_matched or nmbs):
+            continue
+        t = Table.create(
+            f"{wh}/m_{pk}_{trial}", SCHEMA,
+            primary_keys=["k"] if pk else None,
+            options={"bucket": "2"} if pk else None, spark=spark)
+        t.append(spark.createDataFrame(
+            [(r["k"], r["v"], r["amt"]) for r in target.values()], SCHEMA))
+        t.merge_into(
+            spark.createDataFrame(
+                [(r["k"], r["v"], r["amt"]) for r in source], SCHEMA),
+            on=["k"], matched=matched, not_matched=not_matched,
+            not_matched_by_source=nmbs)
+        got = {r.k: {"k": r.k, "v": r.v, "amt": r.amt}
+               for r in t.read().collect()}
+        want = _model_merge(target, source, models)
+        assert got == want, (
+            f"trial {trial} pk={pk}\n"
+            f"matched={[(c.action, c.condition, c.assignments) for c in matched]}\n"
+            f"not_matched={[(c.condition,) for c in not_matched]}\n"
+            f"nmbs={[(c.action, c.condition, c.assignments) for c in nmbs]}\n"
+            f"target={sorted(target)}\nsource={sorted(r['k'] for r in source)}\n"
+            f"got-want={ {k: got.get(k) for k in set(got) ^ set(want)} }\n"
+            f"diffs={ {k: (got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]} }")
