@@ -42,6 +42,16 @@ class Catalog:
     def drop_table(self, name: str):
         shutil.rmtree(self._path(name), ignore_errors=True)
 
+    def rename_table(self, src: str, dst: str):
+        """(ref: FileSystemCatalog renameTable — a directory move)"""
+        sp, dp = self._path(src), self._path(dst)
+        if not os.path.isdir(os.path.join(sp, "schema")):
+            raise FileNotFoundError(f"no table {src}")
+        if os.path.exists(dp):
+            raise FileExistsError(f"table {dst} exists")
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        os.rename(sp, dp)
+
     def list_tables(self, db: str | None = None) -> list[str]:
         base = os.path.join(self.warehouse, db + ".db") if db else self.warehouse
         try:

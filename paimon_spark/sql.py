@@ -89,6 +89,8 @@ class SQLRouter:
             return self._merge(s)
         if head == "TRUNCATE":
             return self._truncate(s)
+        if head == "ALTER":
+            return self._alter(s)
         if head == "CALL":
             return self._call(s)
         if head == "SHOW":
@@ -196,6 +198,80 @@ class SQLRouter:
             raise ValueError(f"cannot parse TRUNCATE: {s[:120]}")
         self._table(m.group(1)).truncate()
         return None
+
+    def _alter(self, s: str):
+        """ALTER TABLE: schema evolution + properties through SQL
+        (ref: SparkCatalog.java alterTable → SchemaChange.java
+        addColumn/renameColumn/dropColumn/updateColumnType/
+        setOption/removeOption). Shapes:
+          ALTER TABLE t ADD COLUMN c TYPE | ADD COLUMNS (c1 T1, c2 T2)
+          ALTER TABLE t RENAME COLUMN a TO b
+          ALTER TABLE t DROP COLUMN c [, c2 …] | DROP COLUMNS (…)
+          ALTER TABLE t ALTER COLUMN c TYPE newtype
+          ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)
+          ALTER TABLE t UNSET TBLPROPERTIES ('k', …)
+          ALTER TABLE t RENAME TO t2
+        """
+        from pyspark.sql.types import _parse_datatype_string
+
+        m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE: {s[:120]}")
+        name, rest = m.group(1), m.group(2).strip()
+        t = self._table(name)
+
+        rm = re.match(rf"RENAME\s+TO\s+({_IDENT})$", rest, re.IGNORECASE)
+        if rm:
+            self.catalog.rename_table(name.strip("`"),
+                                      rm.group(1).strip("`"))
+            return None
+        am = re.match(r"ADD\s+COLUMNS?\s*(.*)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if am:
+            body = am.group(1).strip()
+            if body.startswith("("):
+                body = body[1:-1]
+            for coldef in _split_top(body):
+                cn, _, ct = coldef.strip().partition(" ")
+                t.alter(lambda sc, cn=cn.strip("`"), ct=ct: sc.add_column(
+                    cn, _parse_datatype_string(ct)))
+            return None
+        rm = re.match(rf"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", rest,
+                      re.IGNORECASE)
+        if rm:
+            t.alter(lambda sc: sc.rename_column(rm.group(1), rm.group(2)))
+            return None
+        dm = re.match(r"DROP\s+COLUMNS?\s*(.*)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if dm:
+            body = dm.group(1).strip()
+            if body.startswith("("):
+                body = body[1:-1]
+            for c in _split_top(body):
+                t.alter(lambda sc, c=c.strip().strip("`"):
+                        sc.drop_column(c))
+            return None
+        cm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+)$", rest,
+                      re.IGNORECASE)
+        if cm:
+            t.alter(lambda sc: sc.update_column_type(
+                cm.group(1), _parse_datatype_string(cm.group(2))))
+            return None
+        pm = re.match(r"(UN)?SET\s+TBLPROPERTIES\s*\((.*)\)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if pm:
+            unset, body = pm.groups()
+            for item in _split_top(body):
+                if unset:
+                    t.alter(lambda sc, k=item.strip().strip("'\""):
+                            sc.remove_option(k))
+                else:
+                    k, _, v = item.partition("=")
+                    t.alter(lambda sc, k=k.strip().strip("'\""),
+                            v=v.strip().strip("'\""): sc.set_option(k, v))
+            return None
+        raise ValueError(f"unsupported ALTER TABLE action: {rest[:80]}")
 
     def _merge(self, s: str):
         m = re.match(

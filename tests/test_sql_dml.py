@@ -230,3 +230,36 @@ def test_merge_append_table_full_surface_sql(spark, wh):
     # k=1 updated, k=2 deleted (s.amt<1), k=3 amt doubled, k=4 deleted,
     # k=9 inserted
     assert rows(c, "ap") == [(1, "A", 10.0), (3, "c", 6.0), (9, "i", 9.0)]
+
+
+def test_alter_table_sql(spark, wh):
+    """ALTER TABLE through SQL: add/rename/drop/retype columns,
+    properties, table rename (ref: SparkCatalog.alterTable →
+    SchemaChange.java)."""
+    c = _cat(spark, wh)
+    c.create_table("al", KV)
+    c.sql("INSERT INTO al VALUES (1, 'a', 1.0)")
+    c.sql("ALTER TABLE al ADD COLUMN note STRING")
+    c.sql("INSERT INTO al VALUES (2, 'b', 2.0, 'hello')")
+    t = c.get_table("al")
+    got = {r.k: r.note for r in t.read().collect()}
+    assert got == {1: None, 2: "hello"}          # evolution fills nulls
+    c.sql("ALTER TABLE al RENAME COLUMN note TO comment")
+    assert "comment" in c.get_table("al").schema.field_names
+    # old files still readable through the rename (field-id mapping)
+    got = {r.k: r.comment for r in c.get_table("al").read().collect()}
+    assert got == {1: None, 2: "hello"}
+    c.sql("ALTER TABLE al DROP COLUMN comment")
+    assert "comment" not in c.get_table("al").schema.field_names
+    c.sql("ALTER TABLE al SET TBLPROPERTIES ('write.batch' = '9')")
+    assert c.get_table("al").schema.options["write.batch"] == "9"
+    c.sql("ALTER TABLE al UNSET TBLPROPERTIES ('write.batch')")
+    assert "write.batch" not in c.get_table("al").schema.options
+    c.sql("ALTER TABLE al ADD COLUMNS (x BIGINT, y DOUBLE)")
+    fn = c.get_table("al").schema.field_names
+    assert "x" in fn and "y" in fn
+    c.sql("ALTER TABLE al RENAME TO al2")
+    assert c.get_table("al2").read().count() == 2
+    assert not c.table_exists("al")
+    with pytest.raises(ValueError):
+        c.sql("ALTER TABLE al2 FROBNICATE")
