@@ -91,6 +91,11 @@ class SQLRouter:
             return self._truncate(s)
         if head == "ALTER":
             return self._alter(s)
+        if head == "CREATE" and re.match(r"CREATE\s+TABLE", s,
+                                         re.IGNORECASE):
+            return self._create_table(s)
+        if head == "DROP" and re.match(r"DROP\s+TABLE", s, re.IGNORECASE):
+            return self._drop_table(s)
         if head == "CALL":
             return self._call(s)
         if head == "SHOW":
@@ -197,6 +202,81 @@ class SQLRouter:
         if not m:
             raise ValueError(f"cannot parse TRUNCATE: {s[:120]}")
         self._table(m.group(1)).truncate()
+        return None
+
+    def _create_table(self, s: str):
+        """CREATE TABLE through SQL, the reference's Spark syntax
+        (ref: paimon docs spark DDL — primary keys and bucketing travel
+        via TBLPROPERTIES):
+          CREATE TABLE [IF NOT EXISTS] t (c1 T1, …)
+            [PARTITIONED BY (p1, …)]
+            [TBLPROPERTIES ('primary-key'='k1,k2', 'bucket'='4', …)]
+          CREATE TABLE t [TBLPROPERTIES (…)] AS SELECT …   (CTAS)
+        """
+        from pyspark.sql.types import _parse_datatype_string
+
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"(\((.*?)\))?\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?"
+            rf"(?:AS\s+(SELECT\s+.*|VALUES\s+.*))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {s[:120]}")
+        if_nx, name, _g, cols_s, part_s, props_s, as_s = m.groups()
+        name = name.strip("`")
+        if self.catalog.table_exists(name):
+            if if_nx:
+                return None
+            raise FileExistsError(f"table {name} exists")
+        options: dict[str, str] = {}
+        if props_s:
+            for item in _split_top(props_s):
+                k, _, v = item.partition("=")
+                options[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        primary_keys = [k.strip() for k in
+                        options.pop("primary-key", "").split(",")
+                        if k.strip()] or None
+        partition_keys = [p.strip().strip("`")
+                          for p in (part_s or "").split(",")
+                          if p.strip()] or None
+        if as_s:                                           # CTAS
+            self.catalog.register_views()
+            df = self.spark.sql(as_s)
+            t = self.catalog.create_table(
+                name, df.schema, partition_keys=partition_keys,
+                primary_keys=primary_keys, options=options or None)
+            t.append(df)
+            return None
+        if not cols_s:
+            raise ValueError("CREATE TABLE needs a column list or AS "
+                             "SELECT")
+        fields = []
+        for coldef in _split_top(cols_s):
+            cn, _, ct = coldef.strip().partition(" ")
+            fields.append((cn.strip("`"), _parse_datatype_string(ct)))
+        from pyspark.sql import types as ST
+        struct = ST.StructType(
+            [ST.StructField(n, dt) for n, dt in fields])
+        self.catalog.create_table(name, struct,
+                                  partition_keys=partition_keys,
+                                  primary_keys=primary_keys,
+                                  options=options or None)
+        return None
+
+    def _drop_table(self, s: str):
+        m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse DROP TABLE: {s[:120]}")
+        if_ex, name = m.groups()
+        name = name.strip("`")
+        if not self.catalog.table_exists(name):
+            if if_ex:
+                return None
+            raise FileNotFoundError(f"no table {name}")
+        self.catalog.drop_table(name)
         return None
 
     def _alter(self, s: str):

@@ -263,3 +263,32 @@ def test_alter_table_sql(spark, wh):
     assert not c.table_exists("al")
     with pytest.raises(ValueError):
         c.sql("ALTER TABLE al2 FROBNICATE")
+
+
+def test_create_drop_table_sql(spark, wh):
+    """CREATE TABLE with the reference's Spark DDL conventions —
+    primary keys / bucketing via TBLPROPERTIES — plus CTAS and DROP."""
+    c = _cat(spark, wh)
+    c.sql("""CREATE TABLE ct (k BIGINT, v STRING, amt DOUBLE)
+             PARTITIONED BY (v)
+             TBLPROPERTIES ('primary-key' = 'k,v', 'bucket' = '2')""")
+    t = c.get_table("ct")
+    assert t.schema.primary_keys == ["k", "v"]
+    assert t.schema.partition_keys == ["v"]
+    assert t.schema.options["bucket"] == "2"
+    c.sql("INSERT INTO ct VALUES (1, 'a', 1.0), (1, 'a', 9.0)")
+    assert rows(c, "ct") == [(1, "a", 9.0)]      # PK upsert works
+    # IF NOT EXISTS is a no-op; bare duplicate raises
+    c.sql("CREATE TABLE IF NOT EXISTS ct (k BIGINT)")
+    with pytest.raises(FileExistsError):
+        c.sql("CREATE TABLE ct (k BIGINT)")
+    # CTAS
+    c.sql("""CREATE TABLE ct2 TBLPROPERTIES ('primary-key'='k',
+             'bucket'='1') AS SELECT k, amt FROM ct""")
+    assert sorted(tuple(r) for r in c.get_table("ct2").read().collect()) \
+        == [(1, 9.0)]
+    c.sql("DROP TABLE ct2")
+    assert not c.table_exists("ct2")
+    c.sql("DROP TABLE IF EXISTS ct2")            # no-op
+    with pytest.raises(FileNotFoundError):
+        c.sql("DROP TABLE ct2")
