@@ -100,10 +100,60 @@ class SQLRouter:
             return self._call(s)
         if head == "SHOW":
             return self._show(s)
+        if head == "DESCRIBE" or head == "DESC":
+            return self._describe(s)
         # SELECT / WITH / EXPLAIN / VALUES …: plain Spark SQL over views
         self.catalog.register_views(system_tables=True)
         self.catalog.register_sql_views()
+        s = self._rewrite_time_travel(s)
         return self.spark.sql(s)
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """`FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF 'ts'` →
+        registered snapshot views (Spark's own time-travel clause only
+        works on V2 catalog tables, not temp views; ref: paimon docs
+        spark query — SELECT … VERSION AS OF)."""
+        def repl(m: "re.Match[str]") -> str:
+            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            try:
+                t = self._table(name)
+            except Exception:
+                return m.group(0)          # not our table — leave as-is
+            lit = lit.strip().strip("'\"")
+            if kind == "VERSION":
+                df = t.read(snapshot_id=int(lit))
+                view = f"{name}__v{lit}"
+            else:
+                import datetime as _dt
+                ms = int(lit) if lit.isdigit() else int(
+                    _dt.datetime.fromisoformat(lit).timestamp() * 1000)
+                df = t.read(as_of_timestamp_ms=ms)
+                view = f"{name}__ts{ms}"
+            df.createOrReplaceTempView(view)
+            return view
+        return re.sub(
+            rf"({_IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            rf"('[^']*'|\S+)",
+            repl, s, flags=re.IGNORECASE)
+
+    def _describe(self, s: str):
+        m = re.match(rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?({_IDENT})$", s,
+                     re.IGNORECASE)
+        if not m:
+            self.catalog.register_views(system_tables=True)
+            return self.spark.sql(s)
+        t = self._table(m.group(1))
+        rows = []
+        for f in t.schema.struct.fields:
+            note = []
+            if f.name in t.schema.primary_keys:
+                note.append("primary key")
+            if f.name in t.schema.partition_keys:
+                note.append("partition")
+            rows.append((f.name, f.dataType.simpleString(),
+                         ", ".join(note)))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
 
     # ---------------- helpers ----------------
 
@@ -522,6 +572,24 @@ class SQLRouter:
         return None
 
     def _show(self, s: str):
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", s,
+                     re.IGNORECASE)
+        if m:
+            t = self._table(m.group(1))
+            sch = t.schema
+            cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString().upper()}"
+                                for f in sch.struct.fields)
+            ddl = f"CREATE TABLE {m.group(1)} (\n  {cols}\n)"
+            if sch.partition_keys:
+                ddl += f"\nPARTITIONED BY ({', '.join(sch.partition_keys)})"
+            props = dict(sch.options)
+            if sch.primary_keys:
+                props = {"primary-key": ",".join(sch.primary_keys), **props}
+            if props:
+                kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+                ddl += f"\nTBLPROPERTIES ({kv})"
+            return self.spark.createDataFrame([(ddl,)],
+                                              "createtab_stmt string")
         m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})$", s, re.IGNORECASE)
         if m:
             return self._table(m.group(1)).partitions_df()

@@ -292,3 +292,25 @@ def test_create_drop_table_sql(spark, wh):
     c.sql("DROP TABLE IF EXISTS ct2")            # no-op
     with pytest.raises(FileNotFoundError):
         c.sql("DROP TABLE ct2")
+
+
+def test_time_travel_describe_show_create_sql(spark, wh):
+    c = _cat(spark, wh)
+    c.sql("""CREATE TABLE tt (k BIGINT, v STRING, amt DOUBLE)
+             TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+    c.sql("INSERT INTO tt VALUES (1, 'a', 1.0)")          # snapshot 1
+    c.sql("INSERT INTO tt VALUES (1, 'b', 2.0), (2, 'c', 3.0)")  # snap 2
+    cur = c.sql("SELECT * FROM tt ORDER BY k").collect()
+    assert [(r.k, r.v) for r in cur] == [(1, "b"), (2, "c")]
+    old = c.sql("SELECT * FROM tt VERSION AS OF 1").collect()
+    assert [(r.k, r.v) for r in old] == [(1, "a")]
+    # DESCRIBE
+    d = {r.col_name: (r.data_type, r.comment)
+         for r in c.sql("DESCRIBE TABLE tt").collect()}
+    assert d["k"] == ("bigint", "primary key")
+    assert d["v"][0] == "string"
+    # SHOW CREATE TABLE round-trips through the parser
+    ddl = c.sql("SHOW CREATE TABLE tt").collect()[0].createtab_stmt
+    assert "primary-key" in ddl and "bucket" in ddl
+    c.sql(ddl.replace("CREATE TABLE tt", "CREATE TABLE tt_copy"))
+    assert c.get_table("tt_copy").schema.primary_keys == ["k"]
