@@ -106,7 +106,41 @@ class SQLRouter:
         self.catalog.register_views(system_tables=True)
         self.catalog.register_sql_views()
         s = self._rewrite_time_travel(s)
+        s = self._rewrite_incremental_tvfs(s)
         return self.spark.sql(s)
+
+    def _rewrite_incremental_tvfs(self, s: str) -> str:
+        """The reference's incremental table-valued functions
+        (ref: PaimonTableValuedFunctions.scala:56-67):
+          paimon_incremental_query('t', from_snapshot, to_snapshot)
+          paimon_incremental_between_timestamp('t', ms1, ms2)
+          paimon_incremental_to_auto_tag('t', 'tag')
+        Rewritten to temp views over the Table API equivalents."""
+        def repl(m: "re.Match[str]") -> str:
+            fn, args_s = m.group(1).lower(), m.group(2)
+            args = [a.strip().strip("'\"") for a in _split_top(args_s)]
+            t = self._table(args[0])
+            safe = args[0].replace(".", "_")
+            if fn == "paimon_incremental_query":
+                df = t.read_incremental(
+                    int(args[1]) if args[1].isdigit() else args[1],
+                    int(args[2]) if args[2].isdigit() else args[2])
+                view = f"{safe}__inc_{args[1]}_{args[2]}"
+            elif fn == "paimon_incremental_between_timestamp":
+                df = t.read_incremental_between_timestamps(
+                    int(args[1]), int(args[2]))
+                view = f"{safe}__incts_{args[1]}_{args[2]}"
+            else:
+                df = t.read_incremental_to_auto_tag(args[1])
+                view = f"{safe}__inctag_{args[1]}"
+            view = re.sub(r"[^A-Za-z0-9_]", "_", view)
+            df.createOrReplaceTempView(view)
+            return view
+        return re.sub(
+            r"(paimon_incremental_query|"
+            r"paimon_incremental_between_timestamp|"
+            r"paimon_incremental_to_auto_tag)\s*\(([^)]*)\)",
+            repl, s, flags=re.IGNORECASE)
 
     def _rewrite_time_travel(self, s: str) -> str:
         """`FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF 'ts'` →

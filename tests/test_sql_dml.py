@@ -314,3 +314,26 @@ def test_time_travel_describe_show_create_sql(spark, wh):
     assert "primary-key" in ddl and "bucket" in ddl
     c.sql(ddl.replace("CREATE TABLE tt", "CREATE TABLE tt_copy"))
     assert c.get_table("tt_copy").schema.primary_keys == ["k"]
+
+
+def test_incremental_tvfs_sql(spark, wh):
+    """paimon_incremental_* table-valued functions through SQL
+    (ref: PaimonTableValuedFunctions.scala:56-67)."""
+    c = _cat(spark, wh)
+    c.sql("""CREATE TABLE iq (k BIGINT, v STRING, amt DOUBLE)
+             TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""")
+    c.sql("INSERT INTO iq VALUES (1, 'a', 1.0)")            # snap 1
+    c.sql("INSERT INTO iq VALUES (2, 'b', 2.0)")            # snap 2
+    c.sql("INSERT INTO iq VALUES (1, 'A', 9.0)")            # snap 3
+    got = c.sql("SELECT k, v FROM paimon_incremental_query('iq', 1, 3) "
+                "ORDER BY k").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "A"), (2, "b")]
+    # auto-tag variant
+    from paimon_spark.procedures import call
+    t = c.get_table("iq")
+    call(spark, "create_tag", table=t, tag="2026-01-01", snapshot=1)
+    call(spark, "create_tag", table=t, tag="2026-01-02", snapshot=3)
+    got = c.sql("SELECT k, v FROM "
+                "paimon_incremental_to_auto_tag('iq', '2026-01-02') "
+                "ORDER BY k").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "A"), (2, "b")]
