@@ -84,7 +84,25 @@ class Leaf(Predicate):
             "ends_with": lambda: c.endswith(v),
             "contains": lambda: c.contains(v),
             "between": lambda: c.between(F.lit(v[0]), F.lit(v[1])),
+            "not_between": lambda: ~c.between(F.lit(v[0]), F.lit(v[1])),
+            "like": lambda: c.like(v),
+            "is_nan": lambda: F.isnan(c),
         }[self.op]()
+
+    def _like_re(self):
+        """SQL LIKE pattern → anchored regex (%→.*, _→.)."""
+        import re as _re
+        out, i, v = [], 0, str(self.literal)
+        while i < len(v):
+            ch = v[i]
+            if ch == "\\" and i + 1 < len(v):
+                out.append(_re.escape(v[i + 1]))
+                i += 2
+                continue
+            out.append(".*" if ch == "%" else "." if ch == "_"
+                       else _re.escape(ch))
+            i += 1
+        return _re.compile("".join(out), _re.DOTALL)
 
     def _test_value(self, x: Any) -> bool:
         """Exact per-value evaluation of this leaf (None = SQL NULL)."""
@@ -102,6 +120,11 @@ class Leaf(Predicate):
                 "ends_with": lambda: isinstance(x, str) and x.endswith(v),
                 "contains": lambda: isinstance(x, str) and v in x,
                 "between": lambda: v[0] <= x <= v[1],
+                "not_between": lambda: not (v[0] <= x <= v[1]),
+                "like": lambda: isinstance(x, str)
+                and self._like_re().fullmatch(x) is not None,
+                "is_nan": lambda: isinstance(x, float)
+                and x != x,
             }[self.op]()
         except TypeError:
             return True
@@ -153,9 +176,28 @@ class Leaf(Predicate):
             if self.op == "between":
                 lo, hi = v
                 return not (mx < lo or mn > hi)
+            if self.op == "not_between":
+                # no row can match only when EVERY row is inside [lo, hi]
+                lo, hi = v
+                return not (lo <= mn and mx <= hi)
             if self.op == "starts_with" and isinstance(mn, str) and isinstance(mx, str):
                 # file may contain strings with prefix v iff range overlaps [v, v+∞)
                 return mx >= v and mn[: len(v)] <= v
+            if self.op == "like" and isinstance(mn, str) and isinstance(mx, str):
+                # literal prefix before the first wildcard prunes like
+                # starts_with; wildcard-led patterns can't use stats
+                p = str(v)
+                cut = len(p)
+                for i, ch in enumerate(p):
+                    if ch in "%_":
+                        cut = i
+                        break
+                    if ch == "\\":
+                        cut = i
+                        break
+                prefix = p[:cut]
+                if prefix:
+                    return mx >= prefix and mn[: len(prefix)] <= prefix
         except TypeError:
             return True
         # ne / not_in / ends_with / contains: min==max exact-file shortcut
@@ -356,6 +398,12 @@ class P:
     def contains(f, v): return Leaf("contains", f, v)
     @staticmethod
     def between(f, lo, hi): return Leaf("between", f, (lo, hi))
+    @staticmethod
+    def not_between(f, lo, hi): return Leaf("not_between", f, (lo, hi))
+    @staticmethod
+    def like(f, pattern): return Leaf("like", f, pattern)
+    @staticmethod
+    def is_nan(f): return Leaf("is_nan", f)
     @staticmethod
     def transform(fn, op, f, v):
         """Monotone transform predicate with stats skipping:

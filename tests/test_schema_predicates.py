@@ -178,3 +178,44 @@ def test_schema_change_extras(spark, wh):
     assert "k1" not in t2.schema.options
     # old file still reads correctly (by field id) after the reorder
     assert [tuple(r) for r in t2.read().collect()] == [(0.5, 1, "x")]
+
+
+def test_like_not_between_is_nan_leaves(spark, wh):
+    """The last three reference predicate leaves (ref: predicate/ —
+    Like, NotBetween, IsNaN): Spark eval, exact value test, stats
+    skipping (prefix LIKE; not_between full-containment)."""
+    import math
+    from paimon_spark.predicates import Leaf, P
+    # exact value semantics
+    assert Leaf("like", "s", "ab%")._test_value("abc")
+    assert not Leaf("like", "s", "ab%")._test_value("xabc")
+    assert Leaf("like", "s", "a_c")._test_value("abc")
+    assert not Leaf("like", "s", "a_c")._test_value("abbc")
+    assert Leaf("like", "s", "100\\%")._test_value("100%")
+    assert Leaf("not_between", "x", (5, 10))._test_value(11)
+    assert not Leaf("not_between", "x", (5, 10))._test_value(7)
+    assert Leaf("is_nan", "x")._test_value(float("nan"))
+    assert not Leaf("is_nan", "x")._test_value(1.5)
+    # stats skipping
+    stats = {"s": {"min": "apple", "max": "grape", "nulls": 0},
+             "x": {"min": 5, "max": 9, "nulls": 0}}
+    assert not Leaf("like", "s", "z%").test_stats(10, stats)   # skip
+    assert Leaf("like", "s", "b%").test_stats(10, stats)       # maybe
+    assert Leaf("like", "s", "%z").test_stats(10, stats)       # no prefix
+    assert not Leaf("not_between", "x", (1, 20)).test_stats(10, stats)
+    assert Leaf("not_between", "x", (6, 8)).test_stats(10, stats)
+    # end to end through a table read
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("s", T.StringType()),
+                        T.StructField("x", T.DoubleType())])
+    t = Table.create(f"{wh}/leaves", sch, spark=spark)
+    t.append(spark.createDataFrame(
+        [("apple", 1.0), ("banana", float("nan")), ("grape", 25.0)], sch))
+    assert [r.s for r in t.read(P.like("s", "ba%")).collect()] == ["banana"]
+    # Spark orders NaN above every double, so NaN is NOT between 0 and 2
+    assert sorted(r.s for r in
+                  t.read(P.not_between("x", 0.0, 2.0)).collect()) \
+        == ["banana", "grape"]
+    got = [r.s for r in t.read(P.is_nan("x")).collect()]
+    assert got == ["banana"]
