@@ -105,6 +105,9 @@ class SQLRouter:
         # SELECT / WITH / EXPLAIN / VALUES …: plain Spark SQL over views
         self.catalog.register_views(system_tables=True)
         self.catalog.register_sql_views()
+        # the reference's system-table syntax `t$snapshots` (backticked in
+        # Spark) maps to our registered t__snapshots views
+        s = re.sub(r"`(\w+)\$(\w+)`", r"\1__\2", s)
         s = self._rewrite_time_travel(s)
         s = self._rewrite_incremental_tvfs(s)
         return self.spark.sql(s)

@@ -337,3 +337,16 @@ def test_incremental_tvfs_sql(spark, wh):
                 "paimon_incremental_to_auto_tag('iq', '2026-01-02') "
                 "ORDER BY k").collect()
     assert [(r.k, r.v) for r in got] == [(1, "A"), (2, "b")]
+
+
+def test_dollar_system_table_syntax(spark, wh):
+    """The reference's `t$snapshots` system-table spelling (backticked
+    for Spark's parser) resolves to the registered system views."""
+    c = _cat(spark, wh)
+    c.create_table("st", KV, primary_keys=["k"], options={"bucket": "1"})
+    c.sql("INSERT INTO st VALUES (1, 'a', 1.0)")
+    c.sql("INSERT INTO st VALUES (2, 'b', 2.0)")
+    n = c.sql("SELECT count(*) AS n FROM `st$snapshots`").collect()[0].n
+    assert n == 2
+    f = c.sql("SELECT count(*) AS n FROM `st$files`").collect()[0].n
+    assert f >= 1
