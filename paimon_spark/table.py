@@ -1672,10 +1672,24 @@ class Table:
                     ("options", self.options_df),
                     ("schemas", self.schemas_df),
                     ("manifests", self.manifests_df),
-                    ("audit_log", self.read_audit_log)):
+                    ("audit_log", self.read_audit_log),
+                    ("statistics", self.statistics_df),
+                    ("ro", self.read_optimized),
+                    ("read_optimized", self.read_optimized)):
                 v = f"{name}__{suffix}"
-                df_fn().createOrReplaceTempView(v)
+                try:
+                    df_fn().createOrReplaceTempView(v)
+                except Exception:
+                    continue   # e.g. no statistics computed yet
                 out.append(v)
+            if self.schema.is_pk_table:
+                from paimon_spark.operators.changelog import binlog
+                try:
+                    binlog(self).createOrReplaceTempView(
+                        f"{name}__binlog")
+                    out.append(f"{name}__binlog")
+                except Exception:
+                    pass
         return out
 
     # ---------------- metadata maintenance ----------------

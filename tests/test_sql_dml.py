@@ -350,3 +350,22 @@ def test_dollar_system_table_syntax(spark, wh):
     assert n == 2
     f = c.sql("SELECT count(*) AS n FROM `st$files`").collect()[0].n
     assert f >= 1
+
+
+def test_extended_system_views(spark, wh):
+    """`$ro` / `$read_optimized`, `$statistics` and `$binlog` system
+    tables through SQL (ref: table/system/ReadOptimizedTable,
+    StatisticsTable, BinlogTable)."""
+    c = _cat(spark, wh)
+    c.create_table("sv", KV, primary_keys=["k"], options={"bucket": "1"})
+    c.sql("INSERT INTO sv VALUES (1, 'a', 1.0)")
+    c.sql("INSERT INTO sv VALUES (1, 'b', 2.0)")
+    t = c.get_table("sv")
+    t.compact()
+    t.analyze()
+    ro = c.sql("SELECT * FROM `sv$ro`").collect()
+    assert [(r.k, r.v) for r in ro] == [(1, "b")]
+    st = c.sql("SELECT * FROM `sv$statistics`")
+    assert st.count() >= 1
+    bl = c.sql("SELECT * FROM `sv$binlog`")
+    assert bl.count() >= 1
