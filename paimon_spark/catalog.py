@@ -68,14 +68,22 @@ class Catalog:
         return SQLRouter(self).sql(statement)
 
     def register_views(self, db: str | None = None,
-                       system_tables: bool = False) -> list[str]:
-        """Register every table as a Spark temp view so plain
+                       system_tables: bool = False,
+                       only: set[str] | None = None) -> list[str]:
+        """Register tables as Spark temp views so plain
         `spark.sql("SELECT ... FROM tbl")` works — the SQL entry point a
         reference user expects (ref: SparkCatalog.java loadTable; system
         tables `tbl$snapshots` map to `tbl__snapshots` since `$` is not a
-        valid temp-view identifier)."""
+        valid temp-view identifier).
+
+        `only` restricts registration to the named tables — the SQL
+        router passes the identifiers it saw in the statement so a
+        catalog with many tables doesn't pay plan construction for every
+        table (and its system views) on every query."""
         names = []
         for n in self.list_tables(db):
+            if only is not None and n not in only:
+                continue
             t = self.get_table(f"{db}.{n}" if db else n)
             names += t.register_views(n, system_tables=system_tables)
         return names

@@ -102,8 +102,17 @@ class SQLRouter:
             return self._show(s)
         if head == "DESCRIBE" or head == "DESC":
             return self._describe(s)
-        # SELECT / WITH / EXPLAIN / VALUES …: plain Spark SQL over views
-        self.catalog.register_views(system_tables=True)
+        # SELECT / WITH / EXPLAIN / VALUES …: plain Spark SQL over views.
+        # Register only the tables the statement references (word-token
+        # heuristic incl. `t$sys` and t__sys spellings) — a catalog with
+        # many tables must not pay plan construction for all of them on
+        # every query. No match → register everything (safe fallback).
+        refs = {w.split("__", 1)[0].split("$", 1)[0]
+                for w in re.findall(r"[A-Za-z_][A-Za-z0-9_$]*", s)}
+        known = set(self.catalog.list_tables())
+        only = refs & known
+        self.catalog.register_views(system_tables=True,
+                                    only=only or None)
         self.catalog.register_sql_views()
         # the reference's system-table syntax `t$snapshots` (backticked in
         # Spark) maps to our registered t__snapshots views
