@@ -26,14 +26,35 @@ def _t(table) -> Table:
     return table if isinstance(table, Table) else Table.load(table)
 
 
+def _partition_spec_predicate(spec: str, schema):
+    """Reference partition-spec string → predicate:
+    'dt=a,hr=1;dt=b' = (dt=a AND hr=1) OR (dt=b)
+    (ref: CompactProcedure partitions parameter)."""
+    from paimon_spark.predicates import P
+    from paimon_spark.scanner import cast_partition_value
+    ors = []
+    for group in spec.split(";"):
+        ands = []
+        for kv in group.split(","):
+            k, _, v = kv.partition("=")
+            k = k.strip()
+            ands.append(P.eq(k, cast_partition_value(
+                v.strip().strip("'\""), schema.data_type(k))))
+        ors.append(ands[0] if len(ands) == 1 else P.and_(*ands))
+    return ors[0] if len(ors) == 1 else P.or_(*ors)
+
+
 def compact(spark, table, order_strategy: str | None = None,
-            order_by: str | None = None, **_):
+            order_by: str | None = None, partitions: str | None = None,
+            **_):
     t = _t(table).with_spark(spark)
+    pf = _partition_spec_predicate(partitions, t.schema) \
+        if partitions else None
     if order_strategy:
         from paimon_spark.operators.sort_compact import sort_compact
         return sort_compact(t, [c.strip() for c in (order_by or "").split(",") if c],
                             strategy=order_strategy)
-    return t.compact()
+    return t.compact(partition_filter=pf)
 
 
 def expire_snapshots(spark, table, retain_last: int = 1, **_):

@@ -1037,7 +1037,28 @@ class Table:
 
     # ---------------- maintenance ----------------
 
-    def compact(self, full: bool = True) -> Snapshot | None:
+    def _partition_keeper(self, partition_filter: "Predicate | None"):
+        """Entry → bool for a partition-only compaction filter
+        (ref: CompactProcedure partitions/where — at 100 TB a table
+        compacts one partition at a time, never all of it)."""
+        if partition_filter is None:
+            return lambda e: True
+        if not partition_filter.partition_only(self.schema.partition_keys):
+            raise ValueError(
+                "compact partition filter may reference partition keys "
+                f"only ({self.schema.partition_keys})")
+        from paimon_spark.scanner import cast_partition_value
+
+        def keep(e: FileEntry) -> bool:
+            vals = {k: cast_partition_value(e.partition.get(k),
+                                            self.schema.data_type(k))
+                    for k in self.schema.partition_keys}
+            return partition_filter.test_partition(vals)
+        return keep
+
+    def compact(self, full: bool = True,
+                partition_filter: "Predicate | None" = None
+                ) -> Snapshot | None:
         """Compaction (ref: procedure/CompactProcedure.java:113,
         MergeTreeCompactManager.java).
 
@@ -1046,21 +1067,25 @@ class Table:
         run-count picker chooses a newest-first prefix of runs per bucket
         (ref: UniversalCompaction.java); partial rewrites keep tombstones
         and sequence numbers so merging with older runs stays correct.
+        `partition_filter` (partition-only predicate) bounds the rewrite
+        to matching partitions — the shape a 100 TB table needs.
         """
         latest = self.paths.latest_snapshot()
         if latest is None:
             return None
+        keep = self._partition_keeper(partition_filter)
         if self.schema.num_buckets == -2:
             return self._compact_postpone()
         if not full and self.schema.is_pk_table:
-            return self._compact_universal()
+            return self._compact_universal(keep)
         w = self.writer()
         plan = self.new_scan().plan()
         if self.schema.is_pk_table:
-            victims = [e for g in plan.merge_groups for e in g]
+            victims = [e for g in plan.merge_groups for e in g if keep(e)]
             if full:
                 victims += [e for g in plan.raw_groups for e in g
-                            if any(x.level < COMPACTED_LEVEL for x in g)]
+                            if keep(e)
+                            and any(x.level < COMPACTED_LEVEL for x in g)]
             if not victims:
                 return latest
             df = self._read_files(victims)
@@ -1074,7 +1099,7 @@ class Table:
             adds = w.stage(merged, level=COMPACTED_LEVEL)
         else:
             # small-file bin-packing (ref: append/BucketedAppendCompactManager.java)
-            victims = plan.entries
+            victims = [e for e in plan.entries if keep(e)]
             if len(victims) <= 1:
                 return latest
             target_bytes = int(self.schema.options.get("target-file-size",
@@ -1088,7 +1113,7 @@ class Table:
         deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in victims]
         return w.commit(adds + deletes, COMMIT_COMPACT)
 
-    def _compact_universal(self) -> Snapshot | None:
+    def _compact_universal(self, keep=lambda e: True) -> Snapshot | None:
         """Universal-strategy compaction over every bucket."""
         from paimon_spark.operators.compaction import pick_compaction
         from paimon_spark.operators.merge import order_struct
@@ -1102,6 +1127,8 @@ class Table:
         plan = self.new_scan().plan()
         groups: dict[tuple, list[FileEntry]] = {}
         for e in plan.entries:
+            if not keep(e):
+                continue
             groups.setdefault((tuple(sorted(e.partition.items())), e.bucket),
                               []).append(e)
         full_victims: list[FileEntry] = []

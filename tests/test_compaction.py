@@ -66,3 +66,45 @@ def test_universal_compaction_end_to_end(spark, wh):
     # tombstone survived partial compaction: older runs can't resurrect k=0
     t2 = Table.load(f"{wh}/u", spark)
     assert sorted(r["k"] for r in t2.read().collect()) == [1, 2, 3]
+
+
+def test_partition_filtered_compaction(spark, wh):
+    """CALL sys.compact(partitions => 'p=a') compacts ONLY the matching
+    partition — untouched partitions keep their file layout
+    (ref: CompactProcedure partitions parameter; the only workable shape
+    at 100 TB)."""
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    from paimon_spark.procedures import call
+    sch = T.StructType([T.StructField("p", T.StringType()),
+                        T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/pc", sch, partition_keys=["p"],
+                     primary_keys=["p", "k"], options={"bucket": "1"},
+                     spark=spark)
+    for i in range(3):                   # 3 sorted runs per partition
+        t.append(spark.createDataFrame(
+            [("a", j, f"a{i}") for j in range(5)]
+            + [("b", j, f"b{i}") for j in range(5)], sch))
+
+    def files_by_part():
+        out = {}
+        for e in t.new_scan().plan().entries:
+            out.setdefault(e.partition["p"], []).append(e)
+        return out
+
+    before = files_by_part()
+    assert len(before["a"]) == 3 and len(before["b"]) == 3
+    call(spark, "compact", table=t, partitions="p=a")
+    after = files_by_part()
+    assert len(after["a"]) == 1                     # compacted
+    assert {e.file_path for e in after["b"]} == \
+        {e.file_path for e in before["b"]}          # untouched
+    # data intact, merge semantics preserved
+    got = {(r.p, r.k): r.v for r in t.read().collect()}
+    assert len(got) == 10 and got[("a", 0)] == "a2" and got[("b", 4)] == "b2"
+    # filter referencing a non-partition column raises
+    import pytest as _p
+    from paimon_spark import P
+    with _p.raises(ValueError, match="partition keys only"):
+        t.compact(partition_filter=P.eq("k", 1))
