@@ -244,6 +244,28 @@ class BatchWriter:
     def stage(self, df: DataFrame, level: int = 0, seq: int | None = None) -> list[FileEntry]:
         """Write df into final table layout, return uncommitted ADD entries."""
         schema = self.schema
+        # unknown input columns: evolve the schema when
+        # write.merge-schema=true (ref: SparkWriteOptions MERGE_SCHEMA /
+        # paimon docs spark write merge-schema), else raise — a silently
+        # dropped column is lost data
+        internal = {SEQ_COL, KIND_COL, BUCKET_COL, ROW_ID_COL}
+        if schema.rowkind_field:
+            internal.add(schema.rowkind_field)
+        unknown = [c for c in df.columns
+                   if c not in schema.field_names and c not in internal
+                   and not c.startswith("__")]
+        if unknown:
+            if schema.options.get("write.merge-schema", "false") == "true":
+                for c in unknown:
+                    schema = schema.add_column(
+                        c, df.schema[c].dataType)
+                self.table._save_schema(schema)
+                self.schema = schema
+            else:
+                raise ValueError(
+                    f"input columns {unknown} not in table schema "
+                    f"{schema.field_names}; set write.merge-schema=true "
+                    f"to evolve the schema on write")
         pkeys = list(schema.partition_keys)
         part_cols = list(pkeys)
 

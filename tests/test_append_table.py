@@ -213,3 +213,26 @@ def test_incremental_over_expired_bound_clear_error(spark, wh):
     with pytest.raises(ValueError, match="expired"):
         t.read_incremental(1, 5)
     assert t.read_incremental(4, 5).count() == 1   # retained range works
+
+
+def test_unknown_column_raises_or_merges_schema(spark, wh):
+    """A write with columns the table doesn't declare must not silently
+    drop them: raise by default, evolve with write.merge-schema=true
+    (ref: paimon spark write merge-schema option)."""
+    import pytest as _p
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/ms", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], sch))
+    wide = spark.createDataFrame([(2, "b", 9.5)],
+                                 "k long, v string, score double")
+    with _p.raises(ValueError, match="merge-schema"):
+        t.append(wide)
+    t2 = Table.create(f"{wh}/ms2", sch,
+                      options={"write.merge-schema": "true"}, spark=spark)
+    t2.append(spark.createDataFrame([(1, "a")], sch))
+    t2.append(wide)
+    got = {r.k: (r.v, r.score) for r in t2.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    assert "score" in Table.load(t2.path, spark).schema.field_names
