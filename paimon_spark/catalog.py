@@ -42,6 +42,23 @@ class Catalog:
     def drop_table(self, name: str):
         shutil.rmtree(self._path(name), ignore_errors=True)
 
+    def create_database(self, name: str):
+        os.makedirs(os.path.join(self.warehouse, f"{name}.db"),
+                    exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        return sorted(n[:-3] for n in os.listdir(self.warehouse)
+                      if n.endswith(".db")
+                      and os.path.isdir(os.path.join(self.warehouse, n)))
+
+    def drop_database(self, name: str, cascade: bool = False):
+        d = os.path.join(self.warehouse, f"{name}.db")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no database {name}")
+        if os.listdir(d) and not cascade:
+            raise ValueError(f"database {name} is not empty (use CASCADE)")
+        shutil.rmtree(d)
+
     def rename_table(self, src: str, dst: str):
         """(ref: FileSystemCatalog renameTable — a directory move)"""
         sp, dp = self._path(src), self._path(dst)

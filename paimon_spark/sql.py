@@ -96,6 +96,22 @@ class SQLRouter:
             return self._create_table(s)
         if head == "DROP" and re.match(r"DROP\s+TABLE", s, re.IGNORECASE):
             return self._drop_table(s)
+        m = re.match(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$",
+                     s, re.IGNORECASE)
+        if m:
+            self.catalog.create_database(m.group(2))
+            return None
+        m = re.match(r"DROP\s+DATABASE\s+(\w+)(\s+CASCADE)?$", s,
+                     re.IGNORECASE)
+        if m:
+            self.catalog.drop_database(m.group(1),
+                                       cascade=bool(m.group(2)))
+            return None
+        if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
+            rows = [(d,) for d in self.catalog.list_databases()]
+            return self.spark.createDataFrame(rows or [("",)],
+                                              "namespace string") \
+                .filter(F.col("namespace") != "")
         if head == "CALL":
             return self._call(s)
         if head == "SHOW":

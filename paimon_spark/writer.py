@@ -90,6 +90,23 @@ def require_avro(spark) -> None:
             "they are not deployed in this session")
 
 
+_INT_CHAIN = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _wider(a: T.DataType, b: T.DataType) -> bool:
+    """True iff `a` strictly widens `b` losslessly (integral chain,
+    float→double, decimal precision growth at the same scale)."""
+    if type(a) is type(b) and not isinstance(a, T.DecimalType):
+        return False
+    if isinstance(a, _INT_CHAIN) and isinstance(b, _INT_CHAIN):
+        return _INT_CHAIN.index(type(a)) > _INT_CHAIN.index(type(b))
+    if isinstance(a, T.DoubleType) and isinstance(b, T.FloatType):
+        return True
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        return a.scale == b.scale and a.precision > b.precision
+    return False
+
+
 def bucket_expr(schema: TableSchema, n: int | None = None):
     """Bucket assignment (ref: table/sink/FixedBucketRowKeyExtractor.java).
     xxhash64 is stable and JVM-evaluated; we own both write & read sides."""
@@ -254,18 +271,31 @@ class BatchWriter:
         unknown = [c for c in df.columns
                    if c not in schema.field_names and c not in internal
                    and not c.startswith("__")]
+        merge_schema = schema.options.get("write.merge-schema",
+                                          "false") == "true"
         if unknown:
-            if schema.options.get("write.merge-schema", "false") == "true":
+            if merge_schema:
                 for c in unknown:
                     schema = schema.add_column(
                         c, df.schema[c].dataType)
-                self.table._save_schema(schema)
-                self.schema = schema
             else:
                 raise ValueError(
                     f"input columns {unknown} not in table schema "
                     f"{schema.field_names}; set write.merge-schema=true "
                     f"to evolve the schema on write")
+        if merge_schema:
+            # widen declared types toward the input (int→long, float→
+            # double, decimal precision growth) instead of a narrowing
+            # cast that would null data out (ref: merge-schema write
+            # option type merging)
+            for f in list(schema.struct.fields):
+                if f.name in df.columns and _wider(
+                        df.schema[f.name].dataType, f.dataType):
+                    schema = schema.update_column_type(
+                        f.name, df.schema[f.name].dataType)
+        if schema is not self.schema:
+            self.table._save_schema(schema)
+            self.schema = schema
         pkeys = list(schema.partition_keys)
         part_cols = list(pkeys)
 

@@ -236,3 +236,20 @@ def test_unknown_column_raises_or_merges_schema(spark, wh):
     got = {r.k: (r.v, r.score) for r in t2.read().collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
     assert "score" in Table.load(t2.path, spark).schema.field_names
+
+
+def test_merge_schema_widens_types(spark, wh):
+    """merge-schema also WIDENS declared types toward the input (int→
+    long etc.) instead of narrowing-casting new data to null; old files
+    keep their schema id and read through evolution."""
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("k", T.IntegerType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/mw", sch,
+                     options={"write.merge-schema": "true"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], sch))
+    t.append(spark.createDataFrame([(2**40, "b")], "k long, v string"))
+    t = Table.load(t.path, spark)
+    assert isinstance(t.schema.struct["k"].dataType, T.LongType)
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2**40, "b")]

@@ -369,3 +369,18 @@ def test_extended_system_views(spark, wh):
     assert st.count() >= 1
     bl = c.sql("SELECT * FROM `sv$binlog`")
     assert bl.count() >= 1
+
+
+def test_database_ddl_sql(spark, wh):
+    c = _cat(spark, wh)
+    c.sql("CREATE DATABASE sales")
+    assert "sales" in [r.namespace
+                       for r in c.sql("SHOW DATABASES").collect()]
+    c.sql("CREATE TABLE sales.fact (k BIGINT, v STRING)")
+    c.sql("INSERT INTO sales.fact VALUES (1, 'x')")
+    assert c.get_table("sales.fact").read().count() == 1
+    with pytest.raises(ValueError, match="CASCADE"):
+        c.sql("DROP DATABASE sales")
+    c.sql("DROP DATABASE sales CASCADE")
+    assert "sales" not in [r.namespace
+                           for r in c.sql("SHOW DATABASES").collect()]
