@@ -421,6 +421,26 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.append(docs.sort("lang", "doc_id").coalesce(1))
         out["docs_bm"] = t
 
+    def _build_15():
+        # ---- events_ice: Iceberg-mirrored append table (S10) — two
+        # appends + a dynamic partition overwrite so the mirror
+        # exercises manifest reuse AND rewrite; the query reads PURELY
+        # through the Iceberg metadata chain
+        ev = raw["events"].select("event_id", "user_id", "event_type",
+                                  "value")
+        t = Table.create(
+            f"{root}/events_ice", ev.schema,
+            partition_keys=["event_type"],
+            options={"metadata.iceberg.storage": "table-location"},
+            spark=spark)
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        t.writer().overwrite(
+            ev.filter(F.col("event_type") == "click")
+              .withColumn("value", F.lit(0.0)),
+            dynamic=True)
+        out["events_ice"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -445,7 +465,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -835,6 +855,22 @@ def time_travel_v1(spark, sf_dir):
 
 def incremental_diff(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read_incremental(1, 2)
+
+
+def iceberg_mirror_read(spark, sf_dir):
+    """S10 Iceberg-compatible metadata sink: read the mirrored table
+    ONLY through its Iceberg metadata (version-hint → metadata.json →
+    avro manifest list → avro manifests → data files; ref:
+    IcebergCommitCallback.java) and aggregate — proves an external
+    Iceberg reader sees exactly the engine's committed state across
+    appends and a partition overwrite."""
+    from paimon_spark.iceberg import read_iceberg
+    t = _wh(spark, sf_dir)["events_ice"]
+    df = read_iceberg(spark, t.paths.root)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("val_sum")))
 
 
 def audit_log_counts(spark, sf_dir):
@@ -1422,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_csv_pk": format_csv_pk,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
+        "iceberg_mirror_read": iceberg_mirror_read,
         "audit_log_counts": audit_log_counts,
         "agg_engine_user_stats": agg_engine_user_stats,
         "partial_update_orders": partial_update_orders,
@@ -1810,6 +1847,12 @@ def oracle_sql() -> dict[str, str]:
                    '9-UPDATED' AS o_orderpriority,
                    CAST(2 AS BIGINT) AS _sequence_number, '+I' AS _row_kind
             FROM orders WHERE o_orderkey % 10 = 0""",
+        "iceberg_mirror_read": """
+            SELECT event_type, count(*) AS cnt,
+                   CAST(sum(CAST(CASE WHEN event_type = 'click' THEN 0.0
+                                      ELSE value END AS DECIMAL(18,6)))
+                        AS DOUBLE) AS val_sum
+            FROM events GROUP BY event_type""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)

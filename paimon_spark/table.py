@@ -1056,6 +1056,17 @@ class Table:
             return partition_filter.test_partition(vals)
         return keep
 
+    def mirror_iceberg(self) -> None:
+        """Full resync of the Iceberg metadata mirror from the current
+        snapshot — for tables that enabled `metadata.iceberg.storage`
+        after accumulating history (per-commit mirroring is automatic
+        once the option is set; ref: IcebergCommitCallback)."""
+        from paimon_spark.iceberg import IcebergCompat
+        snap = self.paths.latest_snapshot()
+        if snap is None:
+            raise ValueError("table has no snapshot to mirror")
+        IcebergCompat(self).mirror(snap, None)
+
     def compact(self, full: bool = True,
                 partition_filter: "Predicate | None" = None
                 ) -> Snapshot | None:

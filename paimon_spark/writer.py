@@ -647,6 +647,13 @@ class BatchWriter:
                     # keep the streaming replay check O(1)
                     self.paths.record_commit_identifier(
                         self.commit_user, commit_identifier)
+                if self.paths.branch is None:
+                    from paimon_spark.iceberg import (IcebergCompat,
+                                                      iceberg_enabled)
+                    if iceberg_enabled(self.schema):
+                        # mirror the commit into Iceberg metadata (ref:
+                        # IcebergCommitCallback.call — commit callback)
+                        IcebergCompat(self.table).mirror(snap, entries)
                 return snap
         raise RuntimeError("commit failed after retries (too many concurrent writers)")
 
