@@ -619,10 +619,24 @@ class IcebergCompat:
             schemas.append(iceberg_schema_json(self.schema))
         snapshots = (list(prev_meta["snapshots"]) if prev_meta else [])
         snapshots.append(snapshot_json)
+        # retention follows paimon snapshot expiration: an iceberg
+        # snapshot whose paimon snapshot is expired (and not tag-pinned)
+        # is dropped, so metadata.json stays O(retained), not O(commits)
+        # (ref: IcebergCommitCallback expireAllBefore... / snapshot
+        # retention tied to the paimon snapshot lifecycle)
+        earliest = self.table.paths.earliest_snapshot_id() or 0
+        tags = self.table.paths.list_tags()
+        pinned = set(tags.values())
+        dropped = [s for s in snapshots
+                   if s["snapshot-id"] < earliest
+                   and s["snapshot-id"] not in pinned]
+        snapshots = [s for s in snapshots if s not in dropped]
         snap_log = (list(prev_meta.get("snapshot-log", []))
                     if prev_meta else [])
         snap_log.append({"timestamp-ms": snap.timestamp_ms,
                          "snapshot-id": snap.id})
+        keep_ids = {s["snapshot-id"] for s in snapshots}
+        snap_log = [x for x in snap_log if x["snapshot-id"] in keep_ids]
         meta_log = (list(prev_meta.get("metadata-log", []))
                     if prev_meta else [])
         if prev_version:
@@ -630,6 +644,11 @@ class IcebergCompat:
                 "timestamp-ms": prev_meta["last-updated-ms"],
                 "metadata-file": os.path.join(
                     self.meta_dir, f"v{prev_version}.metadata.json")})
+        prev_max = int(self.schema.options.get(
+            "metadata.iceberg.previous-versions-max", "100"))
+        expired_meta = meta_log[:-prev_max] if len(meta_log) > prev_max \
+            else []
+        meta_log = meta_log[-prev_max:]
 
         spec = partition_spec_json(self.schema)
         metadata = {
@@ -657,7 +676,13 @@ class IcebergCompat:
             "snapshots": snapshots,
             "snapshot-log": snap_log,
             "metadata-log": meta_log,
-            "refs": {"main": {"snapshot-id": snap.id, "type": "branch"}},
+            # paimon tags surface as Iceberg tag refs (ref:
+            # IcebergCommitCallback implements TagCallback)
+            "refs": {
+                "main": {"snapshot-id": snap.id, "type": "branch"},
+                **{name: {"snapshot-id": sid, "type": "tag"}
+                   for name, sid in tags.items() if sid in keep_ids},
+            },
         }
         version = (prev_version or 0) + 1
         vpath = os.path.join(self.meta_dir, f"v{version}.metadata.json")
@@ -673,6 +698,36 @@ class IcebergCompat:
         with open(f"{hint}.tmp", "w") as f:
             f.write(str(version))
         os.replace(f"{hint}.tmp", hint)
+
+        # ---- physical cleanup (after the hint points past them) ----
+        for m in expired_meta:
+            try:
+                os.remove(m["metadata-file"])
+            except FileNotFoundError:
+                pass
+        if dropped:
+            retained_manifests: set[str] = {
+                r["manifest_path"] for r in new_rows}
+            for s in snapshots:
+                if s["snapshot-id"] == snap.id:
+                    continue
+                try:
+                    _, rs = read_avro_file(s["manifest-list"])
+                    retained_manifests |= {r["manifest_path"] for r in rs}
+                except FileNotFoundError:
+                    pass
+            for s in dropped:
+                try:
+                    _, rs = read_avro_file(s["manifest-list"])
+                except FileNotFoundError:
+                    continue
+                for r in rs:
+                    if r["manifest_path"] not in retained_manifests:
+                        try:
+                            os.remove(r["manifest_path"])
+                        except FileNotFoundError:
+                            pass
+                os.remove(s["manifest-list"])
 
 
 # ---------------- an independent reader (for verification) ----------------

@@ -1356,7 +1356,9 @@ class Table:
         for dirpath, _d, files in os.walk(self.path):
             rel = os.path.relpath(dirpath, self.path)
             if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag",
-                                        "branch", ".staging"):
+                                        "branch", ".staging", "metadata"):
+                # metadata/ = the Iceberg-compat mirror (iceberg.py) —
+                # self-maintained, never orphaned by paimon snapshots
                 continue
             # the vector index is a rebuildable sidecar managed by
             # create/drop_vector_index, not manifest-tracked — skip it

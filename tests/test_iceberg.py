@@ -185,6 +185,41 @@ def test_resync_after_enabling_late(spark, wh):
     assert _same_rows(got, t.read().select("id", "s"), "id")
 
 
+def test_expiration_trims_mirror_and_tags_become_refs(spark, wh):
+    """metadata.json must stay O(retained snapshots), not O(commits):
+    paimon snapshot expiration drops the matching iceberg snapshots and
+    deletes their manifest-list/manifest files; paimon tags surface as
+    iceberg tag refs and pin their snapshot."""
+    import glob
+    df = spark.createDataFrame([(i, str(i)) for i in range(40)],
+                               "id int, s string")
+    t = Table.create(f"{wh}/exp", df.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    for k in range(4):                       # snapshots 1..4
+        t.append(df.filter(F.col("id") % 4 == k))
+    t.create_tag("keep3", 3)
+    t.expire_snapshots(retain_last=1)
+    t.append(spark.createDataFrame([(100, "x")], df.schema))  # snapshot 5
+
+    _, m = _meta(t.paths.root)
+    ids = {s["snapshot-id"] for s in m["snapshots"]}
+    assert 5 in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids                          # tag-pinned
+    assert m["refs"]["keep3"] == {"snapshot-id": 3, "type": "tag"}
+    assert m["refs"]["main"]["snapshot-id"] == 5
+    # dropped snapshots' manifest lists are physically gone
+    lists = glob.glob(os.path.join(t.paths.root, "metadata", "snap-*.avro"))
+    assert len(lists) == len(m["snapshots"])
+    # snapshot-log references only retained snapshots
+    assert {x["snapshot-id"] for x in m["snapshot-log"]} <= ids
+    got = read_iceberg(spark, t.paths.root)
+    assert _same_rows(got, t.read().select("id", "s"), "id")
+    # orphan cleanup must never eat the mirror
+    t.remove_orphan_files()
+    assert _same_rows(read_iceberg(spark, t.paths.root),
+                      t.read().select("id", "s"), "id")
+
+
 def test_unsupported_tables_fail_loudly(spark, wh):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     t = Table.create(f"{wh}/csvt", df.schema, spark=spark,
