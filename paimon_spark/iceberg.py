@@ -753,49 +753,66 @@ def read_iceberg(spark, table_root: str):
     part_cols = [by_id[f["source-id"]] for f in spec["fields"]]
 
     from pyspark.sql import functions as F
-    fmt_dfs = []
+
+    # collect (path, format, partition tuple) from the manifests — this
+    # is metadata, O(files) driver-side like any planner; the DATA read
+    # below is ONE multi-path scan per format (not a per-file union,
+    # which would explode the plan at 10⁵ files), with identity
+    # partition values re-attached via a broadcast join keyed on
+    # _metadata.file_path (spec: Column Projection / constant fields)
+    files: list[tuple[str, str, tuple]] = []
     for row in rows:
         _, entries = read_avro_file(row["manifest_path"])
         for e in entries:
             if e["status"] == 2:                       # DELETED
                 continue
-            df_meta = e["data_file"]
-            df = spark.read.format(
-                df_meta["file_format"].lower()).load(df_meta["file_path"])
-            # identity-partition reconstruction (spec: Column Projection)
-            for k in part_cols:
-                if k not in df.columns:
-                    v = df_meta["partition"].get(k)
-                    field = next(f for f in schema["fields"]
-                                 if f["name"] == k)
-                    df = df.withColumn(k, _lit_for(v, field["type"]))
-            cols = [f["name"] for f in schema["fields"]]
-            fmt_dfs.append(df.select(
-                *[F.col(c) for c in cols if c in df.columns],
-                *[F.lit(None).alias(c) for c in cols if c not in df.columns]
-            ).select(*cols))
-    if not fmt_dfs:
+            d = e["data_file"]
+            files.append((d["file_path"], d["file_format"].lower(),
+                          tuple(d["partition"].get(k) for k in part_cols)))
+    if not files:
         raise ValueError(f"iceberg metadata at {meta_dir} lists no files")
-    out = fmt_dfs[0]
-    for df in fmt_dfs[1:]:
-        out = out.unionByName(df)
+
+    cols = [f["name"] for f in schema["fields"]]
+    type_of = {f["name"]: f["type"] for f in schema["fields"]}
+    out = None
+    for fmt in sorted({f[1] for f in files}):
+        paths = [f[0] for f in files if f[1] == fmt]
+        reader = spark.read.format(fmt)
+        if fmt == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        df = reader.load(paths)
+        if part_cols:
+            part_rows = [(os.path.abspath(p),
+                          *[_py_part(v, type_of[k])
+                            for k, v in zip(part_cols, parts)])
+                         for p, f2, parts in files if f2 == fmt]
+            ddl = ", ".join(["__ice_fp string"]
+                            + [f"{k} {_spark_ddl(type_of[k])}"
+                               for k in part_cols])
+            pdf = spark.createDataFrame(part_rows, ddl)
+            df = (df.withColumn(
+                      "__ice_fp",
+                      F.regexp_replace(
+                          F.col("_metadata.file_path").cast("string"),
+                          "^file:/+", "/"))
+                  .join(F.broadcast(pdf), "__ice_fp"))
+        return_cols = [c for c in cols if c in df.columns]
+        df = df.select(*return_cols,
+                       *[F.lit(None).alias(c) for c in cols
+                         if c not in df.columns]).select(*cols)
+        out = df if out is None else out.unionByName(df)
     return out
 
 
-def _lit_for(v: Any, iceberg_type: str):
-    from pyspark.sql import functions as F
-    if v is None:
-        return F.lit(None)
-    if iceberg_type == "date":
-        return F.date_add(F.lit("1970-01-01").cast("date"), F.lit(int(v)))
-    if iceberg_type == "long":
-        return F.lit(int(v)).cast("long")
-    if iceberg_type == "int":
-        return F.lit(int(v)).cast("int")
-    if iceberg_type == "double":
-        return F.lit(float(v)).cast("double")
-    if iceberg_type == "float":
-        return F.lit(float(v)).cast("float")
-    if iceberg_type == "boolean":
-        return F.lit(bool(v))
-    return F.lit(str(v))
+def _py_part(v: Any, iceberg_type: str) -> Any:
+    """Manifest partition value → python value for the broadcast-join
+    side (dates travel as day ordinals in the manifest struct)."""
+    if v is None or iceberg_type != "date":
+        return v
+    return _EPOCH + datetime.timedelta(days=int(v))
+
+
+def _spark_ddl(iceberg_type: str) -> str:
+    return {"int": "int", "long": "bigint", "boolean": "boolean",
+            "float": "float", "double": "double", "date": "date",
+            "string": "string"}.get(iceberg_type, "string")
