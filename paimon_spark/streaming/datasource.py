@@ -576,7 +576,14 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
     commitIdentifier, so a replayed batch (restart between commit and
     checkpoint) is skipped — exactly-once, same protocol as
     `write_stream_to_table` (ref: PaimonSink.scala:31 +
-    FileStoreCommitImpl filterCommitted)."""
+    FileStoreCommitImpl filterCommitted).
+
+    PK tables: each batch's tasks read their sequence base from the
+    latest snapshot (batch N commits before batch N+1 runs), so
+    last-write-wins holds across micro-batches. WITHIN one batch all
+    rows share the base — duplicate keys inside a batch need
+    `sequence.field` for a defined order, the same contract as
+    `Table.append` (writer.stage stamps one sequence per commit)."""
 
     COMMIT_USER = "paimon-stream-write"
 
@@ -584,15 +591,6 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
         self.options = options
         self.schema = schema
         t = _load_table(options)
-        if t.schema.is_pk_table:
-            # write() has no batch id, so every micro-batch of a run
-            # would carry the SAME sequence number — breaking
-            # last-write-wins across batches. foreachBatch +
-            # write_stream_to_table stamps a fresh sequence per batch.
-            raise ValueError(
-                "format('paimon') streaming writes support append-only "
-                "tables; use foreachBatch + write_stream_to_table for "
-                "primary-key tables")
         self.meta = _routing_meta(t.schema)
         self.table_path = t.path
         self.staging = os.path.join(t.path, ".staging",
@@ -607,7 +605,19 @@ class PaimonStreamWriter(DataSourceStreamArrowWriter):
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return _FileCommitMessage(None)
-        written = _route_and_stage(batches, self.meta, self.staging, None)
+        seq = None
+        if self.meta["is_pk"]:
+            # per-batch sequence: Spark completes batch N's commit before
+            # batch N+1's tasks run, so the latest snapshot's
+            # max_sequence read task-side is ≥ every earlier batch —
+            # last-write-wins holds ACROSS batches (within a batch all
+            # rows share the sequence, same as the batch DataSource
+            # write; same-key rows land in the same task via bucket
+            # routing)
+            from paimon_spark.metadata import TablePaths
+            latest = TablePaths(self.table_path).latest_snapshot()
+            seq = (latest.max_sequence + 1) if latest else 1
+        written = _route_and_stage(batches, self.meta, self.staging, seq)
         # the task's staging root travels with the rel paths — the
         # driver-side writer instance has a DIFFERENT staging uuid
         return _FileCommitMessage(

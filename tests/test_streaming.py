@@ -467,6 +467,56 @@ def test_writestream_format_paimon_sink(spark, wh):
     assert all(s.commit_user == "paimon-stream-write" for s in snaps)
 
 
+def test_writestream_format_pk_table_last_write_wins(spark, wh):
+    """Native streaming sink into a fixed-bucket PK table: each
+    micro-batch reads its sequence base from the latest snapshot (batch
+    N commits before batch N+1 writes), so upserts across batches obey
+    last-write-wins."""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    src = Table.create(f"{wh}/swp_src", sch, spark=spark)
+    # 3 source snapshots with overlapping keys — maxSnapshotsPerBatch=1
+    # forces one micro-batch (and one sink sequence base) per snapshot
+    src.append(spark.createDataFrame([(k, "first") for k in range(8)], sch))
+    src.append(spark.createDataFrame(
+        [(k, "second") for k in range(4, 12)], sch))
+    src.append(spark.createDataFrame([(6, "third"), (20, "third")], sch))
+    dst = Table.create(f"{wh}/swp_dst", sch, primary_keys=["k"],
+                       options={"bucket": "2"}, spark=spark)
+    ckpt = f"{wh}/swp_ckpt_{_uuid.uuid4().hex[:6]}"
+    # availableNow falls back to single-batch for Python DataSources —
+    # a processingTime trigger honors maxSnapshotsPerBatch, giving one
+    # micro-batch (one sequence base) per source snapshot
+    q = (spark.readStream.format("paimon").option("path", src.path)
+         .option("maxSnapshotsPerBatch", "1").load()
+         .select("k", "v")
+         .writeStream.format("paimon").option("path", dst.path)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second").start())
+    import time as _t
+    out = Table.load(dst.path, spark)
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if (out.paths.latest_snapshot_id() or 0) >= 3:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    out = Table.load(dst.path, spark)
+    got = {r.k: r.v for r in out.read().collect()}
+    exp = {**{k: "first" for k in range(8)},
+           **{k: "second" for k in range(4, 12)},
+           6: "third", 20: "third"}
+    assert got == exp
+    # one snapshot per micro-batch, each with a fresh sequence range
+    snaps = [out.paths.read_snapshot(i)
+             for i in range(1, out.paths.latest_snapshot_id() + 1)]
+    seqs = [s.max_sequence for s in snaps]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
 def test_stream_read_limits_rows_and_snapshots(spark, wh):
     """maxSnapshotsPerBatch / maxRowsPerBatch bound each micro-batch
     (≈ ReadLimit in PaimonMicroBatchStream.scala:67-90)."""
