@@ -33,11 +33,37 @@ class Catalog:
         return Table.create(self._path(name), struct, partition_keys,
                             primary_keys, options, self.spark)
 
+    def create_object_table(self, name: str, location: str,
+                            options: dict[str, str] | None = None):
+        """A read-only metadata index over a directory of unstructured
+        objects (ref: ObjectTable.java; catalogs store type
+        'object-table' + the object location)."""
+        import json as _json
+        from paimon_spark.format_table import ObjectTable
+        p = self._path(name)
+        if os.path.exists(p):
+            raise FileExistsError(f"table {name} exists")
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "OBJECT.json"), "w") as f:
+            _json.dump({"type": "object-table", "object-location": location,
+                        "options": options or {}}, f)
+        return ObjectTable(location, self.spark, options)
+
     def get_table(self, name: str) -> Table:
+        import json as _json
+        marker = os.path.join(self._path(name), "OBJECT.json")
+        if os.path.exists(marker):
+            from paimon_spark.format_table import ObjectTable
+            with open(marker) as f:
+                d = _json.load(f)
+            return ObjectTable(d["object-location"], self.spark,
+                               d.get("options"))
         return Table.load(self._path(name), self.spark)
 
     def table_exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "schema"))
+        p = self._path(name)
+        return (os.path.exists(os.path.join(p, "schema"))
+                or os.path.exists(os.path.join(p, "OBJECT.json")))
 
     def drop_table(self, name: str):
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -72,8 +98,10 @@ class Catalog:
     def list_tables(self, db: str | None = None) -> list[str]:
         base = os.path.join(self.warehouse, db + ".db") if db else self.warehouse
         try:
-            return sorted(n for n in os.listdir(base)
-                          if os.path.isdir(os.path.join(base, n, "schema")))
+            return sorted(
+                n for n in os.listdir(base)
+                if os.path.isdir(os.path.join(base, n, "schema"))
+                or os.path.exists(os.path.join(base, n, "OBJECT.json")))
         except FileNotFoundError:
             return []
 

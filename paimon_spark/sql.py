@@ -347,6 +347,15 @@ class SQLRouter:
             for item in _split_top(props_s):
                 k, _, v = item.partition("=")
                 options[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        if options.get("type") == "object-table":
+            # CREATE TABLE t TBLPROPERTIES ('type'='object-table',
+            # 'object-location'='/path') — ref: object table DDL
+            options.pop("type")
+            loc = options.pop("object-location", None)
+            if not loc:
+                raise ValueError("object-table needs 'object-location'")
+            self.catalog.create_object_table(name, loc, options or None)
+            return None
         primary_keys = [k.strip() for k in
                         options.pop("primary-key", "").split(",")
                         if k.strip()] or None
