@@ -1067,6 +1067,51 @@ class Table:
             raise ValueError("table has no snapshot to mirror")
         IcebergCompat(self).mirror(snap, None)
 
+    def _record_expire_keep(self):
+        """Row-keep condition for record-level expiration, or None.
+        `record-level.expire-time` + `record-level.time-field`: rows
+        whose time field is older than the TTL are dropped when a
+        compaction rewrites them (ref: io/RecordLevelExpire.java —
+        "record level expire only works in compaction"; reads surface
+        expired rows until then). Time-field decoding follows
+        createFieldGetterAndConvertToSecond: INT = epoch seconds,
+        BIGINT = epoch millis if ≥1e12 else seconds, TIMESTAMP → seconds;
+        NULL times never expire."""
+        import re as _re
+        import time as _time
+
+        dur = self.schema.options.get("record-level.expire-time")
+        if not dur:
+            return None
+        if not self.schema.is_pk_table:
+            raise ValueError("record-level.expire-time applies to "
+                             "primary-key tables (merge-tree compaction)")
+        field = self.schema.options.get("record-level.time-field")
+        if not field:
+            raise ValueError("record-level.expire-time needs "
+                             "record-level.time-field")
+        m = _re.fullmatch(r"(\d+)\s*(s|m|min|h|d)", dur.strip())
+        if not m:
+            raise ValueError(f"cannot parse duration {dur!r} "
+                             f"(use e.g. '30 d', '12 h', '600 s')")
+        secs_ttl = int(m.group(1)) * {"s": 1, "m": 60, "min": 60,
+                                      "h": 3600, "d": 86400}[m.group(2)]
+        dt = self.schema.data_type(field)
+        col = F.col(field)
+        if isinstance(dt, T.IntegerType):
+            secs = col.cast("long")
+        elif isinstance(dt, T.LongType):
+            secs = F.when(col >= F.lit(1_000_000_000_000),
+                          (col / 1000).cast("long")).otherwise(col)
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            secs = col.cast("long")
+        else:
+            raise ValueError(
+                f"record-level.time-field must be INT, BIGINT or "
+                f"TIMESTAMP, got {dt.simpleString()}")
+        cutoff = int(_time.time()) - secs_ttl
+        return col.isNull() | (secs >= F.lit(cutoff))
+
     def compact(self, full: bool = True,
                 partition_filter: "Predicate | None" = None
                 ) -> Snapshot | None:
@@ -1100,6 +1145,9 @@ class Table:
             if not victims:
                 return latest
             df = self._read_files(victims)
+            expire_keep = self._record_expire_keep()
+            if expire_keep is not None:
+                df = df.filter(expire_keep)
             merged = apply_merge(df, self.schema)
             # carry each key's max sequence through so later-arriving rows
             # still merge in correct order after the rewrite
@@ -1159,8 +1207,11 @@ class Table:
             return self.paths.latest_snapshot()
         w = self.writer()
         adds: list[FileEntry] = []
+        expire_keep = self._record_expire_keep()
         if full_victims:
             df = self._read_files(full_victims)
+            if expire_keep is not None:
+                df = df.filter(expire_keep)
             merged = apply_merge(df, self.schema)
             seqs = (df.groupBy(*self.schema.primary_keys)
                     .agg(F.max(SEQ_COL).alias(SEQ_COL)))
@@ -1169,6 +1220,8 @@ class Table:
             adds += w.stage(merged, level=COMPACTED_LEVEL)
         if partial_victims:
             df = self._read_files(partial_victims)
+            if expire_keep is not None:
+                df = df.filter(expire_keep)
             pks = self.schema.primary_keys
             keep = [c for c in df.columns if c not in pks and c != BUCKET_COL]
             top = F.max_by(F.struct(*[F.col(c) for c in keep]),

@@ -1,0 +1,96 @@
+"""Record-level expiration: rows older than record-level.expire-time
+(by record-level.time-field) are dropped when compaction rewrites them
+(ref: paimon-core/.../io/RecordLevelExpire.java — expire applies at
+compaction only; reads surface expired rows until then)."""
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from paimon_spark import Table
+
+SCH = T.StructType([T.StructField("id", T.LongType()),
+                    T.StructField("ts", T.LongType()),
+                    T.StructField("v", T.StringType())])
+
+
+def _mk(spark, wh, ts_type="bigint_seconds", ttl="1 h"):
+    t = Table.create(
+        f"{wh}/exp_{ts_type}", SCH, primary_keys=["id"],
+        options={"bucket": "2", "record-level.expire-time": ttl,
+                 "record-level.time-field": "ts"}, spark=spark)
+    now = int(time.time())
+    old, fresh = now - 7200, now - 60
+    if ts_type == "bigint_millis":
+        old, fresh = old * 1000, fresh * 1000
+    rows = [(1, old, "old"), (2, fresh, "fresh"), (3, None, "no-ts")]
+    t.append(spark.createDataFrame(rows, SCH))
+    return t
+
+
+def test_expire_applies_at_compaction_only(spark, wh):
+    t = _mk(spark, wh)
+    # before compaction: reads still see the expired row (reference
+    # semantics — expire works in compaction)
+    assert t.read().count() == 3
+    t.compact(full=True)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {2: "fresh", 3: "no-ts"}   # NULL time never expires
+
+
+def test_expire_millisecond_epoch_autodetected(spark, wh):
+    t = _mk(spark, wh, ts_type="bigint_millis")
+    t.compact(full=True)
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_expire_timestamp_field(spark, wh):
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("ts", T.TimestampType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/exp_ts", sch, primary_keys=["id"],
+        options={"bucket": "1", "record-level.expire-time": "30 m",
+                 "record-level.time-field": "ts"}, spark=spark)
+    import datetime as dt
+    now = dt.datetime.now(dt.timezone.utc)
+    t.append(spark.createDataFrame(
+        [(1, now - dt.timedelta(hours=2), "old"),
+         (2, now, "fresh")], sch))
+    t.compact(full=True)
+    assert [r.id for r in t.read().collect()] == [2]
+
+
+def test_expire_universal_compaction(spark, wh):
+    t = Table.create(
+        f"{wh}/exp_uni", SCH, primary_keys=["id"],
+        options={"bucket": "1", "record-level.expire-time": "1 h",
+                 "record-level.time-field": "ts",
+                 "num-sorted-run.compaction-trigger": "2"}, spark=spark)
+    now = int(time.time())
+    for i in range(3):                       # 3 runs → universal picks
+        t.append(spark.createDataFrame(
+            [(10 + i, now - 7200, "old"), (20 + i, now, "fresh")], SCH))
+    t.compact(full=False)
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == [20, 21, 22]
+
+
+def test_expire_config_errors(spark, wh):
+    t = Table.create(
+        f"{wh}/exp_bad", SCH, primary_keys=["id"],
+        options={"bucket": "1", "record-level.expire-time": "1 h"},
+        spark=spark)
+    t.append(spark.createDataFrame([(1, 1, "x")], SCH))
+    with pytest.raises(ValueError, match="time-field"):
+        t.compact(full=True)
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("ts", T.StringType())])
+    t2 = Table.create(
+        f"{wh}/exp_badtype", sch, primary_keys=["id"],
+        options={"bucket": "1", "record-level.expire-time": "1 h",
+                 "record-level.time-field": "ts"}, spark=spark)
+    t2.append(spark.createDataFrame([(1, "2024")], sch))
+    with pytest.raises(ValueError, match="INT, BIGINT or TIMESTAMP"):
+        t2.compact(full=True)
