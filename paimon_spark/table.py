@@ -1766,6 +1766,10 @@ class Table:
                     ("schemas", self.schemas_df),
                     ("manifests", self.manifests_df),
                     ("audit_log", self.read_audit_log),
+                    ("buckets", self.buckets_df),
+                    ("aggregation_fields", self.aggregation_fields_df),
+                    ("table_indexes", self.table_indexes_df),
+                    ("row_tracking", self.row_tracking_df),
                     ("statistics", self.statistics_df),
                     ("ro", self.read_optimized),
                     ("read_optimized", self.read_optimized)):
@@ -1991,6 +1995,60 @@ class Table:
             rows, "partition string, bucket int, file_path string, level int, "
                   "record_count long, file_size_in_bytes long, min_sequence_number long, "
                   "max_sequence_number long")
+
+    def buckets_df(self) -> DataFrame:
+        """`t$buckets` (ref: table/system/BucketsTable.java): per-bucket
+        rollup of the live files."""
+        plan = self.new_scan().plan()
+        agg: dict[tuple, list[int]] = {}
+        for e in plan.entries:
+            k = (json.dumps(e.partition), e.bucket)
+            a = agg.setdefault(k, [0, 0, 0, 0])
+            a[0] += e.row_count
+            a[1] += e.file_size
+            a[2] += 1
+            a[3] = max(a[3], e.max_seq)
+        rows = [(p, b, *v) for (p, b), v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, bucket int, record_count long, "
+                  "file_size_in_bytes long, file_count long, "
+                  "max_sequence_number long")
+
+    def aggregation_fields_df(self) -> DataFrame:
+        """`t$aggregation_fields` (ref: AggregationFieldsTable.java):
+        per-field aggregate function + type for aggregation tables."""
+        fns = self.schema.field_agg_functions()
+        groups = self.schema.sequence_groups()
+        rows = [(f.name, f.dataType.simpleString(),
+                 fns.get(f.name), ",".join(groups.get(f.name, [])) or None)
+                for f in self.schema.struct.fields]
+        return self.spark.createDataFrame(
+            rows, "field_name string, field_type string, function string, "
+                  "sequence_group string")
+
+    def table_indexes_df(self) -> DataFrame:
+        """`t$table_indexes` (ref: TableIndexesTable.java): index
+        sidecars tracked by the manifests — deletion vectors, bloom and
+        bitmap file indexes."""
+        plan = self.new_scan().plan()
+        rows = []
+        for e in plan.entries:
+            if e.dv_path:
+                rows.append((json.dumps(e.partition), e.bucket,
+                             "DELETION_VECTORS", e.dv_path, e.dv_count))
+            if e.index_path:
+                rows.append((json.dumps(e.partition), e.bucket,
+                             "FILE_INDEX", e.index_path, e.row_count))
+        return self.spark.createDataFrame(
+            rows or [(None, None, None, None, None)],
+            "partition string, bucket int, index_type string, "
+            "file_name string, row_count long") \
+            .filter(F.col("index_type").isNotNull())
+
+    def row_tracking_df(self) -> DataFrame:
+        """`t$row_tracking` (ref: RowTrackingTable.java): rows with
+        their lineage ids exposed as columns."""
+        return self.read_with_lineage()
 
     def partitions_df(self) -> DataFrame:
         plan = self.new_scan().plan()
