@@ -985,6 +985,42 @@ def text_repetition(spark, sf_dir):
         F.size(TX.sentences(F.col("text"))).alias("n_sentences"))
 
 
+def pii_redact(spark, sf_dir):
+    """PII detection + redaction — the hygiene pass a shippable corpus
+    needs. The synthetic docs carry no PII, so the query plants one
+    deterministic email + IPv4 per doc (a pure column transform of the
+    given table) and the operator must find and mask exactly those.
+    Catalyst regexp ops only; Java and RE2 agree on the restricted
+    pattern syntax so the DuckDB oracle mirrors byte-for-byte."""
+    from paimon_spark.functions.text import pii_counts, redact_pii
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com ip 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")).alias("t"))
+    c = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_ips"].cast("long").alias("n_ips"),
+        F.length(redact_pii(F.col("t"))).cast("long").alias("red_len"))
+
+
+def contamination_4gram(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a word 4-gram with the
+    benchmark subset (doc_id % 97 = 0). Both sides explode to
+    xxhash64(ngram) 8-byte keys — no string shipping, no all-pairs;
+    the distinct benchmark side broadcasts under AQE."""
+    from paimon_spark.functions.text import contamination
+    docs = _read(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0), n=4,
+    ).select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+
+
 def text_chunks(spark, sf_dir):
     """Sliding-window chunking (width 64 words, stride 32) — one row per
     chunk, the LLM-context preprocessing shape. Split/sequence/slice
@@ -1476,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_repetition": text_repetition,
         "text_chunks": text_chunks,
+        "pii_redact": pii_redact,
+        "contamination_4gram": contamination_4gram,
         "bitmap_rowrange_lang": bitmap_rowrange_lang,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1938,6 +1976,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
                    array_to_string(words[(i*32+1):(i*32+64)], ' ') AS chunk
             FROM e""",
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com ip 10.0.0.' || (doc_id % 256)
+                         AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                        '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   CAST(length(regexp_replace(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '[PII]', 'g'),
+                        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'))
+                        AS BIGINT) AS red_len
+            FROM aug""",
+        "contamination_4gram": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS w
+              FROM documents),
+            ng AS (
+              SELECT doc_id, array_to_string(w[s:s+3], ' ') AS g
+              FROM tok,
+                   unnest(generate_series(1, greatest(len(w)-3, 0))) AS t(s)),
+            bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0)
+            SELECT ng.doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+            FROM ng JOIN bench USING (g)
+            WHERE ng.doc_id % 97 <> 0
+            GROUP BY ng.doc_id""",
         "bitmap_rowrange_lang":
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'fr'",

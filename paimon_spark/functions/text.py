@@ -232,3 +232,68 @@ def bm25_search(df, query: str, k: int = 10, text_col: str = "text",
             .orderBy(F.desc("_score"))
             .limit(k)
             .drop("__dl"))
+
+
+# ---------------- PII detection / redaction ----------------
+# Standard training-data hygiene pass: find and mask emails / IPv4s /
+# phone-ish numbers before a corpus ships. Pure Catalyst regexes (Java
+# and RE2 agree on this restricted syntax, so the DuckDB oracle mirrors
+# exactly).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII hit counts."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
+    }
+
+
+def redact_pii(col: Column, token: str = "[PII]") -> Column:
+    """Mask every PII span with a fixed token."""
+    out = F.regexp_replace(col, PII_EMAIL, token)
+    return F.regexp_replace(out, PII_IPV4, token)
+
+
+def sql_pii_email() -> str:
+    return PII_EMAIL
+
+
+# ---------------- benchmark decontamination ----------------
+
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Sliding word n-grams as strings (single-space tokenization to
+    stay byte-identical with the DuckDB mirror). Catalyst-only:
+    split → sequence → transform(slice)."""
+    w = F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+    # sequence(1, 0) would generate DESCENDING [1, 0] — short docs need
+    # an explicit empty
+    idx = F.when(F.size(w) >= n,
+                 F.sequence(F.lit(1), F.size(w) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def contamination(df, benchmark_df, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8):
+    """Docs sharing at least one word n-gram with a benchmark set —
+    the decontamination pass an eval-safe training corpus needs.
+
+    Scale shape: both sides explode to (xxhash64(ngram), id) pairs —
+    8-byte keys, not strings — then an equi-join on the hash and a
+    count(DISTINCT) per doc. No all-pairs comparison; the benchmark
+    side is typically small enough that AQE broadcasts it."""
+    def grams(d):
+        return (d.select(id_col,
+                         F.explode(word_ngrams(F.col(text_col), n))
+                         .alias("g"))
+                .select(id_col, F.xxhash64("g").alias("gh")))
+    doc_g = grams(df)
+    bench_g = grams(benchmark_df).select(
+        F.col(id_col).alias("bench_id"), "gh").dropDuplicates(["gh"])
+    return (doc_g.join(bench_g, "gh")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gh").alias("n_shared")))

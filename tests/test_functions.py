@@ -172,3 +172,43 @@ def test_repetition_ratio_and_chunking(spark):
     ch0 = spark.createDataFrame([("",)], "t string").select(
         TX.chunk_texts(F.col("t")).alias("c")).collect()[0].c
     assert ch0 == [""]
+
+
+def test_pii_detect_and_redact(spark):
+    from paimon_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or 192.168.0.1 ok"),
+         (2, "no pii here at all"),
+         (3, "two mails a@b.co c@d.io and ip 10.0.0.255")],
+        "id int, t string")
+    c = pii_counts(F.col("t"))
+    got = {r.id: (r.e, r.i, r.red) for r in df.select(
+        "id", c["n_emails"].alias("e"), c["n_ips"].alias("i"),
+        redact_pii(F.col("t")).alias("red")).collect()}
+    assert got[1][0] == 1 and got[1][1] == 1 and "[PII]" in got[1][2]
+    assert "bob.smith" not in got[1][2] and "192.168" not in got[1][2]
+    assert got[2] == (0, 0, "no pii here at all")
+    assert got[3][0] == 2 and got[3][1] == 1
+
+
+def test_contamination_ngrams(spark):
+    from paimon_spark.functions.text import contamination, word_ngrams
+    from pyspark.sql import functions as F
+    # short docs (< n words) must yield NO n-grams, not a descending
+    # sequence artifact
+    short = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    assert short.select(
+        F.size(word_ngrams(F.col("text"), 4)).alias("n")).first().n == 0
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a totally different sentence with no overlap here"),
+         (3, "quick brown fox jumps somewhere else entirely")],
+        "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps too")],
+        "doc_id int, text string")
+    got = {r.doc_id: r.n_shared
+           for r in contamination(docs, bench, n=4).collect()}
+    assert 1 in got and got[1] >= 1       # shares "quick brown fox jumps"
+    assert 3 in got and 2 not in got
