@@ -937,6 +937,20 @@ def dedup_minhash_pairs(spark, sf_dir):
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
 
 
+def dedup_clusters(spark, sf_dir):
+    """LSH pairs → connected components → per-cluster survivor: the
+    full dedup decision (which rows to keep) rather than just candidate
+    pairs. Iterative min-label propagation, O(component diameter)
+    rounds of shuffle joins; oracle = DuckDB recursive-CTE transitive
+    closure over the identical pair set."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+    cc = DD.connected_components(pairs)
+    return cc.select("doc_id", "cluster_id",
+                     (F.col("doc_id") == F.col("cluster_id"))
+                     .alias("is_survivor"))
+
+
 def dedup_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return DD.with_simhash(docs, "doc_id", "text", 32)
@@ -1505,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_bands": dedup_minhash_bands,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_quality": text_quality,
@@ -1942,6 +1957,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, '3#' || band3 FROM bk)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM st a JOIN st b ON a.bk = b.bk AND a.doc_id < b.doc_id""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+            bk AS (SELECT doc_id, {', '.join(bands)} FROM sig),
+            st AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bk UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bk UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bk UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bk),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM st a JOIN st b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+                   a = least(a, min(b)) AS is_survivor
+            FROM reach GROUP BY a""",
         "dedup_simhash": f"""
             SELECT doc_id, {DD.sql_simhash('text', 32)} AS simhash FROM documents""",
         "ngram_jaccard_pairs": f"""

@@ -233,3 +233,42 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
             .groupBy("__k")
             .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
             .withColumnRenamed("__k", "content_hash"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: (doc_id,
+    cluster_id = min id in the connected component). Closes the dedup
+    loop — LSH emits pairs, this groups them, and `doc_id = cluster_id`
+    marks the survivor each cluster keeps.
+
+    Iterative min-label propagation (the GraphX/large-star shape):
+    every round each node takes the min label among itself and its
+    neighbors — converges in O(component diameter) rounds, and near-dup
+    components are shallow (a dup cluster is almost a clique). Each
+    round is one shuffle join + one groupBy; the driver loop is CONTROL
+    only (the convergence check is a 1-row count, data stays put)."""
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    edges = edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).persist())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("lbl", "dlbl"), "dst")
+               .groupBy("src").agg(F.min("dlbl").alias("nlbl")))
+        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+               .select("id", F.least(
+                   F.col("lbl"), F.coalesce("nlbl", F.col("lbl")))
+                   .alias("lbl")).persist())
+        changed = (new.withColumnRenamed("lbl", "new_lbl")
+                   .join(labels, "id")
+                   .filter(F.col("new_lbl") != F.col("lbl"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))

@@ -212,3 +212,15 @@ def test_contamination_ngrams(spark):
            for r in contamination(docs, bench, n=4).collect()}
     assert 1 in got and got[1] >= 1       # shares "quick brown fox jumps"
     assert 3 in got and 2 not in got
+
+
+def test_connected_components_chain_and_clique(spark):
+    from paimon_spark.functions.dedup import connected_components
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 HEADLINE = ["q1_pricing_summary", "q5_region_revenue", "q6_revenue",
             "q21_waiting_suppliers", "pk_upsert_latest", "dedup_exact",
-            "dedup_minhash_pairs", "ann_ivf_topk", "window_user_ranks"]
+            "dedup_minhash_pairs", "ann_ivf_topk", "window_user_ranks",
+            "iceberg_mirror_read", "contamination_4gram", "pii_redact"]
 
 
 def main():
