@@ -14,7 +14,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from paimon_spark import Table
+from paimon_spark import P, Table
 from paimon_spark.avro_io import read_avro_file, write_avro_file
 from paimon_spark.iceberg import (MANIFEST_LIST_AVRO_SCHEMA, IcebergCompat,
                                   read_iceberg)
@@ -232,3 +232,49 @@ def test_unsupported_tables_fail_loudly(spark, wh):
                                "deletion-vectors.enabled": "true"})
     with pytest.raises(ValueError, match="deletion-vector"):
         t2.append(df)
+
+
+def test_randomized_mirror_stays_consistent(spark, wh):
+    """Model-based chaos: a random op sequence (append / dynamic
+    overwrite / compact / delete) over an Iceberg-mirrored table must
+    keep read_iceberg() == table.read() after EVERY commit — any
+    mirror drift (missed removal, double-add, stale manifest reuse)
+    surfaces immediately."""
+    import random
+    rng = random.Random(42)
+    df_sch = "k int, part int, v int"
+    t = Table.create(
+        f"{wh}/chaos",
+        spark.createDataFrame([], df_sch).schema,
+        partition_keys=["part"], spark=spark, options=dict(ICE_OPT))
+
+    def rand_rows(n):
+        return [(rng.randrange(1000), rng.randrange(4), rng.randrange(100))
+                for _ in range(n)]
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "overwrite", "compact",
+                         "delete"])
+        if op == "append":
+            t.append(spark.createDataFrame(rand_rows(rng.randrange(1, 30)),
+                                           df_sch))
+        elif op == "overwrite":
+            part = rng.randrange(4)
+            rows = [(k, part, v) for k, _, v in rand_rows(5)]
+            t.writer().overwrite(spark.createDataFrame(rows, df_sch),
+                                 dynamic=True)
+        elif op == "compact":
+            t.compact(full=True)
+        else:
+            t.delete_where(P.expr(f"v < {rng.randrange(20)}"))
+        if t.paths.latest_snapshot() is None:
+            continue
+        eng = t.read().select("k", "part", "v")
+        try:
+            ice = read_iceberg(spark, t.paths.root).select("k", "part", "v")
+        except ValueError:
+            assert eng.count() == 0, f"step {step}: engine has rows, " \
+                                     f"iceberg metadata lists no files"
+            continue
+        assert ice.exceptAll(eng).count() == 0 \
+            and eng.exceptAll(ice).count() == 0, f"divergence at step {step}"
