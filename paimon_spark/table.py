@@ -1352,6 +1352,58 @@ class Table:
                 invalidate_global_index
             invalidate_global_index(self.paths.meta_root)
 
+    def expire_snapshots_policy(self) -> int:
+        """Option-driven retention, applied automatically after every
+        commit (ref: FileStoreCommitImpl → SnapshotDeletion;
+        CoreOptions snapshot.num-retained.min/max + time-retained,
+        defaults 10 / unbounded / 1 h): keep at least `min` snapshots;
+        beyond that expire snapshots older than `time-retained`; never
+        exceed `max` regardless of age. Tag and consumer pins apply as
+        in expire_snapshots. O(#expired) file ops per call — a no-op
+        commit pays two metadata reads."""
+        import re as _re
+
+        opts = self.schema.options
+        n_min = int(opts.get("snapshot.num-retained.min", "10"))
+        n_max = int(opts.get("snapshot.num-retained.max", str(2**31 - 1)))
+        dur = opts.get("snapshot.time-retained", "1 h")
+        m = _re.fullmatch(r"(\d+)\s*(ms|s|m|min|h|d)", dur.strip())
+        if not m:
+            raise ValueError(f"cannot parse snapshot.time-retained {dur!r}")
+        ttl_ms = int(m.group(1)) * {"ms": 1, "s": 1000, "m": 60_000,
+                                    "min": 60_000, "h": 3_600_000,
+                                    "d": 86_400_000}[m.group(2)]
+        latest = self.paths.latest_snapshot_id()
+        earliest = self.paths.earliest_snapshot_id()
+        if latest is None or earliest is None:
+            return 0
+        count = latest - earliest + 1
+        if count <= n_min:
+            return 0
+        cutoff_ms = int(time.time() * 1000) - ttl_ms
+        tag_pins = set(self.paths.list_tags().values())
+        consumers = self._list_consumers()
+        consumer_floor = (min(n for _c, n in consumers) - 1
+                          if consumers else latest + 1)
+        removed = 0
+        for sid in range(earliest, latest - n_min + 1):
+            over_max = (latest - sid + 1) > n_max
+            if not over_max:
+                try:
+                    snap = self.paths.read_snapshot(sid)
+                except FileNotFoundError:
+                    continue
+                if snap.timestamp_ms > cutoff_ms:
+                    break                       # newer ones are newer still
+            if sid in tag_pins or sid >= consumer_floor:
+                continue
+            try:
+                os.remove(self.paths.snapshot_file(sid))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""
         latest = self.paths.latest_snapshot_id()

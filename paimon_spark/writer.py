@@ -654,8 +654,33 @@ class BatchWriter:
                         # mirror the commit into Iceberg metadata (ref:
                         # IcebergCommitCallback.call — commit callback)
                         IcebergCompat(self.table).mirror(snap, entries)
+                self._post_commit(snap, kind)
                 return snap
         raise RuntimeError("commit failed after retries (too many concurrent writers)")
+
+    def _post_commit(self, snap: Snapshot, kind: str) -> None:
+        """Auto-maintenance the reference performs inside its committer:
+        snapshot retention (snapshot.num-retained.min/max +
+        snapshot.time-retained → SnapshotDeletion) on every commit, and
+        a full compaction every `full-compaction.delta-commits` data
+        commits (ref: CoreOptions FULL_COMPACTION_DELTA_COMMITS;
+        changelog-producer=full-compaction and Iceberg mirroring of PK
+        tables both rely on it)."""
+        self.table.expire_snapshots_policy()
+        delta = self.schema.options.get("full-compaction.delta-commits")
+        if not delta or kind != COMMIT_APPEND:
+            return
+        n = int(delta)
+        # COMPACT within the last n-1 snapshots → not due yet. Bounded
+        # descending walk (≤ n-1 metadata reads), no full history scan.
+        for sid in range(snap.id - 1, max(snap.id - n, 0), -1):
+            try:
+                if self.paths.read_snapshot(sid).commit_kind == COMMIT_COMPACT:
+                    return
+            except FileNotFoundError:
+                break
+        if snap.id >= n:
+            self.table.compact(full=True)
 
     # ---------------- public ops ----------------
 

@@ -94,3 +94,58 @@ def test_expire_config_errors(spark, wh):
     t2.append(spark.createDataFrame([(1, "2024")], sch))
     with pytest.raises(ValueError, match="INT, BIGINT or TIMESTAMP"):
         t2.compact(full=True)
+
+
+def test_auto_snapshot_retention_policy(spark, wh):
+    """snapshot.num-retained.max / .min / time-retained applied on every
+    commit (ref: FileStoreCommitImpl -> SnapshotDeletion)."""
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    t = Table.create(f"{wh}/autoexp", sch,
+                     options={"snapshot.num-retained.min": "2",
+                              "snapshot.num-retained.max": "3"},
+                     spark=spark)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], sch))
+    assert t.paths.latest_snapshot_id() == 6
+    assert t.paths.earliest_snapshot_id() >= 4      # max 3 retained
+    # default policy (min 10, 1 h) expires nothing on young tables
+    t2 = Table.create(f"{wh}/young", sch, spark=spark)
+    for i in range(4):
+        t2.append(spark.createDataFrame([(i,)], sch))
+    assert t2.paths.earliest_snapshot_id() == 1
+    # time-retained with min floor: everything is "too old" but min=2 stays
+    t3 = Table.create(f"{wh}/ttl", sch,
+                      options={"snapshot.num-retained.min": "2",
+                               "snapshot.time-retained": "0 s"},
+                      spark=spark)
+    for i in range(5):
+        t3.append(spark.createDataFrame([(i,)], sch))
+    assert t3.paths.earliest_snapshot_id() == 4     # last 2 retained
+
+
+def test_full_compaction_delta_commits(spark, wh):
+    """full-compaction.delta-commits=3: every third data commit triggers
+    an automatic full compaction (ref: CoreOptions
+    FULL_COMPACTION_DELTA_COMMITS)."""
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/autocompact", sch, primary_keys=["id"],
+                     options={"bucket": "1",
+                              "full-compaction.delta-commits": "3"},
+                     spark=spark)
+    for i in range(3):
+        t.append(spark.createDataFrame([(k, f"b{i}") for k in range(5)], sch))
+    kinds = [t.paths.read_snapshot(s).commit_kind
+             for s in range(1, t.paths.latest_snapshot_id() + 1)]
+    assert kinds == ["APPEND", "APPEND", "APPEND", "COMPACT"]
+    # merged view intact, files at max level
+    assert t.read().count() == 5
+    plan = t.new_scan().plan()
+    from paimon_spark.table import COMPACTED_LEVEL
+    assert all(e.level == COMPACTED_LEVEL for e in plan.entries)
+    # two more appends: not due again until the third after the compact
+    t.append(spark.createDataFrame([(9, "x")], sch))
+    t.append(spark.createDataFrame([(9, "y")], sch))
+    kinds = [t.paths.read_snapshot(s).commit_kind
+             for s in range(1, t.paths.latest_snapshot_id() + 1)]
+    assert kinds.count("COMPACT") == 1
