@@ -667,6 +667,7 @@ class BatchWriter:
         changelog-producer=full-compaction and Iceberg mirroring of PK
         tables both rely on it)."""
         self.table.expire_snapshots_policy()
+        self._maybe_expire_partitions(kind)
         delta = self.schema.options.get("full-compaction.delta-commits")
         if not delta or kind != COMMIT_APPEND:
             return
@@ -681,6 +682,41 @@ class BatchWriter:
                 break
         if snap.id >= n:
             self.table.compact(full=True)
+
+    def _maybe_expire_partitions(self, kind: str) -> None:
+        """Auto partition expiration (ref: PartitionExpire invoked by
+        the committer, throttled by
+        partition.expiration-check-interval, default 1 h — the live-file
+        walk is O(files), so it must NOT run on every commit)."""
+        import re as _re
+
+        opts = self.schema.options
+        exp = opts.get("partition.expiration-time")
+        if not exp or not self.schema.partition_keys \
+                or kind == COMMIT_OVERWRITE:
+            # expired partitions drop via an OVERWRITE commit — the
+            # kind guard breaks the recursion
+            return
+        interval = opts.get("partition.expiration-check-interval", "1 h")
+        m = _re.fullmatch(r"(\d+)\s*(s|m|min|h|d)", interval.strip())
+        secs = int(m.group(1)) * {"s": 1, "m": 60, "min": 60, "h": 3600,
+                                  "d": 86400}[m.group(2)] if m else 3600
+        marker = os.path.join(self.paths.meta_root,
+                              "partition-expire-check")
+        try:
+            last = os.path.getmtime(marker)
+        except OSError:
+            last = 0.0
+        if time.time() - last < secs:
+            return
+        with open(marker, "w") as f:        # stamp BEFORE running
+            f.write(str(int(time.time())))
+        from paimon_spark.procedures import expire_partitions
+        expire_partitions(
+            self.table.spark, self.table, exp,
+            timestamp_formatter=opts.get("partition.timestamp-formatter",
+                                         "%Y-%m-%d"),
+            timestamp_pattern=opts.get("partition.timestamp-pattern"))
 
     # ---------------- public ops ----------------
 

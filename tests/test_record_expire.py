@@ -149,3 +149,40 @@ def test_full_compaction_delta_commits(spark, wh):
     kinds = [t.paths.read_snapshot(s).commit_kind
              for s in range(1, t.paths.latest_snapshot_id() + 1)]
     assert kinds.count("COMPACT") == 1
+
+
+def test_auto_partition_expiration(spark, wh):
+    """partition.expiration-time: the committer drops expired partitions
+    (throttled by partition.expiration-check-interval; ref:
+    PartitionExpire)."""
+    import datetime as dt
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("dt", T.StringType())])
+    old = (dt.date.today() - dt.timedelta(days=30)).isoformat()
+    fresh = dt.date.today().isoformat()
+    t = Table.create(f"{wh}/pexp", sch, partition_keys=["dt"],
+                     options={"partition.expiration-time": "7 d",
+                              "partition.expiration-check-interval": "0 s"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, old), (2, fresh)], sch))
+    # the check ran at commit → a follow-up commit sees the drop done;
+    # interval 0 s means every commit checks
+    t.append(spark.createDataFrame([(3, fresh)], sch))
+    parts = {r.dt for r in t.read().select("dt").distinct().collect()}
+    assert parts == {fresh}
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_partition_expiration_throttled(spark, wh):
+    """With a long check interval the walk runs once, not per commit."""
+    import datetime as dt
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("dt", T.StringType())])
+    old = (dt.date.today() - dt.timedelta(days=30)).isoformat()
+    t = Table.create(f"{wh}/pexp2", sch, partition_keys=["dt"],
+                     options={"partition.expiration-time": "7 d",
+                              "partition.expiration-check-interval": "1 h"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, old)], sch))   # check #1 drops it
+    t.append(spark.createDataFrame([(2, old)], sch))   # within interval:
+    assert sorted(r.id for r in t.read().collect()) == [2]  # not dropped
