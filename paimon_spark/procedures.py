@@ -663,6 +663,9 @@ PROCEDURES = {
     "delete_tag": delete_tag,
     "rollback": rollback,
     "remove_orphan_files": remove_orphan_files,
+    "remove_orphan_blobs": lambda spark, table, **_:
+        __import__("paimon_spark.functions.blob", fromlist=["x"])
+        .remove_orphan_blobs(_t(table).with_spark(spark)),
     "migrate_table": migrate_table,
     "rollback_to_timestamp": rollback_to_timestamp,
     "rollback_to_watermark": rollback_to_watermark,

@@ -206,8 +206,15 @@ class TableSchema:
 
     def spark_read_struct(self) -> T.StructType:
         """Physical file schema: logical fields minus partition cols, plus
-        hidden cols on PK tables (partition values live in directory paths)."""
-        fields = [f for f in self.struct.fields if f.name not in self.partition_keys]
+        hidden cols on PK tables (partition values live in directory paths).
+        blob.columns store a (file, offset, length) descriptor struct in
+        place of the declared BINARY (paimon_spark/functions/blob.py)."""
+        from paimon_spark.functions.blob import BLOB_STRUCT, blob_columns
+        bcols = set(blob_columns(self))
+        fields = [f if f.name not in bcols
+                  else T.StructField(f.name, BLOB_STRUCT, True)
+                  for f in self.struct.fields
+                  if f.name not in self.partition_keys]
         if self.is_pk_table:
             fields = fields + [
                 T.StructField(SEQ_COL, T.LongType(), False),

@@ -308,8 +308,14 @@ class Table:
              as_of_timestamp_ms: int | None = None,
              limit: int | None = None,
              with_hidden: bool = False,
-             watermark: int | None = None) -> DataFrame:
-        """Batch read → DataFrame of logical columns."""
+             watermark: int | None = None,
+             blob_as_descriptor: bool = False) -> DataFrame:
+        """Batch read → DataFrame of logical columns.
+
+        blob_as_descriptor=True returns `blob.columns` as their stored
+        (file, offset, length) structs instead of materializing bytes —
+        the reference's blob-as-descriptor read (metadata-only plans,
+        e.g. counting bytes or routing downloads, skip the blob I/O)."""
         scan = self.new_scan()
         plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit,
                          watermark)
@@ -335,6 +341,12 @@ class Table:
             df = df.select(*projection)
         if limit is not None:
             df = df.limit(limit)
+        if not blob_as_descriptor:
+            from paimon_spark.functions.blob import (blob_columns,
+                                                     materialize_blobs)
+            bcols = blob_columns(self.schema)
+            if bcols:
+                df = materialize_blobs(df, bcols, self.paths.root)
         return df
 
     def _apply_defaults(self, df: DataFrame) -> DataFrame:
@@ -1461,9 +1473,12 @@ class Table:
         for dirpath, _d, files in os.walk(self.path):
             rel = os.path.relpath(dirpath, self.path)
             if rel.split(os.sep)[0] in ("schema", "snapshot", "manifest", "tag",
-                                        "branch", ".staging", "metadata"):
-                # metadata/ = the Iceberg-compat mirror (iceberg.py) —
-                # self-maintained, never orphaned by paimon snapshots
+                                        "branch", ".staging", "metadata",
+                                        "blob"):
+                # metadata/ = the Iceberg-compat mirror (iceberg.py) and
+                # blob/ = externalized blob payloads (referenced from
+                # INSIDE data files) are self-maintained — blob cleanup
+                # is CALL sys.remove_orphan_blobs
                 continue
             # the vector index is a rebuildable sidecar managed by
             # create/drop_vector_index, not manifest-tracked — skip it

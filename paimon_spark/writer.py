@@ -338,14 +338,31 @@ class BatchWriter:
                 if schema.trimmed_primary_keys else df
 
         # order columns & enforce declared types (merges/aggregations may
-        # have widened them, e.g. sum(decimal(18,6)) -> decimal(28,6))
+        # have widened them, e.g. sum(decimal(18,6)) -> decimal(28,6)).
+        # blob.columns: a descriptor struct (compaction/COW rewrite of
+        # already-externalized rows) passes through uncast — casting it
+        # to the declared BINARY would corrupt it
+        from paimon_spark.functions.blob import (blob_columns,
+                                                 externalize_blobs,
+                                                 is_descriptor_type)
+        bcols = set(blob_columns(schema))
+
+        def _sel(f):
+            if f.name in bcols and is_descriptor_type(
+                    df.schema[f.name].dataType):
+                return F.col(f.name)
+            return F.col(f.name).cast(f.dataType).alias(f.name)
+
         phys = [f for f in schema.struct.fields if f.name not in pkeys]
         extra = [c for c in (SEQ_COL, KIND_COL, ROW_ID_COL) if c in df.columns]
-        df = df.select(
-            *part_cols,
-            *[F.col(f.name).cast(f.dataType).alias(f.name)
-              for f in phys if f.name in df.columns],
-            *extra)
+        df = df.select(*part_cols,
+                       *[_sel(f) for f in phys if f.name in df.columns],
+                       *extra)
+        raw_blob = [c for c in bcols if c in df.columns
+                    and isinstance(df.schema[c].dataType, T.BinaryType)]
+        if raw_blob:
+            # fresh binary payloads → blob files + inline descriptors
+            df = externalize_blobs(df, raw_blob, self.paths.root)
 
         staging = os.path.join(self.paths.staging_dir, uuid.uuid4().hex)
         writer = df.write.mode("append")
@@ -448,8 +465,10 @@ class BatchWriter:
         """
         schema = self.schema
         fmt = self.file_format
+        from paimon_spark.functions.blob import blob_columns as _bcols
+        skip_stats = set(schema.partition_keys) | set(_bcols(schema))
         stat_cols = [f.name for f in schema.struct.fields
-                     if f.name not in schema.partition_keys] + [SEQ_COL]
+                     if f.name not in skip_stats] + [SEQ_COL]
         spark_stats = (self._staged_stats_spark(staging, stat_cols,
                                                 staged_struct)
                        if fmt != "parquet" else None)
