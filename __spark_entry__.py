@@ -441,6 +441,18 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             dynamic=True)
         out["events_ice"] = t
 
+    def _build_16():
+        # ---- docs_blob: BLOB-column table — text payloads externalized
+        # to blob files; the query materializes and checksums them
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "lang",
+            F.encode(F.col("text"), "UTF-8").alias("payload"))
+        t = Table.create(f"{root}/docs_blob", docs.schema,
+                         options={"blob.columns": "payload"}, spark=spark)
+        t.append(docs)
+        out["docs_blob"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -465,7 +477,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -855,6 +867,27 @@ def time_travel_v1(spark, sf_dir):
 
 def incremental_diff(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read_incremental(1, 2)
+
+
+def blob_roundtrip(spark, sf_dir):
+    """BLOB columns (ref: BlobType): payloads were externalized to blob
+    files at write; the query MATERIALIZES them (range reads) and
+    checksums every payload — byte drift anywhere in the
+    externalize/descriptor/materialize path breaks the md5s. Also
+    aggregates descriptor metadata without touching payload bytes."""
+    t = _wh(spark, sf_dir)["docs_blob"]
+    full = t.read().select(
+        "doc_id",
+        F.length("payload").cast("long").alias("blob_len"),
+        F.md5("payload").alias("blob_md5"))
+    desc = (t.read(blob_as_descriptor=True)
+            .groupBy("lang")
+            .agg(F.sum("payload.length").alias("lang_bytes")))
+    return (full.join(
+        _wh(spark, sf_dir)["docs_blob"].read(blob_as_descriptor=True)
+        .select("doc_id", "lang"), "doc_id")
+        .join(F.broadcast(desc), "lang")
+        .select("doc_id", "blob_len", "blob_md5", "lang_bytes"))
 
 
 def iceberg_mirror_read(spark, sf_dir):
@@ -1508,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_csv_pk": format_csv_pk,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
+        "blob_roundtrip": blob_roundtrip,
         "iceberg_mirror_read": iceberg_mirror_read,
         "audit_log_counts": audit_log_counts,
         "agg_engine_user_stats": agg_engine_user_stats,
@@ -1900,6 +1934,15 @@ def oracle_sql() -> dict[str, str]:
                    '9-UPDATED' AS o_orderpriority,
                    CAST(2 AS BIGINT) AS _sequence_number, '+I' AS _row_kind
             FROM orders WHERE o_orderkey % 10 = 0""",
+        "blob_roundtrip": """
+            WITH b AS (SELECT lang,
+                              sum(octet_length(encode(text))) AS lang_bytes
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id,
+                   CAST(octet_length(encode(d.text)) AS BIGINT) AS blob_len,
+                   md5(d.text) AS blob_md5,
+                   CAST(b.lang_bytes AS BIGINT) AS lang_bytes
+            FROM documents d JOIN b USING (lang)""",
         "iceberg_mirror_read": """
             SELECT event_type, count(*) AS cnt,
                    CAST(sum(CAST(CASE WHEN event_type = 'click' THEN 0.0
