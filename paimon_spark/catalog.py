@@ -105,6 +105,14 @@ class Catalog:
         except FileNotFoundError:
             return []
 
+    def init_privileges(self, root_password: str) -> None:
+        """Initialize the file-based privilege system for this warehouse
+        (ref: FileBasedPrivilegeManager initializePrivilege — creates
+        the root and anonymous users). Authenticated access afterwards
+        goes through paimon_spark.privilege.PrivilegedCatalog."""
+        from paimon_spark.privilege import PrivilegeManager
+        PrivilegeManager(self.warehouse).initialize(root_password)
+
     def sql(self, statement: str):
         """The SQL entry point: DML (INSERT/UPDATE/DELETE/MERGE/TRUNCATE),
         CALL sys.*, SHOW, and SELECT passthrough — the surface a reference
