@@ -635,6 +635,11 @@ class SQLRouter:
                 kwargs[k] = v.upper() == "TRUE"
             else:
                 kwargs[k] = v.strip("'\"")
+        if proc.lower() == "init_file_based_privilege":
+            # catalog-scoped procedure (ref: InitFileBasedPrivilegeProcedure)
+            self.catalog.init_privileges(str(kwargs.get("root_password",
+                                                        kwargs.get("root-password", ""))))
+            return None
         if "table" in kwargs:
             kwargs["table"] = self._table(str(kwargs["table"]))
         out = call(self.spark, proc.lower(), **kwargs)

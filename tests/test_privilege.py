@@ -85,3 +85,13 @@ def test_special_users_and_target_rules(spark, priv_wh):
         carol.drop_table("t1")
     root.grant_privilege_to_user("carol", "CREATE_TABLE")
     carol.create_table("t3", SCH)
+
+
+def test_init_via_sql_call(spark, wh):
+    cat = Catalog(wh, spark)
+    cat.create_table("p1", SCH)
+    cat.sql("CALL sys.init_file_based_privilege(root_password => 'rp')")
+    root = PrivilegedCatalog(wh, spark, "root", "rp")
+    root.create_privileged_user("dave", "dpw")
+    with pytest.raises(NoPrivilegeException):
+        PrivilegedCatalog(wh, spark, "dave", "dpw").get_table("p1").read()
