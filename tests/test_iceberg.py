@@ -278,3 +278,33 @@ def test_randomized_mirror_stays_consistent(spark, wh):
             continue
         assert ice.exceptAll(eng).count() == 0 \
             and eng.exceptAll(ice).count() == 0, f"divergence at step {step}"
+
+
+def test_schema_evolution_mirrors_new_schema(spark, wh):
+    """ADD COLUMN then append: metadata.json gains the new schema-id,
+    current-schema-id moves, name mapping covers the new column, and
+    old+new files read consistently through the Iceberg chain."""
+    from pyspark.sql import types as T
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    t = Table.create(f"{wh}/evo", df1.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    t.append(df1)
+    _, m1 = _meta(t.paths.root)
+    t = t.alter(lambda sc: sc.add_column("extra", T.LongType()))
+    t.append(spark.createDataFrame([(3, "c", 30)],
+                                   "id int, s string, extra long"))
+    _, m2 = _meta(t.paths.root)
+    assert len(m2["schemas"]) == 2
+    assert m2["current-schema-id"] > m1["current-schema-id"]
+    cur = [s for s in m2["schemas"]
+           if s["schema-id"] == m2["current-schema-id"]][0]
+    assert [f["name"] for f in cur["fields"]] == ["id", "s", "extra"]
+    # unique field ids across the evolved schema
+    ids = [f["id"] for f in cur["fields"]]
+    assert len(set(ids)) == 3
+    import json as _json
+    nm = _json.loads(m2["properties"]["schema.name-mapping.default"])
+    assert {e["names"][0] for e in nm} == {"id", "s", "extra"}
+    got = read_iceberg(spark, t.paths.root)
+    rows = {r.id: (r.s, r.extra) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
