@@ -328,6 +328,11 @@ def _routing_meta(ts) -> dict:
         raise ValueError(
             "format('paimon') writes route task-side for parquet tables "
             "only; use Table.append for other row formats")
+    from paimon_spark.functions.blob import blob_columns
+    if blob_columns(ts):
+        raise ValueError(
+            "format('paimon') writes do not externalize blob.columns; "
+            "use Table.append so payloads land in blob files")
     if ts.is_pk_table and ts.num_buckets <= 0:
         raise ValueError(
             "format('paimon') writes support fixed-bucket PK tables; "

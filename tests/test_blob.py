@@ -90,3 +90,16 @@ def test_blob_option_validation(spark, wh):
         t = Table.create(f"{wh}/badblob", SCH,
                          options={"blob.columns": "meta"}, spark=spark)
         t.append(spark.createDataFrame([(1, "x", b"")], SCH))
+
+
+def test_blob_rejects_datasource_write(spark, wh):
+    """df.write.format('paimon') would inline payloads instead of
+    externalizing them — rejected loudly."""
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    t = Table.create(f"{wh}/blobds", SCH,
+                     options={"blob.columns": "img"}, spark=spark)
+    df = spark.createDataFrame([(1, "x", b"\x00" * 10)], SCH)
+    with pytest.raises(Exception, match="blob"):
+        df.write.format("paimon").option("path", t.path) \
+            .mode("append").save()
