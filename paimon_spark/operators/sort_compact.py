@@ -30,12 +30,16 @@ Z_BITS = 16  # bits per dimension (16 bits × up to 4 dims fits a BIGINT)
 MAXV = (1 << Z_BITS) - 1
 
 
-def _normalized(table: Table, c: str) -> Column:
+def _normalized(table: Table, c: str,
+                bounds: tuple | None = None) -> Column:
     """Map column c to [0, 2^Z_BITS) preserving order.
 
-    Numerics/dates: linear min-max scaling with bounds from manifest stats
-    (skewed data clusters less evenly but stays correct — same trade-off as
-    the reference's byte-slice zvalues). Strings: first-2-bytes ordinal."""
+    Numerics/dates: linear min-max scaling — bounds from manifest stats
+    for table rewrites, or pass `bounds` explicitly (write-time
+    clustering computes them from the INPUT batch; an empty table has
+    no stats). Skewed data clusters less evenly but stays correct —
+    same trade-off as the reference's byte-slice zvalues. Strings:
+    first-2-bytes ordinal."""
     dtype = table.schema.data_type(c)
     col = F.col(c)
     if isinstance(dtype, T.StringType):
@@ -43,7 +47,8 @@ def _normalized(table: Table, c: str) -> Column:
         return (F.coalesce(F.ascii(F.substring(col, 1, 1)), F.lit(0)) * 256
                 + F.coalesce(F.ascii(F.substring(col, 2, 1)), F.lit(0))
                 ).cast("long") % (MAXV + 1)
-    mm = table.new_scan().metadata_min_max(c)
+    mm = bounds if bounds is not None else \
+        table.new_scan().metadata_min_max(c)
     if mm is None or mm[0] is None or mm[0] == mm[1]:
         return F.lit(0).cast("long")
     mn, mx = mm
@@ -62,10 +67,12 @@ def _normalized(table: Table, c: str) -> Column:
     return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(MAXV))
 
 
-def zvalue(table: Table, cols: list[str]) -> Column:
+def zvalue(table: Table, cols: list[str],
+           bounds: dict | None = None) -> Column:
     """Bit-interleaved z-value over the normalized columns."""
     n = len(cols)
-    norm = {c: _normalized(table, c) for c in cols}
+    norm = {c: _normalized(table, c, (bounds or {}).get(c))
+            for c in cols}
     acc = F.lit(0).cast("long")
     for bit in range(Z_BITS):
         for i, c in enumerate(cols):
@@ -119,7 +126,8 @@ def hilbert_index(coords, bits: int):
     return h
 
 
-def hilbert_value(table: Table, cols: list[str]) -> Column:
+def hilbert_value(table: Table, cols: list[str],
+                  bounds: dict | None = None) -> Column:
     """Hilbert index column over normalized dimensions. The normalization
     is the same manifest-stats min-max scaling as z-order (JVM-side); only
     the bit transform runs in an Arrow-batched pandas UDF — a genuine
@@ -150,7 +158,8 @@ def hilbert_value(table: Table, cols: list[str]) -> Column:
             return _go(a, b, c, d)
     else:
         raise ValueError("hilbert supports 1-4 dimensions")
-    return pandas_udf("long")(_h)(*[_normalized(table, c) for c in cols])
+    return pandas_udf("long")(_h)(
+        *[_normalized(table, c, (bounds or {}).get(c)) for c in cols])
 
 
 def sort_compact(table: Table, order_by: list[str],

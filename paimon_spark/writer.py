@@ -364,6 +364,49 @@ class BatchWriter:
             # fresh binary payloads → blob files + inline descriptors
             df = externalize_blobs(df, raw_blob, self.paths.root)
 
+        # write-time clustering for append tables (ref: CoreOptions
+        # CLUSTERING_COLUMNS/_STRATEGY + PaimonSparkWriter.scala:348 —
+        # auto: 1 col → order, <5 → zorder, else hilbert): range-
+        # partition on the cluster value so files get disjoint ranges
+        # (file skipping on the clustered columns), then sort within
+        ccols = [c.strip() for c in
+                 schema.options.get("clustering.columns", "").split(",")
+                 if c.strip()]
+        if ccols and not schema.is_pk_table:
+            strategy = schema.options.get("clustering.strategy", "auto")
+            if strategy == "auto":
+                strategy = ("order" if len(ccols) == 1
+                            else "zorder" if len(ccols) < 5 else "hilbert")
+            if strategy == "hilbert" and len(ccols) > 4:
+                strategy = "zorder"      # our hilbert codec is ≤4-D
+            # explicit partition count: AQE would otherwise coalesce the
+            # range exchange into one task and defeat the clustering
+            n_out = int(schema.options.get(
+                "clustering.partitions",
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "8")))
+            if strategy == "order":
+                df = (df.repartitionByRange(n_out, *ccols)
+                      .sortWithinPartitions(*ccols))
+            else:
+                from paimon_spark.operators.sort_compact import (
+                    hilbert_value, zvalue)
+                # normalization bounds from the INPUT batch — manifest
+                # stats don't exist for the rows being written (one
+                # small agg job, like the range partitioner's sample)
+                row = df.agg(*[f for c in ccols for f in
+                               (F.min(c).alias(f"__lo_{c}"),
+                                F.max(c).alias(f"__hi_{c}"))]).first()
+                bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"])
+                          for c in ccols}
+                val = (zvalue(self.table, ccols, bounds)
+                       if strategy == "zorder"
+                       else hilbert_value(self.table, ccols, bounds))
+                df = (df.withColumn("__cluster", val)
+                      .repartitionByRange(n_out, "__cluster")
+                      .sortWithinPartitions("__cluster")
+                      .drop("__cluster"))
+
         staging = os.path.join(self.paths.staging_dir, uuid.uuid4().hex)
         writer = df.write.mode("append")
         if part_cols:

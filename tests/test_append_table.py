@@ -253,3 +253,40 @@ def test_merge_schema_widens_types(spark, wh):
     assert isinstance(t.schema.struct["k"].dataType, T.LongType)
     got = sorted((r.k, r.v) for r in t.read().collect())
     assert got == [(1, "a"), (2**40, "b")]
+
+
+def test_write_time_clustering(spark, wh):
+    """clustering.columns on append tables (ref: CoreOptions
+    CLUSTERING_COLUMNS + PaimonSparkWriter clustering): writes range-
+    partition + sort so per-file stats become disjoint and predicates
+    skip files at plan time."""
+    import random
+    rng = random.Random(7)
+    rows = [(rng.randrange(10000), rng.randrange(10000), i)
+            for i in range(20000)]
+    df = spark.createDataFrame(rows, "x int, y int, payload long")
+
+    # single column → auto picks total order → disjoint file ranges
+    t = Table.create(f"{wh}/clus1", df.schema,
+                     options={"clustering.columns": "x"}, spark=spark)
+    t.append(df.repartition(8))
+    plan = t.new_scan().plan()
+    spans = sorted((e.stats["x"]["min"], e.stats["x"]["max"])
+                   for e in plan.entries)
+    assert len(spans) > 1
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo            # non-overlapping
+    skipped = t.new_scan().plan(P.eq("x", 5)).files_skipped
+    assert skipped >= len(spans) - 1
+
+    # two columns → auto picks zorder → an eq predicate on either
+    # column prunes a majority of files
+    t2 = Table.create(f"{wh}/clus2", df.schema,
+                      options={"clustering.columns": "x,y"}, spark=spark)
+    t2.append(df.repartition(8))
+    total = len(t2.new_scan().plan().entries)
+    assert total > 2
+    for col in ("x", "y"):
+        hit = len(t2.new_scan().plan(P.eq(col, 5)).entries)
+        assert hit < total, f"no pruning on {col}"
+    assert t2.read().count() == 20000
