@@ -728,6 +728,13 @@ class BatchWriter:
         commits (ref: CoreOptions FULL_COMPACTION_DELTA_COMMITS;
         changelog-producer=full-compaction and Iceberg mirroring of PK
         tables both rely on it)."""
+        if self.schema.options.get("tag.automatic-creation",
+                                   "none") != "none":
+            # period tags on commit (ref: TagAutoManager invoked by the
+            # committer; idempotent — existing period tags left alone)
+            from paimon_spark.procedures import \
+                trigger_tag_automatic_creation
+            trigger_tag_automatic_creation(self.table.spark, self.table)
         self.table.expire_snapshots_policy()
         self._maybe_expire_partitions(kind)
         delta = self.schema.options.get("full-compaction.delta-commits")

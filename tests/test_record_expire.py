@@ -186,3 +186,21 @@ def test_partition_expiration_throttled(spark, wh):
     t.append(spark.createDataFrame([(1, old)], sch))   # check #1 drops it
     t.append(spark.createDataFrame([(2, old)], sch))   # within interval:
     assert sorted(r.id for r in t.read().collect()) == [2]  # not dropped
+
+
+def test_auto_tag_creation_on_commit(spark, wh):
+    """tag.automatic-creation: the committer creates the period tag
+    (ref: TagAutoManager via commit; idempotent)."""
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    t = Table.create(f"{wh}/autotag", sch,
+                     options={"tag.automatic-creation": "process-time",
+                              "tag.creation-period": "daily"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1,)], sch))
+    tags = t.paths.list_tags()
+    assert len(tags) == 1
+    import datetime as dt
+    assert list(tags) == [dt.datetime.now(dt.timezone.utc)
+                          .strftime("%Y-%m-%d")]
+    t.append(spark.createDataFrame([(2,)], sch))   # same period: no dup
+    assert len(t.paths.list_tags()) == 1
