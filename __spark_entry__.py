@@ -441,6 +441,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             dynamic=True)
         out["events_ice"] = t
 
+    def _build_17():
+        # ---- events_clustered: write-time z-order clustering — the
+        # query proves row fidelity through the clustered write path
+        # and the plan audit shows eq-predicate file pruning
+        ev = raw["events"].select("event_id", "user_id", "event_type",
+                                  "value")
+        t = Table.create(
+            f"{root}/events_clustered", ev.schema,
+            options={"clustering.columns": "user_id,event_id"},
+            spark=spark)
+        t.append(ev)
+        out["events_clustered"] = t
+
     def _build_16():
         # ---- docs_blob: BLOB-column table — text payloads externalized
         # to blob files; the query materializes and checksums them
@@ -477,7 +490,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -867,6 +880,19 @@ def time_travel_v1(spark, sf_dir):
 
 def incremental_diff(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read_incremental(1, 2)
+
+
+def clustered_write_prune(spark, sf_dir):
+    """Write-time clustering (ref: CLUSTERING_COLUMNS): the table was
+    z-order-clustered on (user_id, event_id) AT WRITE; an eq predicate
+    on user_id file-prunes (plan audit) while values match the raw
+    corpus exactly."""
+    t = _wh(spark, sf_dir)["events_clustered"]
+    return (t.read(P.eq("user_id", 7))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("val_sum")))
 
 
 def blob_roundtrip(spark, sf_dir):
@@ -1541,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_csv_pk": format_csv_pk,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
+        "clustered_write_prune": clustered_write_prune,
         "blob_roundtrip": blob_roundtrip,
         "iceberg_mirror_read": iceberg_mirror_read,
         "audit_log_counts": audit_log_counts,
@@ -1934,6 +1961,11 @@ def oracle_sql() -> dict[str, str]:
                    '9-UPDATED' AS o_orderpriority,
                    CAST(2 AS BIGINT) AS _sequence_number, '+I' AS _row_kind
             FROM orders WHERE o_orderkey % 10 = 0""",
+        "clustered_write_prune": """
+            SELECT event_type, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS val_sum
+            FROM events WHERE user_id = 7 GROUP BY event_type""",
         "blob_roundtrip": """
             WITH b AS (SELECT lang,
                               sum(octet_length(encode(text))) AS lang_bytes
