@@ -732,19 +732,31 @@ class IcebergCompat:
 
 # ---------------- an independent reader (for verification) ----------------
 
-def read_iceberg(spark, table_root: str):
+def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
+                 ref: str | None = None):
     """Read a table PURELY through its Iceberg metadata — version hint →
     metadata.json → manifest list → manifests → data files — never
     touching paimon snapshots/manifests. Used by tests and the
     iceberg_mirror_read oracle query to prove an Iceberg reader sees
-    the same rows the engine does."""
+    the same rows the engine does. `snapshot_id` / `ref` (tag or
+    branch name from `refs`) time-travel exactly as an Iceberg
+    reader's VERSION AS OF does."""
     meta_dir = os.path.join(table_root, "metadata")
     with open(os.path.join(meta_dir, VERSION_HINT)) as f:
         version = int(f.read().strip())
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
         meta = json.load(f)
-    cur = next(s for s in meta["snapshots"]
-               if s["snapshot-id"] == meta["current-snapshot-id"])
+    if ref is not None:
+        if ref not in meta.get("refs", {}):
+            raise ValueError(f"no iceberg ref {ref!r}")
+        snapshot_id = meta["refs"][ref]["snapshot-id"]
+    want = (snapshot_id if snapshot_id is not None
+            else meta["current-snapshot-id"])
+    cur = next((s for s in meta["snapshots"] if s["snapshot-id"] == want),
+               None)
+    if cur is None:
+        raise ValueError(f"iceberg snapshot {want} not in retained "
+                         f"snapshots")
     _, rows = read_avro_file(cur["manifest-list"])
     schema = next(s for s in meta["schemas"]
                   if s["schema-id"] == meta["current-schema-id"])

@@ -308,3 +308,20 @@ def test_schema_evolution_mirrors_new_schema(spark, wh):
     got = read_iceberg(spark, t.paths.root)
     rows = {r.id: (r.s, r.extra) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+
+def test_read_iceberg_time_travel(spark, wh):
+    """VERSION AS OF through the Iceberg chain: snapshot_id and tag
+    refs resolve to their manifest lists."""
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    t = Table.create(f"{wh}/tt", df.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    t.append(df)
+    t.create_tag("v1", 1)
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    assert read_iceberg(spark, t.paths.root).count() == 3
+    assert read_iceberg(spark, t.paths.root, snapshot_id=2).count() == 2
+    assert read_iceberg(spark, t.paths.root, ref="v1").count() == 1
+    with pytest.raises(ValueError, match="no iceberg ref"):
+        read_iceberg(spark, t.paths.root, ref="nope")
