@@ -29,6 +29,11 @@ def main():
     timings["ingest"] = round(time.perf_counter() - t0, 3)
 
     for name, fn in E.queries().items():
+        # drain barrier: leftover scheduler/GC work from the PREVIOUS
+        # query otherwise gets charged to whichever query runs next
+        # (measured: a 1-row count() took 3 s right after a heavy
+        # shuffle). Untimed, so each timing is the query's own work.
+        spark.range(1).count()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -16,7 +16,8 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 HEADLINE = ["q1_pricing_summary", "q5_region_revenue", "q6_revenue",
             "q21_waiting_suppliers", "pk_upsert_latest", "dedup_exact",
             "dedup_minhash_pairs", "ann_ivf_topk", "window_user_ranks",
-            "iceberg_mirror_read", "contamination_4gram", "pii_redact"]
+            "iceberg_mirror_read", "contamination_4gram", "pii_redact",
+            "clustered_write_prune", "blob_roundtrip", "dedup_clusters"]
 
 
 def main():
