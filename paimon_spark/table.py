@@ -1578,12 +1578,30 @@ class Table:
         return self.read_incremental(max(earlier), end_sid, with_kind)
 
     def _list_consumers(self) -> list[tuple[str, int]]:
+        """Live consumers. `consumer.expiration-time`: a consumer whose
+        progress file has not been touched within the TTL is dead — it
+        stops pinning snapshots and its file is removed (ref:
+        consumer/ConsumerManager.expire, CoreOptions
+        CONSUMER_EXPIRATION_TIME; without this one crashed reader pins
+        the whole table's history forever)."""
         import glob as _glob
+        import re as _re
+        ttl_s = None
+        dur = self.schema.options.get("consumer.expiration-time")
+        if dur:
+            m = _re.fullmatch(r"(\d+)\s*(s|m|min|h|d)", dur.strip())
+            if m:
+                ttl_s = int(m.group(1)) * {"s": 1, "m": 60, "min": 60,
+                                           "h": 3600, "d": 86400}[m.group(2)]
         rows = []
         for p in sorted(_glob.glob(os.path.join(self.path, "consumer",
                                                 "consumer-*.json"))):
             cid = os.path.basename(p)[len("consumer-"):-len(".json")]
             try:
+                if ttl_s is not None and \
+                        time.time() - os.path.getmtime(p) > ttl_s:
+                    os.remove(p)
+                    continue
                 with open(p) as f:
                     rows.append((cid, int(json.load(f)["next_snapshot"])))
             except (OSError, ValueError, KeyError):

@@ -204,3 +204,33 @@ def test_auto_tag_creation_on_commit(spark, wh):
                           .strftime("%Y-%m-%d")]
     t.append(spark.createDataFrame([(2,)], sch))   # same period: no dup
     assert len(t.paths.list_tags()) == 1
+
+
+def test_consumer_expiration(spark, wh):
+    """consumer.expiration-time: a consumer whose progress file went
+    stale stops pinning snapshots and is dropped (ref:
+    ConsumerManager.expire)."""
+    import os, time as _time
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    t = Table.create(f"{wh}/consexp", sch,
+                     options={"consumer.expiration-time": "1 h",
+                              "snapshot.num-retained.min": "1",
+                              "snapshot.num-retained.max": "1"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1,)], sch))
+    # a consumer parked at snapshot 1
+    cdir = os.path.join(t.path, "consumer")
+    os.makedirs(cdir, exist_ok=True)
+    cfile = os.path.join(cdir, "consumer-c1.json")
+    with open(cfile, "w") as f:
+        f.write('{"next_snapshot": 1}')
+    t.append(spark.createDataFrame([(2,)], sch))
+    t.append(spark.createDataFrame([(3,)], sch))
+    # live consumer pins history past the max=1 retention
+    assert t.paths.earliest_snapshot_id() == 1
+    # stale consumer (mtime beyond TTL) stops pinning
+    old = _time.time() - 7200
+    os.utime(cfile, (old, old))
+    t.append(spark.createDataFrame([(4,)], sch))
+    assert not os.path.exists(cfile)
+    assert t.paths.earliest_snapshot_id() == 4
