@@ -1397,8 +1397,14 @@ class Table:
         consumers = self._list_consumers()
         consumer_floor = (min(n for _c, n in consumers) - 1
                           if consumers else latest + 1)
+        # bound per-commit expiration work — a huge backlog amortizes
+        # over commits instead of stalling one (ref: CoreOptions
+        # SNAPSHOT_EXPIRE_LIMIT, default 50)
+        limit = int(opts.get("snapshot.expire.limit", "50"))
         removed = 0
         for sid in range(earliest, latest - n_min + 1):
+            if removed >= limit:
+                break
             over_max = (latest - sid + 1) > n_max
             if not over_max:
                 try:
