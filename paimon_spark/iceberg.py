@@ -339,6 +339,16 @@ MANIFEST_LIST_AVRO_SCHEMA = {
 
 # ---------------- the mirror ----------------
 
+def invalidate_mirror(table_root: str) -> None:
+    """Drop the whole Iceberg mirror. Called when the table's history
+    changes OUT OF BAND (rollback, fast_forward) — the incremental
+    per-commit mirror would otherwise diff against undone state and
+    keep rolled-back files visible to Iceberg readers. The next commit
+    resyncs the full live set (mirror() with prev_meta=None)."""
+    import shutil as _sh
+    _sh.rmtree(os.path.join(table_root, "metadata"), ignore_errors=True)
+
+
 class IcebergCompat:
     """Per-table Iceberg metadata mirror. One instance per commit is
     cheap — all state lives in `<table>/metadata/`."""

@@ -1330,6 +1330,9 @@ class Table:
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
             invalidate_global_index(self.paths.meta_root)
+        from paimon_spark.iceberg import iceberg_enabled, invalidate_mirror
+        if iceberg_enabled(self.schema) and self.paths.branch is None:
+            invalidate_mirror(self.paths.root)
 
     def branches_df(self) -> DataFrame:
         rows = []
@@ -1363,6 +1366,11 @@ class Table:
             from paimon_spark.operators.cross_partition import \
                 invalidate_global_index
             invalidate_global_index(self.paths.meta_root)
+        from paimon_spark.iceberg import iceberg_enabled, invalidate_mirror
+        if iceberg_enabled(self.schema) and self.paths.branch is None:
+            # same class of staleness for the Iceberg mirror: resync
+            # from the rewound live set on the next commit
+            invalidate_mirror(self.paths.root)
 
     def expire_snapshots_policy(self) -> int:
         """Option-driven retention, applied automatically after every

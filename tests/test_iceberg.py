@@ -325,3 +325,22 @@ def test_read_iceberg_time_travel(spark, wh):
     assert read_iceberg(spark, t.paths.root, ref="v1").count() == 1
     with pytest.raises(ValueError, match="no iceberg ref"):
         read_iceberg(spark, t.paths.root, ref="nope")
+
+
+def test_rollback_invalidates_mirror(spark, wh):
+    """rollback rewrites history out of band — a stale mirror would
+    keep rolled-back files visible to Iceberg readers. The mirror is
+    dropped and the next commit resyncs the full live set."""
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    t = Table.create(f"{wh}/rb", df.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    t.append(df)
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    assert read_iceberg(spark, t.paths.root).count() == 2
+    t.rollback_to(1)
+    assert not os.path.exists(os.path.join(t.paths.root, "metadata",
+                                           "version-hint.text"))
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    got = read_iceberg(spark, t.paths.root)
+    assert {r.id for r in got.collect()} == {1, 3}
+    assert _same_rows(got, t.read().select("id", "s"), "id")
