@@ -135,7 +135,39 @@ class SQLRouter:
         s = re.sub(r"`(\w+)\$(\w+)`", r"\1__\2", s)
         s = self._rewrite_time_travel(s)
         s = self._rewrite_incremental_tvfs(s)
+        s = self._rewrite_search_tvfs(s)
         return self.spark.sql(s)
+
+    def _rewrite_search_tvfs(self, s: str) -> str:
+        """Search table-valued functions over the reference's search
+        tables (ref: FullTextSearchTable / VectorSearchTable /
+        HybridSearchTable in table/):
+          paimon_full_text_search('t', 'query words'[, k])
+          paimon_vector_search('t', '0.1,0.2,…'[, k])
+        Rewritten to temp views over the Table API operators."""
+        def repl(m: "re.Match[str]") -> str:
+            fn, args_s = m.group(1).lower(), m.group(2)
+            args = _split_top(args_s)
+            name = args[0].strip().strip("'\"")
+            t = self._table(name)
+            if fn == "paimon_full_text_search":
+                q = args[1].strip().strip("'\"")
+                k = int(args[2]) if len(args) > 2 else 10
+                df = t.full_text_search(q, k)
+                view = f"{name}__fts_{abs(hash((q, k))) % 10**8}"
+            else:
+                vec = [float(x) for x in re.findall(
+                    r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?", args[1])]
+                k = int(args[2]) if len(args) > 2 else 10
+                df = t.vector_search(vec, k)
+                view = f"{name}__vs_{abs(hash((tuple(vec), k))) % 10**8}"
+            view = re.sub(r"[^A-Za-z0-9_]", "_", view)
+            df.createOrReplaceTempView(view)
+            return view
+        return re.sub(
+            r"(paimon_full_text_search|paimon_vector_search)"
+            r"\s*\(([^)]*)\)",
+            repl, s, flags=re.IGNORECASE | re.DOTALL)
 
     def _rewrite_incremental_tvfs(self, s: str) -> str:
         """The reference's incremental table-valued functions

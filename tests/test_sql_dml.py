@@ -384,3 +384,27 @@ def test_database_ddl_sql(spark, wh):
     c.sql("DROP DATABASE sales CASCADE")
     assert "sales" not in [r.namespace
                            for r in c.sql("SHOW DATABASES").collect()]
+
+
+def test_search_tvfs(spark, wh):
+    """paimon_full_text_search / paimon_vector_search TVFs (ref:
+    FullTextSearchTable / VectorSearchTable)."""
+    from paimon_spark import Catalog
+    from pyspark.sql import types as T
+    cat = Catalog(wh, spark)
+    sch = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    t = cat.create_table("docs_s", sch)
+    t.append(spark.createDataFrame([
+        (1, "spark engine query plan", [1.0, 0.0]),
+        (2, "cooking pasta recipe", [0.0, 1.0]),
+        (3, "query optimizer spark shuffle", [0.9, 0.1])], sch))
+    top = cat.sql("SELECT doc_id FROM "
+                  "paimon_full_text_search('docs_s', 'spark query', 2)") \
+        .collect()
+    assert {r.doc_id for r in top} == {1, 3}
+    vs = cat.sql("SELECT doc_id FROM "
+                 "paimon_vector_search('docs_s', '1.0,0.05', 1)").first()
+    assert vs.doc_id in (1, 3)
