@@ -482,6 +482,18 @@ class IcebergCompat:
         prev_meta = self._load_metadata(prev_version) if prev_version else None
         index = self._load_index() if prev_meta else {}
 
+        # self-healing guards for out-of-order / missed mirrors (two
+        # concurrent committers race the post-commit callback):
+        if prev_meta is not None:
+            prev_cur = prev_meta.get("current-snapshot-id", 0)
+            if prev_cur >= snap.id:
+                return            # a newer mirror already landed
+            if delta_entries is not None and prev_cur != snap.id - 1:
+                # the mirror missed intermediate commits — an
+                # incremental diff against it would diverge; resync the
+                # full live set instead
+                delta_entries = None
+
         if prev_meta is None or delta_entries is None:
             # first mirror (or explicit resync): drop any stale state and
             # re-add the full mirrorable live set

@@ -344,3 +344,30 @@ def test_rollback_invalidates_mirror(spark, wh):
     got = read_iceberg(spark, t.paths.root)
     assert {r.id for r in got.collect()} == {1, 3}
     assert _same_rows(got, t.read().select("id", "s"), "id")
+
+
+def test_mirror_self_heals_after_missed_commits(spark, wh):
+    """If the mirror missed commits (out-of-order callbacks, an
+    interrupted writer), the incremental diff would diverge — the next
+    mirror detects the gap and resyncs the full live set; a stale
+    mirror attempt for an already-mirrored snapshot is a no-op."""
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    t = Table.create(f"{wh}/heal", df.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    t.append(df)
+    # simulate a missed mirror: commit 2 lands WITHOUT its callback
+    t.alter(lambda sc: sc.remove_option("metadata.iceberg.storage"))
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    t = t.alter(lambda sc: sc.set_option("metadata.iceberg.storage",
+                                         "table-location"))
+    # alter() commits no snapshot; the NEXT data commit sees the gap
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    got = read_iceberg(spark, t.paths.root)
+    assert {r.id for r in got.collect()} == {1, 2, 3}
+    # stale mirror attempt: replaying an old snapshot is a no-op
+    from paimon_spark.iceberg import IcebergCompat
+    v_before, _ = _meta(t.paths.root)
+    IcebergCompat(t).mirror(t.paths.read_snapshot(1), None)
+    v_after, m = _meta(t.paths.root)
+    assert v_after == v_before
+    assert read_iceberg(spark, t.paths.root).count() == 3
