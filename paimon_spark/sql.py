@@ -144,7 +144,12 @@ class SQLRouter:
         HybridSearchTable in table/):
           paimon_full_text_search('t', 'query words'[, k])
           paimon_vector_search('t', '0.1,0.2,…'[, k])
+          paimon_hybrid_search('t', 'query words', '0.1,0.2,…'[, k])
         Rewritten to temp views over the Table API operators."""
+        def _vec(arg: str) -> list[float]:
+            return [float(x) for x in re.findall(
+                r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?", arg)]
+
         def repl(m: "re.Match[str]") -> str:
             fn, args_s = m.group(1).lower(), m.group(2)
             args = _split_top(args_s)
@@ -155,17 +160,23 @@ class SQLRouter:
                 k = int(args[2]) if len(args) > 2 else 10
                 df = t.full_text_search(q, k)
                 view = f"{name}__fts_{abs(hash((q, k))) % 10**8}"
-            else:
-                vec = [float(x) for x in re.findall(
-                    r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?", args[1])]
+            elif fn == "paimon_vector_search":
+                vec = _vec(args[1])
                 k = int(args[2]) if len(args) > 2 else 10
                 df = t.vector_search(vec, k)
                 view = f"{name}__vs_{abs(hash((tuple(vec), k))) % 10**8}"
+            else:
+                q = args[1].strip().strip("'\"")
+                vec = _vec(args[2])
+                k = int(args[3]) if len(args) > 3 else 10
+                df = t.hybrid_search(q, vec, k)
+                view = f"{name}__hs_{abs(hash((q, tuple(vec), k))) % 10**8}"
             view = re.sub(r"[^A-Za-z0-9_]", "_", view)
             df.createOrReplaceTempView(view)
             return view
         return re.sub(
-            r"(paimon_full_text_search|paimon_vector_search)"
+            r"(paimon_full_text_search|paimon_vector_search|"
+            r"paimon_hybrid_search)"
             r"\s*\(([^)]*)\)",
             repl, s, flags=re.IGNORECASE | re.DOTALL)
 

@@ -408,3 +408,8 @@ def test_search_tvfs(spark, wh):
     vs = cat.sql("SELECT doc_id FROM "
                  "paimon_vector_search('docs_s', '1.0,0.05', 1)").first()
     assert vs.doc_id in (1, 3)
+    hs = cat.sql(
+        "SELECT doc_id FROM "
+        "paimon_hybrid_search('docs_s', 'spark query', '0.9,0.1', 2)") \
+        .collect()
+    assert {r.doc_id for r in hs} <= {1, 3} and hs
