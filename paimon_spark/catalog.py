@@ -152,6 +152,66 @@ class Catalog:
     def _view_path(self, name: str) -> str:
         return os.path.join(self._view_dir(), f"{name}.json")
 
+    # ------- materialized views (≈ the reference's materialized tables:
+    #         paimon-flink CatalogMaterializedTable — definition query +
+    #         freshness stored as table properties, FULL refresh mode;
+    #         here refresh is engine-side instead of a Flink job) -------
+
+    def create_materialized_view(self, name: str, query: str,
+                                 freshness_s: int | None = None,
+                                 partition_keys: list[str] | None = None,
+                                 options: dict[str, str] | None = None):
+        """Materialize `query` into a snapshot table that remembers its
+        definition. `refresh_materialized_view` recomputes (full
+        refresh); `freshness_s` marks how stale the data may get —
+        `ensure_fresh` refreshes only when the last refresh is older."""
+        import time as _time
+        self.register_views()
+        self.register_sql_views()
+        df = self.spark.sql(query)
+        opts = dict(options or {})
+        opts["materialized-view.definition"] = query
+        if freshness_s is not None:
+            opts["materialized-view.freshness-seconds"] = str(freshness_s)
+        opts["materialized-view.last-refresh-ms"] = str(
+            int(_time.time() * 1000))
+        t = self.create_table(name, df.schema,
+                              partition_keys=partition_keys, options=opts)
+        t.append(df)
+        return t
+
+    def refresh_materialized_view(self, name: str):
+        """FULL refresh: recompute the definition and replace the
+        contents atomically (one OVERWRITE commit — readers see the old
+        version until the snapshot lands)."""
+        import time as _time
+        t = self.get_table(name)
+        query = t.schema.options.get("materialized-view.definition")
+        if not query:
+            raise ValueError(f"{name} is not a materialized view")
+        self.register_views()
+        self.register_sql_views()
+        df = self.spark.sql(query)
+        t.writer().overwrite(df.select(*t.schema.field_names),
+                             dynamic=False)
+        t.alter(lambda sc: sc.set_option(
+            "materialized-view.last-refresh-ms",
+            str(int(_time.time() * 1000))))
+        return t
+
+    def ensure_fresh(self, name: str):
+        """Refresh iff the view is older than its declared freshness."""
+        import time as _time
+        t = self.get_table(name)
+        fresh = t.schema.options.get(
+            "materialized-view.freshness-seconds")
+        last = int(t.schema.options.get(
+            "materialized-view.last-refresh-ms", "0"))
+        if fresh is not None and \
+                _time.time() * 1000 - last > int(fresh) * 1000:
+            return self.refresh_materialized_view(name)
+        return t
+
     def create_view(self, name: str, query: str, dialect: str = "spark",
                     replace: bool = False) -> None:
         """Persist a named SQL view. `dialect` keys alternate SQL texts for

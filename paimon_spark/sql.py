@@ -91,6 +91,25 @@ class SQLRouter:
             return self._truncate(s)
         if head == "ALTER":
             return self._alter(s)
+        m = re.match(
+            r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*(?:FRESHNESS\s*=\s*(\d+)\s*)?AS\s+(.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            if_nx, name, fresh, q = m.groups()
+            if self.catalog.table_exists(name.strip("`")):
+                if if_nx:
+                    return None
+                raise FileExistsError(f"table {name} exists")
+            self.catalog.create_materialized_view(
+                name.strip("`"), q.strip(),
+                freshness_s=int(fresh) if fresh else None)
+            return None
+        m = re.match(rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$",
+                     s, re.IGNORECASE)
+        if m:
+            self.catalog.refresh_materialized_view(m.group(1).strip("`"))
+            return None
         if head == "CREATE" and re.match(r"CREATE\s+TABLE", s,
                                          re.IGNORECASE):
             return self._create_table(s)
