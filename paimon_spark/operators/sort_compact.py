@@ -195,3 +195,66 @@ def sort_compact(table: Table, order_by: list[str],
     adds = w.stage(out.select(*table.schema.field_names), level=COMPACTED_LEVEL)
     deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in plan.entries]
     return w.commit(adds + deletes, COMMIT_COMPACT)
+
+
+def cluster_compact_incremental(table: Table,
+                                col: str | None = None) -> "object":
+    """Incremental clustering compaction (ref: CoreOptions
+    clustering.incremental — cluster only what overlaps instead of
+    re-sorting the whole table; a full sort over 100 TB is a job you
+    run once, not per maintenance cycle).
+
+    For tables clustered with a total ORDER on one column (the
+    clustering.columns single-column strategy), files whose [min, max]
+    ranges are disjoint are ALREADY clustered — only overlapping range
+    groups need a rewrite. Interval-merge the per-file stats (driver,
+    O(files log files)), rewrite each overlapping group with a range
+    shuffle, and leave everything else untouched."""
+    ccols = [c.strip() for c in
+             table.schema.options.get("clustering.columns", "").split(",")
+             if c.strip()]
+    col = col or (ccols[0] if len(ccols) == 1 else None)
+    if col is None:
+        raise ValueError(
+            "incremental cluster compaction needs a single total-order "
+            "cluster column; multi-dimensional layouts (zorder/hilbert) "
+            "need sort_compact")
+    plan = table.new_scan().plan()
+    spans = []
+    for e in plan.entries:
+        s = (e.stats or {}).get(col) or {}
+        if s.get("min") is None:
+            spans.append((None, None, e))        # no stats: always merge
+        else:
+            spans.append((s["min"], s["max"], e))
+    known = sorted([x for x in spans if x[0] is not None],
+                   key=lambda x: (x[0], x[1]))
+    unknown = [x[2] for x in spans if x[0] is None]
+    groups: list[list] = []
+    cur, cur_hi = [], None
+    for lo, hi, e in known:
+        if cur and lo <= cur_hi:                 # overlap (inclusive)
+            cur.append(e)
+            cur_hi = max(cur_hi, hi)
+        else:
+            if cur:
+                groups.append(cur)
+            cur, cur_hi = [e], hi
+    if cur:
+        groups.append(cur)
+    victims = [e for g in groups if len(g) > 1 for e in g] + unknown
+    if not victims:
+        return table.paths.latest_snapshot()     # already clustered
+    w = table.writer()
+    target = int(table.schema.options.get("target-file-size",
+                                          str(128 << 20)))
+    total = sum(e.file_size for e in victims)
+    n_out = max(1, (total + target - 1) // target)
+    df = table._rewrite_source_df(victims)
+    out = (df.select(*table.schema.field_names)
+           .repartitionByRange(int(n_out), F.col(col))
+           .sortWithinPartitions(col))
+    adds = w.stage(out, level=COMPACTED_LEVEL)
+    deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+               for e in victims]
+    return w.commit(adds + deletes, COMMIT_COMPACT)

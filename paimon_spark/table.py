@@ -1169,6 +1169,22 @@ class Table:
                       .withColumn(KIND_COL, F.lit("+I")))
             adds = w.stage(merged, level=COMPACTED_LEVEL)
         else:
+            ccols = [c.strip() for c in
+                     self.schema.options.get("clustering.columns",
+                                             "").split(",") if c.strip()]
+            if ccols:
+                # plain bin-packing would DESTROY the clustered layout;
+                # merge only overlapping runs (single-col total order)
+                # or re-sort fully for multi-dimensional layouts
+                from paimon_spark.operators.sort_compact import (
+                    cluster_compact_incremental, sort_compact)
+                if len(ccols) == 1:
+                    return cluster_compact_incremental(self, ccols[0])
+                strategy = self.schema.options.get(
+                    "clustering.strategy", "auto")
+                if strategy == "auto":
+                    strategy = "zorder" if len(ccols) < 5 else "hilbert"
+                return sort_compact(self, ccols, strategy)
             # small-file bin-packing (ref: append/BucketedAppendCompactManager.java)
             victims = [e for e in plan.entries if keep(e)]
             if len(victims) <= 1:

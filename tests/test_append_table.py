@@ -290,3 +290,38 @@ def test_write_time_clustering(spark, wh):
         hit = len(t2.new_scan().plan(P.eq(col, 5)).entries)
         assert hit < total, f"no pruning on {col}"
     assert t2.read().count() == 20000
+
+
+def test_incremental_cluster_compaction(spark, wh):
+    """Compaction on a clustered table merges ONLY overlapping sorted
+    runs — disjoint (already clustered) files are untouched (ref:
+    clustering.incremental; a full re-sort at 100 TB is a once-job,
+    not a maintenance cycle)."""
+    import random
+    rng = random.Random(3)
+    t = Table.create(f"{wh}/iclus", spark.createDataFrame(
+        [], "x int, payload long").schema,
+        options={"clustering.columns": "x",
+                 "clustering.partitions": "4"}, spark=spark)
+    # two appends: each internally clustered, ranges overlap ACROSS them
+    for _ in range(2):
+        t.append(spark.createDataFrame(
+            [(rng.randrange(1000), i) for i in range(4000)],
+            "x int, payload long"))
+    before = {e.file_path for e in t.new_scan().plan().entries}
+    t.compact(full=True)
+    plan = t.new_scan().plan()
+    spans = sorted((e.stats["x"]["min"], e.stats["x"]["max"])
+                   for e in plan.entries)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo          # fully clustered again
+    assert t.read().count() == 8000
+    # now append ONE small run and compact again: only the overlap
+    # rewrites — files outside the new run's range survive untouched
+    t.append(spark.createDataFrame([(5, 0), (6, 1)], "x int, payload long"))
+    keep_before = {e.file_path for e in t.new_scan().plan().entries
+                   if e.stats["x"]["min"] > 300}
+    t.compact(full=True)
+    after = {e.file_path for e in t.new_scan().plan().entries}
+    assert keep_before <= after      # disjoint files not rewritten
+    assert t.read().count() == 8002
