@@ -212,6 +212,109 @@ class Catalog:
             return self.refresh_materialized_view(name)
         return t
 
+    def create_incremental_materialized_view(
+            self, name: str, base: str, group_keys: list[str],
+            aggregates: dict[str, tuple[str, str]],
+            options: dict[str, str] | None = None):
+        """Incrementally-maintained aggregate view: the view is a
+        PRIMARY-KEY table on the group keys with the AGGREGATION merge
+        engine, so a refresh only appends the base table's DELTA and
+        the engine folds it in — maintenance cost scales with new data,
+        never with view size (the incremental-view-maintenance shape
+        the reference reaches via Flink materialized tables + its
+        aggregation engine; here it is pure table machinery).
+
+        aggregates: {out_col: (source_col, fn)} with fn ∈
+        sum | count | min | max. sum/count are self-inverting (PK-base
+        retractions append negated contributions); min/max refresh only
+        from append-only deltas."""
+        from pyspark.sql import functions as F
+        bt = self.get_table(base)
+        keys = list(group_keys)
+        exprs, opts = [], dict(options or {})
+        for out, (src, fn) in aggregates.items():
+            if fn == "sum":
+                exprs.append(F.sum(src).alias(out))
+                opts[f"fields.{out}.aggregate-function"] = "sum"
+            elif fn == "count":
+                exprs.append(F.count(src).cast("long").alias(out))
+                opts[f"fields.{out}.aggregate-function"] = "sum"
+            elif fn in ("min", "max"):
+                exprs.append(getattr(F, fn)(src).alias(out))
+                opts[f"fields.{out}.aggregate-function"] = fn
+            else:
+                raise ValueError(f"unsupported aggregate {fn}")
+        seed = bt.read().groupBy(*keys).agg(*exprs)
+        opts["merge-engine"] = "aggregation"
+        opts.setdefault("bucket", "4")
+        opts["imv.base-table"] = base
+        opts["imv.base-snapshot"] = str(
+            bt.paths.latest_snapshot_id() or 0)
+        opts["imv.spec"] = __import__("json").dumps(
+            {"group_keys": keys, "aggregates": aggregates})
+        t = self.create_table(name, seed.schema, primary_keys=keys,
+                              options=opts)
+        t.append(seed)
+        return t
+
+    def refresh_incremental_materialized_view(self, name: str):
+        """Fold the base delta since the last refresh into the view —
+        one incremental read + one append; the aggregation engine does
+        the merging."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+        t = self.get_table(name)
+        spec_s = t.schema.options.get("imv.spec")
+        if not spec_s:
+            raise ValueError(f"{name} is not an incremental "
+                             f"materialized view")
+        spec = _json.loads(spec_s)
+        base = t.schema.options["imv.base-table"]
+        last = int(t.schema.options["imv.base-snapshot"])
+        bt = self.get_table(base)
+        latest = bt.paths.latest_snapshot_id() or 0
+        if latest <= last:
+            return t
+        if bt.schema.is_pk_table:
+            # a PK base's incremental read is a DIFF (+I only) — the
+            # view needs true retractions (-U for the replaced value,
+            # -D for deletes) or upserts double-count; the changelog
+            # derivation provides exactly that
+            from paimon_spark.operators.changelog import derive_changelog
+            delta = derive_changelog(bt, last, latest)
+        else:
+            delta = bt.read_incremental(last, latest)
+        keys = spec["group_keys"]
+        sign = F.lit(1)
+        if "_row_kind" in delta.columns:
+            retracting = delta.filter(
+                F.col("_row_kind").isin("-D", "-U")).limit(1).count() > 0
+            if retracting and any(
+                    fn in ("min", "max")
+                    for _s, fn in spec["aggregates"].values()):
+                raise ValueError(
+                    "base delta contains retractions; min/max view "
+                    "columns need a full refresh")
+            sign = F.when(F.col("_row_kind").isin("-D", "-U"),
+                          F.lit(-1)).otherwise(F.lit(1))
+        exprs = []
+        for out, (src, fn) in spec["aggregates"].items():
+            if fn == "sum":
+                exprs.append(F.sum(F.col(src) * sign)
+                             .cast(t.schema.data_type(out)).alias(out))
+            elif fn == "count":
+                exprs.append(F.sum(F.when(F.col(src).isNotNull(), sign)
+                                   .otherwise(F.lit(0)))
+                             .cast("long").alias(out))
+            else:
+                exprs.append(getattr(F, fn)(src).alias(out))
+        inc = delta.groupBy(*keys).agg(*exprs)
+        t.append(inc.select(*t.schema.field_names))
+        t.alter(lambda sc: sc.set_option("imv.base-snapshot",
+                                         str(latest)))
+        return t
+
     def create_view(self, name: str, query: str, dialect: str = "spark",
                     replace: bool = False) -> None:
         """Persist a named SQL view. `dialect` keys alternate SQL texts for

@@ -55,3 +55,51 @@ def test_materialized_view_freshness(spark, wh):
         str(int((time.time() - 7200) * 1000))))
     cat.ensure_fresh("mv_f")
     assert cat.get_table("mv_f").read().count() == 2
+
+
+def test_incremental_mv_append_base(spark, wh):
+    """Incremental refresh folds only the base DELTA through the
+    aggregation engine — maintenance scales with new data."""
+    cat = Catalog(wh, spark)
+    _base(spark, cat, [(1, 10), (1, 20), (2, 5)])        # snapshot 1
+    cat.create_incremental_materialized_view(
+        "imv", "base", ["k"],
+        {"total": ("v", "sum"), "n": ("v", "count"),
+         "vmax": ("v", "max")})
+    got = {r.k: (r.total, r.n, r.vmax)
+           for r in cat.get_table("imv").read().collect()}
+    assert got == {1: (30, 2, 20), 2: (5, 1, 5)}
+    _base(spark, cat, [(2, 95), (3, 7)])                  # snapshot 2
+    cat.refresh_incremental_materialized_view("imv")
+    got = {r.k: (r.total, r.n, r.vmax)
+           for r in cat.get_table("imv").read().collect()}
+    assert got == {1: (30, 2, 20), 2: (100, 2, 95), 3: (7, 1, 7)}
+    # no-op refresh when the base has not moved
+    cat.refresh_incremental_materialized_view("imv")
+    assert cat.get_table("imv").read().count() == 3
+
+
+def test_incremental_mv_pk_base_retractions(spark, wh):
+    """A PK base emits -D/-U retractions; sum/count self-invert by
+    appending negated contributions, min/max refuse loudly."""
+    import pytest
+    cat = Catalog(wh, spark)
+    pk = cat.create_table("pkb", SCH, primary_keys=["k"],
+                          options={"bucket": "2"})
+    pk.append(spark.createDataFrame([(1, 10), (2, 20)], SCH))
+    cat.create_incremental_materialized_view(
+        "imv2", "pkb", ["k"], {"total": ("v", "sum"),
+                               "n": ("v", "count")})
+    pk.append(spark.createDataFrame([(1, 99)], SCH))     # upsert 1
+    pk.delete_where(__import__("paimon_spark").P.eq("k", 2))
+    cat.refresh_incremental_materialized_view("imv2")
+    got = {r.k: (r.total, r.n)
+           for r in cat.get_table("imv2").read().collect()}
+    assert got[1] == (99, 1)
+    assert got.get(2, (0, 0))[1] == 0                     # fully retracted
+    # min/max + retractions = loud error
+    cat.create_incremental_materialized_view(
+        "imv3", "pkb", ["k"], {"vmax": ("v", "max")})
+    pk.delete_where(__import__("paimon_spark").P.eq("k", 1))
+    with pytest.raises(ValueError, match="retractions"):
+        cat.refresh_incremental_materialized_view("imv3")
