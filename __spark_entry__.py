@@ -441,6 +441,29 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             dynamic=True)
         out["events_ice"] = t
 
+    def _build_18():
+        # ---- imv_user_totals: incremental materialized view — seeded
+        # from half the events, then the second half folds in via one
+        # delta refresh; correctness = the incremental result equals a
+        # full aggregate over the whole base
+        from paimon_spark import Catalog
+        # decimal base column → delta sums are exact, so the
+        # incremental result is bit-identical to the full aggregate
+        ev = raw["events"].select(
+            "event_id", "user_id",
+            F.col("value").cast("decimal(18,6)").alias("value"))
+        cat = Catalog(root, spark)
+        bt = Table.create(f"{root}/events_imv_base", ev.schema,
+                          spark=spark)
+        bt.append(ev.filter(F.col("event_id") % 2 == 0))
+        cat.create_incremental_materialized_view(
+            "events_imv", "events_imv_base", ["user_id"],
+            {"total_value": ("value", "sum"),
+             "n_events": ("event_id", "count")})
+        bt.append(ev.filter(F.col("event_id") % 2 == 1))
+        cat.refresh_incremental_materialized_view("events_imv")
+        out["events_imv"] = cat.get_table("events_imv")
+
     def _build_17():
         # ---- events_clustered: write-time z-order clustering — the
         # query proves row fidelity through the clustered write path
@@ -490,7 +513,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -880,6 +903,18 @@ def time_travel_v1(spark, sf_dir):
 
 def incremental_diff(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read_incremental(1, 2)
+
+
+def imv_user_totals(spark, sf_dir):
+    """Incremental materialized view: seeded on half the events, the
+    other half folded in by ONE delta refresh through the aggregation
+    merge engine — the result must equal a full aggregate over the
+    whole base (the oracle computes exactly that)."""
+    t = _wh(spark, sf_dir)["events_imv"]
+    return t.read().select(
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events")
 
 
 def clustered_write_prune(spark, sf_dir):
@@ -1567,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_csv_pk": format_csv_pk,
         "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
+        "imv_user_totals": imv_user_totals,
         "clustered_write_prune": clustered_write_prune,
         "blob_roundtrip": blob_roundtrip,
         "iceberg_mirror_read": iceberg_mirror_read,
@@ -1961,6 +1997,12 @@ def oracle_sql() -> dict[str, str]:
                    '9-UPDATED' AS o_orderpriority,
                    CAST(2 AS BIGINT) AS _sequence_number, '+I' AS _row_kind
             FROM orders WHERE o_orderkey % 10 = 0""",
+        "imv_user_totals": """
+            SELECT user_id,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS DOUBLE) AS total_value,
+                   count(event_id) AS n_events
+            FROM events GROUP BY user_id""",
         "clustered_write_prune": """
             SELECT event_type, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
