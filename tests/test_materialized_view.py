@@ -103,3 +103,42 @@ def test_incremental_mv_pk_base_retractions(spark, wh):
     pk.delete_where(__import__("paimon_spark").P.eq("k", 1))
     with pytest.raises(ValueError, match="retractions"):
         cat.refresh_incremental_materialized_view("imv3")
+
+
+def test_incremental_mv_randomized_model(spark, wh):
+    """Model-based chaos: random upserts/deletes on a PK base with a
+    refresh after every few ops — the incremental view must equal a
+    full aggregate of the current base at every checkpoint."""
+    import random
+
+    from paimon_spark import P
+    rng = random.Random(11)
+    cat = Catalog(wh, spark)
+    base = cat.create_table("chaos_base", SCH, primary_keys=["k"],
+                            options={"bucket": "2"})
+    base.append(spark.createDataFrame(
+        [(k, rng.randrange(100)) for k in range(20)], SCH))
+    cat.create_incremental_materialized_view(
+        "chaos_mv", "chaos_base", ["k"],
+        {"total": ("v", "sum"), "n": ("v", "count")})
+    for step in range(6):
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.7:
+                base.append(spark.createDataFrame(
+                    [(rng.randrange(30), rng.randrange(100))
+                     for _ in range(rng.randrange(1, 6))], SCH))
+            else:
+                base.delete_where(P.expr(
+                    f"k % 7 = {rng.randrange(7)}"))
+        cat.refresh_incremental_materialized_view("chaos_mv")
+        expect = {r.k: (r.t, r.n) for r in
+                  base.read().groupBy("k")
+                  .agg(__import__("pyspark.sql.functions",
+                                  fromlist=["x"]).sum("v").alias("t"),
+                       __import__("pyspark.sql.functions",
+                                  fromlist=["x"]).count("v").alias("n"))
+                  .collect()}
+        got = {r.k: (r.total, r.n)
+               for r in cat.get_table("chaos_mv").read().collect()
+               if r.n != 0}                     # fully-retracted keys
+        assert got == expect, f"diverged at step {step}"
