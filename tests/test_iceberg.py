@@ -371,3 +371,31 @@ def test_mirror_self_heals_after_missed_commits(spark, wh):
     v_after, m = _meta(t.paths.root)
     assert v_after == v_before
     assert read_iceberg(spark, t.paths.root).count() == 3
+
+
+def test_concurrent_writers_mirror_converges(spark, wh):
+    """Two writers race the post-commit mirror callback; the stale-skip
+    + gap-resync guards mean the mirror may lag mid-race but MUST
+    converge to the engine state once a serial commit lands."""
+    from concurrent.futures import ThreadPoolExecutor
+    df_sch = "id int, s string"
+    t = Table.create(f"{wh}/conc",
+                     spark.createDataFrame([], df_sch).schema,
+                     spark=spark, options=dict(ICE_OPT))
+
+    def writer(tag):
+        w = Table.load(t.path, spark)
+        for i in range(4):
+            w.append(spark.createDataFrame(
+                [(tag * 100 + i, f"w{tag}")], df_sch))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(writer, k) for k in (1, 2)]:
+            f.result()
+    # serial tail commit: the mirror sees the gap (if any) and resyncs
+    t.append(spark.createDataFrame([(999, "tail")], df_sch))
+    eng = t.read().select("id", "s")
+    ice = read_iceberg(spark, t.paths.root).select("id", "s")
+    assert eng.count() == 9
+    assert ice.exceptAll(eng).count() == 0 \
+        and eng.exceptAll(ice).count() == 0
