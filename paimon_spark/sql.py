@@ -110,6 +110,32 @@ class SQLRouter:
         if m:
             self.catalog.refresh_materialized_view(m.group(1).strip("`"))
             return None
+        m = re.match(rf"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+                     rf"({_IDENT})$", s, re.IGNORECASE)
+        if m:
+            name = m.group(2).strip("`")
+            if not self.catalog.table_exists(name):
+                if m.group(1):
+                    return None
+                raise FileNotFoundError(f"no materialized view {name}")
+            self.catalog.drop_table(name)
+            return None
+        if re.match(r"SHOW\s+MATERIALIZED\s+VIEWS$", s, re.IGNORECASE):
+            rows = []
+            for n in self.catalog.list_tables():
+                try:
+                    o = self.catalog.get_table(n).schema.options
+                except Exception:
+                    continue
+                q = o.get("materialized-view.definition") \
+                    or o.get("imv.spec")
+                if q:
+                    rows.append((n, "incremental" if "imv.spec" in o
+                                 else "full", q))
+            return self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "name string, refresh_mode string, definition string") \
+                .filter(F.col("name") != "")
         if head == "CREATE" and re.match(r"CREATE\s+TABLE", s,
                                          re.IGNORECASE):
             return self._create_table(s)

@@ -142,3 +142,17 @@ def test_incremental_mv_randomized_model(spark, wh):
                for r in cat.get_table("chaos_mv").read().collect()
                if r.n != 0}                     # fully-retracted keys
         assert got == expect, f"diverged at step {step}"
+
+
+def test_mv_sql_surface(spark, wh):
+    cat = Catalog(wh, spark)
+    _base(spark, cat, [(1, 1)])
+    cat.sql("CREATE MATERIALIZED VIEW mv_a AS SELECT k FROM base")
+    cat.create_incremental_materialized_view(
+        "mv_b", "base", ["k"], {"n": ("v", "count")})
+    shown = {r.name: r.refresh_mode
+             for r in cat.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert shown == {"mv_a": "full", "mv_b": "incremental"}
+    cat.sql("DROP MATERIALIZED VIEW mv_a")
+    assert not cat.table_exists("mv_a")
+    cat.sql("DROP MATERIALIZED VIEW IF EXISTS mv_a")   # idempotent
