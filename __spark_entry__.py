@@ -1556,16 +1556,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "text_chunks": text_chunks,
+        "sketch_hll_users": sketch_hll_users,
+        "sketch_theta_custkeys": sketch_theta_custkeys,
+        "variant_extract": variant_extract,
+        "stream_window_counts": stream_window_counts,
+        "window_user_ranks": window_user_ranks,
+        "pii_redact": pii_redact,
+        "contamination_4gram": contamination_4gram,
+        "bitmap_rowrange_lang": bitmap_rowrange_lang,
+        "dedup_clusters": dedup_clusters,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_bands": dedup_minhash_bands,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "zorder_cluster_preserves": zorder_cluster_preserves,
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue": q3_top_revenue,
-        "q5_region_revenue": q5_region_revenue,
         "q6_revenue": q6_revenue,
+        "q3_top_revenue": q3_top_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "topn_orders": topn_orders,
+        "point_lookup": point_lookup,
+        "metadata_count": metadata_count,
+        "metadata_minmax": metadata_minmax,
+        "transform_year_filter": transform_year_filter,
+        "agg_engine_rich": agg_engine_rich,
+        "changelog_old_vs_new": changelog_old_vs_new,
+        "pk_upsert_latest": pk_upsert_latest,
+        "pk_after_delete": pk_after_delete,
+        "cross_partition_upsert": cross_partition_upsert,
+        "merge_into_append": merge_into_append,
+        "merge_full_surface": merge_full_surface,
+        "datasource_write_pk": datasource_write_pk,
+        "sql_dml_roundtrip": sql_dml_roundtrip,
+        "time_travel_v1": time_travel_v1,
+        "imv_user_totals": imv_user_totals,
+        "iceberg_mirror_read": iceberg_mirror_read,
+        "q5_region_revenue": q5_region_revenue,
         "q4_late_orders": q4_late_orders,
         "q10_returned_revenue": q10_returned_revenue,
         "q12_priority_class": q12_priority_class,
         "q14_promo_share": q14_promo_share,
         "q18_big_orders": q18_big_orders,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         "rollup_pricing": rollup_pricing,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
@@ -1577,66 +1620,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q20_excess_shipments": q20_excess_shipments,
-        "topn_orders": topn_orders,
-        "point_lookup": point_lookup,
-        "metadata_count": metadata_count,
-        "metadata_minmax": metadata_minmax,
-        "transform_year_filter": transform_year_filter,
-        "agg_engine_rich": agg_engine_rich,
         "agg_engine_listagg": agg_engine_listagg,
         "agg_engine_merge_map": agg_engine_merge_map,
-        "changelog_old_vs_new": changelog_old_vs_new,
         "read_optimized_lag": read_optimized_lag,
-        "pk_upsert_latest": pk_upsert_latest,
-        "pk_after_delete": pk_after_delete,
-        "cross_partition_upsert": cross_partition_upsert,
         "cross_partition_pruned": cross_partition_pruned,
-        "merge_into_append": merge_into_append,
-        "merge_full_surface": merge_full_surface,
-        "datasource_write_pk": datasource_write_pk,
         "pk_avro_upsert": pk_avro_upsert,
-        "sql_dml_roundtrip": sql_dml_roundtrip,
         "format_csv_pk": format_csv_pk,
-        "time_travel_v1": time_travel_v1,
         "incremental_diff": incremental_diff,
-        "imv_user_totals": imv_user_totals,
         "clustered_write_prune": clustered_write_prune,
         "blob_roundtrip": blob_roundtrip,
-        "iceberg_mirror_read": iceberg_mirror_read,
         "audit_log_counts": audit_log_counts,
         "agg_engine_user_stats": agg_engine_user_stats,
         "partial_update_orders": partial_update_orders,
         "first_row_events": first_row_events,
         "compact_preserves": compact_preserves,
         "dynamic_bucket_latest": dynamic_bucket_latest,
-        "zorder_cluster_preserves": zorder_cluster_preserves,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_bands": dedup_minhash_bands,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_clusters": dedup_clusters,
-        "dedup_simhash": dedup_simhash,
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "text_quality": text_quality,
-        "text_stats": text_stats,
-        "text_langid": text_langid,
-        "text_repetition": text_repetition,
-        "text_chunks": text_chunks,
-        "pii_redact": pii_redact,
-        "contamination_4gram": contamination_4gram,
-        "bitmap_rowrange_lang": bitmap_rowrange_lang,
-        "ann_brute_topk": ann_brute_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "window_user_ranks": window_user_ranks,
-        "stream_window_counts": stream_window_counts,
-        "variant_extract": variant_extract,
-        "sketch_hll_users": sketch_hll_users,
-        "sketch_theta_custkeys": sketch_theta_custkeys,
     }
 
 

@@ -97,6 +97,25 @@ def main():
     def raw_point():
         orders.filter(F.col("o_orderkey") == 20).collect()
 
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def raw_window():
+        from pyspark.sql import Window
+        counts = (ev.groupBy("user_id", "event_type")
+                  .agg(F.count("*").alias("cnt")))
+        w = Window.partitionBy("user_id").orderBy(F.desc("cnt"),
+                                                  F.asc("event_type"))
+        (counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+         .filter(F.col("rnk") <= 2).count())
+
+    def raw_stream():
+        # batch equivalent of the streaming windowed agg over raw
+        # parquet — the ratio isolates the streaming-machinery overhead
+        # (microbatch planning, state store) from the agg itself
+        (ev.withColumn("ets", E._event_time(ev))
+         .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
+         .agg(F.count("*").alias("cnt")).count())
+
     pairs = [
         ("q1", raw_q1, lambda: E.q1_pricing_summary(spark, sf_dir).count()),
         ("q6", raw_q6, lambda: E.q6_revenue(spark, sf_dir).collect()),
@@ -104,6 +123,10 @@ def main():
         ("topn", raw_topn, lambda: E.topn_orders(spark, sf_dir).collect()),
         ("point", raw_point,
          lambda: E.point_lookup(spark, sf_dir).collect()),
+        ("window", raw_window,
+         lambda: E.window_user_ranks(spark, sf_dir).count()),
+        ("stream", raw_stream,
+         lambda: E.stream_window_counts(spark, sf_dir).count()),
     ]
     base: dict[str, float] = {}
     ratios: dict[str, float] = {}

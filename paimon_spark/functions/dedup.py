@@ -253,6 +253,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                                      F.col("src").alias("dst"))).persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).persist())
+    converged = False
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("id", "dst")
                           .withColumnRenamed("lbl", "dlbl"), "dst")
@@ -268,7 +269,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # an unconverged exit would silently mis-assign cluster_id (and
+        # thus is_survivor) on long-chain components — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds (component diameter > max_iter); raise max_iter — "
+            f"each extra round costs one join+groupBy, data stays "
+            f"distributed")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))

@@ -349,6 +349,45 @@ def invalidate_mirror(table_root: str) -> None:
     _sh.rmtree(os.path.join(table_root, "metadata"), ignore_errors=True)
 
 
+def _dv_mirror_supported() -> bool:
+    """Whether deletion-vector tables can be mirrored (Iceberg v2
+    position-delete files). Flipped to True when delete-file writing
+    lands; kept as a function so the validator reads declaratively."""
+    return False
+
+
+def validate_iceberg_compat(schema: "TableSchema") -> None:
+    """All metadata.iceberg.storage compatibility checks, run at table
+    CREATE / ALTER time (not post-commit): a commit that already made a
+    snapshot durable must never fail afterwards — a caller retry would
+    duplicate data. Raises ValueError on: non-Iceberg-readable file
+    format, blob.columns (physically stored as descriptor structs that
+    external Iceberg readers would misread as payload binary), and
+    column types with no Iceberg mapping."""
+    if not iceberg_enabled(schema):
+        return
+    fmt = schema.options.get("file.format", "parquet")
+    if fmt not in ("parquet", "orc", "avro"):
+        raise ValueError(
+            f"{STORAGE_OPTION} requires an Iceberg-readable data "
+            f"format (parquet/orc/avro), table uses {fmt}")
+    if schema.options.get("deletion-vectors.enabled",
+                          "false") == "true" and \
+            not _dv_mirror_supported():
+        raise ValueError(
+            f"{STORAGE_OPTION} does not support deletion-vector "
+            f"tables (Iceberg delete-file mirroring is out of scope)")
+    if schema.options.get("blob.columns", "").strip():
+        # blob columns store (file, offset, length) descriptor structs
+        # in parquet; an Iceberg reader would see descriptors, not
+        # payload bytes
+        raise ValueError(
+            f"{STORAGE_OPTION} does not support blob.columns tables "
+            f"(externalized payloads are invisible to Iceberg readers)")
+    for f in schema.struct.fields:
+        _iceberg_type(f.dataType)  # raises on nested/exotic types
+
+
 class IcebergCompat:
     """Per-table Iceberg metadata mirror. One instance per commit is
     cheap — all state lives in `<table>/metadata/`."""
@@ -357,19 +396,7 @@ class IcebergCompat:
         self.table = table
         self.schema = table.schema
         self.meta_dir = os.path.join(table.paths.root, "metadata")
-        fmt = self.schema.options.get("file.format", "parquet")
-        if fmt not in ("parquet", "orc", "avro"):
-            raise ValueError(
-                f"{STORAGE_OPTION} requires an Iceberg-readable data "
-                f"format (parquet/orc/avro), table uses {fmt}")
-        if self.schema.options.get("deletion-vectors.enabled",
-                                   "false") == "true":
-            # mirroring DVs needs Iceberg delete files (format v3 /
-            # puffin in the reference — needAddDvToIceberg); a plain
-            # data-file mirror would resurrect deleted rows
-            raise ValueError(
-                f"{STORAGE_OPTION} does not support deletion-vector "
-                f"tables (Iceberg delete-file mirroring is out of scope)")
+        validate_iceberg_compat(self.schema)
 
     # ---- state ----
 

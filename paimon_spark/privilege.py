@@ -179,11 +179,14 @@ class PrivilegedTable:
     _READ = {"read", "read_with_lineage", "read_audit_log",
              "read_incremental", "read_incremental_between_timestamps",
              "read_incremental_to_auto_tag", "read_optimized", "new_scan",
-             "snapshots_df", "files_df", "partitions_df", "tags_df",
-             "branches_df", "buckets_df", "register_views"}
-    _WRITE = {"append", "writer", "delete_where", "update_where",
-              "merge_into", "truncate", "compact", "create_tag",
-              "delete_tag", "rollback", "expire_snapshots"}
+             "read_topn", "to_df", "snapshots_df", "files_df",
+             "partitions_df", "tags_df", "branches_df", "buckets_df",
+             "options_df", "schemas_df", "manifests_df", "consumers_df",
+             "statistics_df", "aggregation_fields_df", "table_indexes_df",
+             "row_tracking_df", "register_views", "list_branches",
+             "delta_entries", "max_pt", "vector_search",
+             "full_text_search", "hybrid_search", "vector_index_meta",
+             "file_format"}
     _ALTER = {"alter"}
 
     def __init__(self, table: Any, manager: PrivilegeManager, user: str,
@@ -194,13 +197,29 @@ class PrivilegedTable:
         object.__setattr__(self, "_id", identifier)
 
     def __getattr__(self, name: str):
+        attr = getattr(self._t, name)
+        if name.startswith("_"):
+            return attr
+        if name == "branch":
+            # branch() returns another Table: keep it privileged
+            self._mgr.check(self._user, self._id, "SELECT")
+
+            def _branch(bname: str):
+                return PrivilegedTable(attr(bname), self._mgr,
+                                       self._user, self._id)
+            return _branch
         if name in self._READ:
             self._mgr.check(self._user, self._id, "SELECT")
-        elif name in self._WRITE:
-            self._mgr.check(self._user, self._id, "INSERT")
         elif name in self._ALTER:
             self._mgr.check(self._user, self._id, "ALTER_TABLE")
-        return getattr(self._t, name)
+        elif callable(attr):
+            # default-deny: every method not explicitly read-only is a
+            # mutation or maintenance action (append, overwrite,
+            # rollback_to, fast_forward, remove_orphan_files, branch
+            # create/delete, compact, expire_*, copy_into, writer, ...)
+            # and requires INSERT — unknown names never pass unchecked.
+            self._mgr.check(self._user, self._id, "INSERT")
+        return attr
 
 
 class PrivilegedCatalog:

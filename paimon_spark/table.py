@@ -86,6 +86,13 @@ class Table:
         self.branch_name = branch
         self.paths = TablePaths(path, branch)
         self.spark = spark
+        # warm read cache: (snapshot identity, schema id, predicate
+        # fingerprint, shape args) → assembled DataFrame. Snapshots are
+        # immutable, so entries never go stale; rollback's snapshot-id
+        # reuse is guarded by timestamp_ms in the key. Kills the fixed
+        # per-read planning cost (manifest replay + file-list DataFrame
+        # construction) on repeat small reads (point lookup / TopN).
+        self._read_cache: dict[tuple, DataFrame] = {}
 
     # ---------------- lifecycle ----------------
 
@@ -96,6 +103,8 @@ class Table:
                options: dict[str, str] | None = None,
                spark: SparkSession | None = None) -> "Table":
         schema = TableSchema.create(struct, partition_keys, primary_keys, options)
+        from paimon_spark.iceberg import validate_iceberg_compat
+        validate_iceberg_compat(schema)  # fail at create, never post-commit
         paths = TablePaths(path)
         if os.path.exists(paths.schema_file(0)):
             raise FileExistsError(f"table exists at {path}")
@@ -122,7 +131,10 @@ class Table:
 
     def alter(self, change_fn) -> "Table":
         """Apply a SchemaChange: table.alter(lambda s: s.add_column('c', ...))"""
-        self._save_schema(change_fn(self.schema))
+        new_schema = change_fn(self.schema)
+        from paimon_spark.iceberg import validate_iceberg_compat
+        validate_iceberg_compat(new_schema)  # fail at alter, never post-commit
+        self._save_schema(new_schema)
         return self
 
     def with_spark(self, spark: SparkSession) -> "Table":
@@ -317,6 +329,25 @@ class Table:
         the reference's blob-as-descriptor read (metadata-only plans,
         e.g. counting bytes or routing downloads, skip the blob I/O)."""
         scan = self.new_scan()
+        # ---- warm plan/DataFrame cache (repeat reads of an immutable
+        # snapshot skip manifest replay + plan construction entirely) ----
+        fb_opt = self.schema.options.get("scan.fallback-branch")
+        chain_opt = self.schema.options.get("chain-table.enabled") == "true"
+        cache_key = None
+        if not fb_opt and not chain_opt:
+            snap = scan.resolve_snapshot(snapshot_id, tag,
+                                         as_of_timestamp_ms, watermark)
+            cache_key = ((snap.id, snap.timestamp_ms) if snap else None,
+                         self.schema.schema_id, repr(predicate),
+                         tuple(projection) if projection else None,
+                         limit, with_hidden, blob_as_descriptor,
+                         id(self.spark))
+            hit = self._read_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            if snap is not None:      # don't resolve twice inside plan()
+                snapshot_id, tag, as_of_timestamp_ms, watermark = \
+                    snap.id, None, None, None
         plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit,
                          watermark)
         if not plan.entries:
@@ -347,6 +378,10 @@ class Table:
             bcols = blob_columns(self.schema)
             if bcols:
                 df = materialize_blobs(df, bcols, self.paths.root)
+        if cache_key is not None:
+            if len(self._read_cache) >= 64:         # small LRU-ish cap
+                self._read_cache.pop(next(iter(self._read_cache)))
+            self._read_cache[cache_key] = df
         return df
 
     def _apply_defaults(self, df: DataFrame) -> DataFrame:

@@ -18,6 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
@@ -158,7 +159,7 @@ def collect_footer_stats(path: str, columns: list[str]) -> tuple[int, int, dict]
                         s["min"] = mn
                     if s["max"] is None or mx > s["max"]:
                         s["max"] = mx
-            except (TypeError, NotImplementedError, Exception):
+            except Exception:                          # noqa: BLE001
                 pass  # statless physical type (e.g. INT96)
     return md.num_rows, os.path.getsize(path), stats
 
@@ -369,6 +370,7 @@ class BatchWriter:
         # auto: 1 col → order, <5 → zorder, else hilbert): range-
         # partition on the cluster value so files get disjoint ranges
         # (file skipping on the clustered columns), then sort within
+        persisted = None
         ccols = [c.strip() for c in
                  schema.options.get("clustering.columns", "").split(",")
                  if c.strip()]
@@ -393,7 +395,15 @@ class BatchWriter:
                     hilbert_value, zvalue)
                 # normalization bounds from the INPUT batch — manifest
                 # stats don't exist for the rows being written (one
-                # small agg job, like the range partitioner's sample)
+                # small agg job, like the range partitioner's sample).
+                # Persist first: without it the agg executes the full
+                # input plan a second time — with blob.columns that
+                # would re-run externalize_blobs (payloads written
+                # twice, first pass orphaned), and non-deterministic
+                # inputs could yield bounds inconsistent with the
+                # written batch
+                df = df.persist()
+                persisted = df
                 row = df.agg(*[f for c in ccols for f in
                                (F.min(c).alias(f"__lo_{c}"),
                                 F.max(c).alias(f"__hi_{c}"))]).first()
@@ -412,8 +422,12 @@ class BatchWriter:
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         fmt = self.file_format
-        writer.format(spark_format_name(fmt)) \
-              .options(**format_options(fmt)).save(staging)
+        try:
+            writer.format(spark_format_name(fmt)) \
+                  .options(**format_options(fmt)).save(staging)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
         staged_struct = T.StructType(
             [f for f in df.schema.fields if f.name not in part_cols])
@@ -705,18 +719,31 @@ class BatchWriter:
                              else (latest.next_row_id if latest else None)),
             )
             if self.paths.try_commit_snapshot(snap):
-                if commit_identifier is not None:
-                    # keep the streaming replay check O(1)
-                    self.paths.record_commit_identifier(
-                        self.commit_user, commit_identifier)
-                if self.paths.branch is None:
-                    from paimon_spark.iceberg import (IcebergCompat,
-                                                      iceberg_enabled)
-                    if iceberg_enabled(self.schema):
-                        # mirror the commit into Iceberg metadata (ref:
-                        # IcebergCommitCallback.call — commit callback)
-                        IcebergCompat(self.table).mirror(snap, entries)
-                self._post_commit(snap, kind)
+                # The snapshot is durable from here on: post-commit
+                # callbacks (Iceberg mirror, retention, auto-compact)
+                # must never turn a successful write into a raised
+                # error — a caller retry would duplicate data. All
+                # compat validation happens at create/alter time
+                # (iceberg.validate_iceberg_compat); anything left is
+                # logged and the mirror self-heals on the next commit.
+                try:
+                    if commit_identifier is not None:
+                        # keep the streaming replay check O(1)
+                        self.paths.record_commit_identifier(
+                            self.commit_user, commit_identifier)
+                    if self.paths.branch is None:
+                        from paimon_spark.iceberg import (IcebergCompat,
+                                                          iceberg_enabled)
+                        if iceberg_enabled(self.schema):
+                            # mirror the commit into Iceberg metadata (ref:
+                            # IcebergCommitCallback.call — commit callback)
+                            IcebergCompat(self.table).mirror(snap, entries)
+                    self._post_commit(snap, kind)
+                except Exception:                      # noqa: BLE001
+                    logging.getLogger(__name__).exception(
+                        "post-commit callback failed for snapshot %s "
+                        "(commit is durable; mirror/maintenance will "
+                        "self-heal on the next commit)", snap.id)
                 return snap
         raise RuntimeError("commit failed after retries (too many concurrent writers)")
 

@@ -224,3 +224,17 @@ def test_connected_components_chain_and_clique(spark):
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A diameter > max_iter chain must raise, not silently return
+    wrong cluster labels (ADVICE r4)."""
+    import pytest
+    from paimon_spark.functions.dedup import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(chain, max_iter=20).collect()}
+    assert set(got.values()) == {1}

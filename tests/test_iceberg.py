@@ -220,18 +220,60 @@ def test_expiration_trims_mirror_and_tags_become_refs(spark, wh):
                       t.read().select("id", "s"), "id")
 
 
-def test_unsupported_tables_fail_loudly(spark, wh):
+def test_unsupported_tables_fail_at_create_or_alter(spark, wh):
+    """Compat validation happens at CREATE / ALTER time, never
+    post-commit — a durable snapshot must not be reported as a failed
+    write (a retry would duplicate data)."""
     df = spark.createDataFrame([(1, "a")], "id int, s string")
-    t = Table.create(f"{wh}/csvt", df.schema, spark=spark,
-                     options={**ICE_OPT, "file.format": "csv"})
     with pytest.raises(ValueError, match="Iceberg-readable"):
-        t.append(df)
-    t2 = Table.create(f"{wh}/dvt", df.schema, primary_keys=["id"],
-                      spark=spark,
-                      options={**ICE_OPT, "bucket": "1",
-                               "deletion-vectors.enabled": "true"})
-    with pytest.raises(ValueError, match="deletion-vector"):
-        t2.append(df)
+        Table.create(f"{wh}/csvt", df.schema, spark=spark,
+                     options={**ICE_OPT, "file.format": "csv"})
+    with pytest.raises(ValueError, match="blob.columns"):
+        Table.create(f"{wh}/blobt",
+                     spark.createDataFrame([(1, b"x")],
+                                           "id int, img binary").schema,
+                     spark=spark, options={**ICE_OPT,
+                                           "blob.columns": "img"})
+    import pyspark.sql.types as T
+    with pytest.raises(ValueError, match="no Iceberg mirror"):
+        Table.create(
+            f"{wh}/nested", T.StructType([
+                T.StructField("id", T.IntegerType()),
+                T.StructField("m", T.MapType(T.StringType(),
+                                             T.LongType()))]),
+            spark=spark, options=dict(ICE_OPT))
+    # enabling the mirror by ALTER on an incompatible table also fails
+    t = Table.create(f"{wh}/plaincsv", df.schema, spark=spark,
+                     options={"file.format": "csv"})
+    with pytest.raises(ValueError, match="Iceberg-readable"):
+        t.alter(lambda s: s.set_option(
+            "metadata.iceberg.storage", "table-location"))
+
+
+def test_post_commit_mirror_failure_does_not_fail_write(spark, wh,
+                                                        monkeypatch):
+    """Once the snapshot file is durable, a mirror bug must be logged,
+    not raised — and the mirror self-heals on the next commit."""
+    import paimon_spark.iceberg as ice
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    t = Table.create(f"{wh}/selfheal", df.schema, spark=spark,
+                     options=dict(ICE_OPT))
+    boom = {"n": 0}
+    real = ice.IcebergCompat.mirror
+
+    def flaky(self, snap, entries):
+        boom["n"] += 1
+        if boom["n"] == 1:
+            raise RuntimeError("injected mirror failure")
+        return real(self, snap, entries)
+
+    monkeypatch.setattr(ice.IcebergCompat, "mirror", flaky)
+    snap = t.append(df)                 # mirror raises → write still OK
+    assert snap.id == 1
+    t.append(spark.createDataFrame([(2, "b")], df.schema))
+    # second commit resynced the mirror: Iceberg chain sees both rows
+    got = read_iceberg(spark, f"{wh}/selfheal")
+    assert got.count() == 2
 
 
 def test_randomized_mirror_stays_consistent(spark, wh):

@@ -95,3 +95,33 @@ def test_init_via_sql_call(spark, wh):
     root.create_privileged_user("dave", "dpw")
     with pytest.raises(NoPrivilegeException):
         PrivilegedCatalog(wh, spark, "dave", "dpw").get_table("p1").read()
+
+
+def test_destructive_methods_default_deny(spark, priv_wh):
+    """Unknown / non-read methods (overwrite, rollback_to, fast_forward,
+    remove_orphan_files, branch ops) must require INSERT — never pass
+    through unchecked."""
+    root = PrivilegedCatalog(priv_wh, spark, "root", "rootpw")
+    root.create_privileged_user("eve", "epw")
+    root.grant_privilege_to_user("eve", "SELECT", "t1")
+    eve = PrivilegedCatalog(priv_wh, spark, "eve", "epw")
+    t = eve.get_table("t1")
+    df = spark.createDataFrame([(7, "x")], SCH)
+    for call in [lambda: t.overwrite(df),
+                 lambda: t.rollback_to(1),
+                 lambda: t.fast_forward("b"),
+                 lambda: t.remove_orphan_files(),
+                 lambda: t.create_branch("b"),
+                 lambda: t.delete_branch("b"),
+                 lambda: t.writer(),
+                 lambda: t.truncate(),
+                 lambda: t.expire_snapshots()]:
+        with pytest.raises(NoPrivilegeException, match="INSERT"):
+            call()
+    # read-only surface still works with SELECT only
+    assert t.read().count() == 2
+    assert t.snapshots_df().count() >= 1
+    # with INSERT the same calls are allowed
+    root.grant_privilege_to_user("eve", "INSERT", "t1")
+    t.overwrite(df)
+    assert t.read().count() == 1
