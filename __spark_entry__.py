@@ -489,6 +489,59 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.append(docs)
         out["docs_blob"] = t
 
+    def _build_19():
+        # ---- orders_cdc: CDC sync-table action (S11) — a debezium-
+        # shaped JSON feed built from orders drives two sync batches
+        # with a schema change in between (o_orderpriority added); the
+        # second batch also updates (%8) and deletes (%16) keys, so the
+        # final state proves evolution + rowkind routing end-to-end
+        import json as _json
+        from paimon_spark.functions.cdc_sync import sync_table
+        f1 = [("o_orderkey", "int64"), ("o_totalprice", "float64"),
+              ("o_orderstatus", "string")]
+        f2 = f1 + [("o_orderpriority", "string")]
+
+        def _envelope(fields, op, payload_struct, payload_name):
+            sch = _json.dumps({"type": "struct", "fields": [
+                {"field": "after", "type": "struct",
+                 "fields": [{"field": k, "type": ty} for k, ty in fields]}]})
+            return F.concat(
+                F.lit('{"schema":' + sch + ',"payload":{"op":"' + op
+                      + '","' + payload_name + '":'),
+                F.to_json(payload_struct), F.lit("}}"))
+
+        base = raw["orders"].select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus", "o_orderpriority") \
+            .filter(F.col("o_orderkey") % 4 == 0)
+        t = Table.create(
+            f"{root}/orders_cdc", T.StructType([
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+                T.StructField("o_orderstatus", T.StringType())]),
+            primary_keys=["o_orderkey"], options={"bucket": "4"},
+            spark=spark)
+        b1 = base.select(_envelope(
+            f1, "c", F.struct("o_orderkey", "o_totalprice",
+                              "o_orderstatus"), "after").alias("value"))
+        sync_table(t, b1)
+        upd = base.filter((F.col("o_orderkey") % 8 == 0)
+                          & (F.col("o_orderkey") % 16 != 0)) \
+            .select(_envelope(
+                f2, "u", F.struct(
+                    "o_orderkey",
+                    (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                    "o_orderstatus", "o_orderpriority"),
+                "after").alias("value"))
+        dels = base.filter(F.col("o_orderkey") % 16 == 0) \
+            .select(_envelope(
+                f1, "d", F.struct("o_orderkey", "o_totalprice",
+                                  "o_orderstatus"),
+                "before").alias("value"))
+        sync_table(t, upd.unionByName(dels))
+        out["orders_cdc"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -513,7 +566,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1487,7 +1540,11 @@ def stream_window_counts(spark, sf_dir):
     register(spark)
     t = _wh(spark, sf_dir)["events_stream"]
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    sdf = spark.readStream.format("paimon").option("path", t.path).load()
+    # availablenow=true → pinned single-batch full drain (the Python DS
+    # API lacks SupportsTriggerAvailableNow; without this option read
+    # limits would cap the one fallback batch and truncate the drain)
+    sdf = (spark.readStream.format("paimon").option("path", t.path)
+           .option("availablenow", "true").load())
     q = (sdf.withColumn("ets", _event_time(sdf))
          .withWatermark("ets", "7 days")
          .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
@@ -1549,6 +1606,15 @@ def sketch_theta_custkeys(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 
+def cdc_sync_evolution(spark, sf_dir):
+    """CDC sync-table action (SURVEY S11): final state of a table built
+    purely from a debezium-shaped feed — insert batch, then a
+    schema-evolving batch (new column) with updates and deletes."""
+    t = _wh(spark, sf_dir)["orders_cdc"]
+    return t.read(projection=["o_orderkey", "o_totalprice",
+                              "o_orderstatus", "o_orderpriority"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1603,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_v1": time_travel_v1,
         "imv_user_totals": imv_user_totals,
         "iceberg_mirror_read": iceberg_mirror_read,
+        "cdc_sync_evolution": cdc_sync_evolution,
         "q5_region_revenue": q5_region_revenue,
         "q4_late_orders": q4_late_orders,
         "q10_returned_revenue": q10_returned_revenue,
@@ -2023,6 +2090,17 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE value END AS DECIMAL(18,6)))
                         AS DOUBLE) AS val_sum
             FROM events GROUP BY event_type""",
+        "cdc_sync_evolution": """
+            SELECT o_orderkey,
+                   CAST(CASE WHEN o_orderkey % 8 = 0
+                             THEN o_totalprice + 1000.0
+                             ELSE o_totalprice END AS DOUBLE)
+                       AS o_totalprice,
+                   o_orderstatus,
+                   CASE WHEN o_orderkey % 8 = 0 THEN o_orderpriority
+                        END AS o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)

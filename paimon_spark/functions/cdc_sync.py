@@ -1,0 +1,255 @@
+"""In-sandbox CDC ingestion action: sync a debezium-shaped JSON feed into
+a table with automatic schema evolution and rowkind routing (SURVEY S11).
+
+The reference's connector actions (MySqlSyncTableAction / Kafka sync)
+wrap external services; the ENGINE work they do per batch is:
+
+  parse CDC records → derive the incoming schema → evolve the table
+  schema (add columns, widen types) → route rows by RowKind → write
+
+That pipeline is implemented here over any DataFrame of JSON strings
+(a file feed, a Kafka value column, a test fixture), Spark-first:
+
+- payload extraction is `get_json_object` / `from_json` (JVM-side);
+- schema discovery prefers the debezium `schema` block (declared source
+  types, collected driver-side — O(#distinct schema versions), metadata
+  plane); schema-less feeds fall back to Spark's JSON inference;
+- type widening follows the reference's rules (ref:
+  paimon-flink-cdc/.../sink/cdc/UpdatedDataFieldsProcessFunctionBase.java
+  canConvert — same-family widen = CONVERT, narrow = IGNORE,
+  cross-family = EXCEPTION unless ALLOW_NON_STRING_TO_STRING);
+- out-of-order schema versions inside one batch are safe: the batch is
+  synced against the WIDEST schema seen, so late old-shape records
+  parse with nulls for the columns they predate
+  (ref: SchemaEvolutionUtil — old files read through new schema).
+
+(ref: paimon-flink-cdc/.../sink/cdc/RichCdcRecord.java,
+ RichCdcSinkBuilder.java, action/cdc/SyncTableActionBase.java)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from paimon_spark.schema import KIND_COL
+
+if TYPE_CHECKING:
+    from paimon_spark.table import Table
+
+# debezium field-schema `type` → Spark type (Kafka Connect names)
+_DBZ_TYPES: dict[str, T.DataType] = {
+    "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+    "int64": T.LongType(), "float32": T.FloatType(), "float": T.FloatType(),
+    "float64": T.DoubleType(), "double": T.DoubleType(),
+    "boolean": T.BooleanType(), "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+_INT_FAMILY = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_FAMILY = (T.FloatType, T.DoubleType)
+
+# debezium op → paimon row kind (ref: RowKind.java; debezium c/r/u/d)
+_OP_KIND = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
+
+
+def _family_rank(dt: T.DataType, family: tuple) -> int:
+    for i, f in enumerate(family):
+        if isinstance(dt, f):
+            return i
+    return -1
+
+
+def can_convert(old: T.DataType, new: T.DataType,
+                allow_non_string_to_string: bool = False) -> str:
+    """'convert' | 'ignore' | 'exception' — Spark-type port of the
+    reference's UpdatedDataFieldsProcessFunctionBase.canConvert:
+    same-family widening converts, narrowing is ignored (keep the wider
+    table type), cross-family changes raise unless the target is string
+    and ALLOW_NON_STRING_TO_STRING is on."""
+    if old == new:
+        return "convert"
+    oi, ni = _family_rank(old, _INT_FAMILY), _family_rank(new, _INT_FAMILY)
+    if oi >= 0 and ni >= 0:
+        return "convert" if oi <= ni else "ignore"
+    oi, ni = _family_rank(old, _FLOAT_FAMILY), _family_rank(new, _FLOAT_FAMILY)
+    if oi >= 0 and ni >= 0:
+        return "convert" if oi <= ni else "ignore"
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        if new.precision >= old.precision and new.scale >= old.scale:
+            return "convert"
+        return "ignore"
+    if isinstance(new, T.StringType):
+        if isinstance(old, T.StringType) or allow_non_string_to_string:
+            return "convert"
+    return "exception"
+
+
+def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Widest of two types within a family (for merging out-of-order
+    schema versions inside one batch)."""
+    action = can_convert(a, b)
+    if action == "convert":
+        return b
+    if action == "ignore":
+        return a
+    raise ValueError(
+        f"CDC schema conflict inside one batch: {a.simpleString()} vs "
+        f"{b.simpleString()} are not same-family convertible")
+
+
+def _parse_dbz_schema(schema_json: str) -> dict[str, T.DataType] | None:
+    """debezium envelope `schema` block → {column: spark type} from the
+    `after` (fallback `before`) field struct. None when unparseable."""
+    try:
+        sch = json.loads(schema_json)
+    except (TypeError, ValueError):
+        return None
+    blocks = {f.get("field"): f for f in sch.get("fields", [])}
+    block = blocks.get("after") or blocks.get("before")
+    if not block:
+        return None
+    out: dict[str, T.DataType] = {}
+    for f in block.get("fields", []):
+        dt = _DBZ_TYPES.get(f.get("type"))
+        if dt is not None and f.get("field"):
+            out[f["field"]] = dt
+    return out or None
+
+
+def discover_schema(ext: DataFrame) -> dict[str, T.DataType]:
+    """Incoming column types for one CDC batch.
+
+    Declared path: distinct `schema` blocks (driver-side collect is
+    O(#distinct schema versions) — metadata plane, like the reference's
+    per-record CdcSchema comparison). Versions are merged by widening,
+    so an out-of-order old-version record cannot narrow the result.
+    Fallback (schema-less feed): Spark JSON inference over the payloads.
+    """
+    merged: dict[str, T.DataType] = {}
+    declared = [r[0] for r in
+                ext.select("schemaj").filter(F.col("schemaj").isNotNull())
+                .distinct().collect()]
+    for sj in declared:
+        cols = _parse_dbz_schema(sj)
+        if not cols:
+            continue
+        for name, dt in cols.items():
+            merged[name] = _widest(merged[name], dt) if name in merged else dt
+    if merged:
+        return merged
+    # schema-less feed: infer from the row payloads themselves
+    payloads = ext.select(F.coalesce("afterj", "beforej").alias("p")) \
+                  .filter(F.col("p").isNotNull())
+    inferred = payloads.sparkSession.read.json(
+        payloads.rdd.map(lambda r: r[0]))
+    return {f.name: f.dataType for f in inferred.schema.fields
+            if not f.name.startswith("_corrupt")}
+
+
+def evolve_schema(table: "Table", incoming: dict[str, T.DataType],
+                  allow_non_string_to_string: bool = False) -> list[str]:
+    """Apply CDC schema evolution to the table: new column → add_column,
+    same-family widen → update_column_type, narrower → keep, cross-family
+    → raise. Returns a change log (for tests/telemetry)."""
+    changes: list[str] = []
+    for name, new_dt in incoming.items():
+        if name not in table.schema.field_names:
+            table.alter(lambda s, n=name, d=new_dt: s.add_column(n, d))
+            changes.append(f"add {name} {new_dt.simpleString()}")
+            continue
+        old_dt = table.schema.data_type(name)
+        action = can_convert(old_dt, new_dt, allow_non_string_to_string)
+        if action == "exception":
+            raise ValueError(
+                f"CDC schema change on {name}: {old_dt.simpleString()} → "
+                f"{new_dt.simpleString()} is not convertible")
+        if action == "convert" and old_dt != new_dt:
+            if name in table.schema.primary_keys \
+                    or name in table.schema.partition_keys:
+                raise ValueError(
+                    f"CDC schema change would retype key column {name}")
+            table.alter(lambda s, n=name, d=new_dt:
+                        s.update_column_type(n, d))
+            changes.append(f"widen {name} {old_dt.simpleString()} → "
+                           f"{new_dt.simpleString()}")
+    return changes
+
+
+def _extract(cdc_df: DataFrame, json_col: str) -> DataFrame:
+    """Raw JSON strings → (op, afterj, beforej, schemaj) columns. Both
+    envelope shapes are handled declaratively: `$.payload.*` (debezium
+    with schemas.enable) wins when present, bare `$.*` otherwise —
+    per row, so mixed feeds work."""
+    j = F.col(json_col)
+    pick = lambda leaf: F.coalesce(  # noqa: E731
+        F.get_json_object(j, f"$.payload.{leaf}"),
+        F.get_json_object(j, f"$.{leaf}"))
+    return cdc_df.select(
+        pick("op").alias("op"),
+        pick("after").alias("afterj"),
+        pick("before").alias("beforej"),
+        F.get_json_object(j, "$.schema").alias("schemaj"))
+
+
+def sync_table(table: "Table", cdc_df: DataFrame, json_col: str = "value",
+               schema_evolution: bool = True,
+               allow_non_string_to_string: bool = False):
+    """One CDC batch → one table commit (the batch body of the
+    reference's sync-table action). Returns the committed Snapshot, or
+    None for an empty batch.
+
+    Rows route by rowkind: c/r → +I, u → +U, d → -D (delete payload =
+    `before`); kinds flow through the PK write path, so deletes retract
+    (cross-partition tables included — append() routes them through the
+    global index)."""
+    ext = _extract(cdc_df, json_col).persist()
+    try:
+        if ext.isEmpty():
+            return None
+        incoming = discover_schema(ext)
+        if schema_evolution:
+            evolve_schema(table, incoming, allow_non_string_to_string)
+        schema = table.schema
+        if not schema.is_pk_table and not ext.filter(
+                F.col("op").isin("u", "d")).isEmpty():
+            raise ValueError(
+                "CDC update/delete ops need a primary-key table")
+        # parse payloads against the EVOLVED schema: late old-shape
+        # records yield nulls for columns they predate; unknown extra
+        # payload fields are dropped by from_json
+        struct = T.StructType([
+            T.StructField(f.name, f.dataType, True)
+            for f in schema.struct.fields])
+        kind = F.coalesce(
+            *[F.when(F.col("op") == op, F.lit(k))
+              for op, k in _OP_KIND.items()],
+            F.lit("+I"))                      # op-less feed = inserts
+        payload = F.when(F.col("op") == "d",
+                         F.col("beforej")).otherwise(F.col("afterj"))
+        rows = (ext.filter(payload.isNotNull())
+                .select(F.from_json(payload, struct).alias("r"),
+                        kind.alias(KIND_COL))
+                .select("r.*", KIND_COL))
+        if rows.isEmpty():
+            return None
+        return table.writer().append(rows)
+    finally:
+        ext.unpersist()
+
+
+def sync_table_stream(table: "Table", cdc_stream: DataFrame,
+                      checkpoint: str, json_col: str = "value",
+                      schema_evolution: bool = True, **stream_opts):
+    """Streaming wrapper: every micro-batch runs the batch action above
+    (schema evolution included) — the foreachBatch shape of the
+    reference's continuous sync pipeline. Caller owns the returned
+    StreamingQuery lifecycle."""
+    return (cdc_stream.writeStream
+            .foreachBatch(lambda df, _id: sync_table(
+                table, df, json_col, schema_evolution))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start(**stream_opts))

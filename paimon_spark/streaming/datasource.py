@@ -211,6 +211,22 @@ class PaimonStreamReader(DataSourceStreamReader):
         self.max_snapshots = int(options.get("maxsnapshotsperbatch", "10"))
         self.max_rows = int(options.get("maxrowsperbatch", "0")) or None
         self.min_rows = int(options.get("minrowsperbatch", "0")) or None
+        # Trigger.AvailableNow contract: the Python DataSource API (and
+        # its JVM PythonMicroBatchStream wrapper) does not expose
+        # SupportsTriggerAvailableNow, so Spark FALLS BACK to a single
+        # Trigger.Once-style batch ("does not support
+        # Trigger.AvailableNow. Falling back to single batch
+        # execution"). With per-batch read limits set, that single batch
+        # would SILENTLY TRUNCATE the drain (limits cap the one and only
+        # batch). `availablenow=true` opts into drain semantics: the end
+        # offset is pinned to the latest snapshot at stream start and
+        # read limits are bypassed, so the single fallback batch covers
+        # everything available — the availableNow guarantee, minus
+        # intra-drain rate limiting (impossible without multi-batch
+        # support in the Python DS API).
+        self.available_now = (options.get("availablenow", "false")
+                              .lower() == "true")
+        self._pinned_end: int | None = None
         self._last_end: int | None = None   # driver-side batch cursor
 
     def initialOffset(self) -> dict:
@@ -245,6 +261,11 @@ class PaimonStreamReader(DataSourceStreamReader):
         first batch is uncapped (start offset isn't visible here)."""
         table = _load_table(self.options)
         latest = table.paths.latest_snapshot_id() or 0
+        if self.available_now:
+            # pinned full drain, limits bypassed (see __init__)
+            if self._pinned_end is None:
+                self._pinned_end = latest
+            return {"snapshot": self._pinned_end}
         base = self._last_end
         if base is None:
             # fresh instance (Spark may run initialOffset on a different

@@ -1,0 +1,158 @@
+"""CDC ingestion action (SURVEY S11): debezium-shaped JSON feed →
+schema evolution + rowkind routing + PK write.
+
+(ref: paimon-flink-cdc/.../action/cdc/SyncTableActionBase.java,
+ sink/cdc/RichCdcRecord.java, UpdatedDataFieldsProcessFunctionBase.java)
+"""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from paimon_spark import Table
+from paimon_spark.functions.cdc_sync import (can_convert, sync_table,
+                                             sync_table_stream)
+
+SCH = T.StructType([T.StructField("id", T.IntegerType()),
+                    T.StructField("v", T.StringType())])
+
+
+def _dbz(op, after=None, before=None, fields=None):
+    """Build a debezium envelope (schemas.enable shape)."""
+    env = {"payload": {"op": op, "after": after, "before": before}}
+    if fields is not None:
+        env["schema"] = {"type": "struct", "fields": [
+            {"field": "after", "type": "struct",
+             "fields": [{"field": k, "type": t} for k, t in fields]},
+            {"field": "before", "type": "struct",
+             "fields": [{"field": k, "type": t} for k, t in fields]},
+        ]}
+    return json.dumps(env)
+
+
+def _feed(spark, msgs):
+    return spark.createDataFrame([(m,) for m in msgs], "value string")
+
+
+def _pk_table(spark, wh, name="t", options=None):
+    return Table.create(
+        f"{wh}/{name}", SCH, primary_keys=["id"],
+        options={"bucket": "2", **(options or {})}, spark=spark)
+
+
+FIELDS = [("id", "int32"), ("v", "string")]
+
+
+def test_insert_update_delete_roundtrip(spark, wh):
+    t = _pk_table(spark, wh)
+    sync_table(t, _feed(spark, [
+        _dbz("c", {"id": 1, "v": "a"}, fields=FIELDS),
+        _dbz("c", {"id": 2, "v": "b"}, fields=FIELDS),
+    ]))
+    sync_table(t, _feed(spark, [
+        _dbz("u", {"id": 1, "v": "a2"}, {"id": 1, "v": "a"}, fields=FIELDS),
+        _dbz("d", None, {"id": 2, "v": "b"}, fields=FIELDS),
+        _dbz("r", {"id": 3, "v": "c"}, fields=FIELDS),
+    ]))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a2", 3: "c"}
+
+
+def test_schema_evolution_add_and_widen(spark, wh):
+    t = _pk_table(spark, wh)
+    sync_table(t, _feed(spark, [_dbz("c", {"id": 1, "v": "a"},
+                                     fields=FIELDS)]))
+    # source ALTER: new column `score` (float64) + `n` int32
+    f2 = FIELDS + [("score", "float64"), ("n", "int32")]
+    sync_table(t, _feed(spark, [
+        _dbz("c", {"id": 2, "v": "b", "score": 1.5, "n": 7}, fields=f2)]))
+    assert isinstance(t.schema.data_type("score"), T.DoubleType)
+    assert isinstance(t.schema.data_type("n"), T.IntegerType)
+    # source widens n to int64 — table follows
+    f3 = FIELDS + [("score", "float64"), ("n", "int64")]
+    sync_table(t, _feed(spark, [
+        _dbz("c", {"id": 3, "v": "c", "score": 2.0,
+                   "n": 2**40}, fields=f3)]))
+    assert isinstance(t.schema.data_type("n"), T.LongType)
+    got = {r.id: (r.score, r.n) for r in t.read().collect()}
+    # pre-evolution rows read as null for columns they predate
+    assert got == {1: (None, None), 2: (1.5, 7), 3: (2.0, 2**40)}
+
+
+def test_out_of_order_schema_change_mid_batch(spark, wh):
+    """Chaos case: one batch interleaves new-schema and old-schema
+    records (late arrivals) — the batch must sync against the WIDEST
+    schema and parse old-shape rows with nulls, not fail or narrow."""
+    t = _pk_table(spark, wh)
+    f_new = FIELDS + [("n", "int64")]
+    f_old = FIELDS + [("n", "int32")]
+    sync_table(t, _feed(spark, [
+        _dbz("c", {"id": 1, "v": "a", "n": 2**40}, fields=f_new),
+        _dbz("c", {"id": 2, "v": "b", "n": 5}, fields=f_old),   # late
+        _dbz("c", {"id": 3, "v": "c"}, fields=FIELDS),          # later
+    ]))
+    assert isinstance(t.schema.data_type("n"), T.LongType)
+    got = {r.id: r.n for r in t.read().collect()}
+    assert got == {1: 2**40, 2: 5, 3: None}
+    # an even later batch still carrying the OLD schema must not narrow
+    sync_table(t, _feed(spark, [
+        _dbz("c", {"id": 4, "v": "d", "n": 6}, fields=f_old)]))
+    assert isinstance(t.schema.data_type("n"), T.LongType)
+
+
+def test_incompatible_change_raises(spark, wh):
+    t = _pk_table(spark, wh)
+    sync_table(t, _feed(spark, [_dbz("c", {"id": 1, "v": "a"},
+                                     fields=FIELDS)]))
+    bad = [("id", "int32"), ("v", "int64")]     # string → long
+    with pytest.raises(ValueError, match="not convertible"):
+        sync_table(t, _feed(spark, [
+            _dbz("c", {"id": 2, "v": 9}, fields=bad)]))
+    # ...unless non-string→string is requested the OTHER way round
+    assert can_convert(T.LongType(), T.StringType(),
+                       allow_non_string_to_string=True) == "convert"
+    assert can_convert(T.LongType(), T.StringType()) == "exception"
+    assert can_convert(T.LongType(), T.IntegerType()) == "ignore"
+
+
+def test_schemaless_feed_inference_and_bare_shape(spark, wh):
+    """No schema block, no payload wrapper: types come from Spark's JSON
+    inference; bare `$.op` envelopes parse too."""
+    t = Table.create(f"{wh}/bare", T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("v", T.StringType())]),
+        primary_keys=["id"], options={"bucket": "1"}, spark=spark)
+    sync_table(t, _feed(spark, [
+        json.dumps({"op": "c", "after": {"id": 1, "v": "a", "extra": 2}}),
+        json.dumps({"op": "d", "before": {"id": 9, "v": "gone"}}),
+    ]))
+    assert isinstance(t.schema.data_type("extra"), T.LongType)
+    got = {r.id: (r.v, r.extra) for r in t.read().collect()}
+    assert got == {1: ("a", 2)}
+
+
+def test_append_only_rejects_update_ops(spark, wh):
+    t = Table.create(f"{wh}/ap", SCH, spark=spark)
+    with pytest.raises(ValueError, match="primary-key"):
+        sync_table(t, _feed(spark, [
+            _dbz("u", {"id": 1, "v": "x"}, {"id": 1, "v": "y"},
+                 fields=FIELDS)]))
+    # plain inserts are fine on append tables
+    sync_table(t, _feed(spark, [_dbz("c", {"id": 1, "v": "a"},
+                                     fields=FIELDS)]))
+    assert t.read().count() == 1
+
+
+def test_sync_table_stream_foreachbatch(spark, wh, tmp_path):
+    t = _pk_table(spark, wh, "st")
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    (feed_dir / "b1.json").write_text("\n".join(
+        [_dbz("c", {"id": i, "v": f"v{i}"}, fields=FIELDS)
+         for i in range(5)]))
+    stream = (spark.readStream.format("text")
+              .schema("value string").load(str(feed_dir)))
+    q = sync_table_stream(t, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert t.read().count() == 5

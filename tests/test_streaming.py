@@ -703,3 +703,32 @@ def test_compacted_full_startup_bounded_reads(spark, wh, monkeypatch):
     # bounded: reads each retained snapshot at most once (≤ 6 here), and
     # respects the 128-read cap structurally (can't assert 10^5 here)
     assert len(reads) <= 6
+
+
+def test_available_now_drain_honors_pinned_end(spark, wh):
+    """availablenow=true must drain EVERYTHING committed before stream
+    start in the single fallback batch, even with per-batch read limits
+    configured — without it, limits cap the one batch and silently
+    truncate (5 snapshots, maxsnapshotsperbatch=1 → 1 row)."""
+    import uuid as _uuid
+    from paimon_spark import Table
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    t = Table.create(f"{wh}/avnow", spark.createDataFrame(
+        [(1,)], "id int").schema, spark=spark)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "id int"))
+
+    def drain(extra_opts):
+        sink = f"avnow_{_uuid.uuid4().hex[:8]}"
+        r = spark.readStream.format("paimon").option("path", t.path) \
+            .option("maxsnapshotsperbatch", "1")
+        for k, v in extra_opts.items():
+            r = r.option(k, v)
+        q = (r.load().writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.table(sink).count()
+
+    assert drain({}) == 1                       # documented truncation
+    assert drain({"availablenow": "true"}) == 5  # pinned full drain
