@@ -141,7 +141,9 @@ def sql_band_keys(k: int = 16, bands: int = 4) -> list[str]:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
+                      k: int = 16, bands: int = 4, n: int = 3,
+                      dedupe_exact_first: bool = True,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket.
     Returns distinct (id_a < id_b) pairs. Shuffle = `bands` tiny rows per doc.
 
@@ -150,7 +152,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     the Generate operator, which evaluates it interpreted (no codegen) and
     once per emitted band — ~100x slower. Materializing the tiny signature
     table once is also what you want at 100 TB: signatures are ~1% of
-    corpus size, and the self-join only ships (band_key, id) pairs."""
+    corpus size, and the self-join only ships (band_key, id) pairs.
+
+    HOT-BUCKET GUARD (the O(m²) failure mode): m identical docs share
+    every band, so one bucket would emit m(m-1)/2 pairs — at web scale a
+    boilerplate page with 10⁶ copies is 5·10¹¹ pairs from one bucket.
+    `dedupe_exact_first` (default) collapses exact-copy groups to their
+    min-id representative before banding and emits the group as m-1
+    (rep, member) chain pairs instead of the full clique: connected
+    components — the consumer that matters — are IDENTICAL (the chain
+    connects the group, and any LSH edge to an outside doc lands on the
+    rep, which is content-equal to every member), at O(m) instead of
+    O(m²) pairs. Cost: one extra content-hash groupBy pass. On a corpus
+    with no exact copies the output is exactly the unguarded result.
+    `max_bucket_size` additionally caps NEAR-identical (not equal)
+    buckets by keeping only the lowest-id members per bucket —
+    explicitly lossy (documented recall trade), off by default."""
+    if dedupe_exact_first:
+        hashed = df.select(F.col(id_col), F.col(text_col)).withColumn(
+            "__ck", F.md5(F.encode(F.col(text_col), "UTF-8")))
+        reps = hashed.groupBy("__ck").agg(F.min(id_col).alias("__rep"))
+        joined = hashed.join(reps, "__ck")
+        chain = (joined.filter(F.col(id_col) != F.col("__rep"))
+                 .select(F.col("__rep").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+        df = joined.filter(F.col(id_col) == F.col("__rep")) \
+                   .select(id_col, text_col)
+    else:
+        chain = None
     sig = with_minhash(df, id_col, text_col, k, n)
     sig = sig.select(id_col, *band_keys(k, bands)).persist()
     stacked = sig.select(
@@ -158,11 +187,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(F.array(*[
             F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
         ])).alias("bk"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("bk").orderBy(id_col)
+        stacked = (stacked.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= max_bucket_size)
+                   .drop("__rn"))
     a, b = stacked.alias("a"), stacked.alias("b")
     pairs = (a.join(b, "bk")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
+    if chain is not None:
+        pairs = pairs.unionByName(chain).distinct()
     return pairs
 
 

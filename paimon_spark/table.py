@@ -1840,13 +1840,127 @@ class Table:
         except (OSError, ValueError):
             return None
 
+    # ------- persisted inverted text index (≈ the reference's global
+    #         full-text indexer; same persisted-index/partition-prune
+    #         contract as create_vector_index above) -------
+
+    def _text_index_dir(self, text_col: str) -> str:
+        return os.path.join(self.path, "index", "fulltext", text_col)
+
+    def create_text_index(self, text_col: str = "text",
+                          id_col: str | None = None,
+                          n_buckets: int = 64) -> int:
+        """Build and persist term-bucketed posting lists: one distributed
+        pass tokenizes the corpus and writes (term, id, tf, dl) rows
+        PARTITIONED BY pmod(xxhash64(term), n_buckets), so a search
+        reads only the query terms' buckets via partition pruning —
+        |query| buckets of the index instead of the whole corpus, the
+        100 TB upgrade over the exact index-free scorer.
+        (ref: paimon-full-text/.../NativeFullTextGlobalIndexer.java —
+        the reference's persisted full-text global index serves the same
+        build-once/prune-every-query contract.)"""
+        from paimon_spark.functions.text import tokens
+        id_col = id_col or self.schema.field_names[0]
+        df = self.read(projection=[id_col, text_col])
+        toks = tokens(F.col(text_col))
+        ex = df.select(F.col(id_col).alias("id"),
+                       F.size(toks).alias("dl"),
+                       F.explode(toks).alias("term"))
+        postings = (ex.groupBy("term", "id", "dl")
+                    .agg(F.count("*").alias("tf"))
+                    .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                                 F.lit(n_buckets))))
+        stats = df.agg(F.count("*").alias("n"),
+                       F.avg(F.size(toks)).alias("avgdl")).collect()[0]
+        out = self._text_index_dir(text_col)
+        shutil.rmtree(out, ignore_errors=True)
+        postings.write.partitionBy("bucket").parquet(out)
+        with open(os.path.join(out, "_meta.json"), "w") as f:
+            json.dump({"text_col": text_col, "id_col": id_col,
+                       "n_buckets": n_buckets,
+                       "n_docs": stats["n"],
+                       "avgdl": stats["avgdl"] or 1.0,
+                       "snapshot_id": self.paths.latest_snapshot_id()}, f)
+        return n_buckets
+
+    def drop_text_index(self, text_col: str = "text") -> None:
+        shutil.rmtree(self._text_index_dir(text_col), ignore_errors=True)
+
+    def text_index_meta(self, text_col: str = "text") -> dict | None:
+        try:
+            with open(os.path.join(self._text_index_dir(text_col),
+                                   "_meta.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _term_bucket(term: str, n_buckets: int) -> int:
+        """Driver-side replica of pmod(xxhash64(term), n) — uses the
+        write-path's Spark-parity xxh64 (functions/sparkhash.py) so the
+        query plans the exact partitions the build wrote."""
+        from paimon_spark.functions.sparkhash import xxh64_bytes
+        h = xxh64_bytes(term.encode("utf-8"), 42)     # Spark's seed
+        if h >= 1 << 63:
+            h -= 1 << 64                              # to signed long
+        return h % n_buckets
+
     def full_text_search(self, query: str, k: int = 10,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         k1: float = 1.2, b: float = 0.75) -> DataFrame:
         """BM25 top-k rows matching `query` (≈ FullTextSearchTable,
-        ref: table/FullTextSearchTable.java). See functions.text.bm25_search
-        for the scoring and scale notes."""
-        from paimon_spark.functions.text import bm25_search
-        return bm25_search(self.read(), query, k, text_col)
+        ref: table/FullTextSearchTable.java). With a fresh persisted
+        index (create_text_index) only the query terms' posting-list
+        buckets are read; a missing or stale index (table advanced past
+        it) falls back to the exact index-free scorer
+        (functions.text.bm25_search) so results stay correct."""
+        import math
+        import re as _re
+        from paimon_spark.functions.text import TOKEN_SPLIT_RE, bm25_search
+        meta = self.text_index_meta(text_col)
+        if meta is None or meta.get("snapshot_id") != \
+                self.paths.latest_snapshot_id():
+            return bm25_search(self.read(), query, k, text_col, k1, b)
+        terms = sorted({t for t in _re.split(TOKEN_SPLIT_RE, query.lower())
+                        if t})
+        if not terms:
+            raise ValueError("empty query")
+        n_b = meta["n_buckets"]
+        buckets = sorted({self._term_bucket(t, n_b) for t in terms})
+        id_col = meta["id_col"]
+        # explicit schema: no footer-read inference pass over the index
+        idx_schema = T.StructType([
+            T.StructField("term", T.StringType()),
+            T.StructField("id", self.schema.data_type(id_col)),
+            T.StructField("dl", T.IntegerType()),
+            T.StructField("tf", T.LongType()),
+            T.StructField("bucket", T.LongType())])
+        idx = (self.spark.read.schema(idx_schema)
+               .parquet(self._text_index_dir(text_col))
+               .filter(F.col("bucket").isin(buckets))      # partition prune
+               .filter(F.col("term").isin(terms)))
+        # per-term document frequencies: O(|terms|) scalars, computed on
+        # the pruned postings only (same driver-scalar contract as the
+        # exact scorer's corpus-stats agg)
+        dfs = {r["term"]: r["cnt"] for r in
+               idx.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+        n, avgdl = meta["n_docs"], meta["avgdl"]
+        idf_map = {t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5)
+                               / (dfs.get(t, 0) + 0.5)) for t in terms}
+        idf = F.coalesce(
+            *[F.when(F.col("term") == t, F.lit(v))
+              for t, v in idf_map.items()], F.lit(0.0))
+        tfc = F.col("tf").cast("double")
+        contrib = idf * (tfc * (k1 + 1)) / (
+            tfc + F.lit(k1) * (1 - b + b * F.col("dl").cast("double")
+                               / F.lit(avgdl)))
+        top = (idx.withColumn("__s", contrib)
+               .groupBy("id").agg(F.sum("__s").alias("_score"))
+               .orderBy(F.desc("_score")).limit(k))
+        return (self.read()
+                .join(F.broadcast(top.withColumnRenamed("id", id_col)),
+                      id_col)
+                .orderBy(F.desc("_score")).limit(k))
 
     def hybrid_search(self, text_query: str, vector_query: list[float],
                       k: int = 10, id_col: str | None = None,

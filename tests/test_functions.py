@@ -238,3 +238,51 @@ def test_connected_components_raises_when_unconverged(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components(chain, max_iter=20).collect()}
     assert set(got.values()) == {1}
+
+
+def test_lsh_hot_bucket_guard_bounded_pairs(spark):
+    """10k identical docs must complete with O(m) chain pairs, not the
+    O(m^2) clique — and components must match the unguarded semantics."""
+    from paimon_spark.functions.dedup import (connected_components,
+                                              minhash_lsh_pairs)
+    rows = [(i, "exact same boilerplate page content here") for i in range(10_000)]
+    rows += [(20_001, "completely different text about gardens"),
+             (20_002, "exact same boilerplate page content here extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+    n = pairs.count()
+    assert n < 10_100, n          # chain (9999) + near-dup edges, no clique
+    comp = {r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()}
+    # every identical doc lands in the rep=0 component
+    assert all(comp[i] == 0 for i in range(10_000))
+
+
+def test_lsh_guard_noop_without_exact_dupes(spark):
+    """On a corpus with no exact copies the guarded output equals the
+    unguarded output exactly (keeps the driver oracle unchanged)."""
+    from paimon_spark.functions.dedup import minhash_lsh_pairs
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "entirely different content about spark engines"),
+            (4, "the quick brown fox leaps over the lazy dog today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", 16, 4).collect()}
+    raw = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", 16, 4, dedupe_exact_first=False).collect()}
+    assert guarded == raw
+
+
+def test_lsh_max_bucket_size_caps_fanout(spark):
+    from paimon_spark.functions.dedup import minhash_lsh_pairs
+    # near-identical (not equal) docs: exact-dedup can't collapse them
+    rows = [(i, f"shared boilerplate content across docs number variant")
+            for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t + " " + "x" * 0) for i, t in rows],
+        "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", 16, 4,
+                               dedupe_exact_first=False,
+                               max_bucket_size=5).count()
+    assert capped <= 4 * 5 * 4 / 2 + 10       # per-band capped fanout
