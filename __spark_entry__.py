@@ -542,6 +542,22 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         sync_table(t, upd.unionByName(dels))
         out["orders_cdc"] = t
 
+    def _build_20():
+        # ---- events_dvice: deletion-vector table with an Iceberg
+        # mirror — two DV deletes (the second merges the first file's
+        # vectors) mirror as v2 position-delete files; the query reads
+        # PURELY through the Iceberg chain
+        ev = raw["events"].select("event_id", "user_id", "event_type",
+                                  "value")
+        t = Table.create(
+            f"{root}/events_dvice", ev.schema, spark=spark,
+            options={"metadata.iceberg.storage": "table-location",
+                     "deletion-vectors.enabled": "true"})
+        t.append(ev)
+        t.delete_where(P.eq("event_type", "click"))
+        t.delete_where(P.lt("event_id", 100))
+        out["events_dvice"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -566,7 +582,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1615,6 +1631,18 @@ def cdc_sync_evolution(spark, sf_dir):
                               "o_orderstatus", "o_orderpriority"])
 
 
+def iceberg_dv_mirror_read(spark, sf_dir):
+    """Deletion-vector table read PURELY through its Iceberg mirror
+    (v2 position-delete files applied by the chain reader)."""
+    from paimon_spark.iceberg import read_iceberg
+    t = _wh(spark, sf_dir)["events_dvice"]
+    df = read_iceberg(spark, t.path)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(_dec("value", 18, 6)).cast("double")
+                 .alias("val_sum")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1670,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imv_user_totals": imv_user_totals,
         "iceberg_mirror_read": iceberg_mirror_read,
         "cdc_sync_evolution": cdc_sync_evolution,
+        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
         "q5_region_revenue": q5_region_revenue,
         "q4_late_orders": q4_late_orders,
         "q10_returned_revenue": q10_returned_revenue,
@@ -2101,6 +2130,13 @@ def oracle_sql() -> dict[str, str]:
                         END AS o_orderpriority
             FROM orders
             WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0""",
+        "iceberg_dv_mirror_read": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS val_sum
+            FROM events
+            WHERE event_type <> 'click' AND event_id >= 100
+            GROUP BY event_type""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)

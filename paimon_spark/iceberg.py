@@ -350,10 +350,15 @@ def invalidate_mirror(table_root: str) -> None:
 
 
 def _dv_mirror_supported() -> bool:
-    """Whether deletion-vector tables can be mirrored (Iceberg v2
-    position-delete files). Flipped to True when delete-file writing
-    lands; kept as a function so the validator reads declaratively."""
-    return False
+    """Deletion-vector tables mirror as Iceberg v2 position-delete
+    files (content=1 delete manifests + delete parquet with the
+    reserved field ids); see IcebergCompat._write_position_deletes."""
+    return True
+
+
+# Iceberg reserved field ids for position-delete files (spec v2)
+POS_DELETE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
 
 
 def validate_iceberg_compat(schema: "TableSchema") -> None:
@@ -497,6 +502,120 @@ class IcebergCompat:
                         records)
         return path, os.path.getsize(path)
 
+    # ---- deletion vectors → Iceberg v2 position-delete files ----
+
+    def _load_delete_index(self) -> dict:
+        """Bookkeeping sidecar: dv dataset (relative path) → position-
+        delete parquet already mirrored for it — so an incremental
+        commit mirrors each dv dataset exactly once."""
+        try:
+            with open(os.path.join(self.meta_dir,
+                                   "delete-index.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _save_delete_index(self, idx: dict) -> None:
+        p = os.path.join(self.meta_dir, "delete-index.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(idx, f)
+        os.replace(p + ".tmp", p)
+
+    def _write_position_delete_file(self, dv_rel: str) -> tuple[str, int, int]:
+        """One dv parquet dataset (file_path URI, pos) → one Iceberg v2
+        position-delete parquet in metadata/, columns carrying the
+        reserved field ids (2147483546 / 2147483545), rows sorted by
+        (file_path, pos) per spec. Paths are normalized from Spark's
+        file: URIs to the absolute spellings the data manifests use.
+        Runs in the commit callback like the reference's
+        IcebergCommitCallback; a dv dataset is O(deletes in one commit),
+        the same data volume the DV write itself just shuffled."""
+        import re as _re
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(os.path.join(self.table.paths.root, dv_rel))
+        paths = [_re.sub(r"^file:/+", "/", p)
+                 for p in tbl.column("file_path").to_pylist()]
+        pos = tbl.column("pos").to_pylist()
+        order = sorted(range(len(paths)), key=lambda i: (paths[i], pos[i]))
+        out_schema = pa.schema([
+            pa.field("file_path", pa.string(), nullable=False,
+                     metadata={b"PARQUET:field_id":
+                               str(POS_DELETE_PATH_ID).encode()}),
+            pa.field("pos", pa.int64(), nullable=False,
+                     metadata={b"PARQUET:field_id":
+                               str(POS_DELETE_POS_ID).encode()})])
+        out = pa.table({"file_path": [paths[i] for i in order],
+                        "pos": [int(pos[i]) for i in order]},
+                       schema=out_schema)
+        path = os.path.join(self.meta_dir,
+                            f"delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(out, path)
+        return path, os.path.getsize(path), len(paths)
+
+    def _delete_file_entry(self, snap_id: int, path: str, size: int,
+                           nrows: int) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": snap_id,
+            "file_sequence_number": snap_id,
+            "data_file": {
+                "content": 1,                  # POSITION_DELETES
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {k: None
+                              for k in self.schema.partition_keys},
+                "record_count": nrows,
+                "file_size_in_bytes": size,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+
+    def _mirror_position_deletes(self, snap: Snapshot,
+                                 added: list["FileEntry"]) -> list[dict]:
+        """Mirror the dv datasets this commit's added entries reference
+        (each exactly once) into a content=1 delete manifest. Returns
+        the manifest-list rows to append (empty when no new DVs).
+        Superseded delete files stay in older manifests — their
+        positions are a subset of the replacing dv dataset's (the DV
+        write merges old vectors), so Iceberg's union-of-deletes
+        semantics keep results exact; they reference at worst dead data
+        paths, which match no live file."""
+        didx = self._load_delete_index()
+        dv_new = sorted({e.dv_path for e in added
+                         if e.dv_path and e.dv_path not in didx})
+        if not dv_new:
+            return []
+        entries, total_rows = [], 0
+        for dv_rel in dv_new:
+            path, size, nrows = self._write_position_delete_file(dv_rel)
+            didx[dv_rel] = os.path.basename(path)
+            entries.append(self._delete_file_entry(snap.id, path, size,
+                                                   nrows))
+            total_rows += nrows
+        mpath, mlen = self._write_manifest(entries)
+        self._save_delete_index(didx)
+        return [{
+            "manifest_path": mpath,
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 1,                      # DELETES
+            "sequence_number": snap.id,
+            "min_sequence_number": snap.id,
+            "added_snapshot_id": snap.id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }]
+
     # ---- the commit hook ----
 
     def mirror(self, snap: Snapshot,
@@ -630,6 +749,9 @@ class IcebergCompat:
                 "partitions": self._partition_summaries(added_records),
             })
 
+        # ---- deletion vectors → v2 position-delete manifests ----
+        new_rows.extend(self._mirror_position_deletes(snap, added))
+
         # ---- manifest list + snapshot + metadata.json ----
         list_path = os.path.join(
             self.meta_dir, f"snap-{snap.id}-{uuid.uuid4()}.avro")
@@ -637,7 +759,7 @@ class IcebergCompat:
 
         total_files = sum(len(v) for v in index.values())
         total_rows = sum(r["added_rows_count"] + r["existing_rows_count"]
-                         for r in new_rows)
+                         for r in new_rows if r["content"] == 0)
         op = {COMMIT_APPEND: "append", COMMIT_COMPACT: "replace"}.get(
             snap.commit_kind, "overwrite")
         summary = {
@@ -822,12 +944,16 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
     # partition values re-attached via a broadcast join keyed on
     # _metadata.file_path (spec: Column Projection / constant fields)
     files: list[tuple[str, str, tuple]] = []
+    delete_files: list[str] = []
     for row in rows:
         _, entries = read_avro_file(row["manifest_path"])
         for e in entries:
             if e["status"] == 2:                       # DELETED
                 continue
             d = e["data_file"]
+            if d.get("content", 0) == 1:               # position deletes
+                delete_files.append(d["file_path"])
+                continue
             files.append((d["file_path"], d["file_format"].lower(),
                           tuple(d["partition"].get(k) for k in part_cols)))
     if not files:
@@ -842,6 +968,21 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
         df = reader.load(paths)
+        if delete_files:
+            # apply position deletes: anti-join on the spec's
+            # (file_path, pos) — Iceberg semantics are the union of all
+            # applicable delete files' positions
+            dels = (spark.read.parquet(*delete_files)
+                    .select(F.col("file_path").alias("__ice_fp"),
+                            F.col("pos").alias("__ice_pos")))
+            df = (df.withColumn(
+                      "__ice_fp",
+                      F.regexp_replace(
+                          F.col("_metadata.file_path").cast("string"),
+                          "^file:/+", "/"))
+                  .withColumn("__ice_pos", F.col("_metadata.row_index"))
+                  .join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
+                  .drop("__ice_pos"))
         if part_cols:
             part_rows = [(os.path.abspath(p),
                           *[_py_part(v, type_of[k])
@@ -851,12 +992,13 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
                             + [f"{k} {_spark_ddl(type_of[k])}"
                                for k in part_cols])
             pdf = spark.createDataFrame(part_rows, ddl)
-            df = (df.withColumn(
-                      "__ice_fp",
-                      F.regexp_replace(
-                          F.col("_metadata.file_path").cast("string"),
-                          "^file:/+", "/"))
-                  .join(F.broadcast(pdf), "__ice_fp"))
+            if "__ice_fp" not in df.columns:   # delete path already added it
+                df = df.withColumn(
+                    "__ice_fp",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path").cast("string"),
+                        "^file:/+", "/"))
+            df = df.join(F.broadcast(pdf), "__ice_fp")
         return_cols = [c for c in cols if c in df.columns]
         df = df.select(*return_cols,
                        *[F.lit(None).alias(c) for c in cols

@@ -441,3 +441,58 @@ def test_concurrent_writers_mirror_converges(spark, wh):
     assert eng.count() == 9
     assert ice.exceptAll(eng).count() == 0 \
         and eng.exceptAll(ice).count() == 0
+
+
+def test_dv_table_mirrors_position_deletes(spark, wh):
+    """Deletion-vector tables mirror as Iceberg v2 position-delete
+    files: after DV deletes (including a second delete that merges the
+    first file's vector), a reader following ONLY the Iceberg chain
+    must see exactly the engine's rows."""
+    df = spark.createDataFrame([(i, f"v{i}", i % 3) for i in range(30)],
+                               "id int, s string, part int")
+    t = Table.create(f"{wh}/dvt", df.schema,
+                     partition_keys=["part"], spark=spark,
+                     options={**ICE_OPT,
+                              "deletion-vectors.enabled": "true"})
+    t.append(df)
+    assert _same_rows(read_iceberg(spark, t.path), t.read(), "id")
+
+    t.delete_where(P.le("id", 9) & P.ge("id", 5))
+    got = read_iceberg(spark, t.path)
+    assert _same_rows(got, t.read(), "id")
+    assert got.count() == 25
+    # second delete hits some already-DV'd files → merged vector, new
+    # position-delete file; superseded delete rows must not resurrect
+    # or double-delete anything
+    t.delete_where(P.le("id", 7))
+    got = read_iceberg(spark, t.path)
+    assert _same_rows(got, t.read(), "id")
+    assert got.count() == 20
+    assert {r.id for r in got.collect()} == set(range(10, 30))
+    # delete manifests carry content=1 and the delete parquet has the
+    # reserved field ids
+    import glob
+    import pyarrow.parquet as pq
+    dels = glob.glob(os.path.join(t.path, "metadata", "delete-*.parquet"))
+    assert dels
+    sch = pq.read_schema(dels[0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+
+
+def test_dv_mirror_survives_compaction(spark, wh):
+    """Full compaction materializes DV deletes into rewritten files; the
+    mirror must drop the old data files (and with them the stale delete
+    rows' effect) and still equal the engine read."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)],
+                               "id int, v int")
+    t = Table.create(f"{wh}/dvc", df.schema, spark=spark,
+                     options={**ICE_OPT,
+                              "deletion-vectors.enabled": "true"})
+    t.append(df)
+    t.delete_where(P.le("id", 4))
+    assert _same_rows(read_iceberg(spark, t.path), t.read(), "id")
+    t.compact(full=True)
+    got = read_iceberg(spark, t.path)
+    assert _same_rows(got, t.read(), "id")
+    assert got.count() == 15
