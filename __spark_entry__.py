@@ -107,6 +107,13 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                .withColumn("o_orderpriority", F.lit("9-UPDATED")))
         t.append(upd)                                                   # snapshot 2
         t.delete_where(P.expr("o_orderkey % 7 = 3"))                    # snapshot 3
+        # steady state: production PK tables are kept compacted by the
+        # committer (full-compaction.delta-commits), and compacted
+        # buckets read through the rawConvertible bypass — merge-free
+        # point lookups / TopN. History-sensitive queries pin their
+        # snapshot (time_travel_v1 @1, pk_upsert_latest @2,
+        # audit_log_counts @3), so they still exercise the merge path.
+        t.compact(full=True)                                            # snapshot 4
         out["orders_pk"] = t
 
     def _build_2():
@@ -1037,8 +1044,11 @@ def iceberg_mirror_read(spark, sf_dir):
 
 
 def audit_log_counts(spark, sf_dir):
+    # pinned pre-compaction: $audit_log over LIVE files — compaction
+    # legitimately collapses history, so the kind counts are only
+    # stable against a fixed snapshot
     t = _wh(spark, sf_dir)["orders_pk"]
-    return (t.read_audit_log().groupBy("rowkind")
+    return (t.read_audit_log(snapshot_id=3).groupBy("rowkind")
             .agg(F.count("*").alias("cnt")))
 
 

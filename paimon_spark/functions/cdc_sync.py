@@ -240,6 +240,58 @@ def sync_table(table: "Table", cdc_df: DataFrame, json_col: str = "value",
         ext.unpersist()
 
 
+def sync_database(catalog, cdc_df: DataFrame, json_col: str = "value",
+                  schema_evolution: bool = True,
+                  primary_keys: dict[str, list[str]] | None = None,
+                  table_prefix: str = "", table_suffix: str = "",
+                  table_options: dict[str, str] | None = None) -> dict:
+    """Whole-database sync (the reference's sync-database action): one
+    mixed CDC feed routes to per-table commits by the debezium
+    `source.table` field. Unknown tables are AUTO-CREATED from the first
+    batch's discovered schema (primary_keys[name] supplies their key
+    columns; key-less tables are created append-only and accept inserts
+    only). Returns {table_name: Snapshot | None}.
+
+    Driver loop is over DISTINCT table names in the batch (metadata
+    plane, like the reference's per-table sink routing); each table's
+    rows then flow through the distributed sync_table path.
+    (ref: paimon-flink-cdc/.../action/cdc/SyncDatabaseActionBase.java,
+     sink/cdc/RichCdcMultiplexRecord.java)"""
+    j = F.col(json_col)
+    src_table = F.coalesce(
+        F.get_json_object(j, "$.payload.source.table"),
+        F.get_json_object(j, "$.source.table"))
+    tagged = cdc_df.withColumn("__tbl", src_table).persist()
+    try:
+        names = [r[0] for r in
+                 tagged.select("__tbl").filter(F.col("__tbl").isNotNull())
+                 .distinct().collect()]
+        out = {}
+        for name in sorted(names):
+            target = f"{table_prefix}{name}{table_suffix}"
+            rows = tagged.filter(F.col("__tbl") == name).drop("__tbl")
+            if not catalog.table_exists(target):
+                ext = _extract(rows, json_col).persist()
+                try:
+                    incoming = discover_schema(ext)
+                finally:
+                    ext.unpersist()
+                pks = (primary_keys or {}).get(name)
+                struct = T.StructType([
+                    T.StructField(c, dt, True)
+                    for c, dt in incoming.items()])
+                opts = dict(table_options or {})
+                if pks:
+                    opts.setdefault("bucket", "2")
+                catalog.create_table(target, struct, primary_keys=pks,
+                                     options=opts)
+            out[name] = sync_table(catalog.get_table(target), rows,
+                                   json_col, schema_evolution)
+        return out
+    finally:
+        tagged.unpersist()
+
+
 def sync_table_stream(table: "Table", cdc_stream: DataFrame,
                       checkpoint: str, json_col: str = "value",
                       schema_evolution: bool = True, **stream_opts):

@@ -156,3 +156,40 @@ def test_sync_table_stream_foreachbatch(spark, wh, tmp_path):
     q = sync_table_stream(t, stream, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert t.read().count() == 5
+
+
+def _dbz_src(table, op, after=None, before=None, fields=None):
+    env = json.loads(_dbz(op, after, before, fields))
+    env["payload"]["source"] = {"db": "d", "table": table}
+    return json.dumps(env)
+
+
+def test_sync_database_routes_and_autocreates(spark, wh):
+    from paimon_spark import Catalog
+    from paimon_spark.functions.cdc_sync import sync_database
+    cat = Catalog(wh, spark)
+    feed = _feed(spark, [
+        _dbz_src("users", "c", {"id": 1, "v": "a"}, fields=FIELDS),
+        _dbz_src("users", "c", {"id": 2, "v": "b"}, fields=FIELDS),
+        _dbz_src("clicks", "c", {"id": 10, "v": "x"}, fields=FIELDS),
+    ])
+    out = sync_database(cat, feed, primary_keys={"users": ["id"]})
+    assert set(out) == {"users", "clicks"}
+    assert cat.get_table("users").read().count() == 2
+    assert cat.get_table("clicks").read().count() == 1
+    # second batch: update routed to the PK table, append to the other
+    out = sync_database(cat, _feed(spark, [
+        _dbz_src("users", "u", {"id": 1, "v": "a2"}, {"id": 1, "v": "a"},
+                 fields=FIELDS),
+        _dbz_src("clicks", "c", {"id": 11, "v": "y"}, fields=FIELDS),
+    ]))
+    got = {r.id: r.v for r in cat.get_table("users").read().collect()}
+    assert got == {1: "a2", 2: "b"}
+    assert cat.get_table("clicks").read().count() == 2
+    # schema evolution flows through per-table
+    f2 = FIELDS + [("score", "float64")]
+    sync_database(cat, _feed(spark, [
+        _dbz_src("users", "c", {"id": 3, "v": "c", "score": 0.5},
+                 fields=f2)]))
+    assert isinstance(cat.get_table("users").schema.data_type("score"),
+                      T.DoubleType)
