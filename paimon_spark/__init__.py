@@ -25,9 +25,10 @@ driver-side Python only touches metadata.
 from paimon_spark.catalog import Catalog
 from paimon_spark.schema import TableSchema
 from paimon_spark.jdbc_catalog import JdbcCatalog
+from paimon_spark.query import LocalTableQuery
 from paimon_spark.table import Table
 from paimon_spark.predicates import P, Predicate
 
-__all__ = ["Catalog", "JdbcCatalog", "Table", "TableSchema", "P",
-           "Predicate"]
+__all__ = ["Catalog", "JdbcCatalog", "LocalTableQuery", "Table",
+           "TableSchema", "P", "Predicate"]
 __version__ = "0.1.0"
