@@ -565,6 +565,19 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.delete_where(P.lt("event_id", 100))
         out["events_dvice"] = t
 
+    def _build_21():
+        # ---- docs_fts: persisted inverted text index (X11) — the
+        # fulltext query consults term-bucketed posting lists via
+        # partition pruning; scores must equal the index-free exact
+        # BM25 formula (and the DuckDB oracle replicates that formula)
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text")
+        t = Table.create(f"{root}/docs_fts", docs.schema, spark=spark)
+        t.append(docs)
+        t.create_text_index(n_buckets=16)
+        out["docs_fts"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -589,7 +602,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1653,6 +1666,16 @@ def iceberg_dv_mirror_read(spark, sf_dir):
                  .alias("val_sum")))
 
 
+def fulltext_bm25_topk(spark, sf_dir):
+    """BM25 top-10 through the PERSISTED inverted index (term-bucketed
+    posting lists, partition-pruned); the oracle replicates the exact
+    BM25 formula in SQL, so index-path == formula is driver-gated."""
+    t = _wh(spark, sf_dir)["docs_fts"]
+    df = t.full_text_search("vector merge filter", k=50)
+    return (df.select("doc_id", F.round("_score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1709,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mirror_read": iceberg_mirror_read,
         "cdc_sync_evolution": cdc_sync_evolution,
         "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
+        "fulltext_bm25_topk": fulltext_bm25_topk,
         "q5_region_revenue": q5_region_revenue,
         "q4_late_orders": q4_late_orders,
         "q10_returned_revenue": q10_returned_revenue,
@@ -2147,6 +2171,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type <> 'click' AND event_id >= 100
             GROUP BY event_type""",
+        "fulltext_bm25_topk": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents),
+            stats AS (SELECT count(*) AS n,
+                             avg(len(toks)) AS avgdl FROM d),
+            tf AS (SELECT doc_id, len(toks) AS dl,
+                     len(list_filter(toks, t -> t = 'vector')) AS tf0,
+                     len(list_filter(toks, t -> t = 'merge'))  AS tf1,
+                     len(list_filter(toks, t -> t = 'filter')) AS tf2
+                   FROM d),
+            dfreq AS (SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                      FROM tf),
+            scored AS (SELECT doc_id,
+                ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                  * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                  * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                  * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                AS s
+              FROM tf, stats, dfreq)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            WHERE s > 0 ORDER BY score DESC, doc_id LIMIT 10""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)

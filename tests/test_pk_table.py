@@ -217,3 +217,28 @@ def test_value_predicate_group_skip_still_prunes(spark, wh):
     plan = t.new_scan().plan(P.eq("status", "zzz"))
     assert len(plan.entries) < len(plan_all.entries)
     assert t.read(P.eq("status", "zzz")).count() == 0
+
+
+def test_read_cache_freshness_and_rollback_guard(spark, wh):
+    """Warm read cache: repeat reads of the same snapshot reuse the
+    plan; a new commit is visible immediately; rollback's snapshot-id
+    REUSE must not serve the stale cached plan (timestamp in the key)."""
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("s", T.StringType())])
+    t = Table.create(f"{wh}/rc", sch, primary_keys=["id"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "old"), (2, "x")], sch))
+    df1 = t.read(P.eq("id", 1))
+    assert t.read(P.eq("id", 1)) is df1          # cache hit, same object
+    t.append(spark.createDataFrame([(1, "new")], sch))
+    assert {r.s for r in t.read(P.eq("id", 1)).collect()} == {"new"}
+    # time travel gets its own cache cell
+    assert {r.s for r in t.read(P.eq("id", 1),
+                                snapshot_id=1).collect()} == {"old"}
+    # rollback then recommit reuses snapshot id 2 with NEW content
+    t.read()                                      # warm at snapshot 2
+    t.rollback_to(1)
+    t.append(spark.createDataFrame([(9, "z")], sch))
+    got = {r.id: r.s for r in t.read().collect()}
+    assert got == {1: "old", 2: "x", 9: "z"}
