@@ -90,3 +90,40 @@ def test_unsupported_shapes_rejected(spark, wh):
     t = _table(spark, wh, "pk2")
     with pytest.raises(ValueError, match="missing"):
         LocalTableQuery(t).lookup({})
+
+
+def test_kv_query_service_shards_and_serves(spark, wh):
+    """HTTP lookup service ≈ KvQueryServer/KvQueryClient: shard i of n
+    owns buckets with bucket % n == i; the client routes each key to
+    its owner; mis-routed requests are rejected (421)."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+    from paimon_spark.service import KvQueryClient, serve_table
+    t = _table(spark, wh, "srv")
+    t.append(spark.createDataFrame(
+        [(i, f"g{i}", float(i)) for i in range(50)], SCH))
+    servers, addrs = serve_table(t, num_servers=2)
+    try:
+        client = KvQueryClient(t, addrs)
+        for k in (0, 7, 13, 49):
+            assert client.lookup({"id": k})["v"] == float(k)
+        assert client.lookup({"id": 999}) is None
+        # a request sent to the WRONG shard is rejected with the owner id
+        from paimon_spark.query import LocalTableQuery
+        router = LocalTableQuery(t)
+        key = {"id": 7}
+        owner = router._bucket_of(key) % 2
+        try:
+            urlopen(f"{addrs[1 - owner]}/lookup",
+                    data=_json.dumps(key).encode(), timeout=30)
+            raise AssertionError("wrong shard accepted the request")
+        except HTTPError as e:
+            assert e.code == 421
+            assert _json.loads(e.read())["owner"] == owner
+        # upserts are visible after the snapshot advances
+        t.append(spark.createDataFrame([(7, "new", -1.0)], SCH))
+        assert client.lookup({"id": 7})["v"] == -1.0
+    finally:
+        for s in servers:
+            s.stop()
