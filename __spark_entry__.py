@@ -1676,6 +1676,35 @@ def fulltext_bm25_topk(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+def sample_corpus(spark, sf_dir):
+    """Deterministic stratified sampling for training mixes: per-lang
+    keep rates via hash-mod on doc_id — reproducible across runs and
+    cluster layouts (no rand()), exactly SQL-mirrorable."""
+    docs = _read(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "zh": 1.0, "fr": 0.25}
+    kept = TX.stratified_sample(docs, rates, "lang", "doc_id",
+                                default_rate=0.1)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale + exact integer codes (q_sum/min/max are engine-exact)."""
+    from paimon_spark.functions.similarity import quantize_embedding
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = quantize_embedding(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 6).alias("scale"),
+        F.aggregate(qs["q"], F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("q_sum"),
+        F.array_min(qs["q"]).alias("q_min"),
+        F.array_max(qs["q"]).alias("q_max"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1708,6 +1737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "zorder_cluster_preserves": zorder_cluster_preserves,
+        "cdc_sync_evolution": cdc_sync_evolution,
+        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
+        "fulltext_bm25_topk": fulltext_bm25_topk,
+        "sample_corpus": sample_corpus,
+        "embedding_quantize": embedding_quantize,
         "q1_pricing_summary": q1_pricing_summary,
         "q6_revenue": q6_revenue,
         "q3_top_revenue": q3_top_revenue,
@@ -1716,8 +1750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_orders": topn_orders,
         "point_lookup": point_lookup,
         "metadata_count": metadata_count,
-        "metadata_minmax": metadata_minmax,
-        "transform_year_filter": transform_year_filter,
         "agg_engine_rich": agg_engine_rich,
         "changelog_old_vs_new": changelog_old_vs_new,
         "pk_upsert_latest": pk_upsert_latest,
@@ -1730,9 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_v1": time_travel_v1,
         "imv_user_totals": imv_user_totals,
         "iceberg_mirror_read": iceberg_mirror_read,
-        "cdc_sync_evolution": cdc_sync_evolution,
-        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
-        "fulltext_bm25_topk": fulltext_bm25_topk,
+        "metadata_minmax": metadata_minmax,
+        "transform_year_filter": transform_year_filter,
         "q5_region_revenue": q5_region_revenue,
         "q4_late_orders": q4_late_orders,
         "q10_returned_revenue": q10_returned_revenue,
@@ -2199,6 +2230,25 @@ def oracle_sql() -> dict[str, str]:
               FROM tf, stats, dfreq)
             SELECT doc_id, round(s, 4) AS score FROM scored
             WHERE s > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+        "sample_corpus": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+                   min(doc_id) AS min_id,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE {TX.sql_sample_cond('doc_id', 'lang',
+                                      {'en': 0.5, 'zh': 1.0, 'fr': 0.25},
+                                      0.1)}
+            GROUP BY lang""",
+        "embedding_quantize": f"""
+            WITH q AS (SELECT vec_id,
+                              {SIM.sql_quantize('embedding')['scale']} AS scale,
+                              {SIM.sql_quantize('embedding')['q']} AS qv
+                       FROM embeddings)
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS INT) AS q_min,
+                   CAST(list_max(qv) AS INT) AS q_max
+            FROM q""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)

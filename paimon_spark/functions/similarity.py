@@ -230,3 +230,37 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "score"))
+
+
+# ---------------- embedding quantization (int8, symmetric) ----------------
+# Standard serving/storage trick: 4x smaller vectors, ~1e-2 cosine
+# error. Quantized ints are exact across engines, so the op is
+# oracle-checkable without float-tolerance games.
+
+def quantize_embedding(vec: Column) -> Column:
+    """array<float> → struct(scale double, q array<int>): symmetric
+    per-vector int8 range (q in [-127,127], x ≈ q*scale). Zero vectors
+    get a floor scale so q is all-zero instead of NaN."""
+    scale = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))).cast("double")
+        / F.lit(127.0),
+        F.lit(1e-12))
+    q = F.transform(vec, lambda x: F.round(x.cast("double") / scale)
+                    .cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embedding(qs: Column) -> Column:
+    """struct(scale, q) → array<double> (x ≈ q*scale)."""
+    return F.transform(qs["q"], lambda v: v.cast("double") * qs["scale"])
+
+
+def sql_quantize(vec: str) -> dict[str, str]:
+    """DuckDB mirrors of quantize_embedding's fields."""
+    scale = (f"greatest(list_max(list_transform({vec}, "
+             f"x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12)")
+    return {
+        "scale": scale,
+        "q": (f"list_transform({vec}, "
+              f"x -> CAST(round(CAST(x AS DOUBLE) / ({scale})) AS INT))"),
+    }

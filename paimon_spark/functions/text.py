@@ -297,3 +297,37 @@ def contamination(df, benchmark_df, text_col: str = "text",
     return (doc_g.join(bench_g, "gh")
             .groupBy(id_col)
             .agg(F.countDistinct("gh").alias("n_shared")))
+
+
+# ---------------- corpus curation: deterministic sampling ----------------
+# Training-data mixes are built by sampling each stratum (language,
+# source, quality band) at its own rate. rand() resists re-runs and
+# audits; hashing the doc id is deterministic, stable under
+# repartitioning, and exactly mirrorable in SQL — the standard
+# web-corpus trick (hash-mod sampling).
+
+def stratified_sample(df, rates: dict[str, float], stratum_col: str,
+                      id_col: str, default_rate: float = 0.0):
+    """Deterministic per-stratum sample: keep a row iff
+    md5_long(id) % 10_000 < rate*10_000 for its stratum's rate.
+    `rates` maps stratum value → keep fraction; unlisted strata use
+    `default_rate`. One scan, no shuffle, reproducible across runs and
+    cluster layouts."""
+    bucket = md5_long(F.col(id_col).cast("string")) % 10_000
+    rate = F.coalesce(
+        *[F.when(F.col(stratum_col) == k, F.lit(int(v * 10_000)))
+          for k, v in rates.items()],
+        F.lit(int(default_rate * 10_000)))
+    return df.filter(bucket < rate)
+
+
+def sql_sample_cond(id_expr: str, stratum_expr: str,
+                    rates: dict[str, float],
+                    default_rate: float = 0.0) -> str:
+    """DuckDB mirror of stratified_sample's keep-condition."""
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{k}' THEN {int(v * 10_000)}"
+        for k, v in rates.items())
+    rate = f"CASE {whens} ELSE {int(default_rate * 10_000)} END"
+    h = f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"{h} % 10000 < {rate}"
