@@ -690,6 +690,10 @@ PROCEDURES = {
     "create_function": create_function,
     "alter_function": alter_function,
     "drop_function": drop_function,
+    "create_text_index": lambda spark, table, text_col="text", id_col=None, n_buckets=64, **_:
+        _t(table).with_spark(spark).create_text_index(text_col, id_col, n_buckets),
+    "drop_text_index": lambda spark, table, text_col="text", **_:
+        _t(table).with_spark(spark).drop_text_index(text_col),
 }
 
 

@@ -98,3 +98,15 @@ def test_multi_term_df_and_missing_terms(spark, docs_table):
     t.drop_text_index()
     rebuilt = _ranked(t.full_text_search("quick zebra data", k=6))
     assert sorted(exact) == sorted(rebuilt)
+
+
+def test_text_index_via_procedure(spark, wh, docs_table):
+    """CALL sys.create_text_index / drop_text_index surface."""
+    from paimon_spark.procedures import call
+    t = docs_table
+    call(spark, "create_text_index", table=t.path, n_buckets=8)
+    assert t.text_index_meta() is not None
+    exact_vs_index = t.full_text_search("spark engine", k=6)
+    assert exact_vs_index.count() > 0
+    call(spark, "drop_text_index", table=t.path)
+    assert t.text_index_meta() is None
