@@ -130,14 +130,22 @@ def main():
     ]
     base: dict[str, float] = {}
     ratios: dict[str, float] = {}
+
+    def _best(fn, reps=3):
+        # min-of-N: the sub-second raw baselines are scheduler-noise
+        # dominated; the minimum is the standard noise-robust estimator
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     for name, raw_fn, engine_fn in pairs:
-        t0 = time.perf_counter()
-        raw_fn()
-        base[f"{name}_raw"] = round(time.perf_counter() - t0, 3)
+        reps = 1 if name == "stream" else 3   # a stream drain is ~4 s
+        base[f"{name}_raw"] = _best(raw_fn, reps)
         # engine path re-measured at equal warmth for the ratio
-        t0 = time.perf_counter()
-        engine_fn()
-        base[f"{name}_engine_warm"] = round(time.perf_counter() - t0, 3)
+        base[f"{name}_engine_warm"] = _best(engine_fn, reps)
         if base[f"{name}_raw"] > 0:
             ratios[name] = round(
                 base[f"{name}_engine_warm"] / base[f"{name}_raw"], 2)
