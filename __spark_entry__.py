@@ -578,6 +578,41 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.create_text_index(n_buckets=16)
         out["docs_fts"] = t
 
+    def _build_22():
+        # ---- events_seq: sequence.field (T6) — commits arrive in an
+        # order that DISAGREES with the sequence column, so last-write-
+        # wins would be wrong; the merged row must be the max-event_id
+        # row per user regardless of commit order
+        ev = raw["events"].select(
+            "user_id", "event_id", "event_type",
+            F.col("value").cast("double").alias("value"))
+        t = Table.create(
+            f"{root}/events_seq", ev.schema, primary_keys=["user_id"],
+            options={"bucket": "2", "sequence.field": "event_id"},
+            spark=spark)
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        out["events_seq"] = t
+
+    def _build_23():
+        # ---- orders_defaults: read-time default values (F4) — rows
+        # written BEFORE the column existed read back as the declared
+        # default, not null
+        odf = raw["orders"].select("o_orderkey", "o_orderstatus")
+        t = Table.create(
+            f"{root}/orders_defaults",
+            T.StructType([T.StructField("o_orderkey", T.LongType())]),
+            primary_keys=["o_orderkey"], options={"bucket": "2"},
+            spark=spark)
+        t.append(odf.filter(F.col("o_orderkey") % 2 == 1)
+                 .select("o_orderkey"))
+        t.alter(lambda s: s.add_column("status", T.StringType())
+                .set_option("fields.status.default-value", "NEW"))
+        t.append(odf.filter(F.col("o_orderkey") % 2 == 0)
+                 .select("o_orderkey",
+                         F.col("o_orderstatus").alias("status")))
+        out["orders_defaults"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -602,7 +637,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1705,6 +1740,20 @@ def embedding_quantize(spark, sf_dir):
         F.array_max(qs["q"]).alias("q_max"))
 
 
+def sequence_field_latest(spark, sf_dir):
+    """T6: user-defined sequence column decides the merge winner, not
+    commit order (commits were applied sequence-descending)."""
+    t = _wh(spark, sf_dir)["events_seq"]
+    return t.read()
+
+
+def default_values_read(spark, sf_dir):
+    """F4: rows written before a column existed read back with the
+    declared default value, not null."""
+    t = _wh(spark, sf_dir)["orders_defaults"]
+    return t.read()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1755,13 +1804,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_upsert_latest": pk_upsert_latest,
         "pk_after_delete": pk_after_delete,
         "cross_partition_upsert": cross_partition_upsert,
-        "merge_into_append": merge_into_append,
         "merge_full_surface": merge_full_surface,
         "datasource_write_pk": datasource_write_pk,
-        "sql_dml_roundtrip": sql_dml_roundtrip,
         "time_travel_v1": time_travel_v1,
         "imv_user_totals": imv_user_totals,
         "iceberg_mirror_read": iceberg_mirror_read,
+        "sequence_field_latest": sequence_field_latest,
+        "default_values_read": default_values_read,
+        "merge_into_append": merge_into_append,
+        "sql_dml_roundtrip": sql_dml_roundtrip,
         "metadata_minmax": metadata_minmax,
         "transform_year_filter": transform_year_filter,
         "q5_region_revenue": q5_region_revenue,
@@ -2249,6 +2300,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(qv) AS INT) AS q_min,
                    CAST(list_max(qv) AS INT) AS q_max
             FROM q""",
+        "sequence_field_latest": """
+            SELECT user_id,
+                   arg_max(event_id, event_id) AS event_id,
+                   arg_max(event_type, event_id) AS event_type,
+                   CAST(arg_max(value, event_id) AS DOUBLE) AS value
+            FROM events GROUP BY user_id""",
+        "default_values_read": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                        ELSE 'NEW' END AS status
+            FROM orders""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)
