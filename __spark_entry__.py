@@ -107,6 +107,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                .withColumn("o_orderpriority", F.lit("9-UPDATED")))
         t.append(upd)                                                   # snapshot 2
         t.delete_where(P.expr("o_orderkey % 7 = 3"))                    # snapshot 3
+        t.create_tag("v2", snapshot_id=2)       # tag_travel_read anchor
         # steady state: production PK tables are kept compacted by the
         # committer (full-compaction.delta-commits), and compacted
         # buckets read through the rawConvertible bypass — merge-free
@@ -1754,6 +1755,35 @@ def default_values_read(spark, sf_dir):
     return t.read()
 
 
+def tag_travel_read(spark, sf_dir):
+    """§2.10 tag lifecycle, driver-gated: reading by TAG resolves to the
+    tagged snapshot's merged state (tag v2 pins snapshot 2, surviving
+    the later delete and compaction)."""
+    return _wh(spark, sf_dir)["orders_pk"].read(tag="v2")
+
+
+def sql_function_charge(spark, sf_dir):
+    """F7 persisted SQL function catalog, driver-gated: a catalog
+    function (Catalyst-inlined native SQL UDF, no Python round-trip)
+    applied inside an aggregation over lineitem."""
+    from paimon_spark import Catalog
+    t = _wh(spark, sf_dir)["lineitem"]
+    cat = Catalog(os.path.dirname(t.path), spark)
+    cat.create_function(
+        "charge_fn",
+        [("p", "DOUBLE"), ("d", "DOUBLE"), ("t", "DOUBLE")],
+        "DECIMAL(18,6)",
+        "CAST(p * (1 - d) * (1 + t) AS DECIMAL(18,6))", replace=True)
+    df = t.read(projection=["l_returnflag", "l_extendedprice",
+                            "l_discount", "l_tax"])
+    return (df.withColumn(
+                "charge",
+                F.expr("charge_fn(l_extendedprice, l_discount, l_tax)"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("charge").cast("double").alias("total_charge"),
+                 F.count("*").cast("long").alias("n")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the paimon_spark lakehouse table."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1805,12 +1835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_after_delete": pk_after_delete,
         "cross_partition_upsert": cross_partition_upsert,
         "merge_full_surface": merge_full_surface,
-        "datasource_write_pk": datasource_write_pk,
         "time_travel_v1": time_travel_v1,
-        "imv_user_totals": imv_user_totals,
         "iceberg_mirror_read": iceberg_mirror_read,
         "sequence_field_latest": sequence_field_latest,
         "default_values_read": default_values_read,
+        "tag_travel_read": tag_travel_read,
+        "sql_function_charge": sql_function_charge,
+        "datasource_write_pk": datasource_write_pk,
+        "imv_user_totals": imv_user_totals,
         "merge_into_append": merge_into_append,
         "sql_dml_roundtrip": sql_dml_roundtrip,
         "metadata_minmax": metadata_minmax,
@@ -2311,6 +2343,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
                         ELSE 'NEW' END AS status
             FROM orders""",
+        "tag_travel_read": _MERGED_12,
+        "sql_function_charge": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS total_charge,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag""",
         "audit_log_counts": """
             SELECT '+I' AS rowkind,
                    CAST((SELECT count(*) FROM orders)
