@@ -48,6 +48,17 @@ _DBZ_TYPES: dict[str, T.DataType] = {
     "bytes": T.BinaryType(),
 }
 
+# debezium semantic (`name`) types: wire value → real type (ref:
+# DebeziumSchemaUtils.java:173-220 — Date = epoch days, Timestamp =
+# epoch millis, MicroTimestamp = epoch micros, ZonedTimestamp = ISO
+# string, kafka-connect Decimal = base64 big-endian unscaled bytes +
+# `scale` parameter)
+_DBZ_DATE = "io.debezium.time.Date"
+_DBZ_TS_MS = "io.debezium.time.Timestamp"
+_DBZ_TS_US = "io.debezium.time.MicroTimestamp"
+_DBZ_TS_Z = "io.debezium.time.ZonedTimestamp"
+_DBZ_DECIMAL = "org.apache.kafka.connect.data.Decimal"
+
 _INT_FAMILY = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_FAMILY = (T.FloatType, T.DoubleType)
 
@@ -100,9 +111,13 @@ def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
         f"{b.simpleString()} are not same-family convertible")
 
 
-def _parse_dbz_schema(schema_json: str) -> dict[str, T.DataType] | None:
-    """debezium envelope `schema` block → {column: spark type} from the
-    `after` (fallback `before`) field struct. None when unparseable."""
+def _parse_dbz_schema(schema_json: str) \
+        -> dict[str, tuple[T.DataType, tuple | None]] | None:
+    """debezium envelope `schema` block → {column: (target spark type,
+    conversion)} from the `after` (fallback `before`) field struct.
+    `conversion` is None for plain wire types, else a tuple tag
+    describing how the wire value decodes into the target type
+    (ref: DebeziumSchemaUtils.java — semantic `name` handling)."""
     try:
         sch = json.loads(schema_json)
     except (TypeError, ValueError):
@@ -111,24 +126,94 @@ def _parse_dbz_schema(schema_json: str) -> dict[str, T.DataType] | None:
     block = blocks.get("after") or blocks.get("before")
     if not block:
         return None
-    out: dict[str, T.DataType] = {}
+    out: dict[str, tuple[T.DataType, tuple | None]] = {}
     for f in block.get("fields", []):
-        dt = _DBZ_TYPES.get(f.get("type"))
-        if dt is not None and f.get("field"):
-            out[f["field"]] = dt
+        col = f.get("field")
+        if not col:
+            continue
+        name = f.get("name")
+        if name == _DBZ_DATE:
+            out[col] = (T.DateType(), ("epoch-days",))
+        elif name == _DBZ_TS_MS:
+            out[col] = (T.TimestampNTZType(), ("epoch-millis",))
+        elif name == _DBZ_TS_US:
+            out[col] = (T.TimestampNTZType(), ("epoch-micros",))
+        elif name == _DBZ_TS_Z:
+            out[col] = (T.TimestampType(), ("iso-zoned",))
+        elif name == _DBZ_DECIMAL:
+            params = f.get("parameters", {})
+            scale = int(params.get("scale", 0))
+            prec = int(params.get("connect.decimal.precision", 16))
+            if prec > 16:
+                # the base64 unscaled int is decoded with 64-bit
+                # arithmetic (conv/shiftleft); BigDecimal-wide sources
+                # must widen to string upstream
+                raise ValueError(
+                    f"CDC decimal column {col}: precision {prec} > 16 "
+                    f"not supported by the wire decoder")
+            out[col] = (T.DecimalType(prec, scale),
+                        ("decimal-bytes", prec, scale))
+        else:
+            dt = _DBZ_TYPES.get(f.get("type"))
+            if dt is not None:
+                out[col] = (dt, None)
     return out or None
 
 
-def discover_schema(ext: DataFrame) -> dict[str, T.DataType]:
-    """Incoming column types for one CDC batch.
+def _wire_type(conv: tuple | None, target: T.DataType) -> T.DataType:
+    """Type the payload JSON literally carries for a column."""
+    if conv is None:
+        return target
+    return {"epoch-days": T.IntegerType(),
+            "epoch-millis": T.LongType(),
+            "epoch-micros": T.LongType(),
+            "iso-zoned": T.StringType(),
+            "decimal-bytes": T.StringType()}[conv[0]]
+
+
+def _convert_expr(conv: tuple, col):
+    """Wire value column → target-typed column."""
+    kind = conv[0]
+    if kind == "epoch-days":
+        return F.date_add(F.lit("1970-01-01").cast("date"), col)
+    if kind == "epoch-millis":
+        return F.timestamp_millis(col).cast(T.TimestampNTZType())
+    if kind == "epoch-micros":
+        return F.timestamp_micros(col).cast(T.TimestampNTZType())
+    if kind == "iso-zoned":
+        return col.cast("timestamp")
+    if kind == "decimal-bytes":
+        # base64(big-endian two's-complement unscaled int) + scale —
+        # kafka-connect Decimal. 64-bit decode (precision ≤ 16 enforced
+        # at schema parse).
+        _, prec, scale = conv
+        b = F.unbase64(col)
+        n = F.length(b)
+        u = F.conv(F.hex(b), 16, 10).cast(T.DecimalType(20, 0))
+        neg = F.conv(F.substring(F.hex(b), 1, 2), 16, 10) \
+               .cast("int") >= 128
+        # 2^(8n): powers of two are exact in double up to 2^64, so the
+        # decimal cast is exact for every supported width (n ≤ 8)
+        two_n = F.pow(F.lit(2.0), (8 * n).cast("int")) \
+                 .cast(T.DecimalType(21, 0))
+        unscaled = F.when(neg, u - two_n).otherwise(u)
+        return (unscaled / F.lit(10 ** scale)) \
+            .cast(T.DecimalType(prec, scale))
+    raise ValueError(f"unknown conversion {conv}")
+
+
+def discover_schema(ext: DataFrame) \
+        -> tuple[dict[str, T.DataType], dict[str, tuple]]:
+    """Incoming (column types, wire conversions) for one CDC batch.
 
     Declared path: distinct `schema` blocks (driver-side collect is
     O(#distinct schema versions) — metadata plane, like the reference's
     per-record CdcSchema comparison). Versions are merged by widening,
     so an out-of-order old-version record cannot narrow the result.
-    Fallback (schema-less feed): Spark JSON inference over the payloads.
-    """
+    Fallback (schema-less feed): Spark JSON inference over the payloads
+    (no semantic types there — conversions empty)."""
     merged: dict[str, T.DataType] = {}
+    convs: dict[str, tuple] = {}
     declared = [r[0] for r in
                 ext.select("schemaj").filter(F.col("schemaj").isNotNull())
                 .distinct().collect()]
@@ -136,17 +221,23 @@ def discover_schema(ext: DataFrame) -> dict[str, T.DataType]:
         cols = _parse_dbz_schema(sj)
         if not cols:
             continue
-        for name, dt in cols.items():
+        for name, (dt, conv) in cols.items():
+            if name in merged and convs.get(name) != conv:
+                raise ValueError(
+                    f"CDC column {name}: conflicting semantic types "
+                    f"inside one batch ({convs.get(name)} vs {conv})")
             merged[name] = _widest(merged[name], dt) if name in merged else dt
+            if conv is not None:
+                convs[name] = conv
     if merged:
-        return merged
+        return merged, convs
     # schema-less feed: infer from the row payloads themselves
     payloads = ext.select(F.coalesce("afterj", "beforej").alias("p")) \
                   .filter(F.col("p").isNotNull())
     inferred = payloads.sparkSession.read.json(
         payloads.rdd.map(lambda r: r[0]))
     return {f.name: f.dataType for f in inferred.schema.fields
-            if not f.name.startswith("_corrupt")}
+            if not f.name.startswith("_corrupt")}, {}
 
 
 def evolve_schema(table: "Table", incoming: dict[str, T.DataType],
@@ -209,7 +300,7 @@ def sync_table(table: "Table", cdc_df: DataFrame, json_col: str = "value",
     try:
         if ext.isEmpty():
             return None
-        incoming = discover_schema(ext)
+        incoming, convs = discover_schema(ext)
         if schema_evolution:
             evolve_schema(table, incoming, allow_non_string_to_string)
         schema = table.schema
@@ -217,11 +308,14 @@ def sync_table(table: "Table", cdc_df: DataFrame, json_col: str = "value",
                 F.col("op").isin("u", "d")).isEmpty():
             raise ValueError(
                 "CDC update/delete ops need a primary-key table")
-        # parse payloads against the EVOLVED schema: late old-shape
-        # records yield nulls for columns they predate; unknown extra
-        # payload fields are dropped by from_json
+        # parse payloads against the EVOLVED schema — but at the WIRE
+        # types for semantically-typed columns (epoch days/millis,
+        # base64 decimals); late old-shape records yield nulls for
+        # columns they predate; unknown extra payload fields are
+        # dropped by from_json
         struct = T.StructType([
-            T.StructField(f.name, f.dataType, True)
+            T.StructField(f.name,
+                          _wire_type(convs.get(f.name), f.dataType), True)
             for f in schema.struct.fields])
         kind = F.coalesce(
             *[F.when(F.col("op") == op, F.lit(k))
@@ -233,6 +327,9 @@ def sync_table(table: "Table", cdc_df: DataFrame, json_col: str = "value",
                 .select(F.from_json(payload, struct).alias("r"),
                         kind.alias(KIND_COL))
                 .select("r.*", KIND_COL))
+        for c, conv in convs.items():
+            if c in rows.columns:
+                rows = rows.withColumn(c, _convert_expr(conv, F.col(c)))
         if rows.isEmpty():
             return None
         return table.writer().append(rows)
@@ -273,7 +370,7 @@ def sync_database(catalog, cdc_df: DataFrame, json_col: str = "value",
             if not catalog.table_exists(target):
                 ext = _extract(rows, json_col).persist()
                 try:
-                    incoming = discover_schema(ext)
+                    incoming, _convs = discover_schema(ext)
                 finally:
                     ext.unpersist()
                 pks = (primary_keys or {}).get(name)

@@ -193,3 +193,68 @@ def test_sync_database_routes_and_autocreates(spark, wh):
                  fields=f2)]))
     assert isinstance(cat.get_table("users").schema.data_type("score"),
                       T.DoubleType)
+
+
+def test_semantic_types_date_timestamp_decimal(spark, wh):
+    """debezium semantic types decode to real types: Date = epoch days,
+    Timestamp = epoch millis, MicroTimestamp = epoch micros,
+    ZonedTimestamp = ISO string, kafka-connect Decimal = base64
+    big-endian unscaled bytes + scale (ref: DebeziumSchemaUtils)."""
+    import base64
+    import datetime as dt
+    from decimal import Decimal
+    from paimon_spark.functions.cdc_sync import sync_table as st
+
+    def env(op, after, fields):
+        e = {"schema": {"type": "struct", "fields": [
+            {"field": "after", "type": "struct", "fields": fields}]},
+            "payload": {"op": op, "after": after}}
+        return json.dumps(e)
+
+    fields = [
+        {"field": "id", "type": "int32"},
+        {"field": "d", "type": "int32", "name": "io.debezium.time.Date"},
+        {"field": "ts", "type": "int64",
+         "name": "io.debezium.time.Timestamp"},
+        {"field": "tsu", "type": "int64",
+         "name": "io.debezium.time.MicroTimestamp"},
+        {"field": "amt", "type": "bytes",
+         "name": "org.apache.kafka.connect.data.Decimal",
+         "parameters": {"scale": "2", "connect.decimal.precision": "10"}},
+    ]
+
+    def dec_b64(unscaled: int, nbytes: int) -> str:
+        return base64.b64encode(
+            unscaled.to_bytes(nbytes, "big", signed=True)).decode()
+
+    t = Table.create(
+        f"{wh}/sem", T.StructType([T.StructField("id", T.IntegerType())]),
+        primary_keys=["id"], options={"bucket": "1"}, spark=spark)
+    st(t, _feed(spark, [
+        env("c", {"id": 1, "d": 19000, "ts": 1700000000000,
+                  "tsu": 1700000000000000,
+                  "amt": dec_b64(12345, 3)}, fields),
+        env("c", {"id": 2, "d": 0, "ts": 0, "tsu": 0,
+                  "amt": dec_b64(-250, 2)}, fields),      # negative
+    ]))
+    # evolved types are the SEMANTIC ones, not the wire ints/strings
+    assert isinstance(t.schema.data_type("d"), T.DateType)
+    assert isinstance(t.schema.data_type("ts"), T.TimestampNTZType)
+    assert isinstance(t.schema.data_type("amt"), T.DecimalType)
+    assert t.schema.data_type("amt").scale == 2
+    got = {r.id: r for r in t.read().collect()}
+    assert got[1].d == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    assert got[1].ts == dt.datetime.utcfromtimestamp(1700000000)
+    assert got[1].tsu == dt.datetime.utcfromtimestamp(1700000000)
+    assert got[1].amt == Decimal("123.45")
+    assert got[2].d == dt.date(1970, 1, 1)
+    assert got[2].amt == Decimal("-2.50")
+    # precision beyond the 64-bit wire decoder is rejected loudly
+    wide = [{"field": "id", "type": "int32"},
+            {"field": "big", "type": "bytes",
+             "name": "org.apache.kafka.connect.data.Decimal",
+             "parameters": {"scale": "0",
+                            "connect.decimal.precision": "30"}}]
+    with pytest.raises(ValueError, match="precision 30"):
+        st(t, _feed(spark, [env("c", {"id": 3,
+                                      "big": dec_b64(1, 1)}, wide)]))
