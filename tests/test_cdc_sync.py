@@ -258,3 +258,28 @@ def test_semantic_types_date_timestamp_decimal(spark, wh):
     with pytest.raises(ValueError, match="precision 30"):
         st(t, _feed(spark, [env("c", {"id": 3,
                                       "big": dec_b64(1, 1)}, wide)]))
+
+
+def test_zoned_timestamp_semantic_type(spark, wh):
+    """io.debezium.time.ZonedTimestamp: ISO-8601 string with offset →
+    TIMESTAMP (instant preserved across offsets)."""
+    import datetime as dt
+    from paimon_spark.functions.cdc_sync import sync_table as st
+    fields = [{"field": "id", "type": "int32"},
+              {"field": "zts", "type": "string",
+               "name": "io.debezium.time.ZonedTimestamp"}]
+    env = lambda op, after: json.dumps(  # noqa: E731
+        {"schema": {"type": "struct", "fields": [
+            {"field": "after", "type": "struct", "fields": fields}]},
+         "payload": {"op": op, "after": after}})
+    t = Table.create(
+        f"{wh}/zts", T.StructType([T.StructField("id", T.IntegerType())]),
+        primary_keys=["id"], options={"bucket": "1"}, spark=spark)
+    st(t, _feed(spark, [
+        env("c", {"id": 1, "zts": "2026-03-01T12:00:00Z"}),
+        env("c", {"id": 2, "zts": "2026-03-01T14:00:00+02:00"}),
+    ]))
+    assert isinstance(t.schema.data_type("zts"), T.TimestampType)
+    got = {r.id: r.zts for r in t.read().collect()}
+    # both inputs are the same instant (12:00 UTC); session tz is UTC
+    assert got[1] == got[2] == dt.datetime(2026, 3, 1, 12, 0, 0)
