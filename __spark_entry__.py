@@ -1976,14 +1976,25 @@ def oracle_sql() -> dict[str, str]:
     _sb = SIM.sql_sign_bits("embedding", 8)
     _bands = ", ".join(
         f"({i} * 4 + __b{2 * i} + 2 * __b{2 * i + 1})" for i in range(4))
+    # mirrors the engine's hot-bucket guard (dedupe_exact_first=True):
+    # identical vectors collapse to a min-id rep before banding; the
+    # exact-copy group joins back as (rep, member) chain pairs through the
+    # same exact-cosine verify.
     emb_near_dup = f"""
-      WITH s AS (SELECT vec_id, embedding,
-                        {', '.join(f'{e} AS __b{j}' for j, e in enumerate(_sb))}
+      WITH g AS (SELECT vec_id, embedding,
+                        min(vec_id) OVER (PARTITION BY embedding) AS rep
                  FROM embeddings),
+      chain AS (SELECT rep AS id_a, vec_id AS id_b FROM g WHERE vec_id <> rep),
+      reps AS (SELECT vec_id, embedding FROM g WHERE vec_id = rep),
+      s AS (SELECT vec_id, embedding,
+                   {', '.join(f'{e} AS __b{j}' for j, e in enumerate(_sb))}
+            FROM reps),
       k AS (SELECT vec_id, embedding, [{_bands}] AS bks FROM s),
       e AS (SELECT vec_id, embedding, unnest(bks) AS bk FROM k),
-      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+      p AS (SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            UNION ALL SELECT id_a, id_b FROM chain))
       SELECT id_a, id_b,
              round({SIM.sql_cosine('ea.embedding', 'eb.embedding')}, 4) AS score
       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
@@ -2393,15 +2404,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {', '.join(bands)}
             FROM (SELECT doc_id, {', '.join(mh)} FROM documents)""",
         "dedup_minhash_pairs": f"""
-            WITH sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+            WITH g AS (SELECT doc_id, text,
+                              min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                       FROM documents),
+            chain AS (SELECT rep AS id_a, doc_id AS id_b
+                      FROM g WHERE doc_id <> rep),
+            reps AS (SELECT doc_id, text FROM g WHERE doc_id = rep),
+            sig AS (SELECT doc_id, {', '.join(mh)} FROM reps),
             bk AS (SELECT doc_id, {', '.join(bands)} FROM sig),
             st AS (
               SELECT doc_id, '0#' || band0 AS bk FROM bk UNION ALL
               SELECT doc_id, '1#' || band1 FROM bk UNION ALL
               SELECT doc_id, '2#' || band2 FROM bk UNION ALL
               SELECT doc_id, '3#' || band3 FROM bk)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM st a JOIN st b ON a.bk = b.bk AND a.doc_id < b.doc_id""",
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM st a JOIN st b ON a.bk = b.bk AND a.doc_id < b.doc_id
+              UNION ALL SELECT id_a, id_b FROM chain)""",
         "dedup_clusters": f"""
             WITH RECURSIVE sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
             bk AS (SELECT doc_id, {', '.join(bands)} FROM sig),

@@ -159,16 +159,49 @@ def with_band_keys(emb: DataFrame, id_col: str = "vec_id",
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
                        n_planes: int = 8, band_bits: int = 2,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64) -> DataFrame:
+                       dim: int = 64, dedupe_exact_first: bool = True,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
     generation (docs sharing ≥1 band bucket), then EXACT cosine verify at
     `threshold`. Returns (id_a < id_b, score). This is the standard
     candidate→verify dedup shape: the self-join ships (band_key, id)
     pairs — never all-pairs — and the signature table (persisted before
     the explode, see minhash_lsh_pairs) is a few bytes per vector, so at
-    100 TB the exact cosine runs only on colliding candidates."""
+    100 TB the exact cosine runs only on colliding candidates.
+
+    HOT-BUCKET GUARD (same as dedup.minhash_lsh_pairs): m bit-identical
+    vectors share every sign band, so one bucket would emit m(m-1)/2
+    pairs — exact-duplicate web pages embed to bit-identical vectors, so
+    at 100 TB a boilerplate page with 10⁶ copies is 5·10¹¹ pairs from one
+    bucket. `dedupe_exact_first` (default) collapses identical-vector
+    groups to their min-id representative before banding and emits the
+    group as m-1 (rep, member) chain pairs instead of the full clique:
+    connected components are IDENTICAL (the chain connects the group, and
+    any LSH edge to an outside vector lands on the rep, which is
+    bit-equal to every member), at O(m) instead of O(m²) pairs. Chain
+    pairs go through the SAME exact-cosine verify join, so their scores
+    (1.0 for identical non-zero vectors) are computed by the identical
+    expression tree as banded pairs. `max_bucket_size` additionally caps
+    NEAR-identical buckets by keeping only the lowest-id members per band
+    bucket — explicitly lossy (recall trade), off by default."""
     nb = n_planes // band_bits
-    sig = with_band_keys(emb, id_col, vec_col, n_planes, band_bits, dim) \
+    if dedupe_exact_first:
+        # ONE scan + ONE shuffle keyed on the vector value itself (arrays
+        # hash/compare natively in Spark — no stringification needed):
+        # min-id per identical-vector group via a window.
+        grouped = (emb.select(F.col(id_col), F.col(vec_col))
+                   .withColumn("__rep", F.min(id_col).over(
+                       Window.partitionBy(vec_col)))
+                   .persist())
+        chain = (grouped.filter(F.col(id_col) != F.col("__rep"))
+                 .select(F.col("__rep").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+        banded = grouped.filter(F.col(id_col) == F.col("__rep")) \
+                        .select(id_col, vec_col)
+    else:
+        chain = None
+        banded = emb
+    sig = with_band_keys(banded, id_col, vec_col, n_planes, band_bits, dim) \
         .persist()
     # candidate generation ships (band_key, id) ONLY — vectors rejoin after
     # the pair dedup, so the band self-join and distinct stay tiny at scale
@@ -176,12 +209,19 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
         F.col(id_col),
         F.explode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
         .alias("bk"))
+    if max_bucket_size is not None:
+        w_cap = Window.partitionBy("bk").orderBy(id_col)
+        stacked = (stacked.withColumn("__rn", F.row_number().over(w_cap))
+                   .filter(F.col("__rn") <= max_bucket_size)
+                   .drop("__rn"))
     a, b = stacked.alias("a"), stacked.alias("b")
     pairs = (a.join(b, "bk")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
+    if chain is not None:
+        pairs = pairs.unionByName(chain).distinct()
     # precompute each vector's norm once (scalar carried with the vector) —
     # the per-pair work is then a single dot fold; norm folds run N times,
     # not 2×|candidates| times. Same expression tree as the exact cosine

@@ -286,3 +286,55 @@ def test_lsh_max_bucket_size_caps_fanout(spark):
                                dedupe_exact_first=False,
                                max_bucket_size=5).count()
     assert capped <= 4 * 5 * 4 / 2 + 10       # per-band capped fanout
+
+
+def test_embedding_hot_bucket_guard_bounded_pairs(spark):
+    """10k bit-identical vectors must complete with O(m) chain pairs, not
+    the O(m^2) clique — exact-duplicate pages embed to identical vectors,
+    so this is the 100 TB failure mode for sign-LSH banding (mirrors the
+    text guard in dedup.minhash_lsh_pairs)."""
+    import math
+    base = [math.sin(0.1 * j) for j in range(64)]
+    other = [math.cos(0.3 * j + 1.0) for j in range(64)]
+    rows = [(i, base) for i in range(10_000)] + [(20_001, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = SIM.embedding_near_dup(emb, threshold=0.4)
+    got = pairs.collect()
+    n = len(got)
+    assert n < 10_100, n          # chain (9999) + outside edges, no clique
+    # chain pairs run through the same exact-cosine verify: score 1.0
+    chain = [r for r in got if r.id_a == 0 and r.id_b < 10_000]
+    assert len(chain) == 9_999
+    assert all(abs(r.score - 1.0) < 1e-6 for r in chain)
+
+
+def test_embedding_guard_noop_without_exact_dupes(spark):
+    """No identical vectors -> guarded output equals unguarded output."""
+    import math
+    rows = [(i, [math.sin(0.07 * j + i * 0.5) for j in range(64)])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    guarded = {(r.id_a, r.id_b, r.score)
+               for r in SIM.embedding_near_dup(emb, threshold=0.2).collect()}
+    raw = {(r.id_a, r.id_b, r.score)
+           for r in SIM.embedding_near_dup(
+               emb, threshold=0.2, dedupe_exact_first=False).collect()}
+    assert guarded == raw
+
+
+def test_embedding_guard_components_match_unguarded(spark):
+    """Connected components over guarded pairs == components over the
+    unguarded clique output (the consumer-visible contract)."""
+    import math
+    v1 = [math.sin(0.11 * j) for j in range(64)]
+    v2 = [x + 1e-4 for x in v1]              # near-identical, not equal
+    rows = [(0, v1), (1, v1), (2, v1), (3, v2), (9, [math.cos(j * 0.4) for j in range(64)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from paimon_spark.functions.dedup import connected_components
+    g = SIM.embedding_near_dup(emb, threshold=0.9).select("id_a", "id_b")
+    r = SIM.embedding_near_dup(emb, threshold=0.9,
+                               dedupe_exact_first=False).select("id_a", "id_b")
+    cg = {(x.doc_id, x.cluster_id) for x in connected_components(
+        g.withColumnRenamed("id_a", "id_a")).collect()}
+    cr = {(x.doc_id, x.cluster_id) for x in connected_components(r).collect()}
+    assert cg == cr
