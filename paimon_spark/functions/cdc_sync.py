@@ -177,9 +177,16 @@ def _convert_expr(conv: tuple, col):
     if kind == "epoch-days":
         return F.date_add(F.lit("1970-01-01").cast("date"), col)
     if kind == "epoch-millis":
-        return F.timestamp_millis(col).cast(T.TimestampNTZType())
+        # NTZ epoch arithmetic, NOT timestamp_millis().cast(NTZ): that
+        # round-trips instant→wall-clock through the SESSION timezone and
+        # is only correct under UTC. timestamp_add on a TIMESTAMP_NTZ base
+        # is timezone-free, matching the reference's UTC LocalDateTime
+        # conversion (DebeziumSchemaUtils) under any user session zone.
+        return F.timestamp_add("MILLISECOND", col,
+                               F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")))
     if kind == "epoch-micros":
-        return F.timestamp_micros(col).cast(T.TimestampNTZType())
+        return F.timestamp_add("MICROSECOND", col,
+                               F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")))
     if kind == "iso-zoned":
         return col.cast("timestamp")
     if kind == "decimal-bytes":

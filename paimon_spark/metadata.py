@@ -381,50 +381,74 @@ class TablePaths:
                        for ch in commit_user)
         return os.path.join(self.snapshot_dir, f".latest-identifier-{safe}")
 
-    def record_commit_identifier(self, commit_user: str, identifier: int):
+    def record_commit_identifier(self, commit_user: str, identifier: int,
+                                 snapshot_id: int | None = None):
         """Persist the largest committed identifier for a commit user
-        (one-line sidecar, monotone advance). Makes the streaming replay
-        check O(1) instead of O(#snapshots)
+        (one-line ``snapshot_id:identifier`` sidecar, monotone advance).
+        Makes the streaming replay check O(1) instead of O(#snapshots)
         (ref: FileStoreCommitImpl filterCommitted reads descending — the
-        hint is a cache of that scan's answer)."""
+        hint is a cache of that scan's answer).
+
+        The hint is a CACHE, never the source of truth: the committed
+        snapshot itself carries (commit_user, commit_identifier)
+        atomically, and `latest_commit_identifier` reconciles the hint
+        against any snapshots committed after `snapshot_id`. A failed or
+        skipped record therefore cannot cause a replayed batch to
+        re-commit — it only makes the next check walk the (tiny) gap."""
         path = self._identifier_hint_file(commit_user)
-        prev = None
-        try:
-            with open(path) as f:
-                prev = int(f.read().strip())
-        except (OSError, ValueError):
-            pass
-        if prev is not None and prev >= identifier:
+        prev = self._read_identifier_hint(path)
+        if prev is not None and prev[1] >= identifier:
             return
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(str(identifier))
+            f.write(f"{snapshot_id if snapshot_id is not None else 0}"
+                    f":{identifier}")
         os.replace(tmp, path)
 
-    def latest_commit_identifier(self, commit_user: str) -> int | None:
-        """Largest commitIdentifier committed by `commit_user`. Reads the
-        sidecar hint when present; otherwise scans snapshots DESCENDING
-        from latest with early exit at that user's first (= most recent)
-        snapshot — identifiers are monotone per user, so the most recent
-        snapshot by the user carries the largest one
-        (ref: FileStoreCommitImpl filterCommitted)."""
+    @staticmethod
+    def _read_identifier_hint(path: str) -> tuple[int, int] | None:
+        """(snapshot_id, identifier) from the hint file; legacy plain-int
+        files parse as snapshot_id=0 (→ full reconcile scan once, then
+        the next record rewrites the new format)."""
         try:
-            with open(self._identifier_hint_file(commit_user)) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            pass
+            with open(path) as f:
+                raw = f.read().strip()
+        except OSError:
+            return None
+        try:
+            if ":" in raw:
+                sid, ident = raw.split(":", 1)
+                return int(sid), int(ident)
+            return 0, int(raw)
+        except ValueError:
+            return None
+
+    def latest_commit_identifier(self, commit_user: str) -> int | None:
+        """Largest commitIdentifier committed by `commit_user`. Source of
+        truth is the snapshot chain (each snapshot atomically records its
+        commit_user + commit_identifier); the sidecar hint only bounds the
+        scan: snapshots ≤ hint.snapshot_id are summarized by the hint, so
+        only the (normally empty) gap above it is walked DESCENDING with
+        early exit at this user's first match — identifiers are monotone
+        per user, so the most recent snapshot by the user carries the
+        largest one (ref: FileStoreCommitImpl filterCommitted). A stale
+        hint (post-commit record failed) is thereby reconciled, never
+        trusted into a duplicate re-commit."""
+        hint = self._read_identifier_hint(
+            self._identifier_hint_file(commit_user))
         latest = self.latest_snapshot_id()
         if latest is None:
-            return None
-        earliest = self.earliest_snapshot_id() or 1
-        for sid in range(latest, earliest - 1, -1):
+            return hint[1] if hint else None
+        floor = hint[0] if hint else (self.earliest_snapshot_id() or 1) - 1
+        for sid in range(latest, floor, -1):
             try:
                 s = self.read_snapshot(sid)
             except FileNotFoundError:
                 continue
             if s.commit_user == commit_user:
-                return s.commit_identifier
-        return None
+                return max(s.commit_identifier, hint[1]) if hint \
+                    else s.commit_identifier
+        return hint[1] if hint else None
 
     # -------- manifests --------
 

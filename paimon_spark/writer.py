@@ -728,9 +728,16 @@ class BatchWriter:
                 # logged and the mirror self-heals on the next commit.
                 try:
                     if commit_identifier is not None:
-                        # keep the streaming replay check O(1)
+                        # Keep the streaming replay check O(1). Safe to
+                        # swallow: the hint is a pure cache — the snapshot
+                        # just committed already carries (commit_user,
+                        # commit_identifier) atomically, and
+                        # latest_commit_identifier reconciles snapshots
+                        # newer than the hint, so a failed record can
+                        # never let a replayed batch re-commit.
                         self.paths.record_commit_identifier(
-                            self.commit_user, commit_identifier)
+                            self.commit_user, commit_identifier,
+                            snapshot_id=snap.id)
                     if self.paths.branch is None:
                         from paimon_spark.iceberg import (IcebergCompat,
                                                           iceberg_enabled)

@@ -283,3 +283,39 @@ def test_zoned_timestamp_semantic_type(spark, wh):
     got = {r.id: r.zts for r in t.read().collect()}
     # both inputs are the same instant (12:00 UTC); session tz is UTC
     assert got[1] == got[2] == dt.datetime(2026, 3, 1, 12, 0, 0)
+
+
+def test_timestamp_decode_is_session_timezone_invariant(spark, wh):
+    """Timestamp/MicroTimestamp decode must NOT round-trip through the
+    session timezone (r5 advice): under a non-UTC session zone the
+    decoded NTZ wall-clock still equals the reference's UTC LocalDateTime
+    conversion (DebeziumSchemaUtils)."""
+    import datetime as dt
+    from paimon_spark.functions.cdc_sync import sync_table as st
+
+    fields = [
+        {"field": "id", "type": "int32"},
+        {"field": "ts", "type": "int64",
+         "name": "io.debezium.time.Timestamp"},
+        {"field": "tsu", "type": "int64",
+         "name": "io.debezium.time.MicroTimestamp"},
+    ]
+    e = {"schema": {"type": "struct", "fields": [
+        {"field": "after", "type": "struct", "fields": fields}]},
+        "payload": {"op": "c",
+                    "after": {"id": 1, "ts": 1700000000123,
+                              "tsu": 1700000000123456}}}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = Table.create(
+            f"{wh}/semtz",
+            T.StructType([T.StructField("id", T.IntegerType())]),
+            primary_keys=["id"], options={"bucket": "1"}, spark=spark)
+        st(t, _feed(spark, [json.dumps(e)]))
+        row = t.read().collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    utc = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=1700000000)
+    assert row.ts == utc + dt.timedelta(milliseconds=123)
+    assert row.tsu == utc + dt.timedelta(microseconds=123456)

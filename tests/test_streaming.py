@@ -732,3 +732,39 @@ def test_available_now_drain_honors_pinned_end(spark, wh):
 
     assert drain({}) == 1                       # documented truncation
     assert drain({"availablenow": "true"}) == 5  # pinned full drain
+
+
+def test_stale_identifier_hint_cannot_duplicate_replay(spark, wh, monkeypatch):
+    """A failed record_commit_identifier (post-commit, swallowed) leaves a
+    STALE sidecar hint. The replay check must reconcile against snapshots
+    committed after the hint — the snapshot itself carries (commit_user,
+    commit_identifier) atomically — so a replayed batch is still skipped
+    and never duplicates data (r5 advice: writer.py post-commit swallow)."""
+    from paimon_spark.metadata import TablePaths
+    from paimon_spark.streaming.source import write_stream_to_table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/eo_stale", sch, spark=spark)
+    b = spark.createDataFrame([(1, "a")], sch)
+    assert write_stream_to_table(b, t, batch_id=3, commit_user="s1") is not None
+
+    # batch 4 commits durably but the hint record "fails" (no-op)
+    monkeypatch.setattr(TablePaths, "record_commit_identifier",
+                        lambda self, *a, **k: None)
+    b2 = spark.createDataFrame([(2, "b")], sch)
+    assert write_stream_to_table(b2, t, batch_id=4, commit_user="s1") is not None
+    monkeypatch.undo()
+    # hint is stale (still batch 3) but the check reconciles via the gap
+    assert t.paths._read_identifier_hint(
+        t.paths._identifier_hint_file("s1"))[1] == 3
+    assert t.paths.latest_commit_identifier("s1") == 4
+    # replaying batch 4 is skipped: no new snapshot, no duplicate rows
+    before = t.paths.latest_snapshot_id()
+    assert write_stream_to_table(b2, t, batch_id=4, commit_user="s1") is None
+    assert t.paths.latest_snapshot_id() == before
+    assert t.read().count() == 2
+    # legacy plain-int hint files still parse (snapshot_id=0 → reconcile)
+    import os
+    with open(t.paths._identifier_hint_file("s1"), "w") as f:
+        f.write("4")
+    assert t.paths.latest_commit_identifier("s1") == 4
