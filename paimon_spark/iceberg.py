@@ -521,12 +521,21 @@ class IcebergCompat:
             json.dump(idx, f)
         os.replace(p + ".tmp", p)
 
-    def _write_position_delete_file(self, dv_rel: str) -> tuple[str, int, int]:
-        """One dv parquet dataset (file_path URI, pos) → one Iceberg v2
-        position-delete parquet in metadata/, columns carrying the
+    def _write_position_delete_files(
+            self, dv_rel: str) -> list[tuple[dict, str, int, int]]:
+        """One dv parquet dataset (file_path URI, pos) → Iceberg v2
+        position-delete parquet(s) in metadata/, columns carrying the
         reserved field ids (2147483546 / 2147483545), rows sorted by
         (file_path, pos) per spec. Paths are normalized from Spark's
         file: URIs to the absolute spellings the data manifests use.
+
+        Position deletes are PARTITION-SCOPED in the v2 spec: a
+        spec-compliant reader only applies a delete file to data files of
+        the same partition, so one dv dataset spanning partitions must
+        fan out into one delete file per partition, each manifest entry
+        carrying the data files' real partition values (parsed from the
+        hive path segments — the same encoding the data manifests use).
+        Returns [(raw_partition_values, path, size, nrows)].
         Runs in the commit callback like the reference's
         IcebergCommitCallback; a dv dataset is O(deletes in one commit),
         the same data volume the DV write itself just shuffled."""
@@ -534,11 +543,20 @@ class IcebergCompat:
 
         import pyarrow as pa
         import pyarrow.parquet as pq
-        tbl = pq.read_table(os.path.join(self.table.paths.root, dv_rel))
+
+        from paimon_spark.writer import parse_partition_path
+        root = self.table.paths.root
+        pkeys = self.schema.partition_keys
+        tbl = pq.read_table(os.path.join(root, dv_rel))
         paths = [_re.sub(r"^file:/+", "/", p)
                  for p in tbl.column("file_path").to_pylist()]
         pos = tbl.column("pos").to_pylist()
-        order = sorted(range(len(paths)), key=lambda i: (paths[i], pos[i]))
+        groups: dict[tuple, tuple[dict, list[int]]] = {}
+        for i, p in enumerate(paths):
+            raw = parse_partition_path(os.path.relpath(p, root), pkeys) \
+                if pkeys else {}
+            key = tuple(raw.get(k) for k in pkeys)
+            groups.setdefault(key, (raw, []))[1].append(i)
         out_schema = pa.schema([
             pa.field("file_path", pa.string(), nullable=False,
                      metadata={b"PARQUET:field_id":
@@ -546,16 +564,21 @@ class IcebergCompat:
             pa.field("pos", pa.int64(), nullable=False,
                      metadata={b"PARQUET:field_id":
                                str(POS_DELETE_POS_ID).encode()})])
-        out = pa.table({"file_path": [paths[i] for i in order],
-                        "pos": [int(pos[i]) for i in order]},
-                       schema=out_schema)
-        path = os.path.join(self.meta_dir,
-                            f"delete-{uuid.uuid4().hex}.parquet")
-        pq.write_table(out, path)
-        return path, os.path.getsize(path), len(paths)
+        out = []
+        for _key, (raw, idxs) in sorted(groups.items(),
+                                        key=lambda kv: str(kv[0])):
+            order = sorted(idxs, key=lambda i: (paths[i], pos[i]))
+            t = pa.table({"file_path": [paths[i] for i in order],
+                          "pos": [int(pos[i]) for i in order]},
+                         schema=out_schema)
+            path = os.path.join(self.meta_dir,
+                                f"delete-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t, path)
+            out.append((raw, path, os.path.getsize(path), len(order)))
+        return out
 
-    def _delete_file_entry(self, snap_id: int, path: str, size: int,
-                           nrows: int) -> dict:
+    def _delete_file_entry(self, snap_id: int, partition_raw: dict,
+                           path: str, size: int, nrows: int) -> dict:
         return {
             "status": 1,
             "snapshot_id": snap_id,
@@ -565,8 +588,11 @@ class IcebergCompat:
                 "content": 1,                  # POSITION_DELETES
                 "file_path": path,
                 "file_format": "PARQUET",
-                "partition": {k: None
-                              for k in self.schema.partition_keys},
+                "partition": {
+                    k: _partition_value(partition_raw.get(k),
+                                        self.schema.data_type(k))
+                    for k in self.schema.partition_keys
+                },
                 "record_count": nrows,
                 "file_size_in_bytes": size,
                 "null_value_counts": None,
@@ -592,11 +618,12 @@ class IcebergCompat:
             return []
         entries, total_rows = [], 0
         for dv_rel in dv_new:
-            path, size, nrows = self._write_position_delete_file(dv_rel)
-            didx[dv_rel] = os.path.basename(path)
-            entries.append(self._delete_file_entry(snap.id, path, size,
-                                                   nrows))
-            total_rows += nrows
+            written = self._write_position_delete_files(dv_rel)
+            didx[dv_rel] = [os.path.basename(p) for _, p, _, _ in written]
+            for raw, path, size, nrows in written:
+                entries.append(self._delete_file_entry(snap.id, raw,
+                                                       path, size, nrows))
+                total_rows += nrows
         mpath, mlen = self._write_manifest(entries)
         self._save_delete_index(didx)
         return [{
@@ -944,7 +971,7 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
     # partition values re-attached via a broadcast join keyed on
     # _metadata.file_path (spec: Column Projection / constant fields)
     files: list[tuple[str, str, tuple]] = []
-    delete_files: list[str] = []
+    delete_files: list[tuple[str, tuple]] = []
     for row in rows:
         _, entries = read_avro_file(row["manifest_path"])
         for e in entries:
@@ -952,7 +979,9 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
                 continue
             d = e["data_file"]
             if d.get("content", 0) == 1:               # position deletes
-                delete_files.append(d["file_path"])
+                delete_files.append(
+                    (d["file_path"],
+                     tuple(d["partition"].get(k) for k in part_cols)))
                 continue
             files.append((d["file_path"], d["file_format"].lower(),
                           tuple(d["partition"].get(k) for k in part_cols)))
@@ -969,12 +998,33 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
             reader = reader.option("mergeSchema", "true")
         df = reader.load(paths)
         if delete_files:
-            # apply position deletes: anti-join on the spec's
-            # (file_path, pos) — Iceberg semantics are the union of all
-            # applicable delete files' positions
-            dels = (spark.read.parquet(*delete_files)
-                    .select(F.col("file_path").alias("__ice_fp"),
-                            F.col("pos").alias("__ice_pos")))
+            # apply position deletes PARTITION-SCOPED, as the v2 spec
+            # requires: a delete file only applies to data files of its
+            # own partition. Partition tuples interned to driver-side
+            # ids; both maps are metadata-sized broadcasts, the delete
+            # parquet is read once, and the anti-join below is on the
+            # spec's (file_path, pos).
+            pid_of: dict[tuple, int] = {}
+            dat_rows = [(os.path.abspath(p),
+                         pid_of.setdefault(parts, len(pid_of)))
+                        for p, _f2, parts in files]
+            del_rows = [(os.path.abspath(p),
+                         pid_of.setdefault(parts, len(pid_of)))
+                        for p, parts in delete_files]
+            dat_map = spark.createDataFrame(
+                dat_rows, "__ice_fp string, __dat_pid int")
+            del_map = spark.createDataFrame(
+                del_rows, "__del_src string, __del_pid int")
+            dels = (spark.read.parquet(*[p for p, _ in delete_files])
+                    .select(F.regexp_replace(
+                                F.col("_metadata.file_path").cast("string"),
+                                "^file:/+", "/").alias("__del_src"),
+                            F.col("file_path").alias("__ice_fp"),
+                            F.col("pos").alias("__ice_pos"))
+                    .join(F.broadcast(del_map), "__del_src")
+                    .join(F.broadcast(dat_map), "__ice_fp")
+                    .filter(F.col("__del_pid") == F.col("__dat_pid"))
+                    .select("__ice_fp", "__ice_pos"))
             df = (df.withColumn(
                       "__ice_fp",
                       F.regexp_replace(

@@ -478,6 +478,34 @@ def test_dv_table_mirrors_position_deletes(spark, wh):
     sch = pq.read_schema(dels[0])
     assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
     assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    # v2 spec: position deletes are PARTITION-SCOPED — every delete
+    # manifest entry must carry the REAL partition values of the data
+    # files its rows reference (all-null partitions would make a
+    # spec-compliant reader skip the delete file and resurrect rows)
+    from paimon_spark.avro_io import read_avro_file
+    meta_dir = os.path.join(t.path, "metadata")
+    import json as _json
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = f.read().strip()
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        meta = _json.load(f)
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, mrows = read_avro_file(cur["manifest-list"])
+    checked = 0
+    for mrow in mrows:
+        if mrow.get("content") != 1:
+            continue
+        _, entries = read_avro_file(mrow["manifest_path"])
+        for e in entries:
+            d = e["data_file"]
+            assert d["partition"]["part"] is not None
+            # the partition value matches every data path in the file
+            pdt = pq.read_table(d["file_path"])
+            for p in pdt.column("file_path").to_pylist():
+                assert f"part={d['partition']['part']}/" in p
+            checked += 1
+    assert checked >= 2     # deletes spanned multiple partitions
 
 
 def test_dv_mirror_survives_compaction(spark, wh):
