@@ -26,6 +26,10 @@ from paimon_spark.schema import KIND_COL, SEQ_COL, TableSchema
 
 RETRACT_KINDS = ("-U", "-D")
 
+# cache sentinel: bucket exceeds max_bucket_rows, serve via per-lookup
+# filtered reads instead of materializing (bounded memory)
+_TOO_BIG = object()
+
 
 class LocalTableQuery:
     """`LocalTableQuery(table).lookup({"id": 5})` → row dict or None.
@@ -36,7 +40,8 @@ class LocalTableQuery:
     merged row is ONE input row — partial-update/aggregation need field
     merge and go through the Spark read path)."""
 
-    def __init__(self, table):
+    def __init__(self, table, max_cached_buckets: int = 64,
+                 max_bucket_rows: int = 2_000_000):
         schema: TableSchema = table.schema
         if not schema.is_pk_table:
             raise ValueError("LocalTableQuery needs a primary-key table")
@@ -51,8 +56,17 @@ class LocalTableQuery:
         self.table = table
         self.schema = schema
         self._snapshot_id: int | None = None
-        # (partition tuple, bucket) → {key tuple: row dict}
-        self._buckets: dict[tuple, dict[tuple, dict]] = {}
+        # Bounded memory (the reference bounds this with disk-backed
+        # LookupLevels + caches, LocalTableQuery.java:226):
+        # - at most `max_cached_buckets` materialized buckets, LRU-evicted
+        # - a bucket whose manifests say > `max_bucket_rows` rows is never
+        #   materialized; its lookups go through a per-lookup pyarrow
+        #   predicate-pushdown read instead (row-group stats pruning)
+        self.max_cached_buckets = max_cached_buckets
+        self.max_bucket_rows = max_bucket_rows
+        from collections import OrderedDict
+        # (partition tuple, bucket) → {key tuple: row dict} | _TOO_BIG
+        self._buckets: OrderedDict[tuple, Any] = OrderedDict()
 
     # ---- key routing (write-path parity) ----
 
@@ -75,26 +89,37 @@ class LocalTableQuery:
             self._buckets.clear()          # lazy rebuild per queried bucket
             self._snapshot_id = latest
 
-    def _load_bucket(self, part: tuple, bucket: int) -> dict[tuple, dict]:
-        """Merge one bucket's sorted runs into a key→row dict (pyarrow,
-        driver-local — the LookupLevels materialization analog)."""
-        import os
-
-        import pyarrow.parquet as pq
+    def _bucket_entries(self, part: tuple, bucket: int) -> list:
         snap = (self.table.paths.read_snapshot(self._snapshot_id)
                 if self._snapshot_id else None)
         if snap is None:
-            return {}
+            return []
         pkeys = self.schema.partition_keys
-        entries = [e for e in self.table.paths.live_entries(snap)
-                   if e.bucket == bucket
-                   and tuple(str(e.partition.get(k)) for k in pkeys) == part]
+        return [e for e in self.table.paths.live_entries(snap)
+                if e.bucket == bucket
+                and tuple(str(e.partition.get(k)) for k in pkeys) == part]
+
+    def _merge_best(self, entries, key_filter: dict | None) -> dict[tuple, dict]:
+        """Merge the entries' rows (optionally pyarrow-filtered down to
+        one key) to latest-per-key, honoring first-row and retractions."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from paimon_spark.scanner import cast_partition_value
+        pkeys = self.schema.partition_keys
         pk = self.schema.primary_keys
         first_row = self.schema.merge_engine == "first-row"
+        filters = None
+        if key_filter is not None:
+            # trimmed pks are physically in every data file; partition
+            # cols are already fixed by the bucket routing
+            filters = [(c, "==", key_filter[c])
+                       for c in self.schema.trimmed_primary_keys]
         best: dict[tuple, tuple] = {}      # key → (order, kind, row)
-        from paimon_spark.scanner import cast_partition_value
         for e in entries:
-            t = pq.read_table(os.path.join(self.table.path, e.file_path))
+            t = pq.read_table(os.path.join(self.table.path, e.file_path),
+                              filters=filters)
             cols = set(t.column_names)
             # partition columns live in the path/manifest, not the file
             pvals = {k: cast_partition_value(e.partition.get(k),
@@ -123,6 +148,16 @@ class LocalTableQuery:
             out[k] = {c: r.get(c) for c in fields}
         return out
 
+    def _load_bucket(self, part: tuple, bucket: int):
+        """Merge one bucket's sorted runs into a key→row dict (pyarrow,
+        driver-local — the LookupLevels materialization analog); returns
+        the _TOO_BIG sentinel instead when the manifests say the bucket
+        exceeds `max_bucket_rows` (never materialized)."""
+        entries = self._bucket_entries(part, bucket)
+        if sum(e.row_count for e in entries) > self.max_bucket_rows:
+            return _TOO_BIG
+        return self._merge_best(entries, None)
+
     # ---- the point read ----
 
     def lookup(self, key: dict[str, Any]) -> dict | None:
@@ -139,5 +174,15 @@ class LocalTableQuery:
         ck = (part, bucket)
         if ck not in self._buckets:
             self._buckets[ck] = self._load_bucket(part, bucket)
-        return self._buckets[ck].get(
-            tuple(key[c] for c in self.schema.primary_keys))
+            while len(self._buckets) > self.max_cached_buckets:
+                self._buckets.popitem(last=False)      # LRU evict
+        else:
+            self._buckets.move_to_end(ck)
+        cached = self._buckets[ck]
+        kt = tuple(key[c] for c in self.schema.primary_keys)
+        if cached is _TOO_BIG:
+            # fat bucket: per-lookup predicate-pushdown read (bounded
+            # RSS — only rows matching the key cross into Python)
+            hit = self._merge_best(self._bucket_entries(part, bucket), key)
+            return hit.get(kt)
+        return cached.get(kt)

@@ -83,6 +83,44 @@ class _StreamPartition(InputPartition):
         self.schema_ids = schema_ids or [0] * len(files)
 
 
+def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
+    """Bin-pack file entries into read splits by byte budget
+    (`stream.split.target-size`, default 128 MiB — Spark's own
+    files.maxPartitionBytes default). One tiny file per split would pay
+    the Python-DS per-task handshake once PER FILE; packing keeps the
+    task count proportional to bytes, the same scaling Spark's file
+    scans use, so a 100 TB drain still fans out to thousands of splits
+    while a small table costs a handful of tasks. Files only pack with
+    peers of the same (partition values, schema id) so a packed split
+    stays eligible for the Arrow fast path as a unit."""
+    import json as _json
+    budget = int(table.schema.options.get("stream.split.target-size",
+                                          str(128 << 20)))
+    groups: dict[tuple, list] = {}
+    for ent in entries:
+        k = (_json.dumps(ent.partition, sort_keys=True), ent.schema_id)
+        groups.setdefault(k, []).append(ent)
+    out: list[_StreamPartition] = []
+    for es in groups.values():
+        cur: list = []
+        csz = 0
+        for e in es:
+            if cur and csz + e.file_size > budget:
+                out.append(_StreamPartition(
+                    table.path, [x.file_path for x in cur],
+                    [dict(x.partition) for x in cur], False,
+                    [x.schema_id for x in cur]))
+                cur, csz = [], 0
+            cur.append(e)
+            csz += e.file_size
+        if cur:
+            out.append(_StreamPartition(
+                table.path, [x.file_path for x in cur],
+                [dict(x.partition) for x in cur], False,
+                [x.schema_id for x in cur]))
+    return out
+
+
 def _plan_full_state(table: Table, snapshot_id: int | None = None
                      ) -> list[_StreamPartition]:
     """Split plan for a full-state read: per FILE for append tables (max
@@ -98,10 +136,7 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
     entries = table.new_scan().plan(snapshot_id=snapshot_id).entries
     out: list[_StreamPartition] = []
     if not table.schema.is_pk_table:
-        for ent in entries:
-            out.append(_StreamPartition(
-                table.path, [ent.file_path], [dict(ent.partition)], False,
-                [ent.schema_id]))
+        out = _pack_splits(table, entries)
     else:
         groups: dict[tuple, list] = {}
         for ent in entries:
@@ -294,14 +329,10 @@ class PaimonStreamReader(DataSourceStreamReader):
         table = _load_table(self.options)
         s, e = start["snapshot"], end["snapshot"]
         self._last_end = e
-        out: list[_StreamPartition] = []
         if s == 0:
             # initial full state (merged per bucket for PK tables)
             return _plan_full_state(table, snapshot_id=e)
-        for ent in table.delta_entries(s, e):
-            out.append(_StreamPartition(
-                table.path, [ent.file_path], [dict(ent.partition)], False,
-                [ent.schema_id]))
+        out = _pack_splits(table, table.delta_entries(s, e))
         return out or [_StreamPartition(table.path, [], [], False)]
 
     def read(self, partition: _StreamPartition):

@@ -127,3 +127,41 @@ def test_kv_query_service_shards_and_serves(spark, wh):
     finally:
         for s in servers:
             s.stop()
+
+
+def test_fat_bucket_served_without_materialization(spark, wh):
+    """A bucket larger than max_bucket_rows must never materialize into
+    the cache; lookups route through per-lookup pyarrow predicate-
+    pushdown reads and still return correct merged rows (r5 verdict #4:
+    the reference bounds this with disk-backed LookupLevels)."""
+    from paimon_spark.query import _TOO_BIG
+    t = _table(spark, wh, "fat", options={"bucket": "1"})
+    t.append(spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(5000)], SCH))
+    t.append(spark.createDataFrame([(7, "gX", -7.0)], SCH))    # upsert
+    t.delete_where(P.eq("id", 11))
+    q = LocalTableQuery(t, max_bucket_rows=1000)
+    assert q.lookup({"id": 7}) == {"id": 7, "grp": "gX", "v": -7.0}
+    assert q.lookup({"id": 11}) is None                        # deleted
+    assert q.lookup({"id": 4999}) == {"id": 4999, "grp": "g1", "v": 4999.0}
+    assert q.lookup({"id": 99999}) is None                     # absent
+    # the cache holds only the sentinel, not 5k rows
+    assert all(v is _TOO_BIG for v in q._buckets.values())
+
+
+def test_bucket_cache_is_lru_bounded(spark, wh):
+    """At most max_cached_buckets buckets stay materialized; the least
+    recently used one is evicted and transparently reloaded on reuse."""
+    t = _table(spark, wh, "lru", options={"bucket": "8"})
+    t.append(spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(400)], SCH))
+    q = LocalTableQuery(t, max_cached_buckets=2)
+    seen = {}
+    for i in range(40):
+        r = q.lookup({"id": i})
+        assert r is not None and r["v"] == float(i)
+        seen[i] = r
+    assert len(q._buckets) <= 2
+    # evicted buckets still serve correctly on return visits
+    for i in (0, 1, 2, 3, 39):
+        assert q.lookup({"id": i}) == seen[i]

@@ -27,7 +27,8 @@ HEADLINE = ["q1_pricing_summary", "q5_region_revenue", "q6_revenue",
             "iceberg_mirror_read", "contamination_4gram", "pii_redact",
             "clustered_write_prune", "blob_roundtrip", "dedup_clusters",
             "pipeline_clean_corpus", "text_langid", "sketch_hll_users",
-            "dedup_embedding_cosine", "cdc_sync_evolution"]
+            "dedup_embedding_cosine", "cdc_sync_evolution",
+            "stream_window_counts"]
 
 # fact tables get disjoint id ranges per copy; dims are shared
 _FACT_OFFSETS = {
