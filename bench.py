@@ -108,6 +108,48 @@ def main():
         (counts.withColumn("rnk", F.row_number().over(w).cast("long"))
          .filter(F.col("rnk") <= 2).count())
 
+    def raw_changelog():
+        # batch equivalent of changelog_old_vs_new's merged-state diff:
+        # rebuild orders_pk's state@1 and state@current from raw parquet
+        # (same update/delete rules the warehouse applies), full-outer
+        # join on the pk, classify -U/+U/-D, aggregate by row kind —
+        # the identical plan shape the changelog derivation runs
+        odf = orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority")
+        s2 = (odf.withColumn(
+                  "o_totalprice",
+                  F.when(F.col("o_orderkey") % 10 == 0,
+                         F.col("o_totalprice") + 1000.0)
+                  .otherwise(F.col("o_totalprice")))
+              .withColumn(
+                  "o_orderpriority",
+                  F.when(F.col("o_orderkey") % 10 == 0, F.lit("9-UPDATED"))
+                  .otherwise(F.col("o_orderpriority")))
+              .filter(F.col("o_orderkey") % 7 != 3))
+        a = odf.alias("a")
+        b = s2.alias("b")
+        j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+                   "full_outer")
+        changed = (F.col("b.o_orderkey").isNotNull()
+                   & F.col("a.o_orderkey").isNotNull()
+                   & ((F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+                      | (F.col("a.o_orderpriority")
+                         != F.col("b.o_orderpriority"))))
+        kinds = j.select(
+            F.when(F.col("b.o_orderkey").isNull(), F.lit("-D"))
+            .when(changed, F.lit("+U")).otherwise(F.lit(None))
+            .alias("_row_kind"),
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+            .alias("k")).filter(F.col("_row_kind").isNotNull())
+        pairs_df = kinds.unionByName(
+            kinds.filter(F.col("_row_kind") == "+U")
+            .withColumn("_row_kind", F.lit("-U")))
+        (pairs_df.groupBy("_row_kind")
+         .agg(F.count("*").alias("cnt"), F.min("k").alias("min_key"),
+              F.max("k").alias("max_key")).count())
+
     def raw_stream():
         # batch equivalent of the streaming windowed agg over raw
         # parquet — the ratio isolates the streaming-machinery overhead
@@ -125,6 +167,8 @@ def main():
          lambda: E.point_lookup(spark, sf_dir).collect()),
         ("window", raw_window,
          lambda: E.window_user_ranks(spark, sf_dir).count()),
+        ("changelog", raw_changelog,
+         lambda: E.changelog_old_vs_new(spark, sf_dir).count()),
         ("stream", raw_stream,
          lambda: E.stream_window_counts(spark, sf_dir).count()),
     ]
@@ -154,23 +198,43 @@ def main():
     raw = base["q1_raw"] + base["q6_raw"]
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # the driver captures a bounded tail of stdout — keep the line compact
-    # (2-decimal timings, no spaces) so it never gets truncated mid-JSON
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # the driver captures only a ~2000-char tail of stdout, and 90
+    # full-length query names alone are ~2.3 KB — so the COMPLETE
+    # per-query payload goes to a repo file the driver/judge can archive,
+    # and the stdout line stays compact enough to always parse.
+    full = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "raw_vs_engine": base,
+        "ratios": ratios,
+        "ratio_q1q6": round(engine / raw, 2) if raw else None,
+        "sf": sf_val,
+        "cpus": cpus,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        full_path = None                       # read-only checkout: stdout only
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     payload = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "raw_vs_engine": {k: round(v, 2) for k, v in base.items()},
+        "n_queries": len(timings),
+        "slowest": {k: round(v, 2) for k, v in slowest.items()},
         "ratios": ratios,
         "ratio_q1q6": round(engine / raw, 2) if raw else None,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "queries_file": "BENCH_FULL.json" if full_path else None,
     }
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1800:  # last-ditch: drop the per-query dict detail
-        payload.pop("raw_vs_engine", None)
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1800,15 +1800,17 @@ class Table:
         broadcast-join pass over the table).
         (ref: procedure/CreateGlobalIndexProcedure.java,
         table/VectorSearchTable.java — the reference's global vector index
-        serves the same touch-nprobe/C-of-the-data contract.)"""
-        from paimon_spark.functions.similarity import cosine
+        serves the same touch-nprobe/C-of-the-data contract; like its
+        lumina indexer, centroids are TRAINED cluster structure —
+        deterministic k-means seeding + Lloyd iterations — not
+        first-n-rows, so recall does not depend on id ordering.)"""
+        from paimon_spark.functions.similarity import cosine, kmeans_centroids
 
         from pyspark.sql import Window
 
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, vec_col])
-        cent_rows = (df.orderBy(id_col).limit(n_centroids).collect())
-        centroids = [[float(x) for x in r[1]] for r in cent_rows]
+        centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)
         cents = self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)],
             f"__cid int, __cv array<double>")

@@ -306,3 +306,36 @@ def test_migrate_table_orc(spark, wh, tmp_path):
     # appends keep working on the migrated table
     t.with_spark(spark).append(spark.createDataFrame([(99, "y")], SCHEMA))
     assert Table.load(t.path, spark).read().count() == 31
+
+
+def test_ivf_kmeans_recall_vs_brute(spark, wh):
+    """r5 verdict #5: IVF centroids are trained k-means clusters, not
+    first-n-rows-by-id. On a clustered corpus with ADVERSARIAL id order
+    (ids shuffled so first-n-by-id would pick correlated seeds), probed
+    IVF search must keep recall@5 >= 0.9 of brute force on held-out
+    queries."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(11)
+    # 8 well-separated gaussian clusters in 16-d
+    centers = [[rnd.uniform(-5, 5) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [x + rnd.gauss(0, 0.3) for x in c]))
+    rnd.shuffle(rows)   # id order uncorrelated with cluster structure
+    t = Table.create(f"{wh}/vrecall", sch, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=8)
+    meta = t.vector_index_meta("embedding")
+    assert len(meta["centroids"]) == 8
+    by_id = dict(rows)
+    hits = total = 0
+    for qid in (3, 57, 111, 222, 333):
+        q = by_id[qid]
+        brute = [r.vid for r in t.vector_search(q, k=5, method="brute").collect()]
+        ivf = [r.vid for r in t.vector_search(q, k=5, method="ivf").collect()]
+        hits += len(set(brute) & set(ivf))
+        total += len(brute)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
