@@ -694,6 +694,10 @@ PROCEDURES = {
         _t(table).with_spark(spark).create_text_index(text_col, id_col, n_buckets),
     "drop_text_index": lambda spark, table, text_col="text", **_:
         _t(table).with_spark(spark).drop_text_index(text_col),
+    "refresh_text_index": lambda spark, table, text_col="text", **_:
+        _t(table).with_spark(spark).refresh_text_index(text_col),
+    "refresh_global_index": lambda spark, table, vec_col="embedding", **_:
+        _t(table).with_spark(spark).refresh_vector_index(vec_col),
 }
 
 

@@ -1804,24 +1804,12 @@ class Table:
         lumina indexer, centroids are TRAINED cluster structure —
         deterministic k-means seeding + Lloyd iterations — not
         first-n-rows, so recall does not depend on id ordering.)"""
-        from paimon_spark.functions.similarity import cosine, kmeans_centroids
-
-        from pyspark.sql import Window
+        from paimon_spark.functions.similarity import kmeans_centroids
 
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, vec_col])
         centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)
-        cents = self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            f"__cid int, __cv array<double>")
-        assigned = (df.crossJoin(F.broadcast(cents))
-                    .withColumn("__sim", F.round(
-                        cosine(F.col(vec_col), F.col("__cv")), 6)))
-        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
-        inv = (assigned.withColumn("__r", F.row_number().over(w))
-               .filter(F.col("__r") == 1)
-               .select(F.col("__cid").alias("cluster"),
-                       F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+        inv = self._assign_vector_clusters(df, centroids, id_col, vec_col)
         out = self._vector_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         inv.write.partitionBy("cluster").parquet(out)
@@ -1830,6 +1818,58 @@ class Table:
                        "n_centroids": n_centroids, "centroids": centroids,
                        "snapshot_id": self.paths.latest_snapshot_id()}, f)
         return n_centroids
+
+    def _assign_vector_clusters(self, df: DataFrame,
+                                centroids: list[list[float]], id_col: str,
+                                vec_col: str) -> DataFrame:
+        """(cluster, id, vec) nearest-centroid assignment — shared by the
+        full build and the incremental delta-append refresh."""
+        from paimon_spark.functions.similarity import cosine
+
+        from pyspark.sql import Window
+        cents = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "__cid int, __cv array<double>")
+        assigned = (df.crossJoin(F.broadcast(cents))
+                    .withColumn("__sim", F.round(
+                        cosine(F.col(vec_col), F.col("__cv")), 6)))
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
+                                               F.asc("__cid"))
+        return (assigned.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select(F.col("__cid").alias("cluster"),
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vec")))
+
+    def refresh_vector_index(self, vec_col: str = "embedding") -> str:
+        """Bring the persisted IVF index up to the latest snapshot
+        without retraining: append-only delta rows are assigned to the
+        EXISTING centroids (standard IVF incremental add) and appended
+        to the cluster-partitioned inverted lists. Non-append history
+        falls back to a full rebuild (retraction would need list
+        removal). Returns 'fresh' | 'incremental' | 'rebuilt'."""
+        meta = self.vector_index_meta(vec_col)
+        if meta is None:
+            raise ValueError(f"no vector index on {vec_col}; run "
+                             "create_vector_index first")
+        latest = self.paths.latest_snapshot_id()
+        if meta["snapshot_id"] == latest:
+            return "fresh"
+        delta = self._index_delta(meta["snapshot_id"] or 0)
+        if delta is None:
+            self.create_vector_index(vec_col, meta["id_col"],
+                                     meta["n_centroids"])
+            return "rebuilt"
+        id_col = meta["id_col"]
+        inv = self._assign_vector_clusters(
+            delta.select(id_col, vec_col), meta["centroids"], id_col,
+            vec_col)
+        out = self._vector_index_dir(vec_col)
+        inv.write.mode("append").partitionBy("cluster").parquet(out)
+        meta["snapshot_id"] = latest
+        with open(os.path.join(out, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return "incremental"
 
     def drop_vector_index(self, vec_col: str = "embedding") -> None:
         shutil.rmtree(self._vector_index_dir(vec_col), ignore_errors=True)
@@ -1861,19 +1901,10 @@ class Table:
         (ref: paimon-full-text/.../NativeFullTextGlobalIndexer.java —
         the reference's persisted full-text global index serves the same
         build-once/prune-every-query contract.)"""
-        from paimon_spark.functions.text import tokens
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, text_col])
-        toks = tokens(F.col(text_col))
-        ex = df.select(F.col(id_col).alias("id"),
-                       F.size(toks).alias("dl"),
-                       F.explode(toks).alias("term"))
-        postings = (ex.groupBy("term", "id", "dl")
-                    .agg(F.count("*").alias("tf"))
-                    .withColumn("bucket", F.pmod(F.xxhash64("term"),
-                                                 F.lit(n_buckets))))
-        stats = df.agg(F.count("*").alias("n"),
-                       F.avg(F.size(toks)).alias("avgdl")).collect()[0]
+        postings, stats = self._text_postings(df, id_col, text_col,
+                                              n_buckets)
         out = self._text_index_dir(text_col)
         shutil.rmtree(out, ignore_errors=True)
         postings.write.partitionBy("bucket").parquet(out)
@@ -1884,6 +1915,89 @@ class Table:
                        "avgdl": stats["avgdl"] or 1.0,
                        "snapshot_id": self.paths.latest_snapshot_id()}, f)
         return n_buckets
+
+    @staticmethod
+    def _text_postings(df: DataFrame, id_col: str, text_col: str,
+                       n_buckets: int):
+        """(term, id, tf, dl, bucket) posting rows + (n, avgdl) corpus
+        stats for `df` — shared by the full build and the incremental
+        delta-append refresh (same expressions ⇒ identical postings)."""
+        from paimon_spark.functions.text import tokens
+        toks = tokens(F.col(text_col))
+        ex = df.select(F.col(id_col).alias("id"),
+                       F.size(toks).alias("dl"),
+                       F.explode(toks).alias("term"))
+        postings = (ex.groupBy("term", "id", "dl")
+                    .agg(F.count("*").alias("tf"))
+                    .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                                 F.lit(n_buckets))))
+        stats = df.agg(F.count("*").alias("n"),
+                       F.avg(F.size(toks)).alias("avgdl")).collect()[0]
+        return postings, stats
+
+    def _index_delta(self, indexed_snapshot: int) -> DataFrame | None:
+        """Rows appended since `indexed_snapshot`, or None when the
+        history can't be expressed as pure appends (PK merges, overwrite/
+        delete commits — retraction would need posting removal; callers
+        fall back to a full rebuild). COMPACT snapshots are skipped: they
+        rewrite files, not the logical row set."""
+        from paimon_spark.metadata import COMMIT_APPEND, COMMIT_COMPACT
+        if self.schema.is_pk_table:
+            return None
+        latest = self.paths.latest_snapshot_id()
+        parts: list[DataFrame] = []
+        for sid in range(indexed_snapshot + 1, latest + 1):
+            snap = self.paths.read_snapshot(sid)
+            if snap.commit_kind == COMMIT_COMPACT:
+                continue
+            if snap.commit_kind != COMMIT_APPEND:
+                return None
+            parts.append(self.read_incremental(sid - 1, sid,
+                                               with_kind=False))
+        if not parts:
+            return self.spark.createDataFrame([], self.schema.struct)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def refresh_text_index(self, text_col: str = "text") -> str:
+        """Bring the persisted text index up to the latest snapshot
+        WITHOUT a full rebuild when the commits since the indexed
+        snapshot are pure appends: only the delta rows are tokenized and
+        their postings appended to the bucket-partitioned dataset;
+        corpus stats (n_docs, avgdl) merge arithmetically. Non-append
+        history (PK merge, overwrite, delete) falls back to a full
+        rebuild — retraction would need posting removal. Returns
+        'fresh' | 'incremental' | 'rebuilt'. Mirrors the IMV per-commit
+        maintenance pattern (ref: the reference maintains its global
+        indexes per commit rather than rebuilding,
+        paimon-full-text/.../NativeFullTextGlobalIndexer.java)."""
+        meta = self.text_index_meta(text_col)
+        if meta is None:
+            raise ValueError(f"no text index on {text_col}; run "
+                             "create_text_index first")
+        latest = self.paths.latest_snapshot_id()
+        if meta["snapshot_id"] == latest:
+            return "fresh"
+        delta = self._index_delta(meta["snapshot_id"] or 0)
+        if delta is None:
+            self.create_text_index(text_col, meta["id_col"],
+                                   meta["n_buckets"])
+            return "rebuilt"
+        id_col, n_b = meta["id_col"], meta["n_buckets"]
+        postings, stats = self._text_postings(
+            delta.select(id_col, text_col), id_col, text_col, n_b)
+        out = self._text_index_dir(text_col)
+        postings.write.mode("append").partitionBy("bucket").parquet(out)
+        n0, n1 = meta["n_docs"], stats["n"]
+        avgdl = ((meta["avgdl"] * n0 + (stats["avgdl"] or 0.0) * n1)
+                 / (n0 + n1)) if (n0 + n1) else 1.0
+        meta.update({"n_docs": n0 + n1, "avgdl": avgdl,
+                     "snapshot_id": latest})
+        with open(os.path.join(out, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return "incremental"
 
     def drop_text_index(self, text_col: str = "text") -> None:
         shutil.rmtree(self._text_index_dir(text_col), ignore_errors=True)

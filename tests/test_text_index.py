@@ -110,3 +110,83 @@ def test_text_index_via_procedure(spark, wh, docs_table):
     assert exact_vs_index.count() > 0
     call(spark, "drop_text_index", table=t.path)
     assert t.text_index_meta() is None
+
+
+def test_incremental_refresh_appends_only_delta(spark, docs_table):
+    """r5 verdict #6: after N append commits, refresh_text_index brings
+    the index fresh WITHOUT a full rebuild — only delta postings are
+    written — and the refreshed index path equals the exact scorer."""
+    t = docs_table
+    t.create_text_index(n_buckets=8)
+    idx_dir = t._text_index_dir("text")
+    files_before = {f for _r, _d, fs in os.walk(idx_dir) for f in fs
+                    if f.endswith(".parquet")}
+    t.append(spark.createDataFrame(
+        [(7, "spark index refresh incremental engine"),
+         (8, "another quick document about data")], SCH))
+    t.append(spark.createDataFrame(
+        [(9, "spark spark quick zebra")], SCH))
+    assert t.text_index_meta()["snapshot_id"] != t.paths.latest_snapshot_id()
+    assert t.refresh_text_index() == "incremental"
+    meta = t.text_index_meta()
+    assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+    assert meta["n_docs"] == 9
+    # original posting files untouched (delta-append, not rebuild)
+    files_after = {f for _r, _d, fs in os.walk(idx_dir) for f in fs
+                   if f.endswith(".parquet")}
+    assert files_before <= files_after and len(files_after) > len(files_before)
+    # index path == exact scorer on the enlarged corpus
+    got = _ranked(t.full_text_search("spark quick", k=9))
+    t.drop_text_index()
+    exact = _ranked(t.full_text_search("spark quick", k=9))
+    assert sorted(got) == sorted(exact)
+    # idempotent: already fresh
+    t.create_text_index(n_buckets=8)
+    assert t.refresh_text_index() == "fresh"
+
+
+def test_refresh_rebuilds_on_non_append_history(spark, docs_table):
+    """A delete commit can't be expressed as posting appends — refresh
+    must fall back to a full rebuild and stay correct."""
+    from paimon_spark import P
+    t = docs_table
+    t.create_text_index(n_buckets=8)
+    t.append(spark.createDataFrame([(7, "spark delta doc")], SCH))
+    t.delete_where(P.eq("id", 3))
+    assert t.refresh_text_index() == "rebuilt"
+    meta = t.text_index_meta()
+    assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+    assert meta["n_docs"] == 6            # 6 + 1 - 1
+    got = _ranked(t.full_text_search("spark", k=9))
+    assert all(i != 3 for i, _s in got)
+    t.drop_text_index()
+    exact = _ranked(t.full_text_search("spark", k=9))
+    assert sorted(got) == sorted(exact)
+
+
+def test_vector_index_incremental_refresh(spark, wh):
+    """IVF incremental add: delta vectors assign to the EXISTING
+    centroids and append to the inverted lists; centroids unchanged."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(5)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    t = Table.create(f"{wh}/vinc", sch, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=4)
+    cents_before = t.vector_index_meta("embedding")["centroids"]
+    new = (100, [x + 0.01 for x in rows[42][1]])
+    t.append(spark.createDataFrame([new], sch))
+    assert t.refresh_vector_index("embedding") == "incremental"
+    meta = t.vector_index_meta("embedding")
+    assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+    assert meta["centroids"] == cents_before
+    # the fresh index serves the new row (no stale fallback)
+    got = [r.vid for r in t.vector_search(new[1], k=2,
+                                          method="ivf").collect()]
+    assert set(got) == {100, 42}
+    from paimon_spark.procedures import call
+    assert call(spark, "refresh_global_index", table=t.path,
+                vec_col="embedding") == "fresh"
