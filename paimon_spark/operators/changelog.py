@@ -27,15 +27,25 @@ def _delta_key_df(table: Table, from_snapshot: int,
     DELETE entries matter too: truncate/overwrite/COW remove files without
     writing -D rows. Returns None when manifest folding rewrote history
     (fall back to the full diff)."""
+    from paimon_spark.metadata import COMMIT_COMPACT
     prev = table.paths.read_snapshot(from_snapshot)
-    cur = table.paths.read_snapshot(to_snapshot)
-    prev_n = len(prev.manifests)
-    if cur.manifests[:prev_n] != prev.manifests:
-        return None
     ents = {}
-    for m in cur.manifests[prev_n:]:
-        for e in table.paths.read_manifest(m):
-            ents[e.file_path] = e
+    for sid in range(from_snapshot + 1, to_snapshot + 1):
+        snap = table.paths.read_snapshot(sid)
+        prev_n = len(prev.manifests)
+        if snap.manifests[:prev_n] != prev.manifests:
+            return None
+        # COMPACT rewrites files without changing the merged state — its
+        # re-added files would otherwise put EVERY key of the compacted
+        # buckets into the "changed" set and degenerate the delta
+        # restriction into a full-table diff right after any
+        # full-compaction (exactly the steady state auto-compaction
+        # keeps tables in)
+        if snap.commit_kind != COMMIT_COMPACT:
+            for m in snap.manifests[prev_n:]:
+                for e in table.paths.read_manifest(m):
+                    ents[e.file_path] = e
+        prev = snap
     if not ents:
         return None
     return table._read_files(list(ents.values())) \
@@ -83,6 +93,10 @@ def derive_changelog(table: Table, from_snapshot: int | None,
     keys = (_delta_key_df(table, from_snapshot, to_sid)
             if optimize and to_sid is not None else None)
     if keys is not None:
+        # both merge branches semi-join against the same key set — persist
+        # the (small, pk-only) keys so the delta-file scan+distinct runs
+        # once, not once per branch
+        keys = keys.persist()
         old = _merged_restricted(table, from_snapshot, keys)
         new = _merged_restricted(table, to_sid, keys)
     else:
@@ -94,19 +108,28 @@ def derive_changelog(table: Table, from_snapshot: int | None,
     n = new.select(*pks, F.struct(*vals).alias("__new"))
     j = o.join(n, pks, "full_outer")
 
-    inserted = (j.filter(F.col("__old").isNull() & F.col("__new").isNotNull())
-                .select(*pks, *[F.col(f"__new.{c}").alias(c) for c in vals])
-                .withColumn(KIND_COL, F.lit("+I")))
-    deleted = (j.filter(F.col("__new").isNull() & F.col("__old").isNotNull())
-               .select(*pks, *[F.col(f"__old.{c}").alias(c) for c in vals])
-               .withColumn(KIND_COL, F.lit("-D")))
-    changed = j.filter(F.col("__old").isNotNull() & F.col("__new").isNotNull()
-                       & (F.col("__old") != F.col("__new")))
-    before = (changed.select(*pks, *[F.col(f"__old.{c}").alias(c) for c in vals])
-              .withColumn(KIND_COL, F.lit("-U")))
-    after = (changed.select(*pks, *[F.col(f"__new.{c}").alias(c) for c in vals])
-             .withColumn(KIND_COL, F.lit("+U")))
-    return inserted.unionByName(before).unionByName(after).unionByName(deleted)
+    # ONE pass over the joined states: each key explodes into its
+    # changelog rows (0 for unchanged, 1 for +I/-D, the ordered -U/+U
+    # pair for updates). The previous 4-filters-+-union shape made the
+    # physical plan execute the full-outer join (and both upstream
+    # merges) once PER BRANCH — 4×; this runs it once.
+    events = (
+        F.when(F.col("__old").isNull() & F.col("__new").isNotNull(),
+               F.array(F.struct(F.lit("+I").alias("k"),
+                                F.col("__new").alias("r"))))
+        .when(F.col("__new").isNull() & F.col("__old").isNotNull(),
+              F.array(F.struct(F.lit("-D").alias("k"),
+                               F.col("__old").alias("r"))))
+        .when(F.col("__old") != F.col("__new"),
+              F.array(F.struct(F.lit("-U").alias("k"),
+                               F.col("__old").alias("r")),
+                      F.struct(F.lit("+U").alias("k"),
+                               F.col("__new").alias("r"))))
+        .otherwise(F.array()))
+    ev = j.select(*pks, F.explode(events).alias("__e"))
+    return ev.select(*pks,
+                     *[F.col(f"__e.r.{c}").alias(c) for c in vals],
+                     F.col("__e.k").alias(KIND_COL))
 
 
 def binlog(table: Table, from_snapshot: int | None = None,
