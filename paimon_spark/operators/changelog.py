@@ -104,15 +104,26 @@ def derive_changelog(table: Table, from_snapshot: int | None,
             else table.read()
         old = table.read(snapshot_id=from_snapshot)
 
-    o = old.select(*pks, F.struct(*vals).alias("__old"))
-    n = new.select(*pks, F.struct(*vals).alias("__new"))
-    j = o.join(n, pks, "full_outer")
+    # Pair each key's old/new merged rows WITHOUT a join: union the two
+    # states tagged by side, one groupBy(pk) picks each side's single row
+    # (max over ≤1-element sets). A real full-outer join can't broadcast
+    # and sort-merges both sides; this is ONE shuffle + hash aggregate.
+    o = old.select(*pks, F.struct(*vals).alias("__r"),
+                   F.lit(True).alias("__is_old"))
+    n = new.select(*pks, F.struct(*vals).alias("__r"),
+                   F.lit(False).alias("__is_old"))
+    j = (o.unionByName(n)
+         .groupBy(*pks)
+         .agg(F.max(F.when(F.col("__is_old"), F.col("__r")))
+              .alias("__old"),
+              F.max(F.when(~F.col("__is_old"), F.col("__r")))
+              .alias("__new")))
 
-    # ONE pass over the joined states: each key explodes into its
+    # ONE pass over the paired states: each key explodes into its
     # changelog rows (0 for unchanged, 1 for +I/-D, the ordered -U/+U
     # pair for updates). The previous 4-filters-+-union shape made the
-    # physical plan execute the full-outer join (and both upstream
-    # merges) once PER BRANCH — 4×; this runs it once.
+    # physical plan execute the pairing (and both upstream merges) once
+    # PER BRANCH — 4×; this runs it once.
     events = (
         F.when(F.col("__old").isNull() & F.col("__new").isNotNull(),
                F.array(F.struct(F.lit("+I").alias("k"),
