@@ -147,3 +147,37 @@ def test_randomized_merge_against_model(spark, wh, pk):
             f"target={sorted(target)}\nsource={sorted(r['k'] for r in source)}\n"
             f"got-want={ {k: got.get(k) for k in set(got) ^ set(want)} }\n"
             f"diffs={ {k: (got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]} }")
+
+
+def test_randomized_changelog_with_compactions(spark, wh):
+    """r6: derive_changelog's delta-key optimization skips COMPACT
+    snapshots (their rewritten files re-add every key without changing
+    merged state). Random interleavings of upserts / deletes / full and
+    minor compactions must produce the IDENTICAL changelog as the
+    unoptimized full-table diff, from every historical snapshot."""
+    from paimon_spark.operators.changelog import derive_changelog
+    rnd = random.Random(23)
+    t = Table.create(f"{wh}/cl_rand", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k % 7, float(k)) for k in range(60)], SCHEMA))
+    for step in range(6):
+        op = rnd.choice(["upsert", "delete", "compact", "upsert"])
+        if op == "upsert":
+            rows = [(rnd.randrange(0, 80), rnd.randrange(0, 100),
+                     float(rnd.randrange(0, 500))) for _ in range(10)]
+            t.append(spark.createDataFrame(rows, SCHEMA))
+        elif op == "delete":
+            from paimon_spark import P
+            t.delete_where(P.expr(f"k % 9 = {rnd.randrange(0, 9)}"))
+        else:
+            t.compact(full=rnd.random() < 0.5)
+    latest = t.paths.latest_snapshot_id()
+
+    def canon(df):
+        return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
+
+    for from_snap in (1, 2, latest - 2, latest - 1):
+        fast = canon(derive_changelog(t, from_snap))
+        slow = canon(derive_changelog(t, from_snap, optimize=False))
+        assert fast == slow, f"diverged from snapshot {from_snap}"
