@@ -1716,6 +1716,34 @@ def fulltext_bm25_topk(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+def pack_training_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents laid back-to-back per shard
+    in deterministic id order, chopped into 512-token training bins —
+    one window shuffle, reproducible layout, summarized per (shard,
+    bin_id)."""
+    docs = _read(spark, sf_dir, "documents")
+    packed = TX.pack_sequences(docs, 512, "doc_id", "text", n_shards=8)
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tok"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("end_bin").alias("max_end_bin")))
+
+
+def mixture_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling: per-lang hard token caps, docs
+    chosen by deterministic hash rank until the budget fills."""
+    docs = _read(spark, sf_dir, "documents")
+    budgets = {"en": 4000, "zh": 1500, "fr": 800}
+    kept = TX.token_budget_sample(docs, budgets, "lang", "doc_id",
+                                  "text", default_budget=600)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("kept"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 F.max("cum_tokens").alias("used"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
 def sample_corpus(spark, sf_dir):
     """Deterministic stratified sampling for training mixes: per-lang
     keep rates via hash-mod on doc_id — reproducible across runs and
@@ -1895,6 +1923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "default_values_read": default_values_read,
         "tag_travel_read": tag_travel_read,
         "sql_function_charge": sql_function_charge,
+        # --- new in r6 (outside the gate window; replica-gate verified) ---
+        "pack_training_sequences": pack_training_sequences,
+        "mixture_token_budget": mixture_token_budget,
     }
 
 
@@ -2014,6 +2045,10 @@ def oracle_sql() -> dict[str, str]:
       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
              JOIN embeddings eb ON eb.vec_id = p.id_b
       WHERE round({SIM.sql_cosine('ea.embedding', 'eb.embedding')}, 4) >= 0.4"""
+    _PACK = TX.sql_pack_sequences(512, "doc_id", "text", n_shards=8)
+    _MIX = TX.sql_token_budget({"en": 4000, "zh": 1500, "fr": 800},
+                               "lang", "doc_id", "text",
+                               default_budget=600)
     mh = DD.sql_minhash_signature("text", 16)
     bands = DD.sql_band_keys(16, 4)
     inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
@@ -2347,6 +2382,30 @@ def oracle_sql() -> dict[str, str]:
                                       {'en': 0.5, 'zh': 1.0, 'fr': 0.25},
                                       0.1)}
             GROUP BY lang""",
+        "pack_training_sequences": f"""
+            WITH p AS (SELECT doc_id,
+                              {_PACK['shard']} AS shard,
+                              {_PACK['n_tokens']} AS n_tokens,
+                              {_PACK['start_offset']} AS start_offset,
+                              {_PACK['bin_id']} AS bin_id,
+                              {_PACK['end_bin']} AS end_bin
+                       FROM documents)
+            SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok,
+                   min(doc_id) AS first_doc,
+                   max(end_bin) AS max_end_bin
+            FROM p GROUP BY shard, bin_id""",
+        "mixture_token_budget": f"""
+            WITH t AS (SELECT doc_id, lang,
+                              {_MIX['n_tokens']} AS n_tokens,
+                              {_MIX['cum_tokens']} AS cum_tokens,
+                              {_MIX['keep']} AS keep
+                       FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                   max(cum_tokens) AS used,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM t WHERE keep GROUP BY lang""",
         "embedding_quantize": f"""
             WITH q AS (SELECT vec_id,
                               {SIM.sql_quantize('embedding')['scale']} AS scale,

@@ -331,3 +331,97 @@ def sql_sample_cond(id_expr: str, stratum_expr: str,
     rate = f"CASE {whens} ELSE {int(default_rate * 10_000)} END"
     h = f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT)"
     return f"{h} % 10000 < {rate}"
+
+
+# ---- sequence packing (GPT-style pretraining layout) ----
+# Concat-then-chop: within a shard, documents are laid out back-to-back
+# in deterministic id order and chopped into fixed seq_len windows. Each
+# doc's placement is fully determined by the running token offset, so
+# the op is one window shuffle — no driver loop, no UDF — and the
+# layout is reproducible across runs and cluster sizes. Shards bound the
+# sequential dependency: packing parallelism = n_shards (pick ~10× the
+# cluster's cores at real scale).
+
+def pack_sequences(df, seq_len: int, id_col: str, text_col: str,
+                   n_shards: int = 8):
+    """(row + shard, n_tokens, start_offset, bin_id, end_bin): assign
+    each doc its place in the packed token stream of its shard.
+    bin_id = the training sequence its first token lands in; docs may
+    straddle bins (end_bin > bin_id) — the consumer chops accordingly."""
+    from pyspark.sql import Window
+    shard = md5_long(F.col(id_col).cast("string")) % n_shards
+    out = df.withColumn("shard", shard) \
+            .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return (out.withColumn("start_offset", (cum - F.col("n_tokens")))
+            .withColumn("bin_id", (F.col("start_offset")
+                                   / F.lit(seq_len)).cast("long"))
+            .withColumn("end_bin",
+                        (F.greatest(cum - 1, F.col("start_offset"))
+                         / F.lit(seq_len)).cast("long")))
+
+
+def sql_pack_sequences(seq_len: int, id_expr: str, text_expr: str,
+                       n_shards: int = 8) -> dict[str, str]:
+    """DuckDB mirrors of pack_sequences' derived columns (same hash,
+    same ROWS window)."""
+    h = (f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))"
+         f"::BIGINT) % {n_shards}")
+    nt = f"CAST(len({sql_tokens(text_expr)}) AS BIGINT)"
+    cum = (f"SUM({nt}) OVER (PARTITION BY {h} ORDER BY {id_expr} "
+           f"ROWS UNBOUNDED PRECEDING)")
+    start = f"({cum} - {nt})"
+    return {
+        "shard": h,
+        "n_tokens": nt,
+        "start_offset": start,
+        "bin_id": f"CAST(floor({start} / {seq_len}) AS BIGINT)",
+        "end_bin": (f"CAST(floor(greatest({cum} - 1, {start}) / {seq_len})"
+                    f" AS BIGINT)"),
+    }
+
+
+# ---- token-budget mixture sampling ----
+# Training mixtures are specified as token budgets per domain ("50 B
+# code, 20 B wiki, …"). Deterministic per-domain selection: rank docs
+# by hash (a reproducible shuffle), keep while the running token total
+# fits the budget. One window shuffle keyed on the domain.
+
+def token_budget_sample(df, budgets: dict[str, int], domain_col: str,
+                        id_col: str, text_col: str,
+                        default_budget: int = 0):
+    """Keep a deterministic pseudo-random subset of each domain whose
+    cumulative token count fits that domain's budget (the doc that
+    would cross the budget is dropped — budgets are hard caps).
+    Returns the kept rows + n_tokens + cum_tokens."""
+    from pyspark.sql import Window
+    rank_h = md5_long(F.col(id_col).cast("string"))
+    out = (df.withColumn("n_tokens",
+                         token_count(F.col(text_col)).cast("long"))
+           .withColumn("__h", rank_h))
+    w = (Window.partitionBy(domain_col).orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    budget = F.coalesce(
+        *[F.when(F.col(domain_col) == k, F.lit(int(v)))
+          for k, v in budgets.items()],
+        F.lit(int(default_budget)))
+    return (out.withColumn("cum_tokens", cum)
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("__h"))
+
+
+def sql_token_budget(budgets: dict[str, int], domain_expr: str,
+                     id_expr: str, text_expr: str,
+                     default_budget: int = 0) -> dict[str, str]:
+    """DuckDB mirrors: n_tokens / cum_tokens exprs + keep condition."""
+    h = f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+    nt = f"CAST(len({sql_tokens(text_expr)}) AS BIGINT)"
+    cum = (f"SUM({nt}) OVER (PARTITION BY {domain_expr} "
+           f"ORDER BY {h}, {id_expr} ROWS UNBOUNDED PRECEDING)")
+    whens = " ".join(f"WHEN {domain_expr} = '{k}' THEN {int(v)}"
+                     for k, v in budgets.items())
+    return {"n_tokens": nt, "cum_tokens": cum,
+            "keep": f"({cum}) <= (CASE {whens} ELSE {default_budget} END)"}

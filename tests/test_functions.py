@@ -338,3 +338,45 @@ def test_embedding_guard_components_match_unguarded(spark):
         g.withColumnRenamed("id_a", "id_a")).collect()}
     cr = {(x.doc_id, x.cluster_id) for x in connected_components(r).collect()}
     assert cg == cr
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chop packing: offsets are the running token total in
+    id order per shard; bins chop at seq_len; straddlers span bins."""
+    rows = [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.pack_sequences(
+        docs, 4, "doc_id", "text", n_shards=1).collect()}
+    assert all(out[i].shard == 0 for i in out)
+    assert (out[1].start_offset, out[1].bin_id, out[1].end_bin) == (0, 0, 0)
+    assert (out[2].start_offset, out[2].bin_id, out[2].end_bin) == (3, 0, 1)
+    assert (out[3].start_offset, out[3].bin_id, out[3].end_bin) == (5, 1, 2)
+    assert (out[4].start_offset, out[4].bin_id, out[4].end_bin) == (9, 2, 2)
+    # multi-shard: same docs, layout independent per shard, all docs kept
+    n = TX.pack_sequences(docs, 4, "doc_id", "text", n_shards=3).count()
+    assert n == 4
+
+
+def test_token_budget_sample_caps_domains(spark):
+    """Hard caps: each domain keeps the hash-ranked prefix whose token
+    total fits; the doc that would cross the budget is dropped."""
+    rows = [(i, "en" if i < 10 else "fr",
+             "tok " * 5) for i in range(14)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = TX.token_budget_sample(docs, {"en": 23, "fr": 11},
+                                  "lang", "doc_id", "text").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    # en: 5 tokens/doc -> 4 docs (20 <= 23), fr: 2 docs (10 <= 11)
+    assert len(by_lang["en"]) == 4
+    assert len(by_lang["fr"]) == 2
+    assert max(r.cum_tokens for r in by_lang["en"]) == 20
+    # deterministic: same selection every run
+    again = {(r.doc_id) for r in TX.token_budget_sample(
+        docs, {"en": 23, "fr": 11}, "lang", "doc_id", "text").collect()}
+    assert again == {r.doc_id for r in kept}
+    # unlisted domain with default_budget=0 keeps nothing
+    zero = TX.token_budget_sample(docs, {"en": 23}, "lang", "doc_id",
+                                  "text").filter("lang = 'fr'").count()
+    assert zero == 0
