@@ -93,17 +93,25 @@ def sql_lsh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-flavor ANN: partition vectors into `n_centroids` inverted lists
     (nearest-centroid assignment), probe the query's `nprobe` closest lists,
-    exact cosine top-k within them. Centroids are the first `n_centroids`
+    exact cosine top-k within them. Pass `centroids` (e.g. from
+    kmeans_centroids) to search trained cluster structure; the default
+    centroids are the first `n_centroids`
     vectors by id — deterministic, so both engines build identical lists
     (real systems would k-means; the *query* path is identical either way).
     At scale: assignment is a broadcast of C centroids (C ≪ N) against each
     vector once at index-build; a query touches N·nprobe/C candidates."""
-    cents = (emb.filter(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("__cid"),
-                     F.col(vec_col).alias("__cv")))
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "__cid long, __cv array<double>")
+    else:
+        cents = (emb.filter(F.col(id_col) < n_centroids)
+                 .select(F.col(id_col).alias("__cid"),
+                         F.col(vec_col).alias("__cv")))
     scored = (emb.crossJoin(F.broadcast(cents))
               .withColumn("__sim", F.round(cosine(F.col(vec_col), F.col("__cv")), 6)))
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
