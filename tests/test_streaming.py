@@ -768,3 +768,34 @@ def test_stale_identifier_hint_cannot_duplicate_replay(spark, wh, monkeypatch):
     with open(t.paths._identifier_hint_file("s1"), "w") as f:
         f.write("4")
     assert t.paths.latest_commit_identifier("s1") == 4
+
+
+def test_stream_split_packing_groups_and_budget(spark, wh):
+    """r6 split packing: files bin-pack by stream.split.target-size
+    within (partition values, schema id) groups; every file lands in
+    exactly one split and groups never mix."""
+    from paimon_spark.streaming.datasource import _pack_splits
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("p", T.StringType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/packed", sch, partition_keys=["p"],
+                     options={"stream.split.target-size": "1"},  # 1 byte → 1 file/split
+                     spark=spark)
+    rows = [(i, f"p{i % 2}", "x" * 10) for i in range(8)]
+    t.append(spark.createDataFrame(rows, sch))
+    entries = t.new_scan().plan().entries
+    tiny = _pack_splits(t, entries)
+    assert len(tiny) == len(entries)          # budget 1 → one file per split
+    # huge budget → one split per partition-value group
+    t2 = Table.create(f"{wh}/packed2", sch, partition_keys=["p"], spark=spark)
+    t2.append(spark.createDataFrame(rows, sch))
+    e2 = t2.new_scan().plan().entries
+    packed = _pack_splits(t2, e2)
+    groups = {tuple(sorted(p.partitions[0].items())) for p in packed}
+    assert len(packed) == len(groups) == 2    # p0 and p1, one split each
+    # no split mixes partition values; all files covered exactly once
+    all_files = []
+    for p in packed:
+        assert len({tuple(sorted(d.items())) for d in p.partitions}) == 1
+        all_files.extend(p.files)
+    assert sorted(all_files) == sorted(e.file_path for e in e2)
