@@ -105,6 +105,97 @@ class Catalog:
         except FileNotFoundError:
             return []
 
+    # ---- catalog-wide `sys` database tables (ref: table/system/
+    #      AllTablesTable / AllPartitionsTable / AllTableOptionsTable /
+    #      CatalogOptionsTable — the `sys.*` global views) ----
+
+    def _iter_tables(self):
+        """(database_name, table_name, Table) for every loadable table."""
+        dbs = [None] + self.list_databases()
+        for db in dbs:
+            for name in self.list_tables(db):
+                full = f"{db}.{name}" if db else name
+                try:
+                    yield (db or "default", name, self.get_table(full))
+                except Exception:              # noqa: BLE001
+                    continue       # e.g. object-table stub mid-create
+
+    def all_tables_df(self):
+        """`sys.tables` (ref: AllTablesTable.TABLE_TYPE)."""
+        rows = []
+        for db, name, t in self._iter_tables():
+            sch = t.schema
+            created = updated = None
+            try:
+                sfiles = sorted(
+                    os.path.join(t.path, "schema", f)
+                    for f in os.listdir(os.path.join(t.path, "schema")))
+                created = int(os.path.getmtime(sfiles[0]) * 1000)
+                updated = int(os.path.getmtime(sfiles[-1]) * 1000)
+            except (OSError, IndexError):
+                pass
+            rows.append((db, name,
+                         sch.options.get("type", "table"),
+                         bool(sch.partition_keys),
+                         sch.is_pk_table, created, updated))
+        return self.spark.createDataFrame(
+            rows, "database_name string, table_name string, "
+                  "table_type string, partitioned boolean, "
+                  "primary_key boolean, created_at long, updated_at long")
+
+    def all_partitions_df(self):
+        """`sys.partitions` (ref: AllPartitionsTable.TABLE_TYPE): every
+        table's partition rollup, one metadata pass per table."""
+        rows = []
+        for db, name, t in self._iter_tables():
+            agg: dict[tuple, list[int]] = {}
+            try:
+                entries = t.new_scan().plan().entries
+            except Exception:                  # noqa: BLE001
+                continue
+            for e in entries:
+                k = tuple(e.partition.get(p)
+                          for p in t.schema.partition_keys)
+                a = agg.setdefault(k, [0, 0, 0])
+                a[0] += e.row_count
+                a[1] += e.file_size
+                a[2] += 1
+            for k, v in agg.items():
+                pname = "/".join(f"{p}={x}" for p, x in
+                                 zip(t.schema.partition_keys, k)) or ""
+                rows.append((db, name, pname, *v))
+        return self.spark.createDataFrame(
+            rows, "database_name string, table_name string, "
+                  "partition_name string, record_count long, "
+                  "file_size_in_bytes long, file_count long")
+
+    def all_table_options_df(self):
+        """`sys.table_options` (ref: AllTableOptionsTable.TABLE_TYPE)."""
+        rows = [(db, name, k, v)
+                for db, name, t in self._iter_tables()
+                for k, v in sorted((t.schema.options or {}).items())]
+        return self.spark.createDataFrame(
+            rows, "database_name string, table_name string, "
+                  "key string, value string")
+
+    def catalog_options_df(self):
+        """`sys.catalog_options` (ref: CatalogOptionsTable.TABLE_TYPE)."""
+        return self.spark.createDataFrame(
+            [("warehouse", self.warehouse)], "key string, value string")
+
+    def register_sys_views(self) -> list[str]:
+        """Register the catalog-wide system tables as `sys__*` temp
+        views (`sys.` is not a valid temp-view prefix)."""
+        out = []
+        for suffix, fn in (("tables", self.all_tables_df),
+                           ("partitions", self.all_partitions_df),
+                           ("table_options", self.all_table_options_df),
+                           ("catalog_options", self.catalog_options_df)):
+            v = f"sys__{suffix}"
+            fn().createOrReplaceTempView(v)
+            out.append(v)
+        return out
+
     def init_privileges(self, root_password: str) -> None:
         """Initialize the file-based privilege system for this warehouse
         (ref: FileBasedPrivilegeManager initializePrivilege — creates

@@ -2147,6 +2147,7 @@ class Table:
                     ("manifests", self.manifests_df),
                     ("audit_log", self.read_audit_log),
                     ("buckets", self.buckets_df),
+                    ("file_key_ranges", self.file_key_ranges_df),
                     ("aggregation_fields", self.aggregation_fields_df),
                     ("table_indexes", self.table_indexes_df),
                     ("row_tracking", self.row_tracking_df),
@@ -2393,6 +2394,35 @@ class Table:
             rows, "partition string, bucket int, record_count long, "
                   "file_size_in_bytes long, file_count long, "
                   "max_sequence_number long")
+
+    def file_key_ranges_df(self) -> DataFrame:
+        """`t$file_key_ranges` (ref: table/system/FileKeyRangesTable.java):
+        per-file primary-key min/max ranges from the manifest stats — the
+        planner-facing view of LSM run overlap (which files a point
+        lookup or merge must touch)."""
+        if not self.schema.is_pk_table:
+            raise ValueError("$file_key_ranges requires a primary-key "
+                             "table")
+        ks = self.schema.trimmed_primary_keys
+        rows = []
+        for e in self.new_scan().plan().entries:
+            st = e.stats or {}
+            mins = [st.get(k, {}).get("min") for k in ks]
+            maxs = [st.get(k, {}).get("max") for k in ks]
+            rows.append((
+                json.dumps(e.partition), e.bucket, e.file_path,
+                self.schema.options.get("file.format", "parquet"),
+                e.schema_id, e.level, e.row_count, e.file_size,
+                json.dumps(mins, default=str)
+                if any(m is not None for m in mins) else None,
+                json.dumps(maxs, default=str)
+                if any(m is not None for m in maxs) else None,
+                e.first_row_id))
+        return self.spark.createDataFrame(
+            rows, "partition string, bucket int, file_path string, "
+                  "file_format string, schema_id long, level int, "
+                  "record_count long, file_size_in_bytes long, "
+                  "min_key string, max_key string, first_row_id long")
 
     def aggregation_fields_df(self) -> DataFrame:
         """`t$aggregation_fields` (ref: AggregationFieldsTable.java):

@@ -401,3 +401,51 @@ def test_dynamic_bucket_index_bounded_and_no_count_job(spark, wh):
     t.append(spark.createDataFrame([(5, "z")], schema))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[5] == "z" and len(got) == 241
+
+
+def test_catalog_sys_tables_and_file_key_ranges(spark, wh):
+    """Catalog-wide sys tables (AllTablesTable / AllPartitionsTable /
+    AllTableOptionsTable / CatalogOptionsTable) + $file_key_ranges."""
+    from paimon_spark import Catalog, Table
+    cat = Catalog(f"{wh}/syswh", spark)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("p", T.StringType()),
+                        T.StructField("v", T.DoubleType())])
+    t1 = cat.create_table("t1", sch, partition_keys=["p"],
+                          primary_keys=["p", "k"], options={"bucket": "2"})
+    t1.append(spark.createDataFrame(
+        [(i, f"p{i % 2}", float(i)) for i in range(20)], sch))
+    cat.create_database("d1")
+    t2 = cat.create_table("d1.t2", sch)
+    t2.append(spark.createDataFrame([(1, "a", 1.0)], sch))
+
+    tables = {(r.database_name, r.table_name): r
+              for r in cat.all_tables_df().collect()}
+    assert tables[("default", "t1")].primary_key is True
+    assert tables[("default", "t1")].partitioned is True
+    assert tables[("d1", "t2")].primary_key is False
+    assert tables[("default", "t1")].created_at is not None
+
+    parts = {(r.database_name, r.table_name, r.partition_name): r
+             for r in cat.all_partitions_df().collect()}
+    assert parts[("default", "t1", "p=p0")].record_count == 10
+    assert ("d1", "t2", "") in parts
+
+    opts = {(r.database_name, r.table_name, r.key): r.value
+            for r in cat.all_table_options_df().collect()}
+    assert opts[("default", "t1", "bucket")] == "2"
+
+    views = cat.register_sys_views()
+    assert spark.table("sys__tables").count() == 2
+    assert "sys__catalog_options" in views
+
+    # $file_key_ranges: per-file trimmed-pk min/max from manifests
+    fkr = t1.file_key_ranges_df().collect()
+    assert len(fkr) > 0
+    import json as _json
+    for r in fkr:
+        assert r.min_key is not None and r.max_key is not None
+        lo, hi = _json.loads(r.min_key)[0], _json.loads(r.max_key)[0]
+        assert lo <= hi
+    with pytest.raises(ValueError, match="primary-key"):
+        t2.file_key_ranges_df()
