@@ -536,6 +536,40 @@ def trigger_tag_automatic_creation(spark, table, **_):
     return name
 
 
+def compact_chain_table(spark, table, partition: str,
+                        overwrite: bool = False, **_) -> bool:
+    """Materialize one reconstructed chain partition into the snapshot
+    branch so future reads serve it directly instead of re-merging the
+    chain every query (ref: CompactChainTableProcedure.java:63 — single
+    partition only; skip when it already exists unless overwrite)."""
+    t = _t(table).with_spark(spark)
+    opts = t.schema.options
+    if opts.get("chain-table.enabled") != "true":
+        raise ValueError("compact_chain_table only supports chain tables")
+    sb = opts.get("scan.fallback-snapshot-branch")
+    if not sb or sb not in t.paths.list_branches():
+        raise ValueError("chain table needs an existing "
+                         "scan.fallback-snapshot-branch")
+    if ";" in partition:
+        raise ValueError("compact_chain_table only supports a single "
+                         "partition, got: " + partition)
+    pred = _partition_spec_predicate(partition, t.schema)
+    st = Table.load(t.path, spark, branch=sb)
+    from paimon_spark.scanner import cast_partition_value
+    spec = dict(kv.split("=", 1) for kv in partition.split(","))
+    exists = any(
+        all(str(e.partition.get(k)) == v for k, v in spec.items())
+        for e in st.new_scan().plan().entries)
+    if exists and not overwrite:
+        return False
+    # the chain read path reconstructs the partition (anchor + deltas)
+    df = t.read(pred)
+    if not df.take(1):
+        return False
+    st.overwrite(df.select(*t.schema.field_names), dynamic=True)
+    return True
+
+
 def repair(spark, table, **_):
     """Re-sync table metadata with the filesystem: recreate missing
     metadata dirs and fix the LATEST hint if it drifted from the actual
@@ -682,6 +716,10 @@ PROCEDURES = {
     "trigger_tag_automatic_creation": trigger_tag_automatic_creation,
     "copy_files": copy_files,
     "repair": repair,
+    "compact_chain_table": compact_chain_table,
+    "alter_view_dialect": lambda spark, warehouse, name, dialect, query, **_:
+        __import__("paimon_spark.catalog", fromlist=["Catalog"])
+        .Catalog(warehouse, spark).alter_view_dialect(name, dialect, query),
     "repair_earliest_snapshot": repair_earliest_snapshot,
     "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=16, **_:
         _t(table).with_spark(spark).create_vector_index(vec_col, id_col, n_centroids),

@@ -254,3 +254,53 @@ def test_chain_hidden_read_rank_dominates_seq(spark, wh):
     h = t.read(with_hidden=True).filter("dt = 'd2'").collect()
     by_v = {r.v: r["_sequence_number"] for r in h}
     assert by_v["delta"] > by_v["snap2"]  # rank re-key dominates raw seq
+
+
+def test_compact_chain_table_materializes_partition(spark, wh):
+    """CALL sys.compact_chain_table: a reconstructed chain partition is
+    materialized into the snapshot branch (ref:
+    CompactChainTableProcedure.java — single partition; skip when
+    present unless overwrite)."""
+    from paimon_spark.procedures import call
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/chaincmp", schema, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    snap.append(spark.createDataFrame(
+        [("d2", i, "snap") for i in (1, 2)], schema))
+    delta.append(spark.createDataFrame([("d3", 2, "d3-upd")], schema))
+
+    before = {(r.dt, r.id): r.v for r in t.read(P.eq("dt", "d3")).collect()}
+    assert before == {("d3", 1): "snap", ("d3", 2): "d3-upd"}
+    assert call(spark, "compact_chain_table", table=t.path,
+                partition="dt=d3") is True
+    # now served directly from the snapshot branch, same rows
+    snap2 = Table.load(t.path, spark, branch="snap")
+    mat = {(r.dt, r.id): r.v
+           for r in snap2.read(P.eq("dt", "d3")).collect()}
+    assert mat == before
+    after = {(r.dt, r.id): r.v for r in t.read(P.eq("dt", "d3")).collect()}
+    assert after == before
+    # existing partition skips unless overwrite=True
+    assert call(spark, "compact_chain_table", table=t.path,
+                partition="dt=d3") is False
+    assert call(spark, "compact_chain_table", table=t.path,
+                partition="dt=d3", overwrite=True) is True
+    # multi-partition spec rejected, non-chain table rejected
+    with pytest.raises(ValueError, match="single"):
+        call(spark, "compact_chain_table", table=t.path,
+             partition="dt=d3;dt=d4")
+    plain = Table.create(f"{wh}/plainp", schema, partition_keys=["dt"],
+                         primary_keys=["dt", "id"],
+                         options={"bucket": "1"}, spark=spark)
+    with pytest.raises(ValueError, match="chain"):
+        call(spark, "compact_chain_table", table=plain.path,
+             partition="dt=d3")
