@@ -186,7 +186,11 @@ class PrivilegedTable:
              "row_tracking_df", "register_views", "list_branches",
              "delta_entries", "max_pt", "vector_search",
              "full_text_search", "hybrid_search", "vector_index_meta",
+             "text_index_meta", "file_key_ranges_df",
              "file_format"}
+    # refresh_text_index / refresh_vector_index / create_*_index fall
+    # through to the default-deny INSERT branch: index builds write
+    # under the table directory (maintenance, like compact).
     _ALTER = {"alter"}
 
     def __init__(self, table: Any, manager: PrivilegeManager, user: str,
