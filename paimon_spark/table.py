@@ -1765,7 +1765,12 @@ class Table:
             ranked = sorted(enumerate(meta["centroids"]),
                             key=lambda ic: -_cos(query, ic[1]))
             probes = [i for i, _ in ranked[:max(2, len(ranked) // 8)]]
-            inv = (self.spark.read.parquet(self._vector_index_dir(vec_col))
+            root = self._vector_index_dir(vec_col)
+            paths = self._index_read_paths(root, meta)
+            if not paths:
+                return self.vector_search(query, k, vec_col, "brute")
+            inv = (self.spark.read.option("basePath", root)
+                   .parquet(*paths)
                    .filter(F.col("cluster").isin(probes)))
             topk = (inv.withColumn("_score", S.cosine(F.col("vec"), qcol))
                     .orderBy(F.desc("_score")).limit(k)
@@ -1813,10 +1818,11 @@ class Table:
         out = self._vector_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         inv.write.partitionBy("cluster").parquet(out)
-        with open(os.path.join(out, "_meta.json"), "w") as f:
-            json.dump({"vec_col": vec_col, "id_col": id_col,
-                       "n_centroids": n_centroids, "centroids": centroids,
-                       "snapshot_id": self.paths.latest_snapshot_id()}, f)
+        self._write_index_meta(out, {
+            "vec_col": vec_col, "id_col": id_col,
+            "n_centroids": n_centroids, "centroids": centroids,
+            "snapshot_id": self.paths.latest_snapshot_id(),
+            "files": self._index_files(out)})
         return n_centroids
 
     def _assign_vector_clusters(self, df: DataFrame,
@@ -1865,10 +1871,13 @@ class Table:
             delta.select(id_col, vec_col), meta["centroids"], id_col,
             vec_col)
         out = self._vector_index_dir(vec_col)
+        pre = set(self._index_files(out))
         inv.write.mode("append").partitionBy("cluster").parquet(out)
-        meta["snapshot_id"] = latest
-        with open(os.path.join(out, "_meta.json"), "w") as f:
-            json.dump(meta, f)
+        new = [f for f in self._index_files(out) if f not in pre]
+        meta.update({"snapshot_id": latest,
+                     "files": sorted(meta.get("files",
+                                              sorted(pre)) + new)})
+        self._write_index_meta(out, meta)
         return "incremental"
 
     def drop_vector_index(self, vec_col: str = "embedding") -> None:
@@ -1908,13 +1917,45 @@ class Table:
         out = self._text_index_dir(text_col)
         shutil.rmtree(out, ignore_errors=True)
         postings.write.partitionBy("bucket").parquet(out)
-        with open(os.path.join(out, "_meta.json"), "w") as f:
-            json.dump({"text_col": text_col, "id_col": id_col,
-                       "n_buckets": n_buckets,
-                       "n_docs": stats["n"],
-                       "avgdl": stats["avgdl"] or 1.0,
-                       "snapshot_id": self.paths.latest_snapshot_id()}, f)
+        self._write_index_meta(out, {
+            "text_col": text_col, "id_col": id_col,
+            "n_buckets": n_buckets,
+            "n_docs": stats["n"],
+            "avgdl": stats["avgdl"] or 1.0,
+            "snapshot_id": self.paths.latest_snapshot_id(),
+            "files": self._index_files(out)})
         return n_buckets
+
+    @staticmethod
+    def _index_files(root: str) -> list[str]:
+        """Relative paths of the data files under a persisted-index dir."""
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(dirpath, fn),
+                                               root))
+        return sorted(out)
+
+    @staticmethod
+    def _write_index_meta(root: str, meta: dict) -> None:
+        """Atomic meta replace — the meta's `files` list IS the index:
+        readers only scan listed files, so a crash between a delta
+        append and this meta write leaves invisible orphans (re-appended
+        by the retried refresh, swept by the next full rebuild), never
+        duplicated postings."""
+        p = os.path.join(root, "_meta.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(p + ".tmp", p)
+
+    def _index_read_paths(self, root: str, meta: dict) -> list[str]:
+        """Paths a search must scan: the meta-pinned file list (legacy
+        metas without `files` read the whole dir)."""
+        files = meta.get("files")
+        if files is None:
+            return [root]
+        return [os.path.join(root, f) for f in files]
 
     @staticmethod
     def _text_postings(df: DataFrame, id_col: str, text_col: str,
@@ -1989,14 +2030,21 @@ class Table:
         postings, stats = self._text_postings(
             delta.select(id_col, text_col), id_col, text_col, n_b)
         out = self._text_index_dir(text_col)
+        # crash safety: files present before the append (including
+        # orphans of a previously crashed refresh) are NOT credited to
+        # this refresh; only the files this write creates join the
+        # meta-pinned list, and the meta replace is atomic
+        pre = set(self._index_files(out))
         postings.write.mode("append").partitionBy("bucket").parquet(out)
+        new = [f for f in self._index_files(out) if f not in pre]
         n0, n1 = meta["n_docs"], stats["n"]
         avgdl = ((meta["avgdl"] * n0 + (stats["avgdl"] or 0.0) * n1)
                  / (n0 + n1)) if (n0 + n1) else 1.0
         meta.update({"n_docs": n0 + n1, "avgdl": avgdl,
-                     "snapshot_id": latest})
-        with open(os.path.join(out, "_meta.json"), "w") as f:
-            json.dump(meta, f)
+                     "snapshot_id": latest,
+                     "files": sorted(meta.get("files",
+                                              sorted(pre)) + new)})
+        self._write_index_meta(out, meta)
         return "incremental"
 
     def drop_text_index(self, text_col: str = "text") -> None:
@@ -2051,8 +2099,13 @@ class Table:
             T.StructField("dl", T.IntegerType()),
             T.StructField("tf", T.LongType()),
             T.StructField("bucket", T.LongType())])
+        root = self._text_index_dir(text_col)
+        paths = self._index_read_paths(root, meta)
+        if not paths:
+            return bm25_search(self.read(), query, k, text_col, k1, b)
         idx = (self.spark.read.schema(idx_schema)
-               .parquet(self._text_index_dir(text_col))
+               .option("basePath", root)
+               .parquet(*paths)
                .filter(F.col("bucket").isin(buckets))      # partition prune
                .filter(F.col("term").isin(terms)))
         # per-term document frequencies: O(|terms|) scalars, computed on

@@ -190,3 +190,41 @@ def test_vector_index_incremental_refresh(spark, wh):
     from paimon_spark.procedures import call
     assert call(spark, "refresh_global_index", table=t.path,
                 vec_col="embedding") == "fresh"
+
+
+def test_refresh_crash_between_append_and_meta_is_safe(spark, docs_table):
+    """Crash AFTER the delta-postings append but BEFORE the meta update
+    must not corrupt the index: searches only scan meta-pinned files, so
+    the orphan files are invisible, and the retried refresh re-appends
+    the delta without double-counting."""
+    t = docs_table
+    t.create_text_index(n_buckets=8)
+    t.append(spark.createDataFrame(
+        [(7, "spark crash safety doc"), (8, "quick spark data")], SCH))
+
+    # simulate the crash: run the refresh with the meta write disabled
+    real_write = type(t)._write_index_meta
+    import pytest as _pytest
+    boom = RuntimeError("crash before meta write")
+    try:
+        type(t)._write_index_meta = staticmethod(
+            lambda root, meta: (_ for _ in ()).throw(boom))
+        with _pytest.raises(RuntimeError, match="crash"):
+            t.refresh_text_index()
+    finally:
+        type(t)._write_index_meta = staticmethod(real_write)
+    # orphan parquet files exist but the pinned view ignores them:
+    meta = t.text_index_meta()
+    orphans = set(t._index_files(t._text_index_dir("text"))) \
+        - set(meta["files"])
+    assert orphans
+    assert meta["snapshot_id"] != t.paths.latest_snapshot_id()
+    # stale index -> exact fallback stays correct meanwhile
+    pre = _ranked(t.full_text_search("spark", k=9))
+    # retried refresh completes; no duplicated postings
+    assert t.refresh_text_index() == "incremental"
+    got = _ranked(t.full_text_search("spark", k=9))
+    assert sorted(got) == sorted(pre)
+    t.drop_text_index()
+    exact = _ranked(t.full_text_search("spark", k=9))
+    assert sorted(got) == sorted(exact)
