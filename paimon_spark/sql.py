@@ -415,6 +415,31 @@ class SQLRouter:
         """
         from pyspark.sql.types import _parse_datatype_string
 
+        lm = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+            rf"LIKE\s+({_IDENT})"
+            rf"(?:\s+TBLPROPERTIES\s*\((.*?)\))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if lm:      # ref: PaimonSqlExtensions.g4 #createTableLike
+            if_nx, name, src, props_s = lm.groups()
+            name = name.strip("`")
+            if self.catalog.table_exists(name):
+                if if_nx:
+                    return None
+                raise FileExistsError(f"table {name} exists")
+            st = self._table(src)
+            options = dict(st.schema.options)
+            if props_s:
+                for item in _split_top(props_s):
+                    k, _, v = item.partition("=")
+                    options[k.strip().strip("'\"")] = \
+                        v.strip().strip("'\"")
+            self.catalog.create_table(
+                name, st.schema.struct,
+                partition_keys=list(st.schema.partition_keys) or None,
+                primary_keys=list(st.schema.primary_keys) or None,
+                options=options or None)
+            return None
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
             rf"(\((.*?)\))?\s*"
@@ -514,6 +539,43 @@ class SQLRouter:
         if rm:
             self.catalog.rename_table(name.strip("`"),
                                       rm.group(1).strip("`"))
+            return None
+        # tag management clauses (ref: PaimonSqlExtensions.g4
+        # createOrReplaceTag / deleteTag / renameTag)
+        tm = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?TAG\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"(`?)({_IDENT})\3"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            rest, re.IGNORECASE)
+        if tm:
+            replace, if_nx, _q, tag, ver = tm.groups()
+            existing = t.paths.list_tags()
+            if tag in existing:
+                if if_nx:
+                    return None
+                if not replace:
+                    raise FileExistsError(f"tag {tag} exists")
+                t.delete_tag(tag)
+            t.create_tag(tag, int(ver) if ver else None)
+            return None
+        tm = re.match(
+            rf"DELETE\s+TAG\s+(IF\s+EXISTS\s+)?(`?)({_IDENT})\2$",
+            rest, re.IGNORECASE)
+        if tm:
+            if_ex, _q, tag = tm.groups()
+            if tag not in t.paths.list_tags():
+                if if_ex:
+                    return None
+                raise FileNotFoundError(f"no tag {tag}")
+            t.delete_tag(tag)
+            return None
+        tm = re.match(
+            rf"RENAME\s+TAG\s+(`?)({_IDENT})\1\s+TO\s+(`?)({_IDENT})\3$",
+            rest, re.IGNORECASE)
+        if tm:
+            from paimon_spark.procedures import call
+            call(self.spark, "rename_tag", table=t,
+                 tag=tm.group(2), target_tag=tm.group(4))
             return None
         am = re.match(r"ADD\s+COLUMNS?\s*(.*)$", rest,
                       re.IGNORECASE | re.DOTALL)
@@ -757,6 +819,9 @@ class SQLRouter:
         m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})$", s, re.IGNORECASE)
         if m:
             return self._table(m.group(1)).partitions_df()
+        m = re.match(rf"SHOW\s+TAGS\s+({_IDENT})$", s, re.IGNORECASE)
+        if m:       # ref: PaimonSqlExtensions.g4 #showTags
+            return self._table(m.group(1)).tags_df()
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
             rows = [(n,) for n in self.catalog.list_tables()]
             return self.spark.createDataFrame(rows or [("",)],

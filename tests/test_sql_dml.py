@@ -413,3 +413,44 @@ def test_search_tvfs(spark, wh):
         "paimon_hybrid_search('docs_s', 'spark query', '0.9,0.1', 2)") \
         .collect()
     assert {r.doc_id for r in hs} <= {1, 3} and hs
+
+
+def test_tag_sql_extensions_and_create_table_like(spark, wh):
+    """The reference's SQL extension statements
+    (PaimonSqlExtensions.g4): SHOW TAGS, ALTER TABLE ... CREATE/
+    DELETE/RENAME TAG, CREATE TABLE LIKE."""
+    c = _cat(spark, wh)
+    c.create_table("src", KV, primary_keys=["k"],
+                   options={"bucket": "2"})
+    c.sql("INSERT INTO src VALUES (1, 'a', 1.0)")
+    c.sql("INSERT INTO src VALUES (2, 'b', 2.0)")
+
+    c.sql("ALTER TABLE src CREATE TAG t1 AS OF VERSION 1")
+    c.sql("ALTER TABLE src CREATE TAG t2")
+    tags = {r.tag_name: r.snapshot_id
+            for r in c.sql("SHOW TAGS src").collect()}
+    assert tags == {"t1": 1, "t2": 2}
+    # IF NOT EXISTS no-op; bare duplicate raises; OR REPLACE repoints
+    c.sql("ALTER TABLE src CREATE TAG IF NOT EXISTS t1")
+    with pytest.raises(FileExistsError):
+        c.sql("ALTER TABLE src CREATE TAG t1")
+    c.sql("ALTER TABLE src CREATE OR REPLACE TAG t1 AS OF VERSION 2")
+    assert {r.tag_name: r.snapshot_id
+            for r in c.sql("SHOW TAGS src").collect()}["t1"] == 2
+    c.sql("ALTER TABLE src RENAME TAG t2 TO t2r")
+    c.sql("ALTER TABLE src DELETE TAG t1")
+    c.sql("ALTER TABLE src DELETE TAG IF EXISTS missing")
+    with pytest.raises(FileNotFoundError):
+        c.sql("ALTER TABLE src DELETE TAG missing")
+    assert set(c.get_table("src").paths.list_tags()) == {"t2r"}
+
+    # CREATE TABLE LIKE copies schema/pk/options, no data
+    c.sql("CREATE TABLE dst LIKE src TBLPROPERTIES ('bucket' = '4')")
+    d = c.get_table("dst")
+    assert d.schema.primary_keys == ["k"]
+    assert d.schema.options["bucket"] == "4"
+    assert [f.name for f in d.schema.struct.fields] == ["k", "v", "amt"]
+    assert d.read().count() == 0
+    c.sql("CREATE TABLE IF NOT EXISTS dst LIKE src")   # no-op
+    with pytest.raises(FileExistsError):
+        c.sql("CREATE TABLE dst LIKE src")
