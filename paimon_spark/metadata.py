@@ -536,11 +536,17 @@ class TablePaths:
 
     # -------- tags (ref: Table.java:127 createTag) --------
 
-    def write_tag(self, name: str, snapshot_id: int):
+    def write_tag(self, name: str, snapshot_id: int,
+                  time_retained_ms: int | None = None):
         os.makedirs(self.tag_dir, exist_ok=True)
+        meta = {"name": name, "snapshot_id": snapshot_id,
+                "created_ms": int(time.time() * 1000)}
+        if time_retained_ms is not None:
+            # per-tag retention (ref: Tag.java timeRetained — the tag
+            # auto-expires during maintenance once created+retained < now)
+            meta["time_retained_ms"] = int(time_retained_ms)
         with open(self.tag_file(name), "w") as f:
-            json.dump({"name": name, "snapshot_id": snapshot_id,
-                       "created_ms": int(time.time() * 1000)}, f)
+            json.dump(meta, f)
 
     def read_tag(self, name: str) -> int:
         with open(self.tag_file(name)) as f:

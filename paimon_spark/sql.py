@@ -89,6 +89,8 @@ class SQLRouter:
             return self._merge(s)
         if head == "TRUNCATE":
             return self._truncate(s)
+        if head == "COPY":
+            return self._copy(s)
         if head == "ALTER":
             return self._alter(s)
         m = re.match(
@@ -545,10 +547,11 @@ class SQLRouter:
         tm = re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?TAG\s+(IF\s+NOT\s+EXISTS\s+)?"
             rf"(`?)({_IDENT})\3"
-            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+            r"(?:\s+RETAIN\s+(\d+)\s+(DAYS?|HOURS?|MINUTES?))?$",
             rest, re.IGNORECASE)
         if tm:
-            replace, if_nx, _q, tag, ver = tm.groups()
+            replace, if_nx, _q, tag, ver, ret_n, ret_u = tm.groups()
             existing = t.paths.list_tags()
             if tag in existing:
                 if if_nx:
@@ -556,7 +559,13 @@ class SQLRouter:
                 if not replace:
                     raise FileExistsError(f"tag {tag} exists")
                 t.delete_tag(tag)
-            t.create_tag(tag, int(ver) if ver else None)
+            retain_ms = None
+            if ret_n:
+                unit_ms = {"D": 86_400_000, "H": 3_600_000,
+                           "M": 60_000}[ret_u[0].upper()]
+                retain_ms = int(ret_n) * unit_ms
+            t.create_tag(tag, int(ver) if ver else None,
+                         time_retained_ms=retain_ms)
             return None
         tm = re.match(
             rf"DELETE\s+TAG\s+(IF\s+EXISTS\s+)?(`?)({_IDENT})\2$",
@@ -796,6 +805,73 @@ class SQLRouter:
         if isinstance(out, DataFrame):
             return out
         return None
+
+    @staticmethod
+    def _file_format_clause(clause: str) -> tuple[str, dict]:
+        """FILE_FORMAT = (TYPE = PARQUET, k = v, ...) → (format, options)
+        (ref: PaimonSqlExtensions.g4 fileFormatClause)."""
+        fmt, opts = "parquet", {}
+        for item in _split_top(clause):
+            k, _, v = item.partition("=")
+            k = k.strip().strip("'\"").lower()
+            v = v.strip().strip("'\"")
+            if k == "type":
+                fmt = v.lower()
+            else:
+                opts[k] = v
+        return fmt, opts
+
+    def _copy(self, s: str):
+        """COPY INTO statements (ref: PaimonSqlExtensions.g4
+        #copyIntoTable / #copyIntoLocation / #copyIntoLocationFromQuery):
+          COPY INTO t [(c1, c2)] FROM '<path>'
+            FILE_FORMAT = (TYPE = PARQUET[, opt = v]...)
+            [PATTERN = '<regex>'] [FORCE = true]
+            [ON_ERROR = ABORT_STATEMENT|CONTINUE|SKIP_FILE]
+          COPY INTO '<path>' FROM t FILE_FORMAT = (...) [OVERWRITE = true]
+          COPY INTO '<path>' FROM (SELECT ...) FILE_FORMAT = (...)
+            [OVERWRITE = true]"""
+        m = re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+            r"FROM\s+'([^']+)'\s+"
+            r"FILE_FORMAT\s*=\s*\(([^)]*)\)"
+            r"(?:\s+PATTERN\s*=\s*'([^']*)')?"
+            r"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?"
+            r"(?:\s+ON_ERROR\s*=\s*(ABORT_STATEMENT|CONTINUE|SKIP_FILE))?"
+            r"$", s, re.IGNORECASE)
+        if m:
+            name, cols_s, src, ff, pat, force, onerr = m.groups()
+            fmt, opts = self._file_format_clause(ff)
+            cols = [c.strip().strip("`") for c in cols_s.split(",")
+                    if c.strip()] if cols_s else None
+            n = self._table(name).copy_into(
+                src, fmt, opts or None, pattern=pat,
+                force=bool(force) and force.upper() == "TRUE",
+                on_error=(onerr or "abort_statement").lower(),
+                columns=cols)
+            return self.spark.createDataFrame([(n,)], "rows_loaded bigint")
+        m = re.match(
+            r"COPY\s+INTO\s+'([^']+)'\s+FROM\s+"
+            rf"(\(.*\)|{_IDENT})\s+"
+            r"FILE_FORMAT\s*=\s*\(([^)]*)\)"
+            r"(?:\s+OVERWRITE\s*=\s*(TRUE|FALSE))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            target, src, ff, ow = m.groups()
+            fmt, opts = self._file_format_clause(ff)
+            if src.startswith("("):
+                self.catalog.register_views()
+                df = self.spark.sql(src[1:-1].strip())
+            else:
+                df = self._table(src).read()
+            mode = "overwrite" if ow and ow.upper() == "TRUE" else \
+                "errorifexists"
+            w = df.write.format(fmt).mode(mode)
+            for k, v in opts.items():
+                w = w.option(k, v)
+            w.save(target)
+            return None
+        raise ValueError(f"cannot parse COPY INTO: {s[:120]}")
 
     def _show(self, s: str):
         m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", s,

@@ -16,6 +16,7 @@ filter → projection. Everything row-level runs in Catalyst.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -1296,9 +1297,13 @@ class Table:
                    for e in full_victims + partial_victims]
         return w.commit(adds + deletes, COMMIT_COMPACT)
 
-    def create_tag(self, name: str, snapshot_id: int | None = None):
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   time_retained_ms: int | None = None):
+        """Tag a snapshot; `time_retained_ms` makes it self-expiring —
+        maintenance sweeps it once created+retained < now (ref:
+        Tag.java timeRetained + TagTimeExpire)."""
         sid = snapshot_id if snapshot_id is not None else self.paths.latest_snapshot_id()
-        self.paths.write_tag(name, sid)
+        self.paths.write_tag(name, sid, time_retained_ms)
 
     def delete_tag(self, name: str):
         os.remove(self.paths.tag_file(name))
@@ -2305,9 +2310,12 @@ class Table:
             + w.stage(df)
         return w.commit(delta, COMMIT_OVERWRITE)
 
-    def expire_tags(self, older_than_ms: int) -> list[str]:
-        """CALL sys.expire_tags: delete tags created before the cutoff.
-        (ref: ExpireTagsProcedure.java)"""
+    def expire_tags(self, older_than_ms: int | None = None) -> list[str]:
+        """CALL sys.expire_tags: delete tags created before the cutoff,
+        plus any tag past its own `time_retained_ms` (ref:
+        ExpireTagsProcedure.java + TagTimeExpire)."""
+        import time as _time
+        now = int(_time.time() * 1000)
         removed = []
         for name in list(self.paths.list_tags()):
             try:
@@ -2315,18 +2323,28 @@ class Table:
                     meta = json.load(f)
             except (OSError, ValueError):
                 continue
-            if meta.get("created_ms", 0) < older_than_ms:
+            created = meta.get("created_ms", 0)
+            retained = meta.get("time_retained_ms")
+            if ((older_than_ms is not None and created < older_than_ms)
+                    or (retained is not None and created + retained < now)):
                 os.remove(self.paths.tag_file(name))
                 removed.append(name)
         return removed
 
     def copy_into(self, source: str, fmt: str = "parquet",
-                  options: dict | None = None) -> int:
+                  options: dict | None = None, pattern: str | None = None,
+                  force: bool = False, on_error: str = "abort_statement",
+                  columns: list[str] | None = None) -> int:
         """COPY INTO: idempotently load external files into the table.
         Files already loaded (tracked in copy-history.json) are skipped, so
         re-running after new files land loads only the delta — the load
         history is the dedup key, exactly COPY INTO's contract.
-        (ref: paimon-spark copyinto/ command set)"""
+        `pattern` filters source-relative paths (regex), `force` reloads
+        regardless of history, `on_error` CONTINUE/SKIP_FILE skips files
+        that fail to open instead of aborting.
+        (ref: paimon-spark copyinto/ command set + PaimonSqlExtensions.g4
+         patternClause/forceClause/onErrorClause)"""
+        import re as _re
         reader = self.spark.read.format(fmt)
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
@@ -2341,10 +2359,31 @@ class Table:
             p for p in _glob.glob(os.path.join(source, "**", "*"),
                                   recursive=True)
             if os.path.isfile(p) and not os.path.basename(p).startswith(
-                (".", "_")) and p not in loaded)
+                (".", "_")) and (force or p not in loaded))
+        if pattern is not None:
+            rx = _re.compile(pattern)
+            candidates = [p for p in candidates
+                          if rx.search(os.path.relpath(p, source))]
+        if on_error.lower() in ("continue", "skip_file") and candidates:
+            ok = []
+            for p in candidates:
+                try:
+                    if fmt == "parquet":
+                        import pyarrow.parquet as _pq
+                        _pq.ParquetFile(p)
+                    else:
+                        reader.load([p]).schema
+                    ok.append(p)
+                except Exception:              # noqa: BLE001
+                    logging.getLogger(__name__).warning(
+                        "COPY INTO skipping unreadable file %s", p)
+            candidates = ok
         if not candidates:
             return 0
         df = reader.load(candidates)
+        if columns:
+            keep = set(columns)
+            df = df.select(*[c for c in df.columns if c in keep])
         cast = df.select(*[
             F.col(fld.name).cast(fld.dataType) for fld in
             self.schema.struct.fields if fld.name in df.columns])

@@ -770,6 +770,9 @@ class BatchWriter:
                 trigger_tag_automatic_creation
             trigger_tag_automatic_creation(self.table.spark, self.table)
         self.table.expire_snapshots_policy()
+        # self-expiring tags (RETAIN n DAYS): O(tags) metadata sweep
+        # (ref: TagTimeExpire run by the committer's TagAutoManager)
+        self.table.expire_tags()
         self._maybe_expire_partitions(kind)
         delta = self.schema.options.get("full-compaction.delta-commits")
         if not delta or kind != COMMIT_APPEND:

@@ -454,3 +454,60 @@ def test_tag_sql_extensions_and_create_table_like(spark, wh):
     c.sql("CREATE TABLE IF NOT EXISTS dst LIKE src")   # no-op
     with pytest.raises(FileExistsError):
         c.sql("CREATE TABLE dst LIKE src")
+
+
+def test_copy_into_sql_statements(spark, wh, tmp_path):
+    """COPY INTO SQL routing (PaimonSqlExtensions.g4 #copyIntoTable /
+    #copyIntoLocation / #copyIntoLocationFromQuery) + PATTERN / FORCE /
+    ON_ERROR clauses and self-expiring tags via RETAIN."""
+    import os
+    c = _cat(spark, wh)
+    c.create_table("cp", KV)
+    src = str(tmp_path / "stage")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a", 1.0)], KV).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/b1")
+    spark.createDataFrame([(2, "b", 2.0)], KV).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}/b2")
+    # pattern restricts to one batch dir
+    got = c.sql("COPY INTO cp FROM '%s' FILE_FORMAT = (TYPE = PARQUET) "
+                "PATTERN = 'b1/.*'" % src).collect()
+    assert got[0].rows_loaded == 1
+    # second run loads only the remaining delta (idempotent history)
+    got = c.sql("COPY INTO cp FROM '%s' "
+                "FILE_FORMAT = (TYPE = PARQUET)" % src).collect()
+    assert got[0].rows_loaded == 1
+    assert rows(c, "cp") == [(1, "a", 1.0), (2, "b", 2.0)]
+    # FORCE reloads everything
+    got = c.sql("COPY INTO cp FROM '%s' FILE_FORMAT = (TYPE = PARQUET) "
+                "FORCE = true" % src).collect()
+    assert got[0].rows_loaded == 2
+    # ON_ERROR = CONTINUE skips an unreadable file instead of aborting
+    with open(f"{src}/broken.parquet", "w") as f:
+        f.write("not parquet")
+    got = c.sql("COPY INTO cp FROM '%s' FILE_FORMAT = (TYPE = PARQUET) "
+                "FORCE = true ON_ERROR = CONTINUE" % src).collect()
+    assert got[0].rows_loaded == 2
+
+    # export: COPY INTO location FROM table / query
+    out1 = str(tmp_path / "out1")
+    c.sql("COPY INTO '%s' FROM cp FILE_FORMAT = (TYPE = PARQUET)" % out1)
+    assert spark.read.parquet(out1).count() == 6
+    out2 = str(tmp_path / "out2")
+    c.sql("COPY INTO '%s' FROM (SELECT k FROM cp WHERE k = 1) "
+          "FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = true" % out2)
+    assert spark.read.parquet(out2).columns == ["k"]
+
+    # RETAIN tag expires on the next commit's maintenance sweep
+    c.sql("ALTER TABLE cp CREATE TAG ephemeral RETAIN 1 MINUTES")
+    t = c.get_table("cp")
+    meta_path = t.paths.tag_file("ephemeral")
+    import json as _json
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    assert meta["time_retained_ms"] == 60_000
+    meta["created_ms"] -= 120_000          # age it past its retention
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    c.sql("INSERT INTO cp VALUES (9, 'z', 9.0)")   # commit → sweep
+    assert "ephemeral" not in t.paths.list_tags()
