@@ -158,6 +158,30 @@ def main():
          .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")
          .agg(F.count("*").alias("cnt")).count())
 
+    def raw_stream_jvm():
+        # IDENTICAL windowed agg + sink + availableNow trigger through a
+        # JVM-native file-stream source: the engine/THIS ratio is the
+        # Python-DataSource-attributable share, with Spark's own
+        # streaming machinery (state store, microbatch planning, sink)
+        # cancelled out (see PERF.md stream decomposition)
+        import tempfile
+        import uuid as _uuid
+        d = tempfile.mkdtemp()
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   f"{d}/events.parquet")
+        sink = f"jvmctl_{_uuid.uuid4().hex[:8]}"
+        sdf = spark.readStream.schema(ev.schema).format("parquet").load(d)
+        q = (sdf.withColumn("ets", E._event_time(sdf))
+             .withWatermark("ets", "7 days")
+             .groupBy(F.window("ets", "5 minutes").alias("w"),
+                      "event_type")
+             .agg(F.count("*").alias("cnt"))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        spark.table(sink).count()
+
     pairs = [
         ("q1", raw_q1, lambda: E.q1_pricing_summary(spark, sf_dir).count()),
         ("q6", raw_q6, lambda: E.q6_revenue(spark, sf_dir).collect()),
@@ -170,6 +194,8 @@ def main():
         ("changelog", raw_changelog,
          lambda: E.changelog_old_vs_new(spark, sf_dir).count()),
         ("stream", raw_stream,
+         lambda: E.stream_window_counts(spark, sf_dir).count()),
+        ("stream_vs_jvm_source", raw_stream_jvm,
          lambda: E.stream_window_counts(spark, sf_dir).count()),
     ]
     base: dict[str, float] = {}
@@ -186,7 +212,7 @@ def main():
         return round(best, 3)
 
     for name, raw_fn, engine_fn in pairs:
-        reps = 1 if name == "stream" else 3   # a stream drain is ~4 s
+        reps = 1 if name.startswith("stream") else 3  # a drain is ~4 s
         base[f"{name}_raw"] = _best(raw_fn, reps)
         # engine path re-measured at equal warmth for the ratio
         base[f"{name}_engine_warm"] = _best(engine_fn, reps)
