@@ -1,6 +1,12 @@
-"""`python -m paimon_spark` entry point (ref: pypaimon's console CLI)."""
-import sys
+"""`python -m paimon_spark` entry point (ref: pypaimon's console CLI).
 
-from paimon_spark.cli import main
+The __name__ guard is load-bearing: streaming.datasource.register()
+imports every package module to locate DataSource classes, and that
+import must not execute the CLI."""
 
-sys.exit(main())
+if __name__ == "__main__":
+    import sys
+
+    from paimon_spark.cli import main
+
+    sys.exit(main())
