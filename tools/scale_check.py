@@ -28,7 +28,8 @@ HEADLINE = ["q1_pricing_summary", "q5_region_revenue", "q6_revenue",
             "clustered_write_prune", "blob_roundtrip", "dedup_clusters",
             "pipeline_clean_corpus", "text_langid", "sketch_hll_users",
             "dedup_embedding_cosine", "cdc_sync_evolution",
-            "stream_window_counts"]
+            "stream_window_counts", "pack_training_sequences",
+            "mixture_token_budget"]
 
 # fact tables get disjoint id ranges per copy; dims are shared
 _FACT_OFFSETS = {
