@@ -53,6 +53,29 @@ def _print_df(df, limit, as_json):
     _emit([r.asDict() for r in rows], as_json)
 
 
+def _parse_where(t, where: str):
+    """Simple `col OP literal [AND ...]` strings → structured predicates
+    (which prune manifests/partitions at plan time); anything fancier
+    falls back to an opaque P.expr (correct, no plan-time pruning)."""
+    import re as _re
+
+    from paimon_spark.predicates import P
+    from paimon_spark.scanner import cast_partition_value
+    ops = {"=": P.eq, "!=": P.ne, "<>": P.ne, "<": P.lt, "<=": P.le,
+           ">": P.gt, ">=": P.ge}
+    parts = []
+    for conj in _re.split(r"\s+AND\s+", where, flags=_re.IGNORECASE):
+        m = _re.match(r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*"
+                      r"('([^']*)'|\S+)\s*$", conj)
+        if not m or m.group(1) not in t.schema.field_names:
+            return P.expr(where)
+        col, op, raw, quoted = m.groups()
+        val = quoted if quoted is not None else cast_partition_value(
+            raw, t.schema.data_type(col))
+        parts.append(ops[op](col, val))
+    return parts[0] if len(parts) == 1 else P.and_(*parts)
+
+
 # ---------------- command implementations ----------------
 
 def cmd_catalog(args):
@@ -110,6 +133,10 @@ def cmd_table(args):
     elif args.sub == "list-partitions":
         t = _table(args, args.name, _spark(args))
         _print_df(t.partitions_df(), None, args.json)
+    elif args.sub == "explain":
+        t = _table(args, args.name)
+        pred = _parse_where(t, args.where) if args.where else None
+        print(t.new_scan().plan(pred).explain())
     elif args.sub == "read":
         spark = _spark(args)
         t = _table(args, args.name, spark)
@@ -230,6 +257,8 @@ def build_parser() -> argparse.ArgumentParser:
     d = tb.add_parser("rename"); d.add_argument("name")
     d.add_argument("new_name")
     d = tb.add_parser("list-partitions"); d.add_argument("name")
+    d = tb.add_parser("explain"); d.add_argument("name")
+    d.add_argument("--where")
     d = tb.add_parser("read"); d.add_argument("name")
     d.add_argument("--where"); d.add_argument("--columns")
     d.add_argument("--limit", type=int, default=100)

@@ -15,6 +15,7 @@ Catalyst further prunes (row groups, pages) with the same predicate.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
@@ -75,6 +76,36 @@ class ScanPlan:
     @property
     def files(self) -> list[FileEntry]:
         return self.entries
+
+    def explain(self) -> str:
+        """Human-readable scan-plan rendering (≈ pypaimon's
+        read/explain.py): snapshot, pruning effect, split shapes —
+        the engine-side half of what `.explain("formatted")` shows for
+        the Spark half of the plan."""
+        lines = [
+            f"snapshot: "
+            f"{self.snapshot.id if self.snapshot else None}",
+            f"files: {len(self.entries)} scanned, "
+            f"{self.files_skipped} pruned "
+            f"(manifest partition/stat/bucket pruning)",
+            f"rows(upper bound): {self.row_count_upper_bound()}",
+            f"raw groups (merge-free read): {len(self.raw_groups)} "
+            f"[{sum(len(g) for g in self.raw_groups)} files]",
+            f"merge groups (sorted-run merge): "
+            f"{len(self.merge_groups)} "
+            f"[{sum(len(g) for g in self.merge_groups)} files]",
+        ]
+        if self.row_ranges:
+            n = sum(len(v) for v in self.row_ranges.values())
+            lines.append(f"bitmap row-ranges: {n} ranges over "
+                         f"{len(self.row_ranges)} files")
+        parts = sorted({json.dumps(e.partition, sort_keys=True)
+                        for e in self.entries})
+        if parts and parts != ["{}"]:
+            shown = ", ".join(parts[:8])
+            more = f" … +{len(parts) - 8}" if len(parts) > 8 else ""
+            lines.append(f"partitions: {len(parts)} ({shown}{more})")
+        return "\n".join(lines)
 
     def row_count_upper_bound(self) -> int:
         return sum(e.row_count for e in self.entries)

@@ -56,3 +56,19 @@ def test_cli_import_and_search(spark, wh, tmp_path, capsys):
     out = _run(capsys, *base, "table", "full-text-search", "docs",
                "--query", "alpha", "-k", "3")
     assert json.loads(out[0])["id"] == 1
+
+
+def test_cli_explain_scan_plan(spark, wh, capsys):
+    """table explain: pypaimon read/explain.py analog — pruning counts
+    and split shapes from the engine's scan plan."""
+    base = ["--warehouse", wh, "--json"]
+    _run(capsys, *base, "table", "create", "p",
+         "--schema", "dt STRING, k BIGINT",
+         "--partition-keys", "dt")
+    _run(capsys, *base, "sql",
+         "INSERT INTO p VALUES ('a', 1), ('b', 2), ('c', 3)")
+    out = _run(capsys, *base, "table", "explain", "p",
+               "--where", "dt = 'a'")
+    text = "\n".join(out)
+    assert "files: 1 scanned, 2 pruned" in text
+    assert "raw groups" in text and "partitions: 1" in text
