@@ -1744,6 +1744,26 @@ def mixture_token_budget(spark, sf_dir):
                  F.sum("doc_id").cast("long").alias("id_sum")))
 
 
+def winnow_doc_fingerprints(spark, sf_dir):
+    """Winnowing (SIGMOD'03) local fingerprints per document: window-min
+    over k-gram hashes — any shared substring of >= w+k-1 words shares a
+    fingerprint. Pure Catalyst array ops, zero shuffle before the agg."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.winnow_fingerprints(F.col("text"), k=5, w=4)
+        .alias("fingerprints"))
+
+
+def repeated_8gram_spans(spark, sf_dir):
+    """Approximate exact-substring dedup: word 8-grams occurring in >= 2
+    distinct documents, with token positions (the spans a training
+    pipeline masks/cuts). One shuffle keyed on the gram."""
+    docs = _read(spark, sf_dir, "documents")
+    return TX.repeated_ngram_spans(docs, "doc_id", "text", n=8,
+                                   min_count=2)
+
+
 def sample_corpus(spark, sf_dir):
     """Deterministic stratified sampling for training mixes: per-lang
     keep rates via hash-mod on doc_id — reproducible across runs and
@@ -1926,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (outside the gate window; replica-gate verified) ---
         "pack_training_sequences": pack_training_sequences,
         "mixture_token_budget": mixture_token_budget,
+        "winnow_doc_fingerprints": winnow_doc_fingerprints,
+        "repeated_8gram_spans": repeated_8gram_spans,
     }
 
 
@@ -2406,6 +2428,11 @@ def oracle_sql() -> dict[str, str]:
                    max(cum_tokens) AS used,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM t WHERE keep GROUP BY lang""",
+        "winnow_doc_fingerprints": f"""
+            SELECT doc_id, {TX.sql_winnow('text', 5, 4)} AS fingerprints
+            FROM documents""",
+        "repeated_8gram_spans":
+            TX.sql_repeated_ngram_spans("doc_id", "text", 8, 2),
         "embedding_quantize": f"""
             WITH q AS (SELECT vec_id,
                               {SIM.sql_quantize('embedding')['scale']} AS scale,

@@ -425,3 +425,92 @@ def sql_token_budget(budgets: dict[str, int], domain_expr: str,
                      for k, v in budgets.items())
     return {"n_tokens": nt, "cum_tokens": cum,
             "keep": f"({cum}) <= (CASE {whens} ELSE {default_budget} END)"}
+
+
+# ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) ----
+# The standard local fingerprinting algorithm: hash every k-gram, then
+# keep the MINIMUM hash of each sliding window of w consecutive k-gram
+# hashes. Guarantees: any shared substring of length >= w+k-1 shares a
+# fingerprint; fingerprints are position-robust (unlike global minhash)
+# and the selected set is ~2/(w+1) of all k-grams. Pure Catalyst array
+# ops — no shuffle until the consumer joins on fingerprints.
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Distinct winnowed fingerprint hashes of a document's word
+    k-grams (60-bit md5 — bit-identical in DuckDB, so the op is fully
+    oracle-verifiable; window-min selection, sorted for determinism)."""
+    grams = word_ngrams(col, k)
+    hashes = F.transform(grams, md5_long)
+    idx = F.when(F.size(hashes) >= w,
+                 F.sequence(F.lit(1), F.size(hashes) - (w - 1))) \
+        .otherwise(F.when(F.size(hashes) > 0,
+                          F.sequence(F.lit(1), F.lit(1)))
+                   .otherwise(F.array().cast("array<int>")))
+    wmin = F.transform(
+        idx, lambda i: F.array_min(F.slice(hashes, i,
+                                           F.least(F.lit(w),
+                                                   F.size(hashes)))))
+    return F.array_sort(F.array_distinct(wmin))
+
+
+def sql_winnow(x: str, k: int = 5, w: int = 4) -> str:
+    """DuckDB mirror of winnow_fingerprints: same single-space k-grams,
+    same 60-bit md5 hash, same window-min + distinct + sort."""
+    toks = f"list_filter(regexp_split_to_array(lower({x}), ' '), t -> t <> '')"
+    grams = (f"CASE WHEN len({toks}) >= {k} THEN "
+             f"list_transform(range(1, len({toks}) - {k} + 2), "
+             f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) "
+             f"ELSE [] END")
+    hashes = (f"list_transform({grams}, "
+              f"g -> (('0x' || substr(md5(g), 1, 15))::BIGINT))")
+    wmin = (f"CASE WHEN len({hashes}) >= {w} THEN "
+            f"list_transform(range(1, len({hashes}) - {w} + 2), "
+            f"i -> list_min(list_slice({hashes}, i, i + {w} - 1))) "
+            f"WHEN len({hashes}) > 0 THEN "
+            f"[list_min({hashes})] "
+            f"ELSE [] END")
+    return f"list_sort(list_distinct({wmin}))"
+
+
+def repeated_ngram_spans(df, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 8,
+                         min_count: int = 2):
+    """Approximate exact-substring dedup (the 'dedup training data'
+    repeated-substring pass): word n-grams appearing in >= `min_count`
+    DISTINCT documents, with each occurrence's token position — the
+    consumer masks or cuts those spans. Shape: explode n-grams with
+    positions -> hash -> groupBy count (one shuffle keyed on the gram
+    hash); no all-pairs, no suffix array, scales like word count."""
+    grams = word_ngrams(F.col(text_col), n)
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("pos", "gram"))
+    ex = ex.withColumn("gh", F.xxhash64("gram"))
+    counts = (ex.groupBy("gh")
+              .agg(F.countDistinct(id_col).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_count))
+    return (ex.join(counts, "gh")
+            .select(id_col, F.col("pos").cast("long").alias("pos"),
+                    "gram", F.col("n_docs").cast("long").alias("n_docs")))
+
+
+def sql_repeated_ngram_spans(id_expr: str, text_expr: str, n: int = 8,
+                             min_count: int = 2) -> str:
+    """DuckDB mirror: same single-space n-grams, positions, and
+    distinct-doc counts (gram strings compare directly — no hash needed
+    cross-engine)."""
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}), ' '),"
+            f" t -> t <> '')")
+    grams = (f"CASE WHEN len({toks}) >= {n} THEN "
+             f"list_transform(range(1, len({toks}) - {n} + 2), "
+             f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+             f"ELSE [] END")
+    return f"""
+        WITH g AS (SELECT {id_expr} AS id, unnest({grams}) AS gram,
+                          generate_subscripts({grams}, 1) - 1 AS pos
+                   FROM documents),
+        c AS (SELECT gram, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+              FROM g GROUP BY gram HAVING count(DISTINCT id) >= {min_count})
+        SELECT g.id AS doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram,
+               c.n_docs
+        FROM g JOIN c USING (gram)"""

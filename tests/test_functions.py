@@ -380,3 +380,45 @@ def test_token_budget_sample_caps_domains(spark):
     zero = TX.token_budget_sample(docs, {"en": 23}, "lang", "doc_id",
                                   "text").filter("lang = 'fr'").count()
     assert zero == 0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing (SIGMOD'03): any shared substring of >= w+k-1 words
+    shares at least one fingerprint; disjoint texts share none."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 words
+    rows = [(1, "intro words here " + shared + " tail one"),
+            (2, "completely different lead " + shared + " other end"),
+            (3, "nothing in common with those documents at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: set(r.f) for r in docs.select(
+        "doc_id", TX.winnow_fingerprints(F.col("text"), k=5, w=4)
+        .alias("f")).collect()}
+    assert fp[1] & fp[2]                  # shared 8-word substring, k+w-1=8
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    # density: winnowing keeps ~2/(w+1) of k-gram hashes, far fewer than all
+    n_grams = len(rows[0][1].split()) - 4
+    assert 0 < len(fp[1]) < n_grams
+    # short docs (< k words) -> empty; k..k+w-2 words -> single min
+    tiny = spark.createDataFrame([(9, "just four little words"),
+                                  (10, "five words are right here")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: list(r.f) for r in tiny.select(
+        "doc_id", TX.winnow_fingerprints(F.col("text"), k=5, w=4)
+        .alias("f")).collect()}
+    assert got[9] == []
+    assert len(got[10]) == 1
+
+
+def test_repeated_ngram_spans_positions(spark):
+    """Cross-doc repeated n-grams reported with exact token positions;
+    within-doc-only repeats (1 distinct doc) are excluded."""
+    seq = "one two three four"
+    rows = [(1, "x " + seq + " y"),
+            (2, seq + " z"),
+            (3, "unique content only here now " + seq.replace("one", "uno"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.pos): r.n_docs
+           for r in TX.repeated_ngram_spans(docs, "doc_id", "text",
+                                            n=4, min_count=2).collect()}
+    # 'one two three four' at pos 1 in doc1, pos 0 in doc2
+    assert got == {(1, 1): 2, (2, 0): 2}
