@@ -1764,6 +1764,20 @@ def repeated_8gram_spans(spark, sf_dir):
                                    min_count=2)
 
 
+def cut_spans_clean_corpus(spark, sf_dir):
+    """The full exact-substring dedup loop: detect cross-doc repeated
+    8-gram spans, then CUT every covered token from each document —
+    the masked-corpus output a training pipeline ships."""
+    docs = _read(spark, sf_dir, "documents")
+    spans = TX.repeated_ngram_spans(docs, "doc_id", "text", n=8,
+                                    min_count=2)
+    out = TX.cut_repeated_spans(docs, spans, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_hash"),
+        "n_tokens_removed")
+
+
 def sample_corpus(spark, sf_dir):
     """Deterministic stratified sampling for training mixes: per-lang
     keep rates via hash-mod on doc_id — reproducible across runs and
@@ -1948,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_token_budget": mixture_token_budget,
         "winnow_doc_fingerprints": winnow_doc_fingerprints,
         "repeated_8gram_spans": repeated_8gram_spans,
+        "cut_spans_clean_corpus": cut_spans_clean_corpus,
     }
 
 
@@ -2433,6 +2448,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "repeated_8gram_spans":
             TX.sql_repeated_ngram_spans("doc_id", "text", 8, 2),
+        "cut_spans_clean_corpus": f"""
+            WITH cutout AS ({TX.sql_cut_repeated_spans('doc_id', 'text',
+                                                       8, 2)})
+            SELECT doc_id, md5(clean_text) AS clean_hash,
+                   n_tokens_removed
+            FROM cutout""",
         "embedding_quantize": f"""
             WITH q AS (SELECT vec_id,
                               {SIM.sql_quantize('embedding')['scale']} AS scale,

@@ -514,3 +514,67 @@ def sql_repeated_ngram_spans(id_expr: str, text_expr: str, n: int = 8,
         SELECT g.id AS doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram,
                c.n_docs
         FROM g JOIN c USING (gram)"""
+
+
+def cut_repeated_spans(df, spans, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8):
+    """Apply an exact-substring dedup pass: remove every token covered
+    by a repeated n-gram span (`spans` = repeated_ngram_spans output)
+    from each document's text. Token positions [pos, pos+n) of every
+    span are dropped; surviving tokens rejoin with single spaces.
+    One broadcast/shuffle join + pure Catalyst array ops — the masked
+    position set per doc is collected as an array column, never to the
+    driver."""
+    from pyspark.sql import functions as _F
+    cuts = (spans.select(id_col, "pos")
+            .groupBy(id_col)
+            .agg(_F.collect_set("pos").alias("__starts")))
+    toks = _F.filter(_F.split(_F.lower(_F.col(text_col)), " "),
+                     lambda t: t != "")
+    out = (df.join(cuts, id_col, "left")
+           .withColumn("__toks", toks)
+           .withColumn(
+               "__kept",
+               _F.when(_F.col("__starts").isNull(), _F.col("__toks"))
+               .otherwise(_F.filter(
+                   _F.transform(_F.col("__toks"),
+                                lambda t, i: _F.when(
+                                    ~_F.exists(
+                                        _F.col("__starts"),
+                                        lambda s: (i >= s)
+                                        & (i < s + _F.lit(n))),
+                                    t)),
+                   lambda t: t.isNotNull()))))
+    return (out.withColumn("clean_text", _F.array_join("__kept", " "))
+            .withColumn("n_tokens_removed",
+                        (_F.size("__toks") - _F.size("__kept"))
+                        .cast("long"))
+            .drop("__starts", "__toks", "__kept"))
+
+
+def sql_cut_repeated_spans(id_expr: str, text_expr: str,
+                           n: int = 8, min_count: int = 2) -> str:
+    """DuckDB mirror: same spans (sql_repeated_ngram_spans CTE), same
+    position-set cut (nested lambdas, 1-based list_transform index),
+    same single-space rejoin."""
+    spans = sql_repeated_ngram_spans(id_expr, text_expr, n, min_count)
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}), ' '),"
+            f" t -> t <> '')")
+    kept = (f"list_filter(list_transform(b.tk, (t, i) -> "
+            f"CASE WHEN len(list_filter(c.starts, "
+            f"s -> i - 1 >= s AND i - 1 < s + {n})) = 0 "
+            f"THEN t ELSE NULL END), t -> t IS NOT NULL)")
+    return f"""
+        WITH spans AS ({spans}),
+        cuts AS (SELECT doc_id, list(DISTINCT pos) AS starts
+                 FROM spans GROUP BY doc_id),
+        base AS (SELECT {id_expr} AS doc_id, {toks} AS tk
+                 FROM documents)
+        SELECT b.doc_id,
+               coalesce(array_to_string(
+                 CASE WHEN c.starts IS NULL THEN b.tk
+                 ELSE {kept} END, ' '), '') AS clean_text,
+               CAST(len(b.tk) -
+                 CASE WHEN c.starts IS NULL THEN len(b.tk)
+                 ELSE len({kept}) END AS BIGINT) AS n_tokens_removed
+        FROM base b LEFT JOIN cuts c USING (doc_id)"""

@@ -422,3 +422,31 @@ def test_repeated_ngram_spans_positions(spark):
                                             n=4, min_count=2).collect()}
     # 'one two three four' at pos 1 in doc1, pos 0 in doc2
     assert got == {(1, 1): 2, (2, 0): 2}
+
+
+def test_cut_repeated_spans_masks_exact_positions(spark):
+    """The detect->apply loop: tokens covered by cross-doc repeated
+    n-grams are removed; exact-duplicate docs cut to empty; untouched
+    docs pass through byte-identical."""
+    seq = "one two three four"
+    rows = [(1, "x " + seq + " y"),
+            (2, seq + " z"),
+            (3, "untouched words entirely unique in all ways")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = TX.repeated_ngram_spans(docs, "doc_id", "text", n=4,
+                                    min_count=2)
+    out = {r.doc_id: (r.clean_text, r.n_tokens_removed)
+           for r in TX.cut_repeated_spans(docs, spans, "doc_id", "text",
+                                          n=4).collect()}
+    assert out[1] == ("x y", 4)
+    assert out[2] == ("z", 4)
+    assert out[3] == ("untouched words entirely unique in all ways", 0)
+    # exact duplicates cut to empty
+    dups = spark.createDataFrame(
+        [(1, "same words in both docs here yes ok"),
+         (2, "same words in both docs here yes ok")],
+        "doc_id long, text string")
+    sp = TX.repeated_ngram_spans(dups, "doc_id", "text", n=4, min_count=2)
+    got = {r.doc_id: r.clean_text for r in TX.cut_repeated_spans(
+        dups, sp, "doc_id", "text", n=4).collect()}
+    assert got == {1: "", 2: ""}
