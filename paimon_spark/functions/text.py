@@ -337,30 +337,80 @@ def sql_sample_cond(id_expr: str, stratum_expr: str,
 # Concat-then-chop: within a shard, documents are laid out back-to-back
 # in deterministic id order and chopped into fixed seq_len windows. Each
 # doc's placement is fully determined by the running token offset, so
-# the op is one window shuffle — no driver loop, no UDF — and the
-# layout is reproducible across runs and cluster sizes. Shards bound the
-# sequential dependency: packing parallelism = n_shards (pick ~10× the
-# cluster's cores at real scale).
+# the op is reproducible across runs AND cluster sizes. The running sum
+# is computed with a two-level distributed prefix sum (dist_cumsum) so
+# parallelism is decoupled from n_shards — at 100 TB a shard is NOT one
+# task; it is n_slices contiguous range slices whose partial sums are
+# combined once and broadcast back as offsets.
+
+
+def dist_cumsum(df, part_cols, order_cols, val_col: str, out_col: str,
+                n_slices: int = 64):
+    """Distributed deterministic running sum (inclusive) of ``val_col``
+    over rows ordered by ``order_cols`` within each ``part_cols`` group,
+    with parallelism decoupled from the number of groups.
+
+    Two-level prefix sum: range-partition on (part_cols + order_cols) so
+    each task holds a contiguous slice of the global order; per-slice
+    partial sums are aggregated once (n_slices × n_groups rows — tiny),
+    turned into per-(group, slice) start offsets via a window over the
+    partials, broadcast-joined back, and added to a slice-local running
+    sum. Output values are bit-identical for ANY n_slices / cluster
+    size: the cumsum depends only on the order, not on where the range
+    boundaries fall. Equivalent single-level plan
+    (Window.partitionBy(part).orderBy(order)) runs ONE task per group —
+    the 100 TB bottleneck this replaces."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import Window
+
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    keys = [F.col(c) for c in part_cols + order_cols]
+    sliced = (df.repartitionByRange(n_slices, *keys)
+              .withColumn("__slice", F.spark_partition_id()))
+    partials = (sliced.groupBy(*part_cols, "__slice")
+                .agg(F.sum(val_col).alias("__part_sum")))
+    w_prev = (Window.partitionBy(*part_cols).orderBy("__slice")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (partials
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__part_sum").over(w_prev),
+                                      F.lit(0).cast("long")))
+               .select(*part_cols, "__slice", "__offset"))
+    left, right = sliced.alias("__cs_l"), offsets.alias("__cs_r")
+    cond = reduce(and_, [F.col(f"__cs_l.`{c}`").eqNullSafe(F.col(f"__cs_r.`{c}`"))
+                         for c in part_cols + ["__slice"]])
+    joined = (left.join(F.broadcast(right), cond, "inner")
+              .select("__cs_l.*", F.col("__cs_r.__offset")))
+    w_loc = (Window.partitionBy(*part_cols, "__slice").orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (joined
+            .withColumn(out_col,
+                        F.sum(val_col).over(w_loc) + F.col("__offset"))
+            .drop("__slice", "__offset"))
+
 
 def pack_sequences(df, seq_len: int, id_col: str, text_col: str,
-                   n_shards: int = 8):
+                   n_shards: int = 8, n_slices: int = 64):
     """(row + shard, n_tokens, start_offset, bin_id, end_bin): assign
     each doc its place in the packed token stream of its shard.
     bin_id = the training sequence its first token lands in; docs may
     straddle bins (end_bin > bin_id) — the consumer chops accordingly."""
-    from pyspark.sql import Window
     shard = md5_long(F.col(id_col).cast("string")) % n_shards
     out = df.withColumn("shard", shard) \
             .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
-    w = (Window.partitionBy("shard").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum("n_tokens").over(w)
+    out = dist_cumsum(out, ["shard"], [id_col], "n_tokens", "__cum",
+                      n_slices=n_slices)
+    cum = F.col("__cum")
     return (out.withColumn("start_offset", (cum - F.col("n_tokens")))
             .withColumn("bin_id", (F.col("start_offset")
                                    / F.lit(seq_len)).cast("long"))
             .withColumn("end_bin",
                         (F.greatest(cum - 1, F.col("start_offset"))
-                         / F.lit(seq_len)).cast("long")))
+                         / F.lit(seq_len)).cast("long"))
+            .drop("__cum"))
 
 
 def sql_pack_sequences(seq_len: int, id_expr: str, text_expr: str,
@@ -391,25 +441,24 @@ def sql_pack_sequences(seq_len: int, id_expr: str, text_expr: str,
 
 def token_budget_sample(df, budgets: dict[str, int], domain_col: str,
                         id_col: str, text_col: str,
-                        default_budget: int = 0):
+                        default_budget: int = 0, n_slices: int = 64):
     """Keep a deterministic pseudo-random subset of each domain whose
     cumulative token count fits that domain's budget (the doc that
     would cross the budget is dropped — budgets are hard caps).
-    Returns the kept rows + n_tokens + cum_tokens."""
-    from pyspark.sql import Window
+    Returns the kept rows + n_tokens + cum_tokens. The per-domain
+    running total uses dist_cumsum, so a 50 B-token domain is processed
+    by n_slices parallel tasks, not one."""
     rank_h = md5_long(F.col(id_col).cast("string"))
     out = (df.withColumn("n_tokens",
                          token_count(F.col(text_col)).cast("long"))
            .withColumn("__h", rank_h))
-    w = (Window.partitionBy(domain_col).orderBy("__h", id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum("n_tokens").over(w)
+    out = dist_cumsum(out, [domain_col], ["__h", id_col],
+                      "n_tokens", "cum_tokens", n_slices=n_slices)
     budget = F.coalesce(
         *[F.when(F.col(domain_col) == k, F.lit(int(v)))
           for k, v in budgets.items()],
         F.lit(int(default_budget)))
-    return (out.withColumn("cum_tokens", cum)
-            .filter(F.col("cum_tokens") <= budget)
+    return (out.filter(F.col("cum_tokens") <= budget)
             .drop("__h"))
 
 

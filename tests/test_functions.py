@@ -357,6 +357,36 @@ def test_pack_sequences_layout(spark):
     assert n == 4
 
 
+def test_dist_cumsum_slice_invariance(spark):
+    """The two-level prefix sum is bit-identical for ANY n_slices (the
+    range boundaries must not affect the running totals) and matches a
+    single-partition window cumsum."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, f"g{rnd.randrange(3)}", rnd.randrange(1, 50))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    expect = None
+    for n_slices in (1, 3, 64):
+        got = {(r.id): r.c for r in TX.dist_cumsum(
+            df, ["grp"], ["id"], "v", "c", n_slices=n_slices).collect()}
+        if expect is None:
+            # reference: plain per-group window cumsum
+            from pyspark.sql import Window
+            w = (Window.partitionBy("grp").orderBy("id")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            expect = {r.id: r.c for r in df.withColumn(
+                "c", F.sum("v").over(w)).collect()}
+        assert got == expect, f"n_slices={n_slices} diverged"
+    # null group keys survive the join and get their own running sum
+    dfn = spark.createDataFrame(
+        [(1, None, 5), (2, None, 7), (3, "g", 1)],
+        "id long, grp string, v long")
+    got = {r.id: r.c for r in TX.dist_cumsum(
+        dfn, ["grp"], ["id"], "v", "c", n_slices=4).collect()}
+    assert got == {1: 5, 2: 12, 3: 1}
+
+
 def test_token_budget_sample_caps_domains(spark):
     """Hard caps: each domain keeps the hash-ranked prefix whose token
     total fits; the doc that would cross the budget is dropped."""
