@@ -48,6 +48,8 @@ def stat_to_json(v: Any) -> Any:
         return {"$ts": v.isoformat()}
     if isinstance(v, dt.date):
         return {"$date": v.isoformat()}
+    if isinstance(v, dt.time):
+        return {"$time": v.isoformat()}
     if isinstance(v, decimal.Decimal):
         return {"$dec": str(v)}
     if isinstance(v, bytes):
@@ -61,6 +63,8 @@ def stat_from_json(v: Any) -> Any:
             return dt.datetime.fromisoformat(v["$ts"])
         if "$date" in v:
             return dt.date.fromisoformat(v["$date"])
+        if "$time" in v:
+            return dt.time.fromisoformat(v["$time"])
         if "$dec" in v:
             return decimal.Decimal(v["$dec"])
         if "$bin" in v:

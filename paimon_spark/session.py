@@ -33,6 +33,11 @@ def get_spark(app: str = "paimon_spark", shuffle_partitions: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # TIME type (ref DataTypeRoot.java:92): Spark 4.1 gates TimeType
+        # behind this flag — with it on, literals, HOUR()/EXTRACT, and
+        # the parquet round-trip all work (probed r7; was the last
+        # unsupported reference type root)
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # local mode runs executors inside the driver JVM: a 32-thread
         # run on an 8g heap spends seconds per query in GC (measured:

@@ -84,6 +84,36 @@ def test_stats_and_skipping_per_scalar_type(spark, wh):
     assert t.new_scan().plan(P.eq("c_int", 0)).entries
 
 
+def test_time_type_roundtrip(spark, wh):
+    """TIME (ref DataTypeRoot.java:92) — unblocked in r7 by
+    spark.sql.timeType.enabled (set in session.get_spark): literal →
+    write → parquet → read → stats-skip all work on Spark 4.1."""
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("c_time", T.TimeType())])
+    rows = [(0, dt.time(0, 0, 0)), (1, dt.time(12, 34, 56, 123456)),
+            (2, None)]
+    t = Table.create(f"{wh}/types_time", sch, spark=spark)
+    t.append(spark.createDataFrame(rows, sch).coalesce(1))
+    got = {r.id: r.c_time for r in t.read().collect()}
+    assert got == {0: dt.time(0, 0, 0), 1: dt.time(12, 34, 56, 123456),
+                   2: None}
+    # engine expressions over the column stay JVM-side
+    hrs = {r.id: r.h for r in
+           t.read().selectExpr("id", "HOUR(c_time) AS h").collect()}
+    assert hrs == {0: 0, 1: 12, 2: None}
+    # min/max stats skip an out-of-range probe
+    plan = t.new_scan().plan(P.gt("c_time", dt.time(23, 0, 0)))
+    assert plan.files_skipped == 1 and not plan.entries
+    assert t.new_scan().plan(P.le("c_time", dt.time(13, 0, 0))).entries
+    # PK merge carries TIME values through max_by
+    t2 = Table.create(f"{wh}/types_time_pk", sch, primary_keys=["id"],
+                      options={"bucket": "1"}, spark=spark)
+    t2.append(spark.createDataFrame(rows, sch))
+    t2.append(spark.createDataFrame([(2, dt.time(6, 30))], sch))
+    got2 = {r.id: r.c_time for r in t2.read().collect()}
+    assert got2[2] == dt.time(6, 30) and got2[1] == dt.time(12, 34, 56, 123456)
+
+
 def test_pk_merge_with_exotic_value_types(spark, wh):
     """Merge engines must carry nested/map/binary values through max_by."""
     t = Table.create(f"{wh}/types3", SCHEMA, primary_keys=["id"],
