@@ -198,10 +198,152 @@ def xxhash64_table(tbl, fields: list[T.StructField],
     return h.view(np.int64)
 
 
+# ---------------- Spark Murmur3_x86_32 (F.hash parity) ----------------
+# New-table default bucket hash (r7): pmod(hash(keys), n) with Spark's
+# OWN Murmur3 is exactly HashPartitioning.partitionIdExpression, which
+# lets bucketed reads report HashPartitioning and join/agg against
+# Spark-shuffled sides without an Exchange
+# (ref: spark/sql/catalyst/expressions/hash.scala Murmur3Hash,
+#  common/unsafe Murmur3_x86_32.java; seed 42, same null-skip chaining
+#  as xxhash64 above).
+
+_MC1 = np.uint32(0xCC9E2D51)
+_MC2 = np.uint32(0x1B873593)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint32(r)
+    return (x << r) | (x >> (np.uint32(32) - r))
+
+
+def _mm_mixk1(k1: np.ndarray) -> np.ndarray:
+    return _rotl32(k1 * _MC1, 15) * _MC2
+
+
+def _mm_mixh1(h1: np.ndarray, k1: np.ndarray) -> np.ndarray:
+    h1 = _rotl32(h1 ^ k1, 13)
+    return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _mm_fmix(h1: np.ndarray, length: int) -> np.ndarray:
+    h1 = h1 ^ np.uint32(length)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def _mm_hash_int_vec(v_u32: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    return _mm_fmix(_mm_mixh1(seed, _mm_mixk1(v_u32)), 4)
+
+
+def _mm_hash_long_vec(v_i64: np.ndarray, seed: np.ndarray) -> np.ndarray:
+    u = v_i64.view(np.uint64)
+    low = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    high = (u >> np.uint64(32)).astype(np.uint32)
+    h1 = _mm_mixh1(seed, _mm_mixk1(low))
+    h1 = _mm_mixh1(h1, _mm_mixk1(high))
+    return _mm_fmix(h1, 8)
+
+
+def murmur3_bytes(data: bytes, seed: int) -> int:
+    """Spark Murmur3_x86_32.hashUnsafeBytes: 4-byte LE words each get a
+    full mix round; tail bytes are SIGN-EXTENDED and each gets a full
+    round too (unlike standard murmur3 tails). Returns uint32."""
+    h1 = seed & _M32
+    n = len(data)
+    na = n - n % 4
+
+    def mixk1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+        return (k1 * 0x1B873593) & _M32
+
+    def mixh1(h: int, k1: int) -> int:
+        h = (h ^ k1) & _M32
+        h = ((h << 13) | (h >> 19)) & _M32
+        return (h * 5 + 0xE6546B64) & _M32
+
+    for i in range(0, na, 4):
+        h1 = mixh1(h1, mixk1(struct.unpack_from("<I", data, i)[0]))
+    for i in range(na, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256                       # signed byte, sign-extended
+        h1 = mixh1(h1, mixk1(b & _M32))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    return h1 ^ (h1 >> 16)
+
+
+def murmur3_table(tbl, fields: list[T.StructField],
+                  col_names: list[str]) -> np.ndarray:
+    """Per-row Spark murmur3 (F.hash) over `col_names` of a pyarrow
+    Table. Returns SIGNED int32 hashes (what F.hash yields)."""
+    n = tbl.num_rows
+    h = np.full(n, np.uint32(42), dtype=np.uint32)
+    by_name = {f.name: f.dataType for f in fields}
+    for c in col_names:
+        dtype = by_name[c]
+        arr = tbl.column(c).combine_chunks()
+        nulls = np.asarray(arr.is_null())
+        if isinstance(dtype, T.StringType):
+            hv = h.copy()
+            for i, s in enumerate(arr.to_pylist()):
+                if s is not None:
+                    hv[i] = np.uint32(murmur3_bytes(s.encode("utf-8"),
+                                                    int(h[i])))
+            h = hv
+            continue
+        if isinstance(dtype, T.BooleanType):
+            vals = np.asarray(arr.cast("int32").fill_null(0)).astype(np.int64)
+        elif isinstance(dtype, T.FloatType):
+            f32 = np.asarray(arr.fill_null(0.0), dtype=np.float32)
+            f32 = np.where(f32 == 0.0, np.float32(0.0), f32)  # -0f → 0f
+            vals = f32.view(np.int32).astype(np.int64)
+        elif isinstance(dtype, T.DoubleType):
+            f64 = np.asarray(arr.fill_null(0.0), dtype=np.float64)
+            f64 = np.where(f64 == 0.0, 0.0, f64)              # -0d → 0d
+            vals = f64.view(np.int64)
+        elif isinstance(dtype, _INT32_TYPES):
+            base = arr
+            if str(arr.type).startswith("date"):
+                base = arr.cast("int32")
+            vals = np.asarray(base.cast("int32").fill_null(0)).astype(np.int64)
+        elif isinstance(dtype, _INT64_TYPES):
+            import pyarrow as pa
+            base = arr
+            if pa.types.is_timestamp(arr.type):
+                base = arr.cast(pa.timestamp("us", tz=arr.type.tz))
+            vals = np.asarray(base.cast("int64").fill_null(0)).astype(np.int64)
+        else:
+            raise ValueError(
+                f"bucket key type {dtype} not supported by the task-side "
+                f"murmur3 — use Table.append")
+        if isinstance(dtype, _INT32_TYPES + (T.BooleanType, T.FloatType)):
+            u32 = (vals & 0xFFFFFFFF).astype(np.uint32)
+            new = _mm_hash_int_vec(u32, h)
+        else:
+            new = _mm_hash_long_vec(vals, h)
+        h = np.where(nulls, h, new)
+    return h.view(np.int32)
+
+
 def bucket_of(tbl, fields: list[T.StructField], bucket_keys: list[str],
-              num_buckets: int) -> np.ndarray:
-    """pmod(xxhash64(bucket_keys), n) per row — writer.py bucket_expr
-    evaluated task-side."""
+              num_buckets: int,
+              hash_function: str = "xxhash64") -> np.ndarray:
+    """pmod(<hash>(bucket_keys), n) per row — writer.py bucket_expr
+    evaluated task-side. hash_function matches the table's
+    bucket.hash-function option (murmur3 = Spark HashPartitioning
+    parity; xxhash64 = pre-r7 tables)."""
     with np.errstate(over="ignore"):
-        h = xxhash64_table(tbl, fields, bucket_keys)
+        if hash_function == "murmur3":
+            h = murmur3_table(tbl, fields, bucket_keys).astype(np.int64)
+        else:
+            h = xxhash64_table(tbl, fields, bucket_keys)
     return (h % num_buckets + num_buckets) % num_buckets

@@ -75,7 +75,8 @@ class LocalTableQuery:
         fields = [self.schema.struct[k] for k in self.schema.bucket_keys]
         tbl = pa.table({k: [key[k]] for k in self.schema.bucket_keys})
         return int(bucket_of(tbl, fields, self.schema.bucket_keys,
-                             self.schema.num_buckets)[0])
+                             self.schema.num_buckets,
+                             self.schema.bucket_hash)[0])
 
     def _partition_of(self, key: dict[str, Any]) -> tuple:
         # partition ⊆ PK here (cross-partition rejected in __init__)

@@ -405,15 +405,17 @@ class Scanner:
                 tbl = pa.Table.from_arrays(
                     [pa.array([eqs[k]], type=arrow.field(k).type)
                      for k in keys], names=list(keys))
-                target = int(bucket_of(tbl, fields, list(keys), n)[0])
+                target = int(bucket_of(tbl, fields, list(keys), n,
+                                       self.schema.bucket_hash)[0])
                 return [e for e in entries if e.bucket in (target, -1)]
         except Exception:
             pass   # literal/type mismatch → Spark-evaluated fallback
         spark = self.table.spark
         if spark is None:
             return entries
+        hfn = F.hash if self.schema.bucket_hash == "murmur3" else F.xxhash64
         row = spark.range(1).select(
-            F.pmod(F.xxhash64(*[F.lit(eqs[k]).cast(self.schema.data_type(k)) for k in keys]),
+            F.pmod(hfn(*[F.lit(eqs[k]).cast(self.schema.data_type(k)) for k in keys]),
                    F.lit(n)).cast("int").alias("b")).collect()
         target = row[0]["b"]
         return [e for e in entries if e.bucket in (target, -1)]

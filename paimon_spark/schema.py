@@ -116,6 +116,17 @@ class TableSchema:
                 raise ValueError(
                     "file-index sidecars require file.format parquet or "
                     f"orc, got {fmt}")
+        if primary_keys and "bucket.hash-function" not in options:
+            # new tables bucket with Spark's own murmur3 (exactly
+            # HashPartitioning.partitionIdExpression), which lets reads
+            # report the files' bucketing to Catalyst and skip the merge
+            # exchange; absence of the option means a pre-r7 table
+            # bucketed with xxhash64 (read-compat default in bucket_hash)
+            options["bucket.hash-function"] = "murmur3"
+        if options.get("bucket.hash-function", "xxhash64") not in (
+                "murmur3", "xxhash64"):
+            raise ValueError("bucket.hash-function must be murmur3 or "
+                             "xxhash64")
         if (options.get("chain-table.enabled") == "true" and primary_keys
                 and options.get("merge-engine", "deduplicate") != "deduplicate"):
             # chain reconstruction merges across branches with last-writer-
@@ -142,6 +153,12 @@ class TableSchema:
     @property
     def is_pk_table(self) -> bool:
         return bool(self.primary_keys)
+
+    @property
+    def bucket_hash(self) -> str:
+        """Bucket hash function: murmur3 (Spark HashPartitioning parity,
+        new-table default) or xxhash64 (pre-r7 tables — option absent)."""
+        return self.options.get("bucket.hash-function", "xxhash64")
 
     @property
     def num_buckets(self) -> int:

@@ -406,6 +406,7 @@ def _routing_meta(ts) -> dict:
         "partition_keys": list(ts.partition_keys),
         "fields": list(ts.struct.fields),
         "rowkind_field": ts.rowkind_field if ts.is_pk_table else None,
+        "bucket_hash": ts.bucket_hash,
     }
 
 
@@ -460,7 +461,8 @@ def _route_and_stage(batches, meta: dict, staging: str,
         from paimon_spark.functions.sparkhash import bucket_of
         from paimon_spark.schema import KIND_COL, SEQ_COL
         buckets = bucket_of(tbl, decl, meta["bucket_keys"],
-                            meta["num_buckets"])
+                            meta["num_buckets"],
+                            meta.get("bucket_hash", "xxhash64"))
         kind = (tbl.column(rk) if rk and rk in tbl.column_names
                 else pa.array(["+I"] * n))
         tbl = tbl.append_column(SEQ_COL,

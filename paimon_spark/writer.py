@@ -110,9 +110,16 @@ def _wider(a: T.DataType, b: T.DataType) -> bool:
 
 def bucket_expr(schema: TableSchema, n: int | None = None):
     """Bucket assignment (ref: table/sink/FixedBucketRowKeyExtractor.java).
-    xxhash64 is stable and JVM-evaluated; we own both write & read sides."""
+    murmur3 (F.hash) = Spark's HashPartitioning.partitionIdExpression, so
+    bucketed files can report their partitioning to Catalyst at read time
+    and join/agg against Spark-shuffled sides without an Exchange;
+    xxhash64 keeps pre-r7 tables readable. Both JVM-evaluated; we own
+    both write & read sides."""
     n = schema.num_buckets if n is None else n
     keys = schema.bucket_keys
+    if schema.bucket_hash == "murmur3":
+        return F.pmod(F.hash(*[F.col(k) for k in keys]),
+                      F.lit(n)).cast("int")
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
 

@@ -242,3 +242,64 @@ def test_read_cache_freshness_and_rollback_guard(spark, wh):
     t.append(spark.createDataFrame([(9, "z")], sch))
     got = {r.id: r.s for r in t.read().collect()}
     assert got == {1: "old", 2: "x", 9: "z"}
+
+
+def test_bucketed_merge_read_no_exchange(spark, wh):
+    """Merge-on-read over an un-compacted PK table must NOT shuffle: the
+    snapshot-scoped bucketed view exposes the files' murmur3 bucketing
+    to Catalyst (Bucketed: true) so the merge groupBy/window runs on the
+    scan's own HashPartitioning — the pure-Python analog of the
+    reference reporting KeyGroupedPartitioning
+    (ref: PaimonScan.scala:52,115-117)."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/bktm", sch, primary_keys=["k"],
+                     options={"bucket": "4"}, spark=spark)
+    assert t.schema.bucket_hash == "murmur3"     # new-table default
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(300)], sch))
+    t.append(spark.createDataFrame([(i, f"b{i}") for i in range(150)], sch))
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan
+    got = {r.k: r.v for r in df.collect()}
+    assert len(got) == 300 and got[0] == "b0" and got[200] == "a200"
+    # partitioned: partition dirs recovered, still exchange-free
+    sch2 = T.StructType([T.StructField("pt", T.StringType()),
+                         T.StructField("k", T.LongType()),
+                         T.StructField("v", T.StringType())])
+    t2 = Table.create(f"{wh}/bktm2", sch2, primary_keys=["pt", "k"],
+                      partition_keys=["pt"], options={"bucket": "2"},
+                      spark=spark)
+    t2.append(spark.createDataFrame(
+        [("x" if i % 2 else "y", i, f"a{i}") for i in range(100)], sch2))
+    t2.append(spark.createDataFrame(
+        [("x" if i % 2 else "y", i, f"b{i}") for i in range(40)], sch2))
+    df2 = t2.read()
+    p2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in p2 and "Exchange" not in p2
+    got2 = {r.k: r.v for r in df2.collect()}
+    assert len(got2) == 100 and got2[0] == "b0" and got2[77] == "a77"
+
+
+def test_legacy_xxhash64_bucket_tables_still_work(spark, wh):
+    """bucket.hash-function=xxhash64 (pre-r7 layout) keeps the plain
+    merge path: reads are correct and point-lookup bucket pruning uses
+    the right hash; the bucketed-view fast path simply doesn't engage."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/bktleg", sch, primary_keys=["k"],
+                     options={"bucket": "4",
+                              "bucket.hash-function": "xxhash64"},
+                     spark=spark)
+    assert t.schema.bucket_hash == "xxhash64"
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(100)], sch))
+    t.append(spark.createDataFrame([(0, "b0"), (7, "b7")], sch))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 100 and got[0] == "b0" and got[7] == "b7" \
+        and got[50] == "a50"
+    # point lookup prunes to one bucket under the legacy hash too
+    plan = t.new_scan().plan(P.eq("k", 7))
+    buckets = {e.bucket for e in plan.entries}
+    assert len(buckets) == 1
+    assert {r.v for r in t.read(P.eq("k", 7)).collect()} == {"b7"}

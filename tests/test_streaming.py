@@ -438,6 +438,48 @@ def test_xxhash64_parity(spark):
     assert [int(x) for x in got] == expected
 
 
+def test_murmur3_parity(spark):
+    """Task-side Python murmur3 (functions/sparkhash.py) is byte-exact
+    with F.hash — the Spark HashPartitioning parity that bucketed
+    no-exchange reads and mixed bucketed/shuffled joins rely on."""
+    import datetime
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from paimon_spark.functions.sparkhash import murmur3_table
+    cases = [
+        (T.LongType(), [1, -5, 0, 2**62, None, 42, -2**63]),
+        (T.IntegerType(), [1, -5, 0, 2**31 - 1, None, -2**31]),
+        (T.ShortType(), [3, -3, None, 32767, -32768]),
+        (T.BooleanType(), [True, False, None]),
+        (T.FloatType(), [1.5, -0.0, 0.0, None, 3.14]),
+        (T.DoubleType(), [1.5, -0.0, 0.0, None, 2.718281828]),
+        (T.StringType(), ["", "a", "abc", "abcd", "hello world", None,
+                          "x" * 7, "üñíçødé ✓", "\x00\x7f", "q" * 100]),
+        (T.DateType(), [datetime.date(2024, 1, 1), None,
+                        datetime.date(1969, 12, 31)]),
+        (T.TimestampType(), [datetime.datetime(2024, 1, 1, 12, 30), None,
+                             datetime.datetime(1999, 12, 31, 23, 59, 59,
+                                               123456)]),
+    ]
+    for dtype, vals in cases:
+        sch = T.StructType([T.StructField("c", dtype)])
+        df = spark.createDataFrame([(v,) for v in vals], sch)
+        expected = [r[0] for r in df.select(F.hash("c")).collect()]
+        tbl = pa.Table.from_pandas(df.toPandas())
+        got = list(murmur3_table(tbl, sch.fields, ["c"]))
+        assert [int(x) for x in got] == expected, dtype
+    sch = T.StructType([T.StructField("a", T.LongType()),
+                        T.StructField("b", T.StringType()),
+                        T.StructField("c", T.IntegerType())])
+    rows = [(1, "x", 2), (None, "y", 3), (4, None, None), (5, "zz", -7),
+            (None, None, None)]
+    df = spark.createDataFrame(rows, sch)
+    expected = [r[0] for r in df.select(F.hash("a", "b", "c")).collect()]
+    tbl = pa.Table.from_pandas(df.toPandas())
+    got = list(murmur3_table(tbl, sch.fields, ["a", "b", "c"]))
+    assert [int(x) for x in got] == expected
+
+
 def test_writestream_format_paimon_sink(spark, wh):
     """Native streaming sink: rate-limited paimon→paimon pipe through
     writeStream.format('paimon'), one snapshot per micro-batch, exactly-once
