@@ -597,6 +597,94 @@ class Table:
             df = df.unionByName(p)
         return df
 
+    # ---------------- bucket-aware merge read (no exchange) ----------------
+    # The reference reports bucketed splits as KeyGroupedPartitioning so
+    # Spark elides the shuffle above merge-on-read scans
+    # (ref: paimon-spark/.../PaimonScan.scala:52,115-117
+    #  SupportsReportPartitioning). Pure-Python analog: our buckets ARE
+    # Spark buckets — new tables hash with murmur3 (exactly
+    # HashPartitioning.partitionIdExpression, writer.bucket_expr), so a
+    # snapshot-scoped EXTERNAL BUCKETED TABLE over hardlinks to the
+    # planned files (named with Spark's `_<bucket>` file convention) makes
+    # FileSourceScanExec report HashPartitioning(bucket_keys, n) and the
+    # merge window/groupBy runs with ZERO Exchange — Spark's own
+    # vectorized reader, no custom connector. Hardlinks are O(metadata)
+    # and pin the snapshot's files for free.
+
+    def _bucketed_merge_df(self, entries: list[FileEntry]) -> DataFrame | None:
+        """DataFrame over `entries` whose scan reports the files' bucket
+        partitioning (merge-ready, no exchange), or None when the layout
+        can't be exposed as a Spark bucketed table (legacy xxhash64
+        buckets, schema-evolved/DV files, row formats) — callers fall
+        back to _read_files."""
+        schema = self.schema
+        spark = self.spark
+        fmt = self.file_format
+        from paimon_spark.functions.blob import blob_columns
+        if (spark is None or schema.bucket_hash != "murmur3"
+                or schema.num_buckets <= 0 or not schema.bucket_keys
+                or fmt not in ("parquet", "orc") or blob_columns(schema)):
+            return None
+        sid = schema.schema_id
+        if any(e.schema_id != sid or e.dv_path or e.bucket is None
+               or e.bucket < 0 for e in entries):
+            return None
+        import hashlib
+        import uuid as _uuid
+        from paimon_spark.writer import format_extension
+        ext = format_extension(fmt)
+        token = hashlib.md5(
+            ("|".join(sorted(f"{e.file_path}@{e.bucket}" for e in entries))
+             + f"|{sid}").encode()).hexdigest()[:16]
+        view = os.path.join(self.path, ".bucketed-view", token)
+        tname = f"paimon_bktv_{token}"
+        try:
+            if not os.path.isdir(view):
+                tmp = f"{view}.tmp-{_uuid.uuid4().hex[:8]}"
+                for i, e in enumerate(entries):
+                    rel = os.path.dirname(e.file_path)
+                    # partition dirs keep Spark's own escaping (the writer
+                    # staged them with partitionBy); bucket dirs flatten
+                    # into the filename's bucket-id suffix
+                    segs = [s for s in rel.split(os.sep)
+                            if s and s != "." and not s.startswith(
+                                BUCKET_COL + "=")]
+                    d = os.path.join(tmp, *segs)
+                    os.makedirs(d, exist_ok=True)
+                    os.link(os.path.join(self.path, e.file_path),
+                            os.path.join(
+                                d, f"part-{i:05d}-{token}"
+                                   f"_{e.bucket:05d}.c000.{ext}"))
+                try:
+                    os.rename(tmp, view)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.isdir(view):
+                        raise
+            if not spark.catalog.tableExists(tname):
+                struct = T.StructType(
+                    list(schema.spark_read_struct().fields)
+                    + [T.StructField(k, schema.data_type(k), True)
+                       for k in schema.partition_keys])
+                ddl = spark.createDataFrame([], struct)._jdf.schema().toDDL()
+                parts = (" PARTITIONED BY (" + ", ".join(
+                    f"`{k}`" for k in schema.partition_keys) + ")"
+                    if schema.partition_keys else "")
+                clustered = (" CLUSTERED BY (" + ", ".join(
+                    f"`{k}`" for k in schema.bucket_keys)
+                    + f") INTO {schema.num_buckets} BUCKETS")
+                spark.sql(f"CREATE TABLE IF NOT EXISTS `{tname}` ({ddl}) "
+                          f"USING {fmt}{parts}{clustered} "
+                          f"LOCATION '{view}'")
+                if schema.partition_keys:
+                    spark.sql(f"MSCK REPAIR TABLE `{tname}`")
+            return spark.table(tname)
+        except Exception:                             # noqa: BLE001
+            logging.getLogger(__name__).debug(
+                "bucketed view build failed; falling back to plain read",
+                exc_info=True)
+            return None
+
     def _assemble(self, plan: ScanPlan, predicate: Predicate | None,
                   with_hidden: bool) -> DataFrame:
         schema = self.schema
@@ -620,7 +708,9 @@ class Table:
                 raw = raw.filter(~F.col(KIND_COL).isin("-D", "-U"))
             parts.append(raw.select(*logical, *hidden))
         if merge_entries:
-            m = self._read_files(merge_entries)
+            m = self._bucketed_merge_df(merge_entries)
+            if m is None:
+                m = self._read_files(merge_entries)
             # safe pre-merge pushdown: conjuncts on pk/partition cols only
             if predicate is not None:
                 safe_cols = set(schema.primary_keys) | set(schema.partition_keys)
@@ -1777,6 +1867,7 @@ class Table:
             inv = (self.spark.read.option("basePath", root)
                    .parquet(*paths)
                    .filter(F.col("cluster").isin(probes)))
+            inv = self._apply_index_retractions(inv, root, meta)
             topk = (inv.withColumn("_score", S.cosine(F.col("vec"), qcol))
                     .orderBy(F.desc("_score")).limit(k)
                     .select(F.col("id").alias(meta["id_col"]), "_score"))
@@ -1823,11 +1914,17 @@ class Table:
         out = self._vector_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         inv.write.partitionBy("cluster").parquet(out)
+        files = self._index_files(out)
         self._write_index_meta(out, {
             "vec_col": vec_col, "id_col": id_col,
             "n_centroids": n_centroids, "centroids": centroids,
             "snapshot_id": self.paths.latest_snapshot_id(),
-            "files": self._index_files(out)})
+            "files": files,
+            "generation": 0,
+            "file_gens": {f: 0 for f in files},
+            "retraction_files": [],
+            "retracted": 0,
+            "n_rows": df.count()})
         return n_centroids
 
     def _assign_vector_clusters(self, df: DataFrame,
@@ -1866,22 +1963,66 @@ class Table:
         latest = self.paths.latest_snapshot_id()
         if meta["snapshot_id"] == latest:
             return "fresh"
+        id_col = meta["id_col"]
+        out = self._vector_index_dir(vec_col)
         delta = self._index_delta(meta["snapshot_id"] or 0)
+        retr_ids = None
+        n_retr = 0
+        if delta is None and self.schema.is_pk_table:
+            # changelog-driven refresh over PK history: tombstone changed
+            # keys' old list entries, append the new versions (same
+            # generational scheme as _refresh_text_index_pk)
+            cl = self._index_changelog_delta(meta["snapshot_id"] or 0)
+            if cl is not None:
+                cl = cl.persist()
+                agg = cl.agg(
+                    F.sum(F.when(F.col(KIND_COL).isin("-U", "-D"), 1)
+                          .otherwise(0)).alias("n_retr"),
+                    F.sum(F.when(F.col(KIND_COL) == "+I", 1)
+                          .otherwise(0)).alias("n_ins"),
+                    F.sum(F.when(F.col(KIND_COL) == "-D", 1)
+                          .otherwise(0)).alias("n_del")).collect()[0]
+                n_retr = int(agg["n_retr"] or 0)
+                # legacy metas without n_rows rebuild on first retraction
+                # (safe: the rebuild stamps n_rows for the next refresh)
+                if (meta.get("retracted", 0) + n_retr
+                        > self._INDEX_REBUILD_RETRACT_FRACTION
+                        * max(int(meta.get("n_rows", 0)) or 1, 1)):
+                    cl.unpersist()
+                    self.create_vector_index(vec_col, id_col,
+                                             meta["n_centroids"])
+                    return "rebuilt"
+                meta["n_rows"] = (int(meta.get("n_rows", 0))
+                                  + int(agg["n_ins"] or 0)
+                                  - int(agg["n_del"] or 0))
+                retr_ids = cl.filter(F.col(KIND_COL).isin("-U", "-D")) \
+                             .select(F.col(id_col).alias("id"))
+                delta = cl.filter(F.col(KIND_COL).isin("+I", "+U"))
         if delta is None:
             self.create_vector_index(vec_col, meta["id_col"],
                                      meta["n_centroids"])
             return "rebuilt"
-        id_col = meta["id_col"]
+        gen = int(meta.get("generation", 0)) + (1 if retr_ids is not None
+                                                else 0)
+        pre = set(self._index_files(out))
+        new_r: list[str] = []
+        if retr_ids is not None and n_retr:
+            new_r = self._write_index_retractions(out, retr_ids, gen)
         inv = self._assign_vector_clusters(
             delta.select(id_col, vec_col), meta["centroids"], id_col,
             vec_col)
-        out = self._vector_index_dir(vec_col)
-        pre = set(self._index_files(out))
         inv.write.mode("append").partitionBy("cluster").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
+        fgens = dict(meta.get("file_gens") or {})
+        fgens.update({f: gen for f in new})
         meta.update({"snapshot_id": latest,
+                     "generation": gen,
                      "files": sorted(meta.get("files",
-                                              sorted(pre)) + new)})
+                                              sorted(pre)) + new),
+                     "file_gens": fgens,
+                     "retraction_files": sorted(
+                         (meta.get("retraction_files") or []) + new_r),
+                     "retracted": int(meta.get("retracted", 0)) + n_retr})
         self._write_index_meta(out, meta)
         return "incremental"
 
@@ -1922,20 +2063,29 @@ class Table:
         out = self._text_index_dir(text_col)
         shutil.rmtree(out, ignore_errors=True)
         postings.write.partitionBy("bucket").parquet(out)
+        files = self._index_files(out)
         self._write_index_meta(out, {
             "text_col": text_col, "id_col": id_col,
             "n_buckets": n_buckets,
             "n_docs": stats["n"],
             "avgdl": stats["avgdl"] or 1.0,
+            "sum_dl": stats["sum_dl"],
             "snapshot_id": self.paths.latest_snapshot_id(),
-            "files": self._index_files(out)})
+            "files": files,
+            "generation": 0,
+            "file_gens": {f: 0 for f in files},
+            "retraction_files": [],
+            "retracted": 0})
         return n_buckets
 
     @staticmethod
     def _index_files(root: str) -> list[str]:
-        """Relative paths of the data files under a persisted-index dir."""
+        """Relative paths of the data files under a persisted-index dir.
+        Underscore-prefixed subtrees (_retractions tombstones) are NOT
+        index entries — they are listed separately in the meta."""
         out = []
-        for dirpath, _dirs, files in os.walk(root):
+        for dirpath, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
             for fn in files:
                 if fn.endswith(".parquet"):
                     out.append(os.path.relpath(os.path.join(dirpath, fn),
@@ -1977,9 +2127,11 @@ class Table:
                     .agg(F.count("*").alias("tf"))
                     .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                                  F.lit(n_buckets))))
-        stats = df.agg(F.count("*").alias("n"),
-                       F.avg(F.size(toks)).alias("avgdl")).collect()[0]
-        return postings, stats
+        row = df.agg(F.count("*").alias("n"),
+                     F.avg(F.size(toks)).alias("avgdl"),
+                     F.sum(F.size(toks)).alias("sum_dl")).collect()[0]
+        return postings, {"n": row["n"], "avgdl": row["avgdl"],
+                          "sum_dl": int(row["sum_dl"] or 0)}
 
     def _index_delta(self, indexed_snapshot: int) -> DataFrame | None:
         """Rows appended since `indexed_snapshot`, or None when the
@@ -2007,6 +2159,82 @@ class Table:
             out = out.unionByName(p)
         return out
 
+    # ------- index retraction for PK history (r7) -------
+    # The reference maintains its global indexes THROUGH updates/deletes
+    # per commit (ref: paimon-core/.../globalindex/GlobalIndexBuilderUtils
+    # .java:64, paimon-full-text/.../NativeFullTextGlobalIndexer.java);
+    # the Spark-first analog is LSM-style generational tombstones: a
+    # refresh over PK history derives the CHANGED KEYS via the changelog
+    # (O(changed keys), not O(table)), appends the new versions' entries
+    # tagged with a new generation, and writes (id, generation)
+    # retraction rows that void any OLDER-generation entries for those
+    # ids at query time (two broadcast joins over the pruned index —
+    # no rewrite of posting files, no full rebuild).
+
+    _INDEX_REBUILD_RETRACT_FRACTION = 0.2
+
+    def _index_changelog_delta(self, indexed_snapshot: int):
+        """Changelog rows (logical cols + _row_kind) between the indexed
+        snapshot and latest for a PK table, or None when underivable.
+        -U/-D rows carry the OLD values (stat retraction), +I/+U the new."""
+        if not self.schema.is_pk_table or not indexed_snapshot:
+            return None
+        try:
+            from paimon_spark.operators.changelog import derive_changelog
+            return derive_changelog(self, indexed_snapshot)
+        except Exception:                              # noqa: BLE001
+            return None
+
+    def _write_index_retractions(self, root: str, ids_df: DataFrame,
+                                 gen: int) -> list[str]:
+        """Append (id, gen) tombstones under <index>/_retractions;
+        returns the new files' index-relative paths."""
+        rdir = os.path.join(root, "_retractions")
+
+        def _rfiles() -> set[str]:
+            if not os.path.isdir(rdir):
+                return set()
+            return {os.path.join("_retractions", fn)
+                    for fn in os.listdir(rdir) if fn.endswith(".parquet")}
+
+        pre = _rfiles()
+        (ids_df.select(F.col("id"), F.lit(gen).cast("int").alias("gen"))
+         .write.mode("append").parquet(rdir))
+        return sorted(_rfiles() - pre)
+
+    def _apply_index_retractions(self, idx: DataFrame, root: str,
+                                 meta: dict) -> DataFrame:
+        """Void index entries superseded by a newer generation: an entry
+        survives iff its file's generation >= the id's latest retraction
+        generation. Both sides broadcast (file→gen map is O(files),
+        tombstones are O(changed keys)), so the pruned index scan keeps
+        its partitioning and the filter costs no shuffle."""
+        rfiles = meta.get("retraction_files") or []
+        if not rfiles:
+            return idx
+        gens = meta.get("file_gens") or {}
+        # basenames collide only across partition dirs of the SAME write
+        # job (part-NNNNN-<job-uuid>), which all share one generation —
+        # dedupe so the broadcast join stays 1:1
+        bmap: dict[str, int] = {}
+        for p, g in gens.items():
+            bmap[os.path.basename(p)] = int(g)
+        fmap = self.spark.createDataFrame(
+            sorted(bmap.items()), "__ixfn string, __ixgen int")
+        retr = (self.spark.read.parquet(
+                    *[os.path.join(root, f) for f in rfiles])
+                .groupBy("id").agg(F.max("gen").alias("__ixrg")))
+        out = (idx.withColumn(
+                   "__ixfn",
+                   F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                                -1))
+               .join(F.broadcast(fmap), "__ixfn", "left")
+               .join(F.broadcast(retr), "id", "left")
+               .filter(F.col("__ixrg").isNull()
+                       | (F.coalesce(F.col("__ixgen"), F.lit(0))
+                          >= F.col("__ixrg"))))
+        return out.drop("__ixfn", "__ixgen", "__ixrg")
+
     def refresh_text_index(self, text_col: str = "text") -> str:
         """Bring the persisted text index up to the latest snapshot
         WITHOUT a full rebuild when the commits since the indexed
@@ -2026,15 +2254,17 @@ class Table:
         latest = self.paths.latest_snapshot_id()
         if meta["snapshot_id"] == latest:
             return "fresh"
+        id_col, n_b = meta["id_col"], meta["n_buckets"]
+        out = self._text_index_dir(text_col)
         delta = self._index_delta(meta["snapshot_id"] or 0)
+        if delta is None and self.schema.is_pk_table:
+            return self._refresh_text_index_pk(text_col, meta, latest)
         if delta is None:
             self.create_text_index(text_col, meta["id_col"],
                                    meta["n_buckets"])
             return "rebuilt"
-        id_col, n_b = meta["id_col"], meta["n_buckets"]
         postings, stats = self._text_postings(
             delta.select(id_col, text_col), id_col, text_col, n_b)
-        out = self._text_index_dir(text_col)
         # crash safety: files present before the append (including
         # orphans of a previously crashed refresh) are NOT credited to
         # this refresh; only the files this write creates join the
@@ -2045,12 +2275,92 @@ class Table:
         n0, n1 = meta["n_docs"], stats["n"]
         avgdl = ((meta["avgdl"] * n0 + (stats["avgdl"] or 0.0) * n1)
                  / (n0 + n1)) if (n0 + n1) else 1.0
+        gen = int(meta.get("generation", 0))
+        fgens = dict(meta.get("file_gens") or {})
+        fgens.update({f: gen for f in new})
         meta.update({"n_docs": n0 + n1, "avgdl": avgdl,
+                     "sum_dl": int(meta.get(
+                         "sum_dl", meta["avgdl"] * n0)) + stats["sum_dl"],
                      "snapshot_id": latest,
                      "files": sorted(meta.get("files",
-                                              sorted(pre)) + new)})
+                                              sorted(pre)) + new),
+                     "file_gens": fgens})
         self._write_index_meta(out, meta)
         return "incremental"
+
+    def _refresh_text_index_pk(self, text_col: str, meta: dict,
+                               latest: int) -> str:
+        """Changelog-driven refresh over PK history: tombstone the old
+        versions of changed keys, append postings for the new versions
+        — no posting rewrite, no rebuild. Falls back to a rebuild when
+        the changelog is underivable or tombstones pile past
+        _INDEX_REBUILD_RETRACT_FRACTION of the corpus (query-side join
+        cost compaction, the analog of LSM tombstone GC)."""
+        id_col, n_b = meta["id_col"], meta["n_buckets"]
+        out = self._text_index_dir(text_col)
+        cl = self._index_changelog_delta(meta["snapshot_id"] or 0)
+        if cl is None:
+            self.create_text_index(text_col, id_col, n_b)
+            return "rebuilt"
+        cl = cl.persist()
+        try:
+            from paimon_spark.functions.text import token_count
+            agg = cl.agg(
+                F.sum(F.when(F.col(KIND_COL) == "+I", 1)
+                      .otherwise(0)).alias("n_ins"),
+                F.sum(F.when(F.col(KIND_COL) == "-D", 1)
+                      .otherwise(0)).alias("n_del"),
+                F.sum(F.when(F.col(KIND_COL).isin("-U", "-D"), 1)
+                      .otherwise(0)).alias("n_retr"),
+                F.sum(F.when(F.col(KIND_COL).isin("+I", "+U"),
+                             token_count(F.col(text_col)))
+                      .otherwise(0)).alias("dl_add"),
+                F.sum(F.when(F.col(KIND_COL).isin("-U", "-D"),
+                             token_count(F.col(text_col)))
+                      .otherwise(0)).alias("dl_retr")).collect()[0]
+            n_retr = int(agg["n_retr"] or 0)
+            if (meta.get("retracted", 0) + n_retr
+                    > self._INDEX_REBUILD_RETRACT_FRACTION
+                    * max(int(meta["n_docs"]), 1)):
+                self.create_text_index(text_col, id_col, n_b)
+                return "rebuilt"
+            gen = int(meta.get("generation", 0)) + 1
+            pre = set(self._index_files(out))
+            new_r: list[str] = []
+            if n_retr:
+                new_r = self._write_index_retractions(
+                    out, cl.filter(F.col(KIND_COL).isin("-U", "-D"))
+                           .select(F.col(id_col).alias("id")), gen)
+            adds = cl.filter(F.col(KIND_COL).isin("+I", "+U"))
+            if adds.take(1):
+                postings, _ = self._text_postings(
+                    adds.select(id_col, text_col), id_col, text_col, n_b)
+                postings.write.mode("append") \
+                        .partitionBy("bucket").parquet(out)
+            new_p = [f for f in self._index_files(out)
+                     if f not in pre and f not in new_r]
+            fgens = dict(meta.get("file_gens") or {})
+            fgens.update({f: gen for f in new_p})
+            sum_dl = (int(meta.get("sum_dl", meta["avgdl"]
+                                   * meta["n_docs"]))
+                      + int(agg["dl_add"] or 0) - int(agg["dl_retr"] or 0))
+            n_docs = (int(meta["n_docs"]) + int(agg["n_ins"] or 0)
+                      - int(agg["n_del"] or 0))
+            meta.update({
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+                "snapshot_id": latest,
+                "generation": gen,
+                "files": sorted(meta.get("files", sorted(pre)) + new_p),
+                "file_gens": fgens,
+                "retraction_files": sorted(
+                    (meta.get("retraction_files") or []) + new_r),
+                "retracted": int(meta.get("retracted", 0)) + n_retr})
+            self._write_index_meta(out, meta)
+            return "incremental"
+        finally:
+            cl.unpersist()
 
     def drop_text_index(self, text_col: str = "text") -> None:
         shutil.rmtree(self._text_index_dir(text_col), ignore_errors=True)
@@ -2113,6 +2423,7 @@ class Table:
                .parquet(*paths)
                .filter(F.col("bucket").isin(buckets))      # partition prune
                .filter(F.col("term").isin(terms)))
+        idx = self._apply_index_retractions(idx, root, meta)
         # per-term document frequencies: O(|terms|) scalars, computed on
         # the pruned postings only (same driver-scalar contract as the
         # exact scorer's corpus-stats agg)

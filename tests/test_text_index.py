@@ -228,3 +228,107 @@ def test_refresh_crash_between_append_and_meta_is_safe(spark, docs_table):
     t.drop_text_index()
     exact = _ranked(t.full_text_search("spark", k=9))
     assert sorted(got) == sorted(exact)
+
+
+PKSCH = T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("text", T.StringType())])
+
+
+def _pk_corpus(spark, wh, name, n=100):
+    t = Table.create(f"{wh}/{name}", PKSCH, primary_keys=["id"],
+                     options={"bucket": "2"}, spark=spark)
+    rows = [(i, f"common token{i} filler words here") for i in range(n)]
+    t.append(spark.createDataFrame(rows, PKSCH))
+    return t
+
+
+def test_pk_text_index_retraction_no_rebuild(spark, wh):
+    """Upsert+delete on an indexed PK table refresh INCREMENTALLY:
+    changed keys' old postings are tombstoned (generation retraction),
+    new versions appended — original posting files stay pinned, no
+    rebuild (ref: the reference maintains global indexes through PK
+    churn, paimon-core/.../globalindex/, NativeFullTextGlobalIndexer)."""
+    from paimon_spark import P
+    t = _pk_corpus(spark, wh, "pkidx")
+    t.create_text_index(n_buckets=8)
+    files0 = set(t.text_index_meta()["files"])
+    # churn: 3 updates (new distinctive term), 2 deletes
+    t.append(spark.createDataFrame(
+        [(7, "updated zebra content"), (8, "updated zebra content"),
+         (9, "updated zebra content")], PKSCH))
+    t.delete_where(P.eq("id", 50))
+    t.delete_where(P.eq("id", 51))
+    assert t.refresh_text_index() == "incremental"
+    meta = t.text_index_meta()
+    # rebuild avoided: every original posting file is still pinned
+    assert files0 <= set(meta["files"])
+    assert meta["retraction_files"]
+    assert meta["generation"] == 1
+    assert meta["retracted"] == 5
+    assert meta["n_docs"] == 98
+    assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+    # new term hits the updated docs through the INDEXED path
+    got = _ranked(t.full_text_search("zebra", k=10))
+    assert {i for i, _ in got} == {7, 8, 9}
+    # old content of updated/deleted keys is voided
+    got7 = _ranked(t.full_text_search("token7", k=10))
+    assert all(i != 7 for i, _ in got7)
+    got50 = _ranked(t.full_text_search("token50", k=10))
+    assert all(i != 50 for i, _ in got50)
+    # indexed path == exact path over the post-churn snapshot
+    indexed = _ranked(t.full_text_search("common", k=100))
+    t.drop_text_index()
+    exact = _ranked(t.full_text_search("common", k=100))
+    assert sorted(indexed) == sorted(exact)
+    assert len(indexed) == 95   # 100 - 2 deleted - 3 updated away
+
+
+def test_pk_text_index_retraction_threshold_rebuilds(spark, wh):
+    """Tombstones past the rebuild fraction compact via full rebuild
+    (LSM tombstone GC analog): query-side join cost stays bounded."""
+    t = _pk_corpus(spark, wh, "pkidx2", n=20)
+    t.create_text_index(n_buckets=8)
+    t.append(spark.createDataFrame(
+        [(i, "mass rewrite") for i in range(10)], PKSCH))   # 50% churn
+    assert t.refresh_text_index() == "rebuilt"
+    meta = t.text_index_meta()
+    assert meta["retracted"] == 0 and not meta["retraction_files"]
+    got = _ranked(t.full_text_search("rewrite", k=20))
+    assert len(got) == 10
+
+
+def test_pk_vector_index_retraction_no_rebuild(spark, wh):
+    """Same generational scheme for the IVF index: updated/deleted keys'
+    old list entries are voided at query time, new assignments append."""
+    import random
+    from paimon_spark import P
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    t = Table.create(f"{wh}/pkvec", sch, primary_keys=["vid"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=4)
+    meta0 = t.vector_index_meta("embedding")
+    files0 = set(meta0["files"])
+    # move vid=5 next to vid=42's vector; delete vid=42
+    moved = [x + 0.001 for x in rows[42][1]]
+    t.append(spark.createDataFrame([(5, moved)], sch))
+    t.delete_where(P.eq("vid", 42))
+    assert t.refresh_vector_index("embedding") == "incremental"
+    meta = t.vector_index_meta("embedding")
+    assert files0 <= set(meta["files"])
+    assert meta["retraction_files"] and meta["generation"] == 1
+    assert meta["centroids"] == meta0["centroids"]
+    assert meta["n_rows"] == 99
+    got = [r.vid for r in t.vector_search(moved, k=1,
+                                          method="ivf").collect()]
+    assert got == [5]          # new position found, deleted 42 voided
+    # index path == exact path post-churn
+    exact = [r.vid for r in t.vector_search(moved, k=3,
+                                            method="brute").collect()]
+    idx = [r.vid for r in t.vector_search(moved, k=3,
+                                          method="ivf").collect()]
+    assert 42 not in exact and 42 not in idx and idx[0] == exact[0] == 5
