@@ -1611,19 +1611,14 @@ def stream_window_counts(spark, sf_dir):
     with availableNow, event-time watermark + 5-minute tumbling window
     counts (complete mode). Deterministic: equals the batch aggregation."""
     import uuid as _uuid
-    from paimon_spark.streaming.datasource import _stream_schema, register
-    register(spark)
     t = _wh(spark, sf_dir)["events_stream"]
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    # availablenow=true → pinned single-batch full drain (the Python DS
-    # API lacks SupportsTriggerAvailableNow; without this option read
-    # limits would cap the one fallback batch and truncate the drain).
-    # Explicit schema: skips the DataSource.schema() python-worker spawn
-    # (~0.1-0.4 s of the fixed per-query Python-DS cost, see PERF.md).
-    sdf = (spark.readStream.format("paimon")
-           .schema(_stream_schema(t.schema))
-           .option("path", t.path)
-           .option("availablenow", "true").load())
+    # Table.read_stream: availableNow drains ride Spark's JVM
+    # FileStreamSource over a snapshot-scoped hardlink view — zero
+    # Python in the data plane; the Python DataSource
+    # (readStream.format('paimon')) remains the general path for
+    # changelog/follow-up/merge-on-read streams (see PERF.md r7).
+    sdf = t.read_stream()
     q = (sdf.withColumn("ets", _event_time(sdf))
          .withWatermark("ets", "7 days")
          .groupBy(F.window("ets", "5 minutes").alias("w"), "event_type")

@@ -633,12 +633,16 @@ class Table:
         import uuid as _uuid
         from paimon_spark.writer import format_extension
         ext = format_extension(fmt)
+        # self.path in the token: a RENAMEd table must not resolve to a
+        # catalog view whose LOCATION is the old directory
         token = hashlib.md5(
             ("|".join(sorted(f"{e.file_path}@{e.bucket}" for e in entries))
-             + f"|{sid}").encode()).hexdigest()[:16]
+             + f"|{sid}|{os.path.abspath(self.path)}").encode()
+            ).hexdigest()[:16]
         view = os.path.join(self.path, ".bucketed-view", token)
         tname = f"paimon_bktv_{token}"
         try:
+            rebuilt = False
             if not os.path.isdir(view):
                 tmp = f"{view}.tmp-{_uuid.uuid4().hex[:8]}"
                 for i, e in enumerate(entries):
@@ -657,10 +661,16 @@ class Table:
                                    f"_{e.bucket:05d}.c000.{ext}"))
                 try:
                     os.rename(tmp, view)
+                    rebuilt = True
                 except OSError:
                     shutil.rmtree(tmp, ignore_errors=True)
                     if not os.path.isdir(view):
                         raise
+            if rebuilt and spark.catalog.tableExists(tname):
+                # the view was purged (_purge_view_caches) and just
+                # rebuilt at the same path — drop Spark's cached file
+                # listing for the catalog view
+                spark.catalog.refreshTable(tname)
             if not spark.catalog.tableExists(tname):
                 struct = T.StructType(
                     list(schema.spark_read_struct().fields)
@@ -1574,6 +1584,11 @@ class Table:
                 removed += 1
             except FileNotFoundError:
                 pass
+        if removed:
+            # view caches of expired snapshots would otherwise keep the
+            # expired files' inodes pinned via hardlinks — age them out
+            # with the same horizon (live reads re-touch fresh views)
+            self._purge_view_caches(older_than_ms=cutoff_ms)
         return removed
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
@@ -1644,6 +1659,11 @@ class Table:
             # create/drop_vector_index, not manifest-tracked — skip it
             if rel.startswith(os.path.join("index", "vector")):
                 continue
+            if rel.split(os.sep)[0] in (".bucketed-view", ".stream-view"):
+                # hardlink view caches: never prune file-by-file (a view
+                # dir with SOME files gone would silently drop rows) —
+                # purged whole below and rebuilt on the next read
+                continue
             for fn in files:
                 rp = os.path.normpath(os.path.join(rel, fn))
                 if rel.split(os.sep)[0] == "index":
@@ -1664,7 +1684,35 @@ class Table:
         for m in os.listdir(self.paths.manifest_dir):
             if m not in live_manifests:
                 os.remove(self.paths.manifest_file(m))
+        self._purge_view_caches()
         return removed
+
+    def _purge_view_caches(self, older_than_ms: int | None = None) -> None:
+        """Drop .bucketed-view / .stream-view hardlink caches (all of
+        them, or only dirs older than the given epoch-ms). Views are
+        pure caches keyed by deterministic tokens: the next read
+        rebuilds an identical dir at the identical path, so registered
+        catalog views stay valid. Expiration calls this with the
+        retention horizon so view hardlinks stop pinning expired
+        snapshots' file inodes."""
+        purged = False
+        for sub in (".bucketed-view", ".stream-view"):
+            base = os.path.join(self.path, sub)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                try:
+                    if older_than_ms is not None and \
+                            os.path.getmtime(p) * 1000 >= older_than_ms:
+                        continue
+                    shutil.rmtree(p, ignore_errors=True)
+                    purged = True
+                except OSError:
+                    pass
+        if purged:
+            # cached DataFrames hold plans over the purged views
+            self._read_cache.clear()
 
     # ---------------- incremental / changelog ----------------
 
@@ -1690,6 +1738,85 @@ class Table:
         for m in cur.manifests[prev_n:]:
             out.extend(e for e in self.paths.read_manifest(m) if e.kind == ADD)
         return out
+
+    def read_stream(self, snapshot_id: int | None = None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        """Streaming DataFrame that DRAINS a snapshot's live rows through
+        Spark's JVM file-stream source — zero Python in the data plane.
+        Pair with trigger(availableNow=True); with maxFilesPerTrigger the
+        drain rate-limits into multiple micro-batches.
+
+        This is the fast path for the dominant streaming shape (backfill
+        / bootstrap / availableNow drain of an append or fully-compacted
+        table): the planner resolves the snapshot's file list
+        driver-side, exposes it as a snapshot-scoped hardlink view, and
+        the micro-batch machinery is Spark's own FileStreamSource — the
+        per-query Python DataSource worker costs (~2 s, PERF.md r6
+        decomposition) never apply. Shapes the JVM source can't express
+        (changelog follow-up, merge-on-read over multi-run buckets,
+        consumer-id pinning, row-based read limits) transparently fall
+        back to the Python DataSource (readStream.format('paimon')).
+        (ref: the reference's Spark source is likewise a JVM
+        MicroBatchStream over planned splits —
+        PaimonMicroBatchStream.scala:33,67-90.)"""
+        schema = self.schema
+        fmt = self.file_format
+        plan = self.new_scan().plan(snapshot_id=snapshot_id)
+        eligible = (fmt in ("parquet", "orc")
+                    and not getattr(plan, "merge_groups", None)
+                    and all(not e.dv_path for e in plan.entries)
+                    and all(e.schema_id == schema.schema_id
+                            for e in plan.entries)
+                    and plan.entries)
+        if not eligible:
+            from paimon_spark.streaming.datasource import (_stream_schema,
+                                                           register)
+            register(self.spark)
+            rs = (self.spark.readStream.format("paimon")
+                  .schema(_stream_schema(schema))
+                  .option("path", self.path)
+                  .option("availablenow", "true"))
+            if snapshot_id is not None:
+                rs = rs.option("scan.mode", "from-snapshot-full") \
+                       .option("scan.snapshot-id", str(snapshot_id))
+            return rs.load().select(*schema.field_names)
+        import hashlib
+        import uuid as _uuid
+        from paimon_spark.writer import (format_extension, format_options,
+                                         spark_format_name)
+        ext = format_extension(fmt)
+        token = hashlib.md5(
+            ("|".join(sorted(e.file_path for e in plan.entries))
+             + f"|{os.path.abspath(self.path)}").encode()).hexdigest()[:16]
+        view = os.path.join(self.path, ".stream-view", token)
+        if not os.path.isdir(view):
+            tmp = f"{view}.tmp-{_uuid.uuid4().hex[:8]}"
+            for i, e in enumerate(plan.entries):
+                rel = os.path.dirname(e.file_path)
+                segs = [s for s in rel.split(os.sep) if s and s != "."]
+                d = os.path.join(tmp, *segs)
+                os.makedirs(d, exist_ok=True)
+                os.link(os.path.join(self.path, e.file_path),
+                        os.path.join(d, f"part-{i:05d}-{token}.{ext}"))
+            try:
+                os.rename(tmp, view)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(view):
+                    raise
+        reader = (self.spark.readStream
+                  .schema(self._read_struct_with_partitions())
+                  .option("basePath", view)
+                  .format(spark_format_name(fmt))
+                  .options(**format_options(fmt)))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(int(max_files_per_trigger)))
+        sdf = reader.load(view)
+        if schema.is_pk_table:
+            # single-sorted-run state: merge is identity minus retractions
+            sdf = sdf.filter(~F.col(KIND_COL).isin("-D", "-U"))
+        return sdf.select(*schema.field_names)
 
     def read_incremental(self, from_snapshot: int | str, to_snapshot: int | str,
                          with_kind: bool = True) -> DataFrame:

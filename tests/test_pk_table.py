@@ -303,3 +303,23 @@ def test_legacy_xxhash64_bucket_tables_still_work(spark, wh):
     buckets = {e.bucket for e in plan.entries}
     assert len(buckets) == 1
     assert {r.v for r in t.read(P.eq("k", 7)).collect()} == {"b7"}
+
+
+def test_view_cache_gc_and_rebuild(spark, wh):
+    """remove_orphan_files purges .bucketed-view hardlink caches WHOLE
+    (file-by-file pruning would leave a partial view that silently
+    drops rows); the next read rebuilds an identical view at the
+    identical path and refreshes Spark's cached file listing."""
+    import os
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/gcv", sch, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(50)], sch))
+    t.append(spark.createDataFrame([(0, "b0")], sch))
+    assert t.read().count() == 50               # builds the view
+    assert os.listdir(f"{wh}/gcv/.bucketed-view")
+    t.remove_orphan_files()
+    assert not os.listdir(f"{wh}/gcv/.bucketed-view")
+    got = {r.k: r.v for r in t.read().collect()}  # rebuild, still merged
+    assert len(got) == 50 and got[0] == "b0"

@@ -841,3 +841,48 @@ def test_stream_split_packing_groups_and_budget(spark, wh):
         assert len({tuple(sorted(d.items())) for d in p.partitions}) == 1
         all_files.extend(p.files)
     assert sorted(all_files) == sorted(e.file_path for e in e2)
+
+
+def test_read_stream_jvm_drain(spark, wh):
+    """Table.read_stream: availableNow drains ride the JVM
+    FileStreamSource (no Python DataSource in the plan) and equal the
+    batch read; un-compacted PK tables transparently fall back to the
+    Python DataSource and stay correct."""
+    import uuid as _uuid
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/evd", sch, spark=spark)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(j, float(j)) for j in range(i * 50, (i + 1) * 50)], sch))
+
+    def drain(sdf):
+        sink = f"m_{_uuid.uuid4().hex[:6]}"
+        q = (sdf.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.table(sink).collect()[0]
+
+    sdf = t.read_stream()
+    # JVM path: the streaming relation is Spark's FileSource, not the
+    # Python DataSource
+    logical = sdf._jdf.queryExecution().logical().toString()
+    assert "FileSource[" in logical and "PythonDataSource" not in logical
+    r = drain(sdf)
+    assert (r.n, r.s) == (150, float(sum(range(150))))
+    # rate-limited drain: multiple micro-batches, same total
+    r2 = drain(t.read_stream(max_files_per_trigger=1))
+    assert (r2.n, r2.s) == (150, float(sum(range(150))))
+    # compacted PK: raw-convertible state drains through the JVM source
+    t2 = Table.create(f"{wh}/pkd", sch, primary_keys=["id"],
+                      options={"bucket": "2"}, spark=spark)
+    t2.append(spark.createDataFrame([(j, 1.0) for j in range(40)], sch))
+    t2.append(spark.createDataFrame([(j, 2.0) for j in range(20)], sch))
+    t2.compact()
+    r3 = drain(t2.read_stream())
+    assert (r3.n, r3.s) == (40, 20 * 2.0 + 20 * 1.0)
+    # un-compacted PK: falls back to the Python DataSource, still merged
+    t2.append(spark.createDataFrame([(0, 9.0)], sch))
+    r4 = drain(t2.read_stream())
+    assert (r4.n, r4.s) == (40, 9.0 + 19 * 2.0 + 20 * 1.0)
