@@ -29,19 +29,36 @@ def main():
     timings["ingest"] = round(time.perf_counter() - t0, 3)
 
     for name, fn in E.queries().items():
-        # drain barrier: leftover scheduler/GC work from the PREVIOUS
-        # query otherwise gets charged to whichever query runs next
-        # (measured: a 1-row count() took 3 s right after a heavy
-        # shuffle). Untimed, so each timing is the query's own work.
-        spark.range(1).count()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
-        # queries are independent: drop persisted intermediates (LSH/IVF
-        # signature caches) so they can't pile up GC pressure on later ones
-        spark.catalog.clearCache()
+        # min-of-N payload (r7, VERDICT r6 #6): single-shot numbers
+        # manufactured fake regressions whenever anything else touched
+        # the machine — the ratio section always used min-of-3; the
+        # payload now does too. Sub-2s queries get 3 reps (scheduler
+        # noise dominates them), heavier ones 2 (stable, and the rerun
+        # is warm).
+        best = float("inf")
+        reps = 3
+        r = 0
+        while r < reps:
+            # drain barrier: leftover scheduler/GC work from the
+            # PREVIOUS query otherwise gets charged to whichever query
+            # runs next (measured: a 1-row count() took 3 s right after
+            # a heavy shuffle). Untimed, so each timing is the query's
+            # own work.
+            spark.range(1).count()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            el = time.perf_counter() - t0
+            _ = n
+            # queries are independent: drop persisted intermediates
+            # (LSH/IVF signature caches) so they can't pile up GC
+            # pressure on later ones
+            spark.catalog.clearCache()
+            best = min(best, el)
+            if r == 0 and el >= 2.0:
+                reps = 2
+            r += 1
+        timings[name] = round(best, 3)
 
     # plain spark.read.parquet baselines for representative queries —
     # BASELINE.json's anchor is "within 2x of raw parquet on this machine".
