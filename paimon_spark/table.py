@@ -712,7 +712,18 @@ class Table:
         merge_entries = [e for g in plan.merge_groups for e in g]
 
         if raw_entries:
-            raw = self._read_files(raw_entries)
+            # rawConvertible buckets skip the merge, but exposing their
+            # bucketing still pays: a compacted PK table scanned through
+            # the bucketed view reports HashPartitioning(bucket_keys, n),
+            # so a join/groupBy on the PK — including a co-located join
+            # against another table bucketed the same way — runs with no
+            # exchange on this side (point-lookup-sized plans skip the
+            # view: one file gains nothing from partitioning info)
+            raw = None
+            if len({e.bucket for e in raw_entries}) >= 2:
+                raw = self._bucketed_merge_df(raw_entries)
+            if raw is None:
+                raw = self._read_files(raw_entries)
             if not with_hidden:
                 # single sorted run: merge is identity except retract rows
                 raw = raw.filter(~F.col(KIND_COL).isin("-D", "-U"))

@@ -323,3 +323,35 @@ def test_view_cache_gc_and_rebuild(spark, wh):
     assert not os.listdir(f"{wh}/gcv/.bucketed-view")
     got = {r.k: r.v for r in t.read().collect()}  # rebuild, still merged
     assert len(got) == 50 and got[0] == "b0"
+
+
+def test_colocated_join_no_exchange(spark, wh):
+    """Two tables bucketed on the join key (same murmur3 hash, same n)
+    join with ZERO exchange once compacted — the raw-convertible read
+    also rides the bucketed view, so Catalyst sees matching
+    HashPartitioning on both sides (the reference's bucketed-scan
+    co-location, DisableUnnecessaryPaimonBucketedScanSuite)."""
+    ksch = T.StructType([T.StructField("k", T.LongType()),
+                         T.StructField("v", T.StringType())])
+    osch = T.StructType([T.StructField("k", T.LongType()),
+                         T.StructField("amt", T.DoubleType())])
+    t1 = Table.create(f"{wh}/codim", ksch, primary_keys=["k"],
+                      options={"bucket": "4"}, spark=spark)
+    t2 = Table.create(f"{wh}/cofact", osch, primary_keys=["k"],
+                      options={"bucket": "4"}, spark=spark)
+    t1.append(spark.createDataFrame([(i, f"v{i}") for i in range(300)],
+                                    ksch))
+    t1.compact()
+    t2.append(spark.createDataFrame([(i, float(i)) for i in range(300)],
+                                    osch))
+    t2.compact()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = t1.read().join(t2.read(), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange" not in plan
+        assert j.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
