@@ -63,6 +63,63 @@ def _merged_restricted(table: Table, snapshot_id: int | None,
     return table._apply_defaults(apply_merge(filt, table.schema))
 
 
+def _single_scan_pairs(table: Table, s_old: int,
+                       s_new: int) -> DataFrame | None:
+    """(pk..., __old, __new) merged-state pairs from ONE bucketed scan
+    of the union of both snapshots' files, rows tagged by origin side —
+    so the pairing groupBy runs on the scan's own HashPartitioning with
+    ZERO exchange (deduplicate engine only: both states are max_by over
+    each side's rows, exactly merge_deduplicate). Returns None when the
+    layout can't ride the bucketed view — callers use the two-read
+    shape."""
+    from paimon_spark.operators.merge import RETRACT_KINDS, order_struct
+    schema = table.schema
+    if schema.merge_engine != "deduplicate":
+        return None
+    try:
+        ents: dict[str, object] = {}
+        old_set = {e.file_path
+                   for e in table.new_scan().plan(snapshot_id=s_old).entries}
+        new_set = {e.file_path
+                   for e in table.new_scan().plan(snapshot_id=s_new).entries}
+        for sid in (s_old, s_new):
+            for e in table.new_scan().plan(snapshot_id=sid).entries:
+                ents[e.file_path] = e
+    except Exception:                                  # noqa: BLE001
+        return None
+    got = table._bucketed_view(list(ents.values()))
+    if got is None:
+        return None
+    df, names = got
+    pks = schema.primary_keys
+    vals = [c for c in schema.field_names if c not in pks]
+    fmap = table.spark.createDataFrame(
+        [(names[p], p in old_set, p in new_set) for p in ents],
+        "__fn string, __in_old boolean, __in_new boolean")
+    df = table._apply_defaults(df)
+    d2 = (df.withColumn(
+              "__fn",
+              F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+          .join(F.broadcast(fmap), "__fn"))
+    order = order_struct(schema)
+    row = F.struct(*[F.col(c) for c in vals], F.col(KIND_COL))
+    oldt = F.max_by(F.when(F.col("__in_old"), row),
+                    F.when(F.col("__in_old"), order))
+    newt = F.max_by(F.when(F.col("__in_new"), row),
+                    F.when(F.col("__in_new"), order))
+    j = d2.groupBy(*pks).agg(oldt.alias("__ot"), newt.alias("__nt"))
+
+    def _state(c):
+        # a side's merged state: its top row's values, unless the top
+        # is a retraction (DropDeleteReader) or the side had no rows
+        return F.when(c.isNotNull()
+                      & ~c.getField(KIND_COL).isin(*RETRACT_KINDS),
+                      F.struct(*[c.getField(v).alias(v) for v in vals]))
+
+    return j.select(*pks, _state(F.col("__ot")).alias("__old"),
+                    _state(F.col("__nt")).alias("__new"))
+
+
 def derive_changelog(table: Table, from_snapshot: int | None,
                      to_snapshot: int | None = None,
                      optimize: bool = True) -> DataFrame:
@@ -92,32 +149,41 @@ def derive_changelog(table: Table, from_snapshot: int | None,
         else table.paths.latest_snapshot_id()
     keys = (_delta_key_df(table, from_snapshot, to_sid)
             if optimize and to_sid is not None else None)
-    if keys is not None:
-        # both merge branches semi-join against the same key set — persist
-        # the (small, pk-only) keys so the delta-file scan+distinct runs
-        # once, not once per branch
-        keys = keys.persist()
-        old = _merged_restricted(table, from_snapshot, keys)
-        new = _merged_restricted(table, to_sid, keys)
-    else:
-        new = table.read(snapshot_id=to_snapshot) if to_snapshot is not None \
-            else table.read()
-        old = table.read(snapshot_id=from_snapshot)
+    j = None
+    if keys is None and to_sid is not None:
+        # full diff: ONE bucketed scan of old∪new files, rows tagged by
+        # origin side, pairing groupBy on the scan's partitioning —
+        # zero exchange end to end (deduplicate engine + bucketed-view
+        # eligible layouts)
+        j = _single_scan_pairs(table, from_snapshot, to_sid)
+    if j is None:
+        if keys is not None:
+            # both merge branches semi-join against the same key set —
+            # persist the (small, pk-only) keys so the delta-file
+            # scan+distinct runs once, not once per branch
+            keys = keys.persist()
+            old = _merged_restricted(table, from_snapshot, keys)
+            new = _merged_restricted(table, to_sid, keys)
+        else:
+            new = table.read(snapshot_id=to_snapshot) \
+                if to_snapshot is not None else table.read()
+            old = table.read(snapshot_id=from_snapshot)
 
-    # Pair each key's old/new merged rows WITHOUT a join: union the two
-    # states tagged by side, one groupBy(pk) picks each side's single row
-    # (max over ≤1-element sets). A real full-outer join can't broadcast
-    # and sort-merges both sides; this is ONE shuffle + hash aggregate.
-    o = old.select(*pks, F.struct(*vals).alias("__r"),
-                   F.lit(True).alias("__is_old"))
-    n = new.select(*pks, F.struct(*vals).alias("__r"),
-                   F.lit(False).alias("__is_old"))
-    j = (o.unionByName(n)
-         .groupBy(*pks)
-         .agg(F.max(F.when(F.col("__is_old"), F.col("__r")))
-              .alias("__old"),
-              F.max(F.when(~F.col("__is_old"), F.col("__r")))
-              .alias("__new")))
+        # Pair each key's old/new merged rows WITHOUT a join: union the
+        # two states tagged by side, one groupBy(pk) picks each side's
+        # single row (max over ≤1-element sets). A real full-outer join
+        # can't broadcast and sort-merges both sides; this is ONE
+        # shuffle + hash aggregate.
+        o = old.select(*pks, F.struct(*vals).alias("__r"),
+                       F.lit(True).alias("__is_old"))
+        n = new.select(*pks, F.struct(*vals).alias("__r"),
+                       F.lit(False).alias("__is_old"))
+        j = (o.unionByName(n)
+             .groupBy(*pks)
+             .agg(F.max(F.when(F.col("__is_old"), F.col("__r")))
+                  .alias("__old"),
+                  F.max(F.when(~F.col("__is_old"), F.col("__r")))
+                  .alias("__new")))
 
     # ONE pass over the paired states: each key explodes into its
     # changelog rows (0 for unchanged, 1 for +I/-D, the ordered -U/+U

@@ -612,11 +612,18 @@ class Table:
     # and pin the snapshot's files for free.
 
     def _bucketed_merge_df(self, entries: list[FileEntry]) -> DataFrame | None:
-        """DataFrame over `entries` whose scan reports the files' bucket
-        partitioning (merge-ready, no exchange), or None when the layout
-        can't be exposed as a Spark bucketed table (legacy xxhash64
-        buckets, schema-evolved/DV files, row formats) — callers fall
-        back to _read_files."""
+        got = self._bucketed_view(entries)
+        return got[0] if got else None
+
+    def _bucketed_view(self, entries: list[FileEntry]
+                       ) -> tuple[DataFrame, dict] | None:
+        """(DataFrame, {entry.file_path: view link basename}) over
+        `entries` whose scan reports the files' bucket partitioning
+        (merge-ready, no exchange), or None when the layout can't be
+        exposed as a Spark bucketed table (legacy xxhash64 buckets,
+        schema-evolved/DV files, row formats) — callers fall back to
+        _read_files. The name map lets callers tag rows by ORIGIN file
+        via _metadata.file_path (changelog old/new sides)."""
         schema = self.schema
         spark = self.spark
         fmt = self.file_format
@@ -641,6 +648,11 @@ class Table:
             ).hexdigest()[:16]
         view = os.path.join(self.path, ".bucketed-view", token)
         tname = f"paimon_bktv_{token}"
+        # canonical order: the token identifies the file SET, so two
+        # callers with differently-ordered entry lists must generate the
+        # SAME link name per file (the name map below must match a view
+        # built by any earlier caller)
+        entries = sorted(entries, key=lambda e: e.file_path)
         try:
             rebuilt = False
             if not os.path.isdir(view):
@@ -688,7 +700,10 @@ class Table:
                           f"LOCATION '{view}'")
                 if schema.partition_keys:
                     spark.sql(f"MSCK REPAIR TABLE `{tname}`")
-            return spark.table(tname)
+            names = {e.file_path: f"part-{i:05d}-{token}"
+                                  f"_{e.bucket:05d}.c000.{ext}"
+                     for i, e in enumerate(entries)}
+            return spark.table(tname), names
         except Exception:                             # noqa: BLE001
             logging.getLogger(__name__).debug(
                 "bucketed view build failed; falling back to plain read",

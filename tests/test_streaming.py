@@ -886,3 +886,26 @@ def test_read_stream_jvm_drain(spark, wh):
     t2.append(spark.createDataFrame([(0, 9.0)], sch))
     r4 = drain(t2.read_stream())
     assert (r4.n, r4.s) == (40, 9.0 + 19 * 2.0 + 20 * 1.0)
+
+
+def test_changelog_single_scan_full_diff(spark, wh):
+    """Full-diff changelog (optimize=False) rides ONE bucketed scan of
+    old∪new files with per-file side tags: same -U/+U/-D/+I rows as the
+    two-read shape, zero hash exchanges in the plan."""
+    from paimon_spark import P
+    t = _t(spark, wh, "css")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], KV))
+    t.append(spark.createDataFrame([(2, "B")], KV))
+    t.delete_where(P.eq("k", 3))
+    t.append(spark.createDataFrame([(4, "d")], KV))
+    cl = derive_changelog(t, 1, 4, optimize=False)
+    got = sorted((r["k"], r["v"], r["_row_kind"]) for r in cl.collect())
+    assert got == [(2, "B", "+U"), (2, "b", "-U"), (3, "c", "-D"),
+                   (4, "d", "+I")]
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Bucketed: true" in plan
+    # matches the delta-restricted default path
+    got2 = sorted((r["k"], r["v"], r["_row_kind"])
+                  for r in derive_changelog(t, 1, 4).collect())
+    assert got2 == got
