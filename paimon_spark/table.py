@@ -1727,6 +1727,13 @@ class Table:
             if not os.path.isdir(base):
                 continue
             for d in os.listdir(base):
+                if sub == ".stream-view" and d == "live":
+                    # the continuous view is writer-maintained state,
+                    # not a rebuildable cache: its hardlinks deliberately
+                    # outlive expiration so a lagging stream never loses
+                    # unprocessed files (consumer-pin analog); lifecycle
+                    # is drop_stream_view()
+                    continue
                 p = os.path.join(base, d)
                 try:
                     if older_than_ms is not None and \
@@ -1843,6 +1850,120 @@ class Table:
             # single-sorted-run state: merge is identity minus retractions
             sdf = sdf.filter(~F.col(KIND_COL).isin("-D", "-U"))
         return sdf.select(*schema.field_names)
+
+    # ------- continuous JVM stream view (r7) -------
+    # For FOLLOW-UP streams on append-only tables, a writer-maintained
+    # "live" hardlink dir lets Spark's FileStreamSource — which watches
+    # a directory for new files — serve the continuous stream too: each
+    # APPEND commit links its new data files into the view (O(new
+    # files) metadata ops inside the commit), and readStream over the
+    # dir sees exactly the per-commit deltas. COMPACT commits rewrite
+    # bytes, not logical rows, so they are skipped; any other commit
+    # kind (overwrite/delete) can't be expressed as file appends and
+    # poisons the view so readers fail loudly instead of diverging.
+    # The Python DataSource remains the path for PK/changelog streams.
+
+    _LIVE_VIEW = os.path.join(".stream-view", "live")
+
+    def _live_view_meta_path(self) -> str:
+        return os.path.join(self.path, self._LIVE_VIEW, "_meta.json")
+
+    def create_stream_view(self) -> str:
+        """Create (or re-sync) the live stream view; returns its path."""
+        if self.schema.is_pk_table:
+            raise ValueError(
+                "continuous stream views require an append-only table "
+                "(PK deltas need merge/changelog semantics — use "
+                "readStream.format('paimon'))")
+        base = os.path.join(self.path, self._LIVE_VIEW)
+        os.makedirs(base, exist_ok=True)
+        self._sync_live_view()
+        return base
+
+    def has_stream_view(self) -> bool:
+        return os.path.isfile(self._live_view_meta_path())
+
+    def _live_view_link(self, base: str, e: FileEntry) -> None:
+        from paimon_spark.writer import format_extension
+        rel = os.path.dirname(e.file_path)
+        segs = [s for s in rel.split(os.sep) if s and s != "."]
+        d = os.path.join(base, *segs)
+        os.makedirs(d, exist_ok=True)
+        name = (os.path.splitext(os.path.basename(e.file_path))[0]
+                + f".{format_extension(self.file_format)}")
+        try:
+            os.link(os.path.join(self.path, e.file_path),
+                    os.path.join(d, name))
+        except FileExistsError:
+            pass                                     # idempotent re-sync
+
+    def _sync_live_view(self) -> None:
+        """Bring the live view up to the latest snapshot: link the delta
+        files of APPEND commits since the last synced id; COMPACT
+        commits are skipped; other kinds poison the view."""
+        base = os.path.join(self.path, self._LIVE_VIEW)
+        meta_p = self._live_view_meta_path()
+        try:
+            with open(meta_p) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            meta = {"snapshot_id": 0, "invalid": False}
+        if meta.get("invalid"):
+            raise ValueError(
+                "stream view poisoned by a non-append commit "
+                f"(snapshot {meta.get('invalid_at')}); drop and recreate "
+                "it, or stream via readStream.format('paimon')")
+        latest = self.paths.latest_snapshot_id() or 0
+        synced = int(meta.get("snapshot_id", 0))
+        if synced == 0 and latest:
+            # initial build: current live files in one pass
+            for e in self.new_scan().plan().entries:
+                self._live_view_link(base, e)
+        else:
+            for sid in range(synced + 1, latest + 1):
+                snap = self.paths.read_snapshot(sid)
+                if snap.commit_kind == COMMIT_COMPACT:
+                    continue
+                if snap.commit_kind != COMMIT_APPEND:
+                    meta.update({"invalid": True, "invalid_at": sid})
+                    with open(meta_p + ".tmp", "w") as f:
+                        json.dump(meta, f)
+                    os.replace(meta_p + ".tmp", meta_p)
+                    raise ValueError(
+                        f"stream view poisoned by a {snap.commit_kind} "
+                        f"commit (snapshot {sid}); drop and recreate it")
+                for e in self.delta_entries(sid - 1, sid):
+                    self._live_view_link(base, e)
+        meta["snapshot_id"] = latest
+        with open(meta_p + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_p + ".tmp", meta_p)
+
+    def drop_stream_view(self) -> None:
+        shutil.rmtree(os.path.join(self.path, self._LIVE_VIEW),
+                      ignore_errors=True)
+
+    def read_stream_continuous(self,
+                               max_files_per_trigger: int | None = None
+                               ) -> DataFrame:
+        """Continuous streaming DataFrame over the live view: Spark's
+        FileStreamSource picks up each APPEND commit's files as the
+        writer links them — zero Python in the stream, works with any
+        trigger. Requires create_stream_view() first."""
+        if not self.has_stream_view():
+            raise ValueError("no stream view; run create_stream_view()")
+        self._sync_live_view()                # catch up external commits
+        from paimon_spark.writer import format_options, spark_format_name
+        base = os.path.join(self.path, self._LIVE_VIEW)
+        reader = (self.spark.readStream
+                  .schema(self._read_struct_with_partitions())
+                  .option("basePath", base)
+                  .format(spark_format_name(self.file_format))
+                  .options(**format_options(self.file_format)))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(int(max_files_per_trigger)))
+        return reader.load(base).select(*self.schema.field_names)
 
     def read_incremental(self, from_snapshot: int | str, to_snapshot: int | str,
                          with_kind: bool = True) -> DataFrame:

@@ -769,6 +769,15 @@ class BatchWriter:
         commits (ref: CoreOptions FULL_COMPACTION_DELTA_COMMITS;
         changelog-producer=full-compaction and Iceberg mirroring of PK
         tables both rely on it)."""
+        if self.table.has_stream_view():
+            # keep the continuous JVM stream view current (O(new files)
+            # link ops); a non-append commit poisons the view via its
+            # marker — swallow here so the COMMIT itself never fails,
+            # readers raise on next use (Table._sync_live_view)
+            try:
+                self.table._sync_live_view()
+            except ValueError:
+                pass
         if self.schema.options.get("tag.automatic-creation",
                                    "none") != "none":
             # period tags on commit (ref: TagAutoManager invoked by the

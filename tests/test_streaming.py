@@ -909,3 +909,43 @@ def test_changelog_single_scan_full_diff(spark, wh):
     got2 = sorted((r["k"], r["v"], r["_row_kind"])
                   for r in derive_changelog(t, 1, 4).collect())
     assert got2 == got
+
+
+def test_continuous_stream_view(spark, wh, tmp_path):
+    """Continuous FOLLOW-UP streams on append tables ride the JVM
+    FileStreamSource too: the writer links each APPEND commit's files
+    into the live view inside the commit; COMPACT rewrites don't
+    duplicate (skipped); OVERWRITE poisons the view loudly."""
+    import uuid as _uuid
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/cview", sch, spark=spark)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(60)],
+                                   sch))
+    t.create_stream_view()
+    ck = str(tmp_path / "cv_ckpt")
+
+    def drain(total_expected):
+        sink = f"cv_{_uuid.uuid4().hex[:6]}"
+        q = (t.read_stream_continuous().agg(F.count("*").alias("n"))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.table(sink).collect()[0].n
+
+    assert drain(60) == 60
+    # follow-up commit: writer links the delta; compaction no-dupes
+    t.append(spark.createDataFrame([(i, float(i))
+                                    for i in range(60, 90)], sch))
+    t.compact()
+    t.append(spark.createDataFrame([(999, 9.9)], sch))
+    assert drain(91) == 91          # cumulative agg state: 60+30+1
+    # overwrite can't be expressed as appends → poisoned, loud
+    t.overwrite(spark.createDataFrame([(1, 1.0)], sch))
+    with pytest.raises(ValueError, match="poisoned"):
+        t.read_stream_continuous()
+    # recreate after drop
+    t.drop_stream_view()
+    t.create_stream_view()
+    assert t.has_stream_view()
