@@ -1868,15 +1868,37 @@ class Table:
     def _live_view_meta_path(self) -> str:
         return os.path.join(self.path, self._LIVE_VIEW, "_meta.json")
 
-    def create_stream_view(self) -> str:
-        """Create (or re-sync) the live stream view; returns its path."""
-        if self.schema.is_pk_table:
+    def create_stream_view(self, changelog: bool = False) -> str:
+        """Create (or re-sync) the live stream view; returns its path.
+
+        changelog=True creates a CDC-TAIL view (PK tables): no initial
+        state — each APPEND commit's delta files stream as-is with
+        their `_row_kind` (exactly the input changelog producer,
+        ref CoreOptions changelog-producer=input), so downstream CDC
+        consumers ride the JVM FileStreamSource instead of the Python
+        DataSource. changelog=False (append tables) streams the current
+        state then follow-up appends."""
+        if self.schema.is_pk_table and not changelog:
             raise ValueError(
-                "continuous stream views require an append-only table "
-                "(PK deltas need merge/changelog semantics — use "
-                "readStream.format('paimon'))")
+                "PK tables stream as a CDC tail: use "
+                "create_stream_view(changelog=True) (deltas with "
+                "_row_kind; merged initial state needs the Python "
+                "DataSource readStream.format('paimon'))")
+        if changelog and not self.schema.is_pk_table:
+            raise ValueError(
+                "changelog stream views require a PK table (append "
+                "files carry no _row_kind; plain create_stream_view() "
+                "already streams appends)")
         base = os.path.join(self.path, self._LIVE_VIEW)
         os.makedirs(base, exist_ok=True)
+        if changelog and not os.path.isfile(self._live_view_meta_path()):
+            # CDC tail: no initial state — start from NOW
+            meta = {"snapshot_id": self.paths.latest_snapshot_id() or 0,
+                    "invalid": False, "changelog": True}
+            p = self._live_view_meta_path()
+            with open(p + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(p + ".tmp", p)
         self._sync_live_view()
         return base
 
@@ -1915,7 +1937,7 @@ class Table:
                 "it, or stream via readStream.format('paimon')")
         latest = self.paths.latest_snapshot_id() or 0
         synced = int(meta.get("snapshot_id", 0))
-        if synced == 0 and latest:
+        if synced == 0 and latest and not meta.get("changelog"):
             # initial build: current live files in one pass
             for e in self.new_scan().plan().entries:
                 self._live_view_link(base, e)
@@ -1963,7 +1985,16 @@ class Table:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger",
                                    str(int(max_files_per_trigger)))
-        return reader.load(base).select(*self.schema.field_names)
+        sdf = reader.load(base)
+        try:
+            with open(self._live_view_meta_path()) as f:
+                is_cl = bool(json.load(f).get("changelog"))
+        except (OSError, ValueError):
+            is_cl = False
+        if is_cl:
+            # CDC tail: rows keep their row kind (input changelog)
+            return sdf.select(*self.schema.field_names, F.col(KIND_COL))
+        return sdf.select(*self.schema.field_names)
 
     def read_incremental(self, from_snapshot: int | str, to_snapshot: int | str,
                          with_kind: bool = True) -> DataFrame:

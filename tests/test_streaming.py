@@ -949,3 +949,44 @@ def test_continuous_stream_view(spark, wh, tmp_path):
     t.drop_stream_view()
     t.create_stream_view()
     assert t.has_stream_view()
+
+
+def test_changelog_stream_view_cdc_tail(spark, wh, tmp_path):
+    """create_stream_view(changelog=True) on a PK table tails the input
+    changelog at JVM speed: each APPEND commit's delta files stream
+    as-is with _row_kind (deletes as -D), no initial state, COMPACT
+    rewrites never duplicate (ref: changelog-producer=input)."""
+    from paimon_spark import P
+    t = _t(spark, wh, "cdct")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], KV))  # pre-view
+    t.create_stream_view(changelog=True)
+    t.append(spark.createDataFrame([(1, "A"), (3, "c")], KV))
+    t.delete_where(P.eq("k", 2))
+    rows: list = []
+    ck = str(tmp_path / "cdc_ckpt")
+    q = (t.read_stream_continuous()
+         .writeStream.foreachBatch(lambda b, i: rows.extend(
+             (r["k"], r["v"], r["_row_kind"]) for r in b.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(rows) == [(1, "A", "+I"), (2, "b", "-D"), (3, "c", "+I")]
+    t.compact()
+    t.append(spark.createDataFrame([(4, "d")], KV))
+    more: list = []
+    q2 = (t.read_stream_continuous()
+          .writeStream.foreachBatch(lambda b, i: more.extend(
+              (r["k"], r["v"], r["_row_kind"]) for r in b.collect()))
+          .option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert sorted(more) == [(4, "d", "+I")]
+    # append tables reject changelog views; PK reject plain ones
+    ta = Table.create(f"{wh}/cdap",
+                      T.StructType([T.StructField("x", T.LongType())]),
+                      spark=spark)
+    with pytest.raises(ValueError, match="PK table"):
+        ta.create_stream_view(changelog=True)
+    with pytest.raises(ValueError, match="CDC tail"):
+        t2 = _t(spark, wh, "cdct2")
+        t2.create_stream_view()
