@@ -355,3 +355,36 @@ def test_colocated_join_no_exchange(spark, wh):
         assert j.count() == 300
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rescale_keeps_fast_path_and_time_travel_safe(spark, wh):
+    """rescale rewrites every bucket under the new count and bumps the
+    schema id: post-rescale reads ride the bucketed view with the new
+    spec, while time-travel reads of PRE-rescale snapshots must NOT
+    claim the new bucket partitioning (schema-id guard) — a false
+    HashPartitioning claim would silently mis-co-locate joins."""
+    t = Table.create(f"{wh}/rsc",
+                     T.StructType([T.StructField("k", T.LongType()),
+                                   T.StructField("v", T.StringType())]),
+                     primary_keys=["k"], options={"bucket": "2"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(200)],
+                                   t.schema.struct))
+    t.append(spark.createDataFrame([(i, f"b{i}") for i in range(50)],
+                                   t.schema.struct))
+    t.rescale(8)
+    t = Table.load(f"{wh}/rsc", spark=spark)
+    assert t.schema.num_buckets == 8
+    t.append(spark.createDataFrame([(0, "c0")], t.schema.struct))
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = {r.k: r.v for r in df.collect()}
+    assert "Bucketed: true" in plan and "Exchange" not in plan
+    assert len(got) == 200 and got[0] == "c0" and got[49] == "b49" \
+        and got[50] == "a50"
+    # pre-rescale snapshot: plain path, correct rows
+    old = t.read(snapshot_id=2)
+    p2 = old._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" not in p2
+    got2 = {r.k: r.v for r in old.collect()}
+    assert len(got2) == 200 and got2[0] == "b0" and got2[50] == "a50"
