@@ -497,6 +497,24 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.append(docs)
         out["docs_blob"] = t
 
+    def _build_24():
+        # ---- lineitem_sums_pk: per-order lineitem sums, PK(l_orderkey),
+        # bucketed EXACTLY like orders_pk (murmur3, 4 buckets) and kept
+        # compacted — the co-located-join demo table: joining it with
+        # orders_pk on the order key runs with ZERO exchange on both
+        # sides (bucketed-view HashPartitioning, r7)
+        ls = (raw["lineitem"].groupBy("l_orderkey")
+              .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+                   F.sum(_dec(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")), 18, 6))
+                   .alias("revenue")))
+        t = Table.create(f"{root}/lineitem_sums_pk", ls.schema,
+                         primary_keys=["l_orderkey"],
+                         options={"bucket": "4"}, spark=spark)
+        t.append(ls)
+        t.compact(full=True)
+        out["lineitem_sums_pk"] = t
+
     def _build_19():
         # ---- orders_cdc: CDC sync-table action (S11) — a debezium-
         # shaped JSON feed built from orders drives two sync batches
@@ -638,7 +656,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -954,6 +972,23 @@ def pk_upsert_latest(spark, sf_dir):
 
 def pk_after_delete(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read()
+
+
+def colocated_join_priority(spark, sf_dir):
+    """Co-located join (J2/J5 at scale, r7): orders_pk ⋈ lineitem_sums_pk
+    on the order key — both tables bucketed murmur3 INTO 4 and kept
+    compacted, so BOTH scans report HashPartitioning and the join runs
+    with zero exchange on either side (plan pinned by
+    test_colocated_join_no_exchange; ref: the reference's bucketed-scan
+    co-location, DisableUnnecessaryPaimonBucketedScanSuite)."""
+    wh = _wh(spark, sf_dir)
+    o = wh["orders_pk"].read(projection=["o_orderkey", "o_orderpriority"])
+    ls = wh["lineitem_sums_pk"].read()
+    j = o.join(ls, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("sum_qty").cast("double").alias("qty"),
+                 F.sum("revenue").cast("double").alias("revenue")))
 
 
 def cross_partition_upsert(spark, sf_dir):
@@ -1853,10 +1888,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
     r7 window = 10-query always-in core + the 5 r6-new queries (never
-    driver-gated before; replica-gate green in r6) + 35 of the 40 rotated
-    out in r6 (driver rows stale since r5). Left out besides the r6
-    window's 40: five queries whose exact code path has an in-window
-    sibling (ann_brute/ann_lsh vs ann_ivf, sketch_theta vs sketch_hll,
+    driver-gated before; replica-gate green in r6) + the new r7
+    colocated-join query + 34 of the 40 rotated out in r6 (driver rows
+    stale since r5). Left out besides the r6 window's 40:
+    sql_function_charge (displaced, judge-replica green in r6) and five
+    queries whose exact code path has an in-window sibling
+    (ann_brute/ann_lsh vs ann_ivf, sketch_theta vs sketch_hll,
     dedup_minhash_bands vs dedup_minhash_pairs, ngram_jaccard_pairs vs
     the dedup family). ALL entries — gated or not — are oracle-checked
     every round by tests/test_oracle_parity.py (sf0.001) and
@@ -1879,7 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_doc_fingerprints": winnow_doc_fingerprints,
         "repeated_8gram_spans": repeated_8gram_spans,
         "cut_spans_clean_corpus": cut_spans_clean_corpus,
-        # --- 35 rotated back in (driver rows stale since r5) ---
+        "colocated_join_priority": colocated_join_priority,   # new in r7
+        # --- 34 rotated back in (driver rows stale since r5) ---
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
         "text_stats": text_stats,
@@ -1914,8 +1952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_field_latest": sequence_field_latest,
         "default_values_read": default_values_read,
         "tag_travel_read": tag_travel_read,
+        # --- rotated out this round (green driver rows in r6; plus
+        # sql_function_charge, displaced by the new r7 query — it was
+        # judge-replica green in r6 and stays pytest-oracle-gated) ---
         "sql_function_charge": sql_function_charge,
-        # --- rotated out this round (green driver rows in r6) ---
         "datasource_write_pk": datasource_write_pk,
         "imv_user_totals": imv_user_totals,
         "merge_into_append": merge_into_append,
@@ -2230,6 +2270,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 3 = 0
             GROUP BY o_orderstatus""",
         "pk_upsert_latest": _MERGED_12,
+        "colocated_join_priority": """
+            WITH merged AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 0 THEN '9-UPDATED'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 7 <> 3),
+            ls AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                     SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS revenue
+              FROM lineitem GROUP BY 1)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(sum_qty) AS DOUBLE) AS qty,
+                   CAST(SUM(revenue) AS DOUBLE) AS revenue
+            FROM merged JOIN ls ON o_orderkey = l_orderkey
+            GROUP BY 1""",
         "cross_partition_upsert": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 10 = 0 THEN 'X'
