@@ -116,7 +116,9 @@ class TableSchema:
                 raise ValueError(
                     "file-index sidecars require file.format parquet or "
                     f"orc, got {fmt}")
-        if primary_keys and "bucket.hash-function" not in options:
+        bucketed = primary_keys or (
+            int(options.get("bucket", "-1")) > 0 and options.get("bucket-key"))
+        if bucketed and "bucket.hash-function" not in options:
             # new tables bucket with Spark's own murmur3 (exactly
             # HashPartitioning.partitionIdExpression), which lets reads
             # report the files' bucketing to Catalyst and skip the merge

@@ -172,8 +172,11 @@ class Table:
         fields = list(schema.spark_read_struct().fields)
         for k in schema.partition_keys:
             fields.append(T.StructField(k, schema.data_type(k), True))
-        if schema.is_pk_table and schema.num_buckets != -1:
-            # fixed buckets AND postpone (-2) lay files out under __bucket=
+        if (schema.is_pk_table and schema.num_buckets != -1) or \
+                (not schema.is_pk_table and schema.num_buckets > 0
+                 and schema.bucket_keys):
+            # fixed buckets AND postpone (-2) lay files out under
+            # __bucket= — PK tables and BUCKETED APPEND tables alike
             fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
@@ -717,9 +720,17 @@ class Table:
         hidden = [SEQ_COL, KIND_COL] if (with_hidden and schema.is_pk_table) else []
 
         if not schema.is_pk_table:
-            df = self._read_files(plan.entries,
-                                  row_ranges=getattr(plan, "row_ranges",
-                                                     None))
+            df = None
+            if (schema.num_buckets > 0 and schema.bucket_keys
+                    and not getattr(plan, "row_ranges", None)
+                    and len({e.bucket for e in plan.entries}) >= 2):
+                # bucketed append table: expose the layout so joins and
+                # groupBys on the bucket key run exchange-free
+                df = self._bucketed_merge_df(plan.entries)
+            if df is None:
+                df = self._read_files(plan.entries,
+                                      row_ranges=getattr(plan, "row_ranges",
+                                                         None))
             return df.select(*logical)
 
         parts: list[DataFrame] = []

@@ -344,6 +344,17 @@ class BatchWriter:
             # ref: mergetree/MergeTreeWriter.java:139-145)
             df = df.sortWithinPartitions(*[c for c in schema.trimmed_primary_keys if c in df.columns]) \
                 if schema.trimmed_primary_keys else df
+        elif (schema.num_buckets > 0 and schema.bucket_keys
+              and BUCKET_COL not in df.columns):
+            # BUCKETED APPEND table (ref: CoreOptions bucket + bucket-key
+            # on an append-only table — BucketedAppendFileStoreTable):
+            # rows route by hash(bucket-key) exactly like PK tables, so
+            # bucketed reads/joins and per-bucket streaming order work
+            # without primary keys
+            df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+            part_cols = pkeys + [BUCKET_COL]
+            df = df.repartition(*part_cols) \
+                   .sortWithinPartitions(*schema.bucket_keys)
 
         # order columns & enforce declared types (merges/aggregations may
         # have widened them, e.g. sum(decimal(18,6)) -> decimal(28,6)).

@@ -325,3 +325,54 @@ def test_incremental_cluster_compaction(spark, wh):
     after = {e.file_path for e in t.new_scan().plan().entries}
     assert keep_before <= after      # disjoint files not rewritten
     assert t.read().count() == 8002
+
+
+def test_bucketed_append_table(spark, wh):
+    """bucket + bucket-key on an APPEND table (ref: CoreOptions
+    bucket-key, BucketedAppend*): rows route by murmur3(bucket-key),
+    reads expose the bucketing (exchange-free groupBy / co-located
+    join), point lookups prune to one bucket, and compaction re-derives
+    buckets so the layout survives bin-packing."""
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/bapp", sch,
+                     options={"bucket": "4", "bucket-key": "k"},
+                     spark=spark)
+    assert t.schema.bucket_hash == "murmur3"
+    t.append(spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(400)], sch))
+    t.append(spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(200)], sch))
+    df = t.read()
+    assert df.count() == 600                     # duplicates kept
+    total = sum(float(i) for i in range(400)) + sum(float(i)
+                                                    for i in range(200))
+    assert df.agg(F.sum("v")).collect()[0][0] == total
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        g = df.groupBy("k").agg(F.sum("v"))
+        p = g._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p and "Exchange" not in p
+        # co-located join against a PK dim bucketed the same way
+        dim = Table.create(f"{wh}/bapp_dim", sch, primary_keys=["k"],
+                           options={"bucket": "4"}, spark=spark)
+        dim.append(spark.createDataFrame([(i, float(i))
+                                          for i in range(50)], sch))
+        dim.compact()
+        j = df.join(dim.read().withColumnRenamed("v", "dv"), "k")
+        pj = j._jdf.queryExecution().executedPlan().toString()
+        assert pj.count("Bucketed: true") == 2
+        assert "Exchange hashpartitioning" not in pj
+        assert j.count() == 600
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # point lookup prunes to one bucket
+    plan = t.new_scan().plan(P.eq("k", 7))
+    assert len({e.bucket for e in plan.entries}) == 1
+    # compaction preserves totals and the bucketed layout
+    t.compact()
+    df2 = t.read()
+    assert df2.count() == 600
+    assert df2.agg(F.sum("v")).collect()[0][0] == total
+    assert all(e.bucket >= 0 for e in t.new_scan().plan().entries)
