@@ -175,7 +175,12 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     table = Table.load(partition.table_path)
     cur_sid = table.schema.schema_id
     data_cols = [c for c in names if c != KIND_COL]
-    if not partition.merge_full_state and all(
+    # formats that store TIME as ISO strings (writer.TIME_AS_STRING_
+    # FORMATS): file values need parsing back to time — row path only
+    from paimon_spark.writer import TIME_AS_STRING_FORMATS, time_shim_cols
+    shim_tcols = (set(time_shim_cols(table.schema.struct)) & set(names)
+                  if table.file_format in TIME_AS_STRING_FORMATS else set())
+    if not partition.merge_full_state and not shim_tcols and all(
             not pvals and sid == cur_sid and all(
                 c in _file_schema_names(f"{partition.table_path}/{fp}")
                 for c in data_cols)
@@ -230,6 +235,12 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                 if r.get(KIND_COL, "+I") not in ("-D", "-U")]
         for r in rows:
             r[KIND_COL] = "+I"
+    if shim_tcols:
+        import datetime as _dt
+        for r in rows:
+            for c in shim_tcols:
+                if isinstance(r.get(c), str):
+                    r[c] = _dt.time.fromisoformat(r[c])
     for r in rows:
         yield tuple(r.get(c, "+I" if c == KIND_COL else None) for c in names)
 

@@ -39,6 +39,25 @@ from paimon_spark.writer import BatchWriter
 COMPACTED_LEVEL = 5
 
 
+class _TimeRestoringReader:
+    """DataFrameReader shim for formats that store TIME columns as ISO
+    strings (writer.TIME_AS_STRING_FORMATS): load, then cast the listed
+    columns back to their declared TIME types. withColumn keeps column
+    order and leaves the file source's _metadata pseudo-column
+    resolvable (probed), so downstream row-range / DV logic is
+    unaffected."""
+
+    def __init__(self, reader, casts: dict):
+        self._reader = reader
+        self._casts = casts
+
+    def load(self, paths):
+        df = self._reader.load(paths)
+        for c, dtype in self._casts.items():
+            df = df.withColumn(c, F.col(c).cast(dtype))
+        return df
+
+
 class MergeClause:
     """One WHEN clause of a MERGE INTO statement
     (ref: MergeIntoPaimonTable.scala:47 — matchedActions /
@@ -223,14 +242,43 @@ class Table:
 
     def _freader(self, schema: TableSchema | None = None, struct=None):
         """Format-aware file reader: explicit schema + basePath (partition
-        cols from the path) + per-format options (csv null sentinel)."""
+        cols from the path) + per-format options (csv null sentinel).
+        Formats that can't store TimeType (TIME_AS_STRING_FORMATS) hold
+        ISO strings on disk — read those columns as string and restore
+        the declared TIME type right after load."""
         from paimon_spark.writer import format_options, spark_format_name
-        return (self.spark.read
-                .schema(struct if struct is not None
-                        else self._read_struct_with_partitions(schema))
-                .option("basePath", self.path)
-                .format(spark_format_name(self.file_format))
-                .options(**format_options(self.file_format)))
+        fmt = self.file_format
+        target = (struct if struct is not None
+                  else self._read_struct_with_partitions(schema))
+        read_struct, casts = self._time_shim(target)
+        reader = (self.spark.read
+                  .schema(read_struct)
+                  .option("basePath", self.path)
+                  .format(spark_format_name(fmt))
+                  .options(**format_options(fmt)))
+        if not casts:
+            return reader
+        return _TimeRestoringReader(reader, casts)
+
+    def _time_shim(self, struct: T.StructType
+                   ) -> tuple[T.StructType, dict]:
+        """(read_struct, {col: declared TIME type}) — for formats that
+        store TIME as ISO strings, swap those columns to string in the
+        read schema; callers cast back after load. No-op (struct, {})
+        for parquet or TIME-free schemas."""
+        from paimon_spark.writer import (TIME_AS_STRING_FORMATS,
+                                         time_shim_cols)
+        if self.file_format not in TIME_AS_STRING_FORMATS:
+            return struct, {}
+        tcols = time_shim_cols(struct)
+        if not tcols:
+            return struct, {}
+        rs = T.StructType(
+            [T.StructField(f.name,
+                           T.StringType() if f.name in tcols
+                           else f.dataType, f.nullable, f.metadata)
+             for f in struct.fields])
+        return rs, {c: struct[c].dataType for c in tcols}
 
     def _read_sid_group(self, sid: int, paths: list[str]) -> DataFrame:
         old = self._schema_at(sid)
@@ -631,9 +679,13 @@ class Table:
         spark = self.spark
         fmt = self.file_format
         from paimon_spark.functions.blob import blob_columns
+        from paimon_spark.writer import time_shim_cols
         if (spark is None or schema.bucket_hash != "murmur3"
                 or schema.num_buckets <= 0 or not schema.bucket_keys
-                or fmt not in ("parquet", "orc") or blob_columns(schema)):
+                or fmt not in ("parquet", "orc") or blob_columns(schema)
+                # orc stores TIME as strings (shim): the view DDL would
+                # declare TIME over string files — plain read handles it
+                or (fmt == "orc" and time_shim_cols(schema.struct))):
             return None
         sid = schema.schema_id
         if any(e.schema_id != sid or e.dv_path or e.bucket is None
@@ -1848,8 +1900,10 @@ class Table:
                 shutil.rmtree(tmp, ignore_errors=True)
                 if not os.path.isdir(view):
                     raise
+        read_struct, casts = self._time_shim(
+            self._read_struct_with_partitions())
         reader = (self.spark.readStream
-                  .schema(self._read_struct_with_partitions())
+                  .schema(read_struct)
                   .option("basePath", view)
                   .format(spark_format_name(fmt))
                   .options(**format_options(fmt)))
@@ -1857,6 +1911,8 @@ class Table:
             reader = reader.option("maxFilesPerTrigger",
                                    str(int(max_files_per_trigger)))
         sdf = reader.load(view)
+        for c, dtype in casts.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(dtype))
         if schema.is_pk_table:
             # single-sorted-run state: merge is identity minus retractions
             sdf = sdf.filter(~F.col(KIND_COL).isin("-D", "-U"))
@@ -1988,8 +2044,10 @@ class Table:
         self._sync_live_view()                # catch up external commits
         from paimon_spark.writer import format_options, spark_format_name
         base = os.path.join(self.path, self._LIVE_VIEW)
+        read_struct, casts = self._time_shim(
+            self._read_struct_with_partitions())
         reader = (self.spark.readStream
-                  .schema(self._read_struct_with_partitions())
+                  .schema(read_struct)
                   .option("basePath", base)
                   .format(spark_format_name(self.file_format))
                   .options(**format_options(self.file_format)))
@@ -1997,6 +2055,8 @@ class Table:
             reader = reader.option("maxFilesPerTrigger",
                                    str(int(max_files_per_trigger)))
         sdf = reader.load(base)
+        for c, dtype in casts.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(dtype))
         try:
             with open(self._live_view_meta_path()) as f:
                 is_cl = bool(json.load(f).get("changelog"))

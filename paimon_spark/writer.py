@@ -57,6 +57,22 @@ def format_extension(fmt: str) -> str:
 # Hive \N marker on BOTH write and read so round-trips are lossless
 _FORMAT_OPTS = {"csv": {"nullValue": "\\N", "header": "false"}}
 
+# Spark 4.1's orc/csv/json/avro datasources reject TimeType outright
+# (UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE; probed r7 — only parquet writes
+# it natively). The table schema is the source of truth, so these formats
+# store TIME columns as canonical ISO-8601 strings and reads restore the
+# declared type (Table._freader). ISO HH:MM:SS[.ffffff] compares
+# lexicographically == chronologically, so staged string min/max map 1:1
+# onto time stats (converted back to times in _adopt_staged).
+TIME_AS_STRING_FORMATS = frozenset({"orc", "csv", "json", "avro"})
+
+
+def time_shim_cols(struct: T.StructType) -> list[str]:
+    """Top-level TIME columns of `struct` (nested TIME is rejected at
+    stage time — the shim would need a deep rewrite to round-trip it)."""
+    return [f.name for f in struct.fields
+            if isinstance(f.dataType, T.TimeType)]
+
 
 def format_options(fmt: str) -> dict:
     return dict(_FORMAT_OPTS.get(fmt, {}))
@@ -435,11 +451,22 @@ class BatchWriter:
                       .sortWithinPartitions("__cluster")
                       .drop("__cluster"))
 
+        fmt = self.file_format
+        if fmt in TIME_AS_STRING_FORMATS:
+            for fld in df.schema.fields:
+                if isinstance(fld.dataType, T.TimeType):
+                    df = df.withColumn(fld.name,
+                                       F.col(fld.name).cast("string"))
+                elif "time(" in fld.dataType.simpleString():
+                    raise ValueError(
+                        f"file.format={fmt} cannot store TIME nested "
+                        f"inside column {fld.name!r} "
+                        f"({fld.dataType.simpleString()}); use parquet "
+                        f"or a top-level TIME column")
         staging = os.path.join(self.paths.staging_dir, uuid.uuid4().hex)
         writer = df.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        fmt = self.file_format
         try:
             writer.format(spark_format_name(fmt)) \
                   .options(**format_options(fmt)).save(staging)
@@ -591,6 +618,16 @@ class BatchWriter:
                          "max": stat_from_json(s.get("max")),
                          "nulls": s.get("nulls")}
                      for c, s in r["stats"].items()}
+            if fmt in TIME_AS_STRING_FORMATS:
+                # TIME columns staged as ISO strings: store typed stats
+                # so scan-time skipping compares time-to-time
+                import datetime as _dt
+                for c in time_shim_cols(schema.struct):
+                    s = stats.get(c)
+                    if s:
+                        for k in ("min", "max"):
+                            if isinstance(s[k], str):
+                                s[k] = _dt.time.fromisoformat(s[k])
             rel_dir = os.path.dirname(r["file_path"])
             partition = parse_partition_path(r["file_path"],
                                              schema.partition_keys)

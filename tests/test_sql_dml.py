@@ -511,3 +511,41 @@ def test_copy_into_sql_statements(spark, wh, tmp_path):
         _json.dump(meta, f)
     c.sql("INSERT INTO cp VALUES (9, 'z', 9.0)")   # commit → sweep
     assert "ephemeral" not in t.paths.list_tags()
+
+
+def test_sql_colocated_join_no_exchange(spark, wh):
+    """SQL joins between co-bucketed tables plan with ZERO Exchange:
+    registered views wrap Table.read(), which exposes planned files as a
+    Spark bucketed table, so Catalyst sees matching HashPartitioning on
+    both sides of the join (the reference's bucketed-scan co-location,
+    ref: paimon-spark/.../PaimonScan.scala:115 KeyGroupedPartitioning;
+    DisableUnnecessaryPaimonBucketedScanSuite)."""
+    c = _cat(spark, wh)
+    c.create_table("codim", T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType())]),
+        primary_keys=["k"], options={"bucket": "4"})
+    c.create_table("cofact", T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("amt", T.DoubleType())]),
+        primary_keys=["k"], options={"bucket": "4"})
+    c.sql("INSERT INTO codim SELECT id, concat('v', id) FROM range(300)")
+    c.sql("INSERT INTO cofact SELECT id, cast(id AS double) "
+          "FROM range(300)")
+    c.get_table("codim").compact()
+    c.get_table("cofact").compact()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = ("SELECT d.k, d.v, f.amt FROM codim d "
+             "JOIN cofact f ON d.k = f.k")
+        df = c.sql(q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange" not in plan
+        assert df.count() == 300
+        # the EXPLAIN surface a user would check shows the same thing
+        txt = "\n".join(r[0] for r in c.sql("EXPLAIN " + q).collect())
+        assert "Exchange" not in txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

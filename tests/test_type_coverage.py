@@ -125,3 +125,82 @@ def test_pk_merge_with_exotic_value_types(spark, wh):
     assert len(got) == 3
     assert got[0].c_str == "héllo wörld ünïcode ✓"   # updated
     assert got[1].c_str == "héllo wörld ünïcode ✓"   # unchanged row 1
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_time_type_row_formats(spark, wh, fmt):
+    """TIME in formats whose Spark datasource rejects TimeType
+    (UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE): stored as ISO strings
+    (writer.TIME_AS_STRING_FORMATS), restored to the declared type at
+    read, with typed manifest stats so skipping still compares
+    time-to-time."""
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("c_time", T.TimeType())])
+    rows = [(0, dt.time(1, 2, 3)), (1, dt.time(12, 34, 56, 123456)),
+            (2, None)]
+    t = Table.create(f"{wh}/tt_{fmt}", sch,
+                     options={"file.format": fmt}, spark=spark)
+    t.append(spark.createDataFrame(rows, sch).coalesce(1))
+    got = {r.id: r.c_time for r in t.read().collect()}
+    assert got == {0: dt.time(1, 2, 3), 1: dt.time(12, 34, 56, 123456),
+                   2: None}
+    assert isinstance(t.read().schema["c_time"].dataType, T.TimeType)
+    # typed stats: out-of-range probe skips the file
+    plan = t.new_scan().plan(P.gt("c_time", dt.time(23, 0, 0)))
+    assert plan.files_skipped == 1 and not plan.entries
+    assert t.new_scan().plan(P.le("c_time", dt.time(2, 0, 0))).entries
+    # PK merge carries the restored type through max_by
+    t2 = Table.create(f"{wh}/tt_pk_{fmt}", sch, primary_keys=["id"],
+                      options={"file.format": fmt, "bucket": "1"},
+                      spark=spark)
+    t2.append(spark.createDataFrame(rows, sch))
+    t2.append(spark.createDataFrame([(2, dt.time(6, 30))], sch))
+    got2 = {r.id: r.c_time for r in t2.read().collect()}
+    assert got2 == {0: dt.time(1, 2, 3),
+                    1: dt.time(12, 34, 56, 123456), 2: dt.time(6, 30)}
+
+
+def test_time_type_nested_rejected_in_row_formats(spark, wh):
+    """Nested TIME can't round-trip through string-shimmed formats —
+    loud error instead of corrupt data."""
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType(
+            [T.StructField("t", T.TimeType())]))])
+    t = Table.create(f"{wh}/tt_nested", sch,
+                     options={"file.format": "json"}, spark=spark)
+    with pytest.raises(ValueError, match="nested"):
+        t.append(spark.createDataFrame([(1, (dt.time(1, 2),))], sch))
+
+
+def test_time_type_streaming(spark, wh):
+    """TIME through both streaming paths: the JVM FileStreamSource
+    drain (parquet) and the Python DataSource row reader over a
+    string-shimmed orc table."""
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("c_time", T.TimeType())])
+    rows = [(0, dt.time(1, 2, 3)), (1, dt.time(23, 59, 59, 999999))]
+    t = Table.create(f"{wh}/tt_stream", sch, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    q = (t.read_stream().writeStream.format("memory")
+         .queryName("tt_stream_mem").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.id: r.c_time
+           for r in spark.sql("SELECT * FROM tt_stream_mem").collect()}
+    assert got == dict(rows)
+    # Python-DS path on a shimmed format (orc PK table)
+    t2 = Table.create(f"{wh}/tt_stream_orc", sch, primary_keys=["id"],
+                      options={"file.format": "orc", "bucket": "1"},
+                      spark=spark)
+    t2.append(spark.createDataFrame(rows, sch))
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    sdf = (spark.readStream.format("paimon")
+           .option("path", t2.path).option("availablenow", "true").load())
+    q2 = (sdf.writeStream.format("memory").queryName("tt_stream_orc_mem")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = {r.id: r.c_time
+            for r in spark.sql("SELECT id, c_time "
+                               "FROM tt_stream_orc_mem").collect()}
+    assert got2 == dict(rows)
