@@ -2205,14 +2205,17 @@ class Table:
 
     def vector_search(self, query: list[float], k: int = 10,
                       vec_col: str = "embedding",
-                      method: str = "brute") -> DataFrame:
+                      method: str = "brute",
+                      nprobe: int | None = None) -> DataFrame:
         """Top-k rows of this table by cosine similarity to `query`
         (≈ VectorSearchTable, ref: table/VectorSearchTable.java:35 — a
         readonly view of the origin table with a vector-search spec).
         method='brute': exact scan scored in whole-stage codegen, top-k via
         TakeOrderedAndProject (no full sort). method='lsh': score only the
         query's sign-LSH bucket — the 100 TB path (candidates cut by
-        2^planes)."""
+        2^planes). method='ivf' probes `nprobe` inverted lists (the
+        recall-vs-cost dial: nprobe=C is exact; default from the
+        `vector-index.nprobe` table option, else max(2, C//8))."""
         from paimon_spark.functions import similarity as S
 
         qcol = F.array(*[F.lit(float(x)) for x in query])
@@ -2235,7 +2238,12 @@ class Table:
                 return d / (na * nb) if na and nb else 0.0
             ranked = sorted(enumerate(meta["centroids"]),
                             key=lambda ic: -_cos(query, ic[1]))
-            probes = [i for i, _ in ranked[:max(2, len(ranked) // 8)]]
+            if nprobe is None:
+                nprobe = int(self.schema.options.get(
+                    "vector-index.nprobe", "0")) \
+                    or max(2, len(ranked) // 8)
+            nprobe = max(1, min(int(nprobe), len(ranked)))
+            probes = [i for i, _ in ranked[:nprobe]]
             root = self._vector_index_dir(vec_col)
             paths = self._index_read_paths(root, meta)
             if not paths:
@@ -2269,7 +2277,7 @@ class Table:
 
     def create_vector_index(self, vec_col: str = "embedding",
                             id_col: str | None = None,
-                            n_centroids: int = 16) -> int:
+                            n_centroids: int | None = None) -> int:
         """Build and persist an IVF index: rows are assigned to their
         nearest-centroid inverted list and written PARTITIONED BY cluster,
         so a search reads only the probed lists via partition pruning —
@@ -2283,6 +2291,9 @@ class Table:
         first-n-rows, so recall does not depend on id ordering.)"""
         from paimon_spark.functions.similarity import kmeans_centroids
 
+        if n_centroids is None:
+            n_centroids = int(self.schema.options.get(
+                "vector-index.num-centroids", "16"))
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, vec_col])
         centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)

@@ -339,3 +339,42 @@ def test_ivf_kmeans_recall_vs_brute(spark, wh):
         hits += len(set(brute) & set(ivf))
         total += len(brute)
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_nprobe_knob(spark, wh):
+    """nprobe is the IVF recall-vs-cost dial: explicit argument wins,
+    the `vector-index.nprobe` table option sets the default, and
+    nprobe = n_centroids degrades to exact search (recall 1.0 vs
+    brute). `vector-index.num-centroids` likewise drives the build."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(23)
+    centers = [[rnd.uniform(-5, 5) for _ in range(8)] for _ in range(8)]
+    rows = [(i, [x + rnd.gauss(0, 0.3) for x in centers[i % 8]])
+            for i in range(320)]
+    t = Table.create(f"{wh}/vnprobe", sch,
+                     options={"vector-index.num-centroids": "8",
+                              "vector-index.nprobe": "3"}, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid")   # option-driven C
+    meta = t.vector_index_meta("embedding")
+    assert meta["n_centroids"] == 8
+    q = dict(rows)[17]
+    brute = [r.vid for r in
+             t.vector_search(q, k=5, method="brute").collect()]
+    # nprobe=C probes every list — exact
+    full = [r.vid for r in
+            t.vector_search(q, k=5, method="ivf", nprobe=8).collect()]
+    assert full == brute
+    # recall is monotone in nprobe (more lists probed ⊇ fewer)
+    r1 = set(r.vid for r in
+             t.vector_search(q, k=5, method="ivf", nprobe=1).collect())
+    r4 = set(r.vid for r in
+             t.vector_search(q, k=5, method="ivf", nprobe=4).collect())
+    assert len(r4 & set(brute)) >= len(r1 & set(brute))
+    # option default (nprobe=3) beats the 1-list probe or ties it
+    ropt = set(r.vid for r in
+               t.vector_search(q, k=5, method="ivf").collect())
+    assert len(ropt & set(brute)) >= len(r1 & set(brute))

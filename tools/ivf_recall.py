@@ -1,0 +1,110 @@
+"""IVF recall@k and latency evidence vs brute force (r7 verdict/IVF knob).
+
+Builds a table over <sf_dir>/embeddings.parquet, persists the IVF index
+(Table.create_vector_index — k-means-trained, cluster-partitioned
+inverted lists), then sweeps `nprobe` and reports recall@k against the
+exact brute-force answer plus warm per-query wall-clock. Prints one
+JSON line:
+
+  {"sf_dir": ..., "n": N, "n_centroids": C, "k": K,
+   "brute_s": t, "sweep": [{"nprobe": p, "recall": r, "s_per_query": t}]}
+
+Usage:
+  python tools/ivf_recall.py [sf_dir] [--sf1] [--k 10] [--queries 20]
+  --sf1 replicates sf0.1 10x first (tools/scale_check.ensure_sf1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    k = 10
+    n_queries = 20
+    if "--k" in args:
+        k = int(args[args.index("--k") + 1])
+    if "--queries" in args:
+        n_queries = int(args[args.index("--queries") + 1])
+    sf_dir = next((a for a in args if not a.startswith("--")
+                   and not a.isdigit()), "/root/testdata/sf0.1")
+
+    from paimon_spark.session import get_spark
+    from paimon_spark import Table
+    from pyspark.sql import functions as F
+
+    spark = get_spark("ivf_recall")
+    if "--sf1" in args:
+        from tools.scale_check import ensure_sf1
+        sf_dir = ensure_sf1(spark)
+
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    n = emb.count()
+    # sqrt(N) lists is the standard IVF sizing; queries then score
+    # ~nprobe*sqrt(N) vectors instead of N
+    n_centroids = max(8, int(n ** 0.5 / 2))
+
+    wh = tempfile.mkdtemp(prefix="ivf_recall_")
+    try:
+        t = Table.create(
+            os.path.join(wh, "emb"), emb.schema, spark=spark)
+        t.append(emb)
+        t0 = time.time()
+        t.create_vector_index("embedding", id_col="vec_id",
+                              n_centroids=n_centroids)
+        build_s = time.time() - t0
+
+        qrows = (emb.orderBy("vec_id").limit(max(200, n_queries * 7))
+                 .collect())
+        queries = [(r.vec_id, list(r.embedding))
+                   for r in qrows[::7][:n_queries]]
+
+        # exact answers once (also warms the JVM)
+        truth = {}
+        t0 = time.time()
+        for qid, q in queries:
+            truth[qid] = [r.vec_id for r in
+                          t.vector_search(q, k=k, method="brute")
+                          .collect()]
+        brute_s = (time.time() - t0) / len(queries)
+
+        sweep = []
+        for nprobe in (1, 2, 4, 8, max(1, n_centroids // 4), n_centroids):
+            if any(s["nprobe"] == nprobe for s in sweep):
+                continue
+            hits = total = 0
+            t0 = time.time()
+            for qid, q in queries:
+                got = [r.vec_id for r in
+                       t.vector_search(q, k=k, method="ivf",
+                                       nprobe=nprobe).collect()]
+                hits += len(set(got) & set(truth[qid]))
+                total += len(truth[qid])
+            sweep.append({"nprobe": nprobe,
+                          "recall": round(hits / total, 4),
+                          "s_per_query": round(
+                              (time.time() - t0) / len(queries), 3)})
+        print(json.dumps({
+            "sf_dir": sf_dir, "n": n, "n_centroids": n_centroids,
+            "k": k, "n_queries": len(queries),
+            "index_build_s": round(build_s, 2),
+            "brute_s_per_query": round(brute_s, 3),
+            "sweep": sweep}))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
