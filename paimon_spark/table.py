@@ -2252,8 +2252,15 @@ class Table:
                    .parquet(*paths)
                    .filter(F.col("cluster").isin(probes)))
             inv = self._apply_index_retractions(inv, root, meta)
-            topk = (inv.withColumn("_score", S.cosine(F.col("vec"), qcol))
-                    .orderBy(F.desc("_score")).limit(k)
+            topk = inv.withColumn("_score",
+                                  S.cosine(F.col("vec"), qcol))
+            if int(meta.get("spill") or 0):
+                # multi-assigned vectors appear in several probed lists
+                # with identical scores — collapse per id (partial agg
+                # over the pruned candidate set, not the corpus)
+                topk = topk.groupBy("id").agg(
+                    F.max("_score").alias("_score"))
+            topk = (topk.orderBy(F.desc("_score")).limit(k)
                     .select(F.col("id").alias(meta["id_col"]), "_score"))
             return (self.read().join(F.broadcast(topk), meta["id_col"])
                     .orderBy(F.desc("_score")).limit(k))
@@ -2277,7 +2284,8 @@ class Table:
 
     def create_vector_index(self, vec_col: str = "embedding",
                             id_col: str | None = None,
-                            n_centroids: int | None = None) -> int:
+                            n_centroids: int | None = None,
+                            spill: int | None = None) -> int:
         """Build and persist an IVF index: rows are assigned to their
         nearest-centroid inverted list and written PARTITIONED BY cluster,
         so a search reads only the probed lists via partition pruning —
@@ -2294,10 +2302,14 @@ class Table:
         if n_centroids is None:
             n_centroids = int(self.schema.options.get(
                 "vector-index.num-centroids", "16"))
+        if spill is None:
+            spill = int(self.schema.options.get(
+                "vector-index.assign-spill", "0"))
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, vec_col])
         centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)
-        inv = self._assign_vector_clusters(df, centroids, id_col, vec_col)
+        inv = self._assign_vector_clusters(df, centroids, id_col, vec_col,
+                                           spill=spill)
         out = self._vector_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         inv.write.partitionBy("cluster").parquet(out)
@@ -2305,6 +2317,7 @@ class Table:
         self._write_index_meta(out, {
             "vec_col": vec_col, "id_col": id_col,
             "n_centroids": n_centroids, "centroids": centroids,
+            "spill": spill,
             "snapshot_id": self.paths.latest_snapshot_id(),
             "files": files,
             "generation": 0,
@@ -2316,9 +2329,14 @@ class Table:
 
     def _assign_vector_clusters(self, df: DataFrame,
                                 centroids: list[list[float]], id_col: str,
-                                vec_col: str) -> DataFrame:
+                                vec_col: str, spill: int = 0) -> DataFrame:
         """(cluster, id, vec) nearest-centroid assignment — shared by the
-        full build and the incremental delta-append refresh."""
+        full build and the incremental delta-append refresh. `spill`
+        additionally replicates each vector into its `spill` runner-up
+        lists (multi-assignment: border vectors — the ones IVF recall
+        loses — become reachable from either side; index grows
+        (1+spill)×, recall at fixed nprobe rises; the query path
+        de-duplicates by id)."""
         from paimon_spark.functions.similarity import cosine
 
         from pyspark.sql import Window
@@ -2331,7 +2349,7 @@ class Table:
         w = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
                                                F.asc("__cid"))
         return (assigned.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
+                .filter(F.col("__r") <= 1 + max(0, int(spill)))
                 .select(F.col("__cid").alias("cluster"),
                         F.col(id_col).alias("id"),
                         F.col(vec_col).alias("vec")))
@@ -2377,7 +2395,8 @@ class Table:
                         * max(int(meta.get("n_rows", 0)) or 1, 1)):
                     cl.unpersist()
                     self.create_vector_index(vec_col, id_col,
-                                             meta["n_centroids"])
+                                             meta["n_centroids"],
+                                             spill=meta.get("spill"))
                     return "rebuilt"
                 meta["n_rows"] = (int(meta.get("n_rows", 0))
                                   + int(agg["n_ins"] or 0)
@@ -2387,7 +2406,8 @@ class Table:
                 delta = cl.filter(F.col(KIND_COL).isin("+I", "+U"))
         if delta is None:
             self.create_vector_index(vec_col, meta["id_col"],
-                                     meta["n_centroids"])
+                                     meta["n_centroids"],
+                                     spill=meta.get("spill"))
             return "rebuilt"
         gen = int(meta.get("generation", 0)) + (1 if retr_ids is not None
                                                 else 0)
@@ -2397,7 +2417,7 @@ class Table:
             new_r = self._write_index_retractions(out, retr_ids, gen)
         inv = self._assign_vector_clusters(
             delta.select(id_col, vec_col), meta["centroids"], id_col,
-            vec_col)
+            vec_col, spill=int(meta.get("spill") or 0))
         inv.write.mode("append").partitionBy("cluster").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
         fgens = dict(meta.get("file_gens") or {})

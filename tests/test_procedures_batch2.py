@@ -378,3 +378,58 @@ def test_ivf_nprobe_knob(spark, wh):
     ropt = set(r.vid for r in
                t.vector_search(q, k=5, method="ivf").collect())
     assert len(ropt & set(brute)) >= len(r1 & set(brute))
+
+
+def test_ivf_assign_spill_recall(spark, wh):
+    """Multi-assignment spill (`vector-index.assign-spill`): each vector
+    is replicated into its runner-up lists, so border vectors survive a
+    narrow probe — recall at fixed nprobe is >= the single-assignment
+    index, results carry no duplicate ids, and the spill setting rides
+    index meta through incremental refresh (upsert stays visible)."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(31)
+    # unclustered vectors: the IVF-hostile case where spill must help
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    queries = [rows[j][1] for j in (3, 77, 150, 288, 399)]
+
+    def _recall(t, nprobe):
+        hits = total = 0
+        for q in queries:
+            brute = [r.vid for r in
+                     t.vector_search(q, k=5, method="brute").collect()]
+            got = [r.vid for r in
+                   t.vector_search(q, k=5, method="ivf",
+                                   nprobe=nprobe).collect()]
+            assert len(got) == len(set(got)), "duplicate ids in top-k"
+            hits += len(set(got) & set(brute))
+            total += len(brute)
+        return hits / total
+
+    t0 = Table.create(f"{wh}/vsp0", sch, spark=spark)
+    t0.append(spark.createDataFrame(rows, sch))
+    t0.create_vector_index("embedding", id_col="vid", n_centroids=8)
+    t1 = Table.create(f"{wh}/vsp1", sch,
+                      options={"vector-index.assign-spill": "2"},
+                      spark=spark)
+    t1.append(spark.createDataFrame(rows, sch))
+    t1.create_vector_index("embedding", id_col="vid", n_centroids=8)
+    assert t1.vector_index_meta("embedding")["spill"] == 2
+    assert _recall(t1, 2) >= _recall(t0, 2)
+    # nprobe=C stays exact even with replicated entries
+    q = queries[0]
+    brute = [r.vid for r in
+             t0.vector_search(q, k=5, method="brute").collect()]
+    assert [r.vid for r in
+            t1.vector_search(q, k=5, method="ivf",
+                             nprobe=8).collect()] == brute
+    # incremental refresh keeps spilling with the meta-pinned setting
+    new = (400, [x + 0.01 for x in rows[3][1]])
+    t1.append(spark.createDataFrame([new], sch))
+    assert t1.refresh_vector_index("embedding") == "incremental"
+    got = [r.vid for r in t1.vector_search(new[1], k=2,
+                                           method="ivf",
+                                           nprobe=8).collect()]
+    assert set(got) == {400, 3}

@@ -30,10 +30,13 @@ def main():
     args = [a for a in sys.argv[1:]]
     k = 10
     n_queries = 20
+    spill = 0
     if "--k" in args:
         k = int(args[args.index("--k") + 1])
     if "--queries" in args:
         n_queries = int(args[args.index("--queries") + 1])
+    if "--spill" in args:
+        spill = int(args[args.index("--spill") + 1])
     sf_dir = next((a for a in args if not a.startswith("--")
                    and not a.isdigit()), "/root/testdata/sf0.1")
 
@@ -62,7 +65,7 @@ def main():
         t.append(emb)
         t0 = time.time()
         t.create_vector_index("embedding", id_col="vec_id",
-                              n_centroids=n_centroids)
+                              n_centroids=n_centroids, spill=spill)
         build_s = time.time() - t0
 
         qrows = (emb.orderBy("vec_id").limit(max(200, n_queries * 7))
@@ -97,7 +100,7 @@ def main():
                               (time.time() - t0) / len(queries), 3)})
         print(json.dumps({
             "sf_dir": sf_dir, "n": n, "n_centroids": n_centroids,
-            "k": k, "n_queries": len(queries),
+            "spill": spill, "k": k, "n_queries": len(queries),
             "index_build_s": round(build_s, 2),
             "brute_s_per_query": round(brute_s, 3),
             "sweep": sweep}))
