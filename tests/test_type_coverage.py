@@ -204,3 +204,34 @@ def test_time_type_streaming(spark, wh):
             for r in spark.sql("SELECT id, c_time "
                                "FROM tt_stream_orc_mem").collect()}
     assert got2 == dict(rows)
+
+
+def test_time_type_streaming_both_paths(spark, wh):
+    """TIME survives BOTH streaming data planes: the JVM
+    FileStreamSource drain (append/compacted shapes) and the Python
+    DataSource fallback (multi-run merge-on-read), including the
+    merge's max_by carry."""
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("c_time", T.TimeType())])
+
+    def _drain(sdf, name):
+        q = (sdf.writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return {r.id: r.c_time
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    t = Table.create(f"{wh}/t_time_jvm", sch, spark=spark)
+    t.append(spark.createDataFrame(
+        [(0, dt.time(0, 0)), (1, dt.time(12, 34, 56, 123456)),
+         (2, None)], sch))
+    assert _drain(t.read_stream(), "ttsj") == {
+        0: dt.time(0, 0), 1: dt.time(12, 34, 56, 123456), 2: None}
+
+    t2 = Table.create(f"{wh}/t_time_pyds", sch, primary_keys=["id"],
+                      options={"bucket": "1"}, spark=spark)
+    t2.append(spark.createDataFrame(
+        [(0, dt.time(1, 2, 3)), (1, dt.time(4, 5, 6))], sch))
+    t2.append(spark.createDataFrame([(1, dt.time(23, 59, 59))], sch))
+    assert _drain(t2.read_stream(), "ttsp") == {
+        0: dt.time(1, 2, 3), 1: dt.time(23, 59, 59)}
