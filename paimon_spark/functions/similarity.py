@@ -14,6 +14,8 @@ bucketing turns O(N) per query into O(N / 2^planes) expected.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -363,3 +365,103 @@ def sql_quantize(vec: str) -> dict[str, str]:
         "q": (f"list_transform({vec}, "
               f"x -> CAST(round(CAST(x AS DOUBLE) / ({scale})) AS INT))"),
     }
+
+
+# ---------------- product quantization (IVF-PQ) ----------------
+# Index-side compression for the persisted IVF index: vectors are cut
+# into m subspaces, each encoded as its nearest codebook entry, so an
+# inverted-list row stores m small ints instead of d doubles (d=64,
+# m=8: 512 B -> ~8 B — the difference between an index that fits in
+# page cache at 100 TB and one that doesn't). Queries score codes via
+# ADC lookup tables entirely in Catalyst, then re-rank a small exact
+# candidate set fetched from the table (which holds the full vectors
+# anyway). Codebooks train driver-side on a bounded deterministic
+# sample — the standard PQ recipe (k-means per subspace is O(sample ·
+# n_codes), independent of corpus size).
+
+def pq_train(sample: list[list[float]], m: int,
+             n_codes: int = 256, iters: int = 8) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks: m lists of n_codes centroids
+    of dim d/m. Deterministic: seeds are the first n_codes distinct
+    sub-vectors of the (caller-ordered) sample."""
+    import numpy as np
+    X = np.asarray(sample, dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by pq m={m}")
+    sub = d // m
+    n_codes = max(2, min(n_codes, n))
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        # distinct seeds (duplicate rows collapse k-means cells)
+        _, idx = np.unique(S.round(9), axis=0, return_index=True)
+        seeds = S[np.sort(idx)][:n_codes]
+        C = seeds.copy()
+        k = len(C)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]],
+              spark) -> Column:
+    """array<double> → array<int> PQ codes, scored against broadcast
+    codebooks in an Arrow-batched pandas UDF (numpy argmin per
+    subspace — the vectorized path; no per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        import numpy as np
+        books = [np.asarray(b, dtype=np.float64) for b in bc.value]
+        m = len(books)
+        sub = books[0].shape[1]
+        out = []
+        vals = np.stack(col.to_numpy())
+        for j, B in enumerate(books):
+            S = vals[:, j * sub:(j + 1) * sub]
+            # argmin ||s-c||^2 = argmin (||c||^2 - 2 s·c) per row
+            d2 = (B * B).sum(1)[None, :] - 2.0 * (S @ B.T)
+            out.append(d2.argmin(1))
+        codes = np.stack(out, axis=1)
+        return pd.Series(list(codes.astype("int32")))
+
+    return _enc(vec)
+
+
+def pq_luts(query: list[float],
+            codebooks: list[list[list[float]]]
+            ) -> tuple[list[list[float]], list[list[float]], float]:
+    """ADC lookup tables for a query: (dot-LUT, squared-norm-LUT,
+    |query|). cosine(q, x) ≈ Σ_j dlut[j][code_j] /
+    (|q| · sqrt(Σ_j nlut[j][code_j]))."""
+    import math
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dlut, nlut = [], []
+    for j in range(m):
+        qj = query[j * sub:(j + 1) * sub]
+        dlut.append([sum(a * b for a, b in zip(qj, c))
+                     for c in codebooks[j]])
+        nlut.append([sum(a * a for a in c) for c in codebooks[j]])
+    qn = math.sqrt(sum(x * x for x in query))
+    return dlut, nlut, qn
+
+
+def pq_score(codes: Column, dlut: Column, nlut: Column,
+             query_norm: float) -> Column:
+    """Approximate cosine from PQ codes + broadcast LUT columns —
+    whole-stage-codegen array ops, no Python in the scoring loop."""
+    pick = lambda lut: F.zip_with(   # noqa: E731
+        codes, lut, lambda c, row: F.element_at(row, c + F.lit(1)))
+    s = F.aggregate(pick(dlut), F.lit(0.0), lambda a, x: a + x)
+    n2 = F.aggregate(pick(nlut), F.lit(0.0), lambda a, x: a + x)
+    return s / (F.lit(query_norm) * F.sqrt(F.greatest(n2, F.lit(1e-30))))

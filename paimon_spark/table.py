@@ -2252,6 +2252,32 @@ class Table:
                    .parquet(*paths)
                    .filter(F.col("cluster").isin(probes)))
             inv = self._apply_index_retractions(inv, root, meta)
+            pq = meta.get("pq")
+            if pq:
+                # ADC: score the probed lists' CODES against broadcast
+                # lookup tables (pure Catalyst array ops), keep
+                # k·refine approximate candidates, re-rank them exactly
+                # against the table's full vectors — the standard
+                # IVF-PQ search, never shipping raw vectors in the index
+                dlut, nlut, qn = S.pq_luts(query, pq["codebooks"])
+                luts = self.spark.createDataFrame(
+                    [(dlut, nlut)],
+                    "dlut array<array<double>>, nlut array<array<double>>")
+                cand = (inv.crossJoin(F.broadcast(luts))
+                        .withColumn("_ascore", S.pq_score(
+                            F.col("codes"), F.col("dlut"), F.col("nlut"),
+                            qn)))
+                if int(meta.get("spill") or 0):
+                    cand = cand.groupBy("id").agg(
+                        F.max("_ascore").alias("_ascore"))
+                refine = int(self.schema.options.get(
+                    "vector-index.pq.refine", "4"))
+                ids = (cand.orderBy(F.desc("_ascore")).limit(k * refine)
+                       .select(F.col("id").alias(meta["id_col"])))
+                return (self.read().join(F.broadcast(ids), meta["id_col"])
+                        .withColumn("_score",
+                                    S.cosine(F.col(vec_col), qcol))
+                        .orderBy(F.desc("_score")).limit(k))
             topk = inv.withColumn("_score",
                                   S.cosine(F.col("vec"), qcol))
             if int(meta.get("spill") or 0):
@@ -2285,7 +2311,8 @@ class Table:
     def create_vector_index(self, vec_col: str = "embedding",
                             id_col: str | None = None,
                             n_centroids: int | None = None,
-                            spill: int | None = None) -> int:
+                            spill: int | None = None,
+                            pq_m: int | None = None) -> int:
         """Build and persist an IVF index: rows are assigned to their
         nearest-centroid inverted list and written PARTITIONED BY cluster,
         so a search reads only the probed lists via partition pruning —
@@ -2305,11 +2332,32 @@ class Table:
         if spill is None:
             spill = int(self.schema.options.get(
                 "vector-index.assign-spill", "0"))
+        if pq_m is None:
+            pq_m = int(self.schema.options.get("vector-index.pq.m", "0"))
         id_col = id_col or self.schema.field_names[0]
         df = self.read(projection=[id_col, vec_col])
         centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)
         inv = self._assign_vector_clusters(df, centroids, id_col, vec_col,
                                            spill=spill)
+        pq = None
+        if pq_m:
+            # IVF-PQ: inverted lists store m-byte codes instead of the
+            # d-double vector (the index-IO win at scale); codebooks
+            # train driver-side on a bounded deterministic sample —
+            # O(sample · codes), independent of corpus size
+            from paimon_spark.functions.similarity import (pq_encode,
+                                                           pq_train)
+            n_codes = int(self.schema.options.get(
+                "vector-index.pq.codes", "256"))
+            sample = [list(r[1]) for r in
+                      df.orderBy(F.xxhash64(F.col(id_col).cast("string")),
+                                 F.col(id_col))
+                      .limit(self._PQ_TRAIN_SAMPLE).collect()]
+            books = pq_train(sample, pq_m, n_codes=n_codes)
+            inv = (inv.withColumn(
+                       "codes", pq_encode(F.col("vec"), books, self.spark))
+                   .drop("vec"))
+            pq = {"m": pq_m, "codebooks": books}
         out = self._vector_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         inv.write.partitionBy("cluster").parquet(out)
@@ -2317,7 +2365,7 @@ class Table:
         self._write_index_meta(out, {
             "vec_col": vec_col, "id_col": id_col,
             "n_centroids": n_centroids, "centroids": centroids,
-            "spill": spill,
+            "spill": spill, "pq": pq,
             "snapshot_id": self.paths.latest_snapshot_id(),
             "files": files,
             "generation": 0,
@@ -2394,9 +2442,10 @@ class Table:
                         > self._INDEX_REBUILD_RETRACT_FRACTION
                         * max(int(meta.get("n_rows", 0)) or 1, 1)):
                     cl.unpersist()
-                    self.create_vector_index(vec_col, id_col,
-                                             meta["n_centroids"],
-                                             spill=meta.get("spill"))
+                    self.create_vector_index(
+                        vec_col, id_col, meta["n_centroids"],
+                        spill=meta.get("spill"),
+                        pq_m=(meta.get("pq") or {}).get("m", 0))
                     return "rebuilt"
                 meta["n_rows"] = (int(meta.get("n_rows", 0))
                                   + int(agg["n_ins"] or 0)
@@ -2407,7 +2456,9 @@ class Table:
         if delta is None:
             self.create_vector_index(vec_col, meta["id_col"],
                                      meta["n_centroids"],
-                                     spill=meta.get("spill"))
+                                     spill=meta.get("spill"),
+                                     pq_m=(meta.get("pq") or {}).get(
+                                         "m", 0))
             return "rebuilt"
         gen = int(meta.get("generation", 0)) + (1 if retr_ids is not None
                                                 else 0)
@@ -2418,6 +2469,15 @@ class Table:
         inv = self._assign_vector_clusters(
             delta.select(id_col, vec_col), meta["centroids"], id_col,
             vec_col, spill=int(meta.get("spill") or 0))
+        if meta.get("pq"):
+            # incremental adds encode with the EXISTING codebooks —
+            # codes stay comparable across the whole index
+            from paimon_spark.functions.similarity import pq_encode
+            inv = (inv.withColumn(
+                       "codes",
+                       pq_encode(F.col("vec"),
+                                 meta["pq"]["codebooks"], self.spark))
+                   .drop("vec"))
         inv.write.mode("append").partitionBy("cluster").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
         fgens = dict(meta.get("file_gens") or {})
@@ -2579,6 +2639,9 @@ class Table:
     # no rewrite of posting files, no full rebuild).
 
     _INDEX_REBUILD_RETRACT_FRACTION = 0.2
+    # PQ codebooks train on this many sampled vectors — standard PQ
+    # practice (training cost must not scale with the corpus)
+    _PQ_TRAIN_SAMPLE = 10_000
 
     def _index_changelog_delta(self, indexed_snapshot: int):
         """Changelog rows (logical cols + _row_kind) between the indexed

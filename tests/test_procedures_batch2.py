@@ -433,3 +433,50 @@ def test_ivf_assign_spill_recall(spark, wh):
                                            method="ivf",
                                            nprobe=8).collect()]
     assert set(got) == {400, 3}
+
+
+def test_ivf_pq_codes_index(spark, wh):
+    """IVF-PQ (`vector-index.pq.m`): inverted lists persist m-int codes
+    instead of the d-double vector; searches score codes via ADC lookup
+    tables in Catalyst, then re-rank k*refine candidates exactly from
+    the table. Codebooks ride the meta through incremental refresh so
+    delta codes stay comparable; spill composes with PQ."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(41)
+    centers = [[rnd.uniform(-5, 5) for _ in range(16)] for _ in range(8)]
+    rows = [(i, [x + rnd.gauss(0, 0.4) for x in centers[i % 8]])
+            for i in range(600)]
+    t = Table.create(f"{wh}/vpq", sch,
+                     options={"vector-index.pq.m": "4",
+                              "vector-index.pq.codes": "32",
+                              "vector-index.assign-spill": "1"},
+                     spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=8)
+    meta = t.vector_index_meta("embedding")
+    assert meta["pq"]["m"] == 4 and len(meta["pq"]["codebooks"]) == 4
+    idx = spark.read.parquet(f"{wh}/vpq/index/vector/embedding")
+    assert "codes" in idx.columns and "vec" not in idx.columns
+    hits = total = 0
+    for j in (3, 111, 420, 599):
+        q = rows[j][1]
+        brute = [r.vid for r in
+                 t.vector_search(q, k=5, method="brute").collect()]
+        got = [r.vid for r in
+               t.vector_search(q, k=5, method="ivf",
+                               nprobe=3).collect()]
+        assert len(got) == len(set(got))
+        hits += len(set(got) & set(brute))
+        total += 5
+    assert hits / total >= 0.8, f"pq recall {hits}/{total}"
+    # incremental refresh encodes deltas with the EXISTING codebooks
+    new = (600, [x + 0.01 for x in rows[3][1]])
+    t.append(spark.createDataFrame([new], sch))
+    assert t.refresh_vector_index("embedding") == "incremental"
+    got = [r.vid for r in
+           t.vector_search(new[1], k=2, method="ivf",
+                           nprobe=3).collect()]
+    assert set(got) == {600, 3}

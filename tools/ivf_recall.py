@@ -37,6 +37,9 @@ def main():
         n_queries = int(args[args.index("--queries") + 1])
     if "--spill" in args:
         spill = int(args[args.index("--spill") + 1])
+    pq_m = 0
+    if "--pq" in args:
+        pq_m = int(args[args.index("--pq") + 1])
     sf_dir = next((a for a in args if not a.startswith("--")
                    and not a.isdigit()), "/root/testdata/sf0.1")
 
@@ -65,8 +68,13 @@ def main():
         t.append(emb)
         t0 = time.time()
         t.create_vector_index("embedding", id_col="vec_id",
-                              n_centroids=n_centroids, spill=spill)
+                              n_centroids=n_centroids, spill=spill,
+                              pq_m=pq_m)
         build_s = time.time() - t0
+        idx_dir = os.path.join(wh, "emb", "index", "vector", "embedding")
+        idx_bytes = sum(os.path.getsize(os.path.join(r, f))
+                        for r, _d, fs in os.walk(idx_dir) for f in fs
+                        if f.endswith(".parquet"))
 
         qrows = (emb.orderBy("vec_id").limit(max(200, n_queries * 7))
                  .collect())
@@ -100,8 +108,10 @@ def main():
                               (time.time() - t0) / len(queries), 3)})
         print(json.dumps({
             "sf_dir": sf_dir, "n": n, "n_centroids": n_centroids,
-            "spill": spill, "k": k, "n_queries": len(queries),
+            "spill": spill, "pq_m": pq_m, "k": k,
+            "n_queries": len(queries),
             "index_build_s": round(build_s, 2),
+            "index_bytes": idx_bytes,
             "brute_s_per_query": round(brute_s, 3),
             "sweep": sweep}))
     finally:
