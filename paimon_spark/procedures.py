@@ -721,8 +721,9 @@ PROCEDURES = {
         __import__("paimon_spark.catalog", fromlist=["Catalog"])
         .Catalog(warehouse, spark).alter_view_dialect(name, dialect, query),
     "repair_earliest_snapshot": repair_earliest_snapshot,
-    "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=16, **_:
-        _t(table).with_spark(spark).create_vector_index(vec_col, id_col, n_centroids),
+    "create_global_index": lambda spark, table, vec_col="embedding", id_col=None, n_centroids=None, spill=None, pq_m=None, **_:
+        _t(table).with_spark(spark).create_vector_index(
+            vec_col, id_col, n_centroids, spill=spill, pq_m=pq_m),
     "drop_global_index": lambda spark, table, vec_col="embedding", **_:
         _t(table).with_spark(spark).drop_vector_index(vec_col),
     "create_function": create_function,

@@ -480,3 +480,7 @@ def test_ivf_pq_codes_index(spark, wh):
            t.vector_search(new[1], k=2, method="ivf",
                            nprobe=3).collect()]
     assert set(got) == {600, 3}
+    # procedure surface passes the knobs; explicit arg beats the option
+    call(spark, "create_global_index", table=t, vec_col="embedding",
+         id_col="vid", n_centroids=8, pq_m=2)
+    assert t.vector_index_meta("embedding")["pq"]["m"] == 2
