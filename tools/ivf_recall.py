@@ -40,6 +40,12 @@ def main():
     pq_m = 0
     if "--pq" in args:
         pq_m = int(args[args.index("--pq") + 1])
+    reps = 0
+    jitter = 0.05
+    if "--reps" in args:       # clustered corpus: reps jittered copies
+        reps = int(args[args.index("--reps") + 1])
+    if "--jitter" in args:
+        jitter = float(args[args.index("--jitter") + 1])
     sf_dir = next((a for a in args if not a.startswith("--")
                    and not a.isdigit()), "/root/testdata/sf0.1")
 
@@ -56,6 +62,21 @@ def main():
            .select("vec_id",
                    F.col("embedding").cast("array<double>")
                    .alias("embedding")))
+    if reps > 1:
+        # deterministic near-dup clusters: each source vector becomes a
+        # cluster of `reps` jittered copies (hash-derived noise, no RNG)
+        # — the honest middle ground between random vectors (IVF worst
+        # case) and exact replication (trivially easy)
+        r = spark.range(reps).select(F.col("id").alias("__rep"))
+        emb = (emb.crossJoin(r)
+               .select(
+                   (F.col("vec_id") * reps + F.col("__rep"))
+                   .alias("vec_id"),
+                   F.transform(
+                       "embedding",
+                       lambda x, i: x + jitter * F.sin(F.xxhash64(
+                           F.col("vec_id"), F.col("__rep"), i)
+                           .cast("double"))).alias("embedding")))
     n = emb.count()
     # sqrt(N) lists is the standard IVF sizing; queries then score
     # ~nprobe*sqrt(N) vectors instead of N
@@ -108,7 +129,8 @@ def main():
                               (time.time() - t0) / len(queries), 3)})
         print(json.dumps({
             "sf_dir": sf_dir, "n": n, "n_centroids": n_centroids,
-            "spill": spill, "pq_m": pq_m, "k": k,
+            "spill": spill, "pq_m": pq_m, "reps": reps,
+            "jitter": jitter if reps > 1 else None, "k": k,
             "n_queries": len(queries),
             "index_build_s": round(build_s, 2),
             "index_bytes": idx_bytes,
