@@ -1326,6 +1326,16 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
 
 
+def embedding_centroid_classify(spark, sf_dir):
+    """Nearest-centroid embedding classifier: per-label centroids, every
+    vector assigned by cosine, confusion counts out — the cheap
+    quality/topic classifier a pipeline runs over a labeled seed set
+    (partial-agg centroid shuffle + broadcast scoring; no per-row
+    Python)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.centroid_classify(emb)
+
+
 def multimodal_bytes_meta(spark, sf_dir):
     """Multimodal plumbing end-to-end: an opaque BINARY payload column
     pushed through Arrow-batched mapInPandas computing byte-level metadata
@@ -2002,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embedding_centroid_classify": embedding_centroid_classify,
     }
 
 
@@ -2693,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": ann_brute,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "embedding_centroid_classify": SIM.sql_centroid_classify(),
         "multimodal_bytes_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -465,3 +465,70 @@ def pq_score(codes: Column, dlut: Column, nlut: Column,
     s = F.aggregate(pick(dlut), F.lit(0.0), lambda a, x: a + x)
     n2 = F.aggregate(pick(nlut), F.lit(0.0), lambda a, x: a + x)
     return s / (F.lit(query_norm) * F.sqrt(F.greatest(n2, F.lit(1e-30))))
+
+
+# ---------------- nearest-centroid embedding classifier ----------------
+
+def centroid_classify(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Embedding-based classification by per-label centroid — the
+    standard cheap quality/topic classifier a training-data pipeline
+    runs over a labeled seed set: average each label's vectors, assign
+    every vector to its nearest centroid by cosine, return confusion
+    counts (label, pred_label, n).
+
+    100 TB shape: the posexplode → (label, pos) avg is a partial-agg
+    shuffle whose traffic is tasks × labels × dim (map-side combine
+    collapses rows), the L centroids broadcast, and scoring is pure
+    whole-stage-codegen array math — one scan, no per-row Python.
+    Centroid components round to 9 dp and similarities to 4 dp so the
+    DuckDB oracle (same fold order) lands on identical values."""
+    v = F.col(vec_col).cast("array<double>")
+    ex = emb.select(F.col(label_col).alias("c_label"),
+                    F.posexplode(v).alias("pos", "x"))
+    cent = (ex.groupBy("c_label", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m")))
+    carr = (cent.groupBy("c_label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("cvec")))
+    scored = (emb.select(F.col(id_col), F.col(label_col), v.alias("__v"))
+              .crossJoin(F.broadcast(carr))
+              .withColumn("sim", F.round(
+                  cosine(F.col("__v"), F.col("cvec")), 4)))
+    # argmax via max_by (ties → lowest label), not a row_number window:
+    # the per-vector L candidate rows collapse map-side before any
+    # shuffle, so traffic is one row per vector, not N·L sorted rows
+    best = (scored.groupBy(F.col(id_col), F.col(label_col).alias("label"))
+            .agg(F.max_by("c_label",
+                          F.struct(F.col("sim"), -F.col("c_label")))
+                 .alias("pred_label")))
+    return (best.groupBy("label", "pred_label")
+            .agg(F.count("*").alias("n")))
+
+
+def sql_centroid_classify(table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> str:
+    """DuckDB mirror of centroid_classify (zipped UNNESTs align value
+    and position; same rounding contract)."""
+    return f"""
+      WITH ex AS (SELECT {label_col} AS c_label,
+                         UNNEST(range(len({vec_col}))) AS pos,
+                         CAST(UNNEST({vec_col}) AS DOUBLE) AS x
+                  FROM {table}),
+      cent AS (SELECT c_label, pos, round(avg(x), 9) AS m
+               FROM ex GROUP BY 1, 2),
+      carr AS (SELECT c_label, list(m ORDER BY pos) AS cvec
+               FROM cent GROUP BY 1),
+      s AS (SELECT e.{id_col}, e.{label_col} AS label, c.c_label,
+                   round({sql_cosine(f'e.{vec_col}', 'c.cvec')}, 4) AS sim
+            FROM {table} e CROSS JOIN carr c),
+      b AS (SELECT {id_col}, label, c_label,
+                   row_number() OVER (PARTITION BY {id_col}
+                                      ORDER BY sim DESC, c_label) AS r
+            FROM s)
+      SELECT label, c_label AS pred_label, COUNT(*) AS n
+      FROM b WHERE r = 1 GROUP BY 1, 2"""
