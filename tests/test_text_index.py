@@ -332,3 +332,46 @@ def test_pk_vector_index_retraction_no_rebuild(spark, wh):
     idx = [r.vid for r in t.vector_search(moved, k=3,
                                           method="ivf").collect()]
     assert 42 not in exact and 42 not in idx and idx[0] == exact[0] == 5
+
+
+def test_vector_refresh_crash_with_pq_is_safe(spark, wh):
+    """Same crash-safety contract for the PQ vector index: a refresh
+    that dies after the codes append but before the meta update leaves
+    orphan files invisible to searches (meta-pinned file list), and the
+    retried refresh completes without double-counting entries."""
+    import random
+    sch = T.StructType([T.StructField("vid", T.LongType()),
+                        T.StructField("embedding",
+                                      T.ArrayType(T.DoubleType()))])
+    rnd = random.Random(61)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(150)]
+    t = Table.create(f"{wh}/vcrash", sch,
+                     options={"vector-index.pq.m": "2",
+                              "vector-index.pq.codes": "16"}, spark=spark)
+    t.append(spark.createDataFrame(rows, sch))
+    t.create_vector_index("embedding", id_col="vid", n_centroids=4)
+    t.append(spark.createDataFrame(
+        [(150, [x + 0.01 for x in rows[9][1]])], sch))
+
+    real_write = type(t)._write_index_meta
+    import pytest as _pytest
+    boom = RuntimeError("crash before meta write")
+    try:
+        type(t)._write_index_meta = staticmethod(
+            lambda root, meta: (_ for _ in ()).throw(boom))
+        with _pytest.raises(RuntimeError, match="crash"):
+            t.refresh_vector_index("embedding")
+    finally:
+        type(t)._write_index_meta = staticmethod(real_write)
+    meta = t.vector_index_meta("embedding")
+    orphans = set(t._index_files(t._vector_index_dir("embedding"))) \
+        - set(meta["files"])
+    assert orphans
+    # stale index -> exact fallback stays correct meanwhile
+    q = rows[9][1]
+    pre = [r.vid for r in t.vector_search(q, k=2, method="ivf").collect()]
+    assert set(pre) == {9, 150}
+    assert t.refresh_vector_index("embedding") == "incremental"
+    got = [r.vid for r in
+           t.vector_search(q, k=2, method="ivf", nprobe=4).collect()]
+    assert set(got) == {9, 150} and len(got) == 2
