@@ -400,11 +400,52 @@ class SQLRouter:
         return None
 
     def _truncate(self, s: str):
-        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})$", s, re.IGNORECASE)
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})"
+                     r"(?:\s+PARTITION\s*\(([^)]*)\))?$",
+                     s, re.IGNORECASE)
         if not m:
             raise ValueError(f"cannot parse TRUNCATE: {s[:120]}")
-        self._table(m.group(1)).truncate()
+        t = self._table(m.group(1))
+        if m.group(2):
+            # ref: PaimonPartitionManagement.truncatePartition — same
+            # file-level truncate commit as DROP PARTITION
+            t.delete_where(self._partition_spec_pred(t, m.group(2)))
+        else:
+            t.truncate()
         return None
+
+    @staticmethod
+    def _partition_spec_pred(t, body: str):
+        """`dt='2024-01-01', hh=0` → typed AND-of-eq Predicate over
+        partition columns (typed leaves keep delete_where on the
+        metadata-only file-drop path; partial specs allowed)."""
+        leaves = []
+        for kv in _split_top(body):
+            k, _, v = kv.partition("=")
+            k = k.strip().strip("`")
+            if k not in t.schema.partition_keys:
+                raise ValueError(f"{k} is not a partition column of "
+                                 f"{t.schema.partition_keys}")
+            v = v.strip()
+            st = t.schema.data_type(k).simpleString()
+            if v.upper() == "NULL":
+                val = None
+            elif v[:1] in "'\"":
+                val = v.strip("'\"")
+                if st == "date":
+                    import datetime as _dt
+                    val = _dt.date.fromisoformat(val)
+            elif st in ("tinyint", "smallint", "int", "bigint"):
+                val = int(v)
+            elif st in ("float", "double") or st.startswith("decimal"):
+                val = float(v)
+            elif st == "date":
+                import datetime as _dt
+                val = _dt.date.fromisoformat(v)
+            else:
+                val = v
+            leaves.append(P.is_null(k) if val is None else P.eq(k, val))
+        return leaves[0] if len(leaves) == 1 else P.and_(*leaves)
 
     def _create_table(self, s: str):
         """CREATE TABLE through SQL, the reference's Spark syntax
@@ -541,6 +582,24 @@ class SQLRouter:
         if rm:
             self.catalog.rename_table(name.strip("`"),
                                       rm.group(1).strip("`"))
+            return None
+        # partition management (ref: PaimonPartitionManagement.scala —
+        # dropPartitions = a truncate-partitions commit, file-level drop,
+        # no rewrite; createPartitions is metastore-only and a no-op on a
+        # filesystem catalog). Batch form: DROP PARTITION (spec)[,
+        # [PARTITION] (spec)]…, partial specs allowed.
+        pm = re.match(r"(DROP|ADD)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+                      r"PARTITION\s*(.+)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if pm:
+            if pm.group(1).upper() == "ADD":
+                return None
+            specs = [self._partition_spec_pred(t, body)
+                     for body in re.findall(r"\(([^)]*)\)", pm.group(2))]
+            if not specs:
+                raise ValueError(f"no partition spec in: {rest[:120]}")
+            t.delete_where(specs[0] if len(specs) == 1
+                           else P.or_(*specs))
             return None
         # tag management clauses (ref: PaimonSqlExtensions.g4
         # createOrReplaceTag / deleteTag / renameTag)

@@ -940,6 +940,21 @@ class Table:
          OptimizeMetadataOnlyDeleteFromPaimonTable.scala)"""
         w = self.writer()
         if self.schema.is_pk_table:
+            if (predicate.partition_only(self.schema.partition_keys)
+                    and not self.schema.cross_partition_update
+                    and self.paths.latest_snapshot() is not None):
+                # partition-scoped delete on a partition-keyed PK table
+                # drops whole files, no tombstones (ref: DROP PARTITION =
+                # commit.truncatePartitions, PaimonPartitionManagement
+                # .scala:86 — physical truncate). Cross-partition tables
+                # keep the tombstone path: their global index must see
+                # the retractions.
+                scan = self.new_scan()
+                deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                           for e in self.paths.live_entries(
+                               self.paths.latest_snapshot())
+                           if scan._may_match(e, predicate)]
+                return w.commit(deletes, COMMIT_OVERWRITE)
             victims = self.read(predicate, projection=self.schema.field_names)
             victims = victims.withColumn(KIND_COL, F.lit("-D"))
             # append() routes cross-partition tables through the global

@@ -549,3 +549,80 @@ def test_sql_colocated_join_no_exchange(spark, wh):
         assert "Exchange" not in txt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sql_partition_management(spark, wh):
+    """ALTER TABLE DROP PARTITION / TRUNCATE TABLE PARTITION — the
+    reference's partition management surface
+    (PaimonPartitionManagement.scala: dropPartitions = file-level
+    truncate commit; createPartitions is metastore-only, a no-op on a
+    filesystem catalog). Batch + partial specs, typed values, NULL
+    partitions."""
+    c = _cat(spark, wh)
+    c.sql("CREATE TABLE pmgmt (id BIGINT, dt STRING, hh INT, v DOUBLE) "
+          "PARTITIONED BY (dt, hh)")
+    c.sql("INSERT INTO pmgmt VALUES "
+          "(1, '20240101', 0, 1.0), (2, '20240101', 1, 2.0), "
+          "(3, '20240102', 0, 3.0), (4, '20240102', 1, 4.0), "
+          "(5, NULL, 0, 5.0)")
+    t = c.get_table("pmgmt")
+    pre_files = {e.file_path for e in t.new_scan().plan().entries}
+    # full-spec drop
+    c.sql("ALTER TABLE pmgmt DROP PARTITION (dt='20240101', hh=0)")
+    assert {r.id for r in c.sql("SELECT id FROM pmgmt").collect()} == \
+        {2, 3, 4, 5}
+    # the drop is file-level: surviving files are untouched (no rewrite)
+    t = c.get_table("pmgmt")
+    post_files = {e.file_path for e in t.new_scan().plan().entries}
+    assert post_files < pre_files
+    # batch + partial specs in one statement = one commit
+    s0 = t.paths.latest_snapshot_id()
+    c.sql("ALTER TABLE pmgmt DROP PARTITION (dt='20240101'), "
+          "PARTITION (dt='20240102', hh=1)")
+    t = c.get_table("pmgmt")
+    assert t.paths.latest_snapshot_id() == s0 + 1
+    assert {r.id for r in c.sql("SELECT id FROM pmgmt").collect()} == \
+        {3, 5}
+    # NULL partition drop (ref test: drop null partition)
+    c.sql("ALTER TABLE pmgmt DROP PARTITION (dt=null)")
+    assert {r.id for r in c.sql("SELECT id FROM pmgmt").collect()} == {3}
+    # TRUNCATE TABLE ... PARTITION
+    c.sql("INSERT INTO pmgmt VALUES (6, '20240103', 2, 6.0)")
+    c.sql("TRUNCATE TABLE pmgmt PARTITION (dt='20240103')")
+    assert {r.id for r in c.sql("SELECT id FROM pmgmt").collect()} == {3}
+    # ADD PARTITION: accepted no-op (metastore-only in the reference)
+    c.sql("ALTER TABLE pmgmt ADD PARTITION (dt='20240109', hh=9)")
+    # non-partition column is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a partition column"):
+        c.sql("ALTER TABLE pmgmt DROP PARTITION (id=1)")
+
+
+def test_sql_drop_partition_pk_physical_truncate(spark, wh):
+    """DROP PARTITION on a partition-keyed PK table drops whole files
+    (truncate commit) instead of writing -D tombstones — matching
+    PaimonPartitionManagement.dropPartitions; SHOW PARTITIONS stops
+    listing the partition and time travel still sees the old rows.
+    Cross-partition-update tables keep the tombstone path (their
+    global index needs the retractions)."""
+    c = _cat(spark, wh)
+    c.sql("CREATE TABLE ppk (id BIGINT, d DATE, v DOUBLE) "
+          "PARTITIONED BY (d) "
+          "TBLPROPERTIES ('primary-key'='id,d', 'bucket'='2')")
+    c.sql("INSERT INTO ppk VALUES (1, DATE'2024-01-01', 1.0), "
+          "(2, DATE'2024-01-02', 2.0), (3, DATE'2024-01-02', 3.0)")
+    c.sql("ALTER TABLE ppk DROP PARTITION (d='2024-01-02')")
+    t = c.get_table("ppk")
+    # physical: no file of the dropped partition survives, no new files
+    assert all("2024-01-02" not in e.file_path
+               for e in t.new_scan().plan().entries)
+    parts = [r[0] for r in c.sql("SHOW PARTITIONS ppk").collect()]
+    assert all("2024-01-02" not in p for p in parts)
+    assert sorted(r.id for r in c.sql("SELECT id FROM ppk").collect()) \
+        == [1]
+    assert t.read(snapshot_id=1).count() == 3
+    # PK upsert still works afterwards
+    c.sql("INSERT INTO ppk VALUES (9, DATE'2024-01-05', 1.0)")
+    c.sql("INSERT INTO ppk VALUES (9, DATE'2024-01-05', 7.5)")
+    vals = {r.id: r.v for r in c.sql("SELECT id, v FROM ppk").collect()}
+    assert vals == {1: 1.0, 9: 7.5}
