@@ -159,6 +159,33 @@ class SQLRouter:
             return self.spark.createDataFrame(rows or [("",)],
                                               "namespace string") \
                 .filter(F.col("namespace") != "")
+        m = re.match(rf"MSCK\s+REPAIR\s+TABLE\s+({_IDENT})"
+                     r"(?:\s+(?:ADD|DROP|SYNC)\s+PARTITIONS)?$",
+                     s, re.IGNORECASE)
+        if m:
+            # ref: CatalogManagedPartitionMsckRepairTest — syncs partition
+            # metadata into the metastore; on a filesystem catalog
+            # partitions derive from manifests, so repair = hint/dir
+            # consistency (RepairProcedure analog)
+            from paimon_spark.procedures import call as _pcall
+            _pcall(self.spark, "repair",
+                   table=self._table(m.group(1)).path)
+            return None
+        m = re.match(rf"SHOW\s+COLUMNS\s+(?:FROM|IN)\s+({_IDENT})$",
+                     s, re.IGNORECASE)
+        if m:
+            t = self._table(m.group(1))
+            return self.spark.createDataFrame(
+                [(f,) for f in t.schema.field_names],
+                "col_name string")
+        m = re.match(rf"REFRESH\s+TABLE\s+({_IDENT})$", s, re.IGNORECASE)
+        if m:
+            # plans are rebuilt from the latest snapshot on every
+            # register; re-register eagerly so a cached temp view over an
+            # old snapshot is replaced now
+            self.catalog.register_views(
+                system_tables=True, only={m.group(1).strip("`")})
+            return None
         if head == "CALL":
             return self._call(s)
         if head == "SHOW":

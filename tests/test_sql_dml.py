@@ -626,3 +626,27 @@ def test_sql_drop_partition_pk_physical_truncate(spark, wh):
     c.sql("INSERT INTO ppk VALUES (9, DATE'2024-01-05', 7.5)")
     vals = {r.id: r.v for r in c.sql("SELECT id, v FROM ppk").collect()}
     assert vals == {1: 1.0, 9: 7.5}
+
+
+def test_sql_msck_show_columns_refresh(spark, wh):
+    """MSCK REPAIR TABLE (hint/dir re-sync on a filesystem catalog),
+    SHOW COLUMNS, REFRESH TABLE — the remaining Spark maintenance verbs
+    (ref suites: CatalogManagedPartitionMsckRepairTest,
+    PaimonShowColumnsTest, RefreshTableTest)."""
+    import os
+    c = _cat(spark, wh)
+    c.sql("CREATE TABLE mk (id BIGINT, dt STRING, v DOUBLE) "
+          "PARTITIONED BY (dt)")
+    c.sql("INSERT INTO mk VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    cols = [r.col_name for r in c.sql("SHOW COLUMNS FROM mk").collect()]
+    assert cols == ["id", "dt", "v"]
+    t = c.get_table("mk")
+    hint = os.path.join(t.path, "snapshot", "LATEST")
+    os.remove(hint)                       # drift: hint lost
+    c.sql("MSCK REPAIR TABLE mk SYNC PARTITIONS")
+    assert os.path.exists(hint)
+    assert c.sql("SELECT * FROM mk").count() == 2
+    # REFRESH TABLE re-registers the view over the newest snapshot
+    c.sql("INSERT INTO mk VALUES (3, 'c', 3.0)")
+    c.sql("REFRESH TABLE mk")
+    assert spark.sql("SELECT count(*) c FROM mk").collect()[0].c == 3
