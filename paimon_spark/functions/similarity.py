@@ -318,10 +318,15 @@ def kmeans_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
         best = (scored.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") == 1)
                 .select("__cid", vec_col))
+        # rounded means: partial-sum order varies with partitioning, so
+        # raw float avgs differ in the last bits run-to-run and border
+        # vectors flip lists; 9 dp is far above the ~1e-15 relative
+        # summation noise and makes every build of the same data land on
+        # identical centroids
         means = (best.select("__cid", F.posexplode(F.col(vec_col))
                              .alias("__pos", "__v"))
                  .groupBy("__cid", "__pos")
-                 .agg(F.avg("__v").alias("__m"))
+                 .agg(F.round(F.avg("__v"), 9).alias("__m"))
                  .collect())
         new = [list(c) for c in cents]
         dims: dict[int, dict[int, float]] = {}
