@@ -632,6 +632,28 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                          F.col("o_orderstatus").alias("status")))
         out["orders_defaults"] = t
 
+    def _build_25():
+        # ---- docs_de: data-evolution table (patch-file column
+        # backfill; ref DataEvolutionSplitRead.java) — three overlapping
+        # quality patches (latest wins) and a DV delete evaluated over
+        # the STITCHED values
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+            .select("doc_id", "lang", "source", "n_chars")
+        t = Table.create(f"{root}/docs_de", d.schema,
+                         options={"row-tracking.enabled": "true",
+                                  "data-evolution.enabled": "true",
+                                  "deletion-vectors.enabled": "true"},
+                         spark=spark)
+        t.append(d)
+        t.alter(lambda s: s.add_column("quality", T.DoubleType()))
+        t.update_where(P.eq("lang", "en"),
+                       {"quality": F.col("n_chars").cast("double")
+                        / 1000.0})
+        t.update_where(P.eq("lang", "fr"), {"quality": F.lit(0.0)})
+        t.update_where(P.eq("source", "src0"), {"quality": F.lit(9.9)})
+        t.delete_where(P.eq("quality", 0.0))
+        out["docs_de"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -656,7 +678,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1324,6 +1346,14 @@ def ann_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     out = SIM.lsh_topk(emb, [0, 1, 2, 3, 4], k=5, n_planes=4)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
+
+
+def data_evolution_backfill(spark, sf_dir):
+    """Data evolution: three overlapping patch-file backfills of a new
+    `quality` column on a row-tracking append table (latest patch wins,
+    base bytes never rewritten) + a DV delete over the stitched values."""
+    return _wh(spark, sf_dir)["docs_de"].read().select(
+        "doc_id", "lang", "source", "n_chars", "quality")
 
 
 def embedding_centroid_classify(spark, sf_dir):
@@ -2013,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_centroid_classify": embedding_centroid_classify,
+        "data_evolution_backfill": data_evolution_backfill,
     }
 
 
@@ -2705,6 +2736,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "embedding_centroid_classify": SIM.sql_centroid_classify(),
+        "data_evolution_backfill": """
+            WITH s AS (
+              SELECT doc_id, lang, source, n_chars,
+                     CASE WHEN source = 'src0' THEN 9.9
+                          WHEN lang = 'fr' THEN 0.0
+                          WHEN lang = 'en'
+                            THEN CAST(n_chars AS DOUBLE) / 1000.0
+                     END AS quality
+              FROM documents)
+            SELECT doc_id, lang, source, n_chars, quality
+            FROM s WHERE quality IS NULL OR quality <> 0.0""",
         "multimodal_bytes_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -464,6 +464,9 @@ class Scanner:
         if self.schema.is_pk_table:
             return None
         plan = self.plan()
+        from paimon_spark.table import Table
+        if any(Table._is_patch_entry(e) for e in plan.entries):
+            return None   # data-evolution patch rows are not table rows
         if predicate is not None:
             # only exact if predicate is partition-only (file sets align)
             if not predicate.partition_only(self.schema.partition_keys):
@@ -476,6 +479,9 @@ class Scanner:
         if self.schema.is_pk_table:
             return None
         plan = self.plan()
+        from paimon_spark.table import Table
+        if any(Table._is_patch_entry(e) for e in plan.entries):
+            return None  # patched values make base stats stale
         if any(e.dv_count for e in plan.entries):
             return None  # a deleted row may have held the extreme (DvAwareStats)
         mns = [e.stats.get(col, {}).get("min") for e in plan.entries]

@@ -400,19 +400,26 @@ class Table:
             if snap is not None:      # don't resolve twice inside plan()
                 snapshot_id, tag, as_of_timestamp_ms, watermark = \
                     snap.id, None, None, None
-        plan = scan.plan(predicate, snapshot_id, tag, as_of_timestamp_ms, limit,
-                         watermark)
-        if not plan.entries:
-            df = self._empty_df(with_hidden and self.schema.is_pk_table)
+        de_df = self._data_evolution_df(scan, predicate, snapshot_id, tag,
+                                        as_of_timestamp_ms, watermark)
+        plan = None
+        if de_df is not None:
+            df = de_df.select(*self.schema.field_names)
         else:
-            df = self._assemble(plan, predicate, with_hidden)
+            plan = scan.plan(predicate, snapshot_id, tag,
+                             as_of_timestamp_ms, limit, watermark)
+            if not plan.entries:
+                df = self._empty_df(with_hidden and self.schema.is_pk_table)
+            else:
+                df = self._assemble(plan, predicate, with_hidden)
         fb = self.schema.options.get("scan.fallback-branch")
-        if fb and self.branch_name != fb and snapshot_id is None and tag is None:
+        if (fb and self.branch_name != fb and plan is not None
+                and snapshot_id is None and tag is None):
             fdf = self._fallback_branch_df(fb, plan, predicate, with_hidden)
             if fdf is not None:
                 df = df.unionByName(fdf)
         if (self.schema.options.get("chain-table.enabled") == "true"
-                and self.branch_name is None
+                and self.branch_name is None and plan is not None
                 and snapshot_id is None and tag is None):
             cdf = self._chain_read_df(plan, predicate, with_hidden)
             if cdf is not None:
@@ -847,10 +854,159 @@ class Table:
         return (self.schema.options.get("row-tracking.enabled", "false")
                 == "true" and not self.schema.is_pk_table)
 
+    # ---------------- data evolution (data-evolution.enabled) ----------
+    # ref: DataEvolutionSplitRead.java / spark DataEvolutionPaimonWriter
+    # .scala — UPDATE on a row-tracking append table writes PATCH files
+    # holding only (_ROW_ID, updated columns); reads stitch the latest
+    # patch value per row onto the base rows. The reference stitches
+    # positionally by first_row_id span; here patches join base rows on
+    # _ROW_ID — patches are the UPDATED subset (usually ≪ base, AQE
+    # broadcasts them), and a wide-table backfill never rewrites the
+    # untouched columns' bytes, which is the point of the feature.
+
+    def _is_data_evolution(self) -> bool:
+        return (self.schema.options.get("data-evolution.enabled", "false")
+                == "true" and self._is_row_tracking())
+
+    @staticmethod
+    def _is_patch_entry(e: FileEntry) -> bool:
+        return os.path.basename(e.file_path).startswith("patch-")
+
+    @staticmethod
+    def _split_patches(entries: list[FileEntry]
+                       ) -> tuple[list[FileEntry], list[FileEntry]]:
+        base = [e for e in entries if not Table._is_patch_entry(e)]
+        return base, [e for e in entries if Table._is_patch_entry(e)]
+
+    @staticmethod
+    def _patch_cols(e: FileEntry) -> tuple[str, ...]:
+        """Patched columns, recorded as the patch entry's stats keys."""
+        return tuple(sorted(c for c in e.stats if c != ROW_ID_COL))
+
+    def _apply_patches(self, df: DataFrame,
+                       patches: list[FileEntry]) -> DataFrame:
+        """Stitch the latest patch value per (_ROW_ID, column) onto the
+        base rows. One join per distinct patched column set; within a
+        set, max_by over the per-file commit sequence picks the newest
+        patch even when a row was updated in several commits. A __hit
+        marker (not coalesce) carries explicit NULL updates."""
+        groups: dict[tuple[str, ...], list[FileEntry]] = {}
+        for e in patches:
+            groups.setdefault(self._patch_cols(e), []).append(e)
+        for cols, es in sorted(groups.items()):
+            p = (self.spark.read.parquet(
+                    *[os.path.join(self.path, e.file_path) for e in es])
+                 .select("*", F.element_at(
+                     F.split(F.col("_metadata.file_path"), "/"), -1)
+                     .alias("__fn")))
+            seqmap = self.spark.createDataFrame(
+                [(os.path.basename(e.file_path), e.max_seq) for e in es],
+                "__fn string, __pseq long")
+            p = (p.join(F.broadcast(seqmap), "__fn")
+                 .groupBy(ROW_ID_COL)
+                 .agg(*[F.max_by(c, F.col("__pseq")).alias(f"__p_{c}")
+                        for c in cols],
+                      F.lit(True).alias("__hit")))
+            df = df.join(p, ROW_ID_COL, "left")
+            for c in cols:
+                df = df.withColumn(
+                    c, F.when(F.col("__hit"),
+                              F.col(f"__p_{c}")
+                              .cast(self.schema.data_type(c)))
+                    .otherwise(F.col(c))).drop(f"__p_{c}")
+            df = df.drop("__hit")
+        return df
+
+    def _data_evolution_df(self, scan, predicate: Predicate | None,
+                           snapshot_id=None, tag=None,
+                           as_of_timestamp_ms=None, watermark=None
+                           ) -> DataFrame | None:
+        """Stitched (logical + _ROW_ID) view when live patches exist,
+        else None (the generic read path handles the patch-free case).
+        Base-file skipping only uses the predicate when it touches NO
+        patched column — base stats are stale for patched columns, so a
+        pruned file could hide a row whose patched value now matches."""
+        if not self._is_data_evolution():
+            return None
+        full = scan.plan(None, snapshot_id, tag, as_of_timestamp_ms,
+                         None, watermark)
+        base_all, patches = self._split_patches(full.entries)
+        if not patches:
+            return None
+        patched = {c for e in patches for c in self._patch_cols(e)}
+        base = base_all
+        if predicate is not None and not (predicate.refs() & patched):
+            bplan = scan.plan(predicate, snapshot_id, tag,
+                              as_of_timestamp_ms, None, watermark)
+            base, _ = self._split_patches(bplan.entries)
+        if not base:
+            return self._empty_df().withColumn(
+                ROW_ID_COL, F.lit(None).cast("long"))
+        return self._apply_patches(self._lineage_df(base), patches)
+
+    def _write_patch(self, pdf: DataFrame, cols: list[str]) -> Snapshot:
+        """Commit (_ROW_ID, cols…) patch files. Entries carry the patched
+        column set as stats keys, a fresh commit sequence for
+        latest-wins ordering, and first_row_id=-1 so commit never burns
+        lineage id ranges on them."""
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        w = self.writer()
+        staging = os.path.join(self.paths.staging_dir, _uuid.uuid4().hex)
+        pdf.write.parquet(staging)
+        latest = self.paths.latest_snapshot()
+        seq = (latest.max_sequence + 1) if latest else 1
+        entries: list[FileEntry] = []
+        try:
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, fn)
+                md = pq.read_metadata(src)
+                if md.num_rows == 0:
+                    continue
+                name = f"patch-{_uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.path, name)
+                os.replace(src, dst)
+                # _ROW_ID min/max from the footer: lets a future reader
+                # prune patch files by row-id range
+                names = [md.schema.column(i).name
+                         for i in range(md.num_columns)]
+                ridx = names.index(ROW_ID_COL)
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ridx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                rid_stats = ({"min": int(min(mins)), "max": int(max(maxs)),
+                              "nulls": 0} if mins else {})
+                entries.append(FileEntry(
+                    kind=ADD, partition={}, bucket=-1, level=0,
+                    file_path=name, row_count=md.num_rows,
+                    file_size=os.path.getsize(dst),
+                    min_seq=seq, max_seq=seq,
+                    schema_id=self.schema.schema_id,
+                    stats={ROW_ID_COL: rid_stats,
+                           **{c: {} for c in cols}},
+                    first_row_id=-1))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        if not entries:
+            return latest
+        return w.commit(entries, COMMIT_OVERWRITE)
+
     def read_with_lineage(self, predicate: Predicate | None = None) -> DataFrame:
         """Logical columns + stable `_ROW_ID` (append tables only)."""
         if not self._is_row_tracking():
             raise ValueError("table has no row-tracking.enabled=true")
+        de_df = self._data_evolution_df(self.new_scan(), predicate)
+        if de_df is not None:
+            if predicate is not None:
+                de_df = de_df.filter(predicate.to_spark())
+            return de_df
         plan = self.new_scan().plan(predicate)
         if not plan.entries:
             return self._empty_df().withColumn(
@@ -860,7 +1016,8 @@ class Table:
             df = df.filter(predicate.to_spark())
         return df
 
-    def _lineage_df(self, entries: list[FileEntry]) -> DataFrame:
+    def _lineage_df(self, entries: list[FileEntry],
+                    keep_pos: bool = False) -> DataFrame:
         struct = self._read_struct_with_partitions()
         names = {f.name for f in struct.fields}
         with_id = T.StructType(
@@ -885,6 +1042,9 @@ class Table:
             # unhinted: AQE decides (see _read_files — DV side can be huge)
             df = df.join(dv, cond, "left_anti")
         rid = F.coalesce(F.col(ROW_ID_COL), F.col("__first") + F.col("__idx"))
+        if keep_pos:
+            return df.select(*self.schema.field_names,
+                             rid.alias(ROW_ID_COL), "__fp", "__idx")
         return df.select(*self.schema.field_names, rid.alias(ROW_ID_COL))
 
     def _rewrite_source_df(self, entries: list[FileEntry]) -> DataFrame:
@@ -965,11 +1125,34 @@ class Table:
             raise RuntimeError("empty table")
         if predicate.partition_only(self.schema.partition_keys):
             # metadata-only: drop whole files whose partition matches
+            # (data-evolution patch entries carry no partition, so they
+            # survive here; their rows dangle invisibly once the base
+            # rows are gone)
             scan = self.new_scan()
             deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
                        for e in self.paths.live_entries(latest)
-                       if scan._may_match(e, predicate)]
+                       if not self._is_patch_entry(e)
+                       and scan._may_match(e, predicate)]
             return w.commit(deletes, COMMIT_OVERWRITE)
+        if self._is_data_evolution():
+            full = self.new_scan().plan(None)
+            base, patches = self._split_patches(full.entries)
+            if patches:
+                # predicate must see PATCHED values (base stats/bytes are
+                # stale for patched columns) and the rewrite path would
+                # fork _ROW_ID lineage — so deletes ride deletion vectors
+                # over the stitched view
+                if self.schema.options.get("deletion-vectors.enabled",
+                                           "false") != "true":
+                    raise ValueError(
+                        "DELETE on a data-evolution table with patches "
+                        "requires deletion-vectors.enabled=true")
+                stitched = self._apply_patches(
+                    self._lineage_df(base, keep_pos=True), patches)
+                new_pos = (stitched.filter(predicate.to_spark())
+                           .select(F.col("__fp").alias("file_path"),
+                                   F.col("__idx").alias("pos")))
+                return self._commit_dv_positions(base, new_pos)
         scan = self.new_scan()
         plan = scan.plan(predicate)
         touched = plan.entries
@@ -992,14 +1175,21 @@ class Table:
         vector sidecar; data files are untouched. New positions merge with
         each file's existing vector. (ref: deletionvectors/, option
         CoreOptions.java:2117 deletion-vectors.enabled)"""
-        import uuid as _uuid
-
-        w = self.writer()
         meta = self._freader().load(
             [os.path.join(self.path, e.file_path) for e in touched]).select(
             "*", F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("pos"))
         new_pos = meta.filter(predicate.to_spark()).select("file_path", "pos")
+        return self._commit_dv_positions(touched, new_pos)
+
+    def _commit_dv_positions(self, touched: list[FileEntry],
+                             new_pos: DataFrame) -> Snapshot:
+        """Merge (file_path, pos) deletions with existing DVs, write the
+        sidecar dataset, commit DELETE+ADD entry pairs (shared by the
+        raw and the data-evolution stitched delete paths)."""
+        import uuid as _uuid
+
+        w = self.writer()
         old_dvs = sorted({os.path.join(self.path, e.dv_path)
                           for e in touched if e.dv_path})
         if old_dvs:
@@ -1046,6 +1236,21 @@ class Table:
             # an assignment may move rows across partitions — append()
             # emits the retraction on cross-partition tables
             return w.append(cur)
+        if self._is_data_evolution():
+            # write ONLY (_ROW_ID, updated columns) as patch files — a
+            # wide-table backfill never rewrites untouched bytes (ref:
+            # DataEvolutionPaimonWriter.scala; stitch happens at read)
+            bad = set(set_exprs) & set(self.schema.partition_keys)
+            if bad:
+                raise ValueError(f"cannot patch partition columns {bad}")
+            victims = self.read_with_lineage(predicate)
+            for c, e in set_exprs.items():
+                victims = victims.withColumn(c, e)
+            pdf = victims.select(
+                ROW_ID_COL,
+                *[F.col(c).cast(self.schema.data_type(c))
+                  for c in set_exprs])
+            return self._write_patch(pdf, sorted(set_exprs))
         scan = self.new_scan()
         plan = scan.plan(predicate)
         touched = plan.entries
@@ -1426,7 +1631,10 @@ class Table:
                     strategy = "zorder" if len(ccols) < 5 else "hilbert"
                 return sort_compact(self, ccols, strategy)
             # small-file bin-packing (ref: append/BucketedAppendCompactManager.java)
-            victims = [e for e in plan.entries if keep(e)]
+            # data-evolution patch files are never bin-packed: their
+            # schema is (_ROW_ID, cols…), not the table schema
+            victims = [e for e in plan.entries
+                       if keep(e) and not self._is_patch_entry(e)]
             if len(victims) <= 1:
                 return latest
             target_bytes = int(self.schema.options.get("target-file-size",
@@ -1873,6 +2081,11 @@ class Table:
         schema = self.schema
         fmt = self.file_format
         plan = self.new_scan().plan(snapshot_id=snapshot_id)
+        if any(self._is_patch_entry(e) for e in plan.entries):
+            raise NotImplementedError(
+                "streaming reads of a data-evolution table with live "
+                "patches are not supported — patch files are not row "
+                "batches; read() serves the stitched view")
         eligible = (fmt in ("parquet", "orc")
                     and not getattr(plan, "merge_groups", None)
                     and all(not e.dv_path for e in plan.entries)

@@ -1,0 +1,115 @@
+"""Data evolution (data-evolution.enabled): UPDATE on a row-tracking
+append table writes PATCH files holding only (_ROW_ID, updated columns);
+reads stitch the latest patch per row onto the base rows.
+(ref: DataEvolutionSplitRead.java, spark DataEvolutionPaimonWriter.scala,
+DataEvolutionDeletionTestBase.scala)"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+from tests.conftest import *  # noqa: F401,F403  (spark/wh fixtures)
+
+SCH = T.StructType([T.StructField("id", T.IntegerType()),
+                    T.StructField("b", T.IntegerType()),
+                    T.StructField("c", T.IntegerType())])
+
+
+def _table(spark, wh, **extra):
+    opts = {"row-tracking.enabled": "true",
+            "data-evolution.enabled": "true",
+            "deletion-vectors.enabled": "true", **extra}
+    t = Table.create(f"{wh}/de", SCH, options=opts, spark=spark)
+    t.append(spark.createDataFrame([(i, i, i) for i in range(5)], SCH))
+    t.append(spark.createDataFrame([(i, i, i) for i in range(5, 10)], SCH))
+    return t
+
+
+def test_patch_write_and_stitch(spark, wh):
+    """Column backfill writes patch files (base bytes untouched); reads
+    stitch, latest patch wins, explicit NULL updates carry through."""
+    t = _table(spark, wh)
+    lin_before = {r.id: r._ROW_ID
+                  for r in t.read_with_lineage().collect()}
+    t.alter(lambda s: s.add_column("d", T.IntegerType()))
+    base_files = {e.file_path for e in t.new_scan().plan().entries}
+    t.update_where(P.lt("id", 7), {"d": F.col("id") + 100})
+    entries = t.new_scan().plan().entries
+    assert base_files < {e.file_path for e in entries}       # no rewrite
+    assert any(Table._is_patch_entry(e) for e in entries)
+    rows = {r.id: (r.b, r.d) for r in t.read().collect()}
+    assert rows[3] == (3, 103) and rows[8] == (8, None)
+    t.update_where(P.eq("id", 3), {"d": F.lit(999)})          # override
+    t.update_where(P.eq("id", 2), {"b": F.lit(None).cast("int")})
+    rows = {r.id: (r.b, r.d) for r in t.read().collect()}
+    assert rows[3][1] == 999 and rows[6][1] == 106
+    assert rows[2] == (None, 102)                             # NULL kept
+    # lineage is STABLE through stitching (ids are per-file adopt
+    # order, not row values — the contract is they never change)
+    lin = {r.id: r._ROW_ID for r in t.read_with_lineage().collect()}
+    assert lin == lin_before
+    assert sorted(lin.values()) == list(range(10))
+
+
+def test_predicate_on_patched_column_sees_patches(spark, wh):
+    """Base stats are stale for patched columns: file skipping must not
+    hide a row whose PATCHED value matches the predicate."""
+    t = _table(spark, wh)
+    t.update_where(P.eq("id", 4), {"b": F.lit(12345)})
+    got = [(r.id, r.b) for r in t.read(P.eq("b", 12345)).collect()]
+    assert got == [(4, 12345)]
+    assert t.read(P.eq("b", 4)).count() == 0                  # old value gone
+
+
+def test_delete_over_stitched_values(spark, wh):
+    """DELETE evaluates against patched values and rides deletion
+    vectors (rewrite would fork _ROW_ID lineage); time travel still
+    serves the pre-patch snapshots."""
+    t = _table(spark, wh)
+    t.alter(lambda s: s.add_column("d", T.IntegerType()))
+    t.update_where(P.lt("id", 7), {"d": F.col("id") + 100})
+    t.delete_where(P.isin("id", [1, 4]))
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 3, 5, 6, 7, 8, 9]
+    t.delete_where(P.eq("d", 106))                            # patched col
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 3, 5, 7, 8, 9]
+    assert {r.id for r in t.read(snapshot_id=2).collect()} == set(range(10))
+    assert {r.id: r.d for r in t.read(snapshot_id=3).collect()}[3] == 103
+
+
+def test_guards(spark, wh):
+    """Patch files are excluded from bin-packing compaction, metadata
+    count/min-max fast paths refuse patched snapshots, and streaming
+    reads of a patched table raise."""
+    t = _table(spark, wh)
+    t.update_where(P.eq("id", 0), {"b": F.lit(777)})
+    assert t.new_scan().metadata_count() is None
+    assert t.new_scan().metadata_min_max("b") is None
+    with pytest.raises(NotImplementedError, match="data-evolution"):
+        t.read_stream()
+    n_patches = sum(Table._is_patch_entry(e)
+                    for e in t.new_scan().plan().entries)
+    t.compact()
+    entries = t.new_scan().plan().entries
+    assert sum(Table._is_patch_entry(e) for e in entries) == n_patches
+    base = [e for e in entries if not Table._is_patch_entry(e)]
+    assert len(base) == 1                                     # bin-packed
+    rows = {r.id: r.b for r in t.read().collect()}
+    assert rows[0] == 777 and len(rows) == 10                 # still stitched
+
+
+def test_sql_update_routes_to_patches(spark, wh):
+    """Catalog.sql UPDATE on a data-evolution table writes patches."""
+    from paimon_spark import Catalog
+    c = Catalog(wh, spark)
+    c.sql("CREATE TABLE det (id INT, v DOUBLE) TBLPROPERTIES ("
+          "'row-tracking.enabled'='true', 'data-evolution.enabled'='true',"
+          "'deletion-vectors.enabled'='true')")
+    c.sql("INSERT INTO det SELECT CAST(id AS INT), CAST(id AS DOUBLE) "
+          "FROM range(20)")
+    c.sql("UPDATE det SET v = v * 10 WHERE id >= 15")
+    t = c.get_table("det")
+    assert any(Table._is_patch_entry(e) for e in t.new_scan().plan().entries)
+    got = {r.id: r.v for r in c.sql("SELECT * FROM det").collect()}
+    assert got[17] == 170.0 and got[3] == 3.0
