@@ -1957,6 +1957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_8gram_spans": repeated_8gram_spans,
         "cut_spans_clean_corpus": cut_spans_clean_corpus,
         "colocated_join_priority": colocated_join_priority,   # new in r7
+        # --- late-r7 flagships, driver-gated immediately (displace
+        # dedup_exact + embedding_quantize: both r5-green, both with
+        # in-window siblings, both still pytest- and replica-gated) ---
+        "data_evolution_backfill": data_evolution_backfill,
+        "embedding_centroid_classify": embedding_centroid_classify,
         # --- 34 rotated back in (driver rows stale since r5) ---
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
@@ -1972,12 +1977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_4gram": contamination_4gram,
         "bitmap_rowrange_lang": bitmap_rowrange_lang,
         "multimodal_bytes_meta": multimodal_bytes_meta,
-        "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "zorder_cluster_preserves": zorder_cluster_preserves,
         "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
         "sample_corpus": sample_corpus,
-        "embedding_quantize": embedding_quantize,
         "q3_top_revenue": q3_top_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -1995,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated out this round (green driver rows in r6; plus
         # sql_function_charge, displaced by the new r7 query — it was
         # judge-replica green in r6 and stays pytest-oracle-gated) ---
+        "dedup_exact": dedup_exact,
+        "embedding_quantize": embedding_quantize,
         "sql_function_charge": sql_function_charge,
         "datasource_write_pk": datasource_write_pk,
         "imv_user_totals": imv_user_totals,
@@ -2042,8 +2047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "embedding_centroid_classify": embedding_centroid_classify,
-        "data_evolution_backfill": data_evolution_backfill,
     }
 
 
