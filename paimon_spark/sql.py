@@ -235,10 +235,17 @@ class SQLRouter:
                 df = t.full_text_search(q, k)
                 view = f"{name}__fts_{abs(hash((q, k))) % 10**8}"
             elif fn == "paimon_vector_search":
+                # optional search options (ref: VectorSearchOptionsTest —
+                # index selection knobs on the search table):
+                #   paimon_vector_search('t','v,…'[, k[, method[, nprobe]]])
                 vec = _vec(args[1])
                 k = int(args[2]) if len(args) > 2 else 10
-                df = t.vector_search(vec, k)
-                view = f"{name}__vs_{abs(hash((tuple(vec), k))) % 10**8}"
+                method = (args[3].strip().strip("'\"").lower()
+                          if len(args) > 3 else "brute")
+                nprobe = int(args[4]) if len(args) > 4 else None
+                df = t.vector_search(vec, k, method=method, nprobe=nprobe)
+                view = (f"{name}__vs_"
+                        f"{abs(hash((tuple(vec), k, method, nprobe))) % 10**8}")
             else:
                 q = args[1].strip().strip("'\"")
                 vec = _vec(args[2])

@@ -408,6 +408,12 @@ def test_search_tvfs(spark, wh):
     vs = cat.sql("SELECT doc_id FROM "
                  "paimon_vector_search('docs_s', '1.0,0.05', 1)").first()
     assert vs.doc_id in (1, 3)
+    # search options (ref: VectorSearchOptionsTest): method + nprobe
+    # route through the persisted IVF index
+    t.create_vector_index("embedding", id_col="doc_id", n_centroids=2)
+    vi = cat.sql("SELECT doc_id FROM paimon_vector_search("
+                 "'docs_s', '1.0,0.05', 1, 'ivf', 2)").first()
+    assert vi.doc_id in (1, 3)
     hs = cat.sql(
         "SELECT doc_id FROM "
         "paimon_hybrid_search('docs_s', 'spark query', '0.9,0.1', 2)") \
