@@ -388,3 +388,19 @@ def test_rescale_keeps_fast_path_and_time_travel_safe(spark, wh):
     assert "Bucketed: true" not in p2
     got2 = {r.k: r.v for r in old.collect()}
     assert len(got2) == 200 and got2[0] == "b0" and got2[50] == "a50"
+
+
+def test_special_character_paths(spark, wh):
+    """Table paths with spaces, %, #, + and non-ASCII work end-to-end
+    (ref suite: SpecialCharacterPathTest — naive file-URI handling
+    would eat '#' as a fragment and '%' as an escape)."""
+    import os
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    for nm in ["with space", "pct%25", "hash#tag", "plus+x", "uni_é"]:
+        p = os.path.join(wh, nm, "t")
+        t = Table.create(p, sch, primary_keys=["k"],
+                         options={"bucket": "2"}, spark=spark)
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")], sch))
+        t.append(spark.createDataFrame([(2, "B")], sch))
+        assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "B"}
