@@ -1630,11 +1630,22 @@ class Table:
                 if strategy == "auto":
                     strategy = "zorder" if len(ccols) < 5 else "hilbert"
                 return sort_compact(self, ccols, strategy)
+            # data-evolution tables FOLD patches at compaction: rewrite
+            # the stitched view into plain base files (ROW_ID carried
+            # physically), drop base+patch+DV entries — read fast path
+            # and fresh stats return, lineage unchanged (the reference's
+            # compaction likewise merges column groups back together)
+            if self._is_data_evolution():
+                base, patches = self._split_patches(plan.entries)
+                if patches:
+                    df = self._apply_patches(self._lineage_df(base),
+                                             patches)
+                    adds = w.stage(df, level=COMPACTED_LEVEL)
+                    deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
+                               for e in base + patches]
+                    return w.commit(adds + deletes, COMMIT_COMPACT)
             # small-file bin-packing (ref: append/BucketedAppendCompactManager.java)
-            # data-evolution patch files are never bin-packed: their
-            # schema is (_ROW_ID, cols…), not the table schema
-            victims = [e for e in plan.entries
-                       if keep(e) and not self._is_patch_entry(e)]
+            victims = [e for e in plan.entries if keep(e)]
             if len(victims) <= 1:
                 return latest
             target_bytes = int(self.schema.options.get("target-file-size",

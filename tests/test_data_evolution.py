@@ -78,25 +78,33 @@ def test_delete_over_stitched_values(spark, wh):
     assert {r.id: r.d for r in t.read(snapshot_id=3).collect()}[3] == 103
 
 
-def test_guards(spark, wh):
-    """Patch files are excluded from bin-packing compaction, metadata
-    count/min-max fast paths refuse patched snapshots, and streaming
-    reads of a patched table raise."""
+def test_guards_and_fold(spark, wh):
+    """While patches are live: metadata count/min-max fast paths refuse
+    the snapshot and streaming reads raise. compact() FOLDS the patches
+    — stitched values rewritten into plain base files, patch entries
+    dropped, fast paths and streaming restored, lineage unchanged."""
     t = _table(spark, wh)
+    lin_before = {r.id: r._ROW_ID
+                  for r in t.read_with_lineage().collect()}
     t.update_where(P.eq("id", 0), {"b": F.lit(777)})
+    t.delete_where(P.eq("id", 5))                             # DV folds too
     assert t.new_scan().metadata_count() is None
     assert t.new_scan().metadata_min_max("b") is None
     with pytest.raises(NotImplementedError, match="data-evolution"):
         t.read_stream()
-    n_patches = sum(Table._is_patch_entry(e)
-                    for e in t.new_scan().plan().entries)
     t.compact()
     entries = t.new_scan().plan().entries
-    assert sum(Table._is_patch_entry(e) for e in entries) == n_patches
-    base = [e for e in entries if not Table._is_patch_entry(e)]
-    assert len(base) == 1                                     # bin-packed
+    assert not any(Table._is_patch_entry(e) for e in entries)
+    assert len(entries) == 1                                  # folded+packed
+    assert not any(e.dv_path for e in entries)                # DVs folded
     rows = {r.id: r.b for r in t.read().collect()}
-    assert rows[0] == 777 and len(rows) == 10                 # still stitched
+    assert rows[0] == 777 and 5 not in rows and len(rows) == 9
+    assert t.new_scan().metadata_count() == 9                 # fast path back
+    lin = {r.id: r._ROW_ID for r in t.read_with_lineage().collect()}
+    assert lin == {k: v for k, v in lin_before.items() if k != 5}
+    # post-fold updates start a fresh patch generation
+    t.update_where(P.eq("id", 1), {"b": F.lit(888)})
+    assert {r.id: r.b for r in t.read().collect()}[1] == 888
 
 
 def test_sql_update_routes_to_patches(spark, wh):
