@@ -1640,7 +1640,12 @@ class Table:
                 if patches:
                     df = self._apply_patches(self._lineage_df(base),
                                              patches)
-                    adds = w.stage(df, level=COMPACTED_LEVEL)
+                    tgt = int(self.schema.options.get(
+                        "target-file-size", str(128 << 20)))
+                    n_out = max(1, sum(e.file_size for e in base)
+                                // tgt + 1)
+                    adds = w.stage(df.coalesce(int(n_out)),
+                                   level=COMPACTED_LEVEL)
                     deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
                                for e in base + patches]
                     return w.commit(adds + deletes, COMMIT_COMPACT)
