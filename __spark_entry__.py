@@ -1356,6 +1356,25 @@ def data_evolution_backfill(spark, sf_dir):
         "doc_id", "lang", "source", "n_chars", "quality")
 
 
+def stream_patched_drain(spark, sf_dir):
+    """availableNow drain of a data-evolution table WITH live patches
+    (r8; ref DataEvolutionSplitRead.java): untouched base files hardlink
+    raw into the JVM FileStreamSource view, patch-affected ones are
+    stitched once — the stream equals the batch stitched read."""
+    import uuid as _uuid
+    t = _wh(spark, sf_dir)["docs_de"]
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    q = (t.read_stream()
+         .groupBy("lang")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum("n_chars").cast("long").alias("chars"),
+              F.round(F.sum("quality"), 4).alias("q_sum"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 def embedding_centroid_classify(spark, sf_dir):
     """Nearest-centroid embedding classifier: per-label centroids, every
     vector assigned by cosine, confusion counts out — the cheap
@@ -2015,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_spans_clean_corpus": cut_spans_clean_corpus,
         "colocated_join_priority": colocated_join_priority,
         "data_evolution_backfill": data_evolution_backfill,
+        "stream_patched_drain": stream_patched_drain,         # new in r8
         "embedding_centroid_classify": embedding_centroid_classify,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
@@ -2753,6 +2773,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang, source, n_chars, quality
             FROM s WHERE quality IS NULL OR quality <> 0.0""",
+        "stream_patched_drain": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN source = 'src0' THEN 9.9
+                          WHEN lang = 'fr' THEN 0.0
+                          WHEN lang = 'en'
+                            THEN CAST(n_chars AS DOUBLE) / 1000.0
+                     END AS quality
+              FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   round(sum(quality), 4) AS q_sum
+            FROM s WHERE quality IS NULL OR quality <> 0.0
+            GROUP BY lang""",
         "multimodal_bytes_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -685,6 +685,7 @@ class Table:
         schema = self.schema
         spark = self.spark
         fmt = self.file_format
+        from paimon_spark.fs import supports_hardlinks
         from paimon_spark.functions.blob import blob_columns
         from paimon_spark.writer import time_shim_cols
         if (spark is None or schema.bucket_hash != "murmur3"
@@ -692,7 +693,11 @@ class Table:
                 or fmt not in ("parquet", "orc") or blob_columns(schema)
                 # orc stores TIME as strings (shim): the view DDL would
                 # declare TIME over string files — plain read handles it
-                or (fmt == "orc" and time_shim_cols(schema.struct))):
+                or (fmt == "orc" and time_shim_cols(schema.struct))
+                # object stores: no hard links → no bucketed view; the
+                # plain read + 1 Exchange fallback is taken explicitly
+                # (probe logs the downgrade once; COVERAGE.md caveats)
+                or not supports_hardlinks(self.path)):
             return None
         sid = schema.schema_id
         if any(e.schema_id != sid or e.dv_path or e.bucket is None
@@ -2074,6 +2079,35 @@ class Table:
             out.extend(e for e in self.paths.read_manifest(m) if e.kind == ADD)
         return out
 
+    def _stream_patch_split(self, base: list[FileEntry],
+                            patches: list[FileEntry]
+                            ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """(clean, affected) split of base files under live patches:
+        clean files' _ROW_ID spans intersect NO patch span (and carry
+        no DV / schema evolution) so their bytes stream raw; affected
+        ones must be stitched+rewritten. Unknown spans are affected —
+        safe, never wrong, just more rewrite."""
+        spans: list[tuple[int, int]] | None = []
+        for p in patches:
+            st = (p.stats or {}).get(ROW_ID_COL) or {}
+            if "min" in st and "max" in st:
+                spans.append((int(st["min"]), int(st["max"])))
+            else:
+                spans = None
+                break
+        clean: list[FileEntry] = []
+        affected: list[FileEntry] = []
+        sid = self.schema.schema_id
+        for e in base:
+            fr = e.first_row_id
+            untouched = (spans is not None and not e.dv_path
+                         and e.schema_id == sid
+                         and fr is not None and fr >= 0
+                         and not any(a <= fr + e.row_count - 1 and fr <= b
+                                     for a, b in spans))
+            (clean if untouched else affected).append(e)
+        return clean, affected
+
     def read_stream(self, snapshot_id: int | None = None,
                     max_files_per_trigger: int | None = None) -> DataFrame:
         """Streaming DataFrame that DRAINS a snapshot's live rows through
@@ -2097,17 +2131,34 @@ class Table:
         schema = self.schema
         fmt = self.file_format
         plan = self.new_scan().plan(snapshot_id=snapshot_id)
-        if any(self._is_patch_entry(e) for e in plan.entries):
-            raise NotImplementedError(
-                "streaming reads of a data-evolution table with live "
-                "patches are not supported — patch files are not row "
-                "batches; read() serves the stitched view")
+        from paimon_spark.fs import supports_hardlinks
+        base_entries, patches = self._split_patches(plan.entries)
+        stitch_src: list[FileEntry] = []
+        if patches:
+            # Data-evolution patches are not row batches. The drain
+            # serves them the way the reference's split read does
+            # (ref: DataEvolutionSplitRead.java — stitched splits):
+            # base files UNTOUCHED by any patch _ROW_ID span stream
+            # raw; affected ones are stitched ONCE (same machinery as
+            # the batch read) into the snapshot-scoped view — cost is
+            # O(patched data), cached per snapshot file-set token.
+            if fmt != "parquet" or not supports_hardlinks(self.path):
+                raise NotImplementedError(
+                    "streaming a data-evolution table with live patches "
+                    "needs the JVM drain path (parquet + hard-link "
+                    "support); compact() folds patches first, and "
+                    "read() always serves the stitched batch view")
+            base_entries, stitch_src = self._stream_patch_split(
+                base_entries, patches)
         eligible = (fmt in ("parquet", "orc")
                     and not getattr(plan, "merge_groups", None)
-                    and all(not e.dv_path for e in plan.entries)
+                    and all(not e.dv_path for e in base_entries)
                     and all(e.schema_id == schema.schema_id
-                            for e in plan.entries)
-                    and plan.entries)
+                            for e in base_entries)
+                    and plan.entries
+                    # object store (no hard links): Python DataSource
+                    # serves the stream — correct, ~1 s/batch overhead
+                    and supports_hardlinks(self.path))
         if not eligible:
             from paimon_spark.streaming.datasource import (_stream_schema,
                                                            register)
@@ -2131,13 +2182,28 @@ class Table:
         view = os.path.join(self.path, ".stream-view", token)
         if not os.path.isdir(view):
             tmp = f"{view}.tmp-{_uuid.uuid4().hex[:8]}"
-            for i, e in enumerate(plan.entries):
+            for i, e in enumerate(base_entries):
                 rel = os.path.dirname(e.file_path)
                 segs = [s for s in rel.split(os.sep) if s and s != "."]
                 d = os.path.join(tmp, *segs)
                 os.makedirs(d, exist_ok=True)
                 os.link(os.path.join(self.path, e.file_path),
                         os.path.join(d, f"part-{i:05d}-{token}.{ext}"))
+            if stitch_src:
+                # stitch patch values onto the affected files (exactly
+                # the batch-read machinery: DV-aware, latest patch per
+                # (_ROW_ID, column)) and lay the result out like the
+                # writer would (partitionBy dirs, partition columns
+                # dir-encoded) so one schema serves links + rewrites
+                os.makedirs(tmp, exist_ok=True)
+                sdf = (self._apply_patches(self._lineage_df(stitch_src),
+                                           patches)
+                       .select(*schema.field_names))
+                w = (sdf.write.format(spark_format_name(fmt))
+                     .options(**format_options(fmt)).mode("append"))
+                if schema.partition_keys:
+                    w = w.partitionBy(*schema.partition_keys)
+                w.save(tmp)
             try:
                 os.rename(tmp, view)
             except OSError:
@@ -2200,6 +2266,13 @@ class Table:
                 "changelog stream views require a PK table (append "
                 "files carry no _row_kind; plain create_stream_view() "
                 "already streams appends)")
+        from paimon_spark.fs import supports_hardlinks
+        if not supports_hardlinks(self.path):
+            raise ValueError(
+                "live stream views need hard-link support (same-fs "
+                "os.link) — unavailable here (object store?); stream "
+                "via readStream.format('paimon') instead. See "
+                "COVERAGE.md 'Object-store scale caveats'.")
         base = os.path.join(self.path, self._LIVE_VIEW)
         os.makedirs(base, exist_ok=True)
         if changelog and not os.path.isfile(self._live_view_meta_path()):

@@ -80,9 +80,11 @@ def test_delete_over_stitched_values(spark, wh):
 
 def test_guards_and_fold(spark, wh):
     """While patches are live: metadata count/min-max fast paths refuse
-    the snapshot and streaming reads raise. compact() FOLDS the patches
-    — stitched values rewritten into plain base files, patch entries
-    dropped, fast paths and streaming restored, lineage unchanged."""
+    the snapshot (stats are stale for patched columns); streaming now
+    SERVES the stitched view (r8, test_streaming covers it) except on
+    filesystems without hard links, where it raises. compact() FOLDS
+    the patches — stitched values rewritten into plain base files,
+    patch entries dropped, fast paths restored, lineage unchanged."""
     t = _table(spark, wh)
     lin_before = {r.id: r._ROW_ID
                   for r in t.read_with_lineage().collect()}
@@ -90,8 +92,20 @@ def test_guards_and_fold(spark, wh):
     t.delete_where(P.eq("id", 5))                             # DV folds too
     assert t.new_scan().metadata_count() is None
     assert t.new_scan().metadata_min_max("b") is None
-    with pytest.raises(NotImplementedError, match="data-evolution"):
-        t.read_stream()
+    assert t.read_stream().isStreaming                        # served (r8)
+    import errno
+    import os as _os
+    from paimon_spark import fs as pfs
+    real_link = _os.link
+    _os.link = lambda *a, **k: (_ for _ in ()).throw(
+        OSError(errno.EPERM, "no links"))
+    pfs.reset_probe_cache()
+    try:
+        with pytest.raises(NotImplementedError, match="data-evolution"):
+            t.read_stream()
+    finally:
+        _os.link = real_link
+        pfs.reset_probe_cache()
     t.compact()
     entries = t.new_scan().plan().entries
     assert not any(Table._is_patch_entry(e) for e in entries)

@@ -404,3 +404,50 @@ def test_special_character_paths(spark, wh):
         t.append(spark.createDataFrame([(1, "a"), (2, "b")], sch))
         t.append(spark.createDataFrame([(2, "B")], sch))
         assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "B"}
+
+
+def test_no_hardlink_fs_downgrades(spark, wh, monkeypatch):
+    """Object-store simulation (os.link raises EPERM): the capability
+    probe turns the zero-exchange fast paths off EXPLICITLY — merge
+    reads fall back to the plain path (+1 Exchange, same rows),
+    read_stream never builds a .stream-view dir (Python DataSource
+    serves it), and create_stream_view raises with a pointer to the
+    fallback. COVERAGE.md 'Object-store scale caveats'."""
+    import errno
+    import os
+    from paimon_spark import fs as pfs
+
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/nolink", sch, primary_keys=["k"],
+                     options={"bucket": "4"}, spark=spark)
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(100)], sch))
+    t.append(spark.createDataFrame([(i, f"b{i}") for i in range(50)], sch))
+
+    def deny_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported", src)
+
+    monkeypatch.setattr(os, "link", deny_link)
+    pfs.reset_probe_cache()
+    try:
+        assert pfs.supports_hardlinks(t.path) is False
+        df = t.read()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" not in plan      # fast path off...
+        got = {r.k: r.v for r in df.collect()}   # ...but rows correct
+        assert len(got) == 100 and got[0] == "b0" and got[99] == "a99"
+        # availableNow drain: Python DataSource path, no view dir built
+        sdf = t.read_stream()
+        assert sdf.isStreaming
+        assert not os.path.isdir(os.path.join(t.path, ".stream-view"))
+        with pytest.raises(ValueError, match="hard-link"):
+            ta = Table.create(f"{wh}/nolink_app", sch, spark=spark)
+            ta.create_stream_view()
+    finally:
+        monkeypatch.undo()                       # restore os.link
+        pfs.reset_probe_cache()                  # same st_dev as other tmpdirs
+    # links work again: a new snapshot (the no-link read is cached for
+    # the old one) re-probes and re-engages the bucketed fast path
+    t.append(spark.createDataFrame([(0, "c0")], sch))
+    p2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in p2 and "Exchange" not in p2

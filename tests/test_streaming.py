@@ -1007,3 +1007,61 @@ def test_changelog_cache_freshness(spark, wh):
     assert df2 is not df1
     got2 = sorted((r["k"], r["_row_kind"]) for r in df2.collect())
     assert got2 == [(2, "+I"), (3, "+I")]
+
+
+def test_read_stream_over_data_evolution_patches(spark, wh):
+    """availableNow drain of a data-evolution table WITH live patches
+    (ref: DataEvolutionSplitRead.java serves stitched splits): base
+    files untouched by any patch _ROW_ID span hardlink raw; affected
+    ones are stitched once into the snapshot-scoped view. The drain
+    equals the batch read, rides the JVM FileStreamSource, and rewrites
+    only the patched subset."""
+    import os
+    import uuid as _uuid
+    from paimon_spark import P, Table
+    sch = T.StructType([T.StructField("id", T.IntegerType()),
+                        T.StructField("b", T.IntegerType()),
+                        T.StructField("d", T.IntegerType())])
+    t = Table.create(f"{wh}/depatch", sch,
+                     options={"row-tracking.enabled": "true",
+                              "data-evolution.enabled": "true",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+    for lo in (0, 10, 20):                      # 3 files, _ROW_ID 0..29
+        t.append(spark.createDataFrame(
+            [(i, i, i) for i in range(lo, lo + 10)], sch).coalesce(1))
+    t.update_where(P.lt("id", 7), {"d": F.col("id") + 100})   # file 1 only
+    t.update_where(P.eq("id", 3), {"d": F.lit(999)})          # override
+    t.delete_where(P.eq("id", 5))                             # DV on file 1
+    entries = t.new_scan().plan().entries
+    assert any(Table._is_patch_entry(e) for e in entries)
+
+    sdf = t.read_stream()
+    logical = sdf._jdf.queryExecution().logical().toString()
+    assert "FileSource[" in logical and "PythonDataSource" not in logical
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    q = (sdf.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.id: (r.b, r.d) for r in spark.table(sink).collect()}
+    want = {r.id: (r.b, r.d) for r in t.read().collect()}
+    assert got == want and len(got) == 29
+    assert got[3] == (3, 999) and got[6] == (6, 106)
+    assert got[8] == (8, 8) and got[25] == (25, 25) and 5 not in got
+    # only the patched/DV'd file was rewritten: 2 of 3 base files are
+    # raw hardlinks (named with the view token), the rest Spark-written
+    viewdir = os.path.join(t.path, ".stream-view")
+    tokens = [d for d in os.listdir(viewdir) if d != "live"]
+    assert len(tokens) == 1
+    files = os.listdir(os.path.join(viewdir, tokens[0]))
+    links = [f for f in files if f"-{tokens[0]}." in f]
+    assert len(links) == 2
+    # patch-free after compaction fold: everything links raw again
+    t.compact()
+    sdf2 = t.read_stream()
+    sink2 = f"m_{_uuid.uuid4().hex[:6]}"
+    q2 = (sdf2.writeStream.format("memory").queryName(sink2)
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    got2 = {r.id: (r.b, r.d) for r in spark.table(sink2).collect()}
+    assert got2 == want
