@@ -48,6 +48,18 @@ def _stream_schema(schema: TableSchema) -> T.StructType:
     return T.StructType(fields)
 
 
+def _contains_time(dt: T.DataType) -> bool:
+    if isinstance(dt, T.TimeType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_time(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_time(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_time(dt.keyType) or _contains_time(dt.valueType)
+    return False
+
+
 class PaimonBatchReader(DataSourceReader):
     """Batch surface of `format("paimon")`: MERGED current state, same
     semantics as `Table.read()` (PK buckets merge executor-side; append
@@ -175,12 +187,18 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     table = Table.load(partition.table_path)
     cur_sid = table.schema.schema_id
     data_cols = [c for c in names if c != KIND_COL]
-    # formats that store TIME as ISO strings (writer.TIME_AS_STRING_
-    # FORMATS): file values need parsing back to time — row path only
+    # TIME anywhere in the wanted columns forces the Python-ROW path:
+    # Spark's Python DataSource accepts datetime.time through the
+    # pickled row channel but its ARROW bridge rejects Time types
+    # (UNSUPPORTED_ARROWTYPE Time(MICROSECOND, 64) — re-probed on
+    # Spark 4.1.2, r8; see COVERAGE.md). Shimmed formats additionally
+    # need the string→time parse below.
     from paimon_spark.writer import TIME_AS_STRING_FORMATS, time_shim_cols
+    has_time = any(_contains_time(f.dataType)
+                   for f in table.schema.struct.fields if f.name in names)
     shim_tcols = (set(time_shim_cols(table.schema.struct)) & set(names)
                   if table.file_format in TIME_AS_STRING_FORMATS else set())
-    if not partition.merge_full_state and not shim_tcols and all(
+    if not partition.merge_full_state and not has_time and all(
             not pvals and sid == cur_sid and all(
                 c in _file_schema_names(f"{partition.table_path}/{fp}")
                 for c in data_cols)

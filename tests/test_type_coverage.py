@@ -235,3 +235,37 @@ def test_time_type_streaming_both_paths(spark, wh):
     t2.append(spark.createDataFrame([(1, dt.time(23, 59, 59))], sch))
     assert _drain(t2.read_stream(), "ttsp") == {
         0: dt.time(1, 2, 3), 1: dt.time(23, 59, 59)}
+
+
+def test_time_type_python_ds_parquet_append(spark, wh):
+    """r8 re-probe closure: a parquet APPEND table with TIME streamed
+    through the plain Python DataSource. This shape used to take the
+    Arrow-batch fast path and crash — Spark 4.1.2's Python-DS Arrow
+    bridge rejects Time types (UNSUPPORTED_ARROWTYPE
+    Time(MICROSECOND, 64)); TIME columns now force the pickled-row
+    path, which carries datetime.time natively. (Table.read_stream on
+    the same table rides the JVM drain and never hits this.)"""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("tm", T.TimeType())])
+    t = Table.create(f"{wh}/tt_pyds_app", sch, spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, dt.time(8, 30, 5)), (2, dt.time(23, 1, 2, 123456)),
+         (3, None)], sch))
+    register(spark)
+    sdf = (spark.readStream.format("paimon")
+           .option("path", t.path).option("availablenow", "true").load())
+    assert isinstance(sdf.schema["tm"].dataType, T.TimeType)
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    q = (sdf.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k: r.tm for r in spark.table(sink).collect()}
+    assert got == {1: dt.time(8, 30, 5), 2: dt.time(23, 1, 2, 123456),
+                   3: None}
+    # batch surface of format("paimon"): same row-path shim
+    got_b = {r.k: r.tm for r in (spark.read.format("paimon")
+                                 .option("path", t.path).load()
+                                 .select("k", "tm").collect())}
+    assert got_b == got

@@ -87,13 +87,26 @@ def main():
     sfs = list(SFS)
     if with_sf1:
         sfs.append(ensure_sf1(spark))
+    # warehouse ingest (build ~15 engine tables from the raw parquet,
+    # multiple commits each) is charged to its OWN row — first-toucher
+    # queries would otherwise absorb it and read dirty (r7 verdict #7)
+    ingest_times = []
     for sf in sfs:
-        E._wh(spark, sf)                       # ingest outside timing
+        t0 = time.perf_counter()
+        E._wh(spark, sf)
+        ingest_times.append(time.perf_counter() - t0)
     qs = E.queries()
     heads = ["sf0.001", "sf0.01", "sf0.1"] + (["sf1"] if with_sf1 else [])
     spread = 1000 if with_sf1 else 100
     print(f"{'query':28s} " + " ".join(f"{h:>8s}" for h in heads)
           + f" {'t(max)/t(min-sf)':>17s}  (data is {spread}x)")
+    iratio = (ingest_times[-1] / ingest_times[0] if ingest_times[0]
+              else float("inf"))
+    print(f"{'ingest (warehouse build)':28s} "
+          + " ".join(f"{t:8.3f}" for t in ingest_times)
+          + f" {iratio:17.1f}"
+          + ("  (0.000 = cached from an earlier run)"
+             if min(ingest_times) < 0.05 else ""))
     for name in only:
         fn = qs[name]
         times = []
