@@ -53,3 +53,78 @@ def test_object_table(spark, tmp_path):
     rows = {(r.path.rsplit("/", 1)[-1], r.length, bytes(r.content))
             for r in df.collect()}
     assert rows == {("a.bin", 5, b"hello"), ("b.bin", 7, b"world!!")}
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_image is byte-exact, including stride padding
+    (w=3 → 9-byte rows padded to 12) and bottom-up row order."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 3), (4, 4), (1, 7), (8, 2)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+
+
+def test_ppm_decode_with_comments():
+    import numpy as np
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(MM.decode_image(payload), img)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+    t = np.arange(800) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, rate = MM.decode_audio(MM.encode_wav(mono, 8000))
+    assert rate == 8000 and x.shape == (800, 1)
+    assert np.allclose(x[:, 0], mono, atol=1 / 32000)
+    stereo = np.stack([mono, -mono], axis=1)
+    x2, _ = MM.decode_audio(MM.encode_wav(stereo, 8000))
+    assert x2.shape == (800, 2) and np.allclose(x2[:, 1], -mono,
+                                                atol=1 / 32000)
+
+
+def test_resize_nearest():
+    import numpy as np
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 255                       # top-left quadrant white
+    small = MM.resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 255 and small[1, 1, 0] == 0
+    big = MM.resize_nearest(img, 8, 8)
+    assert big.shape == (8, 8, 3) and big[0, 0, 0] == 255
+
+
+def test_extract_features_real_decoder(spark):
+    """The REAL decoder through the Spark mapInPandas plumbing: BMP and
+    WAV payloads decode (pure numpy), features are deterministic, and a
+    codec that genuinely needs external libs still fails loudly."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    t = np.arange(1600) / 16000.0
+    wav = MM.encode_wav(0.25 * np.sin(2 * np.pi * 220 * t), 16000)
+    rows = [
+        (1, "image", bytearray(MM.encode_bmp(img)), "image/bmp", 12, 16, None),
+        (2, "audio", bytearray(wav), "audio/wav", None, None, 100),
+        (3, "image", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in
+           MM.extract_features(df, "real").collect()}
+    fi = out[1]["feature"]
+    assert fi[0] == 12.0 and fi[1] == 16.0          # width, height
+    small = MM.resize_nearest(img, 32, 32).astype(np.float64)
+    assert abs(fi[2] - small[:, :, 0].mean()) < 1e-3
+    fa = out[2]["feature"]
+    assert abs(fa[0] - 0.1) < 1e-6                   # 1600/16000 s
+    assert abs(fa[1] - 16.0) < 1e-9                  # kHz
+    assert abs(fa[2] - 0.25 / np.sqrt(2)) < 0.01     # sine RMS
+    assert out[3]["feature"] is None
+    # JPEG still needs PIL: loud NotImplementedError, not silent junk
+    bad = spark.createDataFrame(
+        [(9, "image", bytearray(b"\xff\xd8\xffJFIFfake"), "image/jpeg",
+          None, None, None)], MM.ASSET_SCHEMA)
+    with pytest.raises(Exception, match="codec not recognized|PIL"):
+        MM.extract_features(bad, "real").collect()
