@@ -133,6 +133,20 @@ def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
     return out
 
 
+def _reject_patches(entries) -> None:
+    """Patch files (data evolution) hold (_ROW_ID, changed columns),
+    not row batches — the Python DataSource cannot stitch them, and
+    silently streaming them as rows would emit bogus/stale data. Fail
+    loudly with the supported routes (Table.read_stream drains serve
+    patched snapshots via the JVM view; compact() folds patches)."""
+    if any(Table._is_patch_entry(e) for e in entries):
+        raise ValueError(
+            "data-evolution table has live patch files; "
+            "format('paimon') streaming cannot stitch them — use "
+            "Table.read_stream() (availableNow drain of the stitched "
+            "view) or compact() to fold patches before following up")
+
+
 def _plan_full_state(table: Table, snapshot_id: int | None = None
                      ) -> list[_StreamPartition]:
     """Split plan for a full-state read: per FILE for append tables (max
@@ -146,6 +160,7 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
             "full-state reads via format('paimon') support the deduplicate "
             "engine (ascending sequence); use Table.read() or StreamScanner")
     entries = table.new_scan().plan(snapshot_id=snapshot_id).entries
+    _reject_patches(entries)
     out: list[_StreamPartition] = []
     if not table.schema.is_pk_table:
         out = _pack_splits(table, entries)
@@ -361,7 +376,9 @@ class PaimonStreamReader(DataSourceStreamReader):
         if s == 0:
             # initial full state (merged per bucket for PK tables)
             return _plan_full_state(table, snapshot_id=e)
-        out = _pack_splits(table, table.delta_entries(s, e))
+        deltas = table.delta_entries(s, e)
+        _reject_patches(deltas)
+        out = _pack_splits(table, deltas)
         return out or [_StreamPartition(table.path, [], [], False)]
 
     def read(self, partition: _StreamPartition):

@@ -2395,13 +2395,42 @@ class Table:
             to_snapshot = self.paths.read_tag(to_snapshot)
         entries = [e for e in self.delta_entries(from_snapshot, to_snapshot)
                    if e.level == 0 or not self.schema.is_pk_table]
-        if not entries:
+        entries, range_patches = self._split_patches(entries)
+        parts: list[DataFrame] = []
+        if range_patches:
+            # data-evolution UPDATE commits in range: patch files are
+            # (_ROW_ID, changed cols), not row batches — emit the
+            # UPDATED ROWS' NEW IMAGES instead, valued at to_snapshot
+            # (ref: DataEvolutionSplitRead.java serves incremental reads
+            # from stitched splits)
+            full = self.new_scan().plan(snapshot_id=to_snapshot)
+            all_base, all_patches = self._split_patches(full.entries)
+            if all_patches:
+                _clean, affected = self._stream_patch_split(
+                    all_base, range_patches)
+                stitched = self._apply_patches(
+                    self._lineage_df(affected), all_patches)
+                touched = (self.spark.read.parquet(
+                    *[os.path.join(self.path, e.file_path)
+                      for e in range_patches])
+                    .select(ROW_ID_COL).distinct())
+                parts.append(stitched
+                             .join(F.broadcast(touched), ROW_ID_COL,
+                                   "left_semi")
+                             .select(*self.schema.field_names))
+            # else: a later compaction already folded every patch — the
+            # folded base files are the range's ADDs and carry the values
+        if not entries and not parts:
             return self._empty_df(with_kind and self.schema.is_pk_table)
-        df = self._read_files(entries)
         cols = list(self.schema.field_names)
         if self.schema.is_pk_table and with_kind:
             cols += [SEQ_COL, KIND_COL]
-        return df.select(*cols)
+        if entries:
+            parts.insert(0, self._read_files(entries).select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df.select(*cols) if not self.schema.is_pk_table else df
 
     def read_incremental_between_timestamps(
             self, from_ms: int, to_ms: int,

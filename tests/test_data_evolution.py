@@ -135,3 +135,37 @@ def test_sql_update_routes_to_patches(spark, wh):
     assert any(Table._is_patch_entry(e) for e in t.new_scan().plan().entries)
     got = {r.id: r.v for r in c.sql("SELECT * FROM det").collect()}
     assert got[17] == 170.0 and got[3] == 3.0
+
+
+def test_incremental_and_python_ds_over_patches(spark, wh):
+    """Patch commits in an incremental range emit the UPDATED ROWS' NEW
+    IMAGES (valued at to_snapshot), never raw patch batches; the plain
+    Python DataSource refuses patched plans loudly instead of streaming
+    bogus rows (r8; ref DataEvolutionSplitRead.java)."""
+    t = _table(spark, wh)                      # snapshots 1,2 (appends)
+    t.update_where(P.lt("id", 3), {"b": F.col("id") + 100})   # snap 3
+    t.update_where(P.eq("id", 1), {"c": F.lit(777)})          # snap 4
+    # range covering only the first patch: rows 0-2 new images AT snap 3
+    inc3 = {r.id: (r.b, r.c)
+            for r in t.read_incremental(2, 3, with_kind=False).collect()}
+    assert inc3 == {0: (100, 0), 1: (101, 1), 2: (102, 2)}
+    # range covering only the second patch: row 1's image at snap 4
+    # carries BOTH patches (valued at to_snapshot)
+    inc4 = {r.id: (r.b, r.c)
+            for r in t.read_incremental(3, 4, with_kind=False).collect()}
+    assert inc4 == {1: (101, 777)}
+    # full range: base appends + updated images, no bogus patch rows
+    inc = {r.id: (r.b, r.c)
+           for r in t.read_incremental(0, 4, with_kind=False).collect()}
+    assert inc[5] == (5, 5) and inc[1] == (101, 777) and inc[0] == (100, 0)
+    # Python DataSource refuses the patched table loudly
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    import pytest as _pt
+    with _pt.raises(Exception, match="patch"):
+        (spark.read.format("paimon").option("path", t.path).load()
+         .collect())
+    # after fold, incremental across the fold reads the folded base
+    t.compact()
+    assert (spark.read.format("paimon").option("path", t.path).load()
+            .count()) == 10
