@@ -1841,14 +1841,17 @@ def winnow_doc_fingerprints(spark, sf_dir):
     """Winnowing (SIGMOD'03) local fingerprints per document: window-min
     over k-gram hashes — any shared substring of >= w+k-1 words shares a
     fingerprint. Pure Catalyst array ops, zero shuffle before the agg.
-    Gated shape emits one (doc_id, fingerprint) row per element — the
-    driver's pandas canonicalizer cannot sort array cells (r7 red);
-    the array-valued form stays under pytest parity."""
+    Gated shape emits the sorted fingerprint list as ONE comma-joined
+    string per doc — the driver's pandas canonicalizer cannot sort
+    array cells (r7 red), and explode would push the winnow expression
+    out of whole-stage codegen (measured 240x: Generate evaluates the
+    nested lambda interpreted). The array-valued form stays under
+    pytest parity."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.explode(TX.winnow_fingerprints(F.col("text"), k=5, w=4))
-        .alias("fingerprint"))
+        F.concat_ws(",", TX.winnow_fingerprints(F.col("text"), k=5, w=4)
+                    .cast("array<string>")).alias("fingerprints"))
 
 
 def repeated_8gram_spans(spark, sf_dir):
@@ -2568,8 +2571,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE keep GROUP BY lang""",
         "winnow_doc_fingerprints": f"""
             SELECT doc_id,
-                   CAST(unnest({TX.sql_winnow('text', 5, 4)}) AS BIGINT)
-                       AS fingerprint
+                   COALESCE(array_to_string({TX.sql_winnow('text', 5, 4)},
+                                            ','), '') AS fingerprints
             FROM documents""",
         "repeated_8gram_spans":
             TX.sql_repeated_ngram_spans("doc_id", "text", 8, 2),
