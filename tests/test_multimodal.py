@@ -128,3 +128,34 @@ def test_extract_features_real_decoder(spark):
           None, None, None)], MM.ASSET_SCHEMA)
     with pytest.raises(Exception, match="codec not recognized|PIL"):
         MM.extract_features(bad, "real").collect()
+
+
+def test_bmp32_and_wav8():
+    """32-bit BMP (BGRA) and 8-bit PCM WAV decode paths."""
+    import numpy as np
+    # hand-build a 2x2 32-bit top-down BMP (negative height)
+    px = np.array([[[10, 20, 30, 255], [40, 50, 60, 255]],
+                   [[70, 80, 90, 255], [100, 110, 120, 255]]],
+                  dtype=np.uint8)            # BGRA rows, no padding @ w=2
+    body = px.tobytes()
+    hdr = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (2).to_bytes(4, "little")
+           + (-2).to_bytes(4, "little", signed=True)     # top-down
+           + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+           + b"\0" * 24)
+    img = MM.decode_image(hdr + body)
+    assert img.shape == (2, 2, 3)
+    assert list(img[0, 0]) == [30, 20, 10]   # BGR -> RGB, row 0 first
+    assert list(img[1, 1]) == [120, 110, 100]
+    # 8-bit unsigned PCM: value 128 = silence = 0.0
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    data = bytes([128, 255, 0, 128])
+    wav = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + fmt
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    x, rate = MM.decode_audio(wav)
+    assert rate == 8000 and x.shape == (4, 1)
+    assert abs(x[0, 0]) < 1e-9 and x[1, 0] > 0.99 and x[2, 0] <= -0.99

@@ -1065,3 +1065,32 @@ def test_read_stream_over_data_evolution_patches(spark, wh):
     q2.awaitTermination(180)
     got2 = {r.id: (r.b, r.d) for r in spark.table(sink2).collect()}
     assert got2 == want
+
+
+def test_read_stream_patched_partitioned(spark, wh):
+    """Patched-table drain on a PARTITIONED data-evolution table: the
+    stitched rewrite lands with the writer's partitionBy layout (dir-
+    encoded partition values), so one declared schema serves hardlinked
+    raw files and stitched files alike."""
+    import uuid as _uuid
+    from paimon_spark import P, Table
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("id", T.IntegerType()),
+                        T.StructField("v", T.IntegerType())])
+    t = Table.create(f"{wh}/depart", sch, partition_keys=["pt"],
+                     options={"row-tracking.enabled": "true",
+                              "data-evolution.enabled": "true",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [("a" if i % 2 else "b", i, i) for i in range(20)], sch))
+    t.update_where(P.lt("id", 5), {"v": F.col("id") + 500})
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    q = (t.read_stream().writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.id: (r.pt, r.v) for r in spark.table(sink).collect()}
+    want = {r.id: (r.pt, r.v) for r in t.read().collect()}
+    assert got == want and len(got) == 20
+    assert got[3] == ("a", 503) and got[4] == ("b", 504)
+    assert got[10] == ("b", 10)          # partition value from dir names
