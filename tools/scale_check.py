@@ -111,9 +111,13 @@ def main():
         fn = qs[name]
         times = []
         for sf in sfs:
-            fn(spark, sf).collect()            # warm plan+code paths
+            # count(), not collect(): full-table queries (pk_upsert,
+            # time travel) would otherwise charge driver-side row
+            # serialization — ~9 s for 1.5 M rows at sf1 — to the
+            # engine (bench.py times count() for the same reason)
+            fn(spark, sf).count()              # warm plan+code paths
             t0 = time.perf_counter()
-            fn(spark, sf).collect()
+            fn(spark, sf).count()
             times.append(time.perf_counter() - t0)
         ratio = times[-1] / times[0] if times[0] else float("inf")
         flag = "  <-- SUPERLINEAR" if ratio > spread else ""
