@@ -87,12 +87,16 @@ class _StreamPartition(InputPartition):
 
     def __init__(self, table_path: str, files: list[str],
                  partitions: list[dict], merge_full_state: bool,
-                 schema_ids: list[int] | None = None):
+                 schema_ids: list[int] | None = None,
+                 dv_paths: list[str | None] | None = None):
         self.table_path = table_path
         self.files = files
         self.partitions = partitions
         self.merge_full_state = merge_full_state
         self.schema_ids = schema_ids or [0] * len(files)
+        # deletion-vector sidecar dataset per file (None = no deletes);
+        # applied as a position mask in _read_split
+        self.dv_paths = dv_paths or [None] * len(files)
 
 
 def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
@@ -121,7 +125,8 @@ def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
                 out.append(_StreamPartition(
                     table.path, [x.file_path for x in cur],
                     [dict(x.partition) for x in cur], False,
-                    [x.schema_id for x in cur]))
+                    [x.schema_id for x in cur],
+                    [x.dv_path for x in cur]))
                 cur, csz = [], 0
             cur.append(e)
             csz += e.file_size
@@ -129,7 +134,8 @@ def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
             out.append(_StreamPartition(
                 table.path, [x.file_path for x in cur],
                 [dict(x.partition) for x in cur], False,
-                [x.schema_id for x in cur]))
+                [x.schema_id for x in cur],
+                [x.dv_path for x in cur]))
     return out
 
 
@@ -173,7 +179,8 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
             out.append(_StreamPartition(
                 table.path, [x.file_path for x in g],
                 [dict(x.partition) for x in g], True,
-                [x.schema_id for x in g]))
+                [x.schema_id for x in g],
+                [x.dv_path for x in g]))
     return out or [_StreamPartition(table.path, [], [], False)]
 
 
@@ -213,14 +220,35 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                    for f in table.schema.struct.fields if f.name in names)
     shim_tcols = (set(time_shim_cols(table.schema.struct)) & set(names)
                   if table.file_format in TIME_AS_STRING_FORMATS else set())
+    dv_paths = getattr(partition, "dv_paths", None) \
+        or [None] * len(partition.files)
+
+    def _deleted_positions(fp: str, dv: str | None):
+        """set of row positions deleted from file `fp` (basename match —
+        data file names are UUIDs, the same contract the DV writer's
+        count bookkeeping uses), or None when the file carries no DV."""
+        if not dv:
+            return None
+        import pyarrow.dataset as pads
+        base = os.path.basename(fp)
+        t_dv = pads.dataset(
+            os.path.join(partition.table_path, dv)).to_table(
+            columns=["file_path", "pos"])
+        return {p for f, p in zip(t_dv.column("file_path").to_pylist(),
+                                  t_dv.column("pos").to_pylist())
+                if os.path.basename(f) == base}
     if not partition.merge_full_state and not has_time and all(
             not pvals and sid == cur_sid and all(
                 c in _file_schema_names(f"{partition.table_path}/{fp}")
                 for c in data_cols)
             for fp, pvals, sid in zip(partition.files, partition.partitions,
                                       partition.schema_ids)):
-        for fp in partition.files:
+        for fp, dv in zip(partition.files, dv_paths):
             tbl = _read_table(f"{partition.table_path}/{fp}")
+            dead = _deleted_positions(fp, dv)
+            if dead:
+                keep = [i for i in range(len(tbl)) if i not in dead]
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
             cols = []
             for c in names:
                 if c in tbl.column_names:
@@ -246,11 +274,14 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                 and cur_by_id[f2.metadata.get(FIELD_ID_KEY)] != f2.name}
 
     rows: list[dict] = []
-    for fp, pvals, sid in zip(partition.files, partition.partitions,
-                              partition.schema_ids):
+    for fp, pvals, sid, dv in zip(partition.files, partition.partitions,
+                                  partition.schema_ids, dv_paths):
         tbl = _read_table(f"{partition.table_path}/{fp}")
         remap = _name_map(sid)
-        for r in tbl.to_pylist():
+        dead = _deleted_positions(fp, dv)
+        for pos, r in enumerate(tbl.to_pylist()):
+            if dead and pos in dead:
+                continue                       # deletion-vector mask
             if remap:
                 r = {remap.get(k, k): v for k, v in r.items()}
             r.update(pvals)

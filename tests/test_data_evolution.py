@@ -169,3 +169,82 @@ def test_incremental_and_python_ds_over_patches(spark, wh):
     t.compact()
     assert (spark.read.format("paimon").option("path", t.path).load()
             .count()) == 10
+
+
+def test_randomized_patch_model(spark, wh):
+    """Seeded random op sequence (append / patch-update / DV-delete /
+    fold) on a data-evolution table, replayed against a dict model:
+    read(), read_incremental over every adjacent snapshot range, and
+    the availableNow drain must all agree with the model throughout."""
+    import random
+    import uuid as _uuid
+    rng = random.Random(7)
+    t = Table.create(f"{wh}/derand", SCH,
+                     options={"row-tracking.enabled": "true",
+                              "data-evolution.enabled": "true",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+    model: dict[int, tuple] = {}
+    next_id = 0
+    # (snapshot_id_after_op, op) history for incremental spot-checks
+    inc_checks: list[tuple[int, int, dict]] = []
+
+    def snap():
+        return t.paths.latest_snapshot_id() or 0
+
+    def drain_equals_read():
+        sink = f"m_{_uuid.uuid4().hex[:6]}"
+        q = (t.read_stream().writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r.id: (r.b, r.c) for r in spark.table(sink).collect()}
+        assert got == {k: v for k, v in model.items()}, "drain != model"
+
+    for step in range(10):
+        op = rng.choice(["append", "update", "update", "delete", "fold"])
+        if op == "append" or not model:
+            rows = [(next_id + i, next_id + i, next_id + i)
+                    for i in range(rng.randint(1, 8))]
+            next_id += len(rows)
+            t.append(spark.createDataFrame(rows, SCH))
+            for i, b, c in rows:
+                model[i] = (b, c)
+        elif op == "update":
+            lo = rng.randrange(0, max(next_id, 1))
+            hi = lo + rng.randint(1, 6)
+            col = rng.choice(["b", "c"])
+            add = rng.randint(100, 999)
+            before = snap()
+            t.update_where(P.ge("id", lo) & P.lt("id", hi),
+                           {col: F.col("id") + add})
+            expected = {}
+            for i in list(model):
+                if lo <= i < hi:
+                    b, c = model[i]
+                    model[i] = (i + add, c) if col == "b" else (b, i + add)
+                    expected[i] = model[i]
+            if snap() > before:
+                inc_checks.append((before, snap(), expected))
+        elif op == "delete":
+            victim = rng.choice(sorted(model))
+            t.delete_where(P.eq("id", victim))
+            del model[victim]
+        else:
+            t.compact()
+        got = {r.id: (r.b, r.c) for r in t.read().collect()}
+        assert got == model, f"step {step} op {op}: read != model"
+    drain_equals_read()
+    # every recorded patch range replays the updated rows' new images
+    # VALUED AT to_snapshot (later patches to the same rows apply)
+    for frm, to, expected in inc_checks:
+        inc = {r.id: (r.b, r.c)
+               for r in t.read_incremental(frm, to, with_kind=False)
+               .collect()}
+        assert set(inc) == set(expected), (frm, to)
+    # final incremental over the whole history = current live rows
+    # (all adds + updated images), minus nothing that still lives
+    full = {r.id: (r.b, r.c)
+            for r in t.read_incremental(0, snap(), with_kind=False)
+            .collect()}
+    for k, v in model.items():
+        assert full[k] == v, f"full-range incremental stale for id {k}"

@@ -1094,3 +1094,34 @@ def test_read_stream_patched_partitioned(spark, wh):
     assert got == want and len(got) == 20
     assert got[3] == ("a", 503) and got[4] == ("b", 504)
     assert got[10] == ("b", 10)          # partition value from dir names
+
+
+def test_python_datasource_applies_deletion_vectors(spark, wh):
+    """DV'd rows must not leak through format('paimon') (r8 regression,
+    caught by the randomized data-evolution model test): both the batch
+    surface and the streaming full-state drain apply the deletion-vector
+    position masks in the executor-side split read."""
+    from paimon_spark import P
+    from paimon_spark.streaming.datasource import register
+    import uuid as _uuid
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/dvapp", sch,
+                     options={"deletion-vectors.enabled": "true"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], sch).coalesce(2))
+    t.delete_where(P.isin("id", [3, 7, 21]))
+    t.delete_where(P.eq("id", 8))            # second DV generation merges
+    register(spark)
+    got = {r.id for r in (spark.read.format("paimon")
+                          .option("path", t.path).load().collect())}
+    assert got == set(range(30)) - {3, 7, 8, 21}
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    q = (spark.readStream.format("paimon").option("path", t.path)
+         .option("availablenow", "true").load()
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_s = {r.id for r in spark.table(sink).collect()}
+    assert got_s == set(range(30)) - {3, 7, 8, 21}
