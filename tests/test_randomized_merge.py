@@ -181,3 +181,51 @@ def test_randomized_changelog_with_compactions(spark, wh):
         fast = canon(derive_changelog(t, from_snap))
         slow = canon(derive_changelog(t, from_snap, optimize=False))
         assert fast == slow, f"diverged from snapshot {from_snap}"
+
+
+def test_random_changelog_reconstructs_state(spark, wh):
+    """Invariant: applying the FULL changelog stream (latest-full
+    StreamScanner: initial +I state, then per-snapshot -U/+U/-D/+I
+    deltas) to an empty dict reconstructs exactly read() after every
+    batch boundary. Random upserts and deletes, seeded."""
+    import random
+    from pyspark.sql import types as T
+    from paimon_spark import P, Table
+    from paimon_spark.streaming.source import StreamScanner
+    rng = random.Random(99)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/clrec", sch, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k) for k in range(20)], sch))
+    sc = StreamScanner(t, mode="latest-full")
+    state: dict[int, int] = {}
+
+    def drain_and_check():
+        while True:
+            b = sc.next_batch()
+            if b is None:
+                break
+            for r in b.collect():
+                if r["_row_kind"] in ("+I", "+U"):
+                    state[r.k] = r.v
+                elif r["_row_kind"] == "-D":
+                    state.pop(r.k, None)
+                # -U carries the pre-image; the +U that follows wins
+        assert state == {r.k: r.v for r in t.read().collect()}
+
+    drain_and_check()
+    for step in range(6):
+        op = rng.choice(["upsert", "upsert", "delete"])
+        if op == "upsert":
+            ks = rng.sample(range(30), rng.randint(1, 5))
+            t.append(spark.createDataFrame(
+                [(k, k * 1000 + step) for k in ks], sch))
+        else:
+            live = sorted({r.k for r in t.read().collect()})
+            t.delete_where(P.isin("k", rng.sample(live,
+                                                  min(2, len(live)))))
+        drain_and_check()
