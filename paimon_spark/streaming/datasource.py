@@ -139,6 +139,56 @@ def _pack_splits(table: Table, entries) -> list[_StreamPartition]:
     return out
 
 
+def _default_fills(table: Table, names: list[str]) -> dict:
+    """{col: python default} from `fields.<col>.default-value` options —
+    the split read fills nulls with these, mirroring the batch path's
+    DefaultValueAssigner (`Table._apply_defaults`). Types without an
+    obvious string parse are skipped (left null, like an absent option)."""
+    import datetime
+    import decimal
+    fills: dict = {}
+    for k, v in table.schema.options.items():
+        if not (k.startswith("fields.") and k.endswith(".default-value")):
+            continue
+        c = k[len("fields."):-len(".default-value")]
+        if c not in names:
+            continue
+        dt = table.schema.data_type(c)
+        try:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                fills[c] = int(v)
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                fills[c] = float(v)
+            elif isinstance(dt, T.BooleanType):
+                fills[c] = v.strip().lower() == "true"
+            elif isinstance(dt, T.DecimalType):
+                fills[c] = decimal.Decimal(v)
+            elif isinstance(dt, T.DateType):
+                fills[c] = datetime.date.fromisoformat(v)
+            elif isinstance(dt, T.TimestampType):
+                fills[c] = datetime.datetime.fromisoformat(v)
+            elif isinstance(dt, T.TimeType):
+                fills[c] = datetime.time.fromisoformat(v)
+            elif isinstance(dt, T.StringType):
+                fills[c] = v
+        except (ValueError, decimal.InvalidOperation):
+            pass
+    return fills
+
+
+def _reject_blobs(table: Table) -> None:
+    """Blob tables store (file, offset, length) descriptor structs where
+    the logical column is BINARY; the split reader has no materialize
+    step — refuse loudly rather than emit descriptors as payloads."""
+    from paimon_spark.functions.blob import blob_columns
+    if blob_columns(table.schema):
+        raise ValueError(
+            "format('paimon') cannot materialize blob.columns; read via "
+            "Table.read() (or read(blob_as_descriptor=True) for the "
+            "metadata-only view)")
+
+
 def _reject_patches(entries) -> None:
     """Patch files (data evolution) hold (_ROW_ID, changed columns),
     not row batches — the Python DataSource cannot stitch them, and
@@ -165,6 +215,7 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
         raise ValueError(
             "full-state reads via format('paimon') support the deduplicate "
             "engine (ascending sequence); use Table.read() or StreamScanner")
+    _reject_blobs(table)
     entries = table.new_scan().plan(snapshot_id=snapshot_id).entries
     _reject_patches(entries)
     out: list[_StreamPartition] = []
@@ -222,6 +273,7 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                   if table.file_format in TIME_AS_STRING_FORMATS else set())
     dv_paths = getattr(partition, "dv_paths", None) \
         or [None] * len(partition.files)
+    fills = _default_fills(table, names)
 
     def _deleted_positions(fp: str, dv: str | None):
         """set of row positions deleted from file `fp` (basename match —
@@ -243,6 +295,7 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                 for c in data_cols)
             for fp, pvals, sid in zip(partition.files, partition.partitions,
                                       partition.schema_ids)):
+        import pyarrow.compute as pc
         for fp, dv in zip(partition.files, dv_paths):
             tbl = _read_table(f"{partition.table_path}/{fp}")
             dead = _deleted_positions(fp, dv)
@@ -252,7 +305,11 @@ def _read_split(partition: _StreamPartition, names: list[str]):
             cols = []
             for c in names:
                 if c in tbl.column_names:
-                    cols.append(tbl.column(c))
+                    col = tbl.column(c)
+                    if c in fills:        # declared default fills nulls
+                        col = pc.fill_null(
+                            col, pa.scalar(fills[c]).cast(col.type))
+                    cols.append(col)
                 else:  # KIND_COL absent in append-table files
                     cols.append(pa.array(["+I"] * len(tbl), type=pa.string()))
             for batch in pa.table(cols, names=names).to_batches():
@@ -306,7 +363,10 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                 if isinstance(r.get(c), str):
                     r[c] = _dt.time.fromisoformat(r[c])
     for r in rows:
-        yield tuple(r.get(c, "+I" if c == KIND_COL else None) for c in names)
+        yield tuple(
+            fills[c] if c in fills and r.get(c) is None
+            else r.get(c, "+I" if c == KIND_COL else None)
+            for c in names)
 
 
 class PaimonStreamReader(DataSourceStreamReader):
@@ -407,6 +467,7 @@ class PaimonStreamReader(DataSourceStreamReader):
         if s == 0:
             # initial full state (merged per bucket for PK tables)
             return _plan_full_state(table, snapshot_id=e)
+        _reject_blobs(table)
         deltas = table.delta_entries(s, e)
         _reject_patches(deltas)
         out = _pack_splits(table, deltas)

@@ -103,3 +103,22 @@ def test_blob_rejects_datasource_write(spark, wh):
     with pytest.raises(Exception, match="blob"):
         df.write.format("paimon").option("path", t.path) \
             .mode("append").save()
+
+
+def test_python_datasource_refuses_blob_tables(spark, wh):
+    """format('paimon') has no blob materialize step — reads refuse
+    loudly instead of emitting descriptor structs as payloads (r8)."""
+    import pytest
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("payload", T.BinaryType())])
+    t = Table.create(f"{wh}/blobguard", sch,
+                     options={"blob.columns": "payload"}, spark=spark)
+    t.append(spark.createDataFrame([(1, bytearray(b"xx"))], sch))
+    assert {r.k for r in t.read().collect()} == {1}       # engine path fine
+    register(spark)
+    with pytest.raises(Exception, match="blob"):
+        (spark.read.format("paimon").option("path", t.path).load()
+         .collect())

@@ -1125,3 +1125,38 @@ def test_python_datasource_applies_deletion_vectors(spark, wh):
     q.awaitTermination(120)
     got_s = {r.id for r in spark.table(sink).collect()}
     assert got_s == set(range(30)) - {3, 7, 8, 21}
+
+
+def test_python_datasource_applies_default_values(spark, wh):
+    """F4 through format('paimon') (r8): pre-evolution files AND stored
+    nulls in a defaulted column read back with the declared default,
+    matching Table.read()'s DefaultValueAssigner semantics — in both the
+    Arrow fast path (column physically present) and the row path
+    (column missing from old files)."""
+    import uuid as _uuid
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/dsdef", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], sch))
+    t.alter(lambda s: s.add_column("status", T.StringType())
+            .set_option("fields.status.default-value", "NEW")
+            .add_column("n", T.IntegerType())
+            .set_option("fields.n.default-value", "7"))
+    t = Table.load(t.path, spark)
+    t.append(spark.createDataFrame([(2, "b", "OLD", 1), (3, "c", None, None)],
+                                   t.schema.struct))
+    want = {1: ("NEW", 7), 2: ("OLD", 1), 3: ("NEW", 7)}
+    register(spark)
+    got = {r.k: (r.status, r.n)
+           for r in (spark.read.format("paimon")
+                     .option("path", t.path).load().collect())}
+    assert got == want
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    q = (spark.readStream.format("paimon").option("path", t.path)
+         .option("availablenow", "true").load()
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_s = {r.k: (r.status, r.n) for r in spark.table(sink).collect()}
+    assert got_s == want
