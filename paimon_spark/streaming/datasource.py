@@ -39,7 +39,15 @@ def _load_table(options) -> Table:
     path = options.get("path")
     if not path:
         raise ValueError("option 'path' is required for the paimon source")
-    return Table.load(path)
+    t = Table.load(path, branch=options.get("branch"))
+    if t.schema.options.get("scan.fallback-branch"):
+        # partition-granular fallback needs the two-branch planner
+        # (Table._fallback_branch_df); the split reader would silently
+        # miss partitions served by the fallback branch
+        raise ValueError(
+            "format('paimon') does not serve scan.fallback-branch "
+            "tables; read via Table.read()")
+    return t
 
 
 def _stream_schema(schema: TableSchema) -> T.StructType:

@@ -304,3 +304,33 @@ def test_compact_chain_table_materializes_partition(spark, wh):
     with pytest.raises(ValueError, match="chain"):
         call(spark, "compact_chain_table", table=plain.path,
              partition="dt=d3")
+
+
+def test_python_datasource_branch_option_and_fallback_guard(spark, wh):
+    """format('paimon') reads a named branch via .option('branch', …);
+    scan.fallback-branch tables refuse the split reader loudly (it has
+    no two-branch partition fallback planner) (r8)."""
+    import pytest
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/brds", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "main")], sch))
+    t.create_branch("dev")
+    tb = Table.load(t.path, spark, branch="dev")
+    tb.append(spark.createDataFrame([(2, "dev")], sch))
+    register(spark)
+    got = {(r.k, r.v) for r in
+           (spark.read.format("paimon").option("path", t.path)
+            .option("branch", "dev").load().collect())}
+    assert got == {(1, "main"), (2, "dev")}
+    main = {(r.k, r.v) for r in
+            (spark.read.format("paimon").option("path", t.path)
+             .load().collect())}
+    assert main == {(1, "main")}
+    t.alter(lambda s: s.set_option("scan.fallback-branch", "dev"))
+    with pytest.raises(Exception, match="fallback"):
+        (spark.read.format("paimon").option("path", t.path).load()
+         .collect())
