@@ -82,7 +82,12 @@ class PaimonBatchReader(DataSourceReader):
 
     def partitions(self):
         table = _load_table(self.options)
-        return _plan_full_state(table)
+        sid = self.options.get("scan.snapshot-id")          # time travel
+        tag = self.options.get("scan.tag-name")
+        if tag is not None:
+            sid = table.paths.read_tag(tag)
+        return _plan_full_state(table,
+                                int(sid) if sid is not None else None)
 
     def read(self, partition: _StreamPartition):
         names = self.schema.fieldNames()

@@ -1160,3 +1160,28 @@ def test_python_datasource_applies_default_values(spark, wh):
     q.awaitTermination(120)
     got_s = {r.k: (r.status, r.n) for r in spark.table(sink).collect()}
     assert got_s == want
+
+
+def test_python_datasource_time_travel(spark, wh):
+    """Batch format('paimon') honors scan.snapshot-id / scan.tag-name —
+    the reference's Spark options surface for batch time travel (r8)."""
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/ttds", sch, primary_keys=["k"],
+                     options={"bucket": "1"}, spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], sch))   # s1
+    t.append(spark.createDataFrame([(2, "B"), (3, "c")], sch))   # s2
+    t.create_tag("first", snapshot_id=1)
+    register(spark)
+    cur = {(r.k, r.v) for r in (spark.read.format("paimon")
+           .option("path", t.path).load().collect())}
+    assert cur == {(1, "a"), (2, "B"), (3, "c")}
+    s1 = {(r.k, r.v) for r in (spark.read.format("paimon")
+          .option("path", t.path).option("scan.snapshot-id", "1")
+          .load().collect())}
+    assert s1 == {(1, "a"), (2, "b")}
+    tag = {(r.k, r.v) for r in (spark.read.format("paimon")
+           .option("path", t.path).option("scan.tag-name", "first")
+           .load().collect())}
+    assert tag == s1
