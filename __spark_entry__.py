@@ -1375,6 +1375,19 @@ def stream_patched_drain(spark, sf_dir):
     return spark.table(sink)
 
 
+def incremental_patched_images(spark, sf_dir):
+    """Incremental read over data-evolution PATCH commits (r8): the
+    range (snap 1, snap 3] holds two column-backfill patches — the TVF
+    emits the updated rows' NEW IMAGES valued at to_snapshot (en + fr
+    patches applied; the later src0 patch and DV delete excluded)."""
+    t = _wh(spark, sf_dir)["docs_de"]
+    df = t.read_incremental(1, 3, with_kind=False)
+    return df.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("quality", 6).alias("quality"))
+
+
 def embedding_centroid_classify(spark, sf_dir):
     """Nearest-centroid embedding classifier: per-label centroids, every
     vector assigned by cosine, confusion counts out — the cheap
@@ -2038,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocated_join_priority": colocated_join_priority,
         "data_evolution_backfill": data_evolution_backfill,
         "stream_patched_drain": stream_patched_drain,         # new in r8
+        "incremental_patched_images": incremental_patched_images,  # r8
         "embedding_centroid_classify": embedding_centroid_classify,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
@@ -2790,6 +2804,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(quality), 4) AS q_sum
             FROM s WHERE quality IS NULL OR quality <> 0.0
             GROUP BY lang""",
+        "incremental_patched_images": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(CASE WHEN lang = 'en'
+                              THEN CAST(n_chars AS DOUBLE) / 1000.0
+                              WHEN lang = 'fr' THEN 0.0 END, 6) AS quality
+            FROM documents WHERE lang IN ('en', 'fr')""",
         "multimodal_bytes_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
