@@ -219,3 +219,86 @@ def test_like_not_between_is_nan_leaves(spark, wh):
         == ["banana", "grape"]
     got = [r.s for r in t.read(P.is_nan("x")).collect()]
     assert got == ["banana"]
+
+
+def test_randomized_schema_evolution_model(spark, wh):
+    """Seeded random schema-evolution sequence (add column [with
+    default], rename, widen int->long, drop, upsert batches) on a PK
+    table, replayed against a dict model: Table.read() AND the plain
+    Python DataSource batch read (field-id remap + default fills) must
+    match the model after every step."""
+    import random
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    from paimon_spark.streaming.datasource import register
+    rng = random.Random(11)
+    t = Table.create(
+        f"{wh}/evorand",
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("c0", T.IntegerType())]),
+        primary_keys=["k"], options={"bucket": "2"}, spark=spark)
+    cols = ["c0"]                      # value columns, current names
+    defaults: dict[str, int] = {}
+    model: dict[int, dict] = {}
+    n_added = 0
+
+    def verify(step):
+        want = {k: tuple(row.get(c, defaults.get(c)) for c in cols)
+                for k, row in model.items()}
+        got = {r.k: tuple(getattr(r, c) for c in cols)
+               for r in t.read().collect()}
+        assert got == want, f"step {step}: engine read != model"
+        register(spark)
+        got_ds = {r.k: tuple(getattr(r, c) for c in cols)
+                  for r in (spark.read.format("paimon")
+                            .option("path", t.path).load().collect())}
+        assert got_ds == want, f"step {step}: python-DS read != model"
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "add", "rename", "widen",
+                         "drop"])
+        if op == "add":
+            n_added += 1
+            name = f"c{n_added}"
+            dflt = rng.random() < 0.5
+            t.alter(lambda s, n=name, d=dflt: (
+                s.add_column(n, T.IntegerType())
+                .set_option(f"fields.{n}.default-value", "77")
+                if d else s.add_column(n, T.IntegerType())))
+            if dflt:
+                defaults[name] = 77
+            cols.append(name)
+        elif op == "rename" and cols:
+            old = rng.choice(cols)
+            new = old + "r"
+            t.alter(lambda s, o=old, n=new: s.rename_column(o, n))
+            cols[cols.index(old)] = new
+            if old in defaults:
+                defaults[new] = defaults.pop(old)
+            for row in model.values():
+                if old in row:
+                    row[new] = row.pop(old)
+        elif op == "widen" and cols:
+            c = rng.choice(cols)
+            try:
+                t.alter(lambda s, cc=c: s.update_column_type(cc, T.LongType()))
+            except Exception:
+                pass                       # already long: no-op
+        elif op == "drop" and len(cols) > 1:
+            c = rng.choice(cols)
+            t.alter(lambda s, cc=c: s.drop_column(cc))
+            cols.remove(c)
+            defaults.pop(c, None)
+            for row in model.values():
+                row.pop(c, None)
+        else:
+            t = Table.load(t.path, spark)  # pick up evolved schema
+            ks = rng.sample(range(40), rng.randint(1, 6))
+            rows = []
+            for k in ks:
+                vals = {c: rng.randint(0, 9999) for c in cols}
+                model.setdefault(k, {}).update(vals)
+                rows.append((k, *[vals[c] for c in cols]))
+            t.append(spark.createDataFrame(rows, t.schema.struct))
+        t = Table.load(t.path, spark)
+        verify(step)
