@@ -218,9 +218,16 @@ def test_random_changelog_reconstructs_state(spark, wh):
         assert state == {r.k: r.v for r in t.read().collect()}
 
     drain_and_check()
-    for step in range(6):
-        op = rng.choice(["upsert", "upsert", "delete"])
-        if op == "upsert":
+    for step in range(8):
+        op = rng.choice(["upsert", "upsert", "delete", "compact"])
+        if op == "compact":
+            # COMPACT rewrites bytes, not logical rows: the changelog
+            # stream must emit NOTHING for it
+            before = dict(state)
+            t.compact()
+            drain_and_check()
+            assert state == before, "compaction leaked changelog rows"
+        elif op == "upsert":
             ks = rng.sample(range(30), rng.randint(1, 5))
             t.append(spark.createDataFrame(
                 [(k, k * 1000 + step) for k in ks], sch))
