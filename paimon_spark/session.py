@@ -38,6 +38,9 @@ def get_spark(app: str = "paimon_spark", shuffle_partitions: int | None = None,
         # the parquet round-trip all work (probed r7; was the last
         # unsupported reference type root)
         .config("spark.sql.timeType.enabled", "true")
+        # Python-DS filter pushdown (Spark 4.1): lets format('paimon')
+        # readers hand pushed filters to the manifest/stats planner
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # local mode runs executors inside the driver JVM: a 32-thread
         # run on an 8g heap spends seconds per query in GC (measured:

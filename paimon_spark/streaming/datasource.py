@@ -79,6 +79,7 @@ class PaimonBatchReader(DataSourceReader):
     def __init__(self, options, schema: T.StructType):
         self.options = options
         self.schema = schema
+        self._pushed = None                    # paimon Predicate or None
 
     def partitions(self):
         table = _load_table(self.options)
@@ -87,11 +88,57 @@ class PaimonBatchReader(DataSourceReader):
         if tag is not None:
             sid = table.paths.read_tag(tag)
         return _plan_full_state(table,
-                                int(sid) if sid is not None else None)
+                                int(sid) if sid is not None else None,
+                                predicate=self._pushed)
 
     def read(self, partition: _StreamPartition):
         names = self.schema.fieldNames()
         yield from _read_split(partition, names)
+
+
+class PaimonPushdownBatchReader(PaimonBatchReader):
+    """PaimonBatchReader + Spark 4.1 pushFilters. Split out because
+    merely OVERRIDING pushFilters makes Spark assert when
+    `spark.sql.python.filterPushdown.enabled` is false — engine
+    sessions (session.get_spark) set the flag; foreign sessions get
+    the plain reader unless they opt in (see PaimonDataSource.reader)."""
+
+    def pushFilters(self, filters):
+        """File-granular pushdown (Spark 4.1 Python-DS pushFilters):
+        supported leaves become a paimon Predicate that partitions()
+        hands to Scanner.plan — manifest/partition pruning, min-max
+        stats skipping, and sidecar file indexes all engage, exactly as
+        in Table.read(). EVERY filter is returned as residual: our
+        pruning is file-granular, so Spark must keep the row-exact
+        re-evaluation (the same contract as its own file sources, whose
+        PushedFilters are also advisory)."""
+        from pyspark.sql import datasource as DS
+
+        from paimon_spark.predicates import P
+        builders = {DS.EqualTo: P.eq, DS.GreaterThan: P.gt,
+                    DS.GreaterThanOrEqual: P.ge, DS.LessThan: P.lt,
+                    DS.LessThanOrEqual: P.le,
+                    DS.StringStartsWith: P.starts_with}
+        leaves = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1:
+                c = attr[0]
+                b = builders.get(type(f))
+                if b is not None:
+                    leaves.append(b(c, f.value))
+                elif isinstance(f, DS.In):
+                    leaves.append(P.isin(c, list(f.value)))
+                elif isinstance(f, DS.IsNull):
+                    leaves.append(P.is_null(c))
+                elif isinstance(f, DS.IsNotNull):
+                    leaves.append(P.not_null(c))
+        if leaves:
+            p = leaves[0]
+            for x in leaves[1:]:
+                p = p & x
+            self._pushed = p
+        return filters                          # all residual (advisory)
 
 
 class _StreamPartition(InputPartition):
@@ -216,11 +263,13 @@ def _reject_patches(entries) -> None:
             "view) or compact() to fold patches before following up")
 
 
-def _plan_full_state(table: Table, snapshot_id: int | None = None
-                     ) -> list[_StreamPartition]:
+def _plan_full_state(table: Table, snapshot_id: int | None = None,
+                     predicate=None) -> list[_StreamPartition]:
     """Split plan for a full-state read: per FILE for append tables (max
     parallelism), per BUCKET for PK tables (bucket-local merge is globally
-    correct — a key lives in exactly one bucket)."""
+    correct — a key lives in exactly one bucket). `predicate` engages
+    the same conservative file skipping Table.read() uses (Scanner.plan
+    strips defaulted columns and guards PK value-predicates itself)."""
     if table.schema.is_pk_table and (
             table.schema.merge_engine != "deduplicate"
             or table.schema.options.get(
@@ -229,7 +278,8 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None
             "full-state reads via format('paimon') support the deduplicate "
             "engine (ascending sequence); use Table.read() or StreamScanner")
     _reject_blobs(table)
-    entries = table.new_scan().plan(snapshot_id=snapshot_id).entries
+    entries = table.new_scan().plan(predicate,
+                                    snapshot_id=snapshot_id).entries
     _reject_patches(entries)
     out: list[_StreamPartition] = []
     if not table.schema.is_pk_table:
@@ -507,6 +557,11 @@ class PaimonDataSource(DataSource):
         return table.schema.struct
 
     def reader(self, schema):
+        # the pushdown reader needs spark.sql.python.filterPushdown.
+        # enabled (Spark asserts otherwise); get_spark sets it — foreign
+        # sessions opt in/out via .option("filter-pushdown", ...)
+        if self.options.get("filter-pushdown", "true") == "true":
+            return PaimonPushdownBatchReader(self.options, schema)
         return PaimonBatchReader(self.options, schema)
 
     def streamReader(self, schema):

@@ -1185,3 +1185,35 @@ def test_python_datasource_time_travel(spark, wh):
            .option("path", t.path).option("scan.tag-name", "first")
            .load().collect())}
     assert tag == s1
+
+
+def test_python_datasource_filter_pushdown(spark, wh):
+    """Spark 4.1 Python-DS pushFilters → Scanner.plan: partition
+    pruning and min-max stats skipping engage for format('paimon')
+    batch reads (split count drops), rows stay exact (every filter is
+    also kept as Spark's residual), and .option('filter-pushdown',
+    'false') opts foreign sessions out."""
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/pushdown", sch, partition_keys=["pt"],
+                     spark=spark)
+    for i, p in enumerate(("a", "b", "c")):    # 1 file per pt, disjoint k
+        t.append(spark.createDataFrame(
+            [(p, i * 100 + j, j) for j in range(100)], sch).coalesce(1))
+    register(spark)
+    base = spark.read.format("paimon").option("path", t.path).load()
+    assert base.rdd.getNumPartitions() == 3
+    df = base.filter((F.col("pt") == "a") & (F.col("k") < 5))
+    assert sorted((r.pt, r.k) for r in df.collect()) == \
+        [("a", j) for j in range(5)]
+    assert df.rdd.getNumPartitions() == 1      # partition pruned
+    stats = base.filter(F.col("k") >= 250)     # min-max skip: file 3 only
+    assert stats.rdd.getNumPartitions() == 1
+    assert stats.count() == 50
+    out = (spark.read.format("paimon").option("path", t.path)
+           .option("filter-pushdown", "false").load()
+           .filter(F.col("pt") == "b"))
+    assert out.rdd.getNumPartitions() == 3     # no pruning, still exact
+    assert out.count() == 100
