@@ -302,7 +302,8 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     """Executor-side split read. Arrow-batch fast path when every wanted
     column is physically in the files; Python-row path otherwise (partition
     values in the path, or a bucket merge). `names` may or may not include
-    `_row_kind` — batch readers omit it."""
+    `_row_kind` — batch readers omit it; the audit-log face asks for it
+    under the data-column name `rowkind` (aliased below)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -322,6 +323,10 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     from paimon_spark.schema import FIELD_ID_KEY, SEQ_COL
     table = Table.load(partition.table_path)
     cur_sid = table.schema.schema_id
+    out_names = list(names)
+    if "rowkind" in names and "rowkind" not in table.schema.field_names:
+        # audit-log face: `rowkind` is KIND_COL surfaced as data
+        names = [KIND_COL if c == "rowkind" else c for c in names]
     data_cols = [c for c in names if c != KIND_COL]
     # TIME anywhere in the wanted columns forces the Python-ROW path:
     # Spark's Python DataSource accepts datetime.time through the
@@ -375,7 +380,7 @@ def _read_split(partition: _StreamPartition, names: list[str]):
                     cols.append(col)
                 else:  # KIND_COL absent in append-table files
                     cols.append(pa.array(["+I"] * len(tbl), type=pa.string()))
-            for batch in pa.table(cols, names=names).to_batches():
+            for batch in pa.table(cols, names=out_names).to_batches():
                 yield batch
         return
 
@@ -553,10 +558,23 @@ class PaimonDataSource(DataSource):
     def schema(self):
         table = _load_table(self.options)
         if self.options.get("streaming", "true") == "true":
-            return _stream_schema(table.schema)
+            st = _stream_schema(table.schema)
+            if self.options.get("audit-log", "false") == "true":
+                # $audit_log streaming face (ref: AuditLogStreamingRead
+                # Test.scala): the changelog's row kind surfaces as a
+                # DATA column named `rowkind` — batch $audit_log's name
+                # and position (last)
+                st = T.StructType(list(st.fields[:-1])
+                                  + [T.StructField("rowkind",
+                                                   T.StringType(), True)])
+            return st
         return table.schema.struct
 
     def reader(self, schema):
+        if self.options.get("audit-log", "false") == "true":
+            raise ValueError(
+                "audit-log is a STREAMING face (rowkind per changelog "
+                "entry); the batch audit view is Table.read_audit_log()")
         # the pushdown reader needs spark.sql.python.filterPushdown.
         # enabled (Spark asserts otherwise); get_spark sets it — foreign
         # sessions opt in/out via .option("filter-pushdown", ...)

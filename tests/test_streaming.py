@@ -1217,3 +1217,42 @@ def test_python_datasource_filter_pushdown(spark, wh):
            .filter(F.col("pt") == "b"))
     assert out.rdd.getNumPartitions() == 3     # no pruning, still exact
     assert out.count() == 100
+
+
+def test_audit_log_streaming_read(spark, wh, tmp_path):
+    """$audit_log streaming face (ref: AuditLogStreamingReadTest.scala):
+    readStream with .option('audit-log', 'true') surfaces the changelog
+    row kind as a DATA column `rowkind` — initial state +I, then
+    per-commit kinds from the changelog producer; deletes arrive as -D
+    data rows (not stream retractions). Batch refuses (use
+    read_audit_log)."""
+    from paimon_spark import P
+    from paimon_spark.streaming.datasource import register
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("name", T.StringType())])
+    t = Table.create(f"{wh}/auditstream", sch, primary_keys=["id"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], sch))
+    register(spark)
+    rows: list = []
+    def drain():
+        q = (spark.readStream.format("paimon").option("path", t.path)
+             .option("audit-log", "true").load()
+             .writeStream.foreachBatch(lambda b, i: rows.extend(
+                 (r.id, r.name, r.rowkind) for r in b.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    drain()
+    assert sorted(rows) == [(1, "a", "+I"), (2, "b", "+I")]
+    rows.clear()
+    t.append(spark.createDataFrame([(1, "A")], sch))   # update
+    t.delete_where(P.eq("id", 2))                      # delete
+    drain()                                            # deltas only (ckpt)
+    assert ( (1, "A", "+I") in rows or (1, "A", "+U") in rows )
+    assert any(k == "-D" and i == 2 for i, _n, k in rows)
+    with pytest.raises(Exception, match="audit-log|read_audit_log"):
+        (spark.read.format("paimon").option("path", t.path)
+         .option("audit-log", "true").load().collect())
