@@ -295,3 +295,36 @@ def test_null_partition_key_move_retracts(spark, wh):
     assert nulls == []
     got_null_part = rows(t, predicate=P.is_null("dt"))
     assert got_null_part == []
+
+
+def test_randomized_cross_partition_moves(spark, wh):
+    """Seeded random upsert/delete batches where keys MOVE between
+    partitions, replayed against a dict model: the global pk→partition
+    index must retract the old partition's row every time (read() ==
+    model after every commit), including after compactions."""
+    import random
+    rng = random.Random(5)
+    t = _mk(spark, wh, "xprand")
+    model: dict[int, tuple[str, int]] = {}
+    for step in range(8):
+        if rng.random() < 0.2 and model:
+            victims = rng.sample(sorted(model), min(3, len(model)))
+            t.delete_where(P.isin("id", victims))
+            for k in victims:
+                del model[k]
+        else:
+            batch, seen = [], set()
+            for _ in range(rng.randint(2, 10)):
+                k = rng.randint(0, 30)
+                if k in seen:
+                    continue
+                seen.add(k)
+                pt = rng.choice(["a", "b", "c"])     # may move partitions
+                v = rng.randint(0, 999)
+                batch.append((pt, k, v))
+                model[k] = (pt, v)
+            t.append(spark.createDataFrame(batch, SCHEMA))
+        if rng.random() < 0.3:
+            t.compact()
+        got = {r.id: (r.dt, r.v) for r in t.read().collect()}
+        assert got == model, f"step {step}: cross-partition state diverged"
