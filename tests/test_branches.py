@@ -334,3 +334,47 @@ def test_python_datasource_branch_option_and_fallback_guard(spark, wh):
     with pytest.raises(Exception, match="fallback"):
         (spark.read.format("paimon").option("path", t.path).load()
          .collect())
+
+
+def test_randomized_tag_pinning_model(spark, wh):
+    """Seeded random append / tag / delete-tag / expire sequence vs a
+    model: every LIVE tag always reads exactly the state frozen at its
+    creation — including after snapshot expiration (tag pinning) — and
+    the current read always equals the running model."""
+    import random
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    rng = random.Random(21)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/tagrand", sch, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    model: dict[int, int] = {}
+    frozen: dict[str, dict] = {}
+    n_tags = 0
+    t.append(spark.createDataFrame([(0, 0)], sch))
+    model[0] = 0
+    for step in range(10):
+        op = rng.choice(["append", "append", "tag", "drop_tag", "expire"])
+        if op == "append":
+            rows = [(rng.randint(0, 25), rng.randint(0, 999))
+                    for _ in range(rng.randint(1, 5))]
+            rows = list({k: (k, v) for k, v in rows}.values())
+            t.append(spark.createDataFrame(rows, sch))
+            model.update(dict(rows))
+        elif op == "tag":
+            n_tags += 1
+            name = f"t{n_tags}"
+            t.create_tag(name)
+            frozen[name] = dict(model)
+        elif op == "drop_tag" and frozen:
+            name = rng.choice(sorted(frozen))
+            t.delete_tag(name)
+            del frozen[name]
+        else:
+            t.expire_snapshots(retain_last=rng.randint(1, 3))
+        assert {r.k: r.v for r in t.read().collect()} == model, \
+            f"step {step}: live read diverged"
+        for name, want in frozen.items():
+            got = {r.k: r.v for r in t.read(tag=name).collect()}
+            assert got == want, f"step {step}: tag {name} diverged"
