@@ -170,3 +170,38 @@ def test_text_format_rejects_invalid_shapes(spark, wh):
         options={"file.format": "text", "bucket": "1"}, spark=spark)
     with pytest.raises(ValueError, match="single STRING"):
         t2.append(spark.createDataFrame([("a",)], TEXT_SCHEMA))
+
+
+def test_randomized_avro_pk_model(spark, wh):
+    """Seeded random upsert/delete/compact sequence on an AVRO-format PK
+    table vs a dict model — the row-format write/merge/read paths must
+    match parquet semantics exactly."""
+    import random
+    from pyspark.sql import types as T
+    from paimon_spark import P, Table
+    rng = random.Random(31)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("s", T.StringType()),
+                        T.StructField("d", T.DoubleType())])
+    t = Table.create(f"{wh}/avrorand", sch, primary_keys=["k"],
+                     options={"bucket": "2", "file.format": "avro"},
+                     spark=spark)
+    model: dict[int, tuple] = {}
+    for step in range(8):
+        op = rng.choice(["upsert", "upsert", "delete", "compact"])
+        if op == "upsert" or not model:
+            rows = {rng.randint(0, 20): (f"s{rng.randint(0, 99)}",
+                                         round(rng.random() * 10, 3))
+                    for _ in range(rng.randint(1, 6))}
+            t.append(spark.createDataFrame(
+                [(k, s, d) for k, (s, d) in rows.items()], sch))
+            model.update(rows)
+        elif op == "delete":
+            vs = rng.sample(sorted(model), min(2, len(model)))
+            t.delete_where(P.isin("k", vs))
+            for k in vs:
+                del model[k]
+        else:
+            t.compact()
+        got = {r.k: (r.s, r.d) for r in t.read().collect()}
+        assert got == model, f"step {step} ({op}): avro PK state diverged"
