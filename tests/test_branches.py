@@ -378,3 +378,35 @@ def test_randomized_tag_pinning_model(spark, wh):
         for name, want in frozen.items():
             got = {r.k: r.v for r in t.read(tag=name).collect()}
             assert got == want, f"step {step}: tag {name} diverged"
+
+
+def test_randomized_rollback_model(spark, wh):
+    """Seeded random append / rollback_to sequence vs a per-snapshot
+    state history: after every op the live read equals the model, and
+    appends after a rollback continue from the rolled-back state
+    (discarded snapshots never resurrect)."""
+    import random
+    from pyspark.sql import types as T
+    from paimon_spark import Table
+    rng = random.Random(13)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/rbrand", sch, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    history: dict[int, dict] = {}            # snapshot id -> state
+    state: dict[int, int] = {}
+    for step in range(10):
+        if rng.random() < 0.3 and len(history) >= 2:
+            target = rng.choice(sorted(history)[:-1])
+            t.rollback_to(target)
+            state = dict(history[target])
+            history = {sid: st for sid, st in history.items()
+                       if sid <= target}
+        else:
+            rows = {rng.randint(0, 15): rng.randint(0, 999)
+                    for _ in range(rng.randint(1, 4))}
+            t.append(spark.createDataFrame(list(rows.items()), sch))
+            state.update(rows)
+            history[t.paths.latest_snapshot_id()] = dict(state)
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == state, f"step {step}: rollback state diverged"
