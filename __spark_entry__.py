@@ -1969,21 +1969,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r8 window = the 2 r7 REDS (winnow_doc_fingerprints's gated shape now
-    explodes to scalar rows; mixture_token_budget casts every aggregate
-    to BIGINT on both sides — DuckDB's windowed sum(int) is HUGEINT and
-    the driver's pandas hash is dtype-sensitive) + ALL 48 entries that
-    were NOT driver-gated in r7 (43 rotated out with green r6/earlier
-    rows + the 5 siblings skipped two rounds). The 48 r7-green entries
-    rotate out. ALL entries — gated or not — are oracle-checked every
-    round by tests/test_oracle_parity.py (sf0.001) and
-    tools/check_oracle.py (sf0.01)."""
+    r9 window = the exact 50 entries that sat BELOW the r8 cut-off (green
+    in the r7 gate or via pytest-only since; includes stream_patched_drain
+    and incremental_patched_images, both new in r8 and never driver-gated;
+    the two never-gated entries lead the window). The 50 r8-gated entries
+    (all green in CORRECTNESS_r08) rotate out. ALL entries — gated or
+    not — are oracle-checked every round by tests/test_oracle_parity.py
+    (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
-        # --- the 2 r7 red rows, fixed, must re-gate ---
+        # --- new in r8, never driver-gated: lead the r9 window ---
+        "stream_patched_drain": stream_patched_drain,
+        "incremental_patched_images": incremental_patched_images,
+        # --- the 48 entries below the r8 cut-off (r7-gate green) ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "q6_revenue": q6_revenue,
+        "pk_upsert_latest": pk_upsert_latest,
+        "merge_full_surface": merge_full_surface,
+        "iceberg_mirror_read": iceberg_mirror_read,
+        "cdc_sync_evolution": cdc_sync_evolution,
+        "fulltext_bm25_topk": fulltext_bm25_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_clusters": dedup_clusters,
+        "pack_training_sequences": pack_training_sequences,
+        "repeated_8gram_spans": repeated_8gram_spans,
+        "cut_spans_clean_corpus": cut_spans_clean_corpus,
+        "colocated_join_priority": colocated_join_priority,
+        "data_evolution_backfill": data_evolution_backfill,
+        "embedding_centroid_classify": embedding_centroid_classify,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "text_chunks": text_chunks,
+        "sketch_hll_users": sketch_hll_users,
+        "variant_extract": variant_extract,
+        "stream_window_counts": stream_window_counts,
+        "window_user_ranks": window_user_ranks,
+        "pii_redact": pii_redact,
+        "contamination_4gram": contamination_4gram,
+        "bitmap_rowrange_lang": bitmap_rowrange_lang,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "dedup_simhash": dedup_simhash,
+        "zorder_cluster_preserves": zorder_cluster_preserves,
+        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
+        "sample_corpus": sample_corpus,
+        "q3_top_revenue": q3_top_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "topn_orders": topn_orders,
+        "point_lookup": point_lookup,
+        "metadata_count": metadata_count,
+        "agg_engine_rich": agg_engine_rich,
+        "changelog_old_vs_new": changelog_old_vs_new,
+        "pk_after_delete": pk_after_delete,
+        "cross_partition_upsert": cross_partition_upsert,
+        "time_travel_v1": time_travel_v1,
+        "sequence_field_latest": sequence_field_latest,
+        "default_values_read": default_values_read,
+        "tag_travel_read": tag_travel_read,
+        # =========== gate cut-off: entries below were gated GREEN in r8 ==
         "mixture_token_budget": mixture_token_budget,
         "winnow_doc_fingerprints": winnow_doc_fingerprints,
-        # --- the 43 entries rotated out in r7 (driver rows from r6 or
-        # earlier; every one replica+pytest green since) ---
         "dedup_exact": dedup_exact,
         "embedding_quantize": embedding_quantize,
         "sql_function_charge": sql_function_charge,
@@ -2027,64 +2075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_row_events": first_row_events,
         "compact_preserves": compact_preserves,
         "dynamic_bucket_latest": dynamic_bucket_latest,
-        # --- the 5 siblings, never driver-gated (skipped r6+r7) ---
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        # =========== gate cut-off: entries below were green in r7 ======
-        # --- always-in core (r7 rows green; back in the window r9) ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q6_revenue": q6_revenue,
-        "pk_upsert_latest": pk_upsert_latest,
-        "merge_full_surface": merge_full_surface,
-        "iceberg_mirror_read": iceberg_mirror_read,
-        "cdc_sync_evolution": cdc_sync_evolution,
-        "fulltext_bm25_topk": fulltext_bm25_topk,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_clusters": dedup_clusters,
-        "pack_training_sequences": pack_training_sequences,
-        "repeated_8gram_spans": repeated_8gram_spans,
-        "cut_spans_clean_corpus": cut_spans_clean_corpus,
-        "colocated_join_priority": colocated_join_priority,
-        "data_evolution_backfill": data_evolution_backfill,
-        "stream_patched_drain": stream_patched_drain,         # new in r8
-        "incremental_patched_images": incremental_patched_images,  # r8
-        "embedding_centroid_classify": embedding_centroid_classify,
-        "ann_ivf_topk": ann_ivf_topk,
-        "text_quality": text_quality,
-        "text_stats": text_stats,
-        "text_langid": text_langid,
-        "text_repetition": text_repetition,
-        "text_chunks": text_chunks,
-        "sketch_hll_users": sketch_hll_users,
-        "variant_extract": variant_extract,
-        "stream_window_counts": stream_window_counts,
-        "window_user_ranks": window_user_ranks,
-        "pii_redact": pii_redact,
-        "contamination_4gram": contamination_4gram,
-        "bitmap_rowrange_lang": bitmap_rowrange_lang,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "dedup_simhash": dedup_simhash,
-        "zorder_cluster_preserves": zorder_cluster_preserves,
-        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
-        "sample_corpus": sample_corpus,
-        "q3_top_revenue": q3_top_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "topn_orders": topn_orders,
-        "point_lookup": point_lookup,
-        "metadata_count": metadata_count,
-        "agg_engine_rich": agg_engine_rich,
-        "changelog_old_vs_new": changelog_old_vs_new,
-        "pk_after_delete": pk_after_delete,
-        "cross_partition_upsert": cross_partition_upsert,
-        "time_travel_v1": time_travel_v1,
-        "sequence_field_latest": sequence_field_latest,
-        "default_values_read": default_values_read,
-        "tag_travel_read": tag_travel_read,
     }
 
 

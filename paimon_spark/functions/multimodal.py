@@ -71,6 +71,23 @@ def decode_image(payload: bytes):
             raise NotImplementedError(
                 f"BMP bpp={bpp} compression={comp}: only uncompressed "
                 "24/32-bit supported without external libraries")
+        if comp == 3:
+            # BI_BITFIELDS: channel masks live at absolute offset 54
+            # (right after a 40-byte BITMAPINFOHEADER, or as the V2+/V4
+            # header mask fields — same byte position either way). The
+            # de-interleave below assumes the standard BGR(A) layout;
+            # a BMP with swapped masks (e.g. RGBA order) would decode
+            # with swapped channels, silently corrupting features —
+            # accept only the standard masks, refuse the rest loudly.
+            r_m = int.from_bytes(payload[54:58], "little")
+            g_m = int.from_bytes(payload[58:62], "little")
+            b_m = int.from_bytes(payload[62:66], "little")
+            if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise NotImplementedError(
+                    f"BMP BI_BITFIELDS with non-standard channel masks "
+                    f"(R={r_m:#010x} G={g_m:#010x} B={b_m:#010x}): only "
+                    "the standard BGRA byte order is supported without "
+                    "external libraries")
         flip = h > 0                       # positive height = bottom-up
         h = abs(h)
         nb = bpp // 8

@@ -294,15 +294,18 @@ def kmeans_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
     - Seeds: the k rows with smallest xxhash64(id) — deterministic,
       order-independent, and uncorrelated with id locality (unlike
       first-n-by-id).
-    - Assign: broadcast the k centroids, argmax cosine per row (one scan,
-      no shuffle beyond the re-aggregation).
+    - Assign: broadcast the k centroids, argmax cosine per row via
+      map-side max_by (the per-row k candidate rows collapse to ONE row
+      per vector in the partial aggregation BEFORE any exchange — a
+      row_number window here would instead ship N·k sorted rows through
+      its Exchange every iteration, a multi-TB shuffle at index-build
+      scale; same shape as centroid_classify below).
     - Recompute: per-dimension means via posexplode + groupBy — k·dim
       driver scalars per iteration (metadata-plane collect; k,dim ≪ N).
       Empty clusters keep their previous centroid.
 
     At 100 TB: each iteration is one broadcast-scan + one (cluster, dim)
     aggregation — the standard distributed Lloyd shape."""
-    from pyspark.sql import Window as _W
     seeds = (emb.select(F.col(id_col), F.col(vec_col))
              .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
              .limit(k).collect())
@@ -314,9 +317,12 @@ def kmeans_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
         scored = (emb.select(id_col, vec_col)
                   .crossJoin(F.broadcast(cdf))
                   .withColumn("__sim", cosine(F.col(vec_col), F.col("__cv"))))
-        w = _W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
-        best = (scored.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
+        # ties → lowest cid, matching the former (desc sim, asc cid) sort
+        best = (scored.groupBy(id_col)
+                .agg(F.max_by("__cid",
+                              F.struct(F.col("__sim"),
+                                       -F.col("__cid"))).alias("__cid"),
+                     F.first(vec_col).alias(vec_col))
                 .select("__cid", vec_col))
         # rounded means: partial-sum order varies with partitioning, so
         # raw float avgs differ in the last bits run-to-run and border

@@ -47,6 +47,13 @@ def _load_table(options) -> Table:
         raise ValueError(
             "format('paimon') does not serve scan.fallback-branch "
             "tables; read via Table.read()")
+    if t.schema.options.get("chain-table.enabled", "false") == "true":
+        # chain reads union _chain_read_df across the chained tables;
+        # the split planner here only plans the main table and would
+        # silently drop the chain portion
+        raise ValueError(
+            "format('paimon') does not serve chain-table.enabled "
+            "tables; read via Table.read()")
     return t
 
 
@@ -278,6 +285,15 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None,
             "full-state reads via format('paimon') support the deduplicate "
             "engine (ascending sequence); use Table.read() or StreamScanner")
     _reject_blobs(table)
+    if predicate is not None and table._is_data_evolution():
+        # Patch entries carry partition={}, so a pushed partition conjunct
+        # prunes them from the filtered plan and the guard below would
+        # silently pass while serving stale, unstitched base rows. Detect
+        # patches on the UNFILTERED entry set first (the same
+        # plan-without-predicate guard _data_evolution_df uses,
+        # table.py:936).
+        _reject_patches(
+            table.new_scan().plan(None, snapshot_id=snapshot_id).entries)
     entries = table.new_scan().plan(predicate,
                                     snapshot_id=snapshot_id).entries
     _reject_patches(entries)
@@ -551,6 +567,15 @@ class PaimonStreamReader(DataSourceStreamReader):
 class PaimonDataSource(DataSource):
     """`format("paimon")` — batch + streaming read of paimon_spark tables."""
 
+    # Default for the batch filter-pushdown reader. Merely overriding
+    # pushFilters makes Spark ASSERT when
+    # spark.sql.python.filterPushdown.enabled is false, so the safe
+    # default is the plain reader; register(spark) flips this to "true"
+    # when the registering session has the conf on (the class is pickled
+    # BY VALUE at registration, so the flag travels with it). Per-read
+    # .option("filter-pushdown", ...) still overrides either way.
+    _pushdown_default = "false"
+
     @classmethod
     def name(cls):
         return "paimon"
@@ -576,9 +601,12 @@ class PaimonDataSource(DataSource):
                 "audit-log is a STREAMING face (rowkind per changelog "
                 "entry); the batch audit view is Table.read_audit_log()")
         # the pushdown reader needs spark.sql.python.filterPushdown.
-        # enabled (Spark asserts otherwise); get_spark sets it — foreign
-        # sessions opt in/out via .option("filter-pushdown", ...)
-        if self.options.get("filter-pushdown", "true") == "true":
+        # enabled (Spark asserts otherwise); register(spark) sets
+        # _pushdown_default from the registering session's conf, so
+        # engine sessions (get_spark) get pushdown and plain sessions
+        # keep working; .option("filter-pushdown", ...) overrides
+        default = getattr(type(self), "_pushdown_default", "false")
+        if self.options.get("filter-pushdown", default) == "true":
             return PaimonPushdownBatchReader(self.options, schema)
         return PaimonBatchReader(self.options, schema)
 
@@ -822,6 +850,13 @@ def register(spark):
                 cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass
+    try:
+        PaimonDataSource._pushdown_default = (
+            "true" if str(spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false")
+            ).lower() == "true" else "false")
+    except Exception:
+        PaimonDataSource._pushdown_default = "false"
     spark.dataSource.register(PaimonDataSource)
 
 

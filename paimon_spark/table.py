@@ -2418,6 +2418,18 @@ class Table:
                              .join(F.broadcast(touched), ROW_ID_COL,
                                    "left_semi")
                              .select(*self.schema.field_names))
+                if entries:
+                    # base ADDs in range whose rows a range patch also
+                    # touched: the stitched part above already serves
+                    # those rows at their to_snapshot value — anti-join
+                    # them out of the raw side so each row is emitted
+                    # exactly once (ref: DataEvolutionSplitRead.java
+                    # emits one stitched image per row)
+                    parts.insert(0, self._lineage_df(entries)
+                                 .join(F.broadcast(touched), ROW_ID_COL,
+                                       "left_anti")
+                                 .select(*self.schema.field_names))
+                    entries = []
             # else: a later compaction already folded every patch — the
             # folded base files are the range's ADDs and carry the values
         if not entries and not parts:

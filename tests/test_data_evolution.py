@@ -171,6 +171,113 @@ def test_incremental_and_python_ds_over_patches(spark, wh):
             .count()) == 10
 
 
+def test_pushed_partition_filter_still_detects_patches(spark, wh):
+    """r9 regression: patch entries carry partition={}, so a PUSHED
+    partition filter pruned them from the filtered plan and the Python
+    DataSource silently served stale, unstitched base rows. The patch
+    guard must fire on the unfiltered plan (same guard as
+    _data_evolution_df)."""
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("id", T.IntegerType()),
+                        T.StructField("b", T.IntegerType())])
+    t = Table.create(f"{wh}/dep", sch, partition_keys=["pt"],
+                     options={"row-tracking.enabled": "true",
+                              "data-evolution.enabled": "true",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [("a", i, i) for i in range(5)] + [("z", i, i) for i in range(5, 10)],
+        sch))
+    t.update_where(P.eq("pt", "a"), {"b": F.col("id") + 100})
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    df = (spark.read.format("paimon").option("path", t.path).load()
+          .filter(F.col("pt") == "a"))
+    with pytest.raises(Exception, match="patch"):
+        df.collect()
+    # a non-partition pushed filter must hit the same guard
+    df2 = (spark.read.format("paimon").option("path", t.path).load()
+           .filter(F.col("id") < 3))
+    with pytest.raises(Exception, match="patch"):
+        df2.collect()
+
+
+def test_incremental_add_plus_patch_emits_once(spark, wh):
+    """r9 regression: an incremental range holding BOTH a base-file ADD
+    and a later patch touching its rows must emit each touched row ONCE,
+    valued at to_snapshot — not once stale (raw ADD) + once stitched."""
+    t = Table.create(f"{wh}/deinc", SCH,
+                     options={"row-tracking.enabled": "true",
+                              "data-evolution.enabled": "true",
+                              "deletion-vectors.enabled": "true"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(i, i, i) for i in range(5)], SCH))  # s1
+    t.append(spark.createDataFrame([(i, i, i) for i in range(5, 10)], SCH))  # s2
+    t.update_where(P.ge("id", 7), {"b": F.col("id") + 100})              # s3
+    rows = t.read_incremental(1, 3, with_kind=False).collect()
+    got = {}
+    for r in rows:
+        assert r.id not in got, f"id {r.id} emitted twice"
+        got[r.id] = (r.b, r.c)
+    assert got == {5: (5, 5), 6: (6, 6),
+                   7: (107, 7), 8: (108, 8), 9: (109, 9)}
+    # full-history range: the s1 rows ride raw, untouched by any patch
+    rows = t.read_incremental(0, 3, with_kind=False).collect()
+    ids = [r.id for r in rows]
+    assert sorted(ids) == list(range(10)) and len(ids) == len(set(ids))
+
+
+def test_chain_table_rejected_by_datasource(spark, wh):
+    """format('paimon') only plans the main table; chain-table.enabled
+    reads union chained tables — must refuse loudly (r9)."""
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("k", T.IntegerType()),
+                        T.StructField("v", T.IntegerType())])
+    t = Table.create(f"{wh}/chain_main", sch, partition_keys=["pt"],
+                     primary_keys=["pt", "k"],
+                     options={"bucket": "1", "chain-table.enabled": "true",
+                              "scan.fallback-snapshot-branch": "snap",
+                              "scan.fallback-delta-branch": "delta"},
+                     spark=spark)
+    t.create_branch("snap")
+    t.create_branch("delta")
+    t.append(spark.createDataFrame([("a", 1, 1)], sch))
+    from paimon_spark.streaming.datasource import register
+    register(spark)
+    with pytest.raises(Exception, match="chain-table"):
+        (spark.read.format("paimon").option("path", t.path).load()
+         .collect())
+
+
+def test_pushdown_default_follows_registering_session(spark):
+    """r9: the pushdown reader asserts in sessions without
+    spark.sql.python.filterPushdown.enabled — the class default must be
+    the plain reader; register() flips it only when the session conf is
+    on (get_spark sessions)."""
+    from paimon_spark.streaming import datasource as ds
+    ds.register(spark)   # test session has the conf ON (get_spark)
+    assert ds.PaimonDataSource._pushdown_default == "true"
+    # a foreign session (conf off → register leaves default "false")
+    # must get the PLAIN reader so batch reads keep working
+    saved = ds.PaimonDataSource._pushdown_default
+    try:
+        ds.PaimonDataSource._pushdown_default = "false"
+        src = ds.PaimonDataSource(options={"path": "/nonexistent"})
+        # call reader() directly; schema arg unused for class choice
+        reader = ds.PaimonDataSource.reader(src, T.StructType([]))
+        assert type(reader) is ds.PaimonBatchReader
+        ds.PaimonDataSource._pushdown_default = "true"
+        reader = ds.PaimonDataSource.reader(src, T.StructType([]))
+        assert type(reader) is ds.PaimonPushdownBatchReader
+        # explicit per-read option overrides either default
+        src2 = ds.PaimonDataSource(
+            options={"path": "/x", "filter-pushdown": "false"})
+        assert type(ds.PaimonDataSource.reader(src2, T.StructType([]))) \
+            is ds.PaimonBatchReader
+    finally:
+        ds.PaimonDataSource._pushdown_default = saved
+
+
 def test_randomized_patch_model(spark, wh):
     """Seeded random op sequence (append / patch-update / DV-delete /
     fold) on a data-evolution table, replayed against a dict model:

@@ -159,3 +159,29 @@ def test_bmp32_and_wav8():
     x, rate = MM.decode_audio(wav)
     assert rate == 8000 and x.shape == (4, 1)
     assert abs(x[0, 0]) < 1e-9 and x[1, 0] > 0.99 and x[2, 0] <= -0.99
+
+
+def test_bmp_bitfields_masks(spark=None):
+    """r9: BI_BITFIELDS BMPs decode only with the standard BGRA masks;
+    swapped masks must raise, never silently swap channels."""
+    import numpy as np
+
+    import pytest
+    px = np.array([[[10, 20, 30, 255], [40, 50, 60, 255]]], dtype=np.uint8)
+    body = px.tobytes()
+
+    def bmp(r_m, g_m, b_m, a_m=0xFF000000):
+        return (b"BM" + (70 + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+                + (70).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                + (2).to_bytes(4, "little")
+                + (-1).to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+                + (3).to_bytes(4, "little")            # BI_BITFIELDS
+                + b"\0" * 20
+                + r_m.to_bytes(4, "little") + g_m.to_bytes(4, "little")
+                + b_m.to_bytes(4, "little") + a_m.to_bytes(4, "little"))
+
+    img = MM.decode_image(bmp(0x00FF0000, 0x0000FF00, 0x000000FF) + body)
+    assert list(img[0, 0]) == [30, 20, 10]             # standard masks OK
+    with pytest.raises(NotImplementedError, match="mask"):
+        MM.decode_image(bmp(0x000000FF, 0x0000FF00, 0x00FF0000) + body)
