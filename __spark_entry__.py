@@ -654,6 +654,29 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.delete_where(P.eq("quality", 0.0))
         out["docs_de"] = t
 
+    def _build_26():
+        # ---- orders_chain: chain table (snapshot + delta branches;
+        # ref ChainTableStreamScan.java) — snap holds years ≤1997
+        # (latest snapshot partition = 1997), delta holds 1996 (below
+        # the chain head, excluded from phase 1) and 1998+ (after it)
+        od = (raw["orders"]
+              .select(F.year("o_orderdate").cast("int").alias("y"),
+                      "o_orderkey",
+                      _dec("o_totalprice").alias("o_totalprice")))
+        t = Table.create(
+            f"{root}/orders_chain", od.schema, partition_keys=["y"],
+            primary_keys=["y", "o_orderkey"],
+            options={"bucket": "1", "chain-table.enabled": "true",
+                     "scan.fallback-snapshot-branch": "snap",
+                     "scan.fallback-delta-branch": "delta"},
+            spark=spark)
+        snap = t.create_branch("snap")
+        delta = t.create_branch("delta")
+        snap.append(od.filter(F.col("y") <= 1997))
+        delta.append(od.filter(F.col("y") == 1996))       # snap 1 (below)
+        delta.append(od.filter(F.col("y") >= 1998))       # snap 2 (after)
+        out["orders_chain"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -678,7 +701,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1375,6 +1398,57 @@ def stream_patched_drain(spark, sf_dir):
     return spark.table(sink)
 
 
+def stream_patched_followup(spark, sf_dir):
+    """Pinned FOLLOW-UP stream over a data-evolution table (r9; ref
+    DataTableStreamScan.java:264 + DeltaFollowUpScanner.java:33): drain
+    the deltas after snapshot 1 through readStream.format('paimon') —
+    each patch commit streams the touched rows' NEW IMAGES valued at
+    the drain end (en + fr + src0 backfills, latest patch wins), and
+    the DV-delete OVERWRITE commit is skipped per the reference's
+    follow-up contract (no re-emission of re-ADDed live files)."""
+    import uuid as _uuid
+    t = _wh(spark, sf_dir)["docs_de"]
+    from paimon_spark.streaming.datasource import _stream_schema, register
+    register(spark)
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("paimon")
+         .schema(_stream_schema(t.schema))
+         .option("path", t.path).option("availablenow", "true")
+         .option("scan.mode", "from-snapshot")
+         .option("scan.snapshot-id", "2")
+         .load()
+         .groupBy("lang")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum("n_chars").cast("long").alias("chars"),
+              F.round(F.sum("quality"), 4).alias("q_sum"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+def chain_stream_phase1(spark, sf_dir):
+    """Chain-table STREAMING scan (r9; ref ChainTableStreamScan.java:77):
+    phase 1 serves the latest snapshot-branch partition (1997) plus the
+    delta partitions after it (1998+) — older snapshot partitions
+    (≤1996) and the below-chain-head delta partition (1996) excluded,
+    each key once under its natural partition. A stateful restore
+    (next_delta_snapshot=1, the reference's single-long checkpoint)
+    skips phase 1 and replays every delta-branch snapshot as phase-2
+    increments (1996 + 1998+)."""
+    from paimon_spark.streaming.source import ChainStreamScanner
+    t = _wh(spark, sf_dir)["orders_chain"]
+    sc = ChainStreamScanner(t)
+    p1 = sc.next_batch().withColumn("phase", F.lit("start"))
+    sc2 = ChainStreamScanner(t, next_delta_snapshot=1)
+    p2 = sc2.next_batch().withColumn("phase", F.lit("delta"))
+    cols = ["phase", "y", "o_totalprice"]
+    u = p1.select(*cols).unionByName(p2.select(*cols))
+    return (u.groupBy("phase", "y")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("o_totalprice").cast("double").alias("total")))
+
+
 def incremental_patched_images(spark, sf_dir):
     """Incremental read over data-evolution PATCH commits (r8): the
     range (snap 1, snap 3] holds two column-backfill patches — the TVF
@@ -1977,7 +2051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     not — are oracle-checked every round by tests/test_oracle_parity.py
     (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
-        # --- new in r8, never driver-gated: lead the r9 window ---
+        # --- new in r9 / r8, never driver-gated: lead the r9 window ---
+        "stream_patched_followup": stream_patched_followup,   # new in r9
+        "chain_stream_phase1": chain_stream_phase1,           # new in r9
         "stream_patched_drain": stream_patched_drain,
         "incremental_patched_images": incremental_patched_images,
         # --- the 48 entries below the r8 cut-off (r7-gate green) ---
@@ -2027,9 +2103,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_partition_upsert": cross_partition_upsert,
         "time_travel_v1": time_travel_v1,
         "sequence_field_latest": sequence_field_latest,
+        # =========== gate cut-off (first 50 above) ======================
+        # default_values_read / tag_travel_read slid just below the line
+        # when the two r9 entries joined the window; both r7-gate green
+        # and pytest-checked every round
         "default_values_read": default_values_read,
         "tag_travel_read": tag_travel_read,
-        # =========== gate cut-off: entries below were gated GREEN in r8 ==
+        # --- entries below were gated GREEN in r8 -----------------------
         "mixture_token_budget": mixture_token_budget,
         "winnow_doc_fingerprints": winnow_doc_fingerprints,
         "dedup_exact": dedup_exact,
@@ -2805,6 +2885,32 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(n_chars AS DOUBLE) / 1000.0
                               WHEN lang = 'fr' THEN 0.0 END, 6) AS quality
             FROM documents WHERE lang IN ('en', 'fr')""",
+        "chain_stream_phase1": """
+            WITH o AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+                              CAST(o_totalprice AS DECIMAL(18,4)) AS p
+                       FROM orders),
+            ph AS (SELECT 'start' AS phase, y, p FROM o WHERE y >= 1997
+                   UNION ALL
+                   SELECT 'delta', y, p FROM o
+                   WHERE y = 1996 OR y >= 1998)
+            SELECT phase, y, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS DOUBLE) AS total
+            FROM ph GROUP BY phase, y""",
+        "stream_patched_followup": """
+            WITH img AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN source = 'src0' THEN 9.9
+                          WHEN lang = 'fr' THEN 0.0
+                          WHEN lang = 'en'
+                            THEN CAST(n_chars AS DOUBLE) / 1000.0
+                     END AS quality
+              FROM documents
+              WHERE lang IN ('en', 'fr') OR source = 'src0')
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   round(sum(quality), 4) AS q_sum
+            FROM img WHERE quality <> 0.0
+            GROUP BY lang""",
         "multimodal_bytes_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -258,16 +258,172 @@ def _reject_blobs(table: Table) -> None:
 
 def _reject_patches(entries) -> None:
     """Patch files (data evolution) hold (_ROW_ID, changed columns),
-    not row batches — the Python DataSource cannot stitch them, and
-    silently streaming them as rows would emit bogus/stale data. Fail
-    loudly with the supported routes (Table.read_stream drains serve
-    patched snapshots via the JVM view; compact() folds patches)."""
+    not row batches — serving them as rows would emit bogus data. The
+    data-evolution paths plan them into _StitchPartitions instead (r9);
+    this guard only fires for layouts that should never carry patches
+    (non-data-evolution tables)."""
     if any(Table._is_patch_entry(e) for e in entries):
         raise ValueError(
-            "data-evolution table has live patch files; "
-            "format('paimon') streaming cannot stitch them — use "
-            "Table.read_stream() (availableNow drain of the stitched "
-            "view) or compact() to fold patches before following up")
+            "patch files present on a non-data-evolution plan; "
+            "format('paimon') cannot serve them — read via Table.read()")
+
+
+class _StitchPartition(InputPartition):
+    """Executor-side data-evolution stitch work (r9; ref:
+    DataEvolutionSplitRead.java — the reference likewise serves patched
+    splits by stitching (_ROW_ID, cols) patch files onto base rows):
+
+    - mode='full'    — emit EVERY live row of `files`, patched values
+                       applied (initial state / batch read).
+    - mode='touched' — emit ONLY rows whose _ROW_ID appears in
+                       `touch_paths` patches, valued at the plan
+                       snapshot (follow-up batch: updated rows' new
+                       images — matches Table.read_incremental).
+    - mode='exclude' — emit rows NOT touched, raw values (follow-up
+                       batch: in-range ADDs minus rows the stitched
+                       side already serves — single-emit)."""
+
+    def __init__(self, table_path: str, mode: str,
+                 files: list[tuple],           # (path, first_row_id,
+                                               #  schema_id, dv_path,
+                                               #  partition_dict)
+                 patches: list[tuple],         # (path, max_seq, cols)
+                 touch_paths: list[str]):
+        self.table_path = table_path
+        self.mode = mode
+        self.files = files
+        self.patches = patches
+        self.touch_paths = touch_paths
+
+
+def _stitch_partitions(table: Table, entries, patches_all,
+                       mode: str, touch) -> list[_StitchPartition]:
+    """Bin-pack affected/raw entries into _StitchPartitions (same byte
+    budget as _pack_splits); every split ships the (tiny) patch spec
+    list — executors read only the patch groups they need."""
+    budget = int(table.schema.options.get("stream.split.target-size",
+                                          str(128 << 20)))
+    pspec = [(e.file_path, e.max_seq, list(Table._patch_cols(e)))
+             for e in patches_all]
+    tpaths = [e.file_path for e in touch] if touch is not None else []
+    out: list[_StitchPartition] = []
+    cur: list[tuple] = []
+    csz = 0
+
+    def flush():
+        nonlocal cur, csz
+        if cur:
+            out.append(_StitchPartition(table.path, mode, cur,
+                                        pspec, tpaths))
+            cur, csz = [], 0
+
+    for e in entries:
+        if cur and csz + e.file_size > budget:
+            flush()
+        cur.append((e.file_path, e.first_row_id, e.schema_id,
+                    e.dv_path, dict(e.partition)))
+        csz += e.file_size
+    flush()
+    return out
+
+
+def _read_stitch(partition: _StitchPartition, names: list[str]):
+    """Executor-side data-evolution stitch (pure pyarrow — the stream
+    planner workers have no SparkSession). Latest patch value per
+    (_ROW_ID, column): per column-set group in sorted order, max
+    commit-seq within a group — the same resolution _apply_patches
+    uses, so stream output ≡ batch read."""
+    import pyarrow.parquet as pq
+
+    from paimon_spark.schema import FIELD_ID_KEY, ROW_ID_COL
+    from paimon_spark.schema import TableSchema as _TS
+    table = Table.load(partition.table_path)
+    cur_sid = table.schema.schema_id
+    data_cols = [c for c in names if c != KIND_COL]
+    fills = _default_fills(table, names)
+
+    touch: set | None = None
+    if partition.mode in ("touched", "exclude"):
+        touch = set()
+        for tp in partition.touch_paths:
+            t = pq.read_table(os.path.join(partition.table_path, tp),
+                              columns=[ROW_ID_COL])
+            touch.update(t.column(ROW_ID_COL).to_pylist())
+
+    patch_vals: dict[str, dict[int, object]] = {}
+    if partition.mode != "exclude":
+        groups: dict[tuple, list] = {}
+        for path, seq, cols in partition.patches:
+            groups.setdefault(tuple(cols), []).append((path, seq))
+        for cols, files in sorted(groups.items()):
+            wanted = [c for c in cols if c in data_cols]
+            if not wanted:
+                continue
+            best: dict[int, tuple] = {}
+            for path, seq in sorted(files, key=lambda x: x[1]):
+                t = pq.read_table(os.path.join(partition.table_path, path),
+                                  columns=[ROW_ID_COL] + list(cols))
+                for r in t.to_pylist():
+                    rid = r[ROW_ID_COL]
+                    if rid not in best or seq >= best[rid][0]:
+                        best[rid] = (seq, r)
+            for rid, (_seq, r) in best.items():
+                for c in wanted:
+                    patch_vals.setdefault(c, {})[rid] = r[c]
+
+    def _dead_positions(fp: str, dv: str | None):
+        if not dv:
+            return None
+        t_dv = pq.read_table(os.path.join(partition.table_path, dv),
+                             columns=["file_path", "pos"])
+        base = os.path.basename(fp)
+        return {p for f, p in zip(t_dv.column("file_path").to_pylist(),
+                                  t_dv.column("pos").to_pylist())
+                if os.path.basename(f) == base}
+
+    def _name_map(sid: int) -> dict[str, str]:
+        if sid == cur_sid:
+            return {}
+        with open(table.paths.schema_file(sid)) as f:
+            old = _TS.from_json(f.read())
+        cur_by_id = {f2.metadata.get(FIELD_ID_KEY): f2.name
+                     for f2 in table.schema.struct.fields}
+        return {f2.name: cur_by_id[f2.metadata.get(FIELD_ID_KEY)]
+                for f2 in old.struct.fields
+                if f2.metadata.get(FIELD_ID_KEY) in cur_by_id
+                and cur_by_id[f2.metadata.get(FIELD_ID_KEY)] != f2.name}
+
+    def _read_base(path):
+        if path.endswith(".orc"):
+            import pyarrow.orc as _orc
+            return _orc.ORCFile(path).read()
+        return pq.read_table(path)
+
+    for fp, first, sid, dv, pvals in partition.files:
+        t = _read_base(os.path.join(partition.table_path, fp))
+        has_rid = ROW_ID_COL in t.column_names
+        dead = _dead_positions(fp, dv)
+        remap = _name_map(sid)
+        first = max(first or 0, 0)
+        for pos, r in enumerate(t.to_pylist()):
+            if dead and pos in dead:
+                continue                     # DV mask (ids still advance)
+            rid = r[ROW_ID_COL] if has_rid and r.get(ROW_ID_COL) is not None \
+                else first + pos
+            if partition.mode == "touched" and rid not in touch:
+                continue
+            if partition.mode == "exclude" and rid in touch:
+                continue
+            if remap:
+                r = {remap.get(k, k): v for k, v in r.items()}
+            for c, m in patch_vals.items():
+                if rid in m:
+                    r[c] = m[rid]
+            r.update(pvals)
+            yield tuple(
+                fills[c] if c in fills and r.get(c) is None
+                else r.get(c, "+I" if c == KIND_COL else None)
+                for c in names)
 
 
 def _plan_full_state(table: Table, snapshot_id: int | None = None,
@@ -285,15 +441,23 @@ def _plan_full_state(table: Table, snapshot_id: int | None = None,
             "full-state reads via format('paimon') support the deduplicate "
             "engine (ascending sequence); use Table.read() or StreamScanner")
     _reject_blobs(table)
-    if predicate is not None and table._is_data_evolution():
-        # Patch entries carry partition={}, so a pushed partition conjunct
-        # prunes them from the filtered plan and the guard below would
-        # silently pass while serving stale, unstitched base rows. Detect
-        # patches on the UNFILTERED entry set first (the same
-        # plan-without-predicate guard _data_evolution_df uses,
-        # table.py:936).
-        _reject_patches(
-            table.new_scan().plan(None, snapshot_id=snapshot_id).entries)
+    if table._is_data_evolution():
+        # Plan WITHOUT the predicate first: patch entries carry
+        # partition={}, so a pushed partition conjunct would prune them
+        # and the reader would silently serve stale, unstitched base
+        # rows (the same plan-without-predicate guard _data_evolution_df
+        # uses, table.py:936). With live patches the predicate is
+        # dropped entirely — base stats are stale for patched columns,
+        # and pushFilters returns every filter as residual, so Spark
+        # re-evaluates row-exact either way; pruning is the only loss.
+        full = table.new_scan().plan(None, snapshot_id=snapshot_id).entries
+        base_all, patches = Table._split_patches(full)
+        if patches:
+            clean, affected = table._stream_patch_split(base_all, patches)
+            out = _pack_splits(table, clean)
+            out += _stitch_partitions(table, affected, patches,
+                                      mode="full", touch=None)
+            return out or [_StreamPartition(table.path, [], [], False)]
     entries = table.new_scan().plan(predicate,
                                     snapshot_id=snapshot_id).entries
     _reject_patches(entries)
@@ -320,6 +484,9 @@ def _read_split(partition: _StreamPartition, names: list[str]):
     values in the path, or a bucket merge). `names` may or may not include
     `_row_kind` — batch readers omit it; the audit-log face asks for it
     under the data-column name `rowkind` (aliased below)."""
+    if isinstance(partition, _StitchPartition):
+        yield from _read_stitch(partition, names)
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -489,6 +656,14 @@ class PaimonStreamReader(DataSourceStreamReader):
         latest = table.paths.latest_snapshot_id() or 0
         if mode == "latest-full":
             off = {"snapshot": 0}           # 0 = full state still pending
+        elif mode == "from-snapshot-full":
+            # full state AT scan.snapshot-id, then deltas after it (ref:
+            # StaticFromSnapshotStartingScanner "-full"): 0 = full state
+            # pending; latestOffset pins the first batch end to the
+            # requested snapshot so partitions() plans the state there
+            # (r9 — this mode previously fell into the deltas-only
+            # branch and drained EMPTY)
+            off = {"snapshot": 0}
         elif mode == "from-snapshot":
             off = {"snapshot": int(self.options.get("scan.snapshot-id", "1")) - 1}
         elif mode == "from-timestamp":
@@ -515,10 +690,14 @@ class PaimonStreamReader(DataSourceStreamReader):
         first batch is uncapped (start offset isn't visible here)."""
         table = _load_table(self.options)
         latest = table.paths.latest_snapshot_id() or 0
+        bounded = self.options.get("scan.bounded-snapshot")
         if self.available_now:
-            # pinned full drain, limits bypassed (see __init__)
+            # pinned full drain, limits bypassed (see __init__);
+            # scan.bounded-snapshot (Table.read_stream time travel) pins
+            # the drain to that snapshot's state instead of the latest
             if self._pinned_end is None:
-                self._pinned_end = latest
+                self._pinned_end = min(latest, int(bounded)) if bounded \
+                    else latest
             return {"snapshot": self._pinned_end}
         base = self._last_end
         if base is None:
@@ -549,13 +728,70 @@ class PaimonStreamReader(DataSourceStreamReader):
         s, e = start["snapshot"], end["snapshot"]
         self._last_end = e
         if s == 0:
+            full_at = None
+            if (self.options.get("scan.mode") == "from-snapshot-full"
+                    and self.options.get("scan.snapshot-id")):
+                full_at = min(e, int(self.options["scan.snapshot-id"]))
+            if full_at is not None and full_at < e:
+                # from-snapshot-full with the batch end past the pinned
+                # snapshot (availableNow drain): full state AT the
+                # requested snapshot + follow-up deltas (full_at, e] in
+                # one composite batch (ref: ContinuousFromSnapshotFull
+                # StartingScanner — state at N, then deltas after N)
+                return (_plan_full_state(table, snapshot_id=full_at)
+                        + self._plan_deltas(table, full_at, e))
             # initial full state (merged per bucket for PK tables)
-            return _plan_full_state(table, snapshot_id=e)
-        _reject_blobs(table)
-        deltas = table.delta_entries(s, e)
-        _reject_patches(deltas)
-        out = _pack_splits(table, deltas)
+            return _plan_full_state(table, snapshot_id=full_at
+                                    if full_at is not None else e)
+        out = self._plan_deltas(table, s, e)
         return out or [_StreamPartition(table.path, [], [], False)]
+
+    def _plan_deltas(self, table: Table, s: int, e: int):
+        _reject_blobs(table)
+        # Per-snapshot follow-up, the reference's DeltaFollowUpScanner
+        # contract (DeltaFollowUpScanner.java:33 — only APPEND commits
+        # stream; OVERWRITE streams only under streaming-read-overwrite;
+        # COMPACT rewrites bytes, never logical rows). Wholesale
+        # delta_entries(s, e) would re-emit every re-ADDed live file of
+        # an OVERWRITE/DV-maintenance commit. Data-evolution UPDATE
+        # commits (OVERWRITE kind carrying patch files) follow up as the
+        # touched rows' NEW IMAGES valued at snapshot e (ref:
+        # DataTableStreamScan.java:264 + DataEvolutionSplitRead.java
+        # serve follow-ups from stitched splits).
+        from paimon_spark.metadata import COMMIT_APPEND, COMMIT_COMPACT
+        read_overwrite = (self.options.get(
+            "streaming-read-overwrite",
+            table.schema.options.get("streaming-read-overwrite", "false"))
+            == "true")
+        adds: list = []
+        range_patches: list = []
+        for sid in range(s + 1, e + 1):
+            snap = table.paths.read_snapshot(sid)
+            d_adds, d_patches = Table._split_patches(
+                table.delta_entries(sid - 1, sid))
+            if snap.commit_kind == COMMIT_APPEND:
+                adds += d_adds
+            elif d_patches and table._is_data_evolution():
+                range_patches += d_patches
+            elif read_overwrite and snap.commit_kind != COMMIT_COMPACT:
+                adds += d_adds
+        if range_patches:
+            full = table.new_scan().plan(snapshot_id=e).entries
+            base_all, patches_all = Table._split_patches(full)
+            _clean, affected = table._stream_patch_split(
+                base_all, range_patches)
+            out = _stitch_partitions(table, affected, patches_all,
+                                     mode="touched", touch=range_patches)
+            if adds:
+                # in-range ADDs minus the touched rows (the stitched
+                # side already serves those) — each row exactly once,
+                # same contract as Table.read_incremental(s, e)
+                out += _stitch_partitions(table, adds, [],
+                                          mode="exclude",
+                                          touch=range_patches)
+            return out
+        _reject_patches(adds)
+        return _pack_splits(table, adds)
 
     def read(self, partition: _StreamPartition):
         yield from _read_split(partition, self.schema.fieldNames())

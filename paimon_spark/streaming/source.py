@@ -193,6 +193,211 @@ class StreamScanner:
         return df
 
 
+class ChainStreamScanner:
+    """Streaming scan for chain tables — the two-phase design of the
+    reference (ref: ChainTableStreamScan.java:77,183 planStarting):
+
+    - Phase 1 (starting): the latest snapshot-branch partition per chain
+      GROUP, plus delta-branch partitions whose chain key is strictly
+      greater than that group's snapshot chain key. Older snapshot
+      partitions are excluded; each key appears once under its natural
+      partition (no anchor merge — lightweight default). With
+      `chain-table.streaming.merge-snapshot=true` the snapshot partition
+      is PK-MERGED with those delta partitions and projected to the
+      greatest chain partition, so cross-branch deletions/updates are
+      visible (ref: buildMergedStartingSplits).
+    - Phase 2 (incremental): new snapshots from the DELTA BRANCH only,
+      from where phase 1 pinned its position. Checkpoint state is a
+      single int — the delta branch's next snapshot id (consumer file /
+      `next_delta_snapshot`); a stateful restart skips phase 1.
+    """
+
+    def __init__(self, table: Table,
+                 consumer_id: str | None = None,
+                 next_delta_snapshot: int | None = None,
+                 max_snapshots_per_batch: int | None = None):
+        opts = table.schema.options
+        if opts.get("chain-table.enabled") != "true":
+            raise ValueError("ChainStreamScanner requires "
+                             "chain-table.enabled=true")
+        db = opts.get("scan.fallback-delta-branch")
+        if not db:
+            raise ValueError("chain streaming needs "
+                             "scan.fallback-delta-branch")
+        sb = opts.get("scan.fallback-snapshot-branch")
+        existing = set(table.paths.list_branches())
+        self.table = table
+        self.st = (Table.load(table.path, table.spark, branch=sb)
+                   if sb and sb in existing else None)
+        if db not in existing:
+            raise ValueError(f"delta branch '{db}' does not exist")
+        self.dt = Table.load(table.path, table.spark, branch=db)
+        self.merge_snapshot = opts.get(
+            "chain-table.streaming.merge-snapshot", "false") == "true"
+        self.consumer_id = consumer_id
+        self.max_snapshots = max_snapshots_per_batch
+        self._next: int | None = next_delta_snapshot
+        if self._next is None and consumer_id is not None:
+            saved = self._load_consumer()
+            if saved is not None:
+                self._next = saved          # stateful restart: no phase 1
+
+    # -- consumer persistence (checkpoint state = one int, like the ref) --
+
+    def _consumer_path(self) -> str:
+        return os.path.join(self.table.path, "consumer",
+                            f"chain-consumer-{self.consumer_id}.json")
+
+    def _load_consumer(self) -> int | None:
+        try:
+            with open(self._consumer_path()) as f:
+                return json.load(f)["next_delta_snapshot"]
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def _save_consumer(self):
+        if self.consumer_id is None or self._next is None:
+            return
+        os.makedirs(os.path.dirname(self._consumer_path()), exist_ok=True)
+        tmp = self._consumer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next_delta_snapshot": self._next,
+                       "updated_ms": int(time.time() * 1000)}, f)
+        os.replace(tmp, self._consumer_path())
+
+    # -- phase 1 ----------------------------------------------------------
+
+    def _phase1(self) -> DataFrame:
+        from paimon_spark.operators.merge import order_struct
+        from paimon_spark.predicates import P
+        from paimon_spark.scanner import cast_partition_value
+        t = self.table
+        opts, pkeys = t.schema.options, t.schema.partition_keys
+        chain = [k.strip() for k in
+                 opts.get("chain-table.chain-partition-keys", "").split(",")
+                 if k.strip()] or pkeys
+        prefix = [k for k in pkeys if k not in chain]
+
+        def cast_part(part):
+            return {k: cast_partition_value(part.get(k),
+                                            t.schema.data_type(k))
+                    for k in pkeys}
+
+        def ckey(p): return tuple(p[k] for k in chain)
+        def gkey(p): return tuple(p[k] for k in prefix)
+        def part_eq(p):
+            return P.and_(*[P.eq(k, p[k]) for k in pkeys])
+
+        # pin both branch positions; re-read the snapshot head to detect
+        # a commit racing the capture (ref: MAX_RACE_RETRIES loop)
+        for _attempt in range(3):
+            snap_sid = (self.st.paths.latest_snapshot_id()
+                        if self.st else None)
+            delta_sid = self.dt.paths.latest_snapshot_id()
+            if (self.st.paths.latest_snapshot_id()
+                    if self.st else None) == snap_sid:
+                break
+        self._next = (delta_sid or 0) + 1
+
+        snap_parts: dict[tuple, dict] = {}
+        if self.st is not None and snap_sid is not None:
+            for e in self.st.new_scan().plan(snapshot_id=snap_sid).entries:
+                p = cast_part(e.partition)
+                snap_parts[tuple(p[k] for k in pkeys)] = p
+        delta_parts: dict[tuple, dict] = {}
+        if delta_sid is not None:
+            for e in self.dt.new_scan().plan(snapshot_id=delta_sid).entries:
+                p = cast_part(e.partition)
+                delta_parts[tuple(p[k] for k in pkeys)] = p
+        latest_per_group: dict[tuple, dict] = {}
+        for p in snap_parts.values():
+            g = gkey(p)
+            if g not in latest_per_group or ckey(p) > ckey(latest_per_group[g]):
+                latest_per_group[g] = p
+        d_targets = [p for p in delta_parts.values()
+                     if gkey(p) not in latest_per_group
+                     or ckey(p) > ckey(latest_per_group[gkey(p)])]
+
+        cols = list(t.schema.field_names)
+        parts_df: list[DataFrame] = []
+        if not self.merge_snapshot:
+            # lightweight: both sides as-is under their natural partition
+            if latest_per_group:
+                parts_df.append(self.st.read(
+                    P.or_(*[part_eq(p) for p in latest_per_group.values()]),
+                    snapshot_id=snap_sid).select(*cols))
+            if d_targets:
+                parts_df.append(self.dt.read(
+                    P.or_(*[part_eq(p) for p in d_targets]),
+                    snapshot_id=delta_sid).select(*cols))
+        else:
+            # merge mode: per group, PK-merge the snapshot partition with
+            # its greater-chain-key delta partitions; chain rank outranks
+            # branch-local sequences; project to the greatest partition
+            pks = t.schema.primary_keys
+            vals = [c for c in cols if c not in pks]
+            groups = sorted({gkey(p) for p in
+                             list(latest_per_group.values()) + d_targets})
+            for g in groups:
+                anchor = latest_per_group.get(g)
+                deltas = sorted((p for p in d_targets if gkey(p) == g),
+                                key=ckey)
+                target = max([p for p in [anchor] + deltas if p], key=ckey)
+                srcs: list[DataFrame] = []
+                if anchor is not None:
+                    srcs.append(self.st.read(
+                        part_eq(anchor), snapshot_id=snap_sid,
+                        with_hidden=True).withColumn("__cr", F.lit(0)))
+                for i, d in enumerate(deltas):
+                    srcs.append(self.dt.read(
+                        part_eq(d), snapshot_id=delta_sid,
+                        with_hidden=True).withColumn("__cr", F.lit(i + 1)))
+                u = srcs[0]
+                for s in srcs[1:]:
+                    u = u.unionByName(s)
+                for k in pkeys:
+                    u = u.withColumn(k, F.lit(target[k]).cast(
+                        t.schema.data_type(k)))
+                order = F.struct(F.col("__cr"), order_struct(t.schema))
+                top = F.max_by(
+                    F.struct(*[F.col(c) for c in vals], F.col(KIND_COL)),
+                    order).alias("__top")
+                m = (u.groupBy(*pks).agg(top)
+                     .filter(~F.col(f"__top.{KIND_COL}").isin("-D", "-U"))
+                     .select(*pks, *[F.col(f"__top.{c}").alias(c)
+                                     for c in vals])
+                     .select(*cols))
+                parts_df.append(m)
+        if not parts_df:
+            return t._empty_df().withColumn(KIND_COL, F.lit("+I"))
+        df = parts_df[0]
+        for p in parts_df[1:]:
+            df = df.unionByName(p)
+        return df.withColumn(KIND_COL, F.lit("+I"))
+
+    # -- micro-batch pull -------------------------------------------------
+
+    def next_batch(self) -> DataFrame | None:
+        if self._next is None:
+            df = self._phase1()
+            self._save_consumer()
+            return df
+        latest = self.dt.paths.latest_snapshot_id() or 0
+        if self._next > latest:
+            return None
+        end = latest
+        if self.max_snapshots is not None:
+            end = min(latest, self._next + self.max_snapshots - 1)
+        df = self.dt.read_incremental(self._next - 1, end, with_kind=True)
+        if not self.dt.schema.is_pk_table and KIND_COL not in df.columns:
+            df = df.withColumn(KIND_COL, F.lit("+I"))
+        elif SEQ_COL in df.columns:
+            df = df.drop(SEQ_COL)
+        self._next = end + 1
+        self._save_consumer()
+        return df
+
+
 def stream_to(table: Table, sink: Callable[[DataFrame, int], None],
               poll_interval_s: float = 0.5, max_batches: int | None = None,
               idle_timeout_s: float | None = 5.0, **scanner_kw) -> int:

@@ -410,3 +410,85 @@ def test_randomized_rollback_model(spark, wh):
             history[t.paths.latest_snapshot_id()] = dict(state)
         got = {r.k: r.v for r in t.read().collect()}
         assert got == state, f"step {step}: rollback state diverged"
+
+
+def test_chain_stream_scanner_two_phase(spark, wh):
+    """Chain-table streaming scan (ref: ChainTableStreamScan.java:77):
+    phase 1 = latest snapshot partition per group + delta partitions
+    with a strictly greater chain key (older snapshot partitions and
+    lower delta partitions excluded, each key once, natural partitions);
+    phase 2 = delta-branch snapshots only; checkpoint state is the next
+    delta snapshot id (stateful restore skips phase 1)."""
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    from paimon_spark.streaming.source import ChainStreamScanner
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/cstream", schema, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    snap.append(spark.createDataFrame(
+        [("d1", 1, "s-old"), ("d1", 2, "s-old")], schema))   # older part
+    snap.append(spark.createDataFrame(
+        [("d2", 1, "s2"), ("d2", 2, "s2"), ("d2", 3, "s2")], schema))
+    delta.append(spark.createDataFrame(
+        [("d1", 9, "del-old")], schema))                      # ckey < d2
+    delta.append(spark.createDataFrame(
+        [("d3", 2, "d3-upd"), ("d3", 9, "d3-new")], schema))  # ckey > d2
+
+    sc = ChainStreamScanner(t, consumer_id="c1")
+    p1 = sorted((r.dt, r.id, r.v) for r in sc.next_batch().collect())
+    assert p1 == [("d2", 1, "s2"), ("d2", 2, "s2"), ("d2", 3, "s2"),
+                  ("d3", 2, "d3-upd"), ("d3", 9, "d3-new")], p1
+    assert sc.next_batch() is None                # caught up
+    delta.append(spark.createDataFrame([("d4", 1, "d4")], schema))
+    p2 = sorted((r.dt, r.id, r.v, r._row_kind)
+                for r in sc.next_batch().collect())
+    assert p2 == [("d4", 1, "d4", "+I")], p2
+    # consumer restore: phase 1 skipped, resumes at the saved cursor
+    sc2 = ChainStreamScanner(t, consumer_id="c1")
+    assert sc2._next == sc._next and sc2.next_batch() is None
+    # explicit stateful restore from the first delta snapshot
+    sc3 = ChainStreamScanner(t, next_delta_snapshot=1)
+    p3 = sorted((r.dt, r.id) for r in sc3.next_batch().collect())
+    assert p3 == [("d1", 9), ("d3", 2), ("d3", 9), ("d4", 1)], p3
+
+
+def test_chain_stream_scanner_merge_snapshot(spark, wh):
+    """chain-table.streaming.merge-snapshot=true: phase 1 PK-merges the
+    latest snapshot partition with its greater-chain-key delta
+    partitions, projected to the greatest partition — cross-branch
+    updates visible (ref: buildMergedStartingSplits)."""
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    from paimon_spark.streaming.source import ChainStreamScanner
+    schema = T.StructType([T.StructField("dt", T.StringType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(
+        f"{wh}/cmerge", schema, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "chain-table.streaming.merge-snapshot": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap = t.create_branch("snap")
+    delta = t.create_branch("delta")
+    snap.append(spark.createDataFrame(
+        [("d2", 1, "s2"), ("d2", 2, "s2"), ("d2", 3, "s2")], schema))
+    delta.append(spark.createDataFrame(
+        [("d3", 2, "d3-upd"), ("d3", 9, "d3-new")], schema))
+    sc = ChainStreamScanner(t)
+    p1 = sorted((r.dt, r.id, r.v) for r in sc.next_batch().collect())
+    assert p1 == [("d3", 1, "s2"), ("d3", 2, "d3-upd"),
+                  ("d3", 3, "s2"), ("d3", 9, "d3-new")], p1

@@ -101,8 +101,9 @@ def test_guards_and_fold(spark, wh):
         OSError(errno.EPERM, "no links"))
     pfs.reset_probe_cache()
     try:
-        with pytest.raises(NotImplementedError, match="data-evolution"):
-            t.read_stream()
+        # no hard links (object store): the Python DataSource stitches
+        # executor-side instead of raising (r9, _StitchPartition)
+        assert t.read_stream().isStreaming
     finally:
         _os.link = real_link
         pfs.reset_probe_cache()
@@ -158,25 +159,26 @@ def test_incremental_and_python_ds_over_patches(spark, wh):
     inc = {r.id: (r.b, r.c)
            for r in t.read_incremental(0, 4, with_kind=False).collect()}
     assert inc[5] == (5, 5) and inc[1] == (101, 777) and inc[0] == (100, 0)
-    # Python DataSource refuses the patched table loudly
+    # Python DataSource serves the patched table STITCHED (r9)
     from paimon_spark.streaming.datasource import register
     register(spark)
-    import pytest as _pt
-    with _pt.raises(Exception, match="patch"):
-        (spark.read.format("paimon").option("path", t.path).load()
-         .collect())
-    # after fold, incremental across the fold reads the folded base
+    ds = {r.id: (r.b, r.c) for r in
+          (spark.read.format("paimon").option("path", t.path).load()
+           .collect())}
+    assert ds == {r.id: (r.b, r.c) for r in t.read().collect()}
+    # after fold, the folded base serves directly
     t.compact()
     assert (spark.read.format("paimon").option("path", t.path).load()
             .count()) == 10
 
 
-def test_pushed_partition_filter_still_detects_patches(spark, wh):
+def test_pushed_partition_filter_sees_patches(spark, wh):
     """r9 regression: patch entries carry partition={}, so a PUSHED
     partition filter pruned them from the filtered plan and the Python
-    DataSource silently served stale, unstitched base rows. The patch
-    guard must fire on the unfiltered plan (same guard as
-    _data_evolution_df)."""
+    DataSource silently served stale, unstitched base rows. With live
+    patches the planner now detects them on the UNFILTERED plan and
+    serves stitched values (predicate dropped — Spark re-evaluates
+    filters row-exact; pruning is the only loss)."""
     sch = T.StructType([T.StructField("pt", T.StringType()),
                         T.StructField("id", T.IntegerType()),
                         T.StructField("b", T.IntegerType())])
@@ -191,15 +193,16 @@ def test_pushed_partition_filter_still_detects_patches(spark, wh):
     t.update_where(P.eq("pt", "a"), {"b": F.col("id") + 100})
     from paimon_spark.streaming.datasource import register
     register(spark)
-    df = (spark.read.format("paimon").option("path", t.path).load()
-          .filter(F.col("pt") == "a"))
-    with pytest.raises(Exception, match="patch"):
-        df.collect()
-    # a non-partition pushed filter must hit the same guard
-    df2 = (spark.read.format("paimon").option("path", t.path).load()
-           .filter(F.col("id") < 3))
-    with pytest.raises(Exception, match="patch"):
-        df2.collect()
+    got = {r.id: r.b for r in
+           (spark.read.format("paimon").option("path", t.path).load()
+            .filter(F.col("pt") == "a")).collect()}
+    assert got == {i: i + 100 for i in range(5)}, got
+    # a pushed DATA filter over a PATCHED column must also see stitched
+    # values (base stats are stale — no file may be pruned on them)
+    got2 = {r.id: r.b for r in
+            (spark.read.format("paimon").option("path", t.path).load()
+             .filter(F.col("b") >= 102)).collect()}
+    assert got2 == {2: 102, 3: 103, 4: 104}, got2
 
 
 def test_incremental_add_plus_patch_emits_once(spark, wh):
@@ -276,6 +279,120 @@ def test_pushdown_default_follows_registering_session(spark):
             is ds.PaimonBatchReader
     finally:
         ds.PaimonDataSource._pushdown_default = saved
+
+
+def _drain_ds(spark, t, **opts):
+    import uuid as _uuid
+
+    from paimon_spark.streaming.datasource import _stream_schema, register
+    register(spark)
+    sink = f"m_{_uuid.uuid4().hex[:6]}"
+    r = (spark.readStream.format("paimon")
+         .schema(_stream_schema(t.schema))
+         .option("path", t.path).option("availablenow", "true"))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (r.load().writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(sink).collect()
+
+
+def test_from_snapshot_full_drain_and_bounds(spark, wh):
+    """r9: scan.mode=from-snapshot-full previously fell into the
+    deltas-only branch of the Python DataSource and drained EMPTY.
+    Bounded (scan.bounded-snapshot) pins the drain to that snapshot's
+    state — the time-travel drain read_stream(snapshot_id=) uses;
+    unbounded serves state at N plus follow-ups to latest."""
+    t = Table.create(f"{wh}/fsf", SCH, spark=spark)
+    t.append(spark.createDataFrame([(i, i, i) for i in range(3)], SCH))
+    t.append(spark.createDataFrame([(i, i, i) for i in range(3, 6)], SCH))
+    bounded = {r.id for r in _drain_ds(
+        spark, t, **{"scan.mode": "from-snapshot-full",
+                     "scan.snapshot-id": "1",
+                     "scan.bounded-snapshot": "1"})}
+    assert bounded == {0, 1, 2}
+    unbounded = [r.id for r in _drain_ds(
+        spark, t, **{"scan.mode": "from-snapshot-full",
+                     "scan.snapshot-id": "1"})]
+    assert sorted(unbounded) == list(range(6))  # state@1 + delta (1,2]
+
+
+def test_stream_followup_patches_and_overwrite_skip(spark, wh):
+    """r9 follow-up plane (ref DeltaFollowUpScanner.java:33 +
+    DataTableStreamScan.java:264): patch commits stream as the touched
+    rows' NEW IMAGES valued at the batch end; DV-delete OVERWRITE
+    commits are skipped (no re-emission of re-ADDed live files);
+    appends stream raw; each row exactly once."""
+    t = _table(spark, wh)                       # snaps 1,2
+    t.update_where(P.lt("id", 3), {"b": F.col("id") + 100})   # s3
+    t.update_where(P.eq("id", 1), {"c": F.lit(777)})          # s4
+    t.delete_where(P.eq("id", 4))                             # s5 (DV)
+    t.append(spark.createDataFrame([(10, 10, 10)], SCH))      # s6
+    rows = _drain_ds(spark, t, **{"scan.mode": "from-snapshot",
+                                  "scan.snapshot-id": "3"})
+    got = {}
+    for r in rows:
+        assert r.id not in got, f"id {r.id} emitted twice"
+        got[r.id] = (r.b, r.c)
+    assert got == {0: (100, 0), 1: (101, 777), 2: (102, 2),
+                   10: (10, 10)}, got
+
+
+def test_stream_checkpoint_resume_over_patches(spark, wh, tmp_path):
+    """Pinned consumer (Spark checkpoint) over a patched table: the
+    resumed drain serves exactly the new patch images + appends —
+    the r9 'pinned follow-up' contract (VERDICT r8 #2)."""
+    t = _table(spark, wh)
+    ck = str(tmp_path / "ck")
+    got1, got2 = [], []
+
+    def mk(opts):
+        from paimon_spark.streaming.datasource import (_stream_schema,
+                                                       register)
+        register(spark)
+        r = (spark.readStream.format("paimon")
+             .schema(_stream_schema(t.schema))
+             .option("path", t.path).option("availablenow", "true"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    df = mk({"scan.mode": "from-snapshot-full", "scan.snapshot-id": "2"})
+    q = (df.writeStream.foreachBatch(
+            lambda d, b: got1.extend((r.id, r.b, r.c) for r in d.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(r[0] for r in got1) == list(range(10))
+    t.update_where(P.eq("id", 9), {"b": F.lit(999)})
+    t.append(spark.createDataFrame([(11, 11, 11)], SCH))
+    df = mk({"scan.mode": "from-snapshot-full", "scan.snapshot-id": "2"})
+    q = (df.writeStream.foreachBatch(
+            lambda d, b: got2.extend((r.id, r.b, r.c) for r in d.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert {r[0]: (r[1], r[2]) for r in got2} == \
+        {9: (999, 9), 11: (11, 11)}, got2
+    assert len(got2) == 2
+
+
+def test_streaming_read_overwrite_opt_in(spark, wh):
+    """streaming-read-overwrite=true streams an OVERWRITE commit's
+    re-added files (ref CoreOptions.java:1301); default skips them."""
+    sch = T.StructType([T.StructField("pt", T.StringType()),
+                        T.StructField("k", T.IntegerType())])
+    t = Table.create(f"{wh}/ow", sch, partition_keys=["pt"], spark=spark)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], sch))   # s1
+    t.overwrite(spark.createDataFrame([("a", 9)], sch))            # s2
+    skipped = [r.k for r in _drain_ds(
+        spark, t, **{"scan.mode": "from-snapshot", "scan.snapshot-id": "2"})]
+    assert skipped == []
+    served = [r.k for r in _drain_ds(
+        spark, t, **{"scan.mode": "from-snapshot", "scan.snapshot-id": "2",
+                     "streaming-read-overwrite": "true"})]
+    assert served == [9]
 
 
 def test_randomized_patch_model(spark, wh):
