@@ -1,0 +1,147 @@
+"""Randomized model tests (r9, VERDICT r8 #6): branches/tags lifecycle
+interplay with snapshot expiration, and concurrent-writer commit
+conflicts. The model is a plain dict replay; every step asserts the
+engine agrees with it. (The r8 family found the DV-resurrection leak;
+these extend it to the metadata lifecycle and the commit protocol.)"""
+
+from pyspark.sql import functions as F, types as T
+
+from paimon_spark import P, Table
+from tests.conftest import *  # noqa: F401,F403
+
+SCH = T.StructType([T.StructField("k", T.LongType()),
+                    T.StructField("v", T.LongType())])
+
+
+def test_randomized_branch_tag_expire_model(spark, wh):
+    """Seeded random sequence of append / tag / branch / branch-append /
+    delete-tag / delete-branch / expire ops against dict models:
+
+    - the main read always equals the main model;
+    - every live tag still reads the state it pinned (expiration must
+      never remove a tagged snapshot — tag pins, table.py:1932);
+    - every live branch reads its own model (branch commits never leak
+      into main and vice versa);
+    - reads of expired snapshot ids raise; tagged ids survive expiry.
+    (ref: BranchManager.java, TagManager, ExpireSnapshotsImpl.java)"""
+    import random
+    rng = random.Random(29)
+    t = Table.create(f"{wh}/life", SCH, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    state: dict[int, int] = {}
+    history: dict[int, dict] = {}           # main snapshot id -> state
+    tags: dict[str, dict] = {}              # tag name -> pinned state
+    tag_sids: dict[str, int] = {}
+    branches: dict[str, dict] = {}          # branch name -> its state
+    expired: set[int] = set()
+    n_tag = n_br = 0
+
+    def append_main():
+        nonlocal state
+        rows = {rng.randint(0, 20): rng.randint(0, 999)
+                for _ in range(rng.randint(1, 4))}
+        t.append(spark.createDataFrame(list(rows.items()), SCH))
+        state.update(rows)
+        history[t.paths.latest_snapshot_id()] = dict(state)
+
+    append_main()                            # ensure a snapshot exists
+    for step in range(14):
+        op = rng.choice(["append", "append", "tag", "branch",
+                         "branch_append", "del_tag", "del_branch",
+                         "expire"])
+        if op == "append":
+            append_main()
+        elif op == "tag":
+            n_tag += 1
+            name = f"t{n_tag}"
+            t.create_tag(name)
+            tags[name] = dict(state)
+            tag_sids[name] = t.paths.latest_snapshot_id()
+        elif op == "branch":
+            n_br += 1
+            name = f"b{n_br}"
+            if tags and rng.random() < 0.5:
+                src = rng.choice(sorted(tags))
+                t.create_branch(name, tag=src)
+                branches[name] = dict(tags[src])
+            else:
+                t.create_branch(name)
+                branches[name] = dict(state)
+        elif op == "branch_append" and branches:
+            name = rng.choice(sorted(branches))
+            bt = t.branch(name)
+            rows = {rng.randint(0, 20): rng.randint(1000, 1999)
+                    for _ in range(rng.randint(1, 3))}
+            bt.append(spark.createDataFrame(list(rows.items()), SCH))
+            branches[name].update(rows)
+        elif op == "del_tag" and tags:
+            name = rng.choice(sorted(tags))
+            t.delete_tag(name)
+            del tags[name], tag_sids[name]
+        elif op == "del_branch" and branches:
+            name = rng.choice(sorted(branches))
+            t.delete_branch(name)
+            del branches[name]
+        elif op == "expire":
+            latest = t.paths.latest_snapshot_id()
+            retain = rng.randint(1, 3)
+            t.expire_snapshots(retain_last=retain)
+            cutoff = latest - retain + 1
+            for sid in list(history):
+                if sid < cutoff and sid not in tag_sids.values():
+                    expired.add(sid)
+                    history.pop(sid, None)
+        # ---- invariants ----
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == state, f"step {step} ({op}): main diverged"
+        for name, tstate in tags.items():
+            tg = {r.k: r.v for r in t.read(tag=name).collect()}
+            assert tg == tstate, f"step {step}: tag {name} diverged"
+        for name, bstate in branches.items():
+            bg = {r.k: r.v for r in t.branch(name).read().collect()}
+            assert bg == bstate, f"step {step}: branch {name} diverged"
+    # expired snapshots are gone; tagged ones survived
+    import os
+    for sid in expired:
+        assert not os.path.exists(t.paths.snapshot_file(sid)), sid
+    for name, sid in tag_sids.items():
+        assert {r.k: r.v for r in t.read(snapshot_id=sid).collect()} \
+            == tags[name]
+
+
+def test_randomized_concurrent_writer_conflicts(spark, wh):
+    """N threads race M appends each onto one PK table (overlapping
+    keys). The 2-phase commit protocol must linearize them: every
+    commit lands (no lost snapshot), snapshot ids are dense, and the
+    final merged read equals a dict replay of the per-snapshot deltas
+    in snapshot order. (ref: FileStoreCommitImpl retry/conflict loop)"""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+    rng = random.Random(41)
+    t = Table.create(f"{wh}/conc", SCH, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    n_writers, n_commits = 4, 3
+    batches = [[{rng.randint(0, 12): rng.randint(0, 999)
+                 for _ in range(rng.randint(1, 4))}
+                for _ in range(n_commits)] for _ in range(n_writers)]
+
+    def writer(i):
+        tt = Table.load(t.path, spark)
+        for rows in batches[i]:
+            tt.append(spark.createDataFrame(list(rows.items()), SCH))
+
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        futs = [pool.submit(writer, i) for i in range(n_writers)]
+        for f in futs:
+            f.result()
+
+    latest = t.paths.latest_snapshot_id()
+    assert latest == n_writers * n_commits          # no lost commits
+    # dense ids + replay deltas in snapshot order == merged read
+    state: dict[int, int] = {}
+    for sid in range(1, latest + 1):
+        delta = t.read_incremental(sid - 1, sid, with_kind=False)
+        for r in delta.collect():
+            state[r.k] = r.v
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == state, "merged read != snapshot-order replay"
