@@ -275,7 +275,19 @@ class TablePaths:
 
     def read_snapshot(self, sid: int) -> Snapshot:
         with open(self.snapshot_file(sid)) as f:
-            return Snapshot.from_json(f.read())
+            s = f.read()
+        if not s.strip():
+            # In-flight commit on a filesystem without hard links
+            # (try_commit_snapshot's O_EXCL fallback creates the file
+            # before the content lands): the file's existence proves
+            # the id is claimed — wait briefly for the content.
+            for _ in range(50):
+                time.sleep(0.01)
+                with open(self.snapshot_file(sid)) as f:
+                    s = f.read()
+                if s.strip():
+                    break
+        return Snapshot.from_json(s)
 
     def earliest_snapshot_id(self) -> int | None:
         """Smallest retained snapshot id (one directory listing)."""
@@ -367,14 +379,40 @@ class TablePaths:
         os.replace(tmp, os.path.join(self.snapshot_dir, "LATEST"))
 
     def try_commit_snapshot(self, snap: Snapshot) -> bool:
-        """Put-if-absent creation of snapshot-<id>.json (atomic on POSIX)."""
+        """Put-if-absent creation of snapshot-<id>.json.
+
+        Primary path: write the FULL content to a tmp file, then
+        `os.link(tmp, target)` — link(2) fails with EEXIST when the id
+        is taken AND publishes complete content atomically, so a racing
+        reader can never observe an empty/partial snapshot (the r9
+        concurrent-writer model test caught exactly that with the old
+        create-empty-then-write shape). Fallback without hard links
+        (object stores): O_EXCL create + write; readers tolerate the
+        transient empty file (read_snapshot retry loop)."""
         path = self.snapshot_file(snap.id)
+        body = snap.to_json()
+        tmp = path + f".tmp-{os.getpid()}-{id(snap) & 0xffffff:x}"
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(snap.to_json())
+            with open(tmp, "w") as f:
+                f.write(body)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            try:
+                fd = os.open(path,
+                             os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
         self.write_latest_hint(snap.id)
         return True
 

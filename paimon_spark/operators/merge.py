@@ -23,18 +23,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from paimon_spark.schema import KIND_COL, SEQ_COL, TableSchema
+from paimon_spark.schema import KIND_COL, SEQ_COL, TIE_COL, TableSchema
 
 ADD_KINDS = ("+I", "+U")
 RETRACT_KINDS = ("-U", "-D")
 
 
-def order_struct(schema: TableSchema, extra: list[str] | None = None) -> Column:
+def order_struct(schema: TableSchema, extra: list[str] | None = None,
+                 df: DataFrame | None = None) -> Column:
     """Merge-order key: (user sequence fields..., commit sequence).
     `sequence.field.sort-order = descending` reverses the USER fields only
     (smallest value wins) while commit order still breaks ties ascending —
     numeric/timestamp/date fields are negated so a single max_by works.
-    (ref: CoreOptions SORT_ORDER :4889-4891, SequenceGenerator)"""
+    (ref: CoreOptions SORT_ORDER :4889-4891, SequenceGenerator)
+
+    When `df` carries TIE_COL (attached by apply_merge from file
+    metadata), it breaks equal-sequence ties deterministically —
+    concurrent writers both take max_sequence+1, and the reference
+    resolves exactly this case by (creationTime, fileName)
+    (ref: Levels.java:62-81 L0 comparator)."""
     user = extra or schema.sequence_field
     desc = schema.options.get(
         "sequence.field.sort-order", "ascending") == "descending"
@@ -50,13 +57,17 @@ def order_struct(schema: TableSchema, extra: list[str] | None = None) -> Column:
             else:
                 col = -col
         cols.append(col)
-    return F.struct(*cols, F.col(SEQ_COL))
+    cols.append(F.col(SEQ_COL))
+    if df is not None and TIE_COL in df.columns:
+        cols.append(F.col(TIE_COL))
+    return F.struct(*cols)
 
 
 def _value_cols(schema: TableSchema, df: DataFrame) -> list[str]:
     pks = set(schema.primary_keys)
     return [c for c in df.columns
-            if c not in pks and c not in (SEQ_COL, KIND_COL, "__bucket")]
+            if c not in pks and c not in (SEQ_COL, KIND_COL, TIE_COL,
+                                          "__bucket")]
 
 
 def _drop_before_delete(df: DataFrame, schema: TableSchema) -> DataFrame:
@@ -79,7 +90,7 @@ def merge_deduplicate(df: DataFrame, schema: TableSchema) -> DataFrame:
     pks = schema.primary_keys
     vals = _value_cols(schema, df)
     top = F.max_by(F.struct(*[F.col(c) for c in vals + [KIND_COL]]),
-                   order_struct(schema)).alias("__top")
+                   order_struct(schema, df=df)).alias("__top")
     out = df.groupBy(*pks).agg(top)
     out = out.select(*pks, *[F.col(f"__top.{c}").alias(c) for c in vals],
                      F.col(f"__top.{KIND_COL}").alias(KIND_COL))
@@ -92,7 +103,8 @@ def merge_first_row(df: DataFrame, schema: TableSchema) -> DataFrame:
     pks = schema.primary_keys
     vals = _value_cols(schema, df)
     src = df.filter(F.col(KIND_COL).isin(*ADD_KINDS))
-    top = F.min_by(F.struct(*[F.col(c) for c in vals]), order_struct(schema)).alias("__top")
+    top = F.min_by(F.struct(*[F.col(c) for c in vals]),
+                   order_struct(schema, df=src)).alias("__top")
     out = src.groupBy(*pks).agg(top)
     return out.select(*pks, *[F.col(f"__top.{c}").alias(c) for c in vals])
 
@@ -121,7 +133,7 @@ def merge_partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
             order = F.struct(F.col(g), F.col(SEQ_COL))
             cond = F.when(F.col(g).isNotNull() & F.col(c).isNotNull(), order)
         else:
-            order = order_struct(schema)
+            order = order_struct(schema, df=df)
             cond = F.when(F.col(c).isNotNull(), order)
         if c in groups:  # c is itself a sequence-group column: plain max
             aggs.append(F.max(F.col(c)).alias(c))
@@ -274,7 +286,7 @@ def merge_aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
     if schema.options.get("aggregation.remove-record-on-delete", "false") == "true":
         df = _drop_before_delete(df, schema)
 
-    order = order_struct(schema)
+    order = order_struct(schema, df=df)
     is_add = F.col(KIND_COL).isin(*ADD_KINDS)
     aggs = []
     for c in vals:
@@ -304,11 +316,34 @@ MERGE_FUNCTIONS = {
 }
 
 
+def _with_tie(df: DataFrame) -> DataFrame:
+    """Attach TIE_COL = (file mtime, file path) from the scan's hidden
+    _metadata when the plan can resolve it (single file scan — unions
+    lose _metadata). Concurrent writers can bake the SAME
+    _sequence_number (both read max_sequence+1 before committing); the
+    tie must break deterministically, and the reference uses exactly
+    (creationTime, fileName) for it (ref: Levels.java:62-81). No-op on
+    plans without file metadata (staged writes, unions) — those either
+    have unique sequences or keep the pre-r9 arbitrary-tie behavior."""
+    if TIE_COL in df.columns:
+        return df
+    try:
+        cand = df.withColumn(TIE_COL, F.concat(
+            F.lpad(F.unix_micros(
+                F.col("_metadata.file_modification_time"))
+                .cast("string"), 20, "0"),
+            F.lit("/"), F.col("_metadata.file_path")))
+        cand.schema          # force analysis; raises if unresolvable
+        return cand
+    except Exception:        # noqa: BLE001 — analysis failure = no-op
+        return df
+
+
 def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:
     fn = MERGE_FUNCTIONS.get(schema.merge_engine)
     if fn is None:
         raise ValueError(f"unknown merge-engine {schema.merge_engine}")
-    out = fn(df, schema)
+    out = fn(_with_tie(df), schema)
     # restore logical column order
     cols = [c for c in schema.field_names if c in out.columns]
     return out.select(*cols)

@@ -28,6 +28,11 @@ KIND_COL = "_row_kind"
 BUCKET_COL = "__bucket"
 ROW_ID_COL = "_ROW_ID"   # row-tracking lineage id (ref: special row-id cols)
 HIDDEN_COLS = (SEQ_COL, KIND_COL)
+# merge tie-break for equal sequence numbers (concurrent writers both
+# take max_sequence+1): (file mtime, file path), mirroring the
+# reference's Levels.java:62-81 L0 comparator (maxSeq, then
+# creationTime, then fileName) — deterministic, last-created wins
+TIE_COL = "_SEQ_TIE"
 
 ROW_KINDS = ("+I", "-U", "+U", "-D")  # ref: paimon-api/.../types/RowKind.java:35-56
 

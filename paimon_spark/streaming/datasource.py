@@ -759,10 +759,16 @@ class PaimonStreamReader(DataSourceStreamReader):
         # DataTableStreamScan.java:264 + DataEvolutionSplitRead.java
         # serve follow-ups from stitched splits).
         from paimon_spark.metadata import COMMIT_APPEND, COMMIT_COMPACT
-        read_overwrite = (self.options.get(
-            "streaming-read-overwrite",
-            table.schema.options.get("streaming-read-overwrite", "false"))
-            == "true")
+        # PK tables use streaming-read-overwrite; append tables use the
+        # reference's dedicated streaming-read-append-overwrite flag
+        # (ref: AppendOnlyFileStoreTable.java:106 routes
+        # supportStreamingReadOverwrite to the append variant) — either
+        # spelling opts in, per read option or table option
+        read_overwrite = any(
+            self.options.get(k, table.schema.options.get(k, "false"))
+            == "true"
+            for k in ("streaming-read-overwrite",
+                      "streaming-read-append-overwrite"))
         adds: list = []
         range_patches: list = []
         for sid in range(s + 1, e + 1):

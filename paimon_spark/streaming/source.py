@@ -42,7 +42,8 @@ class StreamScanner:
                  from_timestamp_ms: int | None = None,
                  to_snapshot: int | None = None,
                  consumer_id: str | None = None,
-                 max_snapshots_per_batch: int | None = None):
+                 max_snapshots_per_batch: int | None = None,
+                 bounded_watermark: int | None = None):
         self.table = table
         self.mode = mode
         self.from_snapshot = from_snapshot
@@ -50,6 +51,11 @@ class StreamScanner:
         self.to_snapshot = to_snapshot
         self.consumer_id = consumer_id
         self.max_snapshots = max_snapshots_per_batch
+        # scan.bounded.watermark (ref: CoreOptions.java:1251 +
+        # BoundedChecker.watermark): the stream ENDS once a snapshot's
+        # watermark passes the bound — that snapshot is not consumed
+        self.bounded_watermark = bounded_watermark
+        self._bounded_done = False
         self._next: int | None = None          # next snapshot id to consume
         self._did_initial = False
         if mode == "incremental" and (from_snapshot is None
@@ -178,11 +184,25 @@ class StreamScanner:
                 self._save_consumer()
                 return df
         latest = self.table.paths.latest_snapshot_id() or 0
-        if self._next > latest:
+        if self._bounded_done or self._next > latest:
             return None
         end = latest
         if self.max_snapshots is not None:
             end = min(latest, self._next + self.max_snapshots - 1)
+        if self.bounded_watermark is not None:
+            # end the stream BEFORE the first snapshot whose watermark
+            # passed the bound (ref: BoundedChecker.watermark — strict >)
+            stop = None
+            for sid in range(self._next, end + 1):
+                wm = self.table.paths.read_snapshot(sid).watermark
+                if wm is not None and wm > self.bounded_watermark:
+                    stop = sid
+                    break
+            if stop is not None:
+                self._bounded_done = True
+                if stop == self._next:
+                    return None
+                end = stop - 1
         df = self.table.read_incremental(self._next - 1, end, with_kind=True)
         if not self.table.schema.is_pk_table:
             df = df.withColumn(KIND_COL, F.lit("+I"))

@@ -393,6 +393,12 @@ def test_streaming_read_overwrite_opt_in(spark, wh):
         spark, t, **{"scan.mode": "from-snapshot", "scan.snapshot-id": "2",
                      "streaming-read-overwrite": "true"})]
     assert served == [9]
+    # append tables also honor the reference's dedicated flag
+    # (ref: AppendOnlyFileStoreTable.java:106)
+    served2 = [r.k for r in _drain_ds(
+        spark, t, **{"scan.mode": "from-snapshot", "scan.snapshot-id": "2",
+                     "streaming-read-append-overwrite": "true"})]
+    assert served2 == [9]
 
 
 def test_randomized_patch_model(spark, wh):
