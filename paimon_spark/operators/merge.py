@@ -328,11 +328,14 @@ def _with_tie(df: DataFrame) -> DataFrame:
     if TIE_COL in df.columns:
         return df
     try:
-        cand = df.withColumn(TIE_COL, F.concat(
-            F.lpad(F.unix_micros(
-                F.col("_metadata.file_modification_time"))
-                .cast("string"), 20, "0"),
-            F.lit("/"), F.col("_metadata.file_path")))
+        # two longs (16 B/row through the merge shuffle), not a path
+        # string: mtime at µs granularity, then a path hash — both
+        # deterministic; the hash replaces the reference's fileName
+        # compare as the arbitrary-but-stable last resort
+        cand = df.withColumn(TIE_COL, F.struct(
+            F.unix_micros(F.col("_metadata.file_modification_time"))
+             .alias("t"),
+            F.xxhash64(F.col("_metadata.file_path")).alias("h")))
         cand.schema          # force analysis; raises if unresolvable
         return cand
     except Exception:        # noqa: BLE001 — analysis failure = no-op
