@@ -399,12 +399,115 @@ def _read_stitch(partition: _StitchPartition, names: list[str]):
             return _orc.ORCFile(path).read()
         return pq.read_table(path)
 
+    # TIME columns must ride the pickled-row channel (Spark's Python-DS
+    # Arrow bridge rejects Time types — see _read_split)
+    has_time = any(_contains_time(f.dataType)
+                   for f in table.schema.struct.fields if f.name in names)
+
+    def _stitch_arrow(t, first, dead, fp, pvals):
+        """Vectorized stitch of ONE file: rid column, DV mask,
+        touch/exclude mask, per-group patch JOIN + if_else overlay —
+        all pyarrow compute, no per-row Python. Returns a pa.Table in
+        `names` order (KIND_COL = '+I')."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        n = len(t)
+        if ROW_ID_COL in t.column_names:
+            phys = t.column(ROW_ID_COL)
+            rid = pc.coalesce(phys.cast(pa.int64()),
+                              pa.array(np.arange(first, first + n)))
+        else:
+            rid = pa.array(np.arange(first, first + n))
+        t = t.append_column("__rid", rid)
+        if dead:
+            keep = np.ones(n, dtype=bool)
+            keep[list(dead)] = False
+            t = t.filter(pa.array(keep))
+        if partition.mode in ("touched", "exclude"):
+            m = pc.is_in(t.column("__rid"),
+                         value_set=pa.array(sorted(touch), pa.int64()))
+            t = t.filter(m if partition.mode == "touched"
+                         else pc.invert(pc.fill_null(m, False)))
+        if len(t) and partition.mode != "exclude" and patch_vals:
+            # ONE join per patched column: a row id can be patched for
+            # column A but not B — per-column hit flags keep
+            # "not patched" distinct from "explicitly set to NULL"
+            for c, rids_c, vals_c in patch_tables:
+                if c not in names and c not in t.column_names:
+                    continue
+                if c not in t.column_names:
+                    # column-backfill patch: the column was ADDED after
+                    # this base file was written — materialize it as
+                    # typed nulls (acero rejects null-typed join fields)
+                    tp = vals_c.type if not pa.types.is_null(vals_c.type) \
+                        else _pa_type(c)
+                    if tp is None or pa.types.is_null(tp):
+                        continue               # nothing non-null to set
+                    t = t.append_column(c, pa.nulls(len(t), tp))
+                pt = pa.table({"__rid": rids_c,
+                               "__hit": pa.array([True] * len(rids_c)),
+                               "__p": vals_c.cast(t.column(c).type)})
+                t = t.join(pt, "__rid", join_type="left outer")
+                hit = pc.fill_null(t.column("__hit"), False)
+                t = t.set_column(t.column_names.index(c), c,
+                                 pc.if_else(hit, t.column("__p"),
+                                            t.column(c)))
+                t = t.drop_columns(["__hit", "__p"])
+        out_cols = []
+        for c in names:
+            if c in t.column_names:
+                col = t.column(c)
+                if c in fills:
+                    col = pc.fill_null(col, pa.scalar(fills[c])
+                                       .cast(col.type))
+                out_cols.append(col)
+            elif c == KIND_COL:
+                out_cols.append(pa.array(["+I"] * len(t), pa.string()))
+            elif c in pvals:
+                from paimon_spark.scanner import cast_partition_value
+                v = cast_partition_value(pvals[c], table.schema.data_type(c))
+                tp = _pa_type(c)
+                out_cols.append(pa.array([v] * len(t), tp) if tp is not None
+                                else pa.array([v] * len(t)))
+            else:
+                tp = _pa_type(c) if c != KIND_COL else pa.string()
+                out_cols.append(pa.nulls(len(t), tp) if tp is not None
+                                else pa.nulls(len(t)))
+        return pa.table(out_cols, names=list(names))
+
+    def _pa_type(c):
+        """Declared Spark type → arrow type (None when unmapped)."""
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+            return to_arrow_type(table.schema.data_type(c))
+        except Exception:          # noqa: BLE001
+            return None
+
+    # precompute per-column patch arrays once (shared across files);
+    # typed by the DECLARED schema so acero joins and the Spark Arrow
+    # bridge never see null-typed columns
+    import pyarrow as _pa
+    patch_tables: list[tuple[str, object, object]] = []
+    for c in sorted(patch_vals):
+        rids_c = sorted(patch_vals[c])
+        vals = [patch_vals[c][r] for r in rids_c]
+        tp = _pa_type(c)
+        arr = _pa.array(vals, tp) if tp is not None else _pa.array(vals)
+        patch_tables.append((c, _pa.array(rids_c, _pa.int64()), arr))
+
     for fp, first, sid, dv, pvals in partition.files:
         t = _read_base(os.path.join(partition.table_path, fp))
         has_rid = ROW_ID_COL in t.column_names
         dead = _dead_positions(fp, dv)
         remap = _name_map(sid)
         first = max(first or 0, 0)
+        if not remap and not has_time:
+            stitched = _stitch_arrow(t, first, dead, fp, pvals)
+            for batch in stitched.to_batches():
+                if len(batch):
+                    yield batch
+            continue
         for pos, r in enumerate(t.to_pylist()):
             if dead and pos in dead:
                 continue                     # DV mask (ids still advance)
