@@ -166,3 +166,95 @@ def test_randomized_concurrent_writer_conflicts(spark, wh):
         again = {r.k: r.v for r in
                  Table.load(t.path, spark).read().collect()}
         assert again == got, "merged read is nondeterministic"
+
+
+def test_randomized_chain_table_model(spark, wh):
+    """Seeded random commits to a chain table's three planes (main /
+    snapshot branch / delta branch) vs a dict model of the three-level
+    fallback: per partition p — main wins outright; else the snapshot
+    branch serves p as-is; else p is RECONSTRUCTED from the greatest
+    snapshot partition below it overlaid by delta partitions in
+    (anchor, p], later chain rank winning per key (ref:
+    ChainTableUtils.findFirstLatestPartitions/getDeltaPartitions,
+    ChainPartitionProjector). Also checks ChainStreamScanner phase 1
+    after every step (latest snapshot partition + greater-key deltas)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from paimon_spark.streaming.source import ChainStreamScanner
+    rng = random.Random(17)
+    sch = T.StructType([T.StructField("dt", T.StringType()),
+                        T.StructField("id", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(
+        f"{wh}/chrand", sch, partition_keys=["dt"],
+        primary_keys=["dt", "id"],
+        options={"bucket": "1", "chain-table.enabled": "true",
+                 "scan.fallback-snapshot-branch": "snap",
+                 "scan.fallback-delta-branch": "delta"},
+        spark=spark)
+    snap_t = t.create_branch("snap")
+    delta_t = t.create_branch("delta")
+    parts = [f"d{i}" for i in range(1, 7)]
+    main_m: dict[str, dict] = {}
+    snap_m: dict[str, dict] = {}
+    delta_m: dict[str, dict] = {}
+
+    def expected_batch():
+        out: dict[tuple, int] = {}
+        for p in sorted(set(main_m) | set(snap_m) | set(delta_m)):
+            if p in main_m:
+                rows = main_m[p]
+            elif p in snap_m:
+                rows = snap_m[p]
+            else:
+                anchors = [s for s in snap_m if s < p]
+                merged: dict[int, int] = {}
+                lo = max(anchors) if anchors else None
+                if lo is not None:
+                    merged.update(snap_m[lo])
+                for d in sorted(d for d in delta_m
+                                if (lo is None or d > lo) and d <= p):
+                    merged.update(delta_m[d])
+                rows = merged
+            for k, v in rows.items():
+                out[(p, k)] = v
+        return out
+
+    def expected_phase1():
+        out: dict[tuple, int] = {}
+        if snap_m:
+            top = max(snap_m)
+            for k, v in snap_m[top].items():
+                out[(top, k)] = v
+            dparts = [d for d in delta_m if d > top]
+        else:
+            dparts = list(delta_m)
+        for d in dparts:
+            for k, v in delta_m[d].items():
+                out[(d, k)] = v
+        return out
+
+    for step in range(10):
+        plane = rng.choice(["main", "snap", "delta", "delta"])
+        p = rng.choice(parts)
+        rows = {rng.randint(0, 8): rng.randint(0, 999)
+                for _ in range(rng.randint(1, 4))}
+        df = spark.createDataFrame([(p, k, v) for k, v in rows.items()], sch)
+        if plane == "main":
+            t.append(df)
+            main_m.setdefault(p, {}).update(rows)
+        elif plane == "snap":
+            snap_t.append(df)
+            snap_m.setdefault(p, {}).update(rows)
+        else:
+            delta_t.append(df)
+            delta_m.setdefault(p, {}).update(rows)
+        got = {(r.dt, r.id): r.v for r in t.read().collect()}
+        assert got == expected_batch(), \
+            f"step {step} ({plane} {p}): batch chain read diverged"
+        p1 = {(r.dt, r.id): r.v
+              for r in ChainStreamScanner(t)._phase1().collect()}
+        assert p1 == expected_phase1(), \
+            f"step {step} ({plane} {p}): phase-1 stream diverged"
