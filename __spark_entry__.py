@@ -677,6 +677,21 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         delta.append(od.filter(F.col("y") >= 1998))       # snap 2 (after)
         out["orders_chain"] = t
 
+    def _build_27():
+        # ---- docs_dedup: persisted MinHash-LSH band index (r9) — the
+        # incremental-dedup corpus; two appends so the build exercises
+        # the delta-append index refresh
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        t = Table.create(f"{root}/docs_dedup", docs.schema, spark=spark)
+        t.append(corpus.filter(F.col("doc_id") % 2 == 0))
+        t.create_dedup_index(n_buckets=16)
+        t.append(corpus.filter(F.col("doc_id") % 2 == 1))
+        t.refresh_dedup_index()
+        out["docs_dedup"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -701,7 +716,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1431,6 +1446,19 @@ def stream_patched_followup(spark, sf_dir):
                  F.round(F.sum("quality"), 4).alias("q_sum")))
 
 
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup of a NEW document batch against the PERSISTED
+    corpus band index (r9, Table.create_dedup_index): candidates = the
+    batch's band keys joined against the bucket-pruned index plus
+    within-batch LSH pairs, then exact shingle-Jaccard verify ≥ 0.5 on
+    candidates only — the per-ingest-increment dedup shape a training
+    pipeline runs at 100 TB instead of re-banding the whole corpus."""
+    t = _wh(spark, sf_dir)["docs_dedup"]
+    new = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+           .filter(F.col("doc_id") % 5 == 0))
+    return t.dedup_against_index(new, verify_jaccard=0.5)
+
+
 def chain_stream_phase1(spark, sf_dir):
     """Chain-table STREAMING scan (r9; ref ChainTableStreamScan.java:77):
     phase 1 serves the latest snapshot-branch partition (1997) plus the
@@ -2058,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9 / r8, never driver-gated: lead the r9 window ---
         "stream_patched_followup": stream_patched_followup,   # new in r9
         "chain_stream_phase1": chain_stream_phase1,           # new in r9
+        "dedup_incremental_index": dedup_incremental_index,   # new in r9
         "stream_patched_drain": stream_patched_drain,
         "incremental_patched_images": incremental_patched_images,
         # --- the 48 entries below the r8 cut-off (r7-gate green) ---
@@ -2889,6 +2918,67 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(n_chars AS DOUBLE) / 1000.0
                               WHEN lang = 'fr' THEN 0.0 END, 6) AS quality
             FROM documents WHERE lang IN ('en', 'fr')""",
+        "dedup_incremental_index": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 5 <> 0),
+            newb AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 5 = 0),
+            bk_c AS (SELECT doc_id, {', '.join(bands)}
+                     FROM (SELECT doc_id, {', '.join(mh)} FROM corpus)),
+            st_c AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bk_c UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bk_c UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bk_c UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bk_c),
+            bk_n AS (SELECT doc_id, {', '.join(bands)}
+                     FROM (SELECT doc_id, {', '.join(mh)} FROM newb)),
+            st_n AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bk_n UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bk_n UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bk_n UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bk_n),
+            corpus_pairs AS (
+              SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+              FROM st_n n JOIN st_c c USING (bk)
+              WHERE n.doc_id <> c.doc_id),
+            g AS (SELECT doc_id, text,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                  FROM newb),
+            chain AS (SELECT rep AS id_a, doc_id AS id_b
+                      FROM g WHERE doc_id <> rep),
+            reps AS (SELECT doc_id, text FROM g WHERE doc_id = rep),
+            bk_r AS (SELECT doc_id, {', '.join(bands)}
+                     FROM (SELECT doc_id, {', '.join(mh)} FROM reps)),
+            st_r AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bk_r UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bk_r UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bk_r UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bk_r),
+            rep_pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM st_r a JOIN st_r b USING (bk)
+              WHERE a.doc_id < b.doc_id),
+            batch_pairs AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT id_a, id_b FROM rep_pairs
+                UNION ALL SELECT id_a, id_b FROM chain)),
+            cand AS (
+              SELECT new_id, dup_of, 'corpus' AS src FROM corpus_pairs
+              UNION ALL
+              SELECT id_b AS new_id, id_a AS dup_of, 'batch'
+              FROM batch_pairs),
+            sh AS (SELECT doc_id,
+                          list_distinct({DD.sql_shingles('text')}) AS sh
+                   FROM documents),
+            scored AS (
+              SELECT cand.new_id, cand.dup_of, cand.src,
+                     round({inter} * 1.0
+                           / (len(a.sh) + len(b.sh) - {inter}), 4)
+                       AS jaccard
+              FROM cand JOIN sh a ON a.doc_id = cand.new_id
+                        JOIN sh b ON b.doc_id = cand.dup_of)
+            SELECT new_id, dup_of, src, jaccard
+            FROM scored WHERE jaccard >= 0.5""",
         "chain_stream_phase1": """
             WITH o AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
                               CAST(o_totalprice AS DECIMAL(18,4)) AS p

@@ -3324,6 +3324,181 @@ class Table:
         return (self.read().join(F.broadcast(fused), id_col)
                 .orderBy(F.desc("_score"), F.asc(id_col)))
 
+    # ------------- persisted dedup signature index (r9) -------------
+    # The incremental-dedup workflow a training-data pipeline runs at
+    # 100 TB: dedup each NEW batch against the existing corpus without
+    # re-banding the corpus — corpus MinHash-LSH band keys persist
+    # bucket-partitioned (pmod(xxhash64(band_key), n)), the new batch
+    # computes its own bands and joins only the matching buckets.
+    # Same build-once/prune-every-query contract as the text index.
+
+    def _dedup_index_dir(self, text_col: str) -> str:
+        return os.path.join(self.path, "index", "dedup", text_col)
+
+    def dedup_index_meta(self, text_col: str = "text") -> dict | None:
+        try:
+            with open(os.path.join(self._dedup_index_dir(text_col),
+                                   "_meta.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _dedup_band_rows(df: DataFrame, id_col: str, text_col: str,
+                         k: int, bands: int, n: int,
+                         n_buckets: int) -> DataFrame:
+        """(id, bk, bucket) band rows — shared by the index build, the
+        incremental refresh, AND the query side, so both sides of the
+        candidate join hash identical band keys."""
+        from paimon_spark.functions.dedup import band_keys, with_minhash
+        sig = with_minhash(df.select(F.col(id_col), F.col(text_col)),
+                           id_col, text_col, k, n)
+        sig = sig.select(F.col(id_col).alias("id"), *band_keys(k, bands))
+        stacked = sig.select(
+            "id",
+            F.explode(F.array(*[
+                F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
+                for b in range(bands)])).alias("bk"))
+        return stacked.withColumn(
+            "bucket", F.pmod(F.xxhash64("bk"), F.lit(n_buckets)))
+
+    def create_dedup_index(self, text_col: str = "text",
+                           id_col: str | None = None, k: int = 16,
+                           bands: int = 4, n: int = 3,
+                           n_buckets: int = 64) -> str:
+        """Build and persist the corpus's MinHash-LSH band keys,
+        partitioned by band-key bucket. One distributed pass; the index
+        is `bands` small rows per document (~1% of corpus bytes)."""
+        id_col = id_col or self.schema.field_names[0]
+        rows = self._dedup_band_rows(
+            self.read(projection=[id_col, text_col]), id_col, text_col,
+            k, bands, n, n_buckets)
+        out = self._dedup_index_dir(text_col)
+        shutil.rmtree(out, ignore_errors=True)
+        rows.write.partitionBy("bucket").parquet(out)
+        files = self._index_files(out)
+        self._write_index_meta(out, {
+            "text_col": text_col, "id_col": id_col, "k": k,
+            "bands": bands, "n": n, "n_buckets": n_buckets,
+            "snapshot_id": self.paths.latest_snapshot_id(),
+            "files": files})
+        return out
+
+    def refresh_dedup_index(self, text_col: str = "text") -> str:
+        """Append-only delta refresh: band rows for rows committed since
+        the indexed snapshot append to the bucket-partitioned dataset;
+        non-append history falls back to a full rebuild (band removal
+        would need retractions). Returns 'fresh'|'incremental'|'rebuilt'."""
+        meta = self.dedup_index_meta(text_col)
+        if meta is None:
+            raise ValueError(f"no dedup index on {text_col}; run "
+                             "create_dedup_index first")
+        latest = self.paths.latest_snapshot_id()
+        if meta["snapshot_id"] == latest:
+            return "fresh"
+        delta = self._index_delta(meta["snapshot_id"] or 0)
+        if delta is None:
+            self.create_dedup_index(text_col, meta["id_col"], meta["k"],
+                                    meta["bands"], meta["n"],
+                                    meta["n_buckets"])
+            return "rebuilt"
+        rows = self._dedup_band_rows(
+            delta.select(meta["id_col"], text_col), meta["id_col"],
+            text_col, meta["k"], meta["bands"], meta["n"],
+            meta["n_buckets"])
+        out = self._dedup_index_dir(text_col)
+        pre = set(self._index_files(out))
+        rows.write.mode("append").partitionBy("bucket").parquet(out)
+        new = [f for f in self._index_files(out) if f not in pre]
+        meta.update({"snapshot_id": latest,
+                     "files": sorted(meta.get("files",
+                                              sorted(pre)) + new)})
+        self._write_index_meta(out, meta)
+        return "incremental"
+
+    def dedup_against_index(self, new_docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str | None = None,
+                            include_batch_pairs: bool = True,
+                            verify_jaccard: float | None = None
+                            ) -> DataFrame:
+        """Incremental near-dup candidates for a NEW batch of documents:
+        (new_id, dup_of, src) where src='corpus' pairs the batch against
+        the persisted index (bucket-pruned to the batch's own band
+        buckets) and src='batch' are within-batch LSH pairs
+        (minhash_lsh_pairs, id_a < id_b as new_id > dup_of). A stale or
+        missing index falls back to banding the corpus on the fly —
+        slower, never wrong. With `verify_jaccard`, candidates join
+        their texts and only pairs with n-gram Jaccard ≥ the threshold
+        survive (exact verify on candidates only — never all-pairs)."""
+        meta = self.dedup_index_meta(text_col)
+        if meta is not None:
+            id_col = id_col or meta["id_col"]
+            k, bands, n = meta["k"], meta["bands"], meta["n"]
+            n_buckets = meta["n_buckets"]
+        else:
+            id_col = id_col or self.schema.field_names[0]
+            k, bands, n, n_buckets = 16, 4, 3, 64
+        nb = self._dedup_band_rows(new_docs, id_col, text_col,
+                                   k, bands, n, n_buckets).persist()
+        fresh = (meta is not None
+                 and meta["snapshot_id"] == self.paths.latest_snapshot_id())
+        if fresh:
+            root = self._dedup_index_dir(text_col)
+            idx_schema = T.StructType([
+                T.StructField("id", self.schema.data_type(id_col)),
+                T.StructField("bk", T.StringType()),
+                T.StructField("bucket", T.LongType())])
+            # metadata-plane collect: ≤ n_buckets scalars — prunes the
+            # index scan to the batch's own band buckets
+            bks = [r[0] for r in nb.select("bucket").distinct().collect()]
+            idx = (self.spark.read.schema(idx_schema)
+                   .option("basePath", root)
+                   .parquet(*self._index_read_paths(root, meta))
+                   .filter(F.col("bucket").isin(bks)))
+        else:
+            idx = self._dedup_band_rows(
+                self.read(projection=[id_col, text_col]), id_col,
+                text_col, k, bands, n, n_buckets)
+        corpus_pairs = (nb.select(F.col("id").alias("new_id"), "bk")
+                        .join(idx.select(F.col("id").alias("dup_of"),
+                                         "bk"), "bk")
+                        .filter(F.col("new_id") != F.col("dup_of"))
+                        .select("new_id", "dup_of").distinct()
+                        .withColumn("src", F.lit("corpus")))
+        bp = None
+        if include_batch_pairs:
+            from paimon_spark.functions.dedup import minhash_lsh_pairs
+            bp = (minhash_lsh_pairs(new_docs, id_col, text_col, k,
+                                    bands, n)
+                  .select(F.col("id_b").alias("new_id"),
+                          F.col("id_a").alias("dup_of"))
+                  .withColumn("src", F.lit("batch")))
+        if verify_jaccard is None:
+            return corpus_pairs if bp is None \
+                else corpus_pairs.unionByName(bp)
+        from paimon_spark.functions.dedup import jaccard_shingles, shingles
+        sh = lambda c: shingles(c, n)                       # noqa: E731
+        nt = new_docs.select(F.col(id_col).alias("new_id"),
+                             sh(F.col(text_col)).alias("__tn"))
+
+        def _verify(pairs, right):
+            return (pairs.join(nt, "new_id").join(right, "dup_of")
+                    .withColumn("jaccard", F.round(
+                        jaccard_shingles(F.col("__tn"), F.col("__tc")), 4))
+                    .filter(F.col("jaccard") >= verify_jaccard)
+                    .select("new_id", "dup_of", "src", "jaccard"))
+
+        corpus_t = self.read(projection=[id_col, text_col]).select(
+            F.col(id_col).alias("dup_of"),
+            sh(F.col(text_col)).alias("__tc"))
+        out = _verify(corpus_pairs, corpus_t)
+        if bp is not None:
+            batch_t = new_docs.select(F.col(id_col).alias("dup_of"),
+                                      sh(F.col(text_col)).alias("__tc"))
+            out = out.unionByName(_verify(bp, batch_t))
+        return out
+
     # ---------------- SQL surface ----------------
 
     def register_views(self, name: str,

@@ -375,3 +375,42 @@ def test_vector_refresh_crash_with_pq_is_safe(spark, wh):
     got = [r.vid for r in
            t.vector_search(q, k=2, method="ivf", nprobe=4).collect()]
     assert set(got) == {9, 150} and len(got) == 2
+
+
+def test_dedup_index_incremental(spark, wh, tmp_path):
+    """Persisted MinHash-LSH band index (r9): create → delta refresh →
+    bucket-pruned incremental dedup of a new batch; a dropped/stale
+    index falls back to banding the corpus on the fly with IDENTICAL
+    results; verify_jaccard keeps only exact-Jaccard-confirmed pairs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    t = Table.create(f"{wh}/dd", corpus.schema, spark=spark)
+    t.append(corpus.filter(F.col("doc_id") % 2 == 0))
+    t.create_dedup_index(n_buckets=16)
+    t.append(corpus.filter(F.col("doc_id") % 2 == 1))
+    assert t.refresh_dedup_index() == "incremental"
+    assert t.refresh_dedup_index() == "fresh"
+    res = t.dedup_against_index(new)
+    got_idx = sorted((r.new_id, r.dup_of, r.src) for r in res.collect())
+    assert got_idx, "expected candidates in the synthetic corpus"
+    assert all(s in ("corpus", "batch") for _, _, s in got_idx)
+    # index-free fallback produces the same candidate set
+    shutil.rmtree(t._dedup_index_dir("text"))
+    got_fb = sorted((r.new_id, r.dup_of, r.src)
+                    for r in t.dedup_against_index(new).collect())
+    assert got_idx == got_fb
+    # verify keeps only true near-dups, with their exact Jaccard
+    t.create_dedup_index(n_buckets=16)
+    v = t.dedup_against_index(new, verify_jaccard=0.5).collect()
+    assert v and all(r.jaccard >= 0.5 for r in v)
+    assert {(r.new_id, r.dup_of) for r in v} <= \
+        {(a, b) for a, b, _ in got_idx}
+    # non-append history (delete) forces a rebuild on refresh
+    from paimon_spark import P
+    t.delete_where(P.eq("doc_id", 1))
+    assert t.refresh_dedup_index() == "rebuilt"
