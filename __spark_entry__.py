@@ -692,6 +692,20 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.refresh_dedup_index()
         out["docs_dedup"] = t
 
+    def _build_28():
+        # ---- emb_dedup: persisted sign-LSH embedding dedup index (r9)
+        # — same two-append build so the delta refresh is exercised
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", "embedding")
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        t = Table.create(f"{root}/emb_dedup", corpus.schema, spark=spark)
+        t.append(corpus.filter(F.col("vec_id") % 2 == 0))
+        t.create_embedding_dedup_index()
+        t.append(corpus.filter(F.col("vec_id") % 2 == 1))
+        t.refresh_embedding_dedup_index()
+        out["emb_dedup"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -716,7 +730,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # sequential inside its builder; `out` writes are GIL-atomic)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _warm_streaming)]
+        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _warm_streaming)]
         for _f in _futs:
             _f.result()
     # _build_13 drives df.write.format("paimon") and must run on the MAIN
@@ -1459,6 +1473,21 @@ def dedup_incremental_index(spark, sf_dir):
     return t.dedup_against_index(new, verify_jaccard=0.5)
 
 
+def dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup of a NEW vector batch against the
+    PERSISTED corpus sign-LSH band index (r9,
+    Table.create_embedding_dedup_index): candidates = batch band keys
+    joined against the bucket-pruned index plus within-batch LSH pairs
+    (with the exact-duplicate clique guard), then exact cosine ≥ 0.4
+    verify on candidates only — the per-ingest embedding-dedup shape a
+    training pipeline runs at 100 TB instead of re-hashing the corpus."""
+    t = _wh(spark, sf_dir)["emb_dedup"]
+    new = (_read(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding")
+           .filter(F.col("vec_id") % 5 == 0))
+    return t.dedup_embeddings_against_index(new, threshold=0.4)
+
+
 def chain_stream_phase1(spark, sf_dir):
     """Chain-table STREAMING scan (r9; ref ChainTableStreamScan.java:77):
     phase 1 serves the latest snapshot-branch partition (1997) plus the
@@ -2087,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_patched_followup": stream_patched_followup,   # new in r9
         "chain_stream_phase1": chain_stream_phase1,           # new in r9
         "dedup_incremental_index": dedup_incremental_index,   # new in r9
+        "dedup_embedding_incremental": dedup_embedding_incremental,  # r9
         "stream_patched_drain": stream_patched_drain,
         "incremental_patched_images": incremental_patched_images,
         # --- the 48 entries below the r8 cut-off (r7-gate green) ---
@@ -2319,6 +2349,15 @@ def oracle_sql() -> dict[str, str]:
     mh = DD.sql_minhash_signature("text", 16)
     bands = DD.sql_band_keys(16, 4)
     inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    # sign-LSH at the embedding dedup index's defaults: 16 planes,
+    # 4-bit bands → key = band_idx*16 + Σ bit_j·2^j
+    _sb16 = ", ".join(
+        f"{e} AS __b{j}"
+        for j, e in enumerate(SIM.sql_sign_bits("embedding", 16)))
+    _bands16 = ", ".join(
+        f"({i} * 16 + __b{4 * i} + 2 * __b{4 * i + 1} "
+        f"+ 4 * __b{4 * i + 2} + 8 * __b{4 * i + 3})" for i in range(4))
+    _cos_nd = SIM.sql_cosine("ea.embedding", "eb.embedding")
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -2979,6 +3018,45 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sh b ON b.doc_id = cand.dup_of)
             SELECT new_id, dup_of, src, jaccard
             FROM scored WHERE jaccard >= 0.5""",
+        "dedup_embedding_incremental": f"""
+            WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id % 5 <> 0),
+            newb AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id % 5 = 0),
+            sc AS (SELECT vec_id, {_sb16} FROM corpus),
+            kc AS (SELECT vec_id, unnest([{_bands16}]) AS bk FROM sc),
+            sn AS (SELECT vec_id, {_sb16} FROM newb),
+            kn AS (SELECT vec_id, unnest([{_bands16}]) AS bk FROM sn),
+            corpus_pairs AS (
+              SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS dup_of
+              FROM kn n JOIN kc c USING (bk)
+              WHERE n.vec_id <> c.vec_id),
+            g AS (SELECT vec_id, embedding,
+                         min(vec_id) OVER (PARTITION BY embedding) AS rep
+                  FROM newb),
+            chain AS (SELECT rep AS id_a, vec_id AS id_b
+                      FROM g WHERE vec_id <> rep),
+            reps AS (SELECT vec_id, embedding FROM g WHERE vec_id = rep),
+            sr AS (SELECT vec_id, {_sb16} FROM reps),
+            kr AS (SELECT vec_id, unnest([{_bands16}]) AS bk FROM sr),
+            rep_pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM kr a JOIN kr b ON a.bk = b.bk
+                                 AND a.vec_id < b.vec_id),
+            batch_pairs AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT id_a, id_b FROM rep_pairs
+                UNION ALL SELECT id_a, id_b FROM chain)),
+            cand AS (
+              SELECT new_id, dup_of, 'corpus' AS src FROM corpus_pairs
+              UNION ALL
+              SELECT id_b AS new_id, id_a AS dup_of, 'batch'
+              FROM batch_pairs)
+            SELECT cand.new_id, cand.dup_of, cand.src,
+                   round({_cos_nd}, 4) AS score
+            FROM cand JOIN embeddings ea ON ea.vec_id = cand.new_id
+                      JOIN embeddings eb ON eb.vec_id = cand.dup_of
+            WHERE round({_cos_nd}, 4) >= 0.4""",
         "chain_stream_phase1": """
             WITH o AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
                               CAST(o_totalprice AS DECIMAL(18,4)) AS p

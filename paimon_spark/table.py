@@ -3499,6 +3499,195 @@ class Table:
             out = out.unionByName(_verify(bp, batch_t))
         return out
 
+    # -------- persisted embedding dedup index (sign-LSH, r9) --------
+    # Embedding-side twin of the MinHash dedup index above: the corpus's
+    # sign-LSH band keys persist once (band rows are 2 longs per band
+    # per vector — ~1% of a float[64] corpus) so each NEW ingest batch
+    # finds its near-dup candidates with a band join against the index
+    # instead of re-hashing the corpus. Exact-cosine verify runs on
+    # candidates only — same candidate→verify contract as
+    # functions.similarity.embedding_near_dup, never all-pairs.
+
+    def _embedding_dedup_index_dir(self, vec_col: str) -> str:
+        return os.path.join(self.path, "index", "dedup_vec", vec_col)
+
+    def embedding_dedup_index_meta(self, vec_col: str = "embedding"
+                                   ) -> dict | None:
+        try:
+            with open(os.path.join(
+                    self._embedding_dedup_index_dir(vec_col),
+                    "_meta.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _embedding_band_rows(df: DataFrame, id_col: str, vec_col: str,
+                             n_planes: int, band_bits: int, dim: int,
+                             n_buckets: int) -> DataFrame:
+        """(id, bk, bucket) sign-LSH band rows — shared by the build,
+        the delta refresh, and the query side so both sides of the
+        candidate join hash identical keys. `bk` already encodes the
+        band index (with_band_keys: band_idx·2^band_bits + value)."""
+        from paimon_spark.functions.similarity import with_band_keys
+        nb = n_planes // band_bits
+        sig = with_band_keys(df.select(F.col(id_col), F.col(vec_col)),
+                             id_col, vec_col, n_planes, band_bits, dim)
+        stacked = sig.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*[F.col(f"bandk{i}")
+                                for i in range(nb)])).alias("bk"))
+        return stacked.withColumn(
+            "bucket", F.pmod(F.xxhash64("bk"), F.lit(n_buckets)))
+
+    def create_embedding_dedup_index(self, vec_col: str = "embedding",
+                                     id_col: str | None = None,
+                                     n_planes: int = 16,
+                                     band_bits: int = 4, dim: int = 64,
+                                     n_buckets: int = 16) -> str:
+        """Build and persist the corpus's sign-LSH band keys,
+        partitioned by band-key bucket. Bucket pruning pays off in
+        proportion to the band-key space (n_planes/band_bits bands ×
+        2^band_bits values) — the defaults give 64 distinct keys; wider
+        vectors at 100 TB would raise n_planes so each bucket holds a
+        sliver of the corpus."""
+        id_col = id_col or self.schema.field_names[0]
+        rows = self._embedding_band_rows(
+            self.read(projection=[id_col, vec_col]), id_col, vec_col,
+            n_planes, band_bits, dim, n_buckets)
+        out = self._embedding_dedup_index_dir(vec_col)
+        shutil.rmtree(out, ignore_errors=True)
+        rows.write.partitionBy("bucket").parquet(out)
+        files = self._index_files(out)
+        self._write_index_meta(out, {
+            "vec_col": vec_col, "id_col": id_col,
+            "n_planes": n_planes, "band_bits": band_bits, "dim": dim,
+            "n_buckets": n_buckets,
+            "snapshot_id": self.paths.latest_snapshot_id(),
+            "files": files})
+        return out
+
+    def refresh_embedding_dedup_index(self,
+                                      vec_col: str = "embedding") -> str:
+        """Append-only delta refresh (band rows for rows committed since
+        the indexed snapshot append in place); non-append history falls
+        back to a rebuild. Returns 'fresh'|'incremental'|'rebuilt'."""
+        meta = self.embedding_dedup_index_meta(vec_col)
+        if meta is None:
+            raise ValueError(f"no embedding dedup index on {vec_col}; "
+                             "run create_embedding_dedup_index first")
+        latest = self.paths.latest_snapshot_id()
+        if meta["snapshot_id"] == latest:
+            return "fresh"
+        delta = self._index_delta(meta["snapshot_id"] or 0)
+        if delta is None:
+            self.create_embedding_dedup_index(
+                vec_col, meta["id_col"], meta["n_planes"],
+                meta["band_bits"], meta["dim"], meta["n_buckets"])
+            return "rebuilt"
+        rows = self._embedding_band_rows(
+            delta.select(meta["id_col"], vec_col), meta["id_col"],
+            vec_col, meta["n_planes"], meta["band_bits"], meta["dim"],
+            meta["n_buckets"])
+        out = self._embedding_dedup_index_dir(vec_col)
+        pre = set(self._index_files(out))
+        rows.write.mode("append").partitionBy("bucket").parquet(out)
+        new = [f for f in self._index_files(out) if f not in pre]
+        meta.update({"snapshot_id": latest,
+                     "files": sorted(meta.get("files",
+                                              sorted(pre)) + new)})
+        self._write_index_meta(out, meta)
+        return "incremental"
+
+    def dedup_embeddings_against_index(self, new_vecs: DataFrame,
+                                       vec_col: str = "embedding",
+                                       id_col: str | None = None,
+                                       include_batch_pairs: bool = True,
+                                       threshold: float | None = None
+                                       ) -> DataFrame:
+        """Near-dup candidates for a NEW batch of vectors: (new_id,
+        dup_of, src) with src='corpus' (batch band keys joined against
+        the persisted index, pruned to the batch's own band buckets)
+        and src='batch' (within-batch sign-LSH pairs via
+        embedding_near_dup, with its exact-duplicate clique guard;
+        id_a < id_b reported as new_id > dup_of). A stale or missing
+        index falls back to banding the corpus on the fly — slower,
+        never wrong. With `threshold`, candidates join their vectors
+        and only pairs with exact cosine ≥ threshold survive, returned
+        with `score` — verify on candidates only."""
+        from paimon_spark.functions.similarity import (
+            dot, embedding_near_dup, norm)
+        meta = self.embedding_dedup_index_meta(vec_col)
+        if meta is not None:
+            id_col = id_col or meta["id_col"]
+            n_planes, band_bits = meta["n_planes"], meta["band_bits"]
+            dim, n_buckets = meta["dim"], meta["n_buckets"]
+        else:
+            id_col = id_col or self.schema.field_names[0]
+            n_planes, band_bits, dim, n_buckets = 16, 4, 64, 16
+        nb_rows = self._embedding_band_rows(
+            new_vecs, id_col, vec_col, n_planes, band_bits, dim,
+            n_buckets).persist()
+        fresh = (meta is not None
+                 and meta["snapshot_id"]
+                 == self.paths.latest_snapshot_id())
+        if fresh:
+            root = self._embedding_dedup_index_dir(vec_col)
+            idx_schema = T.StructType([
+                T.StructField("id", self.schema.data_type(id_col)),
+                T.StructField("bk", T.IntegerType()),
+                T.StructField("bucket", T.LongType())])
+            # metadata-plane collect: ≤ n_buckets scalars — prunes the
+            # index scan to the batch's own band buckets
+            bks = [r[0] for r in
+                   nb_rows.select("bucket").distinct().collect()]
+            idx = (self.spark.read.schema(idx_schema)
+                   .option("basePath", root)
+                   .parquet(*self._index_read_paths(root, meta))
+                   .filter(F.col("bucket").isin(bks)))
+        else:
+            idx = self._embedding_band_rows(
+                self.read(projection=[id_col, vec_col]), id_col,
+                vec_col, n_planes, band_bits, dim, n_buckets)
+        corpus_pairs = (nb_rows.select(F.col("id").alias("new_id"), "bk")
+                        .join(idx.select(F.col("id").alias("dup_of"),
+                                         "bk"), "bk")
+                        .filter(F.col("new_id") != F.col("dup_of"))
+                        .select("new_id", "dup_of").distinct()
+                        .withColumn("src", F.lit("corpus")))
+        bp = None
+        if include_batch_pairs:
+            # threshold=-2.0 keeps every candidate (cosine ≥ -1), so
+            # candidates-only mode and verify mode share one code path
+            bp = (embedding_near_dup(
+                      new_vecs, threshold if threshold is not None
+                      else -2.0, n_planes, band_bits, id_col, vec_col,
+                      dim)
+                  .select(F.col("id_b").alias("new_id"),
+                          F.col("id_a").alias("dup_of"), "score")
+                  .withColumn("src", F.lit("batch")))
+        if threshold is None:
+            out = corpus_pairs
+            if bp is not None:
+                out = out.unionByName(bp.drop("score"))
+            return out
+        nv = new_vecs.select(F.col(id_col).alias("new_id"),
+                             F.col(vec_col).alias("__vn"),
+                             norm(F.col(vec_col)).alias("__nn"))
+        cv = self.read(projection=[id_col, vec_col]).select(
+            F.col(id_col).alias("dup_of"), F.col(vec_col).alias("__vc"),
+            norm(F.col(vec_col)).alias("__nc"))
+        verified = (corpus_pairs.join(nv, "new_id").join(cv, "dup_of")
+                    .withColumn("score", F.round(
+                        dot(F.col("__vn"), F.col("__vc"))
+                        / (F.col("__nn") * F.col("__nc")), 4))
+                    .filter(F.col("score") >= threshold)
+                    .select("new_id", "dup_of", "src", "score"))
+        if bp is not None:
+            verified = verified.unionByName(
+                bp.select("new_id", "dup_of", "src", "score"))
+        return verified
+
     # ---------------- SQL surface ----------------
 
     def register_views(self, name: str,

@@ -414,3 +414,43 @@ def test_dedup_index_incremental(spark, wh, tmp_path):
     from paimon_spark import P
     t.delete_where(P.eq("doc_id", 1))
     assert t.refresh_dedup_index() == "rebuilt"
+
+
+def test_embedding_dedup_index_incremental(spark, wh):
+    """Persisted sign-LSH band index over embeddings (r9): create →
+    delta refresh → bucket-pruned incremental near-dup of a new vector
+    batch; a dropped index falls back to banding the corpus on the fly
+    with IDENTICAL candidates; threshold mode keeps only exact-cosine-
+    verified pairs with their score."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    emb = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding"))
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    t = Table.create(f"{wh}/ve", corpus.schema, spark=spark)
+    t.append(corpus.filter(F.col("vec_id") % 2 == 0))
+    t.create_embedding_dedup_index()
+    t.append(corpus.filter(F.col("vec_id") % 2 == 1))
+    assert t.refresh_embedding_dedup_index() == "incremental"
+    assert t.refresh_embedding_dedup_index() == "fresh"
+    got_idx = sorted((r.new_id, r.dup_of, r.src) for r in
+                     t.dedup_embeddings_against_index(new).collect())
+    assert got_idx and {s for _, _, s in got_idx} == {"corpus", "batch"}
+    # index-free fallback produces the same candidate set
+    shutil.rmtree(t._embedding_dedup_index_dir("embedding"))
+    got_fb = sorted((r.new_id, r.dup_of, r.src) for r in
+                    t.dedup_embeddings_against_index(new).collect())
+    assert got_idx == got_fb
+    # threshold keeps only true near-dups, with their exact cosine
+    t.create_embedding_dedup_index()
+    v = t.dedup_embeddings_against_index(new, threshold=0.4).collect()
+    assert v and all(r.score >= 0.4 for r in v)
+    assert {(r.new_id, r.dup_of) for r in v} <= \
+        {(a, b) for a, b, _ in got_idx}
+    # non-append history (delete) forces a rebuild on refresh
+    from paimon_spark import P
+    t.delete_where(P.eq("vec_id", 2))
+    assert t.refresh_embedding_dedup_index() == "rebuilt"
