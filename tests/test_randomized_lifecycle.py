@@ -258,3 +258,90 @@ def test_randomized_chain_table_model(spark, wh):
               for r in ChainStreamScanner(t)._phase1().collect()}
         assert p1 == expected_phase1(), \
             f"step {step} ({plane} {p}): phase-1 stream diverged"
+
+
+def test_randomized_dedup_index_lifecycle(spark, wh):
+    """Seeded random append / delete / compact / refresh sequence on a
+    documents table carrying a persisted MinHash dedup index. Model
+    invariants:
+
+    - refresh_dedup_index returns 'fresh' when nothing committed,
+      'rebuilt' when any non-append/non-compact snapshot (delete)
+      intervened, else 'incremental' — COMPACT snapshots rewrite files,
+      not the logical row set, so they must NOT force a rebuild;
+    - after every refresh the index meta pins the latest snapshot;
+    - indexed candidates ≡ the index-free fallback (on-the-fly banding
+      of the live corpus) after EVERY refresh — the two planes must
+      agree no matter what history produced the index."""
+    import os
+    import random
+
+    rng = random.Random(31)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 160)
+            .collect())
+    pool = [(int(r.doc_id), r.text) for r in docs if r.doc_id % 7 != 0]
+    new_batch = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in docs if r.doc_id % 7 == 0],
+        "doc_id long, text string")
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    t = Table.create(f"{wh}/ddl", sch, spark=spark)
+    live: set[int] = set()
+
+    def append_some():
+        take = rng.sample(pool, rng.randint(2, 10))
+        fresh = [(i, s) for i, s in take if i not in live]
+        if not fresh:
+            return False
+        t.append(spark.createDataFrame(fresh, sch))
+        live.update(i for i, _ in fresh)
+        return True
+
+    append_some() or append_some()
+    t.create_dedup_index(n_buckets=8)
+    dirty = False        # commits since the indexed snapshot?
+    broken = False       # non-append (delete) among them?
+
+    def check_plane_parity():
+        idx = sorted((r.new_id, r.dup_of, r.src) for r in
+                     t.dedup_against_index(new_batch).collect())
+        root = t._dedup_index_dir("text")
+        os.rename(root, root + ".aside")
+        try:
+            fb = sorted((r.new_id, r.dup_of, r.src) for r in
+                        t.dedup_against_index(new_batch).collect())
+        finally:
+            os.rename(root + ".aside", root)
+        assert idx == fb
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "delete", "compact",
+                         "refresh", "refresh"])
+        if op == "append":
+            dirty |= append_some()
+        elif op == "delete":
+            if live:
+                victim = rng.choice(sorted(live))
+                t.delete_where(P.eq("doc_id", victim))
+                live.discard(victim)
+                dirty = broken = True
+        elif op == "compact":
+            t.compact()          # rewrites files, not the row set
+        else:
+            got = t.refresh_dedup_index()
+            want = ("rebuilt" if broken
+                    else "incremental" if dirty else "fresh")
+            # compact-only histories may legally report either side of
+            # the fresh/incremental line depending on whether a compact
+            # snapshot was committed; both serve identical rows
+            if got == "incremental" and want == "fresh":
+                pass
+            else:
+                assert got == want, f"step {step}: {got} != {want}"
+            dirty = broken = False
+            meta = t.dedup_index_meta("text")
+            assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+            check_plane_parity()
+    t.refresh_dedup_index()
+    check_plane_parity()
