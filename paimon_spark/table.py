@@ -3480,22 +3480,30 @@ class Table:
         from paimon_spark.functions.dedup import jaccard_shingles, shingles
         sh = lambda c: shingles(c, n)                       # noqa: E731
         nt = new_docs.select(F.col(id_col).alias("new_id"),
-                             sh(F.col(text_col)).alias("__tn"))
+                             F.col(text_col).alias("__tn_raw"))
 
-        def _verify(pairs, right):
-            return (pairs.join(nt, "new_id").join(right, "dup_of")
+        def _verify(pairs, right_raw):
+            # broadcast (candidates × batch texts) — the batch is the
+            # small side by construction (one ingest increment) — and
+            # shingle AFTER the join: the corpus side stays a plain
+            # scan (no Exchange, no corpus-wide shingle arrays); the
+            # expensive shingle expressions run only on matched rows.
+            # Same expression tree as before ⇒ identical jaccards.
+            return (right_raw
+                    .join(F.broadcast(pairs.join(nt, "new_id")), "dup_of")
                     .withColumn("jaccard", F.round(
-                        jaccard_shingles(F.col("__tn"), F.col("__tc")), 4))
+                        jaccard_shingles(sh(F.col("__tn_raw")),
+                                         sh(F.col("__tc_raw"))), 4))
                     .filter(F.col("jaccard") >= verify_jaccard)
                     .select("new_id", "dup_of", "src", "jaccard"))
 
         corpus_t = self.read(projection=[id_col, text_col]).select(
             F.col(id_col).alias("dup_of"),
-            sh(F.col(text_col)).alias("__tc"))
+            F.col(text_col).alias("__tc_raw"))
         out = _verify(corpus_pairs, corpus_t)
         if bp is not None:
             batch_t = new_docs.select(F.col(id_col).alias("dup_of"),
-                                      sh(F.col(text_col)).alias("__tc"))
+                                      F.col(text_col).alias("__tc_raw"))
             out = out.unionByName(_verify(bp, batch_t))
         return out
 
@@ -3671,16 +3679,20 @@ class Table:
             if bp is not None:
                 out = out.unionByName(bp.drop("score"))
             return out
+        # broadcast (candidates × batch vectors) and compute the cosine
+        # AFTER the join — the corpus side stays a plain scan (no
+        # Exchange, no corpus-wide norm folds); the per-pair work runs
+        # only on matched rows. Same dot/(norm·norm) expression tree as
+        # embedding_near_dup ⇒ identical scores.
         nv = new_vecs.select(F.col(id_col).alias("new_id"),
-                             F.col(vec_col).alias("__vn"),
-                             norm(F.col(vec_col)).alias("__nn"))
+                             F.col(vec_col).alias("__vn"))
         cv = self.read(projection=[id_col, vec_col]).select(
-            F.col(id_col).alias("dup_of"), F.col(vec_col).alias("__vc"),
-            norm(F.col(vec_col)).alias("__nc"))
-        verified = (corpus_pairs.join(nv, "new_id").join(cv, "dup_of")
+            F.col(id_col).alias("dup_of"), F.col(vec_col).alias("__vc"))
+        verified = (cv.join(F.broadcast(corpus_pairs.join(nv, "new_id")),
+                            "dup_of")
                     .withColumn("score", F.round(
                         dot(F.col("__vn"), F.col("__vc"))
-                        / (F.col("__nn") * F.col("__nc")), 4))
+                        / (norm(F.col("__vn")) * norm(F.col("__vc"))), 4))
                     .filter(F.col("score") >= threshold)
                     .select("new_id", "dup_of", "src", "score"))
         if bp is not None:
