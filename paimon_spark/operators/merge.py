@@ -20,6 +20,8 @@ user sequence field wins, commit sequence breaks ties
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -327,6 +329,17 @@ def _with_tie(df: DataFrame) -> DataFrame:
     have unique sequences or keep the pre-r9 arbitrary-tie behavior."""
     if TIE_COL in df.columns:
         return df
+    try:
+        # Union/Join plans (schema-evolution reads, DV anti-joins) can
+        # never resolve _metadata — skip the probe outright so the JVM
+        # doesn't log an AnalysisException stack trace on every such
+        # read; the except below stays as the backstop for any other
+        # unresolvable shape.
+        tree = df._jdf.queryExecution().analyzed().toString()
+        if re.search(r"^[\s:+|-]*'?(Union|Join)\b", tree, re.M):
+            return df
+    except Exception:        # noqa: BLE001 — fall through to the probe
+        pass
     try:
         # two longs (16 B/row through the merge shuffle), not a path
         # string: mtime at µs granularity, then a path hash — both
