@@ -36,13 +36,20 @@ def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; whole text if shorter than n tokens.
-    DuckDB mirror: sql_shingles()."""
-    t = tokens(col)
-    grams = F.transform(
+    DuckDB mirror: sql_shingles(). NOTE: inlines tokens() into the gram
+    lambda — callers shingling many rows should materialize the token
+    array in its own projection first and use shingles_from_tokens
+    (HOF lambda bodies evaluate interpreted per element; see
+    with_minhash's three-projection rationale)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an ALREADY-MATERIALIZED token array."""
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(t, i, n), " "),
     )
-    return grams
 
 
 def sql_shingles(x: str, n: int = 3) -> str:

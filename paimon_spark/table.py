@@ -3354,10 +3354,15 @@ class Table:
         sig = with_minhash(df.select(F.col(id_col), F.col(text_col)),
                            id_col, text_col, k, n)
         sig = sig.select(F.col(id_col).alias("id"), *band_keys(k, bands))
+        # band keys hash to ONE long (8 B/row instead of a 35-char md5
+        # string): equal keys still collide identically, and the ~2⁻⁶⁴
+        # cross-key collisions only ADD candidates, which exact verify
+        # kills — never a lost pair
         stacked = sig.select(
             "id",
             F.explode(F.array(*[
-                F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
+                F.xxhash64(F.concat_ws("#", F.lit(str(b)),
+                                       F.col(f"band{b}")))
                 for b in range(bands)])).alias("bk"))
         return stacked.withColumn(
             "bucket", F.pmod(F.xxhash64("bk"), F.lit(n_buckets)))
@@ -3368,14 +3373,20 @@ class Table:
                            n_buckets: int = 64) -> str:
         """Build and persist the corpus's MinHash-LSH band keys,
         partitioned by band-key bucket. One distributed pass; the index
-        is `bands` small rows per document (~1% of corpus bytes)."""
+        is `bands` (id, long) rows per document — a few % of a
+        real multi-KB-document corpus's bytes."""
         id_col = id_col or self.schema.field_names[0]
         rows = self._dedup_band_rows(
             self.read(projection=[id_col, text_col]), id_col, text_col,
             k, bands, n, n_buckets)
         out = self._dedup_index_dir(text_col)
         shutil.rmtree(out, ignore_errors=True)
-        rows.write.partitionBy("bucket").parquet(out)
+        # one shuffle keyed on bucket → exactly one file per bucket
+        # (writing straight from the banding tasks sprays
+        # tasks×buckets tiny files — reading them back cost more
+        # than re-banding the corpus at 50k docs)
+        rows.repartition(n_buckets, "bucket") \
+            .write.partitionBy("bucket").parquet(out)
         files = self._index_files(out)
         self._write_index_meta(out, {
             "text_col": text_col, "id_col": id_col, "k": k,
@@ -3408,7 +3419,8 @@ class Table:
             meta["n_buckets"])
         out = self._dedup_index_dir(text_col)
         pre = set(self._index_files(out))
-        rows.write.mode("append").partitionBy("bucket").parquet(out)
+        rows.repartition(meta["n_buckets"], "bucket") \
+            .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
         meta.update({"snapshot_id": latest,
                      "files": sorted(meta.get("files",
@@ -3447,25 +3459,29 @@ class Table:
             root = self._dedup_index_dir(text_col)
             idx_schema = T.StructType([
                 T.StructField("id", self.schema.data_type(id_col)),
-                T.StructField("bk", T.StringType()),
+                T.StructField("bk", T.LongType()),
                 T.StructField("bucket", T.LongType())])
-            # metadata-plane collect: ≤ n_buckets scalars — prunes the
-            # index scan to the batch's own band buckets
-            bks = [r[0] for r in nb.select("bucket").distinct().collect()]
             idx = (self.spark.read.schema(idx_schema)
                    .option("basePath", root)
-                   .parquet(*self._index_read_paths(root, meta))
-                   .filter(F.col("bucket").isin(bks)))
+                   .parquet(*self._index_read_paths(root, meta)))
         else:
             idx = self._dedup_band_rows(
                 self.read(projection=[id_col, text_col]), id_col,
                 text_col, k, bands, n, n_buckets)
-        corpus_pairs = (nb.select(F.col("id").alias("new_id"), "bk")
-                        .join(idx.select(F.col("id").alias("dup_of"),
-                                         "bk"), "bk")
+        # join on (bk, bucket) with the batch side BROADCAST: bucket is
+        # implied by bk (pmod of its hash) so it adds nothing logically,
+        # but it is the index's partition column — Spark's dynamic
+        # partition pruning reuses the broadcast to prune the index scan
+        # to the batch's own band buckets, with no driver round-trip
+        # (the previous distinct+collect job cost more than it saved)
+        corpus_pairs = (idx.select(F.col("id").alias("dup_of"), "bk",
+                                   "bucket")
+                        .join(F.broadcast(
+                            nb.select(F.col("id").alias("new_id"),
+                                      "bk", "bucket")), ["bk", "bucket"])
                         .filter(F.col("new_id") != F.col("dup_of"))
                         .select("new_id", "dup_of").distinct()
-                        .withColumn("src", F.lit("corpus")))
+                        .withColumn("src", F.lit("corpus")).persist())
         bp = None
         if include_batch_pairs:
             from paimon_spark.functions.dedup import minhash_lsh_pairs
@@ -3473,38 +3489,57 @@ class Table:
                                     bands, n)
                   .select(F.col("id_b").alias("new_id"),
                           F.col("id_a").alias("dup_of"))
-                  .withColumn("src", F.lit("batch")))
+                  .withColumn("src", F.lit("batch")).persist())
         if verify_jaccard is None:
             return corpus_pairs if bp is None \
                 else corpus_pairs.unionByName(bp)
-        from paimon_spark.functions.dedup import jaccard_shingles, shingles
-        sh = lambda c: shingles(c, n)                       # noqa: E731
-        nt = new_docs.select(F.col(id_col).alias("new_id"),
-                             F.col(text_col).alias("__tn_raw"))
+        from paimon_spark.functions.dedup import (
+            jaccard_shingles, shingles_from_tokens)
+        from paimon_spark.functions.text import tokens
 
-        def _verify(pairs, right_raw):
-            # broadcast (candidates × batch texts) — the batch is the
-            # small side by construction (one ingest increment) — and
-            # shingle AFTER the join: the corpus side stays a plain
-            # scan (no Exchange, no corpus-wide shingle arrays); the
-            # expensive shingle expressions run only on matched rows.
-            # Same expression tree as before ⇒ identical jaccards.
-            return (right_raw
-                    .join(F.broadcast(pairs.join(nt, "new_id")), "dup_of")
+        def _shingled(df, out_id, src_id, src_txt):
+            # tokens and shingles in their OWN projections (each
+            # referenced >1 time downstream ⇒ CollapseProject keeps the
+            # stage); inlining them into the jaccard lambdas would
+            # re-evaluate the whole shingle build per array element,
+            # interpreted — measured 20 s for 88 candidate pairs at
+            # sf0.1 vs ~1 s for this shape.
+            a = df.select(F.col(src_id).alias(out_id),
+                          tokens(F.col(src_txt)).alias("__tk"))
+            return a.select(out_id, shingles_from_tokens(F.col("__tk"),
+                                                         n).alias("__s"))
+
+        # batch shingles once (the batch is one ingest increment —
+        # small); corpus shingles only for rows that are candidates:
+        # semi-restrict by broadcast candidate ids, so the corpus pays
+        # scan + broadcast-probe ONLY, never a corpus-wide shingle
+        # array or an Exchange.
+        nbs = _shingled(new_docs, "new_id", id_col, text_col) \
+            .withColumnRenamed("__s", "__sa")
+
+        def _verify(pairs, right_raw, restrict):
+            if restrict:
+                ids = pairs.select("dup_of").distinct()
+                right_raw = right_raw.join(
+                    F.broadcast(ids),
+                    right_raw[id_col] == ids["dup_of"], "left_semi")
+            rs = _shingled(right_raw, "dup_of", id_col, text_col) \
+                .withColumnRenamed("__s", "__sb")
+            # pairs ⨝ broadcast(shingled sides): the ≥-threshold filter
+            # Catalyst pushes into the join condition now references
+            # MATERIALIZED arrays, not the shingle-build expressions
+            return (pairs.join(F.broadcast(nbs), "new_id")
+                    .join(F.broadcast(rs), "dup_of")
                     .withColumn("jaccard", F.round(
-                        jaccard_shingles(sh(F.col("__tn_raw")),
-                                         sh(F.col("__tc_raw"))), 4))
+                        jaccard_shingles(F.col("__sa"), F.col("__sb")),
+                        4))
                     .filter(F.col("jaccard") >= verify_jaccard)
                     .select("new_id", "dup_of", "src", "jaccard"))
 
-        corpus_t = self.read(projection=[id_col, text_col]).select(
-            F.col(id_col).alias("dup_of"),
-            F.col(text_col).alias("__tc_raw"))
-        out = _verify(corpus_pairs, corpus_t)
+        out = _verify(corpus_pairs,
+                      self.read(projection=[id_col, text_col]), True)
         if bp is not None:
-            batch_t = new_docs.select(F.col(id_col).alias("dup_of"),
-                                      F.col(text_col).alias("__tc_raw"))
-            out = out.unionByName(_verify(bp, batch_t))
+            out = out.unionByName(_verify(bp, new_docs, False))
         return out
 
     # -------- persisted embedding dedup index (sign-LSH, r9) --------
@@ -3565,7 +3600,12 @@ class Table:
             n_planes, band_bits, dim, n_buckets)
         out = self._embedding_dedup_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
-        rows.write.partitionBy("bucket").parquet(out)
+        # one shuffle keyed on bucket → exactly one file per bucket
+        # (writing straight from the banding tasks sprays
+        # tasks×buckets tiny files — reading them back cost more
+        # than re-banding the corpus at 50k docs)
+        rows.repartition(n_buckets, "bucket") \
+            .write.partitionBy("bucket").parquet(out)
         files = self._index_files(out)
         self._write_index_meta(out, {
             "vec_col": vec_col, "id_col": id_col,
@@ -3599,7 +3639,8 @@ class Table:
             meta["n_buckets"])
         out = self._embedding_dedup_index_dir(vec_col)
         pre = set(self._index_files(out))
-        rows.write.mode("append").partitionBy("bucket").parquet(out)
+        rows.repartition(meta["n_buckets"], "bucket") \
+            .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
         meta.update({"snapshot_id": latest,
                      "files": sorted(meta.get("files",
@@ -3645,24 +3686,26 @@ class Table:
                 T.StructField("id", self.schema.data_type(id_col)),
                 T.StructField("bk", T.IntegerType()),
                 T.StructField("bucket", T.LongType())])
-            # metadata-plane collect: ≤ n_buckets scalars — prunes the
-            # index scan to the batch's own band buckets
-            bks = [r[0] for r in
-                   nb_rows.select("bucket").distinct().collect()]
             idx = (self.spark.read.schema(idx_schema)
                    .option("basePath", root)
-                   .parquet(*self._index_read_paths(root, meta))
-                   .filter(F.col("bucket").isin(bks)))
+                   .parquet(*self._index_read_paths(root, meta)))
         else:
             idx = self._embedding_band_rows(
                 self.read(projection=[id_col, vec_col]), id_col,
                 vec_col, n_planes, band_bits, dim, n_buckets)
-        corpus_pairs = (nb_rows.select(F.col("id").alias("new_id"), "bk")
-                        .join(idx.select(F.col("id").alias("dup_of"),
-                                         "bk"), "bk")
+        # (bk, bucket) join with the batch broadcast — bucket is implied
+        # by bk but it is the partition column, so dynamic partition
+        # pruning trims the index scan to the batch's band buckets
+        # without a driver round-trip (see dedup_against_index)
+        corpus_pairs = (idx.select(F.col("id").alias("dup_of"), "bk",
+                                   "bucket")
+                        .join(F.broadcast(
+                            nb_rows.select(F.col("id").alias("new_id"),
+                                           "bk", "bucket")),
+                            ["bk", "bucket"])
                         .filter(F.col("new_id") != F.col("dup_of"))
                         .select("new_id", "dup_of").distinct()
-                        .withColumn("src", F.lit("corpus")))
+                        .withColumn("src", F.lit("corpus")).persist())
         bp = None
         if include_batch_pairs:
             # threshold=-2.0 keeps every candidate (cosine ≥ -1), so
@@ -3679,17 +3722,25 @@ class Table:
             if bp is not None:
                 out = out.unionByName(bp.drop("score"))
             return out
-        # broadcast (candidates × batch vectors) and compute the cosine
-        # AFTER the join — the corpus side stays a plain scan (no
-        # Exchange, no corpus-wide norm folds); the per-pair work runs
-        # only on matched rows. Same dot/(norm·norm) expression tree as
-        # embedding_near_dup ⇒ identical scores.
+        # verify on candidates only: semi-restrict the corpus to the
+        # candidate ids (broadcast), then broadcast both vector sides
+        # into the pair join — the corpus pays scan + broadcast-probe
+        # only (no Exchange, no corpus-wide norm folds), and the
+        # ≥-threshold filter Catalyst pushes into the join condition
+        # references MATERIALIZED vector attributes. Same
+        # dot/(norm·norm) expression tree as embedding_near_dup ⇒
+        # identical scores.
         nv = new_vecs.select(F.col(id_col).alias("new_id"),
                              F.col(vec_col).alias("__vn"))
-        cv = self.read(projection=[id_col, vec_col]).select(
-            F.col(id_col).alias("dup_of"), F.col(vec_col).alias("__vc"))
-        verified = (cv.join(F.broadcast(corpus_pairs.join(nv, "new_id")),
-                            "dup_of")
+        ids = corpus_pairs.select("dup_of").distinct()
+        corpus_v = self.read(projection=[id_col, vec_col])
+        cv = (corpus_v.join(F.broadcast(ids),
+                            corpus_v[id_col] == ids["dup_of"],
+                            "left_semi")
+              .select(F.col(id_col).alias("dup_of"),
+                      F.col(vec_col).alias("__vc")))
+        verified = (corpus_pairs.join(F.broadcast(nv), "new_id")
+                    .join(F.broadcast(cv), "dup_of")
                     .withColumn("score", F.round(
                         dot(F.col("__vn"), F.col("__vc"))
                         / (norm(F.col("__vn")) * norm(F.col("__vc"))), 4))
