@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode support (r8): REAL pure-numpy decoders for the container-less
-formats — BMP (24/32-bit uncompressed) and PPM P6 images, RIFF/WAVE PCM
-(8/16-bit) audio — plus nearest-neighbor resize and deterministic
-feature extraction over the decoded arrays. Compressed codecs
-(JPEG/PNG/MP4/...) still raise NotImplementedError with a clear message:
-they genuinely need external libraries (PIL/torchaudio/decord) absent
-from this container; swap DECODERS['real'] in deployment to extend.
+Decode support (r8, PNG r9): REAL pure-numpy decoders for the
+container-less formats — BMP (24/32-bit uncompressed), PPM P6 and PNG
+(8-bit gray/palette/RGB/RGBA, all five scanline filters, stdlib zlib)
+images, RIFF/WAVE PCM (8/16-bit) audio — plus nearest-neighbor resize
+and deterministic feature extraction over the decoded arrays. Codecs
+that genuinely need external libraries (JPEG/MP4/...) still raise
+NotImplementedError with a clear message naming the library
+(PIL/torchaudio/decord, absent from this container); swap
+DECODERS['real'] in deployment to extend.
 
 At 100 TB: binary payloads stay in parquet (never hit the driver);
 mapInPandas streams Arrow batches through Python workers. Partition size
@@ -117,9 +119,96 @@ def decode_image(payload: bytes):
             raise NotImplementedError("16-bit PPM unsupported")
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                              offset=pos).reshape(h, w, 3).copy()
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image codec not recognized (supported lib-free: BMP, PPM P6; "
-        "JPEG/PNG need PIL — swap DECODERS['real'] in deployment)")
+        "image codec not recognized (supported lib-free: BMP, PPM P6, "
+        "PNG; JPEG needs PIL — swap DECODERS['real'] in deployment)")
+
+
+def _decode_png(payload: bytes):
+    """(H, W, 3) uint8 from a PNG (r9): pure numpy + stdlib zlib.
+    8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced;
+    alpha is dropped (matches the 32-bit BMP path). 16-bit, sub-byte
+    depths and Adam7 interlacing refuse loudly — rare in training
+    corpora and not worth a bit-unpacker without a real need."""
+    import zlib
+
+    import numpy as np
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln                      # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype} invalid")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace}: only 8-bit "
+            "non-interlaced supported without external libraries")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels                          # bytes per pixel at depth 8
+    for y in range(h):
+        f, row = filters[y], data[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:                          # None
+            out[y] = row
+        elif f == 1:                        # Sub: mod-256 prefix sums
+            lanes = row.reshape(-1, bpp).astype(np.uint32)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF) \
+                .astype(np.uint8).reshape(-1)
+        elif f == 2:                        # Up
+            out[y] = row + prev
+        elif f in (3, 4):                   # Average / Paeth: sequential
+            r = row.reshape(-1, bpp).astype(np.int32)
+            p = prev.reshape(-1, bpp).astype(np.int32)
+            o = np.zeros_like(r)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(r.shape[0]):
+                if f == 3:
+                    pred = (left + p[x]) >> 1
+                else:
+                    pa = np.abs(p[x] - ul)
+                    pb = np.abs(left - ul)
+                    pc = np.abs(left + p[x] - 2 * ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, p[x], ul))
+                o[x] = (r[x] + pred) & 0xFF
+                left, ul = o[x], p[x]
+            out[y] = o.reshape(-1).astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG palette image without PLTE")
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return lut[img[:, :, 0]].copy()
+    if ctype in (0, 4):                     # gray(+alpha) → RGB
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    return img[:, :, :3].copy()             # RGB(A) → RGB
 
 
 def encode_bmp(img) -> bytes:

@@ -185,3 +185,124 @@ def test_bmp_bitfields_masks(spark=None):
     assert list(img[0, 0]) == [30, 20, 10]             # standard masks OK
     with pytest.raises(NotImplementedError, match="mask"):
         MM.decode_image(bmp(0x000000FF, 0x0000FF00, 0x00FF0000) + body)
+
+
+def _png_filter_row(f, row, prev, bpp):
+    """Spec-reference scanline FILTER (encoder side) — independent
+    arithmetic from the decoder's unfilter, so the round-trip test
+    cross-checks both directions."""
+    import numpy as np
+    r = row.astype(np.int32)
+    out = np.zeros_like(r)
+    for i in range(len(r)):
+        left = r[i - bpp] if i >= bpp else 0
+        up = int(prev[i])
+        ul = int(prev[i - bpp]) if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = up
+        elif f == 3:
+            pred = (left + up) >> 1
+        else:
+            p0 = left + up - ul
+            pa, pb, pc = abs(p0 - left), abs(p0 - up), abs(p0 - ul)
+            pred = left if (pa <= pb and pa <= pc) else \
+                (up if pb <= pc else ul)
+        out[i] = (int(r[i]) - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _encode_png(img, ctype, filters, palette=None):
+    """Minimal spec-reference PNG encoder for the tests: 8-bit,
+    non-interlaced, one chosen filter byte per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    flat = img.reshape(h, w * ch).astype(np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _png_filter_row(f, flat[y], prev, ch).tobytes()
+        prev = flat[y]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_and_types():
+    """PNG decode (r9): every scanline filter (None/Sub/Up/Average/
+    Paeth) on gradient-ish content where the filters actually change
+    the bytes; RGB, RGBA (alpha dropped), gray, gray+alpha and palette
+    color types all land on the same (H, W, 3) uint8."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    h, w = 13, 17
+    base = (np.arange(h)[:, None, None] * 11
+            + np.arange(w)[None, :, None] * 7
+            + np.arange(3)[None, None, :] * 29
+            + rng.randint(0, 9, (h, w, 3))).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = MM.decode_image(_encode_png(base, 2, filters))
+        assert (got == base).all(), f"RGB filters={filters}"
+    # RGBA drops alpha
+    rgba = np.dstack([base, rng.randint(0, 255, (h, w, 1))]).astype(np.uint8)
+    assert (MM.decode_image(_encode_png(rgba, 6, [4])) == base).all()
+    # gray and gray+alpha replicate to 3 channels
+    g = base[:, :, 0]
+    got = MM.decode_image(_encode_png(g[:, :, None], 0, [3]))
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+    ga = np.dstack([g, rng.randint(0, 255, (h, w))]).astype(np.uint8)
+    got = MM.decode_image(_encode_png(ga, 4, [1, 2]))
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+    # palette
+    pal = rng.randint(0, 255, (16, 3)).astype(np.uint8)
+    pidx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    got = MM.decode_image(_encode_png(pidx[:, :, None], 3, [0, 4],
+                                      palette=pal))
+    assert (got == pal[pidx]).all()
+    # features run on PNG payloads through the real decoder
+    feats = MM._real_decode(_encode_png(base, 2, [4]), "image")
+    assert feats[0] == w and feats[1] == h
+
+
+def test_png_refusals():
+    """16-bit and interlaced PNGs refuse loudly; truncated refuses."""
+    import struct
+    import zlib
+
+    import numpy as np
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _encode_png(img, 2, [0])
+
+    def patch_ihdr(depth=None, interlace=None):
+        b = bytearray(good)
+        if depth is not None:
+            b[8 + 8 + 8] = depth         # sig + len/type + w/h
+        if interlace is not None:
+            b[8 + 8 + 12] = interlace
+        # fix the IHDR crc so only the guard under test fires
+        data = bytes(b[8 + 8:8 + 8 + 13])
+        b[8 + 8 + 13:8 + 8 + 17] = struct.pack(
+            ">I", zlib.crc32(b"IHDR" + data))
+        return bytes(b)
+
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        MM.decode_image(patch_ihdr(depth=16))
+    with pytest.raises(NotImplementedError, match="interlace 1"):
+        MM.decode_image(patch_ihdr(interlace=1))
