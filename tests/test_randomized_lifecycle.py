@@ -345,3 +345,57 @@ def test_randomized_dedup_index_lifecycle(spark, wh):
             check_plane_parity()
     t.refresh_dedup_index()
     check_plane_parity()
+
+
+def test_randomized_consumer_lifecycle_model(spark, wh):
+    """Seeded random append / drain / scanner-restart / expire sequence
+    against a PK table with a durable consumer id. Invariants:
+
+    - exactly-once: replaying every batch the consumer EVER drained, in
+      order, reconstructs the table's final merged state — no snapshot
+      skipped, none delivered twice, across arbitrary restarts;
+    - expiration never breaks the consumer: expire_snapshots(1) with a
+      lagging consumer must pin everything the consumer still needs
+      (ref ConsumerManager minNextSnapshot), so every later drain still
+      succeeds. (ref: consumer/Consumer.java; ExpireSnapshotsImpl)"""
+    import random
+
+    from paimon_spark.streaming.source import StreamScanner
+
+    rng = random.Random(47)
+    t = Table.create(f"{wh}/cons", SCH, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    model: dict[int, int] = {}
+    replay: dict[int, int] = {}
+
+    def append():
+        rows = {rng.randint(0, 15): rng.randint(0, 999)
+                for _ in range(rng.randint(1, 3))}
+        t.append(spark.createDataFrame(list(rows.items()), SCH))
+        model.update(rows)
+
+    append()
+    sc = StreamScanner(t, mode="latest-full", consumer_id="m1")
+
+    def drain():
+        while True:
+            b = sc.next_batch()
+            if b is None:
+                return
+            for r in b.collect():
+                replay[r["k"]] = r["v"]
+
+    for _ in range(16):
+        op = rng.choice(["append", "append", "drain", "restart",
+                         "expire"])
+        if op == "append":
+            append()
+        elif op == "drain":
+            drain()
+        elif op == "restart":
+            sc = StreamScanner(t, mode="latest-full", consumer_id="m1")
+        else:
+            t.expire_snapshots(retain_last=1)
+    drain()
+    assert replay == model
+    assert {r["k"]: r["v"] for r in t.read().collect()} == model
