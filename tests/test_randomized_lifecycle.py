@@ -399,3 +399,78 @@ def test_randomized_consumer_lifecycle_model(spark, wh):
     drain()
     assert replay == model
     assert {r["k"]: r["v"] for r in t.read().collect()} == model
+
+
+def test_randomized_embedding_dedup_index_lifecycle(spark, wh):
+    """Sign-LSH twin of the dedup-index lifecycle model: random
+    append / delete / refresh interleavings over an embeddings table;
+    same invariants (label model; indexed candidates ≡ index-free
+    fallback after every refresh)."""
+    import os
+    import random
+
+    rng = random.Random(53)
+    emb = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+        .collect())
+    pool = [(int(r.vec_id), list(r.embedding)) for r in emb
+            if r.vec_id % 7 != 0]
+    sch = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    new_batch = spark.createDataFrame(
+        [(int(r.vec_id), list(r.embedding)) for r in emb
+         if r.vec_id % 7 == 0], sch)
+    t = Table.create(f"{wh}/vdl", sch, spark=spark)
+    live: set[int] = set()
+
+    def append_some():
+        take = rng.sample(pool, rng.randint(2, 12))
+        fresh = [(i, v) for i, v in take if i not in live]
+        if not fresh:
+            return False
+        t.append(spark.createDataFrame(fresh, sch))
+        live.update(i for i, _ in fresh)
+        return True
+
+    append_some() or append_some()
+    t.create_embedding_dedup_index(n_buckets=8)
+    dirty = broken = False
+
+    def parity():
+        idx = sorted((r.new_id, r.dup_of, r.src) for r in
+                     t.dedup_embeddings_against_index(new_batch)
+                     .collect())
+        root = t._embedding_dedup_index_dir("embedding")
+        os.rename(root, root + ".aside")
+        try:
+            fb = sorted((r.new_id, r.dup_of, r.src) for r in
+                        t.dedup_embeddings_against_index(new_batch)
+                        .collect())
+        finally:
+            os.rename(root + ".aside", root)
+        assert idx == fb
+
+    for step in range(10):
+        op = rng.choice(["append", "append", "delete", "refresh",
+                         "refresh"])
+        if op == "append":
+            dirty |= append_some()
+        elif op == "delete":
+            if live:
+                victim = rng.choice(sorted(live))
+                t.delete_where(P.eq("vec_id", victim))
+                live.discard(victim)
+                dirty = broken = True
+        else:
+            got = t.refresh_embedding_dedup_index()
+            want = ("rebuilt" if broken
+                    else "incremental" if dirty else "fresh")
+            assert got == want, f"step {step}: {got} != {want}"
+            dirty = broken = False
+            meta = t.embedding_dedup_index_meta("embedding")
+            assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+            parity()
+    t.refresh_embedding_dedup_index()
+    parity()
