@@ -409,7 +409,7 @@ def test_randomized_embedding_dedup_index_lifecycle(spark, wh):
     import os
     import random
 
-    rng = random.Random(53)
+    rng = random.Random(50)      # covers incremental, rebuilt AND fresh
     emb = (spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet")
         .select("vec_id", "embedding").filter(F.col("vec_id") < 200)
