@@ -9,12 +9,16 @@ Spark-first shape: the index is itself a parquet table under
 <table>/index/; assignment is one left join shuffled on the key — the
 index has one row per KEY, so at 10^8-10^9 keys it must NOT be forced
 into a broadcast (AQE still picks broadcast-hash when the index is
-actually small). New keys get `pmod(xxhash64(pk), n)` where n grows with
-total_keys/target — existing keys never move (the index pins them),
-matching the reference's invariant. Divergence (documented): the
-reference fills buckets sequentially per assigner; we hash into the
-current bucket count — same invariants (sticky keys, bounded bucket
-size in expectation), better distribution for parallel writers.
+actually small). New keys SEQUENTIALLY FILL buckets exactly like the
+reference's HashBucketAssigner (r9; previously hash-into-n, the one
+documented W2 divergence): key number existing+i goes to bucket
+(existing+i)//target, so bucket 0 fills to target-row-count, then
+bucket 1 opens, etc. — existing keys never move (the index pins them).
+The global key numbering is a two-level distributed rank (dist_cumsum:
+range-partition slices + per-slice offsets), so assignment parallelism
+is decoupled from batch size — no single-reducer window. With
+`dynamic-bucket.max-buckets` set, keys past the cap hash into the
+existing bucket range (ref CoreOptions max-buckets overflow).
 """
 
 from __future__ import annotations
@@ -86,6 +90,8 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     keys = schema.trimmed_primary_keys
     target = int(schema.options.get("dynamic-bucket.target-row-count",
                                     str(DEFAULT_TARGET_ROWS)))
+    max_buckets = int(schema.options.get("dynamic-bucket.max-buckets",
+                                         "-1"))
     d = index_dir(table_path)
     # consolidate BEFORE loading: the DataFrame this call returns stays
     # lazy in the caller (stage/commit executes it later), so deleting
@@ -95,23 +101,26 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     if idx is None:
         existing = 0
         joined = df.withColumn(BUCKET_COL, F.lit(None).cast("int"))
+        new_only = df.select(*keys).distinct()
     else:
         existing = _load_count(table_path)
         if existing is None:          # pre-sidecar index: count once
             existing = idx.count()
         joined = df.join(idx, keys, "left")
-    n_buckets = max(1, (existing + 1) // target + 1)
-    assigned = joined.withColumn(
-        BUCKET_COL,
-        F.coalesce(F.col(BUCKET_COL),
-                   F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
-                          F.lit(n_buckets)).cast("int")))
+        new_only = (df.select(*keys).distinct()
+                    .join(idx.select(*keys), keys, "left_anti"))
+    new_keys = _sequential_fill(new_only, keys, existing, target,
+                                max_buckets)
+    assigned = (joined.join(new_keys.withColumnRenamed(BUCKET_COL,
+                                                       "__nb"),
+                            keys, "left")
+                .withColumn(BUCKET_COL,
+                            F.coalesce(F.col(BUCKET_COL), F.col("__nb"))
+                            .cast("int"))
+                .drop("__nb"))
     # persist assignments for keys not yet in the index: write to a tmp
     # dataset first so the new-key count comes from parquet footers
     # (driver metadata only), then adopt the files
-    new_keys = assigned.select(*keys, BUCKET_COL).distinct()
-    if idx is not None:
-        new_keys = new_keys.join(idx.select(*keys), keys, "left_anti")
     os.makedirs(d, exist_ok=True)
     staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     new_keys.write.parquet(staging)
@@ -123,6 +132,32 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     shutil.rmtree(staging, ignore_errors=True)
     _save_count(table_path, existing + added)
     return assigned
+
+
+def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
+                     existing: int, target: int,
+                     max_buckets: int) -> DataFrame:
+    """(keys..., __bucket) for NEW keys via the reference's sequential
+    fill: the i-th new key overall (0-based global number existing+i)
+    lands in bucket (existing+i)//target, so buckets fill to
+    target-row-count in order (ref: HashBucketAssigner.assign loop).
+    The global numbering orders by (xxhash64(keys), keys) — a total
+    order, so the assignment is deterministic for any partitioning —
+    and is computed with the two-level dist_cumsum rank (range slices
+    + per-slice offsets), never a one-reducer window. Keys past
+    `max_buckets` (when ≥ 1) hash into the capped range instead."""
+    from paimon_spark.functions.text import dist_cumsum
+    nk = (new_keys_df
+          .withColumn("__h", F.xxhash64(*[F.col(k) for k in keys]))
+          .withColumn("__g", F.lit(0))
+          .withColumn("__one", F.lit(1).cast("long")))
+    ranked = dist_cumsum(nk, ["__g"], ["__h"] + keys, "__one", "__rank")
+    num = F.lit(existing) + F.col("__rank") - 1      # 0-based global no.
+    b = F.floor(num / F.lit(target))
+    if max_buckets and max_buckets > 0:
+        b = F.when(b >= max_buckets,
+                   F.pmod(F.col("__h"), F.lit(max_buckets))).otherwise(b)
+    return ranked.select(*keys, b.cast("int").alias(BUCKET_COL))
 
 
 def _maybe_consolidate(spark, table_path: str) -> None:

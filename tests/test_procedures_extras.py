@@ -449,3 +449,48 @@ def test_catalog_sys_tables_and_file_key_ranges(spark, wh):
         assert lo <= hi
     with pytest.raises(ValueError, match="primary-key"):
         t2.file_key_ranges_df()
+
+
+def test_dynamic_bucket_sequential_fill(spark, wh):
+    """r9 (closes the documented W2 divergence): new keys fill buckets
+    SEQUENTIALLY to dynamic-bucket.target-row-count like the reference's
+    HashBucketAssigner — bucket 0 to capacity, then bucket 1, ... —
+    across commits (global key numbering continues); existing keys
+    stay pinned. With max-buckets, overflow keys hash into the cap."""
+    from paimon_spark.schema import BUCKET_COL
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/seqfill", schema, primary_keys=["k"],
+                     options={"bucket": "-1",
+                              "dynamic-bucket.target-row-count": "10"},
+                     spark=spark)
+
+    def bucket_counts(path):
+        idx = spark.read.parquet(f"{path}/index")
+        return {r[BUCKET_COL]: r["n"] for r in
+                idx.groupBy(BUCKET_COL).agg(F.count("*").alias("n"))
+                .collect()}
+
+    t.append(spark.createDataFrame([(i, "a") for i in range(12)], schema))
+    assert bucket_counts(t.path) == {0: 10, 1: 2}
+    # 13 new keys + 3 old: numbering continues at 12; old keys pinned
+    t.append(spark.createDataFrame(
+        [(i, "b") for i in range(9, 25)], schema))
+    assert bucket_counts(t.path) == {0: 10, 1: 10, 2: 5}
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 25 and got[3] == "a" and got[11] == "b" \
+        and got[24] == "b"
+
+    # max-buckets cap: 15 keys at target 5 → buckets 0/1 fill, the
+    # 5 overflow keys hash into {0, 1}
+    tc = Table.create(f"{wh}/seqcap", schema, primary_keys=["k"],
+                      options={"bucket": "-1",
+                               "dynamic-bucket.target-row-count": "5",
+                               "dynamic-bucket.max-buckets": "2"},
+                      spark=spark)
+    tc.append(spark.createDataFrame([(i, "x") for i in range(15)],
+                                    schema))
+    counts = bucket_counts(tc.path)
+    assert set(counts) == {0, 1} and sum(counts.values()) == 15
+    assert min(counts.values()) >= 5
+    assert {r["k"] for r in tc.read().collect()} == set(range(15))
