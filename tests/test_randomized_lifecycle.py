@@ -474,3 +474,63 @@ def test_randomized_embedding_dedup_index_lifecycle(spark, wh):
             parity()
     t.refresh_embedding_dedup_index()
     parity()
+
+
+def test_randomized_postpone_table_model(spark, wh):
+    """Postpone tables (bucket=-2, ref BucketMode POSTPONE_MODE):
+    random append / delete / compact / expire interleavings against a
+    two-plane model — `visible` (state as of the last compaction: reads
+    show EXACTLY this; postponed writes stay invisible) and an ordered
+    pending-op log. EVERYTHING including row-level DELETE is deferred:
+    delete_where writes -D rows through the write path, which postpones
+    them, and the -D set is computed from the VISIBLE plane at delete
+    time. compact() replays the log in commit order (sequence-number
+    merge), and -2 pseudo-bucket entries never survive a compaction."""
+    import random
+
+    rng = random.Random(61)
+    t = Table.create(f"{wh}/pp", SCH, primary_keys=["k"],
+                     options={"bucket": "-2",
+                              "postpone.default-bucket-num": "4"},
+                     spark=spark)
+    visible: dict[int, int] = {}
+    oplog: list[tuple[str, int, int | None]] = []   # commit order
+
+    def check():
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == visible, f"read {got} != visible {visible}"
+
+    def replay():
+        for kind, k, v in oplog:
+            if kind == "+":
+                visible[k] = v
+            else:
+                visible.pop(k, None)
+        oplog.clear()
+
+    for step in range(14):
+        op = rng.choice(["append", "append", "delete", "compact",
+                         "compact", "expire"])
+        if op == "append":
+            rows = {rng.randint(0, 12): rng.randint(0, 999)
+                    for _ in range(rng.randint(1, 4))}
+            t.append(spark.createDataFrame(list(rows.items()), SCH))
+            oplog.extend(("+", k, v) for k, v in rows.items())
+        elif op == "delete":
+            if visible:
+                victim = rng.choice(sorted(visible))
+                t.delete_where(P.eq("k", victim))
+                oplog.append(("-", victim, None))
+        elif op == "compact":
+            t.compact()
+            replay()
+            snap = t.paths.latest_snapshot()
+            if snap is not None:
+                ent = t.paths.live_entries(snap)
+                assert all(e.bucket != -2 for e in ent)
+        else:
+            t.expire_snapshots(retain_last=2)
+        check()
+    t.compact()
+    replay()
+    check()
