@@ -3464,6 +3464,7 @@ class Table:
             idx = (self.spark.read.schema(idx_schema)
                    .option("basePath", root)
                    .parquet(*self._index_read_paths(root, meta)))
+            idx = self._static_bucket_prune(idx, nb, root, meta)
         else:
             idx = self._dedup_band_rows(
                 self.read(projection=[id_col, text_col]), id_col,
@@ -3541,6 +3542,30 @@ class Table:
         if bp is not None:
             out = out.unionByName(_verify(bp, new_docs, False))
         return out
+
+    _INDEX_PRUNE_BYTES = 256 << 20
+
+    def _static_bucket_prune(self, idx: DataFrame, band_rows: DataFrame,
+                             root: str, meta: dict) -> DataFrame:
+        """Bucket-prune a persisted band index with the batch's own
+        bucket set when the index is big enough for the extra driver
+        round-trip to pay (≤ n_buckets scalars collected from the
+        already-persisted batch band rows). Below the size gate the
+        unpruned scan is cheaper than the collect job; the (bk, bucket)
+        join shape stays eligible for Spark's dynamic partition pruning
+        either way (measured: DPP's benefit heuristic declines without
+        CBO stats even at 800k index rows, hence this static gate)."""
+        size = 0
+        for f in meta.get("files") or []:
+            try:
+                size += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+        if size < self._INDEX_PRUNE_BYTES:
+            return idx
+        bks = [r[0] for r in
+               band_rows.select("bucket").distinct().collect()]
+        return idx.filter(F.col("bucket").isin(bks))
 
     # -------- persisted embedding dedup index (sign-LSH, r9) --------
     # Embedding-side twin of the MinHash dedup index above: the corpus's
@@ -3689,6 +3714,7 @@ class Table:
             idx = (self.spark.read.schema(idx_schema)
                    .option("basePath", root)
                    .parquet(*self._index_read_paths(root, meta)))
+            idx = self._static_bucket_prune(idx, nb_rows, root, meta)
         else:
             idx = self._embedding_band_rows(
                 self.read(projection=[id_col, vec_col]), id_col,
