@@ -2104,75 +2104,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r9 window = the exact 50 entries that sat BELOW the r8 cut-off (green
-    in the r7 gate or via pytest-only since; includes stream_patched_drain
-    and incremental_patched_images, both new in r8 and never driver-gated;
-    the two never-gated entries lead the window). The 50 r8-gated entries
-    (all green in CORRECTNESS_r08) rotate out. ALL entries — gated or
+    r10 window = the 54 entries that sat BELOW the r9 cut-off (VERDICT r9
+    #1: the driver's artifact never attested them in r9; all 54 were
+    judge-replica-verified green at sf0.001 in r9). 50 of the 54 fit the
+    window; the last 4 (ann_lsh_topk, sketch_theta_custkeys,
+    dedup_minhash_bands, ngram_jaccard_pairs — all r8-gate green) spill
+    just below and lead the r11 window. The 50 r9-gated entries (all green
+    in CORRECTNESS_r09) rotate to the bottom. ALL entries — gated or
     not — are oracle-checked every round by tests/test_oracle_parity.py
     (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
-        # --- new in r9 / r8, never driver-gated: lead the r9 window ---
-        "stream_patched_followup": stream_patched_followup,   # new in r9
-        "chain_stream_phase1": chain_stream_phase1,           # new in r9
-        "dedup_incremental_index": dedup_incremental_index,   # new in r9
-        "dedup_embedding_incremental": dedup_embedding_incremental,  # r9
-        "stream_patched_drain": stream_patched_drain,
-        "incremental_patched_images": incremental_patched_images,
-        # --- the 48 entries below the r8 cut-off (r7-gate green) ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q6_revenue": q6_revenue,
-        "pk_upsert_latest": pk_upsert_latest,
-        "merge_full_surface": merge_full_surface,
-        "iceberg_mirror_read": iceberg_mirror_read,
-        "cdc_sync_evolution": cdc_sync_evolution,
-        "fulltext_bm25_topk": fulltext_bm25_topk,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_clusters": dedup_clusters,
-        "pack_training_sequences": pack_training_sequences,
-        "repeated_8gram_spans": repeated_8gram_spans,
-        "cut_spans_clean_corpus": cut_spans_clean_corpus,
-        "colocated_join_priority": colocated_join_priority,
-        "data_evolution_backfill": data_evolution_backfill,
-        "embedding_centroid_classify": embedding_centroid_classify,
-        "ann_ivf_topk": ann_ivf_topk,
-        "text_quality": text_quality,
-        "text_stats": text_stats,
-        "text_langid": text_langid,
-        "text_repetition": text_repetition,
-        "text_chunks": text_chunks,
-        "sketch_hll_users": sketch_hll_users,
-        "variant_extract": variant_extract,
-        "stream_window_counts": stream_window_counts,
-        "window_user_ranks": window_user_ranks,
-        "pii_redact": pii_redact,
-        "contamination_4gram": contamination_4gram,
-        "bitmap_rowrange_lang": bitmap_rowrange_lang,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "dedup_simhash": dedup_simhash,
-        "zorder_cluster_preserves": zorder_cluster_preserves,
-        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
-        "sample_corpus": sample_corpus,
-        "q3_top_revenue": q3_top_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "topn_orders": topn_orders,
-        "point_lookup": point_lookup,
-        "metadata_count": metadata_count,
-        "agg_engine_rich": agg_engine_rich,
-        "changelog_old_vs_new": changelog_old_vs_new,
-        "pk_after_delete": pk_after_delete,
-        "cross_partition_upsert": cross_partition_upsert,
+        # --- never r9-gated: the 54 below the r9 cut lead (VERDICT #1) ---
         "time_travel_v1": time_travel_v1,
         "sequence_field_latest": sequence_field_latest,
-        # =========== gate cut-off (first 50 above) ======================
-        # default_values_read / tag_travel_read slid just below the line
-        # when the two r9 entries joined the window; both r7-gate green
-        # and pytest-checked every round
         "default_values_read": default_values_read,
         "tag_travel_read": tag_travel_read,
-        # --- entries below were gated GREEN in r8 -----------------------
         "mixture_token_budget": mixture_token_budget,
         "winnow_doc_fingerprints": winnow_doc_fingerprints,
         "dedup_exact": dedup_exact,
@@ -2219,10 +2165,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_preserves": compact_preserves,
         "dynamic_bucket_latest": dynamic_bucket_latest,
         "ann_brute_topk": ann_brute_topk,
+        # =========== gate cut-off (first 50 above) ======================
+        # the 4 r8-gate-green spill entries: lead the r11 window
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        # --- entries below were gated GREEN in r9 (CORRECTNESS_r09) -----
+        "stream_patched_followup": stream_patched_followup,
+        "chain_stream_phase1": chain_stream_phase1,
+        "dedup_incremental_index": dedup_incremental_index,
+        "dedup_embedding_incremental": dedup_embedding_incremental,
+        "stream_patched_drain": stream_patched_drain,
+        "incremental_patched_images": incremental_patched_images,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q6_revenue": q6_revenue,
+        "pk_upsert_latest": pk_upsert_latest,
+        "merge_full_surface": merge_full_surface,
+        "iceberg_mirror_read": iceberg_mirror_read,
+        "cdc_sync_evolution": cdc_sync_evolution,
+        "fulltext_bm25_topk": fulltext_bm25_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_clusters": dedup_clusters,
+        "pack_training_sequences": pack_training_sequences,
+        "repeated_8gram_spans": repeated_8gram_spans,
+        "cut_spans_clean_corpus": cut_spans_clean_corpus,
+        "colocated_join_priority": colocated_join_priority,
+        "data_evolution_backfill": data_evolution_backfill,
+        "embedding_centroid_classify": embedding_centroid_classify,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "text_chunks": text_chunks,
+        "sketch_hll_users": sketch_hll_users,
+        "variant_extract": variant_extract,
+        "stream_window_counts": stream_window_counts,
+        "window_user_ranks": window_user_ranks,
+        "pii_redact": pii_redact,
+        "contamination_4gram": contamination_4gram,
+        "bitmap_rowrange_lang": bitmap_rowrange_lang,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "dedup_simhash": dedup_simhash,
+        "zorder_cluster_preserves": zorder_cluster_preserves,
+        "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
+        "sample_corpus": sample_corpus,
+        "q3_top_revenue": q3_top_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "topn_orders": topn_orders,
+        "point_lookup": point_lookup,
+        "metadata_count": metadata_count,
+        "agg_engine_rich": agg_engine_rich,
+        "changelog_old_vs_new": changelog_old_vs_new,
+        "pk_after_delete": pk_after_delete,
+        "cross_partition_upsert": cross_partition_upsert,
     }
 
 
