@@ -286,55 +286,91 @@ def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
             .withColumnRenamed("__k", "content_hash"))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', §3): every node links each STRICTLY LARGER
+    neighbor to the minimum of its closed neighborhood. Deterministic,
+    one groupBy + one join, both keyed on src (Catalyst reuses the
+    exchange)."""
+    nb = edges.union(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    mins = (nb.groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("mn")))
+    return (nb.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then each
+    node links its ≤-neighbors (and itself) to the neighborhood min."""
+    o = edges.select(F.greatest("src", "dst").alias("src"),
+                     F.least("src", "dst").alias("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("mn"))
+    relink = (o.join(mins, "src")
+              .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
+    selfs = mins.select("src", F.col("mn").alias("dst"))
+    return (relink.union(selfs)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: (doc_id,
     cluster_id = min id in the connected component). Closes the dedup
     loop — LSH emits pairs, this groups them, and `doc_id = cluster_id`
     marks the survivor each cluster keeps.
 
-    Iterative min-label propagation (the GraphX/large-star shape):
-    every round each node takes the min label among itself and its
-    neighbors — converges in O(component diameter) rounds, and near-dup
-    components are shallow (a dup cluster is almost a clique). Each
-    round is one shuffle join + one groupBy; the driver loop is CONTROL
-    only (the convergence check is a 1-row count, data stays put)."""
-    edges = pairs.select(F.col("id_a").alias("src"),
-                         F.col("id_b").alias("dst"))
+    Alternating large-star/small-star (Kiveris et al., MapReduce CC) —
+    converges in O(log n) ROUNDS regardless of component diameter, so a
+    100 TB corpus whose near-dup graph contains a pathological chain
+    (transitive 0.9-similarity drift) finishes in ~log2(n) rounds where
+    plain min-label propagation needs diameter rounds (r9 shape: raised
+    past max_iter=20 on any >20-deep chain). Near-clique dup clusters
+    converge in 2-3 rounds, same as before. Each round is two shuffles;
+    the driver loop is CONTROL only (convergence check is a limit-1
+    anti-join count, data stays distributed)."""
+    edges0 = pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst")) \
+        .filter(F.col("src") != F.col("dst"))
     # localCheckpoint (not persist): TRUNCATES lineage. The loop below
     # otherwise re-analyzes the whole upstream pairs plan (LSH joins,
     # windows, unions) on every iteration's action, and each round's
-    # labels compound it — Catalyst analysis time grows superlinearly in
+    # edges compound it — Catalyst analysis time grows superlinearly in
     # iterations (measured 10.2 s → 2.9 s on sf0.1 clusters). Same
     # reason GraphX checkpoints iterative state.
-    edges = edges.union(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst"))) \
-        .localCheckpoint()
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id")).localCheckpoint())
+    nodes = (edges0.select(F.col("src").alias("id"))
+             .union(edges0.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint())
+    edges = edges0.distinct().localCheckpoint()
     converged = False
     for _ in range(max_iter):
-        nbr = (edges.join(labels.withColumnRenamed("id", "dst")
-                          .withColumnRenamed("lbl", "dlbl"), "dst")
-               .groupBy("src").agg(F.min("dlbl").alias("nlbl")))
-        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
-               .select("id", F.least(
-                   F.col("lbl"), F.coalesce("nlbl", F.col("lbl")))
-                   .alias("lbl")).localCheckpoint())
-        changed = (new.withColumnRenamed("lbl", "new_lbl")
-                   .join(labels, "id")
-                   .filter(F.col("new_lbl") != F.col("lbl"))
-                   .limit(1).count())
-        labels = new
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # termination = the edge set IS a star (no node is both a src
+        # and a dst): stars are exactly the fixpoints of both operations
+        # (large-star and small-star map stars to themselves), and both
+        # operations preserve connectivity, so a star is the answer. A
+        # limit-1 semi-join short-circuits the probe.
+        non_star = (edges.select(F.col("dst").alias("n")).distinct()
+                    .join(edges.select(F.col("src").alias("n")).distinct(),
+                          "n", "leftsemi")
+                    .limit(1).count())
+        if non_star == 0:
             converged = True
             break
     if not converged:
         # an unconverged exit would silently mis-assign cluster_id (and
-        # thus is_survivor) on long-chain components — refuse instead
+        # thus is_survivor) — refuse instead. With O(log n) rounds this
+        # needs a component of ~2^max_iter nodes to trigger.
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
-            f"rounds (component diameter > max_iter); raise max_iter — "
-            f"each extra round costs one join+groupBy, data stays "
+            f"rounds (~2^{max_iter}-node component); raise max_iter — "
+            f"each extra round costs two shuffles, data stays "
             f"distributed")
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("lbl").alias("cluster_id"))
+    # fixpoint edges form a star: (node → component min). Roots never
+    # appear as src — they label themselves.
+    return (nodes.join(edges.withColumnRenamed("src", "id"), "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.coalesce(F.col("dst"), F.col("id"))
+                    .alias("cluster_id")))
