@@ -3519,18 +3519,30 @@ class Table:
             .withColumnRenamed("__s", "__sa")
 
         def _verify(pairs, right_raw, restrict):
+            # the candidate set is THRESHOLD-dependent, not batch-
+            # dependent: a loose threshold on a dense near-dup corpus
+            # can make it arbitrarily large, and its rows carry full
+            # shingle arrays — broadcast only below the gate, shuffle
+            # join above it (VERDICT r9 #5). The limit-probe count
+            # short-circuits as soon as the cap is exceeded.
+            hint = F.broadcast
             if restrict:
                 ids = pairs.select("dup_of").distinct()
+                cap = self._VERIFY_BROADCAST_MAX_IDS
+                if ids.limit(cap + 1).count() > cap:
+                    hint = lambda d: d                      # noqa: E731
                 right_raw = right_raw.join(
-                    F.broadcast(ids),
+                    hint(ids),
                     right_raw[id_col] == ids["dup_of"], "left_semi")
             rs = _shingled(right_raw, "dup_of", id_col, text_col) \
                 .withColumnRenamed("__s", "__sb")
             # pairs ⨝ broadcast(shingled sides): the ≥-threshold filter
             # Catalyst pushes into the join condition now references
-            # MATERIALIZED arrays, not the shingle-build expressions
+            # MATERIALIZED arrays, not the shingle-build expressions.
+            # nbs (the batch side) stays broadcast — it is one ingest
+            # increment by contract, bounded by the caller's batch size.
             return (pairs.join(F.broadcast(nbs), "new_id")
-                    .join(F.broadcast(rs), "dup_of")
+                    .join(hint(rs), "dup_of")
                     .withColumn("jaccard", F.round(
                         jaccard_shingles(F.col("__sa"), F.col("__sb")),
                         4))
@@ -3544,6 +3556,11 @@ class Table:
         return out
 
     _INDEX_PRUNE_BYTES = 256 << 20
+    # verify-join broadcast gate: above this many DISTINCT candidate ids
+    # the shingled candidate side (full shingle arrays per row) would
+    # strain the driver/executor broadcast memory — fall back to a
+    # shuffle join, which is what the pair volume warrants anyway
+    _VERIFY_BROADCAST_MAX_IDS = 100_000
 
     def _static_bucket_prune(self, idx: DataFrame, band_rows: DataFrame,
                              root: str, meta: dict) -> DataFrame:
@@ -3759,14 +3776,21 @@ class Table:
         nv = new_vecs.select(F.col(id_col).alias("new_id"),
                              F.col(vec_col).alias("__vn"))
         ids = corpus_pairs.select("dup_of").distinct()
+        # candidate volume is threshold-dependent — same broadcast gate
+        # as the text verify (VERDICT r9 #5): past the cap the candidate
+        # vectors go through a shuffle join instead of a broadcast
+        hint = F.broadcast
+        cap = self._VERIFY_BROADCAST_MAX_IDS
+        if ids.limit(cap + 1).count() > cap:
+            hint = lambda d: d                              # noqa: E731
         corpus_v = self.read(projection=[id_col, vec_col])
-        cv = (corpus_v.join(F.broadcast(ids),
+        cv = (corpus_v.join(hint(ids),
                             corpus_v[id_col] == ids["dup_of"],
                             "left_semi")
               .select(F.col(id_col).alias("dup_of"),
                       F.col(vec_col).alias("__vc")))
         verified = (corpus_pairs.join(F.broadcast(nv), "new_id")
-                    .join(F.broadcast(cv), "dup_of")
+                    .join(hint(cv), "dup_of")
                     .withColumn("score", F.round(
                         dot(F.col("__vn"), F.col("__vc"))
                         / (norm(F.col("__vn")) * norm(F.col("__vc"))), 4))

@@ -454,3 +454,66 @@ def test_embedding_dedup_index_incremental(spark, wh):
     from paimon_spark import P
     t.delete_where(P.eq("vec_id", 2))
     assert t.refresh_embedding_dedup_index() == "rebuilt"
+
+
+def test_dedup_verify_broadcast_gate(spark, wh, monkeypatch):
+    """VERDICT r9 #5: an adversarially LARGE candidate set (loose
+    threshold on a dense near-dup corpus) must not be broadcast into the
+    verify join — past the gate the plan flips to a shuffle join, with
+    bit-identical results."""
+    from pyspark.sql import functions as F
+
+    from paimon_spark import Table as _T
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    t = Table.create(f"{wh}/ddgate", corpus.schema, spark=spark)
+    t.append(corpus)
+    t.create_dedup_index(n_buckets=16)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    ec, en = emb.filter(F.col("vec_id") % 5 != 0), \
+        emb.filter(F.col("vec_id") % 5 == 0)
+    te = Table.create(f"{wh}/vegate", ec.schema, spark=spark)
+    te.append(ec)
+    te.create_embedding_dedup_index()
+
+    # ungated (normal path): candidates comfortably under the cap
+    base = sorted((r.new_id, r.dup_of, r.src, r.jaccard) for r in
+                  t.dedup_against_index(new, verify_jaccard=0.05).collect())
+    assert base
+    vbase = sorted((r.new_id, r.dup_of, r.src, r.score) for r in
+                   te.dedup_embeddings_against_index(
+                       en, threshold=-1.0).collect())
+    assert vbase
+
+    # trip the gate: every candidate set is now "too big to broadcast"
+    monkeypatch.setattr(_T, "_VERIFY_BROADCAST_MAX_IDS", 0)
+    gated_df = t.dedup_against_index(new, verify_jaccard=0.05)
+    gated = sorted((r.new_id, r.dup_of, r.src, r.jaccard)
+                   for r in gated_df.collect())
+    assert gated == base
+
+    # plan shape must actually flip: with the hint gone (and auto-
+    # broadcast disabled so size estimation can't sneak one back in)
+    # the verify join is a shuffle join
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = t.dedup_against_index(
+            new, verify_jaccard=0.05)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution
+                           .ExplainMode.fromString("simple"))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # embedding flavor: same gate, same contract (monkeypatch still
+    # tripped — vbase above was measured ungated)
+    vgated = sorted((r.new_id, r.dup_of, r.src, r.score) for r in
+                    te.dedup_embeddings_against_index(
+                        en, threshold=-1.0).collect())
+    assert vgated == vbase
