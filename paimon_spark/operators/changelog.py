@@ -19,14 +19,19 @@ from pyspark.sql import DataFrame, functions as F
 from paimon_spark.schema import KIND_COL
 from paimon_spark.table import Table
 
+# above this many delta bytes the key set is persisted instead of being
+# inlined into both merge branches (each branch would re-read the delta)
+_KEYS_PERSIST_BYTES = 1 << 30
+
 
 def _delta_key_df(table: Table, from_snapshot: int,
-                  to_snapshot: int) -> DataFrame | None:
-    """PK-projected rows of every file ADDed OR DELETEd in (from, to] —
-    the only keys whose merged value can differ between the two states.
-    DELETE entries matter too: truncate/overwrite/COW remove files without
-    writing -D rows. Returns None when manifest folding rewrote history
-    (fall back to the full diff)."""
+                  to_snapshot: int) -> tuple[DataFrame, int] | None:
+    """(PK-projected rows of every file ADDed OR DELETEd in (from, to],
+    total delta bytes) — the only keys whose merged value can differ
+    between the two states. DELETE entries matter too: truncate/
+    overwrite/COW remove files without writing -D rows. Returns None
+    when manifest folding rewrote history (fall back to the full
+    diff)."""
     from paimon_spark.metadata import COMMIT_COMPACT
     prev = table.paths.read_snapshot(from_snapshot)
     ents = {}
@@ -48,8 +53,11 @@ def _delta_key_df(table: Table, from_snapshot: int,
         prev = snap
     if not ents:
         return None
-    return table._read_files(list(ents.values())) \
+    delta_bytes = sum(getattr(e, "file_size", 0) or 0
+                      for e in ents.values())
+    keys = table._read_files(list(ents.values())) \
         .select(*table.schema.primary_keys).distinct()
+    return keys, delta_bytes
 
 
 def _merged_restricted(table: Table, snapshot_id: int | None,
@@ -168,8 +176,9 @@ def derive_changelog(table: Table, from_snapshot: int | None,
 
     to_sid = to_snapshot if to_snapshot is not None \
         else table.paths.latest_snapshot_id()
-    keys = (_delta_key_df(table, from_snapshot, to_sid)
-            if optimize and to_sid is not None else None)
+    got = (_delta_key_df(table, from_snapshot, to_sid)
+           if optimize and to_sid is not None else None)
+    keys, delta_bytes = got if got is not None else (None, 0)
     j = None
     if keys is None and to_sid is not None:
         # FULL diff: ONE bucketed scan of old∪new files, rows tagged by
@@ -183,10 +192,15 @@ def derive_changelog(table: Table, from_snapshot: int | None,
         j = _single_scan_pairs(table, from_snapshot, to_sid)
     if j is None:
         if keys is not None:
-            # both merge branches semi-join against the same key set —
-            # persist the (small, pk-only) keys so the delta-file
-            # scan+distinct runs once, not once per branch
-            keys = keys.persist()
+            # both merge branches semi-join against the same key set.
+            # Small delta: inline the keys subtree into BOTH branches —
+            # the two scans+distincts run concurrently inside one job,
+            # which beats persist's materialization barrier (measured
+            # sf0.1: 0.58 s vs 0.75 s best-of-4). Large delta: persist,
+            # so the delta files are read once, not twice (the barrier
+            # is noise when the key job itself dominates).
+            if delta_bytes >= _KEYS_PERSIST_BYTES:
+                keys = keys.persist()
             old = _merged_restricted(table, from_snapshot, keys)
             new = _merged_restricted(table, to_sid, keys)
         else:

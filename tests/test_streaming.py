@@ -677,8 +677,9 @@ def test_changelog_delta_optimization_equivalence(spark, wh):
     slow = derive_changelog(t, 1, optimize=False)
     assert canon(fast) == canon(slow)
     # only touched keys enter the merge: 10 updates + 4 deletes
-    keys = _delta_key_df(t, 1, t.paths.latest_snapshot_id())
+    keys, delta_bytes = _delta_key_df(t, 1, t.paths.latest_snapshot_id())
     assert keys.count() == 14
+    assert delta_bytes > 0
 
 
 def test_replay_check_is_o1_not_o_snapshots(spark, wh, monkeypatch):
