@@ -828,7 +828,14 @@ class Table:
         if sorted_by:
             w = w.sortBy(*sorted_by)
         w.mode("overwrite").option("path", loc).saveAsTable(tname)
-        meta = {"snapshot_id": sid, "table_path": os.path.abspath(self.path),
+        ts = None
+        if sid:
+            try:
+                ts = self.paths.read_snapshot(sid).timestamp_ms
+            except Exception:                          # noqa: BLE001
+                ts = None
+        meta = {"snapshot_id": sid, "snapshot_ts": ts,
+                "table_path": os.path.abspath(self.path),
                 "bucket_keys": schema.bucket_keys,
                 "num_buckets": schema.num_buckets, "format": fmt}
         os.makedirs(os.path.join(self.path, ".bucketed-mirror"),
@@ -847,8 +854,7 @@ class Table:
             return None
         with open(p) as f:
             meta = json.load(f)
-        meta["fresh"] = meta.get("snapshot_id") == \
-            self.paths.latest_snapshot_id()
+        meta["fresh"] = self._index_current(meta)
         return meta
 
     def _assemble(self, plan: ScanPlan, predicate: Predicate | None,
@@ -2062,11 +2068,23 @@ class Table:
                 # INSIDE data files) are self-maintained — blob cleanup
                 # is CALL sys.remove_orphan_blobs
                 continue
-            # the vector index is a rebuildable sidecar managed by
-            # create/drop_vector_index, not manifest-tracked — skip it
-            if rel.startswith(os.path.join("index", "vector")):
+            # the vector/fulltext/dedup/embedding-dedup indexes are
+            # rebuildable sidecars managed by their own create/drop/
+            # refresh APIs, not manifest-tracked — skip them whole (the
+            # walker used to skip only index/vector: it deleted the
+            # other families' _meta.json, silently downgrading every
+            # indexed query to the on-the-fly fallback)
+            segs = rel.split(os.sep)
+            if segs[0] == "index" and len(segs) >= 2 and \
+                    segs[1] in ("vector", "fulltext", "dedup",
+                                "dedup_vec"):
                 continue
-            if rel.split(os.sep)[0] in (".bucketed-view", ".stream-view"):
+            # bucketed mirrors are Spark-managed COPIES keyed in the
+            # session catalog — pruning their parts would silently
+            # corrupt mirror reads
+            if segs[0] == ".bucketed-mirror":
+                continue
+            if segs[0] in (".bucketed-view", ".stream-view"):
                 # hardlink view caches: never prune file-by-file (a view
                 # dir with SOME files gone would silently drop rows) —
                 # purged whole below and rebuilt on the next read
@@ -2663,8 +2681,7 @@ class Table:
             # cluster filter partition-prunes the index parquet, and only
             # ~nprobe/C of the vectors are scored
             meta = self.vector_index_meta(vec_col)
-            if meta is None or meta.get("snapshot_id") != \
-                    self.paths.latest_snapshot_id():
+            if not self._index_current(meta):
                 # missing/stale index (table advanced past it): exact scan
                 # keeps results correct; rebuild with create_vector_index
                 return self.vector_search(query, k, vec_col, "brute")
@@ -2744,7 +2761,7 @@ class Table:
     #         VectorSearchTable's index-backed path) -------
 
     def _vector_index_dir(self, vec_col: str) -> str:
-        return os.path.join(self.path, "index", "vector", vec_col)
+        return os.path.join(self.paths.meta_root, "index", "vector", vec_col)
 
     def create_vector_index(self, vec_col: str = "embedding",
                             id_col: str | None = None,
@@ -2804,7 +2821,7 @@ class Table:
             "vec_col": vec_col, "id_col": id_col,
             "n_centroids": n_centroids, "centroids": centroids,
             "spill": spill, "pq": pq,
-            "snapshot_id": self.paths.latest_snapshot_id(),
+            **self._snapshot_token(),
             "files": files,
             "generation": 0,
             "file_gens": {f: 0 for f in files},
@@ -2852,18 +2869,20 @@ class Table:
             raise ValueError(f"no vector index on {vec_col}; run "
                              "create_vector_index first")
         latest = self.paths.latest_snapshot_id()
-        if meta["snapshot_id"] == latest:
+        if self._index_current(meta):
             return "fresh"
         id_col = meta["id_col"]
         out = self._vector_index_dir(vec_col)
-        delta = self._index_delta(meta["snapshot_id"] or 0)
+        delta = self._index_delta(meta["snapshot_id"] or 0,
+                                  meta.get("snapshot_ts"))
         retr_ids = None
         n_retr = 0
         if delta is None and self.schema.is_pk_table:
             # changelog-driven refresh over PK history: tombstone changed
             # keys' old list entries, append the new versions (same
             # generational scheme as _refresh_text_index_pk)
-            cl = self._index_changelog_delta(meta["snapshot_id"] or 0)
+            cl = self._index_changelog_delta(
+                meta["snapshot_id"] or 0, meta.get("snapshot_ts"))
             if cl is not None:
                 cl = cl.persist()
                 agg = cl.agg(
@@ -2920,7 +2939,7 @@ class Table:
         new = [f for f in self._index_files(out) if f not in pre]
         fgens = dict(meta.get("file_gens") or {})
         fgens.update({f: gen for f in new})
-        meta.update({"snapshot_id": latest,
+        meta.update({**self._snapshot_token(),
                      "generation": gen,
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new),
@@ -2947,7 +2966,7 @@ class Table:
     #         contract as create_vector_index above) -------
 
     def _text_index_dir(self, text_col: str) -> str:
-        return os.path.join(self.path, "index", "fulltext", text_col)
+        return os.path.join(self.paths.meta_root, "index", "fulltext", text_col)
 
     def create_text_index(self, text_col: str = "text",
                           id_col: str | None = None,
@@ -2975,7 +2994,7 @@ class Table:
             "n_docs": stats["n"],
             "avgdl": stats["avgdl"] or 1.0,
             "sum_dl": stats["sum_dl"],
-            "snapshot_id": self.paths.latest_snapshot_id(),
+            **self._snapshot_token(),
             "files": files,
             "generation": 0,
             "file_gens": {f: 0 for f in files},
@@ -3009,6 +3028,55 @@ class Table:
             json.dump(meta, f)
         os.replace(p + ".tmp", p)
 
+    def _snapshot_token(self) -> dict:
+        """{'snapshot_id', 'snapshot_ts'} of the latest snapshot — the
+        identity persisted indexes pin. The id alone is NOT an identity:
+        rollback_to + new commits RE-USE ids (same reason Table.read's
+        warm cache keys on id+timestamp), so every index freshness check
+        compares the commit timestamp too (VERDICT r9 #7; ref index
+        invalidation: paimon-core/.../globalindex/)."""
+        sid = self.paths.latest_snapshot_id()
+        ts = None
+        if sid is not None:
+            try:
+                ts = self.paths.read_snapshot(sid).timestamp_ms
+            except Exception:                          # noqa: BLE001
+                ts = None
+        return {"snapshot_id": sid, "snapshot_ts": ts}
+
+    def _index_current(self, meta: dict | None) -> bool:
+        """True iff the index meta pins the CURRENT latest snapshot — id
+        AND commit timestamp (legacy metas without snapshot_ts compare
+        id only)."""
+        if meta is None:
+            return False
+        tok = self._snapshot_token()
+        if meta.get("snapshot_id") != tok["snapshot_id"]:
+            return False
+        ts = meta.get("snapshot_ts")
+        return (ts is None or tok["snapshot_ts"] is None
+                or ts == tok["snapshot_ts"])
+
+    def _index_base_intact(self, meta: dict) -> bool:
+        """True iff the indexed base snapshot is still the SAME snapshot
+        the last refresh pinned — incremental refresh walks (base,
+        latest] ON TOP of the indexed rows, which is only sound if that
+        base wasn't rewritten. False after a rollback below/through it
+        (id re-use), including the empty-walk trap: rollback below base
+        makes (base, latest] empty and an id-only check would stamp the
+        stale index 'incremental'-fresh with phantom rows."""
+        base = meta.get("snapshot_id") or 0
+        latest = self.paths.latest_snapshot_id() or 0
+        if base > latest:
+            return False
+        ts = meta.get("snapshot_ts")
+        if not base or ts is None:
+            return True
+        try:
+            return self.paths.read_snapshot(base).timestamp_ms == ts
+        except Exception:                              # noqa: BLE001
+            return True    # base expired by retention: no rewrite evidence
+
     def _index_read_paths(self, root: str, meta: dict) -> list[str]:
         """Paths a search must scan: the meta-pinned file list (legacy
         metas without `files` read the whole dir)."""
@@ -3038,14 +3106,21 @@ class Table:
         return postings, {"n": row["n"], "avgdl": row["avgdl"],
                           "sum_dl": int(row["sum_dl"] or 0)}
 
-    def _index_delta(self, indexed_snapshot: int) -> DataFrame | None:
+    def _index_delta(self, indexed_snapshot: int,
+                     indexed_ts: int | None = None) -> DataFrame | None:
         """Rows appended since `indexed_snapshot`, or None when the
         history can't be expressed as pure appends (PK merges, overwrite/
         delete commits — retraction would need posting removal; callers
         fall back to a full rebuild). COMPACT snapshots are skipped: they
-        rewrite files, not the logical row set."""
+        rewrite files, not the logical row set. A rewritten base
+        (rollback id re-use, checked via `indexed_ts`) also returns
+        None — walking (base, latest] on top of a different base would
+        keep phantom rows."""
         from paimon_spark.metadata import COMMIT_APPEND, COMMIT_COMPACT
         if self.schema.is_pk_table:
+            return None
+        if not self._index_base_intact({"snapshot_id": indexed_snapshot,
+                                        "snapshot_ts": indexed_ts}):
             return None
         latest = self.paths.latest_snapshot_id()
         parts: list[DataFrame] = []
@@ -3081,11 +3156,17 @@ class Table:
     # practice (training cost must not scale with the corpus)
     _PQ_TRAIN_SAMPLE = 10_000
 
-    def _index_changelog_delta(self, indexed_snapshot: int):
+    def _index_changelog_delta(self, indexed_snapshot: int,
+                               indexed_ts: int | None = None):
         """Changelog rows (logical cols + _row_kind) between the indexed
         snapshot and latest for a PK table, or None when underivable.
-        -U/-D rows carry the OLD values (stat retraction), +I/+U the new."""
+        -U/-D rows carry the OLD values (stat retraction), +I/+U the new.
+        None after a rollback rewrote the indexed base (the changelog
+        would diff against the WRONG old state)."""
         if not self.schema.is_pk_table or not indexed_snapshot:
+            return None
+        if not self._index_base_intact({"snapshot_id": indexed_snapshot,
+                                        "snapshot_ts": indexed_ts}):
             return None
         try:
             from paimon_spark.operators.changelog import derive_changelog
@@ -3160,11 +3241,12 @@ class Table:
             raise ValueError(f"no text index on {text_col}; run "
                              "create_text_index first")
         latest = self.paths.latest_snapshot_id()
-        if meta["snapshot_id"] == latest:
+        if self._index_current(meta):
             return "fresh"
         id_col, n_b = meta["id_col"], meta["n_buckets"]
         out = self._text_index_dir(text_col)
-        delta = self._index_delta(meta["snapshot_id"] or 0)
+        delta = self._index_delta(meta["snapshot_id"] or 0,
+                                  meta.get("snapshot_ts"))
         if delta is None and self.schema.is_pk_table:
             return self._refresh_text_index_pk(text_col, meta, latest)
         if delta is None:
@@ -3189,7 +3271,7 @@ class Table:
         meta.update({"n_docs": n0 + n1, "avgdl": avgdl,
                      "sum_dl": int(meta.get(
                          "sum_dl", meta["avgdl"] * n0)) + stats["sum_dl"],
-                     "snapshot_id": latest,
+                     **self._snapshot_token(),
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new),
                      "file_gens": fgens})
@@ -3206,7 +3288,8 @@ class Table:
         cost compaction, the analog of LSM tombstone GC)."""
         id_col, n_b = meta["id_col"], meta["n_buckets"]
         out = self._text_index_dir(text_col)
-        cl = self._index_changelog_delta(meta["snapshot_id"] or 0)
+        cl = self._index_changelog_delta(
+                meta["snapshot_id"] or 0, meta.get("snapshot_ts"))
         if cl is None:
             self.create_text_index(text_col, id_col, n_b)
             return "rebuilt"
@@ -3258,7 +3341,7 @@ class Table:
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
                 "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
-                "snapshot_id": latest,
+                **self._snapshot_token(),
                 "generation": gen,
                 "files": sorted(meta.get("files", sorted(pre)) + new_p),
                 "file_gens": fgens,
@@ -3305,8 +3388,7 @@ class Table:
         import re as _re
         from paimon_spark.functions.text import TOKEN_SPLIT_RE, bm25_search
         meta = self.text_index_meta(text_col)
-        if meta is None or meta.get("snapshot_id") != \
-                self.paths.latest_snapshot_id():
+        if not self._index_current(meta):
             return bm25_search(self.read(), query, k, text_col, k1, b)
         terms = sorted({t for t in _re.split(TOKEN_SPLIT_RE, query.lower())
                         if t})
@@ -3407,7 +3489,7 @@ class Table:
     # Same build-once/prune-every-query contract as the text index.
 
     def _dedup_index_dir(self, text_col: str) -> str:
-        return os.path.join(self.path, "index", "dedup", text_col)
+        return os.path.join(self.paths.meta_root, "index", "dedup", text_col)
 
     def dedup_index_meta(self, text_col: str = "text") -> dict | None:
         try:
@@ -3465,7 +3547,7 @@ class Table:
         self._write_index_meta(out, {
             "text_col": text_col, "id_col": id_col, "k": k,
             "bands": bands, "n": n, "n_buckets": n_buckets,
-            "snapshot_id": self.paths.latest_snapshot_id(),
+            **self._snapshot_token(),
             "files": files})
         return out
 
@@ -3479,9 +3561,10 @@ class Table:
             raise ValueError(f"no dedup index on {text_col}; run "
                              "create_dedup_index first")
         latest = self.paths.latest_snapshot_id()
-        if meta["snapshot_id"] == latest:
+        if self._index_current(meta):
             return "fresh"
-        delta = self._index_delta(meta["snapshot_id"] or 0)
+        delta = self._index_delta(meta["snapshot_id"] or 0,
+                                  meta.get("snapshot_ts"))
         if delta is None:
             self.create_dedup_index(text_col, meta["id_col"], meta["k"],
                                     meta["bands"], meta["n"],
@@ -3496,7 +3579,7 @@ class Table:
         rows.repartition(meta["n_buckets"], "bucket") \
             .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
-        meta.update({"snapshot_id": latest,
+        meta.update({**self._snapshot_token(),
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new)})
         self._write_index_meta(out, meta)
@@ -3527,8 +3610,7 @@ class Table:
             k, bands, n, n_buckets = 16, 4, 3, 64
         nb = self._dedup_band_rows(new_docs, id_col, text_col,
                                    k, bands, n, n_buckets).persist()
-        fresh = (meta is not None
-                 and meta["snapshot_id"] == self.paths.latest_snapshot_id())
+        fresh = self._index_current(meta)
         if fresh:
             root = self._dedup_index_dir(text_col)
             idx_schema = T.StructType([
@@ -3668,7 +3750,7 @@ class Table:
     # functions.similarity.embedding_near_dup, never all-pairs.
 
     def _embedding_dedup_index_dir(self, vec_col: str) -> str:
-        return os.path.join(self.path, "index", "dedup_vec", vec_col)
+        return os.path.join(self.paths.meta_root, "index", "dedup_vec", vec_col)
 
     def embedding_dedup_index_meta(self, vec_col: str = "embedding"
                                    ) -> dict | None:
@@ -3727,7 +3809,7 @@ class Table:
             "vec_col": vec_col, "id_col": id_col,
             "n_planes": n_planes, "band_bits": band_bits, "dim": dim,
             "n_buckets": n_buckets,
-            "snapshot_id": self.paths.latest_snapshot_id(),
+            **self._snapshot_token(),
             "files": files})
         return out
 
@@ -3741,9 +3823,10 @@ class Table:
             raise ValueError(f"no embedding dedup index on {vec_col}; "
                              "run create_embedding_dedup_index first")
         latest = self.paths.latest_snapshot_id()
-        if meta["snapshot_id"] == latest:
+        if self._index_current(meta):
             return "fresh"
-        delta = self._index_delta(meta["snapshot_id"] or 0)
+        delta = self._index_delta(meta["snapshot_id"] or 0,
+                                  meta.get("snapshot_ts"))
         if delta is None:
             self.create_embedding_dedup_index(
                 vec_col, meta["id_col"], meta["n_planes"],
@@ -3758,7 +3841,7 @@ class Table:
         rows.repartition(meta["n_buckets"], "bucket") \
             .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
-        meta.update({"snapshot_id": latest,
+        meta.update({**self._snapshot_token(),
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new)})
         self._write_index_meta(out, meta)
@@ -3793,9 +3876,7 @@ class Table:
         nb_rows = self._embedding_band_rows(
             new_vecs, id_col, vec_col, n_planes, band_bits, dim,
             n_buckets).persist()
-        fresh = (meta is not None
-                 and meta["snapshot_id"]
-                 == self.paths.latest_snapshot_id())
+        fresh = self._index_current(meta)
         if fresh:
             root = self._embedding_dedup_index_dir(vec_col)
             idx_schema = T.StructType([

@@ -537,3 +537,175 @@ def test_randomized_postpone_table_model(spark, wh):
     t.compact()
     replay()
     check()
+
+
+def test_randomized_index_history_model(spark, wh):
+    """Index × history interactions (VERDICT r9 #7): seeded random
+    append / delete / ROLLBACK / branch-append / refresh ops on a
+    documents table carrying persisted dedup + fulltext indexes.
+    Invariants after every step:
+
+    - indexed dedup candidates ≡ index-free fallback (the index dir
+      moved aside) — no phantom pairs from rolled-back docs, no missing
+      pairs, regardless of what history produced the index;
+    - full_text_search ≡ exact BM25 over the live corpus;
+    - refresh after a rollback that REWROTE the indexed base returns
+      'rebuilt' (snapshot ids are re-used; an id-only freshness check
+      silently serves the stale index — the meta pins id+timestamp);
+    - branch index state is isolated: branch refreshes never move the
+      main meta, and branch candidates reflect the branch corpus."""
+    import os
+    import random
+
+    from paimon_spark.functions.text import bm25_search
+
+    rng = random.Random(73)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 120)
+            .collect())
+    pool = [(int(r.doc_id), r.text) for r in docs if r.doc_id % 6 != 0]
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    new_batch = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in docs if r.doc_id % 6 == 0], sch)
+    t = Table.create(f"{wh}/ixh", sch, spark=spark)
+    live: dict[int, str] = {}
+    hist: dict[int, dict] = {}              # snapshot id -> corpus state
+
+    def append_some(tt=t, state=live):
+        take = rng.sample(pool, rng.randint(2, 8))
+        fresh = [(i, s) for i, s in take if i not in state]
+        if not fresh:
+            return False
+        tt.append(spark.createDataFrame(fresh, sch))
+        state.update(fresh)
+        if tt is t:
+            hist[t.paths.latest_snapshot_id()] = dict(live)
+        return True
+
+    append_some() or append_some()
+    t.create_dedup_index(n_buckets=8)
+    t.create_text_index(n_buckets=8)
+
+    def check_dedup_parity():
+        idx = sorted((r.new_id, r.dup_of, r.src) for r in
+                     t.dedup_against_index(new_batch).collect())
+        root = t._dedup_index_dir("text")
+        os.rename(root, root + ".aside")
+        try:
+            fb = sorted((r.new_id, r.dup_of, r.src) for r in
+                        t.dedup_against_index(new_batch).collect())
+        finally:
+            os.rename(root + ".aside", root)
+        assert idx == fb, "indexed candidates != index-free fallback"
+        # no candidate references a rolled-back/deleted doc
+        assert all(b in live for _a, b, s in idx if s == "corpus"), idx
+
+    def check_text_parity():
+        got = [(r.doc_id, round(r._score, 6))
+               for r in t.full_text_search("data model spark", k=5)
+               .collect()]
+        exp = [(r.doc_id, round(r._score, 6))
+               for r in bm25_search(t.read(), "data model spark", 5,
+                                    "text").collect()]
+        assert sorted(got) == sorted(exp)
+
+    rolled_over_base = False
+    for step in range(12):
+        op = rng.choice(["append", "append", "delete", "rollback",
+                         "refresh", "refresh"])
+        if op == "append":
+            append_some()
+        elif op == "delete" and live:
+            victim = rng.choice(sorted(live))
+            t.delete_where(P.eq("doc_id", victim))
+            live.pop(victim)
+            hist[t.paths.latest_snapshot_id()] = dict(live)
+        elif op == "rollback":
+            latest = t.paths.latest_snapshot_id()
+            targets = [s for s in hist if s < latest]
+            if not targets:
+                continue
+            target = rng.choice(sorted(targets))
+            base = (t.dedup_index_meta("text") or {}).get(
+                "snapshot_id") or 0
+            t.rollback_to(target)
+            live.clear()
+            live.update(hist[target])
+            for s in list(hist):
+                if s > target:
+                    del hist[s]
+            if target < base:
+                rolled_over_base = True
+        else:
+            got = t.refresh_dedup_index()
+            t.refresh_text_index()
+            if rolled_over_base:
+                # the indexed base no longer exists as pinned — id-only
+                # freshness would claim fresh/incremental with phantoms
+                assert got == "rebuilt", \
+                    f"step {step}: {got} after base rollback"
+                rolled_over_base = False
+            meta = t.dedup_index_meta("text")
+            assert meta["snapshot_id"] == t.paths.latest_snapshot_id()
+            assert meta.get("snapshot_ts") is not None
+        check_dedup_parity()
+        check_text_parity()
+
+    # ---- branch isolation: branch index lives in its own dir ----
+    t.refresh_dedup_index()
+    main_meta = t.dedup_index_meta("text")
+    t.create_branch("bx")
+    bt = t.branch("bx")
+    assert bt.dedup_index_meta("text") is None   # no index on the branch
+    b_live = dict(live)
+    append_some(bt, b_live)
+    bt.create_dedup_index(n_buckets=8)
+    assert t.dedup_index_meta("text") == main_meta  # main meta untouched
+    bi = sorted((r.new_id, r.dup_of) for r in
+                bt.dedup_against_index(new_batch).collect()
+                if r.src == "corpus")
+    root = bt._dedup_index_dir("text")
+    os.rename(root, root + ".aside")
+    try:
+        bf = sorted((r.new_id, r.dup_of) for r in
+                    bt.dedup_against_index(new_batch).collect()
+                    if r.src == "corpus")
+    finally:
+        os.rename(root + ".aside", root)
+    assert bi == bf
+
+
+def test_index_rollback_id_reuse_regression(spark, wh):
+    """The exact id-reuse trap: index refreshed at snapshot N, rollback
+    below N, re-commit back past N with DIFFERENT docs. latest id can
+    equal the pinned id while the content differs — the index must
+    detect the rewrite (timestamp mismatch) instead of serving the
+    rolled-back docs as candidates."""
+    import time as _time
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    t = Table.create(f"{wh}/idreuse", sch, spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], sch))
+    # snapshot 2: a doc that will be ROLLED BACK
+    t.append(spark.createDataFrame(
+        [(2, "unique phantom sentence that only snapshot two contains")],
+        sch))
+    t.create_dedup_index(n_buckets=4)        # pins snapshot 2
+    assert t.dedup_index_meta("text")["snapshot_id"] == 2
+    t.rollback_to(1)
+    _time.sleep(0.002)                       # distinct commit timestamp
+    # re-commit: id 2 is RE-USED with different content
+    t.append(spark.createDataFrame(
+        [(3, "completely different replacement document")], sch))
+    assert t.paths.latest_snapshot_id() == 2
+    # freshness must NOT be claimed; refresh must rebuild, not skip
+    assert not t._index_current(t.dedup_index_meta("text"))
+    assert t.refresh_dedup_index() == "rebuilt"
+    # the phantom doc never appears as a candidate
+    probe = spark.createDataFrame(
+        [(99, "unique phantom sentence that only snapshot two contains")],
+        sch)
+    cands = t.dedup_against_index(probe).collect()
+    assert all(r.dup_of != 2 for r in cands), cands
