@@ -77,6 +77,18 @@ def remove_orphan_files(spark, table, **_):
     return _t(table).with_spark(spark).remove_orphan_files()
 
 
+def create_bucketed_mirror(spark, table, name: str | None = None,
+                           snapshot: int | None = None,
+                           sorted_by: str | None = None, **_):
+    """Spark-native bucketed mirror of the merged state — the
+    object-store zero-exchange co-located-join recovery
+    (Table.create_bucketed_mirror). `sorted_by` is a comma-separated
+    column list."""
+    cols = [c.strip() for c in sorted_by.split(",")] if sorted_by else None
+    return _t(table).with_spark(spark).create_bucketed_mirror(
+        name=name, snapshot_id=snapshot, sorted_by=cols)
+
+
 def migrate_table(spark: SparkSession, source_dir: str, target_path: str,
                   partition_keys: list[str] | None = None,
                   primary_keys: list[str] | None = None,
@@ -681,6 +693,7 @@ def drop_function(spark, warehouse: str, name: str, **_):
 
 PROCEDURES = {
     "compact": compact,
+    "create_bucketed_mirror": create_bucketed_mirror,
     "compact_manifest": compact_manifest,
     "rewrite_file_index": rewrite_file_index,
     "expire_tags": expire_tags,

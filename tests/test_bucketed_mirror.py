@@ -107,3 +107,17 @@ def test_mirror_rejects_unbucketed(spark, wh):
     t.append(spark.createDataFrame([(1, "a")], SCH))
     with pytest.raises(ValueError, match="fixed-bucket"):
         t.create_bucketed_mirror()
+
+
+def test_mirror_via_call_procedure(spark, wh):
+    from paimon_spark import Catalog
+    cat = Catalog(wh, spark)
+    t = cat.create_table("db.mproc", SCH, primary_keys=["k"],
+                         options={"bucket": "2"})
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCH))
+    name = cat.sql(
+        f"CALL sys.create_bucketed_mirror(table => 'db.mproc', "
+        f"name => 'proc_mirror', sorted_by => 'k')")
+    got = {r.k: r.v for r in spark.table("proc_mirror").collect()}
+    assert got == {1: "a", 2: "b"}
+    assert t.bucketed_mirror_meta("proc_mirror")["fresh"]
