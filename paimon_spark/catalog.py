@@ -339,8 +339,17 @@ class Catalog:
         opts["merge-engine"] = "aggregation"
         opts.setdefault("bucket", "4")
         opts["imv.base-table"] = base
-        opts["imv.base-snapshot"] = str(
-            bt.paths.latest_snapshot_id() or 0)
+        base_sid = bt.paths.latest_snapshot_id() or 0
+        opts["imv.base-snapshot"] = str(base_sid)
+        # id+timestamp identity: rollback re-uses snapshot ids, so the
+        # refresh must detect a rewritten base (same contract as the
+        # persisted index metas)
+        try:
+            opts["imv.base-snapshot-ts"] = str(
+                bt.paths.read_snapshot(base_sid).timestamp_ms
+                if base_sid else 0)
+        except Exception:                              # noqa: BLE001
+            opts["imv.base-snapshot-ts"] = "0"
         opts["imv.spec"] = __import__("json").dumps(
             {"group_keys": keys, "aggregates": aggregates})
         t = self.create_table(name, seed.schema, primary_keys=keys,
@@ -363,8 +372,52 @@ class Catalog:
         spec = _json.loads(spec_s)
         base = t.schema.options["imv.base-table"]
         last = int(t.schema.options["imv.base-snapshot"])
+        last_ts = int(t.schema.options.get("imv.base-snapshot-ts",
+                                           "0") or 0)
         bt = self.get_table(base)
         latest = bt.paths.latest_snapshot_id() or 0
+
+        def _base_intact() -> bool:
+            # the folded-up-to snapshot must still BE that snapshot:
+            # a rollback below it re-uses its id, and folding the diff
+            # of a REWRITTEN base double-counts (or, with latest < last,
+            # the empty walk silently keeps rolled-back rows folded)
+            if not last:
+                return True
+            if latest < last:
+                return False
+            if not last_ts:
+                return True                        # legacy view: id only
+            try:
+                return bt.paths.read_snapshot(last).timestamp_ms \
+                    == last_ts
+            except Exception:                      # noqa: BLE001
+                return True        # expired base: no rewrite evidence
+
+        def _stamp(sid: int):
+            try:
+                ts = bt.paths.read_snapshot(sid).timestamp_ms if sid else 0
+            except Exception:                      # noqa: BLE001
+                ts = 0
+            t.alter(lambda sc: sc
+                    .set_option("imv.base-snapshot", str(sid))
+                    .set_option("imv.base-snapshot-ts", str(ts)))
+
+        if not _base_intact():
+            # base history rewritten (rollback id-reuse): full re-seed
+            # from the rewound state — incremental folding would be
+            # wrong by construction
+            exprs = []
+            for out, (src, fn) in spec["aggregates"].items():
+                if fn == "count":
+                    exprs.append(F.count(src).cast("long").alias(out))
+                else:
+                    exprs.append(getattr(F, fn)(src).alias(out))
+            seed = bt.read().groupBy(*spec["group_keys"]).agg(*exprs)
+            t.truncate()
+            t.append(seed.select(*t.schema.field_names))
+            _stamp(latest)
+            return t
         if latest <= last:
             return t
         if bt.schema.is_pk_table:
@@ -402,8 +455,7 @@ class Catalog:
                 exprs.append(getattr(F, fn)(src).alias(out))
         inc = delta.groupBy(*keys).agg(*exprs)
         t.append(inc.select(*t.schema.field_names))
-        t.alter(lambda sc: sc.set_option("imv.base-snapshot",
-                                         str(latest)))
+        _stamp(latest)
         return t
 
     def create_view(self, name: str, query: str, dialect: str = "spark",

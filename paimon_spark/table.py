@@ -2375,8 +2375,9 @@ class Table:
         os.makedirs(base, exist_ok=True)
         if changelog and not os.path.isfile(self._live_view_meta_path()):
             # CDC tail: no initial state — start from NOW
-            meta = {"snapshot_id": self.paths.latest_snapshot_id() or 0,
+            meta = {**self._snapshot_token(),
                     "invalid": False, "changelog": True}
+            meta["snapshot_id"] = meta["snapshot_id"] or 0
             p = self._live_view_meta_path()
             with open(p + ".tmp", "w") as f:
                 json.dump(meta, f)
@@ -2419,6 +2420,31 @@ class Table:
                 "it, or stream via readStream.format('paimon')")
         latest = self.paths.latest_snapshot_id() or 0
         synced = int(meta.get("snapshot_id", 0))
+
+        def _poison(why: str):
+            meta.update({"invalid": True, "invalid_at": why})
+            with open(meta_p + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(meta_p + ".tmp", meta_p)
+            raise ValueError(
+                f"stream view poisoned by {why}; drop and recreate it")
+
+        # rollback detection (same id-reuse hazard as the persisted
+        # indexes): the synced snapshot must still BE the snapshot the
+        # view linked — a rewind below it leaves rolled-back rows in
+        # the view (the sync walk (synced, latest] is empty and would
+        # silently stamp the stale view as current)
+        if synced:
+            if synced > latest:
+                _poison(f"a rollback below snapshot {synced}")
+            ts = meta.get("snapshot_ts")
+            if ts is not None:
+                try:
+                    cur_ts = self.paths.read_snapshot(synced).timestamp_ms
+                except Exception:                      # noqa: BLE001
+                    cur_ts = ts              # expired: no rewrite evidence
+                if cur_ts != ts:
+                    _poison(f"a rollback through snapshot {synced}")
         if synced == 0 and latest and not meta.get("changelog"):
             # initial build: current live files in one pass
             for e in self.new_scan().plan().entries:
@@ -2429,16 +2455,11 @@ class Table:
                 if snap.commit_kind == COMMIT_COMPACT:
                     continue
                 if snap.commit_kind != COMMIT_APPEND:
-                    meta.update({"invalid": True, "invalid_at": sid})
-                    with open(meta_p + ".tmp", "w") as f:
-                        json.dump(meta, f)
-                    os.replace(meta_p + ".tmp", meta_p)
-                    raise ValueError(
-                        f"stream view poisoned by a {snap.commit_kind} "
-                        f"commit (snapshot {sid}); drop and recreate it")
+                    _poison(f"a {snap.commit_kind} commit (snapshot {sid})")
                 for e in self.delta_entries(sid - 1, sid):
                     self._live_view_link(base, e)
-        meta["snapshot_id"] = latest
+        meta.update(self._snapshot_token())
+        meta["snapshot_id"] = meta["snapshot_id"] or 0
         with open(meta_p + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_p + ".tmp", meta_p)

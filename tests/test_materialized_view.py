@@ -156,3 +156,48 @@ def test_mv_sql_surface(spark, wh):
     cat.sql("DROP MATERIALIZED VIEW mv_a")
     assert not cat.table_exists("mv_a")
     cat.sql("DROP MATERIALIZED VIEW IF EXISTS mv_a")   # idempotent
+
+
+def test_incremental_mv_base_rollback_reseeds(spark, wh):
+    """Rollback id-reuse on the BASE table: the view folded up to
+    snapshot N; the base rolls back below N and re-commits (ids
+    re-used). Incremental folding against the rewritten base would
+    double-count — refresh must detect the rewrite via the pinned
+    (id, timestamp) and fully re-seed from the rewound state."""
+    import time as _time
+    cat = Catalog(wh, spark)
+    bt = _base(spark, cat, [(1, 10), (2, 5)])             # snapshot 1
+    _base(spark, cat, [(1, 20)])                          # snapshot 2
+    cat.create_incremental_materialized_view(
+        "imv_rb", "base", ["k"], {"total": ("v", "sum")})
+    assert {r.k: r.total for r in cat.get_table("imv_rb").read()
+            .collect()} == {1: 30, 2: 5}
+    bt.rollback_to(1)
+    _time.sleep(0.002)
+    _base(spark, cat, [(3, 99)])                # id 2 RE-USED, new rows
+    cat.refresh_incremental_materialized_view("imv_rb")
+    got = {r.k: r.total
+           for r in cat.get_table("imv_rb").read().collect()}
+    assert got == {1: 10, 2: 5, 3: 99}, got     # (1,20) fold rolled back
+    # subsequent refresh is incremental again
+    _base(spark, cat, [(3, 1)])
+    cat.refresh_incremental_materialized_view("imv_rb")
+    got = {r.k: r.total
+           for r in cat.get_table("imv_rb").read().collect()}
+    assert got == {1: 10, 2: 5, 3: 100}, got
+
+
+def test_incremental_mv_base_rollback_below_fold_point(spark, wh):
+    """latest < folded snapshot (pure rewind, nothing re-committed):
+    the old empty-walk silently kept rolled-back rows folded — the
+    refresh must re-seed to the rewound state."""
+    cat = Catalog(wh, spark)
+    bt = _base(spark, cat, [(5, 1)])                      # snapshot 1
+    _base(spark, cat, [(5, 100), (6, 50)])                # snapshot 2
+    cat.create_incremental_materialized_view(
+        "imv_rw", "base", ["k"], {"total": ("v", "sum")})
+    bt.rollback_to(1)
+    cat.refresh_incremental_materialized_view("imv_rw")
+    got = {r.k: r.total
+           for r in cat.get_table("imv_rw").read().collect()}
+    assert got == {5: 1}, got
