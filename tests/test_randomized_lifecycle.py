@@ -709,3 +709,59 @@ def test_index_rollback_id_reuse_regression(spark, wh):
         sch)
     cands = t.dedup_against_index(probe).collect()
     assert all(r.dup_of != 2 for r in cands), cands
+
+
+def test_vector_index_rollback_id_reuse_regression(spark, wh):
+    """Vector-family twin of the dedup id-reuse regression: IVF and
+    sign-LSH embedding indexes refreshed at snapshot N must detect a
+    rollback that re-used N's id and rebuild rather than serve
+    phantom vectors."""
+    import math
+    import time as _time
+    sch = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    v = lambda s: [math.sin(0.1 * j + s) for j in range(16)]  # noqa: E731
+    t = Table.create(f"{wh}/vrr", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, v(0.0)), (2, v(0.5))], sch))
+    t.append(spark.createDataFrame([(3, v(1.0)), (4, v(1.5))], sch))
+    t.create_vector_index(n_centroids=2)
+    t.create_embedding_dedup_index(n_buckets=4)
+    t.rollback_to(1)
+    _time.sleep(0.002)
+    t.append(spark.createDataFrame([(5, v(2.0)), (6, v(2.5))], sch))
+    assert t.refresh_vector_index() == "rebuilt"
+    assert t.refresh_embedding_dedup_index() == "rebuilt"
+    # post-rebuild search serves only live ids
+    got = {r.vec_id for r in
+           t.vector_search(v(1.0), k=4, method="ivf").collect()}
+    assert got <= {1, 2, 5, 6}, got
+
+
+def test_index_survives_fast_forward_identity(spark, wh):
+    """fast_forward rewrites MAIN's history from a branch (snapshot ids
+    re-used with branch content) — the main table's indexes must detect
+    the rewrite via (id, ts) and rebuild, never serve the pre-forward
+    corpus."""
+    import time as _time
+    sch = T.StructType([T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType())])
+    t = Table.create(f"{wh}/ffix", sch, spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], sch))
+    t.create_branch("dev")
+    bt = t.branch("dev")
+    # main and branch histories diverge at snapshot 2
+    t.append(spark.createDataFrame(
+        [(2, "main only phantom sentence about volcanos")], sch))
+    t.create_dedup_index(n_buckets=4)          # pins main snapshot 2
+    _time.sleep(0.002)
+    bt.append(spark.createDataFrame(
+        [(3, "branch replacement document about oceans")], sch))
+    t.fast_forward("dev")                      # main now = branch history
+    assert not t._index_current(t.dedup_index_meta("text"))
+    assert t.refresh_dedup_index() == "rebuilt"
+    probe = spark.createDataFrame(
+        [(99, "main only phantom sentence about volcanos")], sch)
+    cands = t.dedup_against_index(probe).collect()
+    assert all(r.dup_of != 2 for r in cands), cands
