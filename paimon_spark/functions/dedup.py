@@ -374,3 +374,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("id").alias("doc_id"),
                     F.coalesce(F.col("dst"), F.col("id"))
                     .alias("cluster_id")))
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 16,
+                       bands: int = 4, n: int = 3) -> DataFrame:
+    """SemDeDup/D4-style SOFT deduplication: instead of dropping
+    near-duplicates, weight every document by 1/|its near-dup cluster|
+    so a training-mixture sampler sees each content family with unit
+    total mass. Singleton documents keep weight 1.0; survivors are the
+    cluster minima (same contract as connected_components).
+
+    Shape = minhash_lsh_pairs (band-keyed shuffle, hot-bucket guarded)
+    + large-star/small-star components (O(log n) rounds) + one
+    broadcast-or-shuffle join back to the corpus — nothing all-pairs,
+    100 TB-safe. Returns (id, cluster_id, cluster_size, weight)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, bands, n)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    labeled = cc.join(sizes, "cluster_id")
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(labeled, "doc_id", "left")
+           .select(
+               F.col("doc_id").alias(id_col),
+               F.coalesce("cluster_id", F.col("doc_id"))
+               .alias("cluster_id"),
+               F.coalesce("cluster_size", F.lit(1)).cast("long")
+               .alias("cluster_size")))
+    return out.withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("cluster_size"), 6))

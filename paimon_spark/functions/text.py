@@ -627,3 +627,70 @@ def sql_cut_repeated_spans(id_expr: str, text_expr: str,
                  CASE WHEN c.starts IS NULL THEN len(b.tk)
                  ELSE len({kept}) END AS BIGINT) AS n_tokens_removed
         FROM base b LEFT JOIN cuts c USING (doc_id)"""
+
+
+def ngram_lm_quality(df, id_col: str = "doc_id", text_col: str = "text",
+                     k: float = 0.5):
+    """CCNet-style LM quality proxy WITHOUT an external LM: score each
+    document by the average log-probability of its bigrams under the
+    corpus's OWN bigram model with add-k smoothing —
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V). Low scores flag
+    machine-gibberish / boilerplate exactly like CCNet's KenLM
+    perplexity buckets, with the LM training pass fused into the query.
+
+    Pure Catalyst, corpus-linear: one explode+groupBy for unigram
+    counts, one for bigram counts, two key-equality joins to score —
+    no all-pairs anywhere, so the shape survives 100 TB (counts tables
+    are vocabulary-sized; AQE broadcasts them when small).
+    Returns (id, lm_score, n_bigrams); docs with < 2 tokens drop out
+    (no bigrams to score)."""
+    t = df.select(F.col(id_col).alias("id"),
+                  tokens(F.col(text_col)).alias("__t"))
+    # (w1, 'w1 w2') pairs per doc — w1 carried alongside so scoring
+    # never re-splits the bigram string
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.struct(
+                F.element_at("__t", i).alias("w1"),
+                F.concat_ws(" ", F.element_at("__t", i),
+                            F.element_at("__t", i + 1)).alias("bg")))
+    ).otherwise(F.array())
+    bg = (t.select("id", F.explode(bigrams).alias("__b"))
+          .select("id", F.col("__b.w1").alias("w1"),
+                  F.col("__b.bg").alias("bg")))
+    uni = (t.select(F.explode("__t").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("__c1")))
+    vocab = uni.agg(F.count("*").alias("__v"))
+    bc = bg.groupBy("bg").agg(F.count("*").alias("__c2"))
+    p = (F.col("__c2") + F.lit(k)) \
+        / (F.col("__c1") + F.lit(k) * F.col("__v"))
+    return (bg.join(bc, "bg").join(uni, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("id")
+            .agg(F.round(F.avg(F.log(p)), 6).alias("lm_score"),
+                 F.count("*").alias("n_bigrams"))
+            .select(F.col("id").alias(id_col), "lm_score", "n_bigrams"))
+
+
+def sql_ngram_lm_quality(table: str = "documents",
+                         id_expr: str = "doc_id",
+                         text_expr: str = "text", k: float = 0.5) -> str:
+    toks = sql_tokens(text_expr)
+    return f"""
+      WITH t AS (SELECT {id_expr} AS id, {toks} AS tk FROM {table}),
+      uni AS (SELECT u.w AS w1, count(*) AS c1
+              FROM t, unnest(tk) AS u(w) GROUP BY 1),
+      v AS (SELECT count(*) AS v FROM uni),
+      bg AS (SELECT id, tk[CAST(i AS BIGINT)] AS w1,
+                    tk[CAST(i AS BIGINT)] || ' '
+                        || tk[CAST(i AS BIGINT) + 1] AS bgr
+             FROM t, unnest(range(1, len(tk))) AS r(i)),
+      bc AS (SELECT bgr, count(*) AS c2 FROM bg GROUP BY 1)
+      SELECT bg.id AS {id_expr},
+             round(avg(ln((bc.c2 + {k}) / (uni.c1 + {k} * v.v))), 6)
+                 AS lm_score,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN bc USING (bgr) JOIN uni USING (w1) CROSS JOIN v
+      GROUP BY bg.id"""

@@ -495,3 +495,38 @@ def test_cut_repeated_spans_masks_exact_positions(spark):
     got = {r.doc_id: r.clean_text for r in TX.cut_repeated_spans(
         dups, sp, "doc_id", "text", n=4).collect()}
     assert got == {1: "", 2: ""}
+
+
+def test_ngram_lm_quality_flags_gibberish(spark):
+    """The corpus-bigram LM proxy must rank a document whose bigrams
+    never repeat in the corpus (gibberish) below documents built from
+    the corpus's common phrases — CCNet's perplexity-bucket contract."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows += [(100, "zxq wvu tsr qpo nml kji hgf edc")]      # gibberish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lm_score
+           for r in TX.ngram_lm_quality(docs).collect()}
+    assert got[100] < got[0] - 1.0, got
+    assert all(got[i] == got[0] for i in range(8))
+
+
+def test_soft_dedup_weights_unit_mass(spark):
+    """Every near-dup cluster carries total weight 1.0; singletons keep
+    weight 1.0; output covers the WHOLE corpus (docs without any LSH
+    pair included)."""
+    rows = [(i, "exactly the same boilerplate sentence content here")
+            for i in range(4)]
+    rows += [(10, "a unique document about volcanic geology"),
+             (11, "another unique document regarding maritime law")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = DD.soft_dedup_weights(docs, "doc_id", "text")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.weight)
+           for r in w.collect()}
+    assert len(got) == 6
+    assert got[0] == (0, 4, 0.25)
+    assert all(got[i][:2] == (0, 4) for i in range(4))
+    assert got[10] == (10, 1, 1.0) and got[11] == (11, 1, 1.0)
+    sums = (w.groupBy("cluster_id")
+            .agg(F.round(F.sum("weight"), 4).alias("s"))
+            .filter(F.col("s") != 1.0).count())
+    assert sums == 0
