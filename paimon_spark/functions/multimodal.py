@@ -374,3 +374,70 @@ def object_table(spark, directory: str, pattern: str | None = None):
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
     return reader.load(directory)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zcr", T.DoubleType(), True),
+    T.StructField("centroid_hz", T.DoubleType(), True),
+    T.StructField("rolloff_hz", T.DoubleType(), True),
+])
+
+
+def audio_frame_features(assets: DataFrame, frame: int = 512,
+                         hop: int | None = None,
+                         rolloff: float = 0.85) -> DataFrame:
+    """Frame-level audio analysis front-end — the VAD/segmentation step
+    an audio training-data curation pipeline runs before filtering:
+    per frame RMS energy, zero-crossing rate, spectral centroid and
+    `rolloff`-quantile frequency (numpy rFFT), one output row per
+    frame. Input rows: (asset_id long, payload binary) RIFF/WAVE PCM.
+
+    Arrow-batched mapInPandas, one Python roundtrip per batch; each
+    task emits only its own payloads' frames, so the shape scales with
+    the corpus like every other mapInPandas op here (payload bytes
+    never visit the driver). `hop` defaults to `frame`
+    (non-overlapping); set hop < frame for sliding analysis."""
+    import numpy as np
+    hop = hop or frame
+
+    def _frames(payload: bytes, aid: int):
+        x, rate = decode_audio(payload)
+        mono = x.mean(axis=1)
+        n = len(mono)
+        out = []
+        j = 0
+        for start in range(0, max(n - frame + 1, 1), hop):
+            w = mono[start:start + frame]
+            if len(w) == 0:
+                break
+            rms = float(np.sqrt(np.mean(w ** 2)))
+            zcr = (float(np.mean(np.abs(np.diff(np.sign(w))) > 0))
+                   if len(w) > 1 else 0.0)
+            spec = np.abs(np.fft.rfft(w)) ** 2
+            freqs = np.fft.rfftfreq(len(w), d=1.0 / rate)
+            tot = float(spec.sum())
+            if tot > 0.0:
+                centroid = float((freqs * spec).sum() / tot)
+                cum = np.cumsum(spec)
+                ro = float(freqs[int(np.searchsorted(
+                    cum, rolloff * tot))])
+            else:
+                centroid = ro = 0.0
+            out.append((aid, j, rms, zcr, centroid, ro))
+            j += 1
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "rms", "zcr", "centroid_hz",
+                "rolloff_hz"]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is not None:
+                    rows.extend(_frames(payload, aid))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(run, AUDIO_FRAME_SCHEMA)

@@ -306,3 +306,41 @@ def test_png_refusals():
         MM.decode_image(patch_ihdr(depth=16))
     with pytest.raises(NotImplementedError, match="interlace 1"):
         MM.decode_image(patch_ihdr(interlace=1))
+
+
+def test_audio_frame_features_sine_physics(spark):
+    """Frame-level DSP must recover physical ground truth: a pure
+    440 Hz tone's spectral centroid sits at ~440 Hz, its rolloff at or
+    above the centroid, its RMS at amp/√2; a silent asset has zero
+    energy everywhere; a higher-pitch tone has a higher centroid and
+    zcr."""
+    import math
+
+    rate, dur = 16000, 0.5
+    n = int(rate * dur)
+
+    def tone(freq, amp=0.5):
+        return MM.encode_wav(
+            [amp * math.sin(2 * math.pi * freq * i / rate)
+             for i in range(n)], rate)
+
+    rows = [(1, tone(440.0)), (2, tone(2200.0)), (3, MM.encode_wav([0.0] * n, rate))]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, payload binary")
+    out = MM.audio_frame_features(assets, frame=512).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset[1]) == (n - 512) // 512 + 1
+    import statistics
+    c440 = statistics.mean(r.centroid_hz for r in by_asset[1])
+    c2200 = statistics.mean(r.centroid_hz for r in by_asset[2])
+    assert abs(c440 - 440.0) < 40.0, c440
+    assert abs(c2200 - 2200.0) < 120.0, c2200
+    assert all(r.rolloff_hz >= r.centroid_hz * 0.9 for r in by_asset[1])
+    rms = statistics.mean(r.rms for r in by_asset[1])
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01, rms
+    assert all(r.rms == 0.0 and r.centroid_hz == 0.0 for r in by_asset[3])
+    zcr440 = statistics.mean(r.zcr for r in by_asset[1])
+    zcr2200 = statistics.mean(r.zcr for r in by_asset[2])
+    assert zcr2200 > zcr440 > 0.0
