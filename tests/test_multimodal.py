@@ -344,3 +344,34 @@ def test_audio_frame_features_sine_physics(spark):
     zcr440 = statistics.mean(r.zcr for r in by_asset[1])
     zcr2200 = statistics.mean(r.zcr for r in by_asset[2])
     assert zcr2200 > zcr440 > 0.0
+
+
+def test_image_dhash_near_dup_pairs(spark):
+    """dHash banding must pair an image with its noisy/re-scaled copy
+    and NOT with a different image; hamming verify is exact (bit_count
+    over XOR); pigeonhole keeps banding lossless for d < bands."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    # structured gradient so dhash bits are stable under mild noise
+    gx = np.linspace(0, 200, 32, dtype=np.float64)
+    base = np.clip(base * 0.2 + gx[None, :, None], 0, 255).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-6, 7, size=base.shape), 0,
+                    255).astype(np.uint8)
+    scaled = MM.resize_nearest(base, 64, 64)
+    other = np.clip(255 - base.astype(np.int16), 0, 255).astype(np.uint8)
+    rows = [(1, MM.encode_bmp(base)), (2, MM.encode_bmp(noisy)),
+            (3, MM.encode_bmp(scaled)), (9, MM.encode_bmp(other)),
+            (10, b"not an image at all")]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in MM.image_near_dup_pairs(assets,
+                                              max_hamming=3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs, pairs
+    assert all(9 not in p and 10 not in p for p in pairs), pairs
+    # exact-hamming ground truth against driver-side dhash
+    h1 = MM.dhash64(base)
+    h2 = MM.dhash64(noisy)
+    assert pairs[(1, 2)] == bin(h1 ^ h2).count("1")
