@@ -1926,6 +1926,14 @@ class Table:
                 os.remove(self.paths.snapshot_file(sid))
             except FileNotFoundError:
                 pass
+            # ANALYZE stats are keyed by snapshot id: a re-committed id
+            # would otherwise inherit the rolled-back snapshot's stats
+            # row in $statistics
+            try:
+                os.remove(os.path.join(self.path, "statistics",
+                                       f"stats-{sid}.json"))
+            except OSError:
+                pass
         self.paths.write_latest_hint(snapshot_id)
         if self.schema.cross_partition_update:
             # the pk→partition index reflects the undone commits; drop it

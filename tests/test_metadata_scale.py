@@ -107,3 +107,27 @@ def test_snapshot_resolution_is_logarithmic(spark, wh, monkeypatch):
     s = t.paths.snapshot_later_or_equal_ts(base.timestamp_ms + 999 * 1000 + 1)
     assert s.id == 1000
     assert opens["n"] <= 15
+
+
+def test_rollback_purges_stats_of_dropped_snapshots(spark, wh):
+    """ANALYZE stats are snapshot-keyed; rollback must drop the stats
+    of removed snapshots so a re-committed (id-reused) snapshot never
+    inherits the rolled-back one's row in $statistics."""
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.StringType())])
+    t = Table.create(f"{wh}/strb", sch, spark=spark)
+    t.append(spark.createDataFrame([(1, "a")], sch))
+    t.analyze()
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], sch))
+    t.analyze()
+    assert {r.snapshot_id for r in t.statistics_df().collect()} == {1, 2}
+    t.rollback_to(1)
+    assert {r.snapshot_id for r in t.statistics_df().collect()} == {1}
+    # re-commit re-uses id 2; fresh ANALYZE describes the NEW snapshot
+    t.append(spark.createDataFrame([(9, "z")], sch))
+    t.analyze()
+    rows = {r.snapshot_id: r.row_count for r in t.statistics_df().collect()}
+    assert rows == {1: 1, 2: 2}, rows
