@@ -765,3 +765,27 @@ def test_index_survives_fast_forward_identity(spark, wh):
         [(99, "main only phantom sentence about volcanos")], sch)
     cands = t.dedup_against_index(probe).collect()
     assert all(r.dup_of != 2 for r in cands), cands
+
+
+def test_postpone_rollback_discards_pending(spark, wh):
+    """Rollback on a postpone table (bucket=-2) must discard pending
+    (-2 bucket) writes with the snapshots that carried them: a compact
+    AFTER the rollback replays only the surviving op log."""
+    t = Table.create(f"{wh}/pprb", SCH, primary_keys=["k"],
+                     options={"bucket": "-2",
+                              "postpone.default-bucket-num": "2"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], SCH))   # s1 pending
+    t.compact()                                    # s2: visible {1,2}
+    t.append(spark.createDataFrame([(1, 99), (3, 30)], SCH))   # s3 pending
+    t.rollback_to(2)
+    t.compact()
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20)], got
+    # rollback INTO a pending-only state: nothing visible until compact
+    t.append(spark.createDataFrame([(4, 40)], SCH))
+    t.rollback_to(1)
+    assert t.read().count() == 0
+    t.compact()
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20)], got
