@@ -530,3 +530,41 @@ def test_soft_dedup_weights_unit_mass(spark):
             .agg(F.round(F.sum("weight"), 4).alias("s"))
             .filter(F.col("s") != 1.0).count())
     assert sums == 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check for large-star/small-star: on random graphs
+    (mixed cliques, chains, stars, isolated edges) the computed
+    components must equal union-find ground truth exactly — labels are
+    component minima, every endpoint labeled."""
+    from hypothesis import given, settings, strategies as st
+
+    from paimon_spark.functions.dedup import connected_components
+
+    edge = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=80))
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id
+               for r in connected_components(pairs).collect()}
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for a, b in edges if a != b for n in (a, b)}
+        assert got == want, (sorted(got.items()), sorted(want.items()))
+
+    check()
