@@ -1883,6 +1883,29 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"))
 
 
+def pipeline_curated_corpus(spark, sf_dir):
+    """Composition flagship for the r10 curation operators, ONE
+    declarative plan: corpus-bigram LM gate (ngram_lm_quality ≥ -6.5,
+    CCNet-bucket analog) → soft-dedup SURVIVORSHIP (keep each near-dup
+    cluster's min-id doc, soft_dedup_weights) → per-language corpus
+    accounting (docs kept, token mass, mean LM score). Every stage is
+    corpus-linear; the oracle re-derives the identical pipeline in SQL
+    (bigram LM + recursive-CTE components)."""
+    docs = _read(spark, sf_dir, "documents")
+    lm = TX.ngram_lm_quality(docs, "doc_id", "text")
+    w = DD.soft_dedup_weights(docs, "doc_id", "text", 16, 4)
+    joined = (docs.join(lm, "doc_id").join(w, "doc_id")
+              .filter((F.col("lm_score") >= -6.5)
+                      & (F.col("doc_id") == F.col("cluster_id"))))
+    toks = joined.select(
+        "doc_id", "lang", "lm_score",
+        TX.token_count(F.col("text")).cast("long").alias("__nt"))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("docs_kept"),
+                 F.sum("__nt").cast("long").alias("total_tokens"),
+                 F.round(F.avg("lm_score"), 6).alias("mean_lm")))
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H q2 flavor: for each STANDARD size-15 part, the EUROPE
     supplier(s) with the minimum supply cost. The testdata has no partsupp
@@ -2194,14 +2217,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r10 window = the five NEW r10 queries (bucketed_mirror_read,
+    r10 window = the six NEW r10 queries (bucketed_mirror_read,
     soft_dedup_weights, ngram_lm_score, audio_frame_energy,
-    image_near_dup — never gated anywhere; image_near_dup is
-    deliberately oracle-less, rows-only: DuckDB cannot decode images) +
-    the entries that sat BELOW the r9 cut-off (VERDICT r9 #1: the
-    driver's artifact never attested them in r9; all were
-    judge-replica-verified green at sf0.001 in r9). 45 of those 54 fit
-    the window; the last 9 (partial_update_orders …
+    image_near_dup, pipeline_curated_corpus — never gated anywhere;
+    image_near_dup is deliberately oracle-less, rows-only: DuckDB
+    cannot decode images) + the entries that sat BELOW the r9 cut-off
+    (VERDICT r9 #1: the driver's artifact never attested them in r9;
+    all were judge-replica-verified green at sf0.001 in r9). 44 of
+    those 54 fit the window; the last 10 (agg_engine_user_stats …
     ngram_jaccard_pairs — all r8-gate green) spill just below and lead
     the r11 window. The 50 r9-gated entries (all green
     in CORRECTNESS_r09) rotate to the bottom. ALL entries — gated or
@@ -2214,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": ngram_lm_score,
         "audio_frame_energy": audio_frame_energy,
         "image_near_dup": image_near_dup,
+        "pipeline_curated_corpus": pipeline_curated_corpus,
         # --- never r9-gated: the 54 below the r9 cut lead (VERDICT #1) ---
         "time_travel_v1": time_travel_v1,
         "sequence_field_latest": sequence_field_latest,
@@ -2266,7 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_bucket_latest": dynamic_bucket_latest,
         "ann_brute_topk": ann_brute_topk,
         # =========== gate cut-off (first 50 above) ======================
-        # the 9 r8-gate-green spill entries: lead the r11 window
+        # the 10 r8-gate-green spill entries: lead the r11 window
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
@@ -2987,6 +3011,36 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / sz.n, 6) AS weight
             FROM allc JOIN sz USING (cluster_id)""",
         "ngram_lm_score": TX.sql_ngram_lm_quality(),
+        "pipeline_curated_corpus": f"""
+            WITH RECURSIVE lm AS ({TX.sql_ngram_lm_quality()}),
+            sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+            bkx AS (SELECT doc_id, {', '.join(bands)} FROM sig),
+            stx AS (
+              SELECT doc_id, '0#' || band0 AS bk FROM bkx UNION ALL
+              SELECT doc_id, '1#' || band1 FROM bkx UNION ALL
+              SELECT doc_id, '2#' || band2 FROM bkx UNION ALL
+              SELECT doc_id, '3#' || band3 FROM bkx),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM stx a JOIN stx b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+            sym AS (SELECT id_a AS a, id_b AS b FROM prs
+                    UNION ALL SELECT id_b, id_a FROM prs),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                   FROM reach GROUP BY a),
+            surv AS (SELECT d.doc_id, d.lang,
+                            len({TX.sql_tokens('d.text')}) AS nt
+                     FROM documents d LEFT JOIN cl USING (doc_id)
+                     WHERE coalesce(cl.cluster_id, d.doc_id) = d.doc_id)
+            SELECT surv.lang, CAST(count(*) AS BIGINT) AS docs_kept,
+                   CAST(SUM(surv.nt) AS BIGINT) AS total_tokens,
+                   round(avg(lm.lm_score), 6) AS mean_lm
+            FROM surv JOIN lm USING (doc_id)
+            WHERE lm.lm_score >= -6.5
+            GROUP BY surv.lang""",
         "audio_frame_energy": """
             WITH specs(asset_id, freq, amp) AS (
               VALUES (1, 440.0, 0.5), (2, 2200.0, 0.25), (3, 0.0, 0.0)),
