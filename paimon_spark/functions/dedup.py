@@ -296,7 +296,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
                                   F.col("src").alias("dst")))
     mins = (nb.groupBy("src")
             .agg(F.least(F.min("dst"), F.first("src")).alias("mn")))
-    return (nb.join(mins, "src")
+    # shuffle_hash: checkpointed inputs carry no stats, so the static
+    # planner would sort-merge every round; both sides are already
+    # hash-partitioned on src by the groupBy, and a hash join skips
+    # the per-round sorts
+    return (nb.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .distinct())
@@ -308,7 +312,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     o = edges.select(F.greatest("src", "dst").alias("src"),
                      F.least("src", "dst").alias("dst"))
     mins = o.groupBy("src").agg(F.min("dst").alias("mn"))
-    relink = (o.join(mins, "src")
+    relink = (o.join(mins.hint("shuffle_hash"), "src")
               .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
     selfs = mins.select("src", F.col("mn").alias("dst"))
     return (relink.union(selfs)
@@ -369,8 +373,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             f"each extra round costs two shuffles, data stays "
             f"distributed")
     # fixpoint edges form a star: (node → component min). Roots never
-    # appear as src — they label themselves.
-    return (nodes.join(edges.withColumnRenamed("src", "id"), "id", "left")
+    # appear as src — they label themselves. (shuffle_hash: no stats on
+    # either checkpointed side; hash join needs no sorts)
+    return (nodes.join(edges.withColumnRenamed("src", "id")
+                       .hint("shuffle_hash"), "id", "left")
             .select(F.col("id").alias("doc_id"),
                     F.coalesce(F.col("dst"), F.col("id"))
                     .alias("cluster_id")))
@@ -393,9 +399,14 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"))
-    labeled = cc.join(sizes, "cluster_id")
+    labeled = cc.join(sizes.hint("shuffle_hash"), "cluster_id")
+    # shuffle_hash, not sort-merge: the labels side has no stats at
+    # static planning (localCheckpointed CC output), so the planner
+    # would pick SMJ; a hash join needs no sort on either side, and at
+    # scale the labels table can be corpus-sized, so an unconditional
+    # broadcast would be wrong (AQE still upgrades small ones)
     out = (df.select(F.col(id_col).alias("doc_id"))
-           .join(labeled, "doc_id", "left")
+           .join(labeled.hint("shuffle_hash"), "doc_id", "left")
            .select(
                F.col("doc_id").alias(id_col),
                F.coalesce("cluster_id", F.col("doc_id"))
