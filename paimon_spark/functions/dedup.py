@@ -351,16 +351,29 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        # termination = the edge set IS a star (no node is both a src
-        # and a dst): stars are exactly the fixpoints of both operations
-        # (large-star and small-star map stars to themselves), and both
-        # operations preserve connectivity, so a star is the answer. A
-        # limit-1 semi-join short-circuits the probe.
-        non_star = (edges.select(F.col("dst").alias("n")).distinct()
-                    .join(edges.select(F.col("src").alias("n")).distinct(),
-                          "n", "leftsemi")
-                    .limit(1).count())
-        if non_star == 0:
+        # termination = the edge set is a UNION OF DISJOINT STARS:
+        # (a) no node appears as both a src (child) and a dst (parent),
+        # AND (b) no src carries two distinct parents. Condition (a)
+        # alone is insufficient — a bridge node can hold two parents
+        # from two star centers ({(5,7),(1,7),(5,9),(2,9)} reaches
+        # src=5 → {1,2} with src∩dst empty), which would emit doc 5
+        # twice and split one component in two. With both conditions
+        # the state is a disjoint star union; since every round
+        # preserves connectivity (Kiveris et al. lemmas 1-2) each star
+        # is exactly one input component, and post-small-star edges
+        # always point child→smaller, so each root is its component
+        # min. One probe job: tag child/parent occurrences, a node is
+        # bad if it has >1 child row or is both child and parent.
+        bad = (edges.select(F.col("src").alias("n"),
+                            F.lit(1).alias("c"), F.lit(0).alias("p"))
+               .union(edges.select(F.col("dst").alias("n"),
+                                   F.lit(0), F.lit(1)))
+               .groupBy("n")
+               .agg(F.sum("c").alias("c"), F.max("p").alias("p"))
+               .filter((F.col("c") > 1)
+                       | ((F.col("c") >= 1) & (F.col("p") == 1)))
+               .limit(1).count())
+        if bad == 0:
             converged = True
             break
     if not converged:

@@ -226,6 +226,34 @@ def test_connected_components_chain_and_clique(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_bridge_multi_parent_regression(spark):
+    """ADVICE r10 (high): {(5,7),(1,7),(5,9),(2,9)} is one component,
+    but after one large+small round node 5 holds TWO parents {1,2}
+    while src∩dst is already empty — the old star check accepted that
+    state, emitted doc 5 twice, and split the component into {1} and
+    {2}. The union-of-stars check (no multi-parent src) must keep
+    iterating until every doc appears exactly once with cluster 1."""
+    from paimon_spark.functions.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(5, 7), (1, 7), (5, 9), (2, 9)], "id_a long, id_b long")
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 5, rows                      # one row per doc
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert got == {1: 1, 2: 1, 5: 1, 7: 1, 9: 1}
+
+
+def test_connected_components_double_bridge(spark):
+    """Two bridge nodes stitching three star centers — a deeper
+    multi-parent cascade than the single-bridge case."""
+    from paimon_spark.functions.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(5, 7), (1, 7), (5, 9), (2, 9), (6, 9), (6, 11), (3, 11)],
+        "id_a long, id_b long")
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 8, rows
+    assert {r.cluster_id for r in rows} == {1}
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """An unconverged exit must raise, not silently return wrong cluster
     labels (ADVICE r4). With large-star/small-star one round can't
@@ -532,19 +560,76 @@ def test_soft_dedup_weights_unit_mass(spark):
     assert sums == 0
 
 
+def test_soft_dedup_weights_bridge_invariants(spark):
+    """ADVICE r10 (medium): soft_dedup_weights sits on the CC fixpoint
+    check, so a bridge-shaped near-dup graph used to emit duplicate
+    doc_id rows and per-cluster weight sums != 1.0. Assert the two
+    invariants on a drift-chain corpus (A~B~C~D transitive near-dups,
+    A!~D directly — exactly the topology that produces multi-parent
+    intermediate states), with cluster membership checked against a
+    union-find over the ACTUAL LSH pairs."""
+    import paimon_spark.functions.dedup as DD
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before sunrise happens")
+    words = base.split()
+    rows = []
+    for i in range(8):                       # drift chain: mutate word i
+        w = list(words)
+        w[i] = f"drift{i}"
+        rows.append((i, " ".join(w)))
+    rows += [(100, "entirely unrelated content about volcanic geology"),
+             (101, "another singleton regarding deep sea navigation")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = DD.soft_dedup_weights(docs, "doc_id", "text")
+    out = w.collect()
+    ids = [r.doc_id for r in out]
+    assert sorted(ids) == sorted(set(ids)) == [0, 1, 2, 3, 4, 5, 6, 7,
+                                               100, 101]
+    # per-cluster weight mass == 1 (weight rounded to 6 dp → tolerance)
+    sums = {r.cluster_id: r.s for r in
+            w.groupBy("cluster_id").agg(F.sum("weight").alias("s"))
+            .collect()}
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
+    # membership equals union-find over the actual LSH pair graph
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4).collect()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.id_a), find(p.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    got = {r.doc_id: r.cluster_id for r in out}
+    assert got == want, (got, want)
+    # cluster_size consistent with membership
+    from collections import Counter
+    csize = Counter(want.values())
+    assert all(r.cluster_size == csize[r.cluster_id] for r in out)
+
+
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Property check for large-star/small-star: on random graphs
     (mixed cliques, chains, stars, isolated edges) the computed
     components must equal union-find ground truth exactly — labels are
     component minima, every endpoint labeled."""
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     from paimon_spark.functions.dedup import connected_components
 
     edge = st.tuples(st.integers(0, 60), st.integers(0, 60))
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=16, deadline=None)
     @given(st.lists(edge, min_size=1, max_size=80))
+    @example([(5, 7), (1, 7), (5, 9), (2, 9)])            # ADVICE r10 bridge
+    @example([(5, 7), (1, 7), (5, 9), (2, 9), (6, 9), (6, 11), (3, 11)])
+    @example([(10, 20), (11, 20), (10, 21), (12, 21),     # two bridges, one comp
+              (11, 22), (13, 22)])
     def check(edges):
         pairs = spark.createDataFrame(
             [(a, b) for a, b in edges], "id_a long, id_b long")
