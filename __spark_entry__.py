@@ -1340,31 +1340,78 @@ def audio_frame_energy(spark, sf_dir):
                       F.round("zcr", 6).alias("zcr"))
 
 
-def image_near_dup(spark, sf_dir):
-    """Image near-dup pairs via 64-bit dHash banding (r10): deterministic
-    synthetic BMPs (base / noisy copy / rescale / inverted) through the
-    REAL decode + banded self-join + exact bit_count Hamming verify.
-    No SQL oracle (DuckDB cannot decode images) — the driver records the
-    rows-only check; physics/ground-truth parity is pinned by
-    tests/test_multimodal.py::test_image_dhash_near_dup_pairs."""
+_IMAGE_FIXTURE = "/tmp/paimon_spark_fixtures/image_dhash.parquet"
+
+
+def _image_corpus() -> list[tuple[int, bytes]]:
+    """Deterministic BMP corpus for the image near-dup gate: 6 content
+    families (base / noisy copy / inversion), one rescale family (equal
+    dHash to its base), and a 4-copy blank group that exercises the
+    hot-band guard. All payloads decodable by the lib-free BMP path."""
     import numpy as np
-    from paimon_spark.functions.multimodal import (encode_bmp,
-                                                   image_near_dup_pairs,
-                                                   resize_nearest)
-    rng = np.random.default_rng(7)
-    base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
-    gx = np.linspace(0, 200, 32, dtype=np.float64)
-    base = np.clip(base * 0.2 + gx[None, :, None], 0, 255).astype(np.uint8)
-    noisy = np.clip(base.astype(np.int16)
-                    + rng.integers(-6, 7, size=base.shape), 0,
-                    255).astype(np.uint8)
-    rows = [(1, bytearray(encode_bmp(base))),
-            (2, bytearray(encode_bmp(noisy))),
-            (3, bytearray(encode_bmp(resize_nearest(base, 64, 64)))),
-            (9, bytearray(encode_bmp(
-                np.clip(255 - base.astype(np.int16), 0,
-                        255).astype(np.uint8))))]
-    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    from paimon_spark.functions.multimodal import encode_bmp, resize_nearest
+    rows: list[tuple[int, bytes]] = []
+    for s in range(6):
+        rng = np.random.default_rng(7 + s)
+        base = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        gx = np.linspace(0, 200 + 5 * s, 32, dtype=np.float64)
+        base = np.clip(base * 0.2 + gx[None, :, None], 0,
+                       255).astype(np.uint8)
+        noisy = np.clip(base.astype(np.int16)
+                        + rng.integers(-6, 7, size=base.shape), 0,
+                        255).astype(np.uint8)
+        inv = np.clip(255 - base.astype(np.int16), 0, 255).astype(np.uint8)
+        rows += [(100 + s, encode_bmp(base)),
+                 (200 + s, encode_bmp(noisy)),
+                 (300 + s, encode_bmp(inv))]
+        if s == 0:
+            rows.append((400, encode_bmp(resize_nearest(base, 64, 64))))
+    blank = encode_bmp(np.zeros((16, 16, 3), dtype=np.uint8))
+    rows += [(900 + i, blank) for i in range(4)]
+    return rows
+
+
+def _write_image_fixture() -> str:
+    """Per-asset dHash + band keys, computed DRIVER-SIDE through the
+    same decode→hash path the engine runs in mapInPandas, persisted as
+    a parquet fixture so DuckDB can independently re-derive the pair
+    selection (xor + bit_count + band arithmetic). The decode half is
+    pytest-pinned (test_image_dhash_near_dup_pairs); any driver/engine
+    hash divergence surfaces as a gate value-hash mismatch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from paimon_spark.functions.multimodal import decode_image, dhash64
+    os.makedirs(os.path.dirname(_IMAGE_FIXTURE), exist_ok=True)
+    ids, hashes, bands = [], [], [[] for _ in range(4)]
+    for aid, payload in _image_corpus():
+        h = dhash64(decode_image(payload))
+        ids.append(aid)
+        for b in range(4):
+            bands[b].append((h >> (16 * b)) & 0xFFFF)
+        hashes.append(h - (1 << 64) if h >= 1 << 63 else h)
+    tbl = pa.table({"asset_id": pa.array(ids, pa.int64()),
+                    "dhash": pa.array(hashes, pa.int64()),
+                    **{f"band{b}": pa.array(bands[b], pa.int64())
+                       for b in range(4)}})
+    tmp = _IMAGE_FIXTURE + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _IMAGE_FIXTURE)
+    return _IMAGE_FIXTURE
+
+
+def image_near_dup(spark, sf_dir):
+    """Image near-dup pairs via 64-bit dHash banding: deterministic
+    synthetic BMPs (6 base/noisy/inverted families + an equal-hash
+    rescale + a 4-copy blank group) through the REAL decode + hot-band
+    guard + banded self-join + exact bit_count Hamming verify. The SQL
+    oracle re-derives the pairs in DuckDB from the driver-side dHash
+    fixture (decode is the only step SQL cannot run; it is pinned by
+    tests/test_multimodal.py::test_image_dhash_near_dup_pairs)."""
+    from paimon_spark.functions.multimodal import image_near_dup_pairs
+    _write_image_fixture()
+    assets = spark.createDataFrame(
+        [(aid, bytearray(p)) for aid, p in _image_corpus()],
+        "asset_id long, payload binary")
     return image_near_dup_pairs(assets, max_hamming=3)
 
 
@@ -3041,6 +3088,33 @@ def oracle_sql() -> dict[str, str]:
             FROM surv JOIN lm USING (doc_id)
             WHERE lm.lm_score >= -6.5
             GROUP BY surv.lang""",
+        # pair selection re-derived from the driver-side dHash fixture:
+        # same guard (equal-hash collapse to min-id rep + chain), same
+        # band keys, exact xor/bit_count Hamming — only decode (pinned
+        # by pytest) is outside SQL's reach
+        "image_near_dup": f"""
+            WITH d AS (SELECT * FROM read_parquet('{_write_image_fixture()}')),
+            r AS (SELECT *, min(asset_id) OVER (PARTITION BY dhash) AS rep
+                  FROM d),
+            chain AS (SELECT rep AS id_a, asset_id AS id_b,
+                             CAST(0 AS INTEGER) AS hamming
+                      FROM r WHERE asset_id <> rep),
+            reps AS (SELECT * FROM r WHERE asset_id = rep),
+            s AS (SELECT asset_id, dhash, b AS band_idx,
+                         CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
+                                WHEN 2 THEN band2 ELSE band3 END AS bv
+                  FROM reps, (VALUES (0), (1), (2), (3)) t(b)),
+            cand AS (
+              SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+                     CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER)
+                         AS hamming
+              FROM s a JOIN s b
+                ON a.band_idx = b.band_idx AND a.bv = b.bv
+                   AND a.asset_id < b.asset_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+            SELECT id_a, id_b, hamming FROM cand
+            UNION
+            SELECT id_a, id_b, hamming FROM chain""",
         "audio_frame_energy": """
             WITH specs(asset_id, freq, amp) AS (
               VALUES (1, 440.0, 0.5), (2, 2200.0, 0.25), (3, 0.0, 0.0)),

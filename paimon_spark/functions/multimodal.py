@@ -500,26 +500,76 @@ def image_dhash(assets: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 3,
-                         bands: int = 4) -> DataFrame:
+                         bands: int = 4,
+                         dedupe_exact_first: bool = True,
+                         max_band_size: int | None = None) -> DataFrame:
     """Near-duplicate image candidate pairs (id_a < id_b, hamming ≤
     max_hamming): banded self-join on the dHash band keys — only
     band-colliding pairs are compared, never all pairs — then exact
     Hamming verify via bit_count. max_hamming < bands keeps the banding
-    lossless (pigeonhole)."""
+    lossless (pigeonhole).
+
+    HOT-BAND GUARD (ADVICE r10): crawled corpora are full of byte-equal
+    dHashes — blank thumbnails, tracking pixels, solid-color fills all
+    hash to the same 64 bits — so one band key holds the whole group
+    and the self-join emits |group|² candidate rows BEFORE the Hamming
+    filter. Same failure mode and same fix as minhash_lsh_pairs:
+    `dedupe_exact_first` (default) collapses equal-dHash groups to
+    their min-id representative before banding and emits the group as
+    m-1 (rep, member, hamming=0) chain pairs instead of the m(m-1)/2
+    clique. Connected components are identical (the chain connects the
+    group; any banded edge to an outside image lands on the rep, whose
+    dHash equals every member's, so the same edge exists). On a corpus
+    with all-distinct dHashes the output is exactly the unguarded
+    result. `max_band_size` additionally caps NEAR-identical (unequal
+    hash, shared band) groups by keeping the lowest-id members per band
+    key — explicitly lossy recall trade, off by default.
+
+    localCheckpoint (not persist): the signature table is read twice
+    (both join sides); checkpoint blocks are released when the plan is
+    GC'd, where a CacheManager persist leaks until an explicit
+    unpersist nothing here could safely schedule (ADVICE r10)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    sig = image_dhash(assets, bands).persist()
+    sig = image_dhash(assets, bands).localCheckpoint()
+    if dedupe_exact_first:
+        grouped = sig.withColumn(
+            "__rep", F.min("asset_id").over(Window.partitionBy("dhash")))
+        chain = (grouped.filter(F.col("asset_id") != F.col("__rep"))
+                 .select(F.col("__rep").alias("id_a"),
+                         F.col("asset_id").alias("id_b"),
+                         F.lit(0).alias("hamming")))
+        sig = grouped.filter(F.col("asset_id") == F.col("__rep")) \
+                     .drop("__rep")
+    else:
+        chain = None
     stacked = sig.select(
         "asset_id", F.col("dhash"),
         F.explode(F.array(*[
             F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
             for b in range(bands)])).alias("bk"))
+    if max_band_size is not None:
+        w = Window.partitionBy("bk").orderBy("asset_id")
+        stacked = (stacked.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= max_band_size)
+                   .drop("__rn"))
     a = stacked.alias("a")
     b = stacked.alias("b")
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
-    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col("a.asset_id") < F.col("b.asset_id")))
-            .select(F.col("a.asset_id").alias("id_a"),
-                    F.col("b.asset_id").alias("id_b"),
-                    ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.asset_id") < F.col("b.asset_id")))
+             .select(F.col("a.asset_id").alias("id_a"),
+                     F.col("b.asset_id").alias("id_b"),
+                     ham.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+    if chain is not None:
+        # eager checkpoint of the union: a consumer that projects a
+        # column away (connected_components drops `hamming`) triggers
+        # PushProjectionThroughUnion over branches sharing the sig
+        # leaf, which crashes Spark 4.1's UnionBase.rewriteConstraints
+        # (NoSuchElementException: key not found). The flat checkpoint
+        # also materializes the candidate set once for the multi-pass
+        # consumers (CC reads it twice per round).
+        pairs = pairs.unionByName(chain).distinct().localCheckpoint()
+    return pairs

@@ -375,3 +375,85 @@ def test_image_dhash_near_dup_pairs(spark):
     h1 = MM.dhash64(base)
     h2 = MM.dhash64(noisy)
     assert pairs[(1, 2)] == bin(h1 ^ h2).count("1")
+    # guard no-op on all-distinct dHashes (drop the rescale, whose
+    # dHash EQUALS base's): guarded == unguarded exactly
+    distinct_assets = assets.filter("asset_id != 3")
+    g = {(r.id_a, r.id_b): r.hamming
+         for r in MM.image_near_dup_pairs(distinct_assets,
+                                          max_hamming=3).collect()}
+    raw = {(r.id_a, r.id_b): r.hamming
+           for r in MM.image_near_dup_pairs(
+               distinct_assets, max_hamming=3,
+               dedupe_exact_first=False).collect()}
+    assert g == raw and (1, 2) in g
+    # on the FULL corpus the guard may rewire equal-hash pairs into a
+    # chain, but connected components must be identical
+    from paimon_spark.functions.dedup import connected_components
+    cc_g = {(r.doc_id, r.cluster_id) for r in connected_components(
+        MM.image_near_dup_pairs(assets, max_hamming=3)).collect()}
+    cc_raw = {(r.doc_id, r.cluster_id) for r in connected_components(
+        MM.image_near_dup_pairs(assets, max_hamming=3,
+                                dedupe_exact_first=False)).collect()}
+    assert cc_g == cc_raw
+
+
+def test_image_near_dup_hot_band_guard(spark):
+    """ADVICE r10: a blank-image-heavy corpus (all payloads share dHash
+    0 — blank thumbnails / tracking pixels at crawl scale) must emit
+    the O(m) chain, not the m(m-1)/2 clique: 5k identical images →
+    4999 (rep, member, hamming=0) pairs, NOT 12.5M candidate rows.
+    Components are unchanged: an outside near-dup still pairs with the
+    group rep."""
+    import numpy as np
+
+    blank = MM.encode_bmp(np.zeros((16, 16, 3), dtype=np.uint8))
+    # near-blank outside image: flip a faint gradient so its dhash is
+    # within a couple bits of the blank hash but not equal
+    tweak = np.zeros((16, 16, 3), dtype=np.uint8)
+    tweak[:, -1, :] = 3
+    rows = [(i, blank) for i in range(5_000)]
+    rows.append((9_001, MM.encode_bmp(tweak)))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = MM.image_near_dup_pairs(assets, max_hamming=3)
+    got = pairs.collect()
+    chain = [(r.id_a, r.id_b) for r in got if r.hamming == 0
+             and r.id_b < 9_001]
+    assert len(chain) == 4_999 and all(a == 0 for a, _ in chain)
+    # the near-blank outsider pairs with the representative only
+    outside = [(r.id_a, r.id_b, r.hamming) for r in got if r.id_b == 9_001]
+    h_blank = MM.dhash64(np.zeros((16, 16, 3), dtype=np.uint8))
+    h_tweak = MM.dhash64(tweak)
+    d = bin(h_blank ^ h_tweak).count("1")
+    if d <= 3:
+        assert outside == [(0, 9_001, d)], (outside, d)
+    assert len(got) == len(chain) + len(outside)
+
+
+def test_image_near_dup_max_band_size_cap(spark):
+    """max_band_size caps near-identical (unequal-hash) band groups:
+    output is a subset of the unguarded pairs and never exceeds the
+    per-band quadratic bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, size=(24, 24, 3), dtype=np.uint8)
+    gx = np.linspace(0, 180, 24, dtype=np.float64)
+    base = np.clip(base * 0.25 + gx[None, :, None], 0, 255).astype(np.uint8)
+    rows = []
+    for i in range(12):
+        v = np.clip(base.astype(np.int16)
+                    + rng.integers(-4, 5, size=base.shape), 0,
+                    255).astype(np.uint8)
+        rows.append((i, MM.encode_bmp(v)))
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    full = {(r.id_a, r.id_b)
+            for r in MM.image_near_dup_pairs(assets, max_hamming=6,
+                                             bands=8).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in MM.image_near_dup_pairs(assets, max_hamming=6,
+                                               bands=8,
+                                               max_band_size=3).collect()}
+    assert capped <= full
+    # capped members are the lowest ids per band: pair (0, 1) survives
+    if (0, 1) in full:
+        assert (0, 1) in capped
