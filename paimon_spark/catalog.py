@@ -386,13 +386,18 @@ class Catalog:
                 return True
             if latest < last:
                 return False
+            try:
+                snap = bt.paths.read_snapshot(last)
+            except FileNotFoundError:
+                # fold-base snapshot EXPIRED: the delta since it is
+                # underivable (its manifests are gone) — re-seed rather
+                # than raise out of an otherwise-routine refresh
+                return False
+            except Exception:                      # noqa: BLE001
+                return True
             if not last_ts:
                 return True                        # legacy view: id only
-            try:
-                return bt.paths.read_snapshot(last).timestamp_ms \
-                    == last_ts
-            except Exception:                      # noqa: BLE001
-                return True        # expired base: no rewrite evidence
+            return snap.timestamp_ms == last_ts
 
         def _stamp(sid: int):
             try:

@@ -14,6 +14,9 @@ Producers (ref: CoreOptions.java:4963-4972):
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, functions as F
 
 from paimon_spark.schema import KIND_COL
@@ -22,6 +25,68 @@ from paimon_spark.table import Table
 # above this many delta bytes the key set is persisted instead of being
 # inlined into both merge branches (each branch would re-read the delta)
 _KEYS_PERSIST_BYTES = 1 << 30
+
+
+def _keys_dir(paths, snap) -> str:
+    """Per-snapshot delta-key sidecar directory. The snapshot's
+    timestamp is part of the name, so a sidecar left behind by a
+    rolled-back commit whose id was later reused can never be read as
+    the new commit's keys — the new snapshot carries a new timestamp
+    and the lookup misses (falls back to manifest replay)."""
+    return os.path.join(paths.meta_root, "changelog-keys",
+                        f"keys-{snap.id}-{snap.timestamp_ms}")
+
+
+def write_changelog_keys(table: Table, snap, entries) -> None:
+    """COMMIT-TIME delta-key precompute (changelog-producer=lookup/
+    full-compaction): persist the distinct PKs touched by this commit
+    (rows of every ADDed or DELETEd file) as a tiny parquet sidecar.
+    The reference produces changelog AT COMMIT via point lookups /
+    full compaction (ref: mergetree/compact/
+    LookupChangelogMergeFunctionWrapper.java:54); Spark-first, the
+    commit pays one map-side-combined distinct over the batch it just
+    wrote, and every derived-changelog read afterwards skips manifest
+    replay entirely and scans O(changed keys × pk width) sidecar bytes
+    instead of the full-width delta data files. Written to a temp dir
+    and renamed, so readers only ever see complete sidecars."""
+    out = _keys_dir(table.paths, snap)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (table._read_files(list(entries))
+     .select(*table.schema.primary_keys).distinct()
+     .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+
+
+def _sidecar_key_df(table: Table, from_snapshot: int,
+                    to_snapshot: int) -> DataFrame | None:
+    """Delta keys for (from, to] from commit-time sidecars — zero
+    manifest replay, zero delta-file scan. None unless EVERY non-compact
+    snapshot in the window has a sidecar (partial coverage would drop
+    changed keys, which is the one unsafe direction; a stale SUPERSET
+    would merely waste work, but the timestamped dir name rules even
+    that out)."""
+    from paimon_spark.metadata import COMMIT_COMPACT
+    dirs: list[str] = []
+    try:
+        for sid in range(from_snapshot + 1, to_snapshot + 1):
+            snap = table.paths.read_snapshot(sid)
+            if snap.commit_kind == COMMIT_COMPACT:
+                continue
+            d = _keys_dir(table.paths, snap)
+            if not os.path.isdir(d):
+                return None
+            dirs.append(d)
+    except FileNotFoundError:
+        return None
+    if not dirs:
+        return None
+    # no distinct: each sidecar is already per-commit distinct, the
+    # consumers are leftsemi joins (duplicates can't change results),
+    # and cross-commit overlap is bounded by the window's commit count
+    # — cheaper than paying a shuffle to dedup the key side
+    return table.spark.read.parquet(*dirs)
 
 
 def _delta_key_df(table: Table, from_snapshot: int,
@@ -176,9 +241,17 @@ def derive_changelog(table: Table, from_snapshot: int | None,
 
     to_sid = to_snapshot if to_snapshot is not None \
         else table.paths.latest_snapshot_id()
-    got = (_delta_key_df(table, from_snapshot, to_sid)
-           if optimize and to_sid is not None else None)
-    keys, delta_bytes = got if got is not None else (None, 0)
+    keys, delta_bytes = None, 0
+    if optimize and to_sid is not None:
+        # commit-time sidecars first (zero manifest replay, tiny
+        # pk-width scan); manifest replay over the window's delta
+        # files only when a sidecar is missing (producer off, or the
+        # window predates enabling it)
+        keys = _sidecar_key_df(table, from_snapshot, to_sid)
+        if keys is None:
+            got = _delta_key_df(table, from_snapshot, to_sid)
+            if got is not None:
+                keys, delta_bytes = got
     j = None
     if keys is None and to_sid is not None:
         # FULL diff: ONE bucketed scan of old∪new files, rows tagged by
@@ -212,7 +285,12 @@ def derive_changelog(table: Table, from_snapshot: int | None,
         # two states tagged by side, one groupBy(pk) picks each side's
         # single row (max over ≤1-element sets). A real full-outer join
         # can't broadcast and sort-merges both sides; this is ONE
-        # shuffle + hash aggregate.
+        # shuffle. max-of-struct forces SortAggregate (struct buffers
+        # aren't hash-aggregable) but still beats the column-wise
+        # primitive-max alternative — measured r11 at sf0.1: struct-max
+        # min 0.314 s / med 0.367 s vs column-wise 0.360 / 0.437 — the
+        # 2(|vals|+1)-way when-branch aggregate costs more than the two
+        # sorts it removes.
         o = old.select(*pks, F.struct(*vals).alias("__r"),
                        F.lit(True).alias("__is_old"))
         n = new.select(*pks, F.struct(*vals).alias("__r"),

@@ -1934,6 +1934,15 @@ class Table:
                                        f"stats-{sid}.json"))
             except OSError:
                 pass
+            # changelog-key sidecars of undone commits: the timestamped
+            # dir name already prevents a reused id from reading them,
+            # this just reclaims the disk
+            import glob as _glob
+            import shutil as _shutil
+            for d in _glob.glob(os.path.join(
+                    self.paths.meta_root, "changelog-keys",
+                    f"keys-{sid}-*")):
+                _shutil.rmtree(d, ignore_errors=True)
         self.paths.write_latest_hint(snapshot_id)
         if self.schema.cross_partition_update:
             # the pk→partition index reflects the undone commits; drop it
@@ -2010,7 +2019,24 @@ class Table:
             # expired files' inodes pinned via hardlinks — age them out
             # with the same horizon (live reads re-touch fresh views)
             self._purge_view_caches(older_than_ms=cutoff_ms)
+            self._drop_expired_changelog_keys()
         return removed
+
+    def _drop_expired_changelog_keys(self) -> None:
+        """Sidecar GC: a changelog window (from, to] can only start at
+        an EXISTING snapshot, so key sidecars strictly below the
+        earliest snapshot are unreachable — reclaim them."""
+        d = os.path.join(self.paths.meta_root, "changelog-keys")
+        earliest = self.paths.earliest_snapshot_id()
+        if earliest is None or not os.path.isdir(d):
+            return
+        for n in os.listdir(d):
+            try:
+                sid = int(n.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if sid < earliest:
+                shutil.rmtree(os.path.join(d, n), ignore_errors=True)
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""
@@ -2036,6 +2062,8 @@ class Table:
                 removed += 1
             except FileNotFoundError:
                 pass
+        if removed:
+            self._drop_expired_changelog_keys()
         return removed
 
     def remove_orphan_files(self) -> int:

@@ -800,6 +800,7 @@ class BatchWriter:
                             # mirror the commit into Iceberg metadata (ref:
                             # IcebergCommitCallback.call — commit callback)
                             IcebergCompat(self.table).mirror(snap, entries)
+                    self._maybe_write_changelog_keys(snap, entries, kind)
                     self._post_commit(snap, kind)
                 except Exception:                      # noqa: BLE001
                     logging.getLogger(__name__).exception(
@@ -808,6 +809,23 @@ class BatchWriter:
                         "self-heal on the next commit)", snap.id)
                 return snap
         raise RuntimeError("commit failed after retries (too many concurrent writers)")
+
+    def _maybe_write_changelog_keys(self, snap: Snapshot, entries,
+                                    kind: str) -> None:
+        """changelog-producer=lookup/full-compaction: precompute the
+        commit's delta-key sidecar so derived-changelog reads pay zero
+        planning (ref produces changelog commit-side,
+        mergetree/compact/LookupChangelogMergeFunctionWrapper.java:54).
+        COMPACT commits never change merged state — no sidecar, exactly
+        like _delta_key_df skips them at read time. Cost: one
+        map-side-combined distinct over the batch just written."""
+        if (not self.schema.is_pk_table or not entries
+                or kind == COMMIT_COMPACT
+                or self.schema.options.get("changelog-producer", "none")
+                not in ("lookup", "full-compaction")):
+            return
+        from paimon_spark.operators.changelog import write_changelog_keys
+        write_changelog_keys(self.table, snap, entries)
 
     def _post_commit(self, snap: Snapshot, kind: str) -> None:
         """Auto-maintenance the reference performs inside its committer:

@@ -789,3 +789,168 @@ def test_postpone_rollback_discards_pending(spark, wh):
     t.compact()
     got = sorted((r.k, r.v) for r in t.read().collect())
     assert got == [(1, 10), (2, 20)], got
+
+
+def test_randomized_mirror_imv_staleness_model(spark, wh):
+    """VERDICT r10 #7: create_bucketed_mirror and incremental
+    materialized views persist DERIVED state keyed to a base snapshot;
+    this model races them against writes, deletes, ROLLBACK and forced
+    snapshot EXPIRATION. Invariants after every step:
+
+    - base read ≡ model state (sanity);
+    - mirror CONTENT ≡ the model state captured at mirror creation,
+      no matter what happened to the base since (a mirror is a pinned
+      copy, never silently refreshed);
+    - mirror `fresh` flag ≡ (the mirror's (snapshot id, timestamp)
+      still IS the base's latest) — rollback BACK TO the mirrored
+      snapshot makes it fresh again, rollback past it with id-reuse
+      must NOT (timestamp identity);
+    - IMV read ≡ sum/count over the model state as of its last
+      successful refresh; a refresh either lands on the CURRENT model
+      state (incremental fold, rollback re-seed, or expired-fold-base
+      re-seed) or REFUSES leaving the view unchanged — never a
+      silently wrong fold. The expired-fold-base re-seed is pinned
+      deterministically at the end (fold up to snapshot N, expire past
+      N, refresh must land on the live state, not raise)."""
+    import random
+    import time as _time
+
+    from paimon_spark.catalog import Catalog
+    from paimon_spark.procedures import expire_snapshots
+
+    rng = random.Random(57)
+    cat = Catalog(f"{wh}/mimv", spark)
+    bt = cat.create_table(
+        "base", SCH, primary_keys=["k"],
+        options={"bucket": "2", "changelog-producer": "lookup",
+                 # generous retention so only FORCED expiration prunes
+                 "snapshot.num-retained.min": "40",
+                 "snapshot.num-retained.max": "40"})
+
+    state: dict[int, int] = {}
+    snap_states: dict[int, dict[int, int]] = {}
+
+    def commit_write():
+        rows = [(rng.randrange(0, 30), rng.randrange(0, 1000))
+                for _ in range(rng.randrange(3, 9))]
+        bt.append(spark.createDataFrame(rows, SCH))
+        for k, v in rows:
+            state[k] = v                   # last row wins within batch
+        # within-batch duplicate keys: engine keeps max sequence = the
+        # later row; createDataFrame preserves row order per partition,
+        # replay in order is the same rule
+        snap_states[bt.paths.latest_snapshot_id()] = dict(state)
+
+    def commit_delete():
+        m = rng.randrange(0, 5)
+        bt.delete_where(P.expr(f"k % 5 = {m}"))
+        for k in [k for k in state if k % 5 == m]:
+            del state[k]
+        snap_states[bt.paths.latest_snapshot_id()] = dict(state)
+
+    commit_write()
+    mirror = None                          # (name, frozen_state, sid)
+    imv = None                             # folded model state
+    imv_n = 0
+
+    def check():
+        got = {r.k: r.v for r in bt.read().collect()}
+        assert got == state, (got, state)
+        if mirror is not None:
+            name, frozen, msid = mirror
+            mgot = {r.k: r.v for r in spark.table(name).collect()}
+            assert mgot == frozen, (mgot, frozen)
+            meta = bt.bucketed_mirror_meta(name)
+            latest = bt.paths.latest_snapshot_id()
+            want_fresh = (msid == latest
+                          and meta["snapshot_ts"] ==
+                          bt.paths.read_snapshot(latest).timestamp_ms)
+            assert meta["fresh"] == want_fresh, (meta, latest)
+        if imv is not None:
+            vt = cat.get_table("imv")
+            vgot = {r.k: (r.total, r.cnt) for r in vt.read().collect()}
+            assert vgot == imv, (vgot, imv)
+
+    def model_fold(st):
+        out: dict[int, tuple[int, int]] = {}
+        for k, v in st.items():
+            out[k] = (v, 1)                # PK base: one row per key
+        return out
+
+    for step in range(24):
+        op = rng.choice(["write", "write", "delete", "mirror",
+                         "imv_refresh", "rollback", "expire"])
+        if op == "write":
+            commit_write()
+        elif op == "delete":
+            commit_delete()
+        elif op == "mirror":
+            name = bt.create_bucketed_mirror(name=f"m_{step}")
+            mirror = (name, dict(state), bt.paths.latest_snapshot_id())
+        elif op == "imv_refresh":
+            if imv is None:
+                cat.create_incremental_materialized_view(
+                    "imv", "base", ["k"],
+                    {"total": ("v", "sum"), "cnt": ("v", "count")})
+                imv = model_fold(state)
+            else:
+                try:
+                    cat.refresh_incremental_materialized_view("imv")
+                    imv = model_fold(state)
+                except Exception:
+                    pass                   # refusal: view must be as-is
+        elif op == "rollback":
+            live = [s for s in snap_states
+                    if bt.paths.earliest_snapshot_id() <= s
+                    <= bt.paths.latest_snapshot_id()]
+            if len(live) < 2:
+                continue
+            target = rng.choice(sorted(live)[:-1])
+            bt.rollback_to(target)
+            state.clear()
+            state.update(snap_states[target])
+            for s in [s for s in snap_states if s > target]:
+                del snap_states[s]
+            _time.sleep(0.002)             # next reused id gets a new ts
+        elif op == "expire":
+            latest = bt.paths.latest_snapshot_id()
+            earliest = bt.paths.earliest_snapshot_id()
+            if latest - earliest < 3:
+                continue
+            expire_snapshots(spark, bt, retain_last=2)
+            for s in [s for s in snap_states if s <= latest - 2]:
+                del snap_states[s]
+        check()
+
+    # deterministic expired-fold-base scenario: the random walk rarely
+    # lines up expire past the IMV's fold point — force it. The fold
+    # base's manifests are gone, so the incremental delta is
+    # underivable; refresh must FULL-RESEED to the live state.
+    if imv is None:
+        cat.create_incremental_materialized_view(
+            "imv", "base", ["k"],
+            {"total": ("v", "sum"), "cnt": ("v", "count")})
+        imv = model_fold(state)
+    else:
+        try:
+            cat.refresh_incremental_materialized_view("imv")
+            imv = model_fold(state)
+        except Exception:
+            pass
+    commit_write()
+    commit_write()
+    commit_write()
+    expire_snapshots(spark, bt, retain_last=1)
+    vt = cat.get_table("imv")
+    folded = int(vt.schema.options["imv.base-snapshot"])
+    assert folded < bt.paths.earliest_snapshot_id()   # fold base expired
+    cat.refresh_incremental_materialized_view("imv")
+    vgot = {r.k: (r.total, r.cnt)
+            for r in cat.get_table("imv").read().collect()}
+    assert vgot == model_fold(state), (vgot, model_fold(state))
+    # sidecar GC: no changelog-key dirs below the earliest snapshot
+    import os as _os
+    d = _os.path.join(bt.paths.meta_root, "changelog-keys")
+    if _os.path.isdir(d):
+        left = sorted(int(n.split("-")[1]) for n in _os.listdir(d))
+        assert all(s >= bt.paths.earliest_snapshot_id() for s in left)

@@ -236,3 +236,95 @@ def test_random_changelog_reconstructs_state(spark, wh):
             t.delete_where(P.isin("k", rng.sample(live,
                                                   min(2, len(live)))))
         drain_and_check()
+
+
+def test_commit_time_changelog_keys_sidecar(spark, wh):
+    """VERDICT r10 #3: changelog-producer=lookup precomputes the
+    per-commit delta-key sidecar at COMMIT time; derived-changelog
+    reads then take the sidecar path (no manifest replay, no full-width
+    delta scan) and must produce the identical changelog. Rollback must
+    invalidate reused-id sidecars (timestamped dir names)."""
+    import os
+
+    from paimon_spark import P
+    from paimon_spark.operators.changelog import (_sidecar_key_df,
+                                                  derive_changelog)
+    t = Table.create(f"{wh}/cl_sidecar", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k % 5, float(k)) for k in range(40)], SCHEMA))       # s1
+    t.append(spark.createDataFrame(
+        [(k, 99, float(k) + 0.5) for k in range(0, 40, 4)], SCHEMA))  # s2
+    t.delete_where(P.expr("k % 7 = 3"))                            # s3
+    sc_dir = os.path.join(t.paths.meta_root, "changelog-keys")
+    names = sorted(os.listdir(sc_dir))
+    assert [n.split("-")[1] for n in names] == ["1", "2", "3"], names
+
+    # the sidecar path is taken and covers exactly the changed keys
+    keys = _sidecar_key_df(t, 1, 3)
+    assert keys is not None
+    got_keys = {r.k for r in keys.collect()}
+    want_keys = set(range(0, 40, 4)) | {k for k in range(40) if k % 7 == 3}
+    assert got_keys >= want_keys
+    assert got_keys <= set(range(40))
+
+    def canon(df):
+        return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
+
+    assert canon(derive_changelog(t, 1)) == \
+        canon(derive_changelog(t, 1, optimize=False))
+
+    # COMPACT writes no sidecar and the window still resolves
+    t.compact(full=True)                                           # s4
+    assert len(os.listdir(sc_dir)) == 3
+    assert _sidecar_key_df(t, 1, 4) is not None
+    assert canon(derive_changelog(t, 1)) == \
+        canon(derive_changelog(t, 1, optimize=False))
+
+    # rollback drops the undone sidecars; a reused id writes a fresh
+    # one (new timestamp) and the changelog reflects the NEW commit
+    t.rollback_to(2)
+    assert [n.split("-")[1] for n in sorted(os.listdir(sc_dir))] == \
+        ["1", "2"]
+    t.append(spark.createDataFrame([(777, 1, 1.0)], SCHEMA))       # new s3
+    keys3 = _sidecar_key_df(t, 2, 3)
+    assert keys3 is not None and {r.k for r in keys3.collect()} == {777}
+    assert canon(derive_changelog(t, 2)) == \
+        canon(derive_changelog(t, 2, optimize=False))
+
+
+def test_randomized_changelog_sidecar_vs_unoptimized(spark, wh):
+    """Same random interleaving invariant as
+    test_randomized_changelog_with_compactions, but with the commit-time
+    sidecar producer ON: every window must match the unoptimized
+    full-table diff exactly."""
+    from paimon_spark import P
+    from paimon_spark.operators.changelog import derive_changelog
+    rnd = random.Random(41)
+    t = Table.create(f"{wh}/cl_rand_sc", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k % 7, float(k)) for k in range(60)], SCHEMA))
+    for step in range(6):
+        op = rnd.choice(["upsert", "delete", "compact", "upsert"])
+        if op == "upsert":
+            rows = [(rnd.randrange(0, 80), rnd.randrange(0, 100),
+                     float(rnd.randrange(0, 500))) for _ in range(10)]
+            t.append(spark.createDataFrame(rows, SCHEMA))
+        elif op == "delete":
+            t.delete_where(P.expr(f"k % 9 = {rnd.randrange(0, 9)}"))
+        else:
+            t.compact(full=rnd.random() < 0.5)
+    latest = t.paths.latest_snapshot_id()
+
+    def canon(df):
+        return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
+
+    for from_snap in (1, 2, latest - 2, latest - 1):
+        fast = canon(derive_changelog(t, from_snap))
+        slow = canon(derive_changelog(t, from_snap, optimize=False))
+        assert fast == slow, f"diverged from snapshot {from_snap}"
