@@ -49,25 +49,57 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
     replay entirely and scans O(changed keys × pk width) sidecar bytes
     instead of the full-width delta data files. Written to a temp dir
     and renamed, so readers only ever see complete sidecars."""
+    import json
+
     out = _keys_dir(table.paths, snap)
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    pks = table.schema.primary_keys
     (table._read_files(list(entries))
-     .select(*table.schema.primary_keys).distinct()
+     .select(*pks).distinct()
      .write.mode("overwrite").parquet(tmp))
+    # per-column min/max of the commit's key set ("_"-prefixed file:
+    # ignored by parquet dir readers). Lets the read side build a
+    # stats-prunable range predicate, so the restricted merges SKIP
+    # FILES whose pk range can't contain a changed key — with localized
+    # updates (the common shape: recent keys) the two merge-branch
+    # scans stop being full-table. One tiny agg over the pk-width
+    # sidecar just written.
+    row = (table.spark.read.parquet(tmp)
+           .agg(*[F.min(c).alias(f"lo_{c}") for c in pks],
+                *[F.max(c).alias(f"hi_{c}") for c in pks])
+           .collect()[0])
+    ranges = {}
+    for c in pks:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if isinstance(lo, (int, float, str)) \
+                and isinstance(hi, (int, float, str)) \
+                and not isinstance(lo, bool):
+            ranges[c] = [lo, hi]
+    with open(os.path.join(tmp, "_summary.json"), "w") as f:
+        json.dump({"ranges": ranges}, f)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
 
 
 def _sidecar_key_df(table: Table, from_snapshot: int,
-                    to_snapshot: int) -> DataFrame | None:
-    """Delta keys for (from, to] from commit-time sidecars — zero
-    manifest replay, zero delta-file scan. None unless EVERY non-compact
-    snapshot in the window has a sidecar (partial coverage would drop
-    changed keys, which is the one unsafe direction; a stale SUPERSET
-    would merely waste work, but the timestamped dir name rules even
-    that out)."""
+                    to_snapshot: int) -> tuple[DataFrame, object] | None:
+    """(delta keys, range predicate | None) for (from, to] from
+    commit-time sidecars — zero manifest replay, zero delta-file scan.
+    None unless EVERY non-compact snapshot in the window has a sidecar
+    (partial coverage would drop changed keys, which is the one unsafe
+    direction; a stale SUPERSET would merely waste work, but the
+    timestamped dir name rules even that out).
+
+    The range predicate is the per-pk-column union of the commits'
+    min/max summaries: sound for FILE SKIPPING in the restricted merge
+    reads (a file whose pk stats don't intersect the union can't hold a
+    changed key; every row of a changed key survives the row filter
+    because the filter is on the pk columns themselves)."""
+    import json
+
     from paimon_spark.metadata import COMMIT_COMPACT
+    from paimon_spark.predicates import P
     dirs: list[str] = []
     try:
         for sid in range(from_snapshot + 1, to_snapshot + 1):
@@ -82,11 +114,32 @@ def _sidecar_key_df(table: Table, from_snapshot: int,
         return None
     if not dirs:
         return None
+    ranges: dict[str, list] | None = {}
+    for d in dirs:
+        try:
+            with open(os.path.join(d, "_summary.json")) as f:
+                r = json.load(f)["ranges"]
+        except (OSError, ValueError, KeyError):
+            ranges = None
+            break
+        if ranges is None or set(r) != set(table.schema.primary_keys):
+            ranges = None
+            break
+        for c, (lo, hi) in r.items():
+            if c in ranges:
+                ranges[c] = [min(ranges[c][0], lo), max(ranges[c][1], hi)]
+            else:
+                ranges[c] = [lo, hi]
+    pred = None
+    if ranges:
+        pred = P.between(next(iter(ranges)), *ranges[next(iter(ranges))])
+        for c in list(ranges)[1:]:
+            pred = pred & P.between(c, *ranges[c])
     # no distinct: each sidecar is already per-commit distinct, the
     # consumers are leftsemi joins (duplicates can't change results),
     # and cross-commit overlap is bounded by the window's commit count
     # — cheaper than paying a shuffle to dedup the key side
-    return table.spark.read.parquet(*dirs)
+    return table.spark.read.parquet(*dirs), pred
 
 
 def _delta_key_df(table: Table, from_snapshot: int,
@@ -126,12 +179,17 @@ def _delta_key_df(table: Table, from_snapshot: int,
 
 
 def _merged_restricted(table: Table, snapshot_id: int | None,
-                       keys: DataFrame) -> DataFrame:
+                       keys: DataFrame, pred=None) -> DataFrame:
     """Merged state AT a snapshot, restricted to `keys` BEFORE the merge
     shuffle: the semi-join prunes unchanged keys' rows on the map side, so
-    the groupBy(pk) exchange carries O(changed keys), not O(table)."""
+    the groupBy(pk) exchange carries O(changed keys), not O(table).
+    `pred` (a pk-range predicate from the sidecar summaries) skips
+    FILES whose stats can't contain a changed key — sound because it
+    filters on the pk columns only, so every row of a surviving key
+    passes."""
     from paimon_spark.operators.merge import apply_merge
-    raw = table.read(snapshot_id=snapshot_id, with_hidden=True)
+    raw = table.read(predicate=pred, snapshot_id=snapshot_id,
+                     with_hidden=True)
     filt = raw.join(keys, table.schema.primary_keys, "leftsemi")
     return table._apply_defaults(apply_merge(filt, table.schema))
 
@@ -241,14 +299,17 @@ def derive_changelog(table: Table, from_snapshot: int | None,
 
     to_sid = to_snapshot if to_snapshot is not None \
         else table.paths.latest_snapshot_id()
-    keys, delta_bytes = None, 0
+    keys, delta_bytes, range_pred = None, 0, None
     if optimize and to_sid is not None:
         # commit-time sidecars first (zero manifest replay, tiny
-        # pk-width scan); manifest replay over the window's delta
-        # files only when a sidecar is missing (producer off, or the
-        # window predates enabling it)
-        keys = _sidecar_key_df(table, from_snapshot, to_sid)
-        if keys is None:
+        # pk-width scan, plus a pk-range predicate for file skipping);
+        # manifest replay over the window's delta files only when a
+        # sidecar is missing (producer off, or the window predates
+        # enabling it)
+        got = _sidecar_key_df(table, from_snapshot, to_sid)
+        if got is not None:
+            keys, range_pred = got
+        else:
             got = _delta_key_df(table, from_snapshot, to_sid)
             if got is not None:
                 keys, delta_bytes = got
@@ -274,8 +335,9 @@ def derive_changelog(table: Table, from_snapshot: int | None,
             # is noise when the key job itself dominates).
             if delta_bytes >= _KEYS_PERSIST_BYTES:
                 keys = keys.persist()
-            old = _merged_restricted(table, from_snapshot, keys)
-            new = _merged_restricted(table, to_sid, keys)
+            old = _merged_restricted(table, from_snapshot, keys,
+                                     range_pred)
+            new = _merged_restricted(table, to_sid, keys, range_pred)
         else:
             new = table.read(snapshot_id=to_snapshot) \
                 if to_snapshot is not None else table.read()

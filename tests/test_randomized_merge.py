@@ -263,12 +263,18 @@ def test_commit_time_changelog_keys_sidecar(spark, wh):
     assert [n.split("-")[1] for n in names] == ["1", "2", "3"], names
 
     # the sidecar path is taken and covers exactly the changed keys
-    keys = _sidecar_key_df(t, 1, 3)
-    assert keys is not None
+    got = _sidecar_key_df(t, 1, 3)
+    assert got is not None
+    keys, rng_pred = got
     got_keys = {r.k for r in keys.collect()}
     want_keys = set(range(0, 40, 4)) | {k for k in range(40) if k % 7 == 3}
     assert got_keys >= want_keys
     assert got_keys <= set(range(40))
+    # the _summary.json range predicate brackets the changed keys
+    assert rng_pred is not None
+    assert rng_pred.test_partition({"k": min(got_keys)})
+    assert rng_pred.test_partition({"k": max(got_keys)})
+    assert not rng_pred.test_partition({"k": max(got_keys) + 1})
 
     def canon(df):
         return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
@@ -290,7 +296,7 @@ def test_commit_time_changelog_keys_sidecar(spark, wh):
         ["1", "2"]
     t.append(spark.createDataFrame([(777, 1, 1.0)], SCHEMA))       # new s3
     keys3 = _sidecar_key_df(t, 2, 3)
-    assert keys3 is not None and {r.k for r in keys3.collect()} == {777}
+    assert keys3 is not None and {r.k for r in keys3[0].collect()} == {777}
     assert canon(derive_changelog(t, 2)) == \
         canon(derive_changelog(t, 2, optimize=False))
 
@@ -328,3 +334,50 @@ def test_randomized_changelog_sidecar_vs_unoptimized(spark, wh):
         fast = canon(derive_changelog(t, from_snap))
         slow = canon(derive_changelog(t, from_snap, optimize=False))
         assert fast == slow, f"diverged from snapshot {from_snap}"
+
+
+def test_changelog_sidecar_range_predicate_skips_files(spark, wh):
+    """Localized update: the sidecar's min/max summary becomes a pk-range
+    predicate on the restricted merge reads, so files whose stats can't
+    contain a changed key are SKIPPED (at 100 TB the merge branches stop
+    being full-table scans when changes are key-local). Asserts (a) the
+    changelog is identical to the unoptimized diff, (b) the restricted
+    reads actually received the range predicate, (c) the scanner prunes
+    the untouched low-key file under it."""
+    from unittest.mock import patch
+
+    from paimon_spark import P
+    from paimon_spark.operators.changelog import derive_changelog
+    t = Table.create(f"{wh}/cl_range", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k, float(k)) for k in range(100)], SCHEMA))          # s1
+    t.append(spark.createDataFrame(
+        [(k, k, float(k)) for k in range(100, 200)], SCHEMA))     # s2
+    t.append(spark.createDataFrame(
+        [(k, 7, 7.0) for k in range(150, 160)], SCHEMA))          # s3
+
+    seen_preds = []
+    orig = Table.read
+
+    def spy(self, predicate=None, **kw):
+        if kw.get("with_hidden"):
+            seen_preds.append(predicate)
+        return orig(self, predicate=predicate, **kw)
+
+    t._read_cache.clear()
+    with patch.object(Table, "read", spy):
+        cl = sorted((r.k, r.v, r._row_kind)
+                    for r in derive_changelog(t, 2).collect())
+    want = sorted([(k, k, "-U") for k in range(150, 160)]
+                  + [(k, 7, "+U") for k in range(150, 160)])
+    assert cl == want
+    assert len(seen_preds) == 2 and all(p is not None for p in seen_preds)
+    # the range predicate prunes the untouched files at plan time:
+    # s1's 0..99 file (and s2's 100..149 rows live in a file whose
+    # range 100..199 overlaps — kept)
+    plan = t.new_scan().plan(predicate=P.between("k", 150, 159),
+                             snapshot_id=3)
+    assert plan.files_skipped >= 1, plan.files_skipped
