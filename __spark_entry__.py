@@ -1420,6 +1420,46 @@ def image_near_dup(spark, sf_dir):
     return image_near_dup_pairs(assets, max_hamming=3)
 
 
+def url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup (r11): canonicalize synthetic crawl URLs (case
+    noise, default ports, tracking params, fragments, trailing slash)
+    and collapse to (canonical_url, keep_id, n_copies) — the first,
+    cheapest dedup pass a crawled corpus runs (RefinedWeb §3.2 dedups
+    by normalized URL before any content hashing). One hash groupBy;
+    the canonicalization is a pure Catalyst regex chain mirrored
+    verbatim in the DuckDB oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://www.")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"), (did % 40).cast("string"),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&utm_campaign=c"))
+        .when(did % 3 == 1, F.lit("/#frag")).otherwise(F.lit("")))
+    return TX.url_dedup(docs.withColumn("url", url), "url", "doc_id")
+
+
+def boilerplate_scrub(spark, sf_dir):
+    """Cross-corpus boilerplate sentence removal (r11): sentences whose
+    normalized form appears in ≥3 distinct documents (cookie banners /
+    footers / license blurbs — injected deterministically on every 4th
+    doc so the op has real work at every SF) are scrubbed and each
+    document's text is rebuilt in original sentence order. posexplode →
+    distinct-count groupBy → broadcast anti-join → reassembly groupBy;
+    nothing quadratic."""
+    docs = _read(spark, sf_dir, "documents")
+    banner = (". Subscribe to our newsletter today. "
+              "All rights reserved to the site operator")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(banner)))
+        .otherwise(F.col("text")))
+    return TX.scrub_boilerplate(aug, "doc_id", "text", min_docs=3)
+
+
 def ngram_lm_score(spark, sf_dir):
     """CCNet-style LM quality proxy (r10): avg log p(w2|w1) under the
     corpus's own add-k-smoothed bigram model — the KenLM-bucket filter
@@ -2337,7 +2377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster_preserves": zorder_cluster_preserves,
         "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
         # =========== gate cut-off (first 50 above) ======================
-        # the 11 r9-gated entries that spill below: lead the r12 window
+        # NEW in r11 (never gated) + the 11 r9-gated spill entries:
+        # together they lead the r12 window
+        "url_canonical_dedup": url_canonical_dedup,
+        "boilerplate_scrub": boilerplate_scrub,
         "sample_corpus": sample_corpus,
         "q3_top_revenue": q3_top_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -3094,6 +3137,27 @@ def oracle_sql() -> dict[str, str]:
             FROM surv JOIN lm USING (doc_id)
             WHERE lm.lm_score >= -6.5
             GROUP BY surv.lang""",
+        "url_canonical_dedup": f"""
+            WITH d AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                      ELSE 'https://www.' END
+                 || source || '.Example.COM'
+                 || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                 || '/d/' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&utm_campaign=c'
+                         WHEN doc_id % 3 = 1 THEN '/#frag'
+                         ELSE '' END) AS url
+              FROM documents)
+            SELECT {TX.sql_canonical_url('url')} AS canonical_url,
+                   min(doc_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM d GROUP BY 1""",
+        "boilerplate_scrub": TX.sql_scrub_boilerplate(
+            "(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN "
+            "'. Subscribe to our newsletter today. All rights reserved "
+            "to the site operator' ELSE '' END AS text FROM documents) "
+            "aug", min_docs=3),
         # pair selection re-derived from the driver-side dHash fixture:
         # same guard (equal-hash collapse to min-id rep + chain), same
         # band keys, exact xor/bit_count Hamming — only decode (pinned

@@ -694,3 +694,134 @@ def sql_ngram_lm_quality(table: str = "documents",
              CAST(count(*) AS BIGINT) AS n_bigrams
       FROM bg JOIN bc USING (bgr) JOIN uni USING (w1) CROSS JOIN v
       GROUP BY bg.id"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (r11)
+# ---------------------------------------------------------------------------
+
+# tracking params a crawl dedup strips before comparing URLs
+_URL_TRACK_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup — the first dedup pass a
+    crawled corpus runs (CCNet/RefinedWeb dedup by normalized URL
+    before any content hashing): lowercase scheme+host, drop the
+    fragment, strip tracking query params (utm_*/fbclid/gclid/
+    msclkid/ref), normalize the leftover separators, drop default
+    ports and the trailing slash. Pure Catalyst regex chain; DuckDB
+    mirror in sql_canonical_url() uses the same regexes."""
+    scheme_host = F.regexp_extract(
+        url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(url, F.length(scheme_host) + 1, F.lit(1 << 30))
+    head = F.lower(F.regexp_replace(scheme_host, r":(80|443)$", ""))
+    tail = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    tail = F.regexp_replace(tail, _URL_TRACK_RE, "")    # tracking params
+    tail = F.regexp_replace(tail, r"\?&+", "?")         # ?&x → ?x
+    tail = F.regexp_replace(tail, r"&&+", "&")          # x&&y → x&y
+    tail = F.regexp_replace(tail, r"[?&]+$", "")        # dangling ? / &
+    tail = F.regexp_replace(tail, r"/\?", "?")          # /?x → ?x
+    tail = F.regexp_replace(tail, r"/$", "")            # trailing slash
+    return F.concat(head, tail)
+
+
+def sql_canonical_url(x: str) -> str:
+    """DuckDB mirror of canonicalize_url (same regex chain)."""
+    # 'g' flags: Spark's regexp_replace replaces ALL matches, DuckDB's
+    # default is first-match-only — a URL with two utm params diverges
+    # without them
+    sh = f"regexp_extract({x}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    head = f"lower(regexp_replace({sh}, ':(80|443)$', ''))"
+    tail = f"substring({x}, length({sh}) + 1)"
+    tail = f"regexp_replace({tail}, '#.*$', '', 'g')"
+    tail = f"regexp_replace({tail}, '{_URL_TRACK_RE}', '', 'g')"
+    tail = f"regexp_replace({tail}, '\\?&+', '?', 'g')"
+    tail = f"regexp_replace({tail}, '&&+', '&', 'g')"
+    tail = f"regexp_replace({tail}, '[?&]+$', '', 'g')"
+    tail = f"regexp_replace({tail}, '/\?', '?', 'g')"
+    tail = f"regexp_replace({tail}, '/$', '', 'g')"
+    return f"({head} || {tail})"
+
+
+def url_dedup(df, url_col: str = "url", id_col: str = "doc_id"):
+    """(canonical_url, keep_id = min id, n_copies) per canonical URL:
+    one hash groupBy — the cheapest corpus-size reducer a crawl
+    pipeline runs before content dedup."""
+    return (df.withColumn("__cu", canonicalize_url(F.col(url_col)))
+            .groupBy(F.col("__cu").alias("canonical_url"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").cast("long").alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus boilerplate sentence scrub (r11)
+# ---------------------------------------------------------------------------
+
+def scrub_boilerplate(df, id_col: str = "doc_id", text_col: str = "text",
+                      min_docs: int = 3):
+    """Remove BOILERPLATE sentences — normalized sentences appearing in
+    ≥ min_docs distinct documents (cookie banners, nav footers, license
+    blurbs: the highest-volume noise in crawled corpora) — and rebuild
+    each document's text in original sentence order. Returns
+    (id, clean_text, n_sentences, n_removed).
+
+    Shape at 100 TB: one posexplode + one groupBy(normalized sentence)
+    with a map-side-combined distinct-count, the (small) boilerplate
+    set broadcast back as an anti-join, one groupBy(doc) to reassemble.
+    Nothing quadratic; the boilerplate table is bounded by sentences
+    that actually repeat across documents."""
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(sentences(F.col(text_col))).alias("__pos", "__s"))
+    sent = sent.withColumn("__n", F.lower(F.trim(F.col("__s"))))
+    bp = (sent.groupBy("__n")
+          .agg(F.count_distinct(id_col).alias("__nd"))
+          .filter(F.col("__nd") >= min_docs)
+          .select("__n"))
+    kept = sent.join(F.broadcast(bp), "__n", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__s"))),
+                            lambda r: r.getField("__s")),
+                        ". ").alias("clean_text"),
+                    F.count("*").alias("__kept")))
+    base = df.select(F.col(id_col),
+                     F.size(sentences(F.col(text_col)))
+                     .cast("long").alias("n_sentences"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_sentences",
+                    (F.col("n_sentences")
+                     - F.coalesce(F.col("__kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
+def sql_scrub_boilerplate(table: str = "documents",
+                          id_expr: str = "doc_id",
+                          text_expr: str = "text",
+                          min_docs: int = 3) -> str:
+    """DuckDB mirror of scrub_boilerplate (1-based positions; identical
+    '. ' reassembly)."""
+    sents = sql_sentences(text_expr)
+    return f"""
+      WITH d AS (SELECT {id_expr} AS id, {sents} AS ss FROM {table}),
+      s AS (SELECT id, CAST(i AS BIGINT) AS pos, ss[CAST(i AS BIGINT)] AS sent
+            FROM d, unnest(range(1, len(ss) + 1)) AS r(i)),
+      n AS (SELECT id, pos, sent, lower(trim(sent)) AS nrm FROM s),
+      bp AS (SELECT nrm FROM n GROUP BY nrm
+             HAVING count(DISTINCT id) >= {min_docs}),
+      kept AS (SELECT id, pos, sent FROM n
+               WHERE nrm NOT IN (SELECT nrm FROM bp)),
+      rebuilt AS (SELECT id,
+                         string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+                         count(*) AS kept_n
+                  FROM kept GROUP BY id)
+      SELECT d.id AS {id_expr},
+             coalesce(r.clean_text, '') AS clean_text,
+             CAST(len(d.ss) AS BIGINT) AS n_sentences,
+             CAST(len(d.ss) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed
+      FROM d LEFT JOIN rebuilt r USING (id)"""

@@ -653,3 +653,53 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, (sorted(got.items()), sorted(want.items()))
 
     check()
+
+
+def test_url_canonicalize_and_dedup(spark):
+    """Canonicalization edge cases: case-folded scheme+host (path case
+    preserved), default-port strip (non-default kept), tracking params
+    removed wherever they sit, real params kept, fragment dropped,
+    separators and trailing slash normalized."""
+    from paimon_spark.functions.text import canonicalize_url, url_dedup
+    rows = [
+        (1, "HTTPS://WWW.Site.COM/A/b?utm_source=x&id=7#frag"),
+        (2, "https://www.site.com/A/b?id=7"),
+        (3, "https://www.site.com:443/A/b/?utm_campaign=y&id=7"),
+        (4, "http://host.com:8080/p?utm_source=a&utm_medium=b"),
+        (5, "http://host.com:8080/p"),
+        (6, "https://other.com/A/b?id=7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.cu for r in df.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("cu")).collect()}
+    assert got[1] == got[2] == got[3] == "https://www.site.com/A/b?id=7"
+    assert got[4] == got[5] == "http://host.com:8080/p"   # non-default port kept
+    assert got[6] != got[1]
+    d = {r.canonical_url: (r.keep_id, r.n_copies)
+         for r in url_dedup(df, "url", "doc_id").collect()}
+    assert d["https://www.site.com/A/b?id=7"] == (1, 3)
+    assert d["http://host.com:8080/p"] == (4, 2)
+
+
+def test_scrub_boilerplate_order_and_threshold(spark):
+    """Boilerplate = normalized sentence in ≥ min_docs distinct docs
+    (CASE-insensitively); unique sentences survive in original order;
+    a doc that is pure boilerplate comes back empty."""
+    from paimon_spark.functions.text import scrub_boilerplate
+    banner = "All rights reserved"
+    rows = [
+        (1, f"Alpha first. {banner}. Alpha last"),
+        (2, f"Beta one. {banner.lower()}. Beta two"),
+        (3, f"{banner}. Gamma solo"),
+        (4, f"{banner}"),                       # pure boilerplate
+        (5, "Unique doc with no banner. Second sentence"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_sentences, r.n_removed)
+           for r in scrub_boilerplate(df, "doc_id", "text",
+                                      min_docs=3).collect()}
+    assert got[1] == ("Alpha first. Alpha last", 3, 1)
+    assert got[2] == ("Beta one. Beta two", 3, 1)
+    assert got[3] == ("Gamma solo", 2, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("Unique doc with no banner. Second sentence", 2, 0)
