@@ -344,10 +344,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # edges compound it — Catalyst analysis time grows superlinearly in
     # iterations (measured 10.2 s → 2.9 s on sf0.1 clusters). Same
     # reason GraphX checkpoints iterative state.
-    nodes = (edges0.select(F.col("src").alias("id"))
-             .union(edges0.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint())
+    # checkpoint edges FIRST, then derive nodes from the checkpointed
+    # edges: (a) the upstream pairs plan (LSH joins, windows, unions)
+    # is analyzed and executed once, not twice; (b) a Union whose two
+    # children project different columns of the same complex upstream
+    # plan trips Spark 4.1's UnionBase.rewriteConstraints
+    # (NoSuchElementException: key not found) when that plan carries
+    # cross-column constraints — union over the flat LogicalRDD can't.
     edges = edges0.distinct().localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("id"))
+             .union(edges.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint())
     converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
