@@ -10,6 +10,17 @@ Producers (ref: CoreOptions.java:4963-4972):
    LookupChangelogMergeFunctionWrapper.java:54); Spark-first, the same
   semantics is one full-outer join of the two merged states — shuffle on
   the PK, no point reads, scales with the cluster.
+
+Read-path tiers for derived changelog (best available wins):
+1. `lookup` producer — per-commit changelog ROWS are materialized at
+   commit (the reference's actual lookup-producer behavior); a window
+   read collapses the precomputed files with one narrow groupBy, zero
+   table scans, O(window changes) I/O at any table size.
+2. `full-compaction` producer (or lookup windows predating rows) —
+   per-commit KEY sidecars restrict the two merge scans (plus a
+   pk-range predicate for file skipping); no manifest replay.
+3. no producer — manifest replay derives the delta key set; falls back
+   to the full-table single-scan diff when history was rewritten.
 """
 
 from __future__ import annotations
@@ -80,6 +91,88 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
         json.dump({"ranges": ranges}, f)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
+
+
+def _rows_dir(paths, snap) -> str:
+    """Per-snapshot precomputed CHANGELOG-ROWS directory (lookup
+    producer). Same timestamp-in-name identity contract as the key
+    sidecars."""
+    return os.path.join(paths.meta_root, "changelog-rows",
+                        f"cl-{snap.id}-{snap.timestamp_ms}")
+
+
+def write_changelog_rows(table: Table, snap) -> None:
+    """COMMIT-TIME changelog production (changelog-producer=lookup):
+    materialize this commit's -U/+U/-D/+I rows — the reference's actual
+    lookup-producer behavior (changelog FILES written during the
+    commit, LookupChangelogMergeFunctionWrapper.java:54), not just the
+    key set. Cost per commit: the restricted diff of (prev, this)
+    states over the commit's keys (the key sidecar written just before
+    restricts both merge scans). Every windowed changelog read
+    afterwards COLLAPSES these files with one narrow groupBy — zero
+    table scans, O(window changes) I/O regardless of table size."""
+    rows = derive_changelog(table, snap.id - 1, snap.id, optimize=True)
+    out = _rows_dir(table.paths, snap)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+
+
+def _collapsed_from_rows(table: Table, from_snapshot: int,
+                         to_snapshot: int) -> DataFrame | None:
+    """Changelog for (from, to] by collapsing the per-commit changelog
+    files: for each key, the window's pre-image is the retraction image
+    AT the first event's snapshot (none if the first event is +I — the
+    key did not exist at `from`), the post-image is the addition image
+    AT the last event's snapshot (none if the last event is -D). A key
+    whose endpoints are equal (insert-then-delete, value restored)
+    emits nothing — exactly the diff-of-merged-states semantics. One
+    narrow scan + one groupBy; never touches the table's data files.
+    None unless EVERY non-compact snapshot in the window has a rows
+    dir."""
+    from paimon_spark.metadata import COMMIT_COMPACT
+    dirs: list[tuple[int, str]] = []
+    try:
+        for sid in range(from_snapshot + 1, to_snapshot + 1):
+            snap = table.paths.read_snapshot(sid)
+            if snap.commit_kind == COMMIT_COMPACT:
+                continue
+            d = _rows_dir(table.paths, snap)
+            if not os.path.isdir(d):
+                return None
+            dirs.append((sid, d))
+    except FileNotFoundError:
+        return None
+    if not dirs:
+        return None
+    schema = table.schema
+    pks = schema.primary_keys
+    vals = [c for c in schema.field_names if c not in pks]
+    parts = [table.spark.read.parquet(d).withColumn("__sid", F.lit(sid))
+             for sid, d in dirs]
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    retract = F.col(KIND_COL).isin("-U", "-D")
+    add = F.col(KIND_COL).isin("+I", "+U")
+    img = F.struct(*vals)
+    g = (ev.groupBy(*pks).agg(
+        F.min("__sid").alias("__first"),
+        F.max("__sid").alias("__last"),
+        F.min(F.when(retract, F.col("__sid"))).alias("__first_r"),
+        F.max(F.when(add, F.col("__sid"))).alias("__last_a"),
+        F.min_by(F.when(retract, img),
+                 F.when(retract, F.col("__sid"))).alias("__oc"),
+        F.max_by(F.when(add, img),
+                 F.when(add, F.col("__sid"))).alias("__nc")))
+    return g.select(
+        *pks,
+        F.when(F.col("__first_r") == F.col("__first"),
+               F.col("__oc")).alias("__old"),
+        F.when(F.col("__last_a") == F.col("__last"),
+               F.col("__nc")).alias("__new"))
 
 
 def _sidecar_key_df(table: Table, from_snapshot: int,
@@ -300,8 +393,13 @@ def derive_changelog(table: Table, from_snapshot: int | None,
     to_sid = to_snapshot if to_snapshot is not None \
         else table.paths.latest_snapshot_id()
     keys, delta_bytes, range_pred = None, 0, None
+    j = None
     if optimize and to_sid is not None:
-        # commit-time sidecars first (zero manifest replay, tiny
+        # best: commit-time changelog ROWS (lookup producer) — collapse
+        # the window's precomputed files, zero table scans
+        j = _collapsed_from_rows(table, from_snapshot, to_sid)
+    if j is None and optimize and to_sid is not None:
+        # next: commit-time key sidecars (zero manifest replay, tiny
         # pk-width scan, plus a pk-range predicate for file skipping);
         # manifest replay over the window's delta files only when a
         # sidecar is missing (producer off, or the window predates
@@ -313,8 +411,7 @@ def derive_changelog(table: Table, from_snapshot: int | None,
             got = _delta_key_df(table, from_snapshot, to_sid)
             if got is not None:
                 keys, delta_bytes = got
-    j = None
-    if keys is None and to_sid is not None:
+    if j is None and keys is None and to_sid is not None:
         # FULL diff: ONE bucketed scan of old∪new files, rows tagged by
         # origin side, pairing groupBy on the scan's partitioning —
         # zero exchange end to end (deduplicate engine + bucketed-view

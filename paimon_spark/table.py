@@ -1934,15 +1934,16 @@ class Table:
                                        f"stats-{sid}.json"))
             except OSError:
                 pass
-            # changelog-key sidecars of undone commits: the timestamped
-            # dir name already prevents a reused id from reading them,
-            # this just reclaims the disk
+            # changelog key/row sidecars of undone commits: the
+            # timestamped dir names already prevent a reused id from
+            # reading them, this just reclaims the disk
             import glob as _glob
             import shutil as _shutil
-            for d in _glob.glob(os.path.join(
-                    self.paths.meta_root, "changelog-keys",
-                    f"keys-{sid}-*")):
-                _shutil.rmtree(d, ignore_errors=True)
+            for pat in (("changelog-keys", f"keys-{sid}-*"),
+                        ("changelog-rows", f"cl-{sid}-*")):
+                for d in _glob.glob(os.path.join(self.paths.meta_root,
+                                                 *pat)):
+                    _shutil.rmtree(d, ignore_errors=True)
         self.paths.write_latest_hint(snapshot_id)
         if self.schema.cross_partition_update:
             # the pk→partition index reflects the undone commits; drop it
@@ -2024,19 +2025,22 @@ class Table:
 
     def _drop_expired_changelog_keys(self) -> None:
         """Sidecar GC: a changelog window (from, to] can only start at
-        an EXISTING snapshot, so key sidecars strictly below the
+        an EXISTING snapshot, so key/row sidecars strictly below the
         earliest snapshot are unreachable — reclaim them."""
-        d = os.path.join(self.paths.meta_root, "changelog-keys")
         earliest = self.paths.earliest_snapshot_id()
-        if earliest is None or not os.path.isdir(d):
+        if earliest is None:
             return
-        for n in os.listdir(d):
-            try:
-                sid = int(n.split("-")[1])
-            except (IndexError, ValueError):
+        for sub in ("changelog-keys", "changelog-rows"):
+            d = os.path.join(self.paths.meta_root, sub)
+            if not os.path.isdir(d):
                 continue
-            if sid < earliest:
-                shutil.rmtree(os.path.join(d, n), ignore_errors=True)
+            for n in os.listdir(d):
+                try:
+                    sid = int(n.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if sid < earliest:
+                    shutil.rmtree(os.path.join(d, n), ignore_errors=True)
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""

@@ -819,13 +819,20 @@ class BatchWriter:
         COMPACT commits never change merged state — no sidecar, exactly
         like _delta_key_df skips them at read time. Cost: one
         map-side-combined distinct over the batch just written."""
+        producer = self.schema.options.get("changelog-producer", "none")
         if (not self.schema.is_pk_table or not entries
                 or kind == COMMIT_COMPACT
-                or self.schema.options.get("changelog-producer", "none")
-                not in ("lookup", "full-compaction")):
+                or producer not in ("lookup", "full-compaction")):
             return
-        from paimon_spark.operators.changelog import write_changelog_keys
+        from paimon_spark.operators.changelog import (write_changelog_keys,
+                                                      write_changelog_rows)
         write_changelog_keys(self.table, snap, entries)
+        if producer == "lookup":
+            # the reference's lookup producer writes the changelog ROWS
+            # at commit (LookupChangelogMergeFunctionWrapper.java:54);
+            # full-compaction keeps commits cheap and derives from the
+            # key sidecars at read time instead
+            write_changelog_rows(self.table, snap)
 
     def _post_commit(self, snap: Snapshot, kind: str) -> None:
         """Auto-maintenance the reference performs inside its committer:

@@ -344,6 +344,7 @@ def test_changelog_sidecar_range_predicate_skips_files(spark, wh):
     changelog is identical to the unoptimized diff, (b) the restricted
     reads actually received the range predicate, (c) the scanner prunes
     the untouched low-key file under it."""
+    import os
     from unittest.mock import patch
 
     from paimon_spark import P
@@ -367,12 +368,24 @@ def test_changelog_sidecar_range_predicate_skips_files(spark, wh):
             seen_preds.append(predicate)
         return orig(self, predicate=predicate, **kw)
 
+    want = sorted([(k, k, "-U") for k in range(150, 160)]
+                  + [(k, 7, "+U") for k in range(150, 160)])
+    # lookup producer: precomputed changelog ROWS collapse — the table
+    # is never read at all
     t._read_cache.clear()
     with patch.object(Table, "read", spy):
         cl = sorted((r.k, r.v, r._row_kind)
                     for r in derive_changelog(t, 2).collect())
-    want = sorted([(k, k, "-U") for k in range(150, 160)]
-                  + [(k, 7, "+U") for k in range(150, 160)])
+    assert cl == want
+    assert seen_preds == []
+    # rows dirs removed → key-sidecar path: two restricted reads, BOTH
+    # carrying the pk-range predicate
+    import shutil as _sh
+    _sh.rmtree(os.path.join(t.paths.meta_root, "changelog-rows"))
+    t._read_cache.clear()
+    with patch.object(Table, "read", spy):
+        cl = sorted((r.k, r.v, r._row_kind)
+                    for r in derive_changelog(t, 2).collect())
     assert cl == want
     assert len(seen_preds) == 2 and all(p is not None for p in seen_preds)
     # the range predicate prunes the untouched files at plan time:
