@@ -63,7 +63,11 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
     import json
 
     out = _keys_dir(table.paths, snap)
-    tmp = out + ".tmp"
+    # underscore prefix: hidden from Spark/Hadoop file listings, so a
+    # streaming tail of the sibling changelog-rows dirs (and any direct
+    # reader) can never observe a half-written sidecar
+    tmp = os.path.join(os.path.dirname(out),
+                       "_tmp-" + os.path.basename(out))
     shutil.rmtree(tmp, ignore_errors=True)
     pks = table.schema.primary_keys
     (table._read_files(list(entries))
@@ -113,7 +117,8 @@ def write_changelog_rows(table: Table, snap) -> None:
     table scans, O(window changes) I/O regardless of table size."""
     rows = derive_changelog(table, snap.id - 1, snap.id, optimize=True)
     out = _rows_dir(table.paths, snap)
-    tmp = out + ".tmp"
+    tmp = os.path.join(os.path.dirname(out),
+                       "_tmp-" + os.path.basename(out))
     shutil.rmtree(tmp, ignore_errors=True)
     rows.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(out, ignore_errors=True)

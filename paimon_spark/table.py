@@ -2543,6 +2543,31 @@ class Table:
             return sdf.select(*self.schema.field_names, F.col(KIND_COL))
         return sdf.select(*self.schema.field_names)
 
+    def read_changelog_stream(self) -> DataFrame:
+        """Continuous CDC tail of a lookup-producer PK table: Spark's
+        JVM FileStreamSource tails the commit-time changelog files
+        (changelog-rows/cl-<sid>-<ts>/), so each commit's -U/+U/-D/+I
+        rows arrive as they are produced — FULL retraction semantics
+        (the input-changelog stream faces only carry the written rows'
+        kinds; this stream carries the DERIVED pre-images the reference
+        lookup producer materializes,
+        ref: LookupChangelogMergeFunctionWrapper.java:54). Zero Python
+        in the data plane; works with any trigger. The first commit's
+        changelog is the full initial state as +I rows, so a fresh
+        subscriber reconstructs state then follows updates — the same
+        contract as latest-full."""
+        if self.schema.options.get("changelog-producer") != "lookup":
+            raise ValueError(
+                "read_changelog_stream requires "
+                "changelog-producer=lookup (commit-time changelog rows)")
+        base = os.path.join(self.paths.meta_root, "changelog-rows")
+        os.makedirs(base, exist_ok=True)
+        fields = [self.schema.struct[f] for f in self.schema.field_names]
+        st = T.StructType(list(fields)
+                          + [T.StructField(KIND_COL, T.StringType(), True)])
+        return (self.spark.readStream.schema(st)
+                .parquet(os.path.join(base, "cl-*")))
+
     def read_incremental(self, from_snapshot: int | str, to_snapshot: int | str,
                          with_kind: bool = True) -> DataFrame:
         """Rows added between two snapshots — bounds may be snapshot ids OR
