@@ -308,6 +308,7 @@ def test_randomized_changelog_sidecar_vs_unoptimized(spark, wh):
     full-table diff exactly."""
     from paimon_spark import P
     from paimon_spark.operators.changelog import derive_changelog
+    import time as _time
     rnd = random.Random(41)
     t = Table.create(f"{wh}/cl_rand_sc", SCHEMA, primary_keys=["k"],
                      options={"bucket": "2",
@@ -315,17 +316,28 @@ def test_randomized_changelog_sidecar_vs_unoptimized(spark, wh):
                      spark=spark)
     t.append(spark.createDataFrame(
         [(k, k % 7, float(k)) for k in range(60)], SCHEMA))
-    for step in range(6):
-        op = rnd.choice(["upsert", "delete", "compact", "upsert"])
+    for step in range(8):
+        op = rnd.choice(["upsert", "delete", "compact", "upsert",
+                         "rollback"])
         if op == "upsert":
             rows = [(rnd.randrange(0, 80), rnd.randrange(0, 100),
                      float(rnd.randrange(0, 500))) for _ in range(10)]
             t.append(spark.createDataFrame(rows, SCHEMA))
         elif op == "delete":
             t.delete_where(P.expr(f"k % 9 = {rnd.randrange(0, 9)}"))
+        elif op == "rollback":
+            # rollback + id reuse: stale rows/keys sidecars must never
+            # be read for the recommitted ids (timestamped dir names)
+            latest_now = t.paths.latest_snapshot_id()
+            if latest_now > 2:
+                t.rollback_to(rnd.randrange(2, latest_now))
+                _time.sleep(0.002)
         else:
             t.compact(full=rnd.random() < 0.5)
     latest = t.paths.latest_snapshot_id()
+    if latest < 4:
+        t.append(spark.createDataFrame([(1, 1, 1.0)], SCHEMA))
+        latest = t.paths.latest_snapshot_id()
 
     def canon(df):
         return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
