@@ -406,3 +406,47 @@ def test_changelog_sidecar_range_predicate_skips_files(spark, wh):
     plan = t.new_scan().plan(predicate=P.between("k", 150, 159),
                              snapshot_id=3)
     assert plan.files_skipped >= 1, plan.files_skipped
+
+
+def test_changelog_rows_collapse_edge_cases(spark, wh):
+    """Collapse semantics of the precomputed changelog files must equal
+    diff-of-merged-states on the tricky windows: a key inserted then
+    deleted inside the window emits NOTHING; a value changed and then
+    restored emits NOTHING; a key updated twice emits only the endpoint
+    -U/+U pair (no intermediate images)."""
+    from paimon_spark import P
+    from paimon_spark.operators.changelog import (_collapsed_from_rows,
+                                                  derive_changelog)
+    t = Table.create(f"{wh}/cl_edge", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)], SCHEMA))      # s1
+    t.append(spark.createDataFrame([(9, 90, 9.0)], SCHEMA))       # s2 insert
+    t.append(spark.createDataFrame([(1, 11, 1.0)], SCHEMA))       # s3 1st upd
+    t.append(spark.createDataFrame([(1, 12, 1.0)], SCHEMA))       # s4 2nd upd
+    t.delete_where(P.expr("k = 9"))                               # s5 del 9
+    t.append(spark.createDataFrame([(2, 99, 2.0)], SCHEMA))       # s6 change
+    t.append(spark.createDataFrame([(2, 20, 2.0)], SCHEMA))       # s7 restore
+
+    # the collapse path is actually taken for the whole window
+    assert _collapsed_from_rows(t, 1, 7) is not None
+    got = sorted((r.k, r.v, r._row_kind)
+                 for r in derive_changelog(t, 1).collect())
+    # key 9: insert+delete inside window → nothing; key 2: restored →
+    # nothing; key 1: endpoints only (10→12, not 10→11→12); key 3:
+    # untouched → nothing
+    assert got == [(1, 10, "-U"), (1, 12, "+U")], got
+    # matches the unoptimized full diff exactly
+    slow = sorted((r.k, r.v, r._row_kind)
+                  for r in derive_changelog(t, 1, optimize=False).collect())
+    assert got == slow
+    # a window that OPENS mid-history: (5, 7] sees only key 2's no-op
+    got57 = sorted((r.k, r.v, r._row_kind)
+                   for r in derive_changelog(t, 5, 7).collect())
+    assert got57 == []
+    # (4, 6]: delete of 9 and the 2→99 change
+    got46 = sorted((r.k, r.v, r._row_kind)
+                   for r in derive_changelog(t, 4, 6).collect())
+    assert got46 == [(2, 20, "-U"), (2, 99, "+U"), (9, 90, "-D")], got46
