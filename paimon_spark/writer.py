@@ -822,6 +822,11 @@ class BatchWriter:
         producer = self.schema.options.get("changelog-producer", "none")
         if (not self.schema.is_pk_table or not entries
                 or kind == COMMIT_COMPACT
+                # postpone tables (bucket=-2): pending writes are not
+                # merged-readable until rescale assigns buckets, so
+                # commit-time changelog derivation would be wrong-by-
+                # construction — the rescale commit is the state change
+                or self.schema.num_buckets == -2
                 or producer not in ("lookup", "full-compaction")):
             return
         from paimon_spark.operators.changelog import (write_changelog_keys,
