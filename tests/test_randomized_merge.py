@@ -450,3 +450,44 @@ def test_changelog_rows_collapse_edge_cases(spark, wh):
     got46 = sorted((r.k, r.v, r._row_kind)
                    for r in derive_changelog(t, 4, 6).collect())
     assert got46 == [(2, 20, "-U"), (2, 99, "+U"), (9, 90, "-D")], got46
+
+
+def test_changelog_producer_enabled_mid_history(spark, wh):
+    """Turning changelog-producer=lookup ON for an existing table: new
+    commits get rows+keys sidecars; windows that reach BEFORE the
+    enable point silently fall back to manifest replay (partial sidecar
+    coverage must never drop changed keys), windows entirely after it
+    take the rows-collapse path."""
+    import os
+
+    from paimon_spark.operators.changelog import (_collapsed_from_rows,
+                                                  _sidecar_key_df,
+                                                  derive_changelog)
+    t = Table.create(f"{wh}/cl_mid", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2"}, spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k, float(k)) for k in range(20)], SCHEMA))           # s1
+    t.append(spark.createDataFrame([(3, 33, 3.0)], SCHEMA))       # s2
+    t.alter(lambda sc: sc.set_option("changelog-producer", "lookup"))
+    t.append(spark.createDataFrame([(5, 55, 5.0)], SCHEMA))       # s3
+    t.append(spark.createDataFrame([(3, 34, 3.0)], SCHEMA))       # s4
+    sc_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    assert sorted(n.split("-")[1] for n in os.listdir(sc_dir)) == ["3", "4"]
+
+    # window reaching before the enable point: no sidecar/rows tier
+    assert _collapsed_from_rows(t, 1, 4) is None
+    assert _sidecar_key_df(t, 1, 4) is None
+    # window after: rows tier available
+    assert _collapsed_from_rows(t, 2, 4) is not None
+
+    def canon(from_snap):
+        return sorted((r.k, r.v, r._row_kind)
+                      for r in derive_changelog(t, from_snap).collect())
+
+    for f in (1, 2, 3):
+        t._read_cache.clear()
+        fast = canon(f)
+        t._read_cache.clear()
+        slow = sorted((r.k, r.v, r._row_kind) for r in
+                      derive_changelog(t, f, optimize=False).collect())
+        assert fast == slow, f
