@@ -1456,6 +1456,22 @@ def url_canonical_dedup(spark, sf_dir):
     return TX.url_dedup(docs.withColumn("url", url), "url", "doc_id")
 
 
+def gopher_quality(spark, sf_dir):
+    """Gopher rule gate (r11, Rae et al. 2021 A1): the standard
+    pre-LM heuristic filter — word-count bounds, mean word length,
+    symbol ratio, bullet/ellipsis line ratios, stopword presence —
+    per document plus the conjunctive pass flag. Pure Catalyst;
+    the oracle re-derives every rule with identical arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(F.col("text"), min_words=10)
+    return docs.select(
+        "doc_id",
+        *[rules[k].alias(k) for k in
+          ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+           "bullet_ratio_ok", "ellipsis_ratio_ok", "stopword_ok")],
+        rules["pass"].alias("passes"))
+
+
 def boilerplate_scrub(spark, sf_dir):
     """Cross-corpus boilerplate sentence removal (r11): sentences whose
     normalized form appears in ≥3 distinct documents (cookie banners /
@@ -2396,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # together they lead the r12 window
         "url_canonical_dedup": url_canonical_dedup,
         "boilerplate_scrub": boilerplate_scrub,
+        "gopher_quality": gopher_quality,
         "sample_corpus": sample_corpus,
         "q3_top_revenue": q3_top_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -3168,6 +3185,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM d GROUP BY 1""",
+        "gopher_quality": (lambda r: f"""
+            SELECT doc_id,
+                   {r['word_count_ok']} AS word_count_ok,
+                   {r['mean_word_len_ok']} AS mean_word_len_ok,
+                   {r['symbol_ratio_ok']} AS symbol_ratio_ok,
+                   {r['bullet_ratio_ok']} AS bullet_ratio_ok,
+                   {r['ellipsis_ratio_ok']} AS ellipsis_ratio_ok,
+                   {r['stopword_ok']} AS stopword_ok,
+                   ({r['word_count_ok']} AND {r['mean_word_len_ok']}
+                    AND {r['symbol_ratio_ok']} AND {r['bullet_ratio_ok']}
+                    AND {r['ellipsis_ratio_ok']} AND {r['stopword_ok']})
+                       AS passes
+            FROM documents""")(TX.sql_gopher_rules("text", min_words=10)),
         "boilerplate_scrub": TX.sql_scrub_boilerplate(
             "(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN "
             "'. Subscribe to our newsletter today. All rights reserved "

@@ -825,3 +825,100 @@ def sql_scrub_boilerplate(table: str = "documents",
              CAST(len(d.ss) AS BIGINT) AS n_sentences,
              CAST(len(d.ss) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed
       FROM d LEFT JOIN rebuilt r USING (id)"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (r11)
+# ---------------------------------------------------------------------------
+
+def gopher_rules(col: Column,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_stop_hits: int = 2):
+    """The Gopher corpus-quality rule set (Rae et al. 2021, table A1),
+    pure Catalyst — the standard pre-LM heuristic gate a curation
+    pipeline applies before any model-based scoring. Returns a dict of
+    named boolean Columns plus the conjunctive `pass` Column:
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10]
+    - symbol-to-word ratio (# and … per word) ≤ 0.1
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    - ≥ 2 distinct common-English stopword hits (gibberish screen)
+
+    DuckDB mirror: sql_gopher_rules() — identical arithmetic, so the
+    gate hashes match bit-for-bit."""
+    w = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    n_words = F.size(w)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("double"),
+                    lambda acc, x: acc + F.length(x)) / n_words
+    ).otherwise(F.lit(0.0))
+    n_sym = (F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\."), 0)))
+    lines = F.filter(F.split(col, "\n"), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    bullet = F.when(n_lines > 0, F.size(F.filter(
+        lines, lambda s: F.trim(s).rlike(r"^[-*•]"))) / n_lines
+    ).otherwise(F.lit(0.0))
+    ellip = F.when(n_lines > 0, F.size(F.filter(
+        lines, lambda s: F.trim(s).rlike(r"\.\.\.$"))) / n_lines
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(tokens(col)),
+        F.array(*[F.lit(s) for s in EN_STOP])))
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": F.when(
+            n_words > 0, n_sym / n_words <= max_symbol_ratio
+        ).otherwise(F.lit(False)),
+        "bullet_ratio_ok": bullet <= max_bullet_ratio,
+        "ellipsis_ratio_ok": ellip <= max_ellipsis_ratio,
+        "stopword_ok": stop_hits >= min_stop_hits,
+    }
+    ok = F.lit(True)
+    for c in rules.values():
+        ok = ok & c
+    rules["pass"] = ok
+    return rules
+
+
+def sql_gopher_rules(x: str, min_words: int = 50,
+                     max_words: int = 100_000,
+                     min_stop_hits: int = 2) -> dict[str, str]:
+    """DuckDB mirrors of gopher_rules (same fixed 3/10/0.1/0.9/0.3
+    thresholds)."""
+    w = f"list_filter(regexp_split_to_array({x}, '\\s+'), t -> t <> '')"
+    nw = f"len({w})"
+    mean = (f"CASE WHEN {nw} > 0 THEN "
+            f"list_sum(list_transform({w}, t -> length(t))) * 1.0 / {nw} "
+            f"ELSE 0.0 END")
+    nsym = f"len(regexp_extract_all({x}, '#|\\.\\.\\.'))"
+    lines = (f"list_filter(regexp_split_to_array({x}, '\\n'), "
+             f"s -> trim(s) <> '')")
+    nl = f"len({lines})"
+    bullet = (f"CASE WHEN {nl} > 0 THEN len(list_filter({lines}, "
+              f"s -> regexp_matches(trim(s), '^[-*•]'))) * 1.0 "
+              f"/ {nl} ELSE 0.0 END")
+    ellip = (f"CASE WHEN {nl} > 0 THEN len(list_filter({lines}, "
+             f"s -> regexp_matches(trim(s), '\\.\\.\\.$'))) * 1.0 "
+             f"/ {nl} ELSE 0.0 END")
+    stops = ", ".join(f"'{s}'" for s in EN_STOP)
+    sh = (f"len(list_intersect(list_distinct({sql_tokens(x)}), "
+          f"[{stops}]))")
+    return {
+        "word_count_ok": f"({nw} >= {min_words} AND {nw} <= {max_words})",
+        "mean_word_len_ok": f"({mean} >= 3.0 AND {mean} <= 10.0)",
+        "symbol_ratio_ok": (f"(CASE WHEN {nw} > 0 THEN "
+                            f"{nsym} * 1.0 / {nw} <= 0.1 "
+                            f"ELSE FALSE END)"),
+        "bullet_ratio_ok": f"({bullet} <= 0.9)",
+        "ellipsis_ratio_ok": f"({ellip} <= 0.3)",
+        "stopword_ok": f"({sh} >= {min_stop_hits})",
+    }

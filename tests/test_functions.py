@@ -703,3 +703,30 @@ def test_scrub_boilerplate_order_and_threshold(spark):
     assert got[3] == ("Gamma solo", 2, 1)
     assert got[4] == ("", 1, 1)
     assert got[5] == ("Unique doc with no banner. Second sentence", 2, 0)
+
+
+def test_gopher_rules_edges(spark):
+    """Gopher rule set edge behavior: too-short doc fails word count,
+    bullet-heavy doc fails bullet ratio, ellipsis-heavy doc fails
+    ellipsis ratio, gibberish fails stopword screen, a normal doc
+    passes; empty text fails without dividing by zero."""
+    from paimon_spark.functions.text import gopher_rules
+    good = ("the quick brown fox jumps over the lazy dog and it is a "
+            "good day for all of us to read the news in the park ") * 3
+    bullets = "\n".join(f"- item {i} in the list of the day" for i in range(10)) \
+        + "\nplain closing line for the doc " + ("word " * 60)
+    ellipsis = "\n".join(f"line {i} trails off..." for i in range(10)) \
+        + "\n" + ("the a of to and in is it that for " * 8)
+    gibberish = " ".join(f"zxq{i}" for i in range(80))
+    rows = [(1, good), (2, "too short"), (3, bullets), (4, ellipsis),
+            (5, gibberish), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = gopher_rules(F.col("text"))
+    got = {r.doc_id: r.asDict() for r in df.select(
+        "doc_id", *[rules[k].alias(k) for k in rules]).collect()}
+    assert got[1]["pass"] is True
+    assert got[2]["word_count_ok"] is False and got[2]["pass"] is False
+    assert got[3]["bullet_ratio_ok"] is False
+    assert got[4]["ellipsis_ratio_ok"] is False
+    assert got[5]["stopword_ok"] is False and got[5]["pass"] is False
+    assert got[6]["pass"] is False       # empty: no div-by-zero, fails
