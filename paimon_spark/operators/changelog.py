@@ -285,9 +285,22 @@ def _merged_restricted(table: Table, snapshot_id: int | None,
     FILES whose stats can't contain a changed key — sound because it
     filters on the pk columns only, so every row of a surviving key
     passes."""
-    from paimon_spark.operators.merge import apply_merge
+    from paimon_spark.operators.merge import apply_merge, stable_tie_struct
+    from paimon_spark.schema import TIE_COL
     raw = table.read(predicate=pred, snapshot_id=snapshot_id,
                      with_hidden=True)
+    # attach the stable tie WHILE _metadata is still resolvable:
+    # apply_merge's own probe skips Join plans, and without the tie the
+    # restricted merge breaks equal-sequence ties arbitrarily — a
+    # DIFFERENT winner than the full read picks, which surfaced as
+    # per-commit changelogs disagreeing with the merged states under
+    # concurrent writers (r11 model test)
+    try:
+        cand = raw.withColumn(TIE_COL, stable_tie_struct())
+        cand.schema
+        raw = cand
+    except Exception:                                  # noqa: BLE001
+        pass
     filt = raw.join(keys, table.schema.primary_keys, "leftsemi")
     return table._apply_defaults(apply_merge(filt, table.schema))
 
@@ -328,17 +341,27 @@ def _single_scan_pairs(table: Table, s_old: int, s_new: int,
     fmap = table.spark.createDataFrame(
         [(names[p], p in old_set, p in new_set) for p in ents],
         "__fn string, __in_old boolean, __in_new boolean")
+    from paimon_spark.operators.merge import stable_tie_struct
     df = table._apply_defaults(df)
+    # __tie materialized WHILE _metadata is still resolvable (it is a
+    # scan pseudo-column; the joins below lose it). The tie component
+    # is REQUIRED here, not a nicety: concurrent writers bake equal
+    # sequences, and an ordering without the stable file tie makes each
+    # max_by pick an iteration-arbitrary winner — the diff then
+    # disagrees with the merged reads' tie rule (and can even report no
+    # change where the tie semantics say one happened).
     d2 = (df.withColumn(
               "__fn",
               F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+          .withColumn("__tie", stable_tie_struct())
           .join(F.broadcast(fmap), "__fn"))
     if keys is not None:
         # un-hinted: AQE broadcasts a small key set at runtime; a huge
         # one shuffles ONLY the keys side to the scan's partitioning,
         # so the zero-exchange property of the big side holds either way
         d2 = d2.join(keys, pks, "leftsemi")
-    order = order_struct(schema)
+    order = F.struct(order_struct(schema).alias("o"),
+                     F.col("__tie").alias("tie"))
     row = F.struct(*[F.col(c) for c in vals], F.col(KIND_COL))
     oldt = F.max_by(F.when(F.col("__in_old"), row),
                     F.when(F.col("__in_old"), order))

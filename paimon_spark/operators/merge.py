@@ -341,18 +341,38 @@ def _with_tie(df: DataFrame) -> DataFrame:
     except Exception:        # noqa: BLE001 — fall through to the probe
         pass
     try:
-        # two longs (16 B/row through the merge shuffle), not a path
-        # string: mtime at µs granularity, then a path hash — both
-        # deterministic; the hash replaces the reference's fileName
-        # compare as the arbitrary-but-stable last resort
-        cand = df.withColumn(TIE_COL, F.struct(
-            F.unix_micros(F.col("_metadata.file_modification_time"))
-             .alias("t"),
-            F.xxhash64(F.col("_metadata.file_path")).alias("h")))
+        cand = df.withColumn(TIE_COL, stable_tie_struct())
         cand.schema          # force analysis; raises if unresolvable
         return cand
     except Exception:        # noqa: BLE001 — analysis failure = no-op
         return df
+
+
+def stable_tie_struct() -> Column:
+    """(mtime µs, hash of the file's STABLE identity) from _metadata —
+    two longs (16 B/row through the merge shuffle), not a path string.
+    mtime is view-invariant (hardlinks share the inode). Hashing the
+    raw path was WRONG: bucketed-view links rename files per view
+    token, so the same physical file hashed differently through
+    different snapshot views and equal-(seq, mtime) tie winners FLIPPED
+    between reads — e.g. a key's value "changing" between two snapshots
+    no commit touched (caught by the concurrent-writer ×
+    lookup-producer model, r11). Stable identity: a view link embeds
+    md5(original basename)[:16] as its 16-hex name segment
+    (table._bucketed_view); a raw path hashes its own basename through
+    the same md5 — both planes agree file-for-file, mirroring the
+    reference's fileName comparator (Levels.java:62-81), which also
+    never sees view paths."""
+    base = F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -1)
+    embedded = F.regexp_extract(
+        base, r"^part-\d{5}-([0-9a-f]{16})_\d{5}\.c000\.", 1)
+    stable = F.when(embedded != "", embedded).otherwise(
+        F.substring(F.md5(F.encode(base, "UTF-8")), 1, 16))
+    return F.struct(
+        F.unix_micros(F.col("_metadata.file_modification_time"))
+         .alias("t"),
+        F.xxhash64(stable).alias("h"))
 
 
 def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:

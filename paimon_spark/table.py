@@ -710,9 +710,12 @@ class Table:
         ext = format_extension(fmt)
         # self.path in the token: a RENAMEd table must not resolve to a
         # catalog view whose LOCATION is the old directory
+        # |v2: link names embed the per-file stable tie id (see below) —
+        # version the token so views built by older code rebuild instead
+        # of serving links whose names the tie extractor can't parse
         token = hashlib.md5(
             ("|".join(sorted(f"{e.file_path}@{e.bucket}" for e in entries))
-             + f"|{sid}|{os.path.abspath(self.path)}").encode()
+             + f"|{sid}|{os.path.abspath(self.path)}|v2").encode()
             ).hexdigest()[:16]
         view = os.path.join(self.path, ".bucketed-view", token)
         tname = f"paimon_bktv_{token}"
@@ -735,9 +738,20 @@ class Table:
                                 BUCKET_COL + "=")]
                     d = os.path.join(tmp, *segs)
                     os.makedirs(d, exist_ok=True)
+                    # the 16-hex segment is md5(ORIGINAL basename):
+                    # the per-file STABLE TIE ID. Merge tie-breaks hash
+                    # this id (operators/merge.py _attach_tie), so two
+                    # reads of the same physical file through DIFFERENT
+                    # views — or through a view and the raw path — agree
+                    # on equal-sequence tie winners. Hashing the view
+                    # path itself flipped winners between snapshots
+                    # (found by the concurrent-writer × lookup-producer
+                    # model test, r11).
+                    orig16 = hashlib.md5(os.path.basename(
+                        e.file_path).encode()).hexdigest()[:16]
                     os.link(os.path.join(self.path, e.file_path),
                             os.path.join(
-                                d, f"part-{i:05d}-{token}"
+                                d, f"part-{i:05d}-{orig16}"
                                    f"_{e.bucket:05d}.c000.{ext}"))
                 try:
                     os.rename(tmp, view)
@@ -768,8 +782,11 @@ class Table:
                           f"LOCATION '{view}'")
                 if schema.partition_keys:
                     spark.sql(f"MSCK REPAIR TABLE `{tname}`")
-            names = {e.file_path: f"part-{i:05d}-{token}"
-                                  f"_{e.bucket:05d}.c000.{ext}"
+            names = {e.file_path: "part-%05d-%s_%05d.c000.%s" % (
+                         i,
+                         hashlib.md5(os.path.basename(e.file_path)
+                                     .encode()).hexdigest()[:16],
+                         e.bucket, ext)
                      for i, e in enumerate(entries)}
             return spark.table(tname), names
         except Exception:                             # noqa: BLE001

@@ -954,3 +954,57 @@ def test_randomized_mirror_imv_staleness_model(spark, wh):
     if _os.path.isdir(d):
         left = sorted(int(n.split("-")[1]) for n in _os.listdir(d))
         assert all(s >= bt.paths.earliest_snapshot_id() for s in left)
+
+
+def test_concurrent_writers_with_changelog_producer(spark, wh):
+    """Commit races × the lookup producer: each post-commit hook writes
+    its own snapshot-keyed rows/keys sidecars, so concurrent writers
+    can't collide; every snapshot ends up with both sidecars and the
+    collapsed windowed changelog still equals the unoptimized diff.
+    (A hook failure would only downgrade that snapshot's window to the
+    fallback tier — also exercised by deleting one rows dir.)"""
+    import os
+    import random
+    import shutil as _sh
+    from concurrent.futures import ThreadPoolExecutor
+
+    from paimon_spark.operators.changelog import derive_changelog
+    rng = random.Random(77)
+    t = Table.create(f"{wh}/conc_cl", SCH, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(k, 0) for k in range(10)], SCH))
+    batches = [[{rng.randint(0, 12): rng.randint(0, 999)
+                 for _ in range(rng.randint(1, 4))} for _ in range(2)]
+               for _ in range(3)]
+
+    def writer(i):
+        tt = Table.load(t.path, spark)
+        for rows in batches[i]:
+            tt.append(spark.createDataFrame(list(rows.items()), SCH))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(writer, i) for i in range(3)]:
+            f.result()
+
+    latest = t.paths.latest_snapshot_id()
+    assert latest == 7
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    keys_dir = os.path.join(t.paths.meta_root, "changelog-keys")
+    assert sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)) \
+        == list(range(1, 8))
+    assert sorted(int(n.split("-")[1]) for n in os.listdir(keys_dir)) \
+        == list(range(1, 8))
+
+    def canon(optimize):
+        return sorted((r.k, r.v, r._row_kind) for r in derive_changelog(
+            t, 1, optimize=optimize).collect())
+
+    t._read_cache.clear()
+    assert canon(True) == canon(False)
+    # losing one snapshot's rows dir downgrades gracefully (keys tier)
+    victim = sorted(os.listdir(rows_dir))[2]
+    _sh.rmtree(os.path.join(rows_dir, victim))
+    t._read_cache.clear()
+    assert canon(True) == canon(False)
