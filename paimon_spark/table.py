@@ -224,7 +224,8 @@ class Table:
                 sel.append(F.col(src.name).cast(f.dataType).alias(f.name))
             else:
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-        for c in (SEQ_COL, KIND_COL, ROW_ID_COL, BUCKET_COL):
+        from paimon_spark.schema import TIE_COL
+        for c in (SEQ_COL, KIND_COL, ROW_ID_COL, BUCKET_COL, TIE_COL):
             if c in df.columns:
                 sel.append(F.col(c))
         return df.select(*sel)
@@ -281,9 +282,20 @@ class Table:
              for f in struct.fields])
         return rs, {c: struct[c].dataType for c in tcols}
 
-    def _read_sid_group(self, sid: int, paths: list[str]) -> DataFrame:
+    def _read_sid_group(self, sid: int, paths: list[str],
+                        with_tie: bool = False) -> DataFrame:
         old = self._schema_at(sid)
         df = self._freader(old).load(paths)
+        if with_tie:
+            # before _evolve's projection drops _metadata resolvability
+            from paimon_spark.operators.merge import stable_tie_struct
+            from paimon_spark.schema import TIE_COL
+            try:
+                cand = df.withColumn(TIE_COL, stable_tie_struct())
+                cand.schema
+                df = cand
+            except Exception:                          # noqa: BLE001
+                pass
         return self._evolve(df, old) if sid != self.schema.schema_id else df
 
     @staticmethod
@@ -313,10 +325,29 @@ class Table:
 
     def _read_files(self, entries: list[FileEntry],
                     for_schema_id: int | None = None,
-                    row_ranges: dict | None = None) -> DataFrame:
+                    row_ranges: dict | None = None,
+                    with_tie: bool = False) -> DataFrame:
+        """`with_tie`: attach the stable equal-sequence tie (TIE_COL)
+        to EVERY branch while each branch's _metadata is still
+        resolvable — union/anti-join plans (schema evolution, DVs) lose
+        _metadata, so apply_merge's own probe can't attach it there and
+        would break ties iteration-arbitrarily (the same instability
+        class as the r11 view-path bug). All-or-none: if any branch
+        can't resolve it, none carry it, so the merge ordering is never
+        biased by mixed null/non-null ties."""
+        from paimon_spark.operators.merge import stable_tie_struct
+        from paimon_spark.schema import TIE_COL
         plain = [e for e in entries if not e.dv_path]
         dvd = [e for e in entries if e.dv_path]
         parts: list[DataFrame] = []
+
+        def _tied(df: DataFrame) -> DataFrame | None:
+            try:
+                cand = df.withColumn(TIE_COL, stable_tie_struct())
+                cand.schema
+                return cand
+            except Exception:                          # noqa: BLE001
+                return None
 
         by_sid: dict[int, list[FileEntry]] = {}
         for e in plain:
@@ -333,7 +364,7 @@ class Table:
             else:
                 sub = self._read_sid_group(
                     sid, [os.path.join(self.path, e.file_path)
-                          for e in group])
+                          for e in group], with_tie=with_tie)
             parts.append(sub)
 
         by_sid_dv: dict[int, list[FileEntry]] = {}
@@ -346,6 +377,9 @@ class Table:
             old = self._schema_at(sid)
             df = self._freader(old).load(
                 [os.path.join(self.path, e.file_path) for e in group])
+            if with_tie:
+                tied = _tied(df)
+                df = tied if tied is not None else df
             cols = df.columns
             df = df.select("*",
                            F.col("_metadata.file_path").alias("__fp"),
@@ -362,6 +396,10 @@ class Table:
                 df = self._evolve(df, old)
             parts.append(df)
 
+        if with_tie and any(TIE_COL not in p.columns for p in parts):
+            # all-or-none: a branch without the tie would sort NULL
+            # against real ties — drop it everywhere instead
+            parts = [p.drop(TIE_COL) for p in parts]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -918,7 +956,10 @@ class Table:
         if merge_entries:
             m = self._bucketed_merge_df(merge_entries)
             if m is None:
-                m = self._read_files(merge_entries)
+                # with_tie: schema-evolved / DV merge plans are
+                # unions/joins whose _metadata apply_merge can't probe —
+                # attach the stable tie per branch here instead
+                m = self._read_files(merge_entries, with_tie=True)
             # safe pre-merge pushdown: conjuncts on pk/partition cols only
             if predicate is not None:
                 safe_cols = set(schema.primary_keys) | set(schema.partition_keys)
