@@ -1457,18 +1457,21 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 def gopher_quality(spark, sf_dir):
-    """Gopher rule gate (r11, Rae et al. 2021 A1): the standard
-    pre-LM heuristic filter — word-count bounds, mean word length,
-    symbol ratio, bullet/ellipsis line ratios, stopword presence —
-    per document plus the conjunctive pass flag. Pure Catalyst;
-    the oracle re-derives every rule with identical arithmetic."""
+    """Gopher rule gate (r11; r12: paper-faithful A1.1 — the 8-word
+    required list the/be/to/of/and/that/have/with and the ≥80%
+    alphabetic-word rule, per VERDICT r11 #5): word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line ratios,
+    alphabetic-word ratio, required-stopword presence — per document
+    plus the conjunctive pass flag. Pure Catalyst; the oracle
+    re-derives every rule with identical arithmetic."""
     docs = _read(spark, sf_dir, "documents")
     rules = TX.gopher_rules(F.col("text"), min_words=10)
     return docs.select(
         "doc_id",
         *[rules[k].alias(k) for k in
           ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
-           "bullet_ratio_ok", "ellipsis_ratio_ok", "stopword_ok")],
+           "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_word_ok",
+           "stopword_ok")],
         rules["pass"].alias("passes"))
 
 
@@ -3192,10 +3195,12 @@ def oracle_sql() -> dict[str, str]:
                    {r['symbol_ratio_ok']} AS symbol_ratio_ok,
                    {r['bullet_ratio_ok']} AS bullet_ratio_ok,
                    {r['ellipsis_ratio_ok']} AS ellipsis_ratio_ok,
+                   {r['alpha_word_ok']} AS alpha_word_ok,
                    {r['stopword_ok']} AS stopword_ok,
                    ({r['word_count_ok']} AND {r['mean_word_len_ok']}
                     AND {r['symbol_ratio_ok']} AND {r['bullet_ratio_ok']}
-                    AND {r['ellipsis_ratio_ok']} AND {r['stopword_ok']})
+                    AND {r['ellipsis_ratio_ok']} AND {r['alpha_word_ok']}
+                    AND {r['stopword_ok']})
                        AS passes
             FROM documents""")(TX.sql_gopher_rules("text", min_words=10)),
         "boilerplate_scrub": TX.sql_scrub_boilerplate(

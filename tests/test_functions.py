@@ -730,3 +730,107 @@ def test_gopher_rules_edges(spark):
     assert got[4]["ellipsis_ratio_ok"] is False
     assert got[5]["stopword_ok"] is False and got[5]["pass"] is False
     assert got[6]["pass"] is False       # empty: no div-by-zero, fails
+
+
+def test_scrub_boilerplate_gated_broadcast(spark, monkeypatch):
+    """Adversarial corpus for the broadcast gate (VERDICT r11 #1):
+    with the gate forced to 0 (every boilerplate set 'too big'), the
+    anti-join must run un-hinted and produce output identical to the
+    broadcast path on a corpus where most sentences repeat across
+    ≥ min_docs docs."""
+    import paimon_spark.functions.text as TX
+    rows = [(i,
+             "Shared cookie banner text. "
+             "All rights reserved footer. "
+             f"Unique sentence number {i}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r.doc_id, r.clean_text, r.n_sentences, r.n_removed)
+            for r in TX.scrub_boilerplate(df, "doc_id", "text",
+                                          min_docs=3).collect())
+
+    with_hint = run()
+    monkeypatch.setattr(TX, "_BOILERPLATE_BROADCAST_MAX", 0)
+    without_hint = run()
+    assert with_hint == without_hint
+    assert all(nr == 2 for _, _, _, nr in with_hint)
+    assert all(ct == f"Unique sentence number {i}"
+               for i, (_, ct, _, _) in enumerate(with_hint))
+
+
+def test_url_canonicalize_param_boundaries(spark):
+    """ADVICE r11: param names that merely END in a tracked name
+    (href, xref, aff_ref) must survive canonicalization; bare 'ref'
+    is semantic (GitHub ?ref=branch) and is KEPT by default; default
+    ports strip scheme-conditionally (http:80 / https:443 only); the
+    strip-list is configurable."""
+    from paimon_spark.functions.text import canonicalize_url
+    rows = [
+        (1, "https://h.com/p?href=x&utm_source=s"),
+        (2, "https://h.com/p?href=x"),
+        (3, "https://h.com/p?xref=y&aff_ref=z"),
+        (4, "https://github.com/o/r/tree?ref=main"),
+        (5, "https://github.com/o/r/tree?ref=dev"),
+        (6, "http://h.com:443/p"),      # NON-default for http: kept
+        (7, "https://h.com:80/p"),      # NON-default for https: kept
+        (8, "http://h.com:80/p"),       # default: stripped
+        (9, "http://h.com/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.cu for r in df.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("cu")).collect()}
+    assert got[1] == got[2] == "https://h.com/p?href=x"
+    assert got[3] == "https://h.com/p?xref=y&aff_ref=z"
+    assert got[4] != got[5]                      # ref= is semantic
+    assert got[6] == "http://h.com:443/p"
+    assert got[7] == "https://h.com:80/p"
+    assert got[8] == got[9] == "http://h.com/p"
+    # configurable list: opting INTO ref-stripping merges 4 and 5
+    custom = {r.doc_id: r.cu for r in df.select(
+        "doc_id", canonicalize_url(
+            F.col("url"),
+            strip_params=("utm_[a-z]+", "ref")).alias("cu")).collect()}
+    assert custom[4] == custom[5]
+
+
+def test_url_canonicalize_sql_mirror_boundaries():
+    """The DuckDB mirror applies the same separator-anchored strip."""
+    import duckdb
+    from paimon_spark.functions.text import sql_canonical_url
+    con = duckdb.connect()
+    q = lambda u: con.execute(  # noqa: E731
+        f"SELECT {sql_canonical_url('u')} FROM (SELECT ? AS u)",
+        [u]).fetchone()[0]
+    assert q("https://h.com/p?href=x&utm_source=s") == \
+        "https://h.com/p?href=x"
+    assert q("https://github.com/o/r?ref=main") == \
+        "https://github.com/o/r?ref=main"
+    assert q("http://h.com:443/p") == "http://h.com:443/p"
+    assert q("http://h.com:80/p") == "http://h.com/p"
+    assert q("HTTPS://H.com:443/p?utm_a=1&utm_b=2#f") == "https://h.com/p"
+
+
+def test_gopher_rules_paper_faithful(spark):
+    """r12 (VERDICT r11 #5): the required-word screen uses Gopher's
+    8-word list (the/be/to/of/and/that/have/with) — EN_STOP-only docs
+    no longer pass — and the ≥80%-alphabetic-words rule is enforced."""
+    from paimon_spark.functions.text import gopher_rules, GOPHER_STOP
+    assert GOPHER_STOP == ["the", "be", "to", "of", "and", "that",
+                           "have", "with"]
+    # 'a in is it for' are EN_STOP members but NOT Gopher required words
+    en_stop_only = ("a in is it for " * 12) + ("word " * 10)
+    numeric_heavy = ("the be to of and that have with " * 4
+                     + " ".join(str(i) for i in range(40)))
+    rows = [(1, en_stop_only), (2, numeric_heavy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = gopher_rules(F.col("text"), min_words=10)
+    got = {r.doc_id: r.asDict() for r in df.select(
+        "doc_id", *[rules[k].alias(k) for k in rules]).collect()}
+    assert got[1]["stopword_ok"] is False
+    assert got[1]["alpha_word_ok"] is True
+    assert got[2]["stopword_ok"] is True
+    assert got[2]["alpha_word_ok"] is False      # 40/72 ≈ 0.44 < 0.8
+    assert got[2]["pass"] is False
