@@ -2343,34 +2343,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
-    r11 window (VERDICT r10 #6: re-attest the entries below the r10 cut
-    on current code): image_near_dup leads — it is the one row whose
-    oracle is NEW this round (r10 gated it rows-only); then the six
-    entries the misplaced r10 marker stranded at positions 51-56
-    (ADVICE r10), the four r8-gate spill entries, and the first 39 of
-    the r9-gated set (q1_pricing_summary et al. — last driver-attested
-    in r9). The 11 remaining r9-gated entries (sample_corpus …
-    cross_partition_upsert) spill just below and lead the r12 window;
-    the 49 r10-gated entries (all green in CORRECTNESS_r10) rotate to
-    the bottom. ALL entries — gated or not — are oracle-checked every
-    round by tests/test_oracle_parity.py (sf0.001) and
-    tools/check_oracle.py (sf0.01)."""
+    r12 window (VERDICT r11 #3): the three r11-new entries that have
+    never been driver-gated lead (url_canonical_dedup,
+    boilerplate_scrub, gopher_quality — gopher/url also CHANGED this
+    round: paper-faithful Gopher rules, separator-anchored URL param
+    stripping), then the 11 r9-gated entries stranded below the r11 cut
+    (sample_corpus … cross_partition_upsert, last driver-attested in
+    r9), then the first 36 of the r10-gated set re-attest. The 13
+    remaining r10-gated entries spill just below and lead the r13
+    window; the 50 r11-gated entries (all green in CORRECTNESS_r11)
+    rotate to the bottom. ALL entries — gated or not — are
+    oracle-checked every round by tests/test_oracle_parity.py
+    (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
-        # --- r11 gate window ---------------------------------------------
-        "image_near_dup": image_near_dup,        # oracle NEW in r11
-        # the six entries the r10 marker misplaced below the real window
+        # --- r12 gate window ---------------------------------------------
+        # r11-new, never driver-gated; gopher/url changed in r12
+        "url_canonical_dedup": url_canonical_dedup,
+        "boilerplate_scrub": boilerplate_scrub,
+        "gopher_quality": gopher_quality,
+        # r9-gated entries stranded below the r11 cut
+        "sample_corpus": sample_corpus,
+        "q3_top_revenue": q3_top_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "topn_orders": topn_orders,
+        "point_lookup": point_lookup,
+        "metadata_count": metadata_count,
+        "agg_engine_rich": agg_engine_rich,
+        "changelog_old_vs_new": changelog_old_vs_new,
+        "pk_after_delete": pk_after_delete,
+        "cross_partition_upsert": cross_partition_upsert,
+        # r10-gated entries re-attesting (first 36 fit)
+        "bucketed_mirror_read": bucketed_mirror_read,
+        "soft_dedup_weights": soft_dedup_weights,
+        "ngram_lm_score": ngram_lm_score,
+        "audio_frame_energy": audio_frame_energy,
+        "pipeline_curated_corpus": pipeline_curated_corpus,
+        "time_travel_v1": time_travel_v1,
+        "sequence_field_latest": sequence_field_latest,
+        "default_values_read": default_values_read,
+        "tag_travel_read": tag_travel_read,
+        "mixture_token_budget": mixture_token_budget,
+        "winnow_doc_fingerprints": winnow_doc_fingerprints,
+        "dedup_exact": dedup_exact,
+        "embedding_quantize": embedding_quantize,
+        "sql_function_charge": sql_function_charge,
+        "datasource_write_pk": datasource_write_pk,
+        "imv_user_totals": imv_user_totals,
+        "merge_into_append": merge_into_append,
+        "sql_dml_roundtrip": sql_dml_roundtrip,
+        "metadata_minmax": metadata_minmax,
+        "transform_year_filter": transform_year_filter,
+        "q5_region_revenue": q5_region_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q14_promo_share": q14_promo_share,
+        "q18_big_orders": q18_big_orders,
+        "rollup_pricing": rollup_pricing,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q13_customer_orders": q13_customer_orders,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_brand_suppliers": q16_brand_suppliers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        # =========== gate cut-off (first 50 above) ======================
+        # the 13 remaining r10-gated entries: they lead the r13 window
+        "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_shipments": q20_excess_shipments,
+        "agg_engine_listagg": agg_engine_listagg,
+        "agg_engine_merge_map": agg_engine_merge_map,
+        "read_optimized_lag": read_optimized_lag,
+        "cross_partition_pruned": cross_partition_pruned,
+        "pk_avro_upsert": pk_avro_upsert,
+        "format_csv_pk": format_csv_pk,
+        "incremental_diff": incremental_diff,
+        "clustered_write_prune": clustered_write_prune,
+        "blob_roundtrip": blob_roundtrip,
+        "audit_log_counts": audit_log_counts,
+        # --- entries below were gated GREEN in r11 (CORRECTNESS_r11) ----
+        "image_near_dup": image_near_dup,
         "agg_engine_user_stats": agg_engine_user_stats,
         "partial_update_orders": partial_update_orders,
         "first_row_events": first_row_events,
         "compact_preserves": compact_preserves,
         "dynamic_bucket_latest": dynamic_bucket_latest,
         "ann_brute_topk": ann_brute_topk,
-        # the four r8-gate-green spill entries
         "ann_lsh_topk": ann_lsh_topk,
         "sketch_theta_custkeys": sketch_theta_custkeys,
         "dedup_minhash_bands": dedup_minhash_bands,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        # r9-gated entries, last driver-attested in r9 (first 39 fit)
         "stream_patched_followup": stream_patched_followup,
         "chain_stream_phase1": chain_stream_phase1,
         "dedup_incremental_index": dedup_incremental_index,
@@ -2410,73 +2476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "zorder_cluster_preserves": zorder_cluster_preserves,
         "iceberg_dv_mirror_read": iceberg_dv_mirror_read,
-        # =========== gate cut-off (first 50 above) ======================
-        # NEW in r11 (never gated) + the 11 r9-gated spill entries:
-        # together they lead the r12 window
-        "url_canonical_dedup": url_canonical_dedup,
-        "boilerplate_scrub": boilerplate_scrub,
-        "gopher_quality": gopher_quality,
-        "sample_corpus": sample_corpus,
-        "q3_top_revenue": q3_top_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "topn_orders": topn_orders,
-        "point_lookup": point_lookup,
-        "metadata_count": metadata_count,
-        "agg_engine_rich": agg_engine_rich,
-        "changelog_old_vs_new": changelog_old_vs_new,
-        "pk_after_delete": pk_after_delete,
-        "cross_partition_upsert": cross_partition_upsert,
-        # --- entries below were gated GREEN in r10 (CORRECTNESS_r10) ----
-        "bucketed_mirror_read": bucketed_mirror_read,
-        "soft_dedup_weights": soft_dedup_weights,
-        "ngram_lm_score": ngram_lm_score,
-        "audio_frame_energy": audio_frame_energy,
-        "pipeline_curated_corpus": pipeline_curated_corpus,
-        "time_travel_v1": time_travel_v1,
-        "sequence_field_latest": sequence_field_latest,
-        "default_values_read": default_values_read,
-        "tag_travel_read": tag_travel_read,
-        "mixture_token_budget": mixture_token_budget,
-        "winnow_doc_fingerprints": winnow_doc_fingerprints,
-        "dedup_exact": dedup_exact,
-        "embedding_quantize": embedding_quantize,
-        "sql_function_charge": sql_function_charge,
-        "datasource_write_pk": datasource_write_pk,
-        "imv_user_totals": imv_user_totals,
-        "merge_into_append": merge_into_append,
-        "sql_dml_roundtrip": sql_dml_roundtrip,
-        "metadata_minmax": metadata_minmax,
-        "transform_year_filter": transform_year_filter,
-        "q5_region_revenue": q5_region_revenue,
-        "q4_late_orders": q4_late_orders,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_priority_class": q12_priority_class,
-        "q14_promo_share": q14_promo_share,
-        "q18_big_orders": q18_big_orders,
-        "rollup_pricing": rollup_pricing,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q13_customer_orders": q13_customer_orders,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_brand_suppliers": q16_brand_suppliers,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q20_excess_shipments": q20_excess_shipments,
-        "agg_engine_listagg": agg_engine_listagg,
-        "agg_engine_merge_map": agg_engine_merge_map,
-        "read_optimized_lag": read_optimized_lag,
-        "cross_partition_pruned": cross_partition_pruned,
-        "pk_avro_upsert": pk_avro_upsert,
-        "format_csv_pk": format_csv_pk,
-        "incremental_diff": incremental_diff,
-        "clustered_write_prune": clustered_write_prune,
-        "blob_roundtrip": blob_roundtrip,
-        "audit_log_counts": audit_log_counts,
     }
 
 

@@ -155,8 +155,19 @@ def _collapsed_from_rows(table: Table, from_snapshot: int,
     schema = table.schema
     pks = schema.primary_keys
     vals = [c for c in schema.field_names if c not in pks]
-    parts = [table.spark.read.parquet(d).withColumn("__sid", F.lit(sid))
-             for sid, d in dirs]
+    # rows files persist the field set AT WRITE TIME: a window spanning
+    # or preceding an add/drop-column carries a different column set
+    # than the current schema, and the strict union/select below would
+    # raise instead of answering — detect the mismatch and fall back to
+    # the key-sidecar / replay tiers, which re-merge under the current
+    # schema (ADVICE r11)
+    expected = set(schema.field_names) | {KIND_COL}
+    parts = []
+    for sid, d in dirs:
+        p = table.spark.read.parquet(d)
+        if set(p.columns) != expected:
+            return None
+        parts.append(p.withColumn("__sid", F.lit(sid)))
     ev = parts[0]
     for p in parts[1:]:
         ev = ev.unionByName(p)

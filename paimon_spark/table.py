@@ -2081,24 +2081,48 @@ class Table:
             self._drop_expired_changelog_keys()
         return removed
 
+    # a '_tmp-*' sidecar dir is only ever live for the duration of one
+    # write_changelog_keys/rows call; anything older than this is a
+    # crash leftover (ADVICE r11)
+    _TMP_SIDECAR_TTL_S = 3600
+
     def _drop_expired_changelog_keys(self) -> None:
         """Sidecar GC: a changelog window (from, to] can only start at
         an EXISTING snapshot, so key/row sidecars strictly below the
-        earliest snapshot are unreachable — reclaim them."""
+        earliest snapshot are unreachable — reclaim them. Also sweeps
+        '_tmp-*' staging dirs left by a crashed sidecar write: removed
+        when their final dir exists (a later retry completed), their
+        snapshot expired, or they outlived the one-write TTL."""
         earliest = self.paths.earliest_snapshot_id()
         if earliest is None:
             return
+        now = time.time()
         for sub in ("changelog-keys", "changelog-rows"):
             d = os.path.join(self.paths.meta_root, sub)
             if not os.path.isdir(d):
                 continue
             for n in os.listdir(d):
+                tmp = n.startswith("_tmp-")
+                base = n[5:] if tmp else n
                 try:
-                    sid = int(n.split("-")[1])
+                    sid = int(base.split("-")[1])
                 except (IndexError, ValueError):
+                    sid = None
+                if not tmp:
+                    if sid is not None and sid < earliest:
+                        shutil.rmtree(os.path.join(d, n),
+                                      ignore_errors=True)
                     continue
-                if sid < earliest:
-                    shutil.rmtree(os.path.join(d, n), ignore_errors=True)
+                path = os.path.join(d, n)
+                final_done = os.path.isdir(os.path.join(d, base))
+                expired = sid is not None and sid < earliest
+                try:
+                    aged = (now - os.path.getmtime(path)
+                            ) > self._TMP_SIDECAR_TTL_S
+                except OSError:
+                    aged = False
+                if final_done or expired or aged:
+                    shutil.rmtree(path, ignore_errors=True)
 
     def expire_snapshots(self, retain_last: int = 1) -> int:
         """(ref: table/ExpireSnapshotsImpl.java; retention CoreOptions:614-622)"""

@@ -800,7 +800,18 @@ class BatchWriter:
                             # mirror the commit into Iceberg metadata (ref:
                             # IcebergCommitCallback.call — commit callback)
                             IcebergCompat(self.table).mirror(snap, entries)
-                    self._maybe_write_changelog_keys(snap, entries, kind)
+                    # the changelog sidecar write runs a full Spark
+                    # derivation job for lookup tables — isolate its
+                    # failures so retention/maintenance in _post_commit
+                    # still runs (ADVICE r11)
+                    try:
+                        self._maybe_write_changelog_keys(
+                            snap, entries, kind)
+                    except Exception:                  # noqa: BLE001
+                        logging.getLogger(__name__).exception(
+                            "changelog sidecar write failed for "
+                            "snapshot %s (commit is durable; reads "
+                            "fall back to replay)", snap.id)
                     self._post_commit(snap, kind)
                 except Exception:                      # noqa: BLE001
                     logging.getLogger(__name__).exception(

@@ -491,3 +491,108 @@ def test_changelog_producer_enabled_mid_history(spark, wh):
         slow = sorted((r.k, r.v, r._row_kind) for r in
                       derive_changelog(t, f, optimize=False).collect())
         assert fast == slow, f
+
+
+def test_changelog_rows_collapse_schema_evolution_fallback(spark, wh):
+    """ADVICE r11: changelog-rows files persist the field set at write
+    time, so a window spanning an add-column must NOT raise from the
+    strict union in _collapsed_from_rows — it returns None and
+    derive_changelog falls back to a tier that re-merges under the
+    CURRENT schema; a window entirely after the evolution still takes
+    the rows-collapse path."""
+    from paimon_spark.operators.changelog import (_collapsed_from_rows,
+                                                  derive_changelog)
+    t = Table.create(f"{wh}/cl_evo", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], SCHEMA))                    # s1
+    t.append(spark.createDataFrame([(1, 11, 1.0)], SCHEMA))       # s2
+    t = t.alter(lambda sc: sc.add_column("extra", T.LongType()))
+    wide = T.StructType(SCHEMA.fields
+                        + [T.StructField("extra", T.LongType())])
+    t.append(spark.createDataFrame([(2, 21, 2.0, 7)], wide))      # s3
+    t.append(spark.createDataFrame([(1, 12, 1.0, 8)], wide))      # s4
+
+    # spanning window: old rows files lack 'extra' → collapse declines
+    assert _collapsed_from_rows(t, 1, 4) is None
+    # post-evolution window: homogeneous column set → collapse answers
+    assert _collapsed_from_rows(t, 3, 4) is not None
+    # the public read must still answer the spanning window (fallback),
+    # identically to the unoptimized full diff
+    for f in (1, 2, 3):
+        t._read_cache.clear()
+        fast = sorted((r.k, r.v, r.extra, r._row_kind)
+                      for r in derive_changelog(t, f).collect())
+        t._read_cache.clear()
+        slow = sorted((r.k, r.v, r.extra, r._row_kind)
+                      for r in derive_changelog(t, f,
+                                                optimize=False).collect())
+        assert fast == slow, f
+    got = sorted((r.k, r.v, r.extra, r._row_kind)
+                 for r in derive_changelog(t, 2).collect())
+    assert got == [(1, 11, None, "-U"), (1, 12, 8, "+U"),
+                   (2, 20, None, "-U"), (2, 21, 7, "+U")], got
+
+
+def test_tmp_sidecar_dirs_swept(spark, wh):
+    """ADVICE r11: '_tmp-*' staging dirs left by a crashed sidecar
+    write are reclaimed by the GC sweep — when the final dir exists,
+    when their snapshot expired, or when they outlive the TTL —
+    while a FRESH tmp dir for a live snapshot is left alone."""
+    import os
+    import time as _time
+    t = Table.create(f"{wh}/cl_tmp", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, 10, 1.0)], SCHEMA))       # s1
+    t.append(spark.createDataFrame([(1, 11, 1.0)], SCHEMA))       # s2
+    d = os.path.join(t.paths.meta_root, "changelog-rows")
+    finals = sorted(n for n in os.listdir(d) if not n.startswith("_"))
+    assert len(finals) == 2
+    # crash leftovers: completed-later (final exists), aged, and fresh
+    done = os.path.join(d, "_tmp-" + finals[1])
+    os.makedirs(done)
+    aged = os.path.join(d, "_tmp-cl-999-1")
+    os.makedirs(aged)
+    old = _time.time() - t._TMP_SIDECAR_TTL_S - 10
+    os.utime(aged, (old, old))
+    fresh = os.path.join(d, "_tmp-cl-998-1")
+    os.makedirs(fresh)
+    t._drop_expired_changelog_keys()
+    left = sorted(n for n in os.listdir(d))
+    assert "_tmp-" + finals[1] not in left       # retry completed
+    assert "_tmp-cl-999-1" not in left           # outlived TTL
+    assert "_tmp-cl-998-1" in left               # fresh: kept
+    assert all(f in left for f in finals)        # real sidecars kept
+
+
+def test_sidecar_write_failure_does_not_skip_post_commit(spark, wh,
+                                                         monkeypatch):
+    """ADVICE r11: a failing changelog sidecar derivation must not
+    swallow _post_commit — retention/maintenance still runs and the
+    commit stays durable (reads fall back to replay)."""
+    import paimon_spark.writer as W
+    t = Table.create(f"{wh}/cl_fail", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    calls = {"post": 0}
+    orig_post = W.BatchWriter._post_commit
+
+    def counting_post(self, snap, kind):
+        calls["post"] += 1
+        return orig_post(self, snap, kind)
+
+    def boom(self, snap, entries, kind):
+        raise RuntimeError("injected sidecar failure")
+
+    monkeypatch.setattr(W.BatchWriter, "_post_commit", counting_post)
+    monkeypatch.setattr(W.BatchWriter, "_maybe_write_changelog_keys",
+                        boom)
+    t.append(spark.createDataFrame([(1, 10, 1.0)], SCHEMA))
+    assert calls["post"] == 1                    # maintenance still ran
+    assert t.paths.latest_snapshot_id() == 1     # commit durable
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 10)]

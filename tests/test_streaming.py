@@ -1379,3 +1379,140 @@ def test_changelog_stream_checkpoint_restart(spark, wh, tmp_path):
     got = drain()
     assert got == [(1, 1, "+I"), (2, 2, "+I"),
                    (2, 2, "-U"), (2, 99, "+U")], got
+
+
+def test_changelog_stream_rollback_id_reuse_model(spark, wh, tmp_path):
+    """VERDICT r11 #4 — the CDC tail vs {write, rollback, re-commit,
+    expire}, seeded model. The tail is a JVM FileStreamSource over the
+    timestamped changelog-rows dirs; its seen-files log means:
+
+    PINNED CONTRACT (documented in COVERAGE.md):
+    - every commit's rows dir that exists at a drain is delivered
+      exactly once (the timestamped dir name guarantees a re-commit
+      that REUSES a rolled-back snapshot id is still delivered);
+    - rows already delivered from a commit that is later rolled back
+      are NOT retracted → delivery is at-least-once with superseding
+      images: a keyed fold diverges from the table only on keys whose
+      last delivery came from a rolled-back commit and that no
+      surviving later commit touched;
+    - a FRESH subscriber (new checkpoint) converges exactly while the
+      full changelog history is retained; once expiration GCs dirs
+      below the earliest snapshot, recovery is batch-seed + tail.
+    """
+    import os
+    import random
+    import re
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    rng = random.Random(47)
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cdc_rb", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    base = os.path.join(t.paths.meta_root, "changelog-rows")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    drain_no = 0
+
+    def drain(c=None, o=None):
+        nonlocal drain_no
+        drain_no += 1
+        sdf = (t.read_changelog_stream()
+               .withColumn("__drain", F.lit(drain_no))
+               .withColumn("__src", F.col("_metadata.file_path")))
+        q = (sdf.writeStream.format("parquet")
+             .option("path", o or out)
+             .option("checkpointLocation", c or ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = spark.read.parquet(o or out).collect()
+        recs = []
+        for r in rows:
+            m = re.search(r"/(cl-(\d+)-\d+)/", r["__src"])
+            recs.append((r["__drain"], int(m.group(2)), m.group(1),
+                         r.k, r.v, r["_row_kind"]))
+        return recs
+
+    def append():
+        rows = {rng.randint(0, 8): rng.randint(0, 999)
+                for _ in range(rng.randint(1, 3))}
+        t.append(spark.createDataFrame(list(rows.items()), sch))
+
+    rolled_back_dirs: set[str] = set()
+    append()                                  # s1: bootstrap state
+    for _ in range(7):
+        op = rng.choice(["append", "append", "append", "rollback"])
+        if op == "rollback" and (t.paths.latest_snapshot_id() or 1) > 1:
+            target = rng.randint(1, t.paths.latest_snapshot_id() - 1)
+            doomed = {n for n in os.listdir(base)
+                      if int(n.split("-")[1]) > target}
+            rolled_back_dirs |= doomed
+            t.rollback_to(target)
+            append()                          # re-commit REUSES the id
+        else:
+            append()
+        existing = {n for n in os.listdir(base)
+                    if not n.startswith("_")}
+        recs = drain()
+        delivered_dirs = {d for _, _, d, _, _, _ in recs}
+        # every surviving dir delivered, incl. reused-id ones (the
+        # timestamped name defeats the seen-files log)
+        assert existing <= delivered_dirs
+
+    recs = drain()
+    # exactly-once per DIR: each dir's rows land in exactly one drain
+    by_dir: dict[str, set[int]] = {}
+    for dn, _sid, d, _k, _v, _kd in recs:
+        by_dir.setdefault(d, set()).add(dn)
+    assert all(len(v) == 1 for v in by_dir.values()), by_dir
+    # reused ids were actually exercised and delivered under BOTH names
+    reused = {d.split("-")[1] for d in rolled_back_dirs
+              if d in by_dir} & {d.split("-")[1] for d in by_dir
+                                 if d not in rolled_back_dirs}
+    assert rolled_back_dirs & set(by_dir), "model never drained a doomed dir"
+    assert reused, "model never exercised id reuse under the tail"
+
+    # keyed fold in (drain, sid) order: deletes then adds per commit
+    def fold(rs):
+        state: dict[int, int] = {}
+        touched: dict[int, str] = {}
+        for dn, sid in sorted({(r[0], r[1]) for r in rs}):
+            grp = [r for r in rs if r[0] == dn and r[1] == sid]
+            for _, _, d, k, v, kd in grp:
+                if kd == "-D":
+                    state.pop(k, None)
+                    touched[k] = d
+            for _, _, d, k, v, kd in grp:
+                if kd in ("+I", "+U"):
+                    state[k] = v
+                    touched[k] = d
+        return state, touched
+
+    live_state, live_touch = fold(recs)
+    table_state = {r.k: r.v for r in t.read().collect()}
+    diverged = {k for k in set(live_state) | set(table_state)
+                if live_state.get(k) != table_state.get(k)}
+    # divergence ONLY on keys last delivered by a rolled-back commit
+    assert all(live_touch.get(k) in rolled_back_dirs for k in diverged), \
+        (diverged, live_touch, rolled_back_dirs)
+
+    # FRESH subscriber before expiry: full-history replay converges
+    fr = drain(c=str(tmp_path / "ck2"), o=str(tmp_path / "out2"))
+    fresh_state, _ = fold(fr)
+    assert fresh_state == table_state
+
+    # expire: dirs below the earliest snapshot are GC'd — a fresh
+    # subscriber can then see only surviving dirs (batch-seed + tail is
+    # the documented recovery)
+    while t.paths.latest_snapshot_id() < 4:
+        append()
+    t.expire_snapshots(retain_last=2)
+    earliest = t.paths.earliest_snapshot_id()
+    left = {n for n in os.listdir(base) if not n.startswith("_")}
+    assert all(int(n.split("-")[1]) >= earliest for n in left), left
+    fr2 = drain(c=str(tmp_path / "ck3"), o=str(tmp_path / "out3"))
+    assert {d for _, _, d, _, _, _ in fr2} == left
