@@ -41,6 +41,10 @@ Q3_DATE = dt.datetime(1997, 6, 30)
 
 _WAREHOUSES: dict[str, dict[str, Table]] = {}
 _WH_DIRS: list[str] = []
+# per-builder wall-clock of the last _wh() run (bench.py reports it so
+# PERF.md can attribute the ingest row to phases; threads overlap, so
+# the numbers sum to more than the ingest wall-clock)
+INGEST_PROFILE: dict[str, float] = {}
 atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _WH_DIRS])
 
 
@@ -733,16 +737,33 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # the tables are independent — build them on a thread pool
     # (Spark schedules the overlapping jobs; each table's commits stay
     # sequential inside its builder; `out` writes are GIL-atomic)
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=9) as _pool:
-        _futs = [_pool.submit(f) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _warm_streaming)]
+
+    INGEST_PROFILE.clear()
+
+    def _timed(f):
+        def run():
+            t0 = _time.perf_counter()
+            f()
+            INGEST_PROFILE[f.__name__] = round(
+                _time.perf_counter() - t0, 3)
+        return run
+
+    # 14 workers: 30 builders at ~170 s total CPU → ~12 s pool floor,
+    # below the longest single builder (orders_pk ~18 s), so the
+    # critical path is one builder, not queue depth (r12 ingest trim;
+    # jobs are small and local[32] schedules them FIFO without
+    # starvation)
+    with ThreadPoolExecutor(max_workers=14) as _pool:
+        _futs = [_pool.submit(_timed(f)) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _warm_streaming)]
+        # _build_13 drives df.write.format("paimon") and must run on
+        # the MAIN thread (Spark 4 keys python-datasource artifacts to
+        # the registering thread's JobArtifactSet) — run it here so it
+        # overlaps the pool instead of serializing after it
+        _timed(_build_13)()
         for _f in _futs:
             _f.result()
-    # _build_13 drives df.write.format("paimon") and must run on the MAIN
-    # thread: Spark 4 keys python-datasource artifacts to the registering
-    # thread's JobArtifactSet, so a save() from a pool thread cannot see
-    # the registration
-    _build_13()
 
     _WAREHOUSES[sf_dir] = out
     return out

@@ -2540,7 +2540,18 @@ class Table:
                 "stream view poisoned by a non-append commit "
                 f"(snapshot {meta.get('invalid_at')}); drop and recreate "
                 "it, or stream via readStream.format('paimon')")
+        # capture the sync bound ONCE: the walk links up to exactly this
+        # snapshot and the meta pins exactly this snapshot — persisting
+        # a re-read token instead would let a commit racing the walk be
+        # claimed as synced without its files ever being linked (the
+        # next sync would start past it: permanent row loss in the
+        # view; r12 race model)
         latest = self.paths.latest_snapshot_id() or 0
+        try:
+            latest_ts = self.paths.read_snapshot(latest).timestamp_ms \
+                if latest else None
+        except Exception:                              # noqa: BLE001
+            latest_ts = None
         synced = int(meta.get("snapshot_id", 0))
 
         def _poison(why: str):
@@ -2568,8 +2579,8 @@ class Table:
                 if cur_ts != ts:
                     _poison(f"a rollback through snapshot {synced}")
         if synced == 0 and latest and not meta.get("changelog"):
-            # initial build: current live files in one pass
-            for e in self.new_scan().plan().entries:
+            # initial build: live files AT the captured bound in one pass
+            for e in self.new_scan().plan(snapshot_id=latest).entries:
                 self._live_view_link(base, e)
         else:
             for sid in range(synced + 1, latest + 1):
@@ -2580,8 +2591,7 @@ class Table:
                     _poison(f"a {snap.commit_kind} commit (snapshot {sid})")
                 for e in self.delta_entries(sid - 1, sid):
                     self._live_view_link(base, e)
-        meta.update(self._snapshot_token())
-        meta["snapshot_id"] = meta["snapshot_id"] or 0
+        meta.update({"snapshot_id": latest, "snapshot_ts": latest_ts})
         with open(meta_p + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_p + ".tmp", meta_p)
@@ -2958,7 +2968,10 @@ class Table:
         if pq_m is None:
             pq_m = int(self.schema.options.get("vector-index.pq.m", "0"))
         id_col = id_col or self.schema.field_names[0]
-        df = self.read(projection=[id_col, vec_col])
+        # pre-captured token: see create_dedup_index (r12 race model)
+        tok = self._snapshot_token()
+        df = self.read(snapshot_id=tok["snapshot_id"],
+                       projection=[id_col, vec_col])
         centroids = kmeans_centroids(df, n_centroids, id_col, vec_col)
         inv = self._assign_vector_clusters(df, centroids, id_col, vec_col,
                                            spill=spill)
@@ -2989,7 +3002,7 @@ class Table:
             "vec_col": vec_col, "id_col": id_col,
             "n_centroids": n_centroids, "centroids": centroids,
             "spill": spill, "pq": pq,
-            **self._snapshot_token(),
+            **tok,
             "files": files,
             "generation": 0,
             "file_gens": {f: 0 for f in files},
@@ -3036,13 +3049,14 @@ class Table:
         if meta is None:
             raise ValueError(f"no vector index on {vec_col}; run "
                              "create_vector_index first")
-        latest = self.paths.latest_snapshot_id()
+        tok = self._snapshot_token()        # pre-captured: race model
         if self._index_current(meta):
             return "fresh"
         id_col = meta["id_col"]
         out = self._vector_index_dir(vec_col)
         delta = self._index_delta(meta["snapshot_id"] or 0,
-                                  meta.get("snapshot_ts"))
+                                  meta.get("snapshot_ts"),
+                                  to_snapshot=tok["snapshot_id"])
         retr_ids = None
         n_retr = 0
         if delta is None and self.schema.is_pk_table:
@@ -3050,7 +3064,8 @@ class Table:
             # keys' old list entries, append the new versions (same
             # generational scheme as _refresh_text_index_pk)
             cl = self._index_changelog_delta(
-                meta["snapshot_id"] or 0, meta.get("snapshot_ts"))
+                meta["snapshot_id"] or 0, meta.get("snapshot_ts"),
+                to_snapshot=tok["snapshot_id"])
             if cl is not None:
                 cl = cl.persist()
                 agg = cl.agg(
@@ -3107,7 +3122,7 @@ class Table:
         new = [f for f in self._index_files(out) if f not in pre]
         fgens = dict(meta.get("file_gens") or {})
         fgens.update({f: gen for f in new})
-        meta.update({**self._snapshot_token(),
+        meta.update({**tok,
                      "generation": gen,
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new),
@@ -3149,7 +3164,10 @@ class Table:
         the reference's persisted full-text global index serves the same
         build-once/prune-every-query contract.)"""
         id_col = id_col or self.schema.field_names[0]
-        df = self.read(projection=[id_col, text_col])
+        # pre-captured token: see create_dedup_index (r12 race model)
+        tok = self._snapshot_token()
+        df = self.read(snapshot_id=tok["snapshot_id"],
+                       projection=[id_col, text_col])
         postings, stats = self._text_postings(df, id_col, text_col,
                                               n_buckets)
         out = self._text_index_dir(text_col)
@@ -3162,7 +3180,7 @@ class Table:
             "n_docs": stats["n"],
             "avgdl": stats["avgdl"] or 1.0,
             "sum_dl": stats["sum_dl"],
-            **self._snapshot_token(),
+            **tok,
             "files": files,
             "generation": 0,
             "file_gens": {f: 0 for f in files},
@@ -3275,22 +3293,28 @@ class Table:
                           "sum_dl": int(row["sum_dl"] or 0)}
 
     def _index_delta(self, indexed_snapshot: int,
-                     indexed_ts: int | None = None) -> DataFrame | None:
+                     indexed_ts: int | None = None,
+                     to_snapshot: int | None = None) -> DataFrame | None:
         """Rows appended since `indexed_snapshot`, or None when the
         history can't be expressed as pure appends (PK merges, overwrite/
-        delete commits — retraction would need posting removal; callers
-        fall back to a full rebuild). COMPACT snapshots are skipped: they
-        rewrite files, not the logical row set. A rewritten base
-        (rollback id re-use, checked via `indexed_ts`) also returns
-        None — walking (base, latest] on top of a different base would
-        keep phantom rows."""
+        delete commits — retraction would need posting removal). COMPACT
+        snapshots are skipped: they rewrite files, not the logical row
+        set. A rewritten base (rollback id re-use, checked via
+        `indexed_ts`) also returns None — walking (base, latest] on top
+        of a different base would keep phantom rows. `to_snapshot`
+        bounds the walk: refreshers pass the snapshot token they
+        captured BEFORE computing the delta, so a commit racing the
+        refresh is neither silently claimed by the persisted pin nor
+        double-appended by the next refresh (r12 index×commit race
+        model)."""
         from paimon_spark.metadata import COMMIT_APPEND, COMMIT_COMPACT
         if self.schema.is_pk_table:
             return None
         if not self._index_base_intact({"snapshot_id": indexed_snapshot,
                                         "snapshot_ts": indexed_ts}):
             return None
-        latest = self.paths.latest_snapshot_id()
+        latest = to_snapshot if to_snapshot is not None \
+            else self.paths.latest_snapshot_id()
         parts: list[DataFrame] = []
         for sid in range(indexed_snapshot + 1, latest + 1):
             snap = self.paths.read_snapshot(sid)
@@ -3325,12 +3349,15 @@ class Table:
     _PQ_TRAIN_SAMPLE = 10_000
 
     def _index_changelog_delta(self, indexed_snapshot: int,
-                               indexed_ts: int | None = None):
+                               indexed_ts: int | None = None,
+                               to_snapshot: int | None = None):
         """Changelog rows (logical cols + _row_kind) between the indexed
-        snapshot and latest for a PK table, or None when underivable.
-        -U/-D rows carry the OLD values (stat retraction), +I/+U the new.
-        None after a rollback rewrote the indexed base (the changelog
-        would diff against the WRONG old state)."""
+        snapshot and `to_snapshot` (default latest) for a PK table, or
+        None when underivable. -U/-D rows carry the OLD values (stat
+        retraction), +I/+U the new. None after a rollback rewrote the
+        indexed base (the changelog would diff against the WRONG old
+        state). `to_snapshot` pins the refresher's pre-captured token —
+        see _index_delta."""
         if not self.schema.is_pk_table or not indexed_snapshot:
             return None
         if not self._index_base_intact({"snapshot_id": indexed_snapshot,
@@ -3338,7 +3365,7 @@ class Table:
             return None
         try:
             from paimon_spark.operators.changelog import derive_changelog
-            return derive_changelog(self, indexed_snapshot)
+            return derive_changelog(self, indexed_snapshot, to_snapshot)
         except Exception:                              # noqa: BLE001
             return None
 
@@ -3408,15 +3435,16 @@ class Table:
         if meta is None:
             raise ValueError(f"no text index on {text_col}; run "
                              "create_text_index first")
-        latest = self.paths.latest_snapshot_id()
+        tok = self._snapshot_token()        # pre-captured: race model
         if self._index_current(meta):
             return "fresh"
         id_col, n_b = meta["id_col"], meta["n_buckets"]
         out = self._text_index_dir(text_col)
         delta = self._index_delta(meta["snapshot_id"] or 0,
-                                  meta.get("snapshot_ts"))
+                                  meta.get("snapshot_ts"),
+                                  to_snapshot=tok["snapshot_id"])
         if delta is None and self.schema.is_pk_table:
-            return self._refresh_text_index_pk(text_col, meta, latest)
+            return self._refresh_text_index_pk(text_col, meta, tok)
         if delta is None:
             self.create_text_index(text_col, meta["id_col"],
                                    meta["n_buckets"])
@@ -3439,7 +3467,7 @@ class Table:
         meta.update({"n_docs": n0 + n1, "avgdl": avgdl,
                      "sum_dl": int(meta.get(
                          "sum_dl", meta["avgdl"] * n0)) + stats["sum_dl"],
-                     **self._snapshot_token(),
+                     **tok,
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new),
                      "file_gens": fgens})
@@ -3447,7 +3475,7 @@ class Table:
         return "incremental"
 
     def _refresh_text_index_pk(self, text_col: str, meta: dict,
-                               latest: int) -> str:
+                               tok: dict) -> str:
         """Changelog-driven refresh over PK history: tombstone the old
         versions of changed keys, append postings for the new versions
         — no posting rewrite, no rebuild. Falls back to a rebuild when
@@ -3457,7 +3485,8 @@ class Table:
         id_col, n_b = meta["id_col"], meta["n_buckets"]
         out = self._text_index_dir(text_col)
         cl = self._index_changelog_delta(
-                meta["snapshot_id"] or 0, meta.get("snapshot_ts"))
+                meta["snapshot_id"] or 0, meta.get("snapshot_ts"),
+                to_snapshot=tok["snapshot_id"])
         if cl is None:
             self.create_text_index(text_col, id_col, n_b)
             return "rebuilt"
@@ -3509,7 +3538,7 @@ class Table:
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
                 "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
-                **self._snapshot_token(),
+                **tok,
                 "generation": gen,
                 "files": sorted(meta.get("files", sorted(pre)) + new_p),
                 "file_gens": fgens,
@@ -3700,9 +3729,14 @@ class Table:
         is `bands` (id, long) rows per document — a few % of a
         real multi-KB-document corpus's bytes."""
         id_col = id_col or self.schema.field_names[0]
+        # capture the token BEFORE reading the corpus and read AT that
+        # snapshot: a commit racing the build must leave the persisted
+        # pin stale (next refresh picks it up), never falsely fresh
+        tok = self._snapshot_token()
         rows = self._dedup_band_rows(
-            self.read(projection=[id_col, text_col]), id_col, text_col,
-            k, bands, n, n_buckets)
+            self.read(snapshot_id=tok["snapshot_id"],
+                      projection=[id_col, text_col]),
+            id_col, text_col, k, bands, n, n_buckets)
         out = self._dedup_index_dir(text_col)
         shutil.rmtree(out, ignore_errors=True)
         # one shuffle keyed on bucket → exactly one file per bucket
@@ -3715,7 +3749,7 @@ class Table:
         self._write_index_meta(out, {
             "text_col": text_col, "id_col": id_col, "k": k,
             "bands": bands, "n": n, "n_buckets": n_buckets,
-            **self._snapshot_token(),
+            **tok,
             "files": files})
         return out
 
@@ -3728,11 +3762,16 @@ class Table:
         if meta is None:
             raise ValueError(f"no dedup index on {text_col}; run "
                              "create_dedup_index first")
-        latest = self.paths.latest_snapshot_id()
+        # capture the refresh's upper bound BEFORE computing the delta:
+        # a commit racing the refresh must neither be claimed by the
+        # persisted pin (false-fresh would skip its rows forever) nor
+        # double-appended by the next refresh (r12 race model)
+        tok = self._snapshot_token()
         if self._index_current(meta):
             return "fresh"
         delta = self._index_delta(meta["snapshot_id"] or 0,
-                                  meta.get("snapshot_ts"))
+                                  meta.get("snapshot_ts"),
+                                  to_snapshot=tok["snapshot_id"])
         if delta is None:
             self.create_dedup_index(text_col, meta["id_col"], meta["k"],
                                     meta["bands"], meta["n"],
@@ -3747,7 +3786,7 @@ class Table:
         rows.repartition(meta["n_buckets"], "bucket") \
             .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
-        meta.update({**self._snapshot_token(),
+        meta.update({**tok,
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new)})
         self._write_index_meta(out, meta)
@@ -3961,9 +4000,12 @@ class Table:
         vectors at 100 TB would raise n_planes so each bucket holds a
         sliver of the corpus."""
         id_col = id_col or self.schema.field_names[0]
+        # pre-captured token: see create_dedup_index (r12 race model)
+        tok = self._snapshot_token()
         rows = self._embedding_band_rows(
-            self.read(projection=[id_col, vec_col]), id_col, vec_col,
-            n_planes, band_bits, dim, n_buckets)
+            self.read(snapshot_id=tok["snapshot_id"],
+                      projection=[id_col, vec_col]),
+            id_col, vec_col, n_planes, band_bits, dim, n_buckets)
         out = self._embedding_dedup_index_dir(vec_col)
         shutil.rmtree(out, ignore_errors=True)
         # one shuffle keyed on bucket → exactly one file per bucket
@@ -3977,7 +4019,7 @@ class Table:
             "vec_col": vec_col, "id_col": id_col,
             "n_planes": n_planes, "band_bits": band_bits, "dim": dim,
             "n_buckets": n_buckets,
-            **self._snapshot_token(),
+            **tok,
             "files": files})
         return out
 
@@ -3990,11 +4032,12 @@ class Table:
         if meta is None:
             raise ValueError(f"no embedding dedup index on {vec_col}; "
                              "run create_embedding_dedup_index first")
-        latest = self.paths.latest_snapshot_id()
+        tok = self._snapshot_token()        # pre-captured: race model
         if self._index_current(meta):
             return "fresh"
         delta = self._index_delta(meta["snapshot_id"] or 0,
-                                  meta.get("snapshot_ts"))
+                                  meta.get("snapshot_ts"),
+                                  to_snapshot=tok["snapshot_id"])
         if delta is None:
             self.create_embedding_dedup_index(
                 vec_col, meta["id_col"], meta["n_planes"],
@@ -4009,7 +4052,7 @@ class Table:
         rows.repartition(meta["n_buckets"], "bucket") \
             .write.mode("append").partitionBy("bucket").parquet(out)
         new = [f for f in self._index_files(out) if f not in pre]
-        meta.update({**self._snapshot_token(),
+        meta.update({**tok,
                      "files": sorted(meta.get("files",
                                               sorted(pre)) + new)})
         self._write_index_meta(out, meta)

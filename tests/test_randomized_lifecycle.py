@@ -1008,3 +1008,128 @@ def test_concurrent_writers_with_changelog_producer(spark, wh):
     _sh.rmtree(os.path.join(rows_dir, victim))
     t._read_cache.clear()
     assert canon(True) == canon(False)
+
+
+def test_index_refresh_commit_race_token_capture(spark, wh):
+    """r12 (VERDICT r11 #8, index generations racing commits): a commit
+    landing DURING a refresh must leave the persisted pin stale — never
+    falsely fresh (rows skipped forever), never double-appended by the
+    next refresh. The refresher captures its snapshot token BEFORE
+    computing the delta and bounds the delta walk at it; the racing
+    commit is picked up by the NEXT refresh exactly once."""
+    import pyspark.sql.functions as F
+
+    t = Table.create(f"{wh}/race_idx", T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType())]), spark=spark)
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"document number {i} with shared tokens") for i
+             in range(lo, hi)], t.schema.struct)
+
+    t.append(batch(0, 40))                            # s1
+    t.create_text_index("text", n_buckets=4)
+    t.create_dedup_index("text", n_buckets=4)
+    t.append(batch(40, 60))                           # s2
+
+    # inject a commit BETWEEN the refresh's delta computation and its
+    # meta write (the TOCTOU window): wrap _index_delta so the racing
+    # append lands after the bounded delta is constructed
+    orig = t._index_delta
+    raced = {"n": 0}
+
+    def racing_delta(*a, **k):
+        d = orig(*a, **k)
+        if raced["n"] < 2:                            # once per index
+            raced["n"] += 1
+            t.append(batch(60 + 10 * raced["n"],
+                           70 + 10 * raced["n"]))     # s3 / s4
+        return d
+
+    t._index_delta = racing_delta
+    try:
+        assert t.refresh_text_index("text") == "incremental"
+        assert t.refresh_dedup_index("text") == "incremental"
+    finally:
+        t._index_delta = orig
+
+    # the pin must NOT claim the racing commits
+    tmeta = t.text_index_meta("text")
+    dmeta = t.dedup_index_meta("text")
+    assert tmeta["snapshot_id"] == 2, tmeta["snapshot_id"]
+    assert dmeta["snapshot_id"] in (2, 3)             # raced s3 landed first
+    assert not t._index_current(tmeta)
+    # next refresh picks the raced commits up...
+    assert t.refresh_text_index("text") == "incremental"
+    assert t.refresh_dedup_index("text") == "incremental"
+    assert t._index_current(t.text_index_meta("text"))
+    assert t._index_current(t.dedup_index_meta("text"))
+
+    # ...exactly once: postings multiset == a from-scratch rebuild
+    out = t._text_index_dir("text")
+    got = sorted((r.id, r.term, r.tf) for r in
+                 spark.read.parquet(out).select("id", "term", "tf")
+                 .collect())
+    t.create_text_index("text", n_buckets=4)
+    want = sorted((r.id, r.term, r.tf) for r in
+                  spark.read.parquet(out).select("id", "term", "tf")
+                  .collect())
+    assert got == want
+    dout = t._dedup_index_dir("text")
+    gotd = sorted((r.id, r.bk) for r in
+                  spark.read.parquet(dout).select("id", "bk").collect())
+    t.create_dedup_index("text", n_buckets=4)
+    wantd = sorted((r.id, r.bk) for r in
+                   spark.read.parquet(dout).select("id", "bk").collect())
+    assert gotd == wantd
+
+
+def test_stream_view_sync_commit_race_bound(spark, wh):
+    """r12: _sync_live_view pins exactly the snapshot its walk linked —
+    a commit racing the walk must stay unsynced (picked up by the next
+    sync), not be claimed by a re-read token with its files never
+    linked (permanent row loss in the view)."""
+    import os
+
+    t = Table.create(f"{wh}/race_view", SCH, spark=spark)
+    t.append(spark.createDataFrame([(1, 1), (2, 2)], SCH))   # s1
+    t.create_stream_view()
+
+    # suppress the writer's own post-commit view sync so the manual
+    # sync below has a real walk to race against (external writers on
+    # another host are exactly this shape: commits land without this
+    # process's sync running)
+    t.has_stream_view = lambda: False
+    t.append(spark.createDataFrame([(3, 3)], SCH))           # s2
+    orig = t.delta_entries
+    raced = {"done": False}
+
+    def racing_entries(a, b):
+        ents = orig(a, b)
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = Table.load(t.path, spark)      # independent writer
+            t2.has_stream_view = lambda: False
+            t2.append(spark.createDataFrame([(4, 4)], SCH))  # s3 mid-walk
+        return ents
+
+    t.delta_entries = racing_entries
+    try:
+        t._sync_live_view()
+    finally:
+        t.delta_entries = orig
+        del t.has_stream_view               # restore class method
+    assert raced["done"], "race never fired"
+    import json as _json
+    with open(t._live_view_meta_path()) as f:
+        meta = _json.load(f)
+    # the pin claims exactly the walked snapshot — NOT the racing
+    # commit (a re-read token would claim s3 with its files unlinked:
+    # permanent row loss)
+    assert meta["snapshot_id"] == 2, meta
+    t._sync_live_view()                          # next sync links it
+    base = os.path.join(t.path, t._LIVE_VIEW)
+    got = sorted((r.k, r.v) for r in
+                 spark.read.parquet(base).collect())
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
