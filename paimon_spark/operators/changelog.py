@@ -141,7 +141,9 @@ def _collapsed_from_rows(table: Table, from_snapshot: int,
     dirs: list[tuple[int, str]] = []
     try:
         for sid in range(from_snapshot + 1, to_snapshot + 1):
-            snap = table.paths.read_snapshot(sid)
+            # expired snapshots fall back to the long-lived changelog
+            # record (decoupled lifecycle, r12) — kind + ts survive
+            snap = table._read_snapshot_or_changelog(sid)
             if snap.commit_kind == COMMIT_COMPACT:
                 continue
             d = _rows_dir(table.paths, snap)
@@ -212,7 +214,7 @@ def _sidecar_key_df(table: Table, from_snapshot: int,
     dirs: list[str] = []
     try:
         for sid in range(from_snapshot + 1, to_snapshot + 1):
-            snap = table.paths.read_snapshot(sid)
+            snap = table._read_snapshot_or_changelog(sid)
             if snap.commit_kind == COMMIT_COMPACT:
                 continue
             d = _keys_dir(table.paths, snap)

@@ -2068,6 +2068,7 @@ class Table:
                     break                       # newer ones are newer still
             if sid in tag_pins or sid >= consumer_floor:
                 continue
+            self._preserve_long_lived_changelog(sid)
             try:
                 os.remove(self.paths.snapshot_file(sid))
                 removed += 1
@@ -2081,22 +2082,133 @@ class Table:
             self._drop_expired_changelog_keys()
         return removed
 
+    # ------- decoupled changelog lifecycle (r12; ref: CoreOptions
+    #         changelog.num-retained.min/max + changelog.time-retained,
+    #         changelogLifecycleDecoupled(), ExpireChangelogImpl,
+    #         ChangelogManager.longLivedChangelogPath) -------
+
+    def _changelog_retention(self) -> tuple[int, int, int] | None:
+        """(min, max, ttl_ms) from the changelog.* retention options, or
+        None when unset/not-exceeding-snapshot-retention (coupled — the
+        reference's changelogLifecycleDecoupled() is false and changelog
+        files die with their snapshots)."""
+        import re as _re
+        opts = self.schema.options
+        raw_max = opts.get("changelog.num-retained.max")
+        raw_min = opts.get("changelog.num-retained.min")
+        raw_ttl = opts.get("changelog.time-retained")
+        if raw_max is None and raw_min is None and raw_ttl is None:
+            return None
+        cl_min = int(raw_min) if raw_min is not None else 1
+        cl_max = int(raw_max) if raw_max is not None else (2**31 - 1)
+        ttl_ms = 2**62
+        if raw_ttl is not None:
+            m = _re.fullmatch(r"(\d+)\s*(ms|s|m|min|h|d)", raw_ttl.strip())
+            if not m:
+                raise ValueError(
+                    f"cannot parse changelog.time-retained {raw_ttl!r}")
+            ttl_ms = int(m.group(1)) * {"ms": 1, "s": 1000, "m": 60_000,
+                                        "min": 60_000, "h": 3_600_000,
+                                        "d": 86_400_000}[m.group(2)]
+        return (cl_min, cl_max, ttl_ms)
+
+    def _long_lived_changelog_dir(self) -> str:
+        return os.path.join(self.paths.meta_root, "changelog")
+
+    def _preserve_long_lived_changelog(self, sid: int) -> None:
+        """Before an EXPIRING snapshot file is removed, copy it to the
+        long-lived changelog record (changelog/changelog-<sid>.json) so
+        derived-changelog reads over expired history keep the commit
+        kind/timestamp they need — the reference moves the snapshot to
+        ChangelogManager.longLivedChangelogPath the same way. Only when
+        the table produces changelog and retention is decoupled."""
+        if self.schema.options.get("changelog-producer", "none") \
+                not in ("lookup", "full-compaction"):
+            return
+        if self._changelog_retention() is None:
+            return
+        try:
+            with open(self.paths.snapshot_file(sid)) as f:
+                payload = f.read()
+        except OSError:
+            return
+        d = self._long_lived_changelog_dir()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"changelog-{sid}.json")
+        with open(p + ".tmp", "w") as f:
+            f.write(payload)
+        os.replace(p + ".tmp", p)
+
+    def _read_snapshot_or_changelog(self, sid: int):
+        """Snapshot record by id, falling back to the long-lived
+        changelog copy of an expired snapshot (decoupled lifecycle)."""
+        try:
+            return self.paths.read_snapshot(sid)
+        except FileNotFoundError:
+            p = os.path.join(self._long_lived_changelog_dir(),
+                             f"changelog-{sid}.json")
+            from paimon_spark.metadata import Snapshot as _Snap
+            with open(p) as f:               # FileNotFoundError propagates
+                return _Snap.from_json(f.read())
+
     # a '_tmp-*' sidecar dir is only ever live for the duration of one
     # write_changelog_keys/rows call; anything older than this is a
     # crash leftover (ADVICE r11)
     _TMP_SIDECAR_TTL_S = 3600
 
     def _drop_expired_changelog_keys(self) -> None:
-        """Sidecar GC: a changelog window (from, to] can only start at
-        an EXISTING snapshot, so key/row sidecars strictly below the
-        earliest snapshot are unreachable — reclaim them. Also sweeps
-        '_tmp-*' staging dirs left by a crashed sidecar write: removed
-        when their final dir exists (a later retry completed), their
-        snapshot expired, or they outlived the one-write TTL."""
+        """Sidecar GC. Coupled lifecycle (default): key/row sidecars
+        strictly below the earliest snapshot are unreachable — reclaim
+        them. Decoupled (changelog.num-retained.*/time-retained set,
+        r12): sidecars AND long-lived changelog records survive snapshot
+        expiry until the CHANGELOG horizon — keep the newest
+        `num-retained.min` unconditionally, drop past `num-retained.max`
+        or older than `time-retained` (ref: ExpireChangelogImpl). Also
+        sweeps '_tmp-*' staging dirs left by a crashed sidecar write:
+        removed when their final dir exists (a later retry completed),
+        their snapshot expired, or they outlived the one-write TTL."""
         earliest = self.paths.earliest_snapshot_id()
         if earliest is None:
             return
+        retention = self._changelog_retention()
+        latest = self.paths.latest_snapshot_id() or earliest
         now = time.time()
+
+        def _expired_sid(sid: int, ts_ms: int | None) -> bool:
+            if retention is None:
+                return sid < earliest
+            cl_min, cl_max, ttl_ms = retention
+            age_rank = latest - sid + 1
+            if age_rank <= cl_min:
+                return False
+            if age_rank > cl_max:
+                return True
+            if ts_ms is not None and \
+                    ts_ms < int(now * 1000) - ttl_ms:
+                return True
+            # still within the changelog horizon — retained even when
+            # the snapshot itself expired (decoupled lifecycle)
+            return False
+
+        # long-lived changelog records below the changelog horizon
+        lld = self._long_lived_changelog_dir()
+        if retention is not None and os.path.isdir(lld):
+            for n in os.listdir(lld):
+                if not (n.startswith("changelog-")
+                        and n.endswith(".json")):
+                    continue
+                sid = int(n[len("changelog-"):-len(".json")])
+                ts = None
+                try:
+                    with open(os.path.join(lld, n)) as f:
+                        ts = json.load(f).get("timestamp_ms")
+                except (OSError, ValueError):
+                    pass
+                if _expired_sid(sid, ts):
+                    try:
+                        os.remove(os.path.join(lld, n))
+                    except OSError:
+                        pass
         for sub in ("changelog-keys", "changelog-rows"):
             d = os.path.join(self.paths.meta_root, sub)
             if not os.path.isdir(d):
@@ -2109,7 +2221,14 @@ class Table:
                 except (IndexError, ValueError):
                     sid = None
                 if not tmp:
-                    if sid is not None and sid < earliest:
+                    dts = None
+                    parts = n.split("-")
+                    if len(parts) >= 3:
+                        try:
+                            dts = int(parts[2])
+                        except ValueError:
+                            dts = None
+                    if sid is not None and _expired_sid(sid, dts):
                         shutil.rmtree(os.path.join(d, n),
                                       ignore_errors=True)
                     continue
@@ -2143,6 +2262,7 @@ class Table:
         for sid in range(1, cutoff):
             if sid in tag_pins:
                 continue
+            self._preserve_long_lived_changelog(sid)
             try:
                 os.remove(self.paths.snapshot_file(sid))
                 removed += 1

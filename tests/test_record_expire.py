@@ -234,3 +234,122 @@ def test_consumer_expiration(spark, wh):
     t.append(spark.createDataFrame([(4,)], sch))
     assert not os.path.exists(cfile)
     assert t.paths.earliest_snapshot_id() == 4
+
+
+def test_decoupled_changelog_lifecycle(spark, wh):
+    """r12 (ref: CoreOptions changelog.num-retained.min/max +
+    changelog.time-retained, changelogLifecycleDecoupled,
+    ExpireChangelogImpl, ChangelogManager.longLivedChangelogPath):
+    with changelog retention set, snapshot expiry PRESERVES the
+    expired snapshots' changelog — rows/keys sidecars survive to the
+    changelog horizon and a long-lived changelog-<sid>.json keeps the
+    commit kind/ts — so windowed derived-changelog reads over expired
+    history still answer (rows-collapse tier) and a FRESH CDC
+    subscriber still reconstructs full state. Tightening the changelog
+    retention then GCs both."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_spark import P, Table
+    from paimon_spark.operators.changelog import derive_changelog
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_decoupled", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup",
+                              "changelog.num-retained.max": "100"},
+                     spark=spark)
+    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], sch))  # s1
+    t.append(spark.createDataFrame([(1, 11)], sch))                    # s2
+    t.append(spark.createDataFrame([(4, 40)], sch))                    # s3
+    t.delete_where(P.expr("k = 2"))                                    # s4
+    t.append(spark.createDataFrame([(3, 33)], sch))                    # s5
+
+    def canon(from_snap):
+        t._read_cache.clear()
+        return sorted((r.k, r.v, r._row_kind)
+                      for r in derive_changelog(t, from_snap).collect())
+
+    pre = canon(1)
+    assert t.expire_snapshots(retain_last=2) == 3        # s1-s3 expired
+    assert t.paths.earliest_snapshot_id() == 4
+
+    # long-lived records for the expired snapshots, sidecars retained
+    lld = os.path.join(t.paths.meta_root, "changelog")
+    assert sorted(os.listdir(lld)) == [
+        "changelog-1.json", "changelog-2.json", "changelog-3.json"]
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    assert sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
+                  if not n.startswith("_")) == [1, 2, 3, 4, 5]
+
+    # the window over expired history still answers, identically
+    assert canon(1) == pre
+    # and a record survives a second GC pass
+    t._drop_expired_changelog_keys()
+    assert canon(1) == pre
+
+    # fresh CDC subscriber reconstructs full state from the tail alone
+    import uuid
+    sink = f"dc_{uuid.uuid4().hex[:8]}"
+    q = (t.read_changelog_stream()
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table(sink).collect()
+    state = {}
+    for sid_rows in [rows]:
+        for r in rows:
+            if r["_row_kind"] == "-D":
+                pass
+    # fold: deletes then adds per snapshot would need sid attribution;
+    # keyed last-image suffices here because each key's final image is
+    # unique in this history
+    for r in rows:
+        if r["_row_kind"] in ("+I", "+U"):
+            state[r.k] = r.v
+    for r in rows:
+        if r["_row_kind"] == "-D" and state.get(r.k) == r.v:
+            state.pop(r.k, None)
+    assert state == {r.k: r.v for r in t.read().collect()}
+
+    # tighten the changelog horizon: keep only the newest 2
+    t = t.alter(lambda sc: sc.set_option("changelog.num-retained.max",
+                                         "2").set_option(
+                                         "changelog.num-retained.min",
+                                         "1"))
+    t._drop_expired_changelog_keys()
+    left = sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
+                  if not n.startswith("_"))
+    # latest=6 after the alter commit? alter writes a schema, not a
+    # snapshot — latest stays 5, horizon = {4, 5}
+    assert left == [4, 5], left
+    assert all(int(n[len("changelog-"):-len(".json")]) >= 4
+               for n in os.listdir(lld)) or not os.listdir(lld)
+
+
+def test_coupled_changelog_gc_unchanged(spark, wh):
+    """Without changelog.* retention options the lifecycle stays
+    COUPLED: snapshot expiry drops the expired snapshots' sidecars and
+    writes no long-lived records (the pre-r12 contract)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_coupled", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, i)], sch))
+    t.expire_snapshots(retain_last=2)
+    assert not os.path.isdir(os.path.join(t.paths.meta_root,
+                                          "changelog"))
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    left = sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
+                  if not n.startswith("_"))
+    assert left == [3, 4], left
