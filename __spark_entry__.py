@@ -1056,6 +1056,50 @@ def changelog_old_vs_new(spark, sf_dir):
                  F.max("o_orderkey").alias("max_key")))
 
 
+_DECOUPLED_CL: dict[str, "Table"] = {}
+
+
+def changelog_decoupled_window(spark, sf_dir):
+    """Decoupled changelog lifecycle (r12; ref CoreOptions
+    changelog.num-retained.*, ExpireChangelogImpl): a lookup-producer
+    table with changelog retention set commits three versions, then
+    EXPIRES all but the newest snapshot — the changelog of the expired
+    commits survives (rows sidecars + long-lived changelog records), so
+    the windowed derived changelog (1 → latest] still answers via the
+    rows-collapse tier: -U/+U pairs for updated keys, -D for deletes.
+    The oracle re-derives the same diff from raw parquet."""
+    from paimon_spark.operators.changelog import derive_changelog
+    t = _DECOUPLED_CL.get(sf_dir)
+    if t is None:
+        root = tempfile.mkdtemp(prefix="paimon_dcl_")
+        _WH_DIRS.append(root)
+        odf = (_read(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 20 == 0)
+               .select("o_orderkey", "o_orderstatus",
+                       _dec("o_totalprice").alias("o_totalprice")))
+        t = Table.create(f"{root}/orders_dcl", odf.schema,
+                         primary_keys=["o_orderkey"],
+                         options={"bucket": "2",
+                                  "changelog-producer": "lookup",
+                                  "changelog.num-retained.max": "1000"},
+                         spark=spark)
+        t.append(odf)                                           # s1
+        t.append(odf.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_totalprice",
+                             F.col("o_totalprice")
+                             + F.lit(1000).cast("decimal(18,4)")))  # s2
+        t.delete_where(P.expr("o_orderkey % 5 = 0 and "
+                              "o_orderkey % 3 != 0"))           # s3
+        t.expire_snapshots(retain_last=1)   # s1, s2 expired
+        assert t.paths.earliest_snapshot_id() == 3
+        _DECOUPLED_CL[sf_dir] = t
+    cl = derive_changelog(t, from_snapshot=1)
+    return cl.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("_row_kind").alias("kind"))
+
+
 def read_optimized_lag(spark, sf_dir):
     """$ro view: only fully-compacted files — merge-free reads that lag
     post-compaction writes. The un-compacted second append (price+500
@@ -2370,9 +2414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round: paper-faithful Gopher rules, separator-anchored URL param
     stripping), then the 11 r9-gated entries stranded below the r11 cut
     (sample_corpus … cross_partition_upsert, last driver-attested in
-    r9), then the first 36 of the r10-gated set re-attest. The 13
-    remaining r10-gated entries spill just below and lead the r13
-    window; the 50 r11-gated entries (all green in CORRECTNESS_r11)
+    r9), then the r12-NEW changelog_decoupled_window, then the first
+    35 of the r10-gated set re-attest. The 14 remaining r10-gated
+    entries spill just below and lead the r13 window; the 50 r11-gated entries (all green in CORRECTNESS_r11)
     rotate to the bottom. ALL entries — gated or not — are
     oracle-checked every round by tests/test_oracle_parity.py
     (sf0.001) and tools/check_oracle.py (sf0.01)."""
@@ -2382,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": url_canonical_dedup,
         "boilerplate_scrub": boilerplate_scrub,
         "gopher_quality": gopher_quality,
+        "changelog_decoupled_window": changelog_decoupled_window,
         # r9-gated entries stranded below the r11 cut
         "sample_corpus": sample_corpus,
         "q3_top_revenue": q3_top_revenue,
@@ -2750,6 +2795,18 @@ def oracle_sql() -> dict[str, str]:
                        list_sort(list(prio || '=' || CAST(okey AS VARCHAR))),
                        ',') AS m_entries
             FROM last GROUP BY st""",
+        "changelog_decoupled_window": """
+            WITH base AS (SELECT o_orderkey AS k,
+                                 CAST(o_totalprice AS DECIMAL(18,4)) AS p
+                          FROM orders WHERE o_orderkey % 20 = 0)
+            SELECT k AS o_orderkey, CAST(p AS DOUBLE) AS price,
+                   '-U' AS kind FROM base WHERE k % 3 = 0
+            UNION ALL
+            SELECT k, CAST(p + 1000 AS DOUBLE), '+U' FROM base
+            WHERE k % 3 = 0
+            UNION ALL
+            SELECT k, CAST(p AS DOUBLE), '-D' FROM base
+            WHERE k % 5 = 0 AND k % 3 != 0""",
         "changelog_old_vs_new": """
             WITH changed AS (
               SELECT o_orderkey,
