@@ -78,23 +78,63 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
     # stats-prunable range predicate, so the restricted merges SKIP
     # FILES whose pk range can't contain a changed key — with localized
     # updates (the common shape: recent keys) the two merge-branch
-    # scans stop being full-table. One tiny agg over the pk-width
-    # sidecar just written.
-    row = (table.spark.read.parquet(tmp)
-           .agg(*[F.min(c).alias(f"lo_{c}") for c in pks],
-                *[F.max(c).alias(f"hi_{c}") for c in pks])
-           .collect()[0])
-    ranges = {}
-    for c in pks:
-        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
-        if isinstance(lo, (int, float, str)) \
-                and isinstance(hi, (int, float, str)) \
-                and not isinstance(lo, bool):
-            ranges[c] = [lo, hi]
+    # scans stop being full-table. r12: read from the parquet FOOTER
+    # stats of the files just written — driver-side metadata only, no
+    # second Spark job on the commit path (ingest critical path).
+    ranges = _footer_ranges(tmp, pks)
     with open(os.path.join(tmp, "_summary.json"), "w") as f:
         json.dump({"ranges": ranges}, f)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
+
+
+def _footer_ranges(directory: str, cols: list[str]) -> dict:
+    """Per-column [min, max] across a parquet dir's row-group footer
+    stats — pure driver-side metadata reads. Columns whose stats are
+    missing (or of non-range-able types) are omitted, which the range
+    predicate treats as un-prunable; bytes decode to str to match the
+    Spark-agg values the summary used to carry."""
+    import pyarrow.parquet as pq
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    complete = dict.fromkeys(cols, True)
+    for fn in os.listdir(directory):
+        if not fn.endswith(".parquet") or fn.startswith("_"):
+            continue
+        md = pq.ParquetFile(os.path.join(directory, fn)).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        for c in cols:
+            i = names.get(c)
+            if i is None:
+                complete[c] = False
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    complete[c] = False
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        complete[c] = False
+                        continue
+                if c not in lo or mn < lo[c]:
+                    lo[c] = mn
+                if c not in hi or mx > hi[c]:
+                    hi[c] = mx
+    out = {}
+    for c in cols:
+        if not complete[c] or c not in lo:
+            continue
+        a, b = lo[c], hi[c]
+        if isinstance(a, (int, float, str)) \
+                and isinstance(b, (int, float, str)) \
+                and not isinstance(a, bool):
+            out[c] = [a, b]
+    return out
 
 
 def _rows_dir(paths, snap) -> str:
