@@ -1977,7 +1977,12 @@ class Table:
                   "latest_snapshot bigint, created_ms bigint")
 
     def rollback_to(self, snapshot_id: int):
-        """Drop snapshots newer than snapshot_id. (ref: Table.java:123)"""
+        """Drop snapshots newer than snapshot_id. (ref: Table.java:123)
+        The target must still EXIST — rolling back to an expired id
+        would leave the latest-hint pointing at nothing (with decoupled
+        changelog retention an expired snapshot's long-lived changelog
+        record may survive, but it is not a restorable table state)."""
+        self.paths.read_snapshot(snapshot_id)    # raises if expired
         latest = self.paths.latest_snapshot_id()
         for sid in range(snapshot_id + 1, (latest or 0) + 1):
             try:
@@ -2002,6 +2007,16 @@ class Table:
                 for d in _glob.glob(os.path.join(self.paths.meta_root,
                                                  *pat)):
                     _shutil.rmtree(d, ignore_errors=True)
+            # long-lived changelog record of an undone commit: unlike
+            # the timestamped sidecar dirs it is keyed by sid alone, so
+            # a reused id whose NEW snapshot later expires would be
+            # served the STALE commit kind/ts by
+            # _read_snapshot_or_changelog — purge it with the rollback
+            try:
+                os.remove(os.path.join(self._long_lived_changelog_dir(),
+                                       f"changelog-{sid}.json"))
+            except OSError:
+                pass
         self.paths.write_latest_hint(snapshot_id)
         if self.schema.cross_partition_update:
             # the pk→partition index reflects the undone commits; drop it

@@ -353,3 +353,47 @@ def test_coupled_changelog_gc_unchanged(spark, wh):
     left = sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
                   if not n.startswith("_"))
     assert left == [3, 4], left
+
+
+def test_rollback_purges_long_lived_changelog_and_rejects_expired_target(
+        spark, wh):
+    """r12 follow-up: (a) rollback removes the long-lived changelog
+    records of undone commits — they are keyed by sid alone, so a
+    reused id whose new snapshot later expires would otherwise be
+    served the STALE commit kind; (b) rolling back TO an expired
+    snapshot raises instead of leaving a dangling latest-hint."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_rb_lld", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup",
+                              "changelog.num-retained.max": "100"},
+                     spark=spark)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, i)], sch))       # s1..s5
+    t.expire_snapshots(retain_last=3)                        # s1,s2 out
+    lld = os.path.join(t.paths.meta_root, "changelog")
+    assert sorted(os.listdir(lld)) == ["changelog-1.json",
+                                       "changelog-2.json"]
+
+    # (b) expired target refused
+    with pytest.raises(FileNotFoundError):
+        t.rollback_to(1)
+
+    # (a) roll back s5, then fabricate the hazard: record for s5 should
+    # be gone even though a pre-rollback expiry had preserved one
+    t._preserve_long_lived_changelog(5)      # as if s5 had expired once
+    assert os.path.isfile(os.path.join(lld, "changelog-5.json"))
+    t.rollback_to(4)
+    assert not os.path.isfile(os.path.join(lld, "changelog-5.json"))
+    # re-commit reuses sid 5; its eventual expiry re-preserves the NEW
+    # record, and _read_snapshot_or_changelog never sees the stale one
+    t.append(spark.createDataFrame([(99, 99)], sch))
+    assert t.paths.latest_snapshot_id() == 5
+    assert t._read_snapshot_or_changelog(5).id == 5
