@@ -834,3 +834,69 @@ def test_gopher_rules_paper_faithful(spark):
     assert got[2]["stopword_ok"] is True
     assert got[2]["alpha_word_ok"] is False      # 40/72 ≈ 0.44 < 0.8
     assert got[2]["pass"] is False
+
+
+def test_url_canonicalize_property_vs_python_reference(spark):
+    """Property test against an INDEPENDENT pure-Python canonicalizer
+    (urllib-based, no shared regexes): the DuckDB oracle mirrors the
+    same regex chain as the Spark path, so a shared regex bug passes
+    oracle parity — this reference implementation doesn't share it.
+    Deterministic seeded URL corpus over the full feature grid."""
+    import random
+    from urllib.parse import urlsplit
+
+    from paimon_spark.functions.text import (URL_TRACKING_PARAMS,
+                                             canonicalize_url)
+
+    def py_canon(url: str) -> str:
+        sp = urlsplit(url)
+        scheme = sp.scheme.lower()
+        host = sp.netloc.lower()
+        if scheme == "http" and host.endswith(":80"):
+            host = host[:-3]
+        elif scheme == "https" and host.endswith(":443"):
+            host = host[:-4]
+        path = sp.path
+        q = []
+        for part in sp.query.split("&") if sp.query else []:
+            name = part.split("=", 1)[0]
+            tracked = (name.startswith("utm_")
+                       and name[4:].isalpha() and name[4:].islower()) \
+                or name in ("fbclid", "gclid", "msclkid")
+            if part and not tracked:
+                q.append(part)
+        out = f"{scheme}://{host}{path}"
+        if q:
+            out += "?" + "&".join(q)
+        # mirror the engine's separator normalization: /?x → ?x and
+        # trailing-slash strip happen after param stripping
+        out = out.replace("/?", "?")
+        if out.endswith("/"):
+            out = out[:-1]
+        return out
+
+    rng = random.Random(97)
+    schemes = ["http", "https", "HTTPS", "Http"]
+    hosts = ["Example.com", "sub.Site.ORG", "h.io:8080",
+             "h.io:80", "h.io:443"]
+    paths = ["", "/", "/a/B", "/a/B/", "/x"]
+    params = ["utm_source=1", "utm_campaign=c", "fbclid=z", "gclid=g",
+              "msclkid=m", "id=7", "ref=main", "href=x", "xref=y",
+              "aff_ref=q", "q=a+b"]
+    frags = ["", "#f", "#frag/2"]
+    urls = []
+    for i in range(300):
+        ps = rng.sample(params, rng.randint(0, 4))
+        u = (rng.choice(schemes) + "://" + rng.choice(hosts)
+             + rng.choice(paths)
+             + ("?" + "&".join(ps) if ps else "")
+             + rng.choice(frags))
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, "i long, url string")
+    got = {r.i: r.cu for r in df.select(
+        "i", canonicalize_url(
+            F.col("url"), strip_params=URL_TRACKING_PARAMS)
+        .alias("cu")).collect()}
+    bad = [(u, got[i], py_canon(u)) for i, u in urls
+           if got[i] != py_canon(u)]
+    assert not bad, bad[:5]
