@@ -2212,7 +2212,10 @@ class Table:
                 if not (n.startswith("changelog-")
                         and n.endswith(".json")):
                     continue
-                sid = int(n[len("changelog-"):-len(".json")])
+                try:
+                    sid = int(n[len("changelog-"):-len(".json")])
+                except ValueError:
+                    continue
                 ts = None
                 try:
                     with open(os.path.join(lld, n)) as f:
