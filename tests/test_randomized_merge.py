@@ -596,3 +596,34 @@ def test_sidecar_write_failure_does_not_skip_post_commit(spark, wh,
     assert calls["post"] == 1                    # maintenance still ran
     assert t.paths.latest_snapshot_id() == 1     # commit durable
     assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 10)]
+
+
+def test_sidecar_footer_ranges_match_data(spark, wh):
+    """r12: the key-sidecar min/max summary now comes from parquet
+    FOOTER stats (driver-side) instead of a second Spark job — the
+    ranges must still bound the commit's true key set exactly, for
+    int and string pk columns alike, and the range predicate must
+    still skip files on the restricted merge reads."""
+    import glob
+    import json
+    import os
+
+    from paimon_spark.operators.changelog import _footer_ranges
+    sch2 = T.StructType([T.StructField("k", T.LongType()),
+                         T.StructField("s", T.StringType()),
+                         T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/footer_rng", sch2,
+                     primary_keys=["k", "s"],
+                     options={"bucket": "2",
+                              "changelog-producer": "full-compaction"},
+                     spark=spark)
+    rows = [(i, f"key-{i:04d}", i * 10) for i in range(50, 150)]
+    t.append(spark.createDataFrame(rows, sch2))
+    d = glob.glob(os.path.join(t.paths.meta_root,
+                               "changelog-keys", "keys-1-*"))[0]
+    with open(os.path.join(d, "_summary.json")) as f:
+        ranges = json.load(f)["ranges"]
+    assert ranges["k"] == [50, 149]
+    assert ranges["s"] == ["key-0050", "key-0149"]
+    # helper agrees with itself on re-read and with the true data
+    assert _footer_ranges(d, ["k", "s"]) == ranges
