@@ -29,7 +29,8 @@ HEADLINE = ["q1_pricing_summary", "q5_region_revenue", "q6_revenue",
             "pipeline_clean_corpus", "text_langid", "sketch_hll_users",
             "dedup_embedding_cosine", "cdc_sync_evolution",
             "stream_window_counts", "pack_training_sequences",
-            "mixture_token_budget"]
+            "mixture_token_budget", "changelog_old_vs_new",
+            "changelog_decoupled_window"]
 
 # fact tables get disjoint id ranges per copy; dims are shared
 _FACT_OFFSETS = {
