@@ -3297,7 +3297,10 @@ class Table:
         PARTITIONED BY pmod(xxhash64(term), n_buckets), so a search
         reads only the query terms' buckets via partition pruning —
         |query| buckets of the index instead of the whole corpus, the
-        100 TB upgrade over the exact index-free scorer.
+        100 TB upgrade over the exact index-free scorer. Contract:
+        `id_col` values must be unique corpus-wide (the documents
+        table's pk) — duplicate ids make per-document tf ill-defined
+        and incremental refreshes would split their postings.
         (ref: paimon-full-text/.../NativeFullTextGlobalIndexer.java —
         the reference's persisted full-text global index serves the same
         build-once/prune-every-query contract.)"""
