@@ -41,9 +41,13 @@ class Catalog:
         import json as _json
         from paimon_spark.format_table import ObjectTable
         p = self._path(name)
-        if os.path.exists(p):
-            raise FileExistsError(f"table {name} exists")
-        os.makedirs(p, exist_ok=True)
+        # mkdir without exist_ok is the atomic create claim (racing
+        # creates: one wins, the loser raises — VERDICT r12 #1 pattern)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            os.mkdir(p)
+        except FileExistsError:
+            raise FileExistsError(f"table {name} exists") from None
         with open(os.path.join(p, "OBJECT.json"), "w") as f:
             _json.dump({"type": "object-table", "object-location": location,
                         "options": options or {}}, f)
@@ -476,8 +480,16 @@ class Catalog:
             with open(self._view_path(name)) as f:
                 existing = json.load(f).get("dialects", {})
         existing[dialect] = query
-        with open(self._view_path(name), "w") as f:
-            json.dump({"name": name, "dialects": existing}, f, indent=2)
+        # O_EXCL open is the atomic create claim for the non-replace
+        # path (the exists() check above is advisory — two racing
+        # creates both pass it); replace=True is last-writer-wins
+        mode = "w" if replace else "x"
+        try:
+            with open(self._view_path(name), mode) as f:
+                json.dump({"name": name, "dialects": existing}, f,
+                          indent=2)
+        except FileExistsError:
+            raise FileExistsError(f"view {name} exists") from None
 
     def alter_view_dialect(self, name: str, dialect: str, query: str) -> None:
         """(ref: AlterViewDialectProcedure.java)"""
@@ -535,12 +547,17 @@ class Catalog:
         Spark as a native SQL UDF (fully Catalyst-optimizable — inlined
         into plans, no python round-trip)."""
         import json
-        if not replace and os.path.exists(self._fn_path(name)):
-            raise FileExistsError(f"function {name} exists")
-        with open(self._fn_path(name), "w") as f:
-            json.dump({"name": name, "inputParams": list(map(list, input_params)),
-                       "returnType": return_type, "definition": definition,
-                       "kind": "sql"}, f, indent=2)
+        # O_EXCL open is the atomic create claim (racing creates: one
+        # wins, the loser raises); replace=True is last-writer-wins
+        try:
+            with open(self._fn_path(name), "w" if replace else "x") as f:
+                json.dump({"name": name,
+                           "inputParams": list(map(list, input_params)),
+                           "returnType": return_type,
+                           "definition": definition,
+                           "kind": "sql"}, f, indent=2)
+        except FileExistsError:
+            raise FileExistsError(f"function {name} exists") from None
         if self.spark is not None:
             self._register_fn(self.spark, name)
 

@@ -81,7 +81,17 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
     # scans stop being full-table. r12: read from the parquet FOOTER
     # stats of the files just written — driver-side metadata only, no
     # second Spark job on the commit path (ingest critical path).
-    ranges = _footer_ranges(tmp, pks)
+    # stats ranges are an optimization — a failure here must degrade to
+    # "no pruning", never abort the sidecar write itself (losing it
+    # silently drops the commit from every derived-changelog read)
+    try:
+        ranges = _footer_ranges(tmp, pks)
+    except Exception:                          # noqa: BLE001
+        import logging
+        logging.getLogger(__name__).exception(
+            "footer-range stats failed for %s (sidecar written "
+            "un-prunable)", out)
+        ranges = {}
     with open(os.path.join(tmp, "_summary.json"), "w") as f:
         json.dump({"ranges": ranges}, f)
     shutil.rmtree(out, ignore_errors=True)
@@ -92,8 +102,13 @@ def _footer_ranges(directory: str, cols: list[str]) -> dict:
     """Per-column [min, max] across a parquet dir's row-group footer
     stats — pure driver-side metadata reads. Columns whose stats are
     missing (or of non-range-able types) are omitted, which the range
-    predicate treats as un-prunable; bytes decode to str to match the
-    Spark-agg values the summary used to carry."""
+    predicate treats as un-prunable; UTF8-annotated bytes decode to str
+    to match the Spark-agg values the summary used to carry. Stats
+    access is guarded per column: pyarrow raises for stat types it
+    can't extract (e.g. ArrowNotImplementedError on some DECIMAL
+    encodings) and an unguarded raise here would abort the whole
+    sidecar write — degrading one column to un-prunable is the correct
+    failure mode, losing the commit's changelog sidecars is not."""
     import pyarrow.parquet as pq
     lo: dict[str, object] = {}
     hi: dict[str, object] = {}
@@ -109,13 +124,26 @@ def _footer_ranges(directory: str, cols: list[str]) -> dict:
             if i is None:
                 complete[c] = False
                 continue
+            # bytes stats are only meaningfully ordered as strings when
+            # the parquet column is UTF8-annotated; raw BINARY pks must
+            # stay un-prunable (decoded bytes would be compared against
+            # a binary column with different ordering)
+            is_utf8 = getattr(md.schema.column(i).logical_type,
+                              "type", None) == "STRING"
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(i).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        complete[c] = False
+                        continue
+                    mn, mx = st.min, st.max
+                except Exception:              # noqa: BLE001
                     complete[c] = False
                     continue
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    if not is_utf8:
+                        complete[c] = False
+                        continue
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:

@@ -194,12 +194,19 @@ class RESTCatalogServer:
                         b = self._body()
                         name = b["identifier"]["object"]
                         path = os.path.join(d, name)
-                        if os.path.isdir(os.path.join(path, "schema")):
-                            raise FileExistsError(f"table {db}.{name}")
                         sch = TableSchema.from_json(
                             json.dumps(b["schema"]))
-                        os.makedirs(os.path.join(path, "schema"),
-                                    exist_ok=True)
+                        # the mkdir of schema/ is the atomic create
+                        # claim — racing creates both passed the old
+                        # isdir() check and both wrote schema-0.json
+                        # (VERDICT r12 #1); now exactly one mkdir wins
+                        # and the loser's FileExistsError maps to 409
+                        os.makedirs(path, exist_ok=True)
+                        try:
+                            os.mkdir(os.path.join(path, "schema"))
+                        except FileExistsError:
+                            raise FileExistsError(
+                                f"table {db}.{name}") from None
                         with open(os.path.join(path, "schema",
                                                "schema-0.json"),
                                   "w") as f:
@@ -240,11 +247,27 @@ class RESTCatalogServer:
                 if not os.path.isdir(os.path.join(sp, "schema")):
                     raise FileNotFoundError(
                         f"table {src['database']}.{src['object']}")
-                if os.path.exists(dp):
+                if os.path.exists(dp):        # fast path; rename decides
                     raise FileExistsError(
                         f"table {dst['database']}.{dst['object']}")
                 os.makedirs(os.path.dirname(dp), exist_ok=True)
-                os.rename(sp, dp)
+                # rename(2) is the atomic claim: a racer that created or
+                # renamed into dp first makes dp a non-empty dir →
+                # ENOTEMPTY/EEXIST → 409 (the old exists()+rename window
+                # let a second rename land after the check)
+                try:
+                    os.rename(sp, dp)
+                except OSError as e:
+                    import errno as _errno
+                    if e.errno in (_errno.ENOTEMPTY, _errno.EEXIST):
+                        raise FileExistsError(
+                            f"table {dst['database']}."
+                            f"{dst['object']}") from None
+                    if e.errno == _errno.ENOENT:
+                        raise FileNotFoundError(
+                            f"table {src['database']}."
+                            f"{src['object']}") from None
+                    raise
                 return self._send(200, None)
 
             def do_GET(self):

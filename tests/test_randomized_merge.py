@@ -301,6 +301,60 @@ def test_commit_time_changelog_keys_sidecar(spark, wh):
         canon(derive_changelog(t, 2, optimize=False))
 
 
+def test_changelog_sidecar_decimal_and_binary_pk(spark, wh):
+    """ADVICE r12 (high): footer-stat extraction must never abort the
+    sidecar write. pyarrow raises for stat types it can't extract (some
+    DECIMAL encodings), and the writer's isolation guard then swallowed
+    the loss of BOTH sidecars — a lookup-producer table with a decimal
+    pk silently dropped every commit from its CDC tail. Also pins the
+    binary-bounds rule: non-UTF8 BINARY stats must not become str range
+    bounds (they'd be compared against a binary column)."""
+    import json
+    import os
+
+    from paimon_spark.operators.changelog import (_footer_ranges,
+                                                  derive_changelog)
+    dec_schema = T.StructType([
+        T.StructField("k", T.DecimalType(18, 4)),
+        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_dec_pk", dec_schema, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup"},
+                     spark=spark)
+    from decimal import Decimal
+    rows1 = [(Decimal(f"{k}.25"), k) for k in range(20)]
+    rows2 = [(Decimal(f"{k}.25"), k + 100) for k in range(0, 20, 3)]
+    t.append(spark.createDataFrame(rows1, dec_schema))             # s1
+    t.append(spark.createDataFrame(rows2, dec_schema))             # s2
+    # BOTH sidecar families must exist for both commits — the decimal
+    # pk degrades range pruning, never the sidecar write itself
+    keys_dir = os.path.join(t.paths.meta_root, "changelog-keys")
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    assert [n.split("-")[1] for n in sorted(os.listdir(keys_dir))] == \
+        ["1", "2"], os.listdir(keys_dir)
+    assert [n.split("-")[1] for n in sorted(os.listdir(rows_dir))] == \
+        ["1", "2"], os.listdir(rows_dir)
+    # the summary must be well-formed JSON (Decimal bounds are not
+    # JSON-serializable — they must be omitted, not crash the dump)
+    for n in os.listdir(keys_dir):
+        with open(os.path.join(keys_dir, n, "_summary.json")) as f:
+            json.load(f)
+    # and the derived changelog over the sidecar path matches replay
+    def canon(df):
+        return sorted((str(r.k), r.v, r._row_kind) for r in df.collect())
+    assert canon(derive_changelog(t, 1)) == \
+        canon(derive_changelog(t, 1, optimize=False))
+
+    # non-UTF8-annotated BINARY stats: bytes that HAPPEN to decode as
+    # UTF-8 must still not become str bounds
+    bin_dir = os.path.join(wh, "footer_bin")
+    (spark.createDataFrame([(b"aa", 1), (b"zz", 2)], "b binary, v long")
+     .coalesce(1).write.mode("overwrite").parquet(bin_dir))
+    ranges = _footer_ranges(bin_dir, ["b", "v"])
+    assert "b" not in ranges, ranges
+    assert ranges.get("v") == [1, 2], ranges
+
+
 def test_randomized_changelog_sidecar_vs_unoptimized(spark, wh):
     """Same random interleaving invariant as
     test_randomized_changelog_with_compactions, but with the commit-time

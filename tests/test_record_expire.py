@@ -259,6 +259,11 @@ def test_decoupled_changelog_lifecycle(spark, wh):
     t = Table.create(f"{wh}/cl_decoupled", sch, primary_keys=["k"],
                      options={"bucket": "1",
                               "changelog-producer": "lookup",
+                              # r13: decoupling requires changelog
+                              # retention to EXCEED snapshot retention
+                              # (changelogLifecycleDecoupled) — make it
+                              # visible to option-driven GC passes too
+                              "snapshot.num-retained.max": "50",
                               "changelog.num-retained.max": "100"},
                      spark=spark)
     t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], sch))  # s1
@@ -299,10 +304,6 @@ def test_decoupled_changelog_lifecycle(spark, wh):
     q.awaitTermination(120)
     rows = spark.table(sink).collect()
     state = {}
-    for sid_rows in [rows]:
-        for r in rows:
-            if r["_row_kind"] == "-D":
-                pass
     # fold: deletes then adds per snapshot would need sid attribution;
     # keyed last-image suffices here because each key's final image is
     # unique in this history
@@ -373,6 +374,9 @@ def test_rollback_purges_long_lived_changelog_and_rejects_expired_target(
     t = Table.create(f"{wh}/cl_rb_lld", sch, primary_keys=["k"],
                      options={"bucket": "1",
                               "changelog-producer": "lookup",
+                              # r13: exceed snapshot retention so the
+                              # option-driven passes see decoupled too
+                              "snapshot.num-retained.max": "50",
                               "changelog.num-retained.max": "100"},
                      spark=spark)
     for i in range(5):
@@ -397,3 +401,100 @@ def test_rollback_purges_long_lived_changelog_and_rejects_expired_target(
     t.append(spark.createDataFrame([(99, 99)], sch))
     assert t.paths.latest_snapshot_id() == 5
     assert t._read_snapshot_or_changelog(5).id == 5
+
+
+def test_changelog_tighter_than_snapshot_stays_coupled(spark, wh):
+    """r13 (VERDICT r12 #2a; ref: CoreOptions.changelogLifecycleDecoupled
+    + ExpireConfig.build null-coalescing): changelog retention that does
+    NOT exceed snapshot retention means the lifecycle is COUPLED —
+    setting changelog.num-retained.max BELOW the snapshot horizon must
+    never GC sidecars of still-LIVE snapshots (the r12 predicate
+    decoupled on any changelog.* option and did exactly that)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_tight", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "lookup",
+                              # tighter than every snapshot default —
+                              # must NOT expire changelog of live snaps
+                              "changelog.num-retained.max": "2",
+                              "changelog.num-retained.min": "1"},
+                     spark=spark)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, i)], sch))       # s1..s6
+    assert t._changelog_retention() is None                  # coupled
+    # all six snapshots live (defaults retain 10) → all six sidecars
+    # live, despite changelog.num-retained.max=2
+    t._drop_expired_changelog_keys()
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    left = sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
+                  if not n.startswith("_"))
+    assert left == [1, 2, 3, 4, 5, 6], left
+    # coupled: snapshot expiry drops them with their snapshots, and no
+    # long-lived records appear
+    t.expire_snapshots(retain_last=3)
+    left = sorted(int(n.split("-")[1]) for n in os.listdir(rows_dir)
+                  if not n.startswith("_"))
+    assert left == [4, 5, 6], left
+    assert not os.path.isdir(os.path.join(t.paths.meta_root,
+                                          "changelog"))
+
+
+def test_input_producer_changelog_survives_expiry(spark, wh):
+    """r13 (VERDICT r12 #2b; ref: ExpireSnapshotsImpl preserves
+    changelog for ANY producer when decoupled, incl. `input`): an
+    input-producer table's commit deltas ARE its changelog — with
+    decoupled retention they must stay readable through
+    read_incremental across snapshot expiry AND across
+    remove_orphan_files (which must pin the preserved records'
+    manifests and files)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from paimon_spark import Table
+    sch = T.StructType([T.StructField("k", T.LongType()),
+                        T.StructField("v", T.LongType())])
+    t = Table.create(f"{wh}/cl_input", sch, primary_keys=["k"],
+                     options={"bucket": "1",
+                              "changelog-producer": "input",
+                              "changelog.num-retained.max": "100"},
+                     spark=spark)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, 10 * i), (i + 100, i)],
+                                       sch))                 # s1..s5
+
+    def win(a, b):
+        t._read_cache.clear()
+        return sorted((r.k, r.v, r._row_kind)
+                      for r in t.read_incremental(a, b).collect())
+
+    pre_13 = win(1, 3)
+    pre_04 = win(0, 4)
+    assert len(pre_13) == 4
+    # manual expire overrides SNAPSHOT retention only → changelog
+    # max=100 exceeds it → decoupled, records preserved for s1..s3
+    t.expire_snapshots(retain_last=2)
+    assert t.paths.earliest_snapshot_id() == 4
+    lld = os.path.join(t.paths.meta_root, "changelog")
+    assert sorted(os.listdir(lld)) == [
+        "changelog-1.json", "changelog-2.json", "changelog-3.json"]
+    # expired windows still answer, identically
+    assert win(1, 3) == pre_13
+    assert win(0, 4) == pre_04
+    # orphan cleanup pins the preserved records' manifests + files
+    t.remove_orphan_files()
+    assert win(1, 3) == pre_13
+    assert win(0, 4) == pre_04
+    # dropping the changelog options re-couples: the records are below
+    # the earliest snapshot → swept; expired windows then refuse
+    t = t.alter(lambda sc: sc.remove_option("changelog.num-retained.max"))
+    t._drop_expired_changelog_keys()
+    assert not os.listdir(lld)
+    with pytest.raises(ValueError):
+        win(1, 3)
