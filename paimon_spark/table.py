@@ -2231,8 +2231,18 @@ class Table:
         retention = self._changelog_retention(snapshot_retention)
         latest = self.paths.latest_snapshot_id() or earliest
         now = time.time()
+        # consumer pin (r13; ref: consumer/ConsumerManager — consumer
+        # progress prevents snapshot AND changelog deletion before
+        # consumption): a CDC tail reading PRESERVED changelog below
+        # the earliest snapshot is the decoupled steady state — the
+        # horizon must not GC records/sidecars it hasn't consumed
+        consumers = self._list_consumers()
+        consumer_floor = (min(n for _c, n in consumers) - 1
+                          if consumers else None)
 
         def _expired_sid(sid: int, ts_ms: int | None) -> bool:
+            if consumer_floor is not None and sid >= consumer_floor:
+                return False
             if sid >= earliest:
                 # the reference never expires changelog of a LIVE
                 # snapshot (ExpireChangelogImpl bounds endExclusive at
