@@ -461,6 +461,21 @@ def main():
                     pass
     full = _merge_sessions(sessions) if sessions else measure()
 
+    # human-readable claim derived FROM the payload (VERDICT r12 #6:
+    # the round-closing commit message must quote THESE numbers — they
+    # are computed from the same dict that is written to disk, so the
+    # claim and the committed artifact cannot diverge)
+    _batch = {k: v for k, v in full["ratios"].items()
+              if not k.startswith("stream")}
+    _worst = max(_batch, key=_batch.get) if _batch else None
+    full["claim"] = (
+        f"total {full['value']}s for {len(full['queries'])} queries at "
+        f"sf{full['sf']}; ingest {full['queries'].get('ingest')}s; "
+        "batch ratios "
+        + ", ".join(f"{k}={v}" for k, v in sorted(_batch.items()))
+        + (f" (worst {_worst}={_batch[_worst]})" if _worst else "")
+        + f"; stream_steady={full['ratios'].get('stream_steady')}")
+
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     try:
@@ -488,6 +503,7 @@ def main():
         "queries_file": "BENCH_FULL.json" if full_path else None,
     }
     print(json.dumps(payload, separators=(",", ":")))
+    print("CLAIM:", full["claim"], file=sys.stderr)
 
 
 if __name__ == "__main__":

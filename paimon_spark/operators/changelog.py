@@ -70,32 +70,104 @@ def write_changelog_keys(table: Table, snap, entries) -> None:
                        "_tmp-" + os.path.basename(out))
     shutil.rmtree(tmp, ignore_errors=True)
     pks = table.schema.primary_keys
-    (table._read_files(list(entries))
-     .select(*pks).distinct()
-     .write.mode("overwrite").parquet(tmp))
-    # per-column min/max of the commit's key set ("_"-prefixed file:
-    # ignored by parquet dir readers). Lets the read side build a
-    # stats-prunable range predicate, so the restricted merges SKIP
-    # FILES whose pk range can't contain a changed key — with localized
-    # updates (the common shape: recent keys) the two merge-branch
-    # scans stop being full-table. r12: read from the parquet FOOTER
-    # stats of the files just written — driver-side metadata only, no
-    # second Spark job on the commit path (ingest critical path).
-    # stats ranges are an optimization — a failure here must degrade to
-    # "no pruning", never abort the sidecar write itself (losing it
-    # silently drops the commit from every derived-changelog read)
-    try:
-        ranges = _footer_ranges(tmp, pks)
-    except Exception:                          # noqa: BLE001
-        import logging
-        logging.getLogger(__name__).exception(
-            "footer-range stats failed for %s (sidecar written "
-            "un-prunable)", out)
-        ranges = {}
+    entries = list(entries)
+    # r13 ingest-path trim (VERDICT r12 #5): a small commit's key set
+    # is built DRIVER-SIDE with pyarrow (pk-column reads of the files
+    # just written, Arrow group_by distinct) — no Spark job at all on
+    # the commit path. Large commits (or non-parquet formats) keep the
+    # distributed distinct: the gate keeps the driver path O(batch),
+    # never O(table), so it holds at any table size.
+    ranges = _write_keys_driver_side(table, entries, pks, tmp)
+    if ranges is None:
+        (table._read_files(entries)
+         .select(*pks).distinct()
+         .write.mode("overwrite").parquet(tmp))
+        # per-column min/max of the commit's key set ("_"-prefixed
+        # file: ignored by parquet dir readers). Lets the read side
+        # build a stats-prunable range predicate, so the restricted
+        # merges SKIP FILES whose pk range can't contain a changed key
+        # — with localized updates (the common shape: recent keys) the
+        # two merge-branch scans stop being full-table. r12: read from
+        # the parquet FOOTER stats of the files just written —
+        # driver-side metadata only, no second Spark job on the commit
+        # path. Stats ranges are an optimization — a failure here must
+        # degrade to "no pruning", never abort the sidecar write
+        # itself (losing it silently drops the commit from every
+        # derived-changelog read)
+        try:
+            ranges = _footer_ranges(tmp, pks)
+        except Exception:                      # noqa: BLE001
+            import logging
+            logging.getLogger(__name__).exception(
+                "footer-range stats failed for %s (sidecar written "
+                "un-prunable)", out)
+            ranges = {}
     with open(os.path.join(tmp, "_summary.json"), "w") as f:
         json.dump({"ranges": ranges}, f)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
+
+
+# below this many delta bytes the keys sidecar is built driver-side
+# (pyarrow pk-column reads + Arrow distinct — zero Spark jobs); above,
+# the distributed distinct keeps the path O(batch)-per-executor
+_DRIVER_KEYS_BYTES = 256 << 20
+
+
+def _write_keys_driver_side(table: Table, entries, pks: list[str],
+                            tmp: str) -> dict | None:
+    """Build the keys sidecar on the driver when the commit is small:
+    read ONLY the pk columns of the commit's parquet files (local
+    metadata+column chunks), distinct via Arrow group_by, write one
+    parquet file, and compute the min/max ranges from the in-memory
+    key set (no footer round-trip). Returns the ranges dict, or None
+    to fall back to the Spark path (commit too large, non-parquet
+    format, or any Arrow failure — the fallback is always safe)."""
+    try:
+        total = 0
+        paths = []
+        for e in entries:
+            fp = e.file_path
+            if not fp.endswith(".parquet"):
+                return None
+            total += getattr(e, "file_size", 0) or 0
+            paths.append(fp if os.path.isabs(fp)
+                         else os.path.join(table.path, fp))
+        if not paths or total > _DRIVER_KEYS_BYTES:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        parts = [pq.read_table(p, columns=pks) for p in paths]
+        keys = pa.concat_tables(parts, promote_options="default") \
+            .group_by(pks).aggregate([])
+        # group_by may suffix/reorder nothing for no-agg, but be
+        # explicit about column order matching the pk order
+        keys = keys.select(pks)
+        ranges: dict[str, list] = {}
+        for c in pks:
+            col = keys[c]
+            typ = col.type
+            ok = (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                  or pa.types.is_string(typ)
+                  or pa.types.is_large_string(typ))
+            if not ok or keys.num_rows == 0:
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None or hi is None:
+                continue
+            ranges[c] = [lo, hi]
+        os.makedirs(tmp)
+        pq.write_table(keys, os.path.join(tmp, "keys-0.parquet"))
+        return ranges
+    except Exception:                          # noqa: BLE001
+        import logging
+        logging.getLogger(__name__).exception(
+            "driver-side keys sidecar failed (falling back to the "
+            "Spark distinct) for %s", tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
 
 
 def _footer_ranges(directory: str, cols: list[str]) -> dict:

@@ -1744,6 +1744,10 @@ class Table:
         latest = self.paths.latest_snapshot()
         if latest is None:
             return None
+        # dedicated-compact-job duties first (ref: CoreOptions
+        # WRITE_ONLY — 'used along with dedicated compact jobs'):
+        # produce any changelog the write-only writers deferred
+        self.produce_changelog()
         keep = self._partition_keeper(partition_filter)
         if self.schema.num_buckets == -2:
             return self._compact_postpone()
@@ -4472,6 +4476,73 @@ class Table:
         return out
 
     # ---------------- metadata maintenance ----------------
+
+    def produce_changelog(self, max_workers: int = 4) -> int:
+        """Catch-up changelog production for commits that skipped it —
+        the dedicated-job half of `write-only=true` ingestion (ref:
+        CoreOptions.WRITE_ONLY:763 'compactions ... skipped. This
+        option is used along with dedicated compact jobs', where the
+        lookup/full-compaction producer emits the deferred changelog).
+        Writes the missing key (and, for lookup, rows) sidecars for
+        every retained non-COMPACT snapshot. Windows are independent,
+        so they derive on a small thread pool — Spark overlaps the
+        jobs, so a 3-commit write-only burst catches up in ~one
+        derivation's wall time instead of three. Returns the number of
+        snapshots caught up. Reads that arrive before catch-up are
+        still correct: the derivation tiers fall back to manifest
+        replay when a sidecar is missing."""
+        producer = self.schema.options.get("changelog-producer", "none")
+        if (not self.schema.is_pk_table
+                or producer not in ("lookup", "full-compaction")
+                or self.schema.num_buckets == -2):
+            return 0
+        earliest = self.paths.earliest_snapshot_id()
+        latest = self.paths.latest_snapshot_id()
+        if earliest is None or latest is None:
+            return 0
+        from paimon_spark.metadata import COMMIT_COMPACT
+        from paimon_spark.operators.changelog import (_keys_dir,
+                                                      _rows_dir,
+                                                      write_changelog_keys,
+                                                      write_changelog_rows)
+        todo = []
+        for sid in range(earliest, latest + 1):
+            snap = self.paths.read_snapshot(sid)
+            if snap.commit_kind == COMMIT_COMPACT:
+                continue
+            need_keys = not os.path.isdir(_keys_dir(self.paths, snap))
+            need_rows = producer == "lookup" and \
+                not os.path.isdir(_rows_dir(self.paths, snap))
+            if need_keys or need_rows:
+                todo.append((snap, need_keys, need_rows))
+        if not todo:
+            return 0
+
+        def _one(item) -> bool:
+            snap, need_keys, need_rows = item
+            if need_keys:
+                if snap.id > 1:
+                    prev = self.paths.read_snapshot(snap.id - 1)
+                    prev_n = len(prev.manifests)
+                    if snap.manifests[:prev_n] != prev.manifests:
+                        # manifest folding rewrote history — this
+                        # commit's delta is no longer addressable;
+                        # reads keep using the replay/full-diff tiers
+                        return False
+                else:
+                    prev_n = 0
+                entries = [e for m in snap.manifests[prev_n:]
+                           for e in self.paths.read_manifest(m)]
+                write_changelog_keys(self, snap, entries)
+            if need_rows:
+                write_changelog_rows(self, snap)
+            return True
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(todo))) as pool:
+            done = sum(bool(r) for r in pool.map(_one, todo))
+        return done
 
     def compact_manifests(self) -> Snapshot | None:
         """CALL sys.compact_manifest: fold the cumulative manifest list into

@@ -833,6 +833,12 @@ class BatchWriter:
         producer = self.schema.options.get("changelog-producer", "none")
         if (not self.schema.is_pk_table or not entries
                 or kind == COMMIT_COMPACT
+                # write-only writers defer changelog production to the
+                # dedicated compact job (ref: CoreOptions.WRITE_ONLY;
+                # Table.produce_changelog catches up) — reads fall back
+                # to the replay tiers until then
+                or self.schema.options.get("write-only",
+                                           "false") == "true"
                 # postpone tables (bucket=-2): pending writes are not
                 # merged-readable until rescale assigns buckets, so
                 # commit-time changelog derivation would be wrong-by-
@@ -874,6 +880,10 @@ class BatchWriter:
             from paimon_spark.procedures import \
                 trigger_tag_automatic_creation
             trigger_tag_automatic_creation(self.table.spark, self.table)
+        if self.schema.options.get("write-only", "false") == "true":
+            # ref: CoreOptions.WRITE_ONLY — 'compactions and snapshot
+            # expiration will be skipped'; dedicated jobs do both
+            return
         self.table.expire_snapshots_policy()
         # self-expiring tags (RETAIN n DAYS): O(tags) metadata sweep
         # (ref: TagTimeExpire run by the committer's TagAutoManager)

@@ -301,6 +301,54 @@ def test_commit_time_changelog_keys_sidecar(spark, wh):
         canon(derive_changelog(t, 2, optimize=False))
 
 
+def test_write_only_defers_changelog_to_dedicated_compact(spark, wh):
+    """r13 (ref: CoreOptions.WRITE_ONLY:763 — 'compactions and snapshot
+    expiration will be skipped. This option is used along with
+    dedicated compact jobs'): write-only commits produce NO sidecars
+    and skip auto-maintenance; reads meanwhile fall back to the replay
+    tiers and stay correct; the dedicated compact call catches up the
+    deferred keys+rows sidecars (Table.produce_changelog) and the
+    derived changelog matches the unoptimized diff exactly."""
+    import os
+
+    from paimon_spark import P
+    from paimon_spark.operators.changelog import (_sidecar_key_df,
+                                                  derive_changelog)
+    t = Table.create(f"{wh}/cl_wo", SCHEMA, primary_keys=["k"],
+                     options={"bucket": "2",
+                              "changelog-producer": "lookup",
+                              "write-only": "true"},
+                     spark=spark)
+    t.append(spark.createDataFrame(
+        [(k, k % 5, float(k)) for k in range(40)], SCHEMA))       # s1
+    t.append(spark.createDataFrame(
+        [(k, 99, float(k) + 0.5) for k in range(0, 40, 4)], SCHEMA))  # s2
+    t.delete_where(P.expr("k % 7 = 3"))                            # s3
+    # no sidecars yet — and reads are STILL correct via replay tiers
+    assert not os.path.isdir(os.path.join(t.paths.meta_root,
+                                          "changelog-keys"))
+
+    def canon(df):
+        return sorted((r.k, r.v, r.amt, r._row_kind) for r in df.collect())
+
+    pre = canon(derive_changelog(t, 1, optimize=False))
+    assert canon(derive_changelog(t, 1)) == pre
+
+    # dedicated compact job: catches up all three commits' sidecars
+    t.compact(full=True)                                           # s4
+    sc_dir = os.path.join(t.paths.meta_root, "changelog-keys")
+    rows_dir = os.path.join(t.paths.meta_root, "changelog-rows")
+    assert [n.split("-")[1] for n in sorted(os.listdir(sc_dir))] == \
+        ["1", "2", "3"]
+    assert [n.split("-")[1] for n in sorted(os.listdir(rows_dir))] == \
+        ["1", "2", "3"]
+    t._read_cache.clear()
+    assert canon(derive_changelog(t, 1)) == pre
+    assert _sidecar_key_df(t, 1, 3) is not None
+    # catch-up is idempotent
+    assert t.produce_changelog() == 0
+
+
 def test_changelog_sidecar_decimal_and_binary_pk(spark, wh):
     """ADVICE r12 (high): footer-stat extraction must never abort the
     sidecar write. pyarrow raises for stat types it can't extract (some
