@@ -2073,8 +2073,17 @@ class Table:
         cutoff_ms = int(time.time() * 1000) - ttl_ms
         tag_pins = set(self.paths.list_tags().values())
         consumers = self._list_consumers()
+        # consumer.changelog-only (ref: CoreOptions:1666,
+        # ExpireSnapshotsImpl:140): with a decoupled changelog
+        # lifecycle, consumers reading the CDC tail only need the
+        # CHANGELOG retained — they stop pinning snapshots (the
+        # changelog-horizon GC still honors them)
+        changelog_only = (
+            opts.get("consumer.changelog-only", "false") == "true"
+            and self._changelog_retention(sn_ret) is not None)
         consumer_floor = (min(n for _c, n in consumers) - 1
-                          if consumers else latest + 1)
+                          if consumers and not changelog_only
+                          else latest + 1)
         # bound per-commit expiration work — a huge backlog amortizes
         # over commits instead of stalling one (ref: CoreOptions
         # SNAPSHOT_EXPIRE_LIMIT, default 50)
@@ -2333,14 +2342,6 @@ class Table:
             return 0
         tag_pins = set(self.paths.list_tags().values())
         cutoff = latest - retain_last + 1
-        # consumer pin: never expire a snapshot an active consumer has not
-        # read yet (ref: consumer/ConsumerManager minNextSnapshot in
-        # SnapshotDeletion; our consumer files store next_snapshot)
-        consumers = self._list_consumers()
-        if consumers:
-            # keep next-1 too: it is the diff base of the consumer's next
-            # incremental read
-            cutoff = min(cutoff, min(n for _c, n in consumers) - 1)
         # the manual procedure's retain arg overrides the effective
         # SNAPSHOT retention only (ref: ExpireSnapshotsProcedure →
         # fillInSnapshotOptions); unset changelog.* options then default
@@ -2348,6 +2349,21 @@ class Table:
         # ExpireConfig.build()'s null-coalescing
         sn_ret = (retain_last, retain_last,
                   self._snapshot_retention()[2])
+        # consumer pin: never expire a snapshot an active consumer has not
+        # read yet (ref: consumer/ConsumerManager minNextSnapshot in
+        # SnapshotDeletion; our consumer files store next_snapshot) —
+        # UNLESS consumer.changelog-only with a decoupled lifecycle
+        # (ref: CoreOptions:1666, ExpireSnapshotsImpl:140): then the
+        # consumer only pins CHANGELOG expiry, not snapshots
+        consumers = self._list_consumers()
+        changelog_only = (
+            self.schema.options.get("consumer.changelog-only",
+                                    "false") == "true"
+            and self._changelog_retention(sn_ret) is not None)
+        if consumers and not changelog_only:
+            # keep next-1 too: it is the diff base of the consumer's next
+            # incremental read
+            cutoff = min(cutoff, min(n for _c, n in consumers) - 1)
         removed = 0
         for sid in range(1, cutoff):
             if sid in tag_pins:

@@ -83,6 +83,37 @@ def test_consumer_pins_changelog_horizon(spark, wh):
     assert _sidecar_sids(t) == [5, 6]
 
 
+def test_consumer_changelog_only_releases_snapshot_pin(spark, wh):
+    """r13 (ref: CoreOptions.CONSUMER_CHANGELOG_ONLY:1666,
+    ExpireSnapshotsImpl:140): with a decoupled lifecycle and
+    consumer.changelog-only=true, a consumer stops pinning SNAPSHOT
+    expiry — it only pins the changelog horizon. Without the option
+    the consumer blocks snapshot expiry as before."""
+    t = _mk_decoupled(spark, wh, "cl_conly")
+    _pin_consumer(t, "tail", 2)
+
+    # default: consumer blocks snapshot expiry past its position
+    t.expire_snapshots(retain_last=2)
+    assert t.paths.earliest_snapshot_id() == 1
+
+    # changelog-only: snapshots expire past the consumer, changelog is
+    # preserved (decoupled) and the horizon GC still honors the pin
+    t = t.alter(lambda sc: sc.set_option("consumer.changelog-only",
+                                         "true"))
+    t.expire_snapshots(retain_last=2)
+    assert t.paths.earliest_snapshot_id() == 5
+    assert _sidecar_sids(t) == [1, 2, 3, 4, 5, 6]
+    t._drop_expired_changelog_keys()
+    assert _sidecar_sids(t) == [1, 2, 3, 4, 5, 6]   # pinned at floor 1
+
+    # consumer gone → horizon applies again on the next GC pass
+    os.remove(os.path.join(t.path, "consumer", "consumer-tail.json"))
+    t = t.alter(lambda sc: sc.set_option("changelog.num-retained.max",
+                                         "1"))      # now coupled
+    t._drop_expired_changelog_keys()
+    assert _sidecar_sids(t) == [5, 6]
+
+
 def test_gc_racing_windowed_read_fail_or_correct(spark, wh):
     """Contract 2 (seeded): reader threads loop the full-history
     derived-changelog window while a GC thread expires snapshots and
