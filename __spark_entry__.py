@@ -728,6 +728,20 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t.refresh_embedding_dedup_index()
         out["emb_dedup"] = t
 
+    def _build_29():
+        # ---- events_bk: append table bucketed by user_id (r13) — the
+        # window query reads it through the bucketed view, so BOTH its
+        # aggregation and its window run exchange-free (raw parquet
+        # pays two shuffles; plan pinned by
+        # test_window_over_bucketed_append_no_exchange)
+        ev = raw["events"]
+        t = Table.create(f"{root}/events_bk", ev.schema,
+                         options={"bucket": "8",
+                                  "bucket-key": "user_id"},
+                         spark=spark)
+        t.append(ev)
+        out["events_bk"] = t
+
     def _warm_streaming():
         # Warm the Structured-Streaming machinery (Python DataSource worker
         # pool, state store, memory sink, codegen/JIT of the stateful
@@ -769,7 +783,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # jobs are small and local[32] schedules them FIFO without
     # starvation)
     with ThreadPoolExecutor(max_workers=14) as _pool:
-        _futs = [_pool.submit(_timed(f)) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _warm_streaming)]
+        _futs = [_pool.submit(_timed(f)) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _build_29, _warm_streaming)]
         # _build_13 drives df.write.format("paimon") and must run on
         # the MAIN thread (Spark 4 keys python-datasource artifacts to
         # the registering thread's JobArtifactSet) — run it here so it
@@ -1870,8 +1884,13 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 def window_user_ranks(spark, sf_dir):
+    """Top-2 event types per user. Reads the user_id-bucketed engine
+    table (r13): the bucketed view reports HashPartitioning(user_id),
+    which satisfies BOTH the groupBy's and the window's clustering —
+    zero exchanges end-to-end, where raw parquet pays two shuffles."""
     from pyspark.sql import Window
-    ev = _read(spark, sf_dir, "events")
+    ev = _wh(spark, sf_dir)["events_bk"].read(
+        projection=["user_id", "event_type"])
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
     return (counts.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -357,6 +357,37 @@ def test_colocated_join_no_exchange(spark, wh):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_window_over_bucketed_append_no_exchange(spark, wh):
+    """r13: an append table bucketed by a key serves a groupBy on a
+    SUPERSET of that key AND a window partitioned by it with ZERO
+    exchanges — HashPartitioning(user) satisfies clustering for both.
+    Raw parquet pays two shuffles for the same query; this pins the
+    engine's window advantage (bench `window` ratio)."""
+    from pyspark.sql import Window
+    sch = T.StructType([T.StructField("u", T.LongType()),
+                        T.StructField("et", T.StringType())])
+    t = Table.create(f"{wh}/evbk", sch,
+                     options={"bucket": "4", "bucket-key": "u"},
+                     spark=spark)
+    rows = [(i % 37, f"e{(i * 7) % 5}") for i in range(1500)]
+    t.append(spark.createDataFrame(rows, sch))
+    counts = (t.read().groupBy("u", "et")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("et"))
+    q = (counts.withColumn("rnk", F.row_number().over(w))
+         .filter(F.col("rnk") <= 2))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan, plan
+    # and values match a plain-read computation
+    counts2 = (spark.createDataFrame(rows, sch).groupBy("u", "et")
+               .agg(F.count("*").alias("cnt")))
+    q2 = (counts2.withColumn("rnk", F.row_number().over(w))
+          .filter(F.col("rnk") <= 2))
+    assert sorted(map(tuple, q.collect())) == \
+        sorted(map(tuple, q2.collect()))
+
+
 def test_rescale_keeps_fast_path_and_time_travel_safe(spark, wh):
     """rescale rewrites every bucket under the new count and bumps the
     schema id: post-rescale reads ride the bucketed view with the new
