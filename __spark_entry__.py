@@ -285,7 +285,11 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
         t3.append(mm.filter(F.col("seq_k") % 2 == 1))
         out["agg_map"] = t3
 
-        # ---- orders_ro: compact, then one more append (ro lags it) ----
+    def _build_30():
+        # ---- orders_ro: compact, then one more append (ro lags it).
+        # r13: split out of _build_7 — four sequential tables made that
+        # builder a pool pole; packing them across workers shortens the
+        # ingest critical path
         ro = raw["orders"].filter(F.col("o_orderkey") % 3 == 0).select(
             "o_orderkey", "o_orderstatus", "o_totalprice")
         t4 = Table.create(
@@ -783,7 +787,7 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # jobs are small and local[32] schedules them FIFO without
     # starvation)
     with ThreadPoolExecutor(max_workers=14) as _pool:
-        _futs = [_pool.submit(_timed(f)) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _build_29, _warm_streaming)]
+        _futs = [_pool.submit(_timed(f)) for f in (_build_0, _build_1, _build_2, _build_3, _build_4, _build_5, _build_6, _build_7, _build_8, _build_9, _build_10, _build_11, _build_12, _build_14, _build_15, _build_16, _build_17, _build_18, _build_19, _build_20, _build_21, _build_22, _build_23, _build_24, _build_25, _build_26, _build_27, _build_28, _build_29, _build_30, _warm_streaming)]
         # _build_13 drives df.write.format("paimon") and must run on
         # the MAIN thread (Spark 4 keys python-datasource artifacts to
         # the registering thread's JobArtifactSet) — run it here so it
