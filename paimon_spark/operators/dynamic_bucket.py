@@ -111,13 +111,6 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
                     .join(idx.select(*keys), keys, "left_anti"))
     new_keys = _sequential_fill(new_only, keys, existing, target,
                                 max_buckets)
-    assigned = (joined.join(new_keys.withColumnRenamed(BUCKET_COL,
-                                                       "__nb"),
-                            keys, "left")
-                .withColumn(BUCKET_COL,
-                            F.coalesce(F.col(BUCKET_COL), F.col("__nb"))
-                            .cast("int"))
-                .drop("__nb"))
     # persist assignments for keys not yet in the index: write to a tmp
     # dataset first so the new-key count comes from parquet footers
     # (driver metadata only), then adopt the files
@@ -125,12 +118,29 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     new_keys.write.parquet(staging)
     added = _footer_rows(staging)
+    adopted = []
     for fn in os.listdir(staging):
         if fn.endswith(".parquet"):
-            os.rename(os.path.join(staging, fn),
-                      os.path.join(d, f"idx-{uuid.uuid4().hex}.parquet"))
+            dest = os.path.join(d, f"idx-{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(staging, fn), dest)
+            adopted.append(dest)
     shutil.rmtree(staging, ignore_errors=True)
     _save_count(table_path, existing + added)
+    # r13: join against the JUST-WRITTEN index files, not the new_keys
+    # plan — the returned DataFrame stays lazy in the caller, and
+    # reusing the plan would re-execute the whole distributed rank a
+    # second time at stage/commit (the written files are its result)
+    if added and adopted:
+        new_idx = spark.read.parquet(*adopted)
+    else:
+        new_idx = new_keys                     # empty: plan is cheap
+    assigned = (joined.join(new_idx.withColumnRenamed(BUCKET_COL,
+                                                      "__nb"),
+                            keys, "left")
+                .withColumn(BUCKET_COL,
+                            F.coalesce(F.col(BUCKET_COL), F.col("__nb"))
+                            .cast("int"))
+                .drop("__nb"))
     return assigned
 
 
