@@ -1131,6 +1131,51 @@ def changelog_decoupled_window(spark, sf_dir):
         F.col("_row_kind").alias("kind"))
 
 
+_INPUT_CL: dict[str, "Table"] = {}
+
+
+def changelog_input_window(spark, sf_dir):
+    """Input-producer decoupled changelog (r13; ref: ExpireSnapshotsImpl
+    preserves changelog for ANY producer when decoupled, incl. `input`,
+    whose commit deltas ARE the changelog): a PK table with
+    changelog-producer=input commits three versions, then expires all
+    but the newest snapshot — the expired commits' delta files stay
+    readable through read_incremental via the long-lived changelog
+    records, so the (1 → latest] audit window still answers: the
+    update images of s2 (+I with the raised price) and the delete
+    images of s3 (-D). The oracle rebuilds the same row set from raw
+    parquet."""
+    t = _INPUT_CL.get(sf_dir)
+    if t is None:
+        root = tempfile.mkdtemp(prefix="paimon_icl_")
+        _WH_DIRS.append(root)
+        odf = (_read(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 20 == 0)
+               .select("o_orderkey", "o_orderstatus",
+                       _dec("o_totalprice").alias("o_totalprice")))
+        t = Table.create(f"{root}/orders_icl", odf.schema,
+                         primary_keys=["o_orderkey"],
+                         options={"bucket": "2",
+                                  "changelog-producer": "input",
+                                  "changelog.num-retained.max": "1000"},
+                         spark=spark)
+        t.append(odf)                                           # s1
+        t.append(odf.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_totalprice",
+                             F.col("o_totalprice")
+                             + F.lit(1000).cast("decimal(18,4)")))  # s2
+        t.delete_where(P.expr("o_orderkey % 5 = 0 and "
+                              "o_orderkey % 3 != 0"))           # s3
+        t.expire_snapshots(retain_last=1)   # s1, s2 expired
+        assert t.paths.earliest_snapshot_id() == 3
+        _INPUT_CL[sf_dir] = t
+    inc = t.read_incremental(1, 3, with_kind=True)
+    return inc.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("_row_kind").alias("kind"))
+
+
 def read_optimized_lag(spark, sf_dir):
     """$ro view: only fully-compacted files — merge-free reads that lag
     post-compaction writes. The un-compacted second append (price+500
@@ -2446,17 +2491,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver gates the FIRST 50 entries each round.
     r13 window (VERDICT r12 #3 + ADVICE marker fix — the r12 marker sat
     at position 51, so q19_disjunctive_revenue recorded as gated but
-    fell outside the driver's window; it now LEADS): the 14 r10-gated
-    entries that missed the r12 window (q19_disjunctive_revenue …
-    audit_log_counts, last driver-attested in r10), then the first 36
-    of the r11-gated set re-attest (image_near_dup … text_stats). The
-    14 remaining r11-gated entries spill just below and lead the r14
-    window; the 50 r12-gated entries (all green in CORRECTNESS_r12)
-    rotate to the bottom. ALL entries — gated or not — are
-    oracle-checked every round by tests/test_oracle_parity.py
+    fell outside the driver's window): the r13-NEW
+    changelog_input_window leads, then the 14 r10-gated entries that
+    missed the r12 window (q19_disjunctive_revenue …
+    audit_log_counts, last driver-attested in r10), then the first 35
+    of the r11-gated set re-attest (image_near_dup … text_quality).
+    The 15 remaining r11-gated entries spill just below and lead the
+    r14 window; the 50 r12-gated entries (all green in
+    CORRECTNESS_r12) rotate to the bottom. ALL entries — gated or not
+    — are oracle-checked every round by tests/test_oracle_parity.py
     (sf0.001) and tools/check_oracle.py (sf0.01)."""
     return {
         # --- r13 gate window ---------------------------------------------
+        # r13-new: input-producer decoupled changelog window
+        "changelog_input_window": changelog_input_window,
         # the 14 r10-gated entries that missed the r12 window
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_customers": q22_idle_customers,
@@ -2508,9 +2556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_classify": embedding_centroid_classify,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
-        "text_stats": text_stats,
         # =========== gate cut-off (first 50 above) ======================
-        # the 14 remaining r11-gated entries: they lead the r14 window
+        # the 15 remaining r11-gated entries: they lead the r14 window
+        "text_stats": text_stats,
         "text_langid": text_langid,
         "text_repetition": text_repetition,
         "text_chunks": text_chunks,
@@ -2838,6 +2886,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k, CAST(p + 1000 AS DOUBLE), '+U' FROM base
             WHERE k % 3 = 0
+            UNION ALL
+            SELECT k, CAST(p AS DOUBLE), '-D' FROM base
+            WHERE k % 5 = 0 AND k % 3 != 0""",
+        "changelog_input_window": """
+            WITH base AS (SELECT o_orderkey AS k,
+                                 CAST(o_totalprice AS DECIMAL(18,4)) AS p
+                          FROM orders WHERE o_orderkey % 20 = 0)
+            SELECT k AS o_orderkey, CAST(p + 1000 AS DOUBLE) AS price,
+                   '+I' AS kind FROM base WHERE k % 3 = 0
             UNION ALL
             SELECT k, CAST(p AS DOUBLE), '-D' FROM base
             WHERE k % 5 = 0 AND k % 3 != 0""",
