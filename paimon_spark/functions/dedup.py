@@ -213,6 +213,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
              .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
     if chain is not None:
+        # the distinct is logically redundant (disjoint, duplicate-free
+        # branches) but KEPT: dropping it trips Spark 4.1's
+        # UnionBase.rewriteConstraints NoSuchElementException when the
+        # source is non-nullable (reproduced r13; see similarity.py)
         pairs = pairs.unionByName(chain).distinct()
     return pairs
 
@@ -351,13 +355,44 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # plan trips Spark 4.1's UnionBase.rewriteConstraints
     # (NoSuchElementException: key not found) when that plan carries
     # cross-column constraints — union over the flat LogicalRDD can't.
-    edges = edges0.distinct().localCheckpoint()
-    nodes = (edges.select(F.col("src").alias("id"))
-             .union(edges.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint())
+    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        # Checkpoint with constraint propagation DISABLED (r13): Spark
+        # 4.1's LogicalRDD captures the origin plan's constraints at
+        # localCheckpoint time, and constraints mined from a complex
+        # pairs plan (aliases over pruned attributes) crash
+        # UnionBase.rewriteConstraints (NoSuchElementException: key not
+        # found) when the star rounds union that LogicalRDD — reproduced
+        # with any non-nullable source (e.g. spark.range-derived docs);
+        # nullable parquet sources generate no constraints, which is why
+        # the bench corpus never tripped it. A checkpoint taken while
+        # the conf is off carries NO origin constraints, permanently, so
+        # every downstream union is safe with constraints re-enabled.
+        # CC results are constraint-independent; the flip is driver-side
+        # and restored immediately.
+        sess = df.sparkSession
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = sess.conf.get(key)
+        sess.conf.set(key, "false")
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            sess.conf.set(key, prev)
+
+    edges = _ckpt(edges0.distinct())
+    # nodes: LAZY checkpoint — only the final star join reads it, so its
+    # materialization rides that action instead of paying its own job
+    nodes = _ckpt(edges.select(F.col("src").alias("id"))
+                  .union(edges.select(F.col("dst").alias("id")))
+                  .distinct(), eager=False)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # eager checkpoint, deliberately (r13): the convergence probe
+        # below references `edges` TWICE (src and dst legs of a union) —
+        # under a lazy checkpoint both legs compute the round's
+        # two-shuffle plan before the cache is populated, doubling the
+        # round (measured 2.2 s → 5.5 s on soft_dedup_weights). Eager
+        # materializes once; the probe then reads the cached RDD.
+        edges = _ckpt(_small_star(_large_star(edges)))
         # termination = the edge set is a UNION OF DISJOINT STARS:
         # (a) no node appears as both a src (child) and a dst (parent),
         # AND (b) no src carries two distinct parents. Condition (a)

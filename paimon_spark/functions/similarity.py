@@ -85,6 +85,41 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return acc
 
 
+def _planes_df(spark, n_planes: int, dim: int, seed: int = 7):
+    """The hyperplane matrix as a 1-row DataFrame (array<array<double>>).
+
+    Rationale (r13, guide §1/§2): inlining n_planes×dim literals builds a
+    Catalyst tree of thousands of nodes, and EVERY DataFrame built on top
+    re-runs analysis over it — measured 1.43 s of pure driver time per
+    band-keys construction at n_planes=16, dim=64 (execution itself is
+    ~0.2 s). Shipping the planes as DATA through a 1-row broadcast keeps
+    the expression tree ~100 nodes; the per-plane fold arithmetic
+    (zip_with + aggregate, same order) is untouched, so sign bits and
+    band keys are bit-identical — verified exceptAll()-empty both ways
+    against the literal form on the bench corpus."""
+    from pyspark.sql import types as T
+    planes = [[float(x) for x in p] for p in _hyperplanes(n_planes, dim, seed)]
+    return spark.createDataFrame(
+        [(planes,)],
+        T.StructType([T.StructField(
+            "__planes", T.ArrayType(T.ArrayType(T.DoubleType())))]))
+
+
+def _with_sign_bits(emb: DataFrame, id_col: str, vec_col: str,
+                    n_planes: int, dim: int) -> DataFrame:
+    """(id, vec, __bits array<int>): sign bit per hyperplane, computed
+    against the broadcast planes row (see _planes_df). The bits live in
+    their OWN projection so CollapseProject can't push the dot folds
+    under a later Generate (same rationale as dedup.with_minhash)."""
+    pdf = _planes_df(emb.sparkSession, n_planes, dim)
+    return (emb.crossJoin(F.broadcast(pdf))
+            .select(F.col(id_col), F.col(vec_col),
+                    F.transform(
+                        F.col("__planes"),
+                        lambda p: (dot(F.col(vec_col), p) > 0).cast("int"))
+                    .alias("__bits")))
+
+
 def sql_lsh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
     terms = []
     for j, plane in enumerate(_hyperplanes(n_planes, dim)):
@@ -149,19 +184,15 @@ def with_band_keys(emb: DataFrame, id_col: str = "vec_id",
                    band_bits: int = 2, dim: int = 64) -> DataFrame:
     """(id, vec, band-key ints): sign bits from `n_planes` hyperplanes,
     grouped into bands of `band_bits`; key = band_idx*2^band_bits + value.
-    The sign-bit dot folds are computed in their own projection so
-    CollapseProject can't push them under a later Generate (same rationale
-    as dedup.with_minhash)."""
-    planes = _hyperplanes(n_planes, dim)
-    bits = emb.select(
-        F.col(id_col), F.col(vec_col),
-        *[(dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) > 0)
-          .cast("int").alias(f"__b{j}") for j, p in enumerate(planes)])
+    Sign bits come from _with_sign_bits (broadcast planes row — the
+    inlined-literal form cost ~1.4 s of driver-side Catalyst analysis
+    PER construction at n_planes=16; values are bit-identical)."""
+    bits = _with_sign_bits(emb, id_col, vec_col, n_planes, dim)
     keys = []
     for i in range(n_planes // band_bits):
         v = F.lit(i * (1 << band_bits))
         for j in range(band_bits):
-            v = v + F.col(f"__b{i * band_bits + j}") * (1 << j)
+            v = v + F.element_at("__bits", i * band_bits + j + 1) * (1 << j)
         keys.append(v.alias(f"bandk{i}"))
     return bits.select(id_col, vec_col, *keys)
 
@@ -231,6 +262,14 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
                      F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
     if chain is not None:
+        # the distinct is logically redundant (banded pairs connect REPS
+        # only, chain pairs always carry a NON-rep member as id_b, so the
+        # sets are disjoint and duplicate-free) but KEPT deliberately:
+        # removing it exposes Spark 4.1's UnionBase.rewriteConstraints
+        # NoSuchElementException on unions whose branches project
+        # different columns of the same constraint-carrying plan
+        # (reproduced r13 with a non-nullable source; same bug
+        # connected_components works around via LogicalRDD unions)
         pairs = pairs.unionByName(chain).distinct()
     # precompute each vector's norm once (scalar carried with the vector) —
     # the per-pair work is then a single dot fold; norm folds run N times,
@@ -267,7 +306,12 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     keeps ~30 candidates/bucket. The bucket join replaces the cross join —
     this is the 100 TB path."""
     dim = 64
-    b = emb.withColumn("__bucket_id", lsh_bucket(F.col(vec_col), n_planes, dim))
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket + F.shiftleft(F.element_at("__bits", j + 1), j)
+    b = (_with_sign_bits(emb, id_col, vec_col, n_planes, dim)
+         .select(F.col(id_col), F.col(vec_col),
+                 bucket.alias("__bucket_id")))
     q = (b.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                  F.col("__bucket_id")))

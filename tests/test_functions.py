@@ -254,6 +254,34 @@ def test_connected_components_double_bridge(spark):
     assert {r.cluster_id for r in rows} == {1}
 
 
+def test_connected_components_non_nullable_source(spark):
+    """r13 regression: a NON-nullable pairs plan (spark.range-derived —
+    any source whose plan carries Catalyst constraints) crashed the star
+    rounds with Spark 4.1's UnionBase.rewriteConstraints
+    NoSuchElementException, because localCheckpoint captures the origin
+    plan's constraints into the LogicalRDD. CC now checkpoints with
+    constraint propagation disabled; labels must come out right and the
+    session conf must be restored."""
+    from paimon_spark.functions.dedup import (connected_components,
+                                              minhash_lsh_pairs)
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body shared tail words number "),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 60
+    got = {r.doc_id: r.cluster_id for r in rows}
+    # exact-duplicate docs (same id % 7 → identical text) MUST share a
+    # cluster; near-dup LSH may additionally merge similar groups, so
+    # only the within-group invariant is asserted
+    for grp in range(7):
+        labels = {got[d] for d in range(60) if d % 7 == grp}
+        assert len(labels) == 1, (grp, labels)
+    assert spark.conf.get(
+        "spark.sql.constraintPropagation.enabled") == "true"
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """An unconverged exit must raise, not silently return wrong cluster
     labels (ADVICE r4). With large-star/small-star one round can't
