@@ -162,13 +162,72 @@ def hilbert_value(table: Table, cols: list[str],
         *[_normalized(table, c, (bounds or {}).get(c)) for c in cols])
 
 
+_LAYOUT_MARKER = "clustering_layout.json"
+
+
+def _layout_marker_path(table: Table) -> str:
+    import os
+    return os.path.join(table.paths.meta_root, _LAYOUT_MARKER)
+
+
+def _write_layout_marker(table: Table, snap, order_by: list[str],
+                         strategy: str) -> None:
+    """Record the layout a successful sort-compact produced, pinned to
+    the snapshot it committed — the idempotence witness for the skip in
+    sort_compact (atomic tmp+rename; a lost/stale marker only costs an
+    unnecessary rewrite, never a wrong skip)."""
+    import json
+    import os
+    import tempfile
+    p = _layout_marker_path(table)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), prefix="_tmp-lay")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"snapshot_id": snap.id,
+                   "snapshot_ts": snap.timestamp_ms,
+                   "order_by": list(order_by),
+                   "strategy": strategy}, f)
+    os.replace(tmp, p)
+
+
+def _layout_current(table: Table, order_by: list[str],
+                    strategy: str):
+    """The latest snapshot IFF it is exactly the one a prior sort-compact
+    with the SAME columns+strategy committed (id and timestamp pinned —
+    id re-use after rollback can't fake it); else None."""
+    import json
+    try:
+        with open(_layout_marker_path(table)) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if m.get("order_by") != list(order_by) \
+            or m.get("strategy") != strategy:
+        return None
+    latest = table.paths.latest_snapshot()
+    if latest is None or latest.id != m.get("snapshot_id") \
+            or latest.timestamp_ms != m.get("snapshot_ts"):
+        return None
+    return latest
+
+
 def sort_compact(table: Table, order_by: list[str],
                  strategy: str = "zorder", n_files: int | None = None):
     """Rewrite the whole table clustered by `order_by`.
 
     strategy: 'order' (lexicographic range), 'zorder', or 'hilbert'
     (true Hilbert curve via `hilbert_index`).
+
+    Idempotent (r13): when the latest snapshot IS the commit a prior
+    sort-compact with the same order_by+strategy produced (nothing
+    written since — marker pinned by snapshot id AND timestamp), the
+    table is already in the requested layout and the rewrite is
+    skipped, same as plain compact()'s nothing-to-do no-op. At 100 TB a
+    re-triggered maintenance job on an unchanged table costs metadata
+    reads instead of a full-table rewrite.
     """
+    done = _layout_current(table, order_by, strategy)
+    if done is not None:
+        return done
     plan = table.new_scan().plan()
     if not plan.entries:
         return None
@@ -194,7 +253,9 @@ def sort_compact(table: Table, order_by: list[str],
         raise ValueError(f"unknown sort strategy {strategy}")
     adds = w.stage(out.select(*table.schema.field_names), level=COMPACTED_LEVEL)
     deletes = [FileEntry(**{**e.__dict__, "kind": DELETE}) for e in plan.entries]
-    return w.commit(adds + deletes, COMMIT_COMPACT)
+    snap = w.commit(adds + deletes, COMMIT_COMPACT)
+    _write_layout_marker(table, snap, order_by, strategy)
+    return snap
 
 
 def cluster_compact_incremental(table: Table,

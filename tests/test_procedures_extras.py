@@ -29,6 +29,36 @@ def test_zorder_sort_compact_improves_skipping(spark, wh):
     assert got == exp
 
 
+def test_sort_compact_idempotent_skip(spark, wh):
+    """r13: re-running sort-compact on an UNCHANGED table with the same
+    order_by+strategy is a no-op (returns the marker-pinned snapshot,
+    commits nothing); any write afterwards, or a different layout
+    request, rewrites again."""
+    schema = T.StructType([T.StructField("x", T.LongType()),
+                           T.StructField("y", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = Table.create(f"{wh}/zskip", schema,
+                     options={"target-file-size": "8192"}, spark=spark)
+    rows = [(i % 100, (i * 37) % 100, float(i)) for i in range(3000)]
+    t.append(spark.createDataFrame(rows, schema).repartition(4))
+    s1 = call(spark, "compact", table=t, order_strategy="zorder",
+              order_by="x,y")
+    s2 = call(spark, "compact", table=t, order_strategy="zorder",
+              order_by="x,y")
+    assert s2.id == s1.id                       # no new snapshot
+    assert t.paths.latest_snapshot_id() == s1.id
+    # different layout request → real rewrite
+    s3 = call(spark, "compact", table=t, order_strategy="zorder",
+              order_by="y,x")
+    assert s3.id == s1.id + 1
+    # a write invalidates the marker → next sort-compact rewrites
+    t.append(spark.createDataFrame(rows[:10], schema))
+    s4 = call(spark, "compact", table=t, order_strategy="zorder",
+              order_by="y,x")
+    assert s4.id > s3.id
+    assert t.read().count() == 3010
+
+
 def test_order_sort_compact(spark, wh):
     schema = T.StructType([T.StructField("k", T.LongType()),
                            T.StructField("v", T.LongType())])
