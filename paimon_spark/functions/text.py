@@ -287,10 +287,21 @@ def contamination(df, benchmark_df, text_col: str = "text",
     count(DISTINCT) per doc. No all-pairs comparison; the benchmark
     side is typically small enough that AQE broadcasts it."""
     def grams(d):
-        return (d.select(id_col,
-                         F.explode(word_ngrams(F.col(text_col), n))
-                         .alias("g"))
-                .select(id_col, F.xxhash64("g").alias("gh")))
+        # hash the token SLICE, not a built gram string (same bytes →
+        # same equality classes; r13, guide §4.2): the join and the
+        # distinct-count only need gram IDENTITY, so no per-position
+        # string concatenation ever runs
+        toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t != "")
+        base = d.select(F.col(id_col), toks.alias("__tk"))
+        idx = F.when(F.size("__tk") >= n,
+                     F.sequence(F.lit(1), F.size("__tk") - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return (base.select(F.col(id_col), "__tk",
+                            F.explode(idx).alias("__i"))
+                .select(id_col,
+                        F.xxhash64(F.slice("__tk", F.col("__i"), n))
+                        .alias("gh")))
     doc_g = grams(df)
     bench_g = grams(benchmark_df).select(
         F.col(id_col).alias("bench_id"), "gh").dropDuplicates(["gh"])
@@ -530,17 +541,34 @@ def repeated_ngram_spans(df, id_col: str = "doc_id",
     consumer masks or cuts those spans. Shape: explode n-grams with
     positions -> hash -> groupBy count (one shuffle keyed on the gram
     hash); no all-pairs, no suffix array, scales like word count."""
-    grams = word_ngrams(F.col(text_col), n)
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(grams).alias("pos", "gram"))
-    ex = ex.withColumn("gh", F.xxhash64("gram"))
+    # gram IDENTITY is hashed from the token SLICE (xxhash64 over the
+    # n-string array — same bytes as the joined gram, no concatenation),
+    # so the count branch and the join-probe branch never materialize
+    # gram strings; the output string is rebuilt by array_join ONLY for
+    # rows that survive the >= min_count join (r13, guide §4.2 — at
+    # sf0.1 the per-position string builds dominated the query). Equal
+    # token sequences hash equal either way, so grouping, counts and
+    # the surviving row set are unchanged.
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    idx = F.when(F.size("__tk") >= n,
+                 F.sequence(F.lit(1), F.size("__tk") - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    ex = (base.select(F.col(id_col), "__tk",
+                      F.explode(idx).alias("__i"))
+          .select(F.col(id_col), "__tk",
+                  (F.col("__i") - 1).alias("pos"),
+                  F.xxhash64(F.slice("__tk", F.col("__i"), n))
+                  .alias("gh")))
     counts = (ex.groupBy("gh")
               .agg(F.countDistinct(id_col).alias("n_docs"))
               .filter(F.col("n_docs") >= min_count))
     return (ex.join(counts, "gh")
             .select(id_col, F.col("pos").cast("long").alias("pos"),
-                    "gram", F.col("n_docs").cast("long").alias("n_docs")))
+                    F.array_join(F.slice("__tk", F.col("pos") + 1, n),
+                                 " ").alias("gram"),
+                    F.col("n_docs").cast("long").alias("n_docs")))
 
 
 def sql_repeated_ngram_spans(id_expr: str, text_expr: str, n: int = 8,
