@@ -674,16 +674,20 @@ def ngram_lm_quality(df, id_col: str = "doc_id", text_col: str = "text",
     (no bigrams to score)."""
     t = df.select(F.col(id_col).alias("id"),
                   tokens(F.col(text_col)).alias("__t"))
-    # (w1, 'w1 w2') pairs per doc — w1 carried alongside so scoring
-    # never re-splits the bigram string
+    # (w1, xxhash64(w1, w2)) pairs per doc — bigram IDENTITY is the
+    # hash of the word pair, never a built "w1 w2" string (r13, guide
+    # §4.2: the concat_ws per position ran interpreted in every branch
+    # referencing bg). Tokens contain no spaces, so the string form was
+    # injective per (w1, w2) exactly like the pair hash — identical
+    # grouping, counts, and scores.
     bigrams = F.when(
         F.size("__t") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size("__t") - 1),
             lambda i: F.struct(
                 F.element_at("__t", i).alias("w1"),
-                F.concat_ws(" ", F.element_at("__t", i),
-                            F.element_at("__t", i + 1)).alias("bg")))
+                F.xxhash64(F.element_at("__t", i),
+                           F.element_at("__t", i + 1)).alias("bg")))
     ).otherwise(F.array())
     bg = (t.select("id", F.explode(bigrams).alias("__b"))
           .select("id", F.col("__b.w1").alias("w1"),
