@@ -1646,10 +1646,18 @@ def ngram_lm_score(spark, sf_dir):
 
 def ngram_jaccard_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    a = docs.select(F.col("doc_id").alias("id_a"),
-                    DD.shingles(F.col("text")).alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"),
-                    DD.shingles(F.col("text")).alias("sh_b"))
+    # token array in its OWN projection (r13): DD.shingles inlines the
+    # split into the gram lambda, which HOFs evaluate interpreted per
+    # element — O(tokens²) per doc (the trap dedup.shingles' docstring
+    # warns about; same fix as with_minhash). Shingle values identical.
+    a = (docs.select(F.col("doc_id").alias("id_a"),
+                     TX.tokens(F.col("text")).alias("__tka"))
+         .select("id_a",
+                 DD.shingles_from_tokens(F.col("__tka")).alias("sh_a")))
+    b = (docs.select(F.col("doc_id").alias("id_b"),
+                     TX.tokens(F.col("text")).alias("__tkb"))
+         .select("id_b",
+                 DD.shingles_from_tokens(F.col("__tkb")).alias("sh_b")))
     pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
              .withColumn("jaccard",
                          F.round(DD.jaccard_shingles(F.col("sh_a"), F.col("sh_b")), 6))

@@ -4206,6 +4206,10 @@ class Table:
     # strain the driver/executor broadcast memory — fall back to a
     # shuffle join, which is what the pair volume warrants anyway
     _VERIFY_BROADCAST_MAX_IDS = 100_000
+    # whole-corpus broadcast gate for the embedding verify: a float[64]
+    # vector row is ~0.5 KB framed, so 50k rows ≈ 25 MB — comfortably
+    # broadcastable; above it the semi-restriction earns its keep
+    _VERIFY_FULL_VEC_BROADCAST_ROWS = 50_000
 
     def _index_rows_upper_bound(self, root: str,
                                 meta: dict | None) -> int | None:
@@ -4471,12 +4475,23 @@ class Table:
         elif ids.limit(cap + 1).count() > cap:
             hint = lambda d: d                              # noqa: E731
         corpus_v = self.read(projection=[id_col, vec_col])
-        cv = (corpus_v.join(hint(ids),
-                            corpus_v[id_col] == ids["dup_of"],
-                            "left_semi")
-              .select(F.col(id_col).alias("dup_of"),
-                      F.col(vec_col).alias("__vc"),
-                      norm(F.col(vec_col)).alias("__nc")))
+        # the semi-restriction exists only to BOUND the broadcast side;
+        # when the footer bound proves the whole corpus vector slice is
+        # itself under the (vector-sized) broadcast gate, restricting
+        # it first is pure overhead — one distinct + one broadcast + one
+        # semi-join dropped from the critical path. bound counts BAND
+        # rows (corpus rows × n_bands).
+        n_bands = max(1, n_planes // band_bits)
+        if bound is not None \
+                and bound <= self._VERIFY_FULL_VEC_BROADCAST_ROWS * n_bands:
+            restricted = corpus_v
+        else:
+            restricted = corpus_v.join(
+                hint(ids), corpus_v[id_col] == ids["dup_of"],
+                "left_semi")
+        cv = restricted.select(F.col(id_col).alias("dup_of"),
+                               F.col(vec_col).alias("__vc"),
+                               norm(F.col(vec_col)).alias("__nc"))
         verified = (corpus_pairs.join(F.broadcast(nv), "new_id")
                     .join(hint(cv), "dup_of")
                     .withColumn("score", F.round(
