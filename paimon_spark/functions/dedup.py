@@ -103,7 +103,16 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str,
        (measured 5× on sf0.1 documents).
     2. `__sh` — the md5 shingle-hash array, shared by all k permutations
        (k× less md5 work than the naive single-select).
-    3. the k affine-permutation mins."""
+    3. the k affine-permutation mins — ONE nested transform over a
+       k-element (a, b) coefficient array, projected out with
+       element_at, instead of k separate F.transform calls (r13): every
+       PySpark higher-order-function call costs several py4j
+       round-trips creating its lambda, ~40 ms each on this machine, so
+       the k-column build spent ~1.1 s of pure DRIVER time per call
+       (measured via cProfile: 3 012 py4j round-trips inside
+       dedup_against_index, 2.3 s in with_minhash alone). Two lambdas
+       total now. mh_j = array_min(transform(__sh, h → (a_j·h+b_j) %
+       M)) either way — values bit-identical, same alias names."""
     t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
     tk = F.col("__tok")
     grams = F.transform(
@@ -115,10 +124,22 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str,
             grams,
             lambda s: F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8),
                              16, 10).cast("long")).alias("__sh"))
-    return h.select(
+    # one SQL parse for the k-struct coefficient array: building it with
+    # F.array/F.struct/F.lit costs ~3 py4j round-trips per coefficient
+    ab = F.expr("array(" + ",".join(
+        f"named_struct('a',{a},'b',{b})" for a, b in _coeffs(k)) + ")")
+    # __sig in its OWN projection (referenced k times below) so
+    # CollapseProject cannot duplicate the nested-transform subtree
+    # into each mh column
+    s = h.select(
+        F.col(id_col),
+        F.transform(ab, lambda c: F.array_min(
+            F.transform(F.col("__sh"),
+                        lambda x: (c["a"] * x + c["b"])
+                        % F.lit(MERSENNE31)))).alias("__sig"))
+    return s.select(
         id_col,
-        *[F.array_min(F.transform(F.col("__sh"), _affine(a, b))).alias(f"mh{j}")
-          for j, (a, b) in enumerate(_coeffs(k))])
+        *[F.element_at("__sig", j + 1).alias(f"mh{j}") for j in range(k)])
 
 
 def sql_minhash_signature(x: str, k: int = 16, n: int = 3) -> list[str]:
@@ -386,13 +407,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                   .distinct(), eager=False)
     converged = False
     for _ in range(max_iter):
-        # eager checkpoint, deliberately (r13): the convergence probe
-        # below references `edges` TWICE (src and dst legs of a union) —
-        # under a lazy checkpoint both legs compute the round's
-        # two-shuffle plan before the cache is populated, doubling the
-        # round (measured 2.2 s → 5.5 s on soft_dedup_weights). Eager
-        # materializes once; the probe then reads the cached RDD.
-        edges = _ckpt(_small_star(_large_star(edges)))
+        # LAZY checkpoint + single-reference probe (r13): the probe
+        # references `edges` exactly ONCE (explode emits the child and
+        # parent tags of an edge in one pass instead of a two-leg
+        # union), so the probe's own action materializes the lazy
+        # checkpoint in the SAME Spark job — one job per round instead
+        # of checkpoint-then-probe. (The earlier two-leg union probe
+        # under a lazy checkpoint computed the round twice — both legs
+        # raced the cache — measured 2.2 s → 5.5 s on
+        # soft_dedup_weights; the single-scan probe cannot.)
+        edges = _ckpt(_small_star(_large_star(edges)), eager=False)
         # termination = the edge set is a UNION OF DISJOINT STARS:
         # (a) no node appears as both a src (child) and a dst (parent),
         # AND (b) no src carries two distinct parents. Condition (a)
@@ -406,12 +430,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # always point child→smaller, so each root is its component
         # min. One probe job: tag child/parent occurrences, a node is
         # bad if it has >1 child row or is both child and parent.
-        bad = (edges.select(F.col("src").alias("n"),
-                            F.lit(1).alias("c"), F.lit(0).alias("p"))
-               .union(edges.select(F.col("dst").alias("n"),
-                                   F.lit(0), F.lit(1)))
-               .groupBy("n")
-               .agg(F.sum("c").alias("c"), F.max("p").alias("p"))
+        bad = (edges.select(F.explode(F.array(
+                   F.struct(F.col("src").alias("n"),
+                            F.lit(1).alias("c"), F.lit(0).alias("p")),
+                   F.struct(F.col("dst").alias("n"),
+                            F.lit(0).alias("c"), F.lit(1).alias("p"))))
+                    .alias("x"))
+               .groupBy(F.col("x.n").alias("n"))
+               .agg(F.sum("x.c").alias("c"), F.max("x.p").alias("p"))
                .filter((F.col("c") > 1)
                        | ((F.col("c") >= 1) & (F.col("p") == 1)))
                .limit(1).count())
