@@ -813,13 +813,6 @@ def url_dedup(df, url_col: str = "url", id_col: str = "doc_id"):
 # cross-corpus boilerplate sentence scrub (r11)
 # ---------------------------------------------------------------------------
 
-# broadcast the boilerplate set only below this row count — on a crawl
-# the cross-document-repeated sentence set can run to hundreds of
-# millions of rows, and a forced broadcast hint bypasses AQE's size
-# check (VERDICT r11 #1)
-_BOILERPLATE_BROADCAST_MAX = 100_000
-
-
 def scrub_boilerplate(df, id_col: str = "doc_id", text_col: str = "text",
                       min_docs: int = 3):
     """Remove BOILERPLATE sentences — normalized sentences appearing in
@@ -833,9 +826,15 @@ def scrub_boilerplate(df, id_col: str = "doc_id", text_col: str = "text",
     anti-joined back, one groupBy(doc) to reassemble. Nothing
     quadratic. The boilerplate set is NOT bounded at crawl scale (any
     sentence repeated across ≥ min_docs documents qualifies), so the
-    broadcast hint is count-gated: below _BOILERPLATE_BROADCAST_MAX it
-    broadcasts, above it the anti-join runs un-hinted and AQE picks
-    the strategy — same output either way."""
+    anti-join runs UN-HINTED and AQE picks the strategy from the
+    aggregate's ACTUAL runtime size — broadcast when it fits under
+    autoBroadcastJoinThreshold, shuffle join when it doesn't. (r13:
+    this replaces the r12 `limit(cap+1).count()` count-gate, which ran
+    the whole posexplode+groupBy subtree in a synchronous probe job
+    before the query even executed — the exact OOM-safety the gate
+    bought is what AQE's runtime size check already provides, with
+    zero extra jobs. Same output either way — join strategy cannot
+    change an anti-join's result.)"""
     sent = df.select(
         F.col(id_col),
         F.posexplode(sentences(F.col(text_col))).alias("__pos", "__s"))
@@ -844,12 +843,7 @@ def scrub_boilerplate(df, id_col: str = "doc_id", text_col: str = "text",
           .agg(F.count_distinct(id_col).alias("__nd"))
           .filter(F.col("__nd") >= min_docs)
           .select("__n"))
-    # limit-probe count short-circuits once the cap is exceeded, so
-    # the gate itself costs at most cap+1 rows of the aggregate
-    cap = _BOILERPLATE_BROADCAST_MAX
-    hint = F.broadcast if bp.limit(cap + 1).count() <= cap \
-        else (lambda d: d)
-    kept = sent.join(hint(bp), "__n", "left_anti")
+    kept = sent.join(bp, "__n", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                         F.transform(

@@ -760,10 +760,12 @@ def test_gopher_rules_edges(spark):
     assert got[6]["pass"] is False       # empty: no div-by-zero, fails
 
 
-def test_scrub_boilerplate_gated_broadcast(spark, monkeypatch):
-    """Adversarial corpus for the broadcast gate (VERDICT r11 #1):
-    with the gate forced to 0 (every boilerplate set 'too big'), the
-    anti-join must run un-hinted and produce output identical to the
+def test_scrub_boilerplate_gated_broadcast(spark):
+    """Adversarial corpus for the join-strategy independence of the
+    boilerplate anti-join (VERDICT r11 #1, reshaped r13: the count-gate
+    probe was replaced by AQE's runtime size check): with broadcast
+    joins DISABLED outright (autoBroadcastJoinThreshold=-1, the path a
+    crawl-scale boilerplate set takes), output must be identical to the
     broadcast path on a corpus where most sentences repeat across
     ≥ min_docs docs."""
     import paimon_spark.functions.text as TX
@@ -780,13 +782,18 @@ def test_scrub_boilerplate_gated_broadcast(spark, monkeypatch):
             for r in TX.scrub_boilerplate(df, "doc_id", "text",
                                           min_docs=3).collect())
 
-    with_hint = run()
-    monkeypatch.setattr(TX, "_BOILERPLATE_BROADCAST_MAX", 0)
-    without_hint = run()
-    assert with_hint == without_hint
-    assert all(nr == 2 for _, _, _, nr in with_hint)
+    with_bcast = run()
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        without_bcast = run()
+    finally:
+        spark.conf.set(key, prev)
+    assert with_bcast == without_bcast
+    assert all(nr == 2 for _, _, _, nr in with_bcast)
     assert all(ct == f"Unique sentence number {i}"
-               for i, (_, ct, _, _) in enumerate(with_hint))
+               for i, (_, ct, _, _) in enumerate(with_bcast))
 
 
 def test_url_canonicalize_param_boundaries(spark):
