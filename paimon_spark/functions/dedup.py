@@ -324,11 +324,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
     # shuffle_hash: checkpointed inputs carry no stats, so the static
     # planner would sort-merge every round; both sides are already
     # hash-partitioned on src by the groupBy, and a hash join skips
-    # the per-round sorts
+    # the per-round sorts.
+    # NO trailing distinct (r13): this output feeds only _small_star,
+    # whose groupBy-min is duplicate-insensitive and whose own trailing
+    # distinct dedupes the round's output — the composed round result
+    # is identical, one exchange per round cheaper. (Duplicates here
+    # are bounded: ≤2 per input edge, from a first-round input carrying
+    # both (a,b) and (b,a).) The round OUTPUT must stay distinct — the
+    # convergence probe counts child rows per node, and a duplicated
+    # fixpoint edge would read as two parents and never converge.
     return (nb.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-            .distinct())
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
