@@ -611,12 +611,17 @@ def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 3,
              .filter(F.col("hamming") <= max_hamming)
              .distinct())
     if chain is not None:
-        # eager checkpoint of the union: a consumer that projects a
-        # column away (connected_components drops `hamming`) triggers
+        # checkpoint of the union: a consumer that projects a column
+        # away (connected_components drops `hamming`) triggers
         # PushProjectionThroughUnion over branches sharing the sig
         # leaf, which crashes Spark 4.1's UnionBase.rewriteConstraints
-        # (NoSuchElementException: key not found). The flat checkpoint
-        # also materializes the candidate set once for the multi-pass
-        # consumers (CC reads it twice per round).
-        pairs = pairs.unionByName(chain).distinct().localCheckpoint()
+        # (NoSuchElementException: key not found) — the flat LogicalRDD
+        # is the guard, and it holds regardless of eagerness. LAZY
+        # (r13): every consumer's FIRST job references the candidate
+        # set exactly once (a count, or CC's own eager edges
+        # checkpoint), so the first action materializes it in the same
+        # job instead of paying a separate up-front pass; later passes
+        # read the cache.
+        pairs = pairs.unionByName(chain).distinct() \
+            .localCheckpoint(eager=False)
     return pairs
