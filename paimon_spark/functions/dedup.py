@@ -103,16 +103,20 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str,
        (measured 5× on sf0.1 documents).
     2. `__sh` — the md5 shingle-hash array, shared by all k permutations
        (k× less md5 work than the naive single-select).
-    3. the k affine-permutation mins — ONE nested transform over a
-       k-element (a, b) coefficient array, projected out with
-       element_at, instead of k separate F.transform calls (r13): every
-       PySpark higher-order-function call costs several py4j
-       round-trips creating its lambda, ~40 ms each on this machine, so
-       the k-column build spent ~1.1 s of pure DRIVER time per call
-       (measured via cProfile: 3 012 py4j round-trips inside
-       dedup_against_index, 2.3 s in with_minhash alone). Two lambdas
-       total now. mh_j = array_min(transform(__sh, h → (a_j·h+b_j) %
-       M)) either way — values bit-identical, same alias names."""
+    3. the k affine-permutation mins — k independent
+       `array_min(transform(__sh, h → (a_j·h+b_j) % M))` columns with
+       the coefficients baked in as LITERALS, parsed from SQL text in
+       one selectExpr call (r13). Two earlier shapes both lose: k
+       separate F.transform python lambdas cost several py4j
+       round-trips each (~1.1 s of pure DRIVER time per call —
+       cProfile: 3 012 round-trips inside dedup_against_index); and a
+       single nested transform over a named_struct coefficient array
+       re-reads c['a']/c['b'] through the outer lambda variable PER
+       ELEMENT of __sh, which under interpreted HOF evaluation nearly
+       doubled execution (dedup_minhash_pairs 1.38 → 2.36 s measured
+       interleaved same-session). SQL-text parsing happens JVM-side in
+       one round-trip and yields the literal-baked plan — values
+       bit-identical, same alias names."""
     t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
     tk = F.col("__tok")
     grams = F.transform(
@@ -124,22 +128,11 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str,
             grams,
             lambda s: F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8),
                              16, 10).cast("long")).alias("__sh"))
-    # one SQL parse for the k-struct coefficient array: building it with
-    # F.array/F.struct/F.lit costs ~3 py4j round-trips per coefficient
-    ab = F.expr("array(" + ",".join(
-        f"named_struct('a',{a},'b',{b})" for a, b in _coeffs(k)) + ")")
-    # __sig in its OWN projection (referenced k times below) so
-    # CollapseProject cannot duplicate the nested-transform subtree
-    # into each mh column
-    s = h.select(
-        F.col(id_col),
-        F.transform(ab, lambda c: F.array_min(
-            F.transform(F.col("__sh"),
-                        lambda x: (c["a"] * x + c["b"])
-                        % F.lit(MERSENNE31)))).alias("__sig"))
-    return s.select(
+    return h.selectExpr(
         id_col,
-        *[F.element_at("__sig", j + 1).alias(f"mh{j}") for j in range(k)])
+        *[f"array_min(transform(__sh, h -> ({a} * h + {b})"
+          f" % {MERSENNE31})) AS mh{j}"
+          for j, (a, b) in enumerate(_coeffs(k))])
 
 
 def sql_minhash_signature(x: str, k: int = 16, n: int = 3) -> list[str]:
