@@ -224,15 +224,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     a, b = stacked.alias("a"), stacked.alias("b")
     pairs = (a.join(b, "bk")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")))
     if chain is not None:
-        # the distinct is logically redundant (disjoint, duplicate-free
-        # branches) but KEPT: dropping it trips Spark 4.1's
-        # UnionBase.rewriteConstraints NoSuchElementException when the
-        # source is non-nullable (reproduced r13; see similarity.py)
-        pairs = pairs.unionByName(chain).distinct()
-    return pairs
+        # ONE distinct above the union (r13): it dedupes the multi-band
+        # collisions AND the (disjoint, duplicate-free) chain branch in a
+        # single exchange — the former pre-union distinct was subsumed by
+        # this one. The post-union distinct itself must STAY: dropping it
+        # trips Spark 4.1's UnionBase.rewriteConstraints
+        # NoSuchElementException when the source is non-nullable
+        # (reproduced r13; see similarity.py)
+        pairs = pairs.unionByName(chain)
+    return pairs.distinct()
 
 
 def token_hashes(col: Column) -> Column:

@@ -608,20 +608,22 @@ def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 3,
              .select(F.col("a.asset_id").alias("id_a"),
                      F.col("b.asset_id").alias("id_b"),
                      ham.alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .distinct())
-    if chain is not None:
-        # checkpoint of the union: a consumer that projects a column
-        # away (connected_components drops `hamming`) triggers
-        # PushProjectionThroughUnion over branches sharing the sig
-        # leaf, which crashes Spark 4.1's UnionBase.rewriteConstraints
-        # (NoSuchElementException: key not found) — the flat LogicalRDD
-        # is the guard, and it holds regardless of eagerness. LAZY
-        # (r13): every consumer's FIRST job references the candidate
-        # set exactly once (a count, or CC's own eager edges
-        # checkpoint), so the first action materializes it in the same
-        # job instead of paying a separate up-front pass; later passes
-        # read the cache.
-        pairs = pairs.unionByName(chain).distinct() \
-            .localCheckpoint(eager=False)
-    return pairs
+             .filter(F.col("hamming") <= max_hamming))
+    if chain is None:
+        return pairs.distinct()
+    # ONE distinct above the union (r13): dedupes multi-band collisions
+    # and the chain branch in a single exchange (the former pre-union
+    # distinct was subsumed by it).
+    # checkpoint of the union: a consumer that projects a column
+    # away (connected_components drops `hamming`) triggers
+    # PushProjectionThroughUnion over branches sharing the sig
+    # leaf, which crashes Spark 4.1's UnionBase.rewriteConstraints
+    # (NoSuchElementException: key not found) — the flat LogicalRDD
+    # is the guard, and it holds regardless of eagerness. LAZY
+    # (r13): every consumer's FIRST job references the candidate
+    # set exactly once (a count, or CC's own eager edges
+    # checkpoint), so the first action materializes it in the same
+    # job instead of paying a separate up-front pass; later passes
+    # read the cache.
+    return pairs.unionByName(chain).distinct() \
+        .localCheckpoint(eager=False)

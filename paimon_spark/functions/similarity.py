@@ -259,18 +259,21 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
     pairs = (a.join(b, "bk")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+                     F.col(f"b.{id_col}").alias("id_b")))
     if chain is not None:
-        # the distinct is logically redundant (banded pairs connect REPS
-        # only, chain pairs always carry a NON-rep member as id_b, so the
-        # sets are disjoint and duplicate-free) but KEPT deliberately:
-        # removing it exposes Spark 4.1's UnionBase.rewriteConstraints
-        # NoSuchElementException on unions whose branches project
-        # different columns of the same constraint-carrying plan
-        # (reproduced r13 with a non-nullable source; same bug
-        # connected_components works around via LogicalRDD unions)
-        pairs = pairs.unionByName(chain).distinct()
+        # ONE distinct above the union (r13): it dedupes multi-band
+        # collisions AND the chain branch (disjoint, duplicate-free —
+        # banded pairs connect REPS only, chain pairs always carry a
+        # NON-rep member as id_b) in a single exchange; the former
+        # pre-union distinct was subsumed by it. The post-union distinct
+        # itself must STAY: dropping it exposes Spark 4.1's
+        # UnionBase.rewriteConstraints NoSuchElementException on unions
+        # whose branches project different columns of the same
+        # constraint-carrying plan (reproduced r13 with a non-nullable
+        # source; same bug connected_components works around via
+        # LogicalRDD unions)
+        pairs = pairs.unionByName(chain)
+    pairs = pairs.distinct()
     # precompute each vector's norm once (scalar carried with the vector) —
     # the per-pair work is then a single dot fold; norm folds run N times,
     # not 2×|candidates| times. Same expression tree as the exact cosine
