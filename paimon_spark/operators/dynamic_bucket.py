@@ -14,9 +14,9 @@ reference's HashBucketAssigner (r9; previously hash-into-n, the one
 documented W2 divergence): key number existing+i goes to bucket
 (existing+i)//target, so bucket 0 fills to target-row-count, then
 bucket 1 opens, etc. — existing keys never move (the index pins them).
-The global key numbering is a two-level distributed rank (dist_cumsum:
-range-partition slices + per-slice offsets), so assignment parallelism
-is decoupled from batch size — no single-reducer window. With
+The global key numbering is a two-level distributed rank (static
+hash-top-bit slices + driver-side slice offsets), so assignment
+parallelism is decoupled from batch size — no single-reducer window. With
 `dynamic-bucket.max-buckets` set, keys past the cap hash into the
 existing bucket range (ref CoreOptions max-buckets overflow).
 """
@@ -144,6 +144,9 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     return assigned
 
 
+_RANK_SLICES = 64
+
+
 def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
                      existing: int, target: int,
                      max_buckets: int) -> DataFrame:
@@ -152,17 +155,39 @@ def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
     lands in bucket (existing+i)//target, so buckets fill to
     target-row-count in order (ref: HashBucketAssigner.assign loop).
     The global numbering orders by (xxhash64(keys), keys) — a total
-    order, so the assignment is deterministic for any partitioning —
-    and is computed with the two-level dist_cumsum rank (range slices
-    + per-slice offsets), never a one-reducer window. Keys past
-    `max_buckets` (when ≥ 1) hash into the capped range instead."""
-    from paimon_spark.functions.text import dist_cumsum
-    nk = (new_keys_df
-          .withColumn("__h", F.xxhash64(*[F.col(k) for k in keys]))
-          .withColumn("__g", F.lit(0))
-          .withColumn("__one", F.lit(1).cast("long")))
-    ranked = dist_cumsum(nk, ["__g"], ["__h"] + keys, "__one", "__rank")
-    num = F.lit(existing) + F.col("__rank") - 1      # 0-based global no.
+    order, so the assignment is deterministic for any partitioning.
+
+    r13 (guide §2.4): the rank exploits that the leading order column
+    IS a uniform 64-bit hash — slicing on its top 6 bits gives
+    statically balanced, order-contiguous slices, so the
+    repartitionByRange SAMPLING job, the offsets window, and the
+    broadcast join of the previous dist_cumsum shape all disappear.
+    One tiny groupBy(slice).count() (≤ 64 rows collected — metadata-
+    sized at any table/batch scale) yields driver-side slice offsets;
+    the rank itself is one hash exchange + per-slice sort. Values are
+    bit-identical to the dist_cumsum version (same total order, same
+    arithmetic). Keys past `max_buckets` (when ≥ 1) hash into the
+    capped range instead."""
+    from pyspark.sql import Window
+    nk = new_keys_df.withColumn(
+        "__h", F.xxhash64(*[F.col(k) for k in keys]))
+    # arithmetic shift keeps the slice id monotone in the SIGNED hash
+    # order (negative hashes → slices 0..31), so (slice, __h, keys)
+    # sorts exactly like (__h, keys)
+    nk = nk.withColumn(
+        "__slice", (F.shiftright(F.col("__h"), 58) + F.lit(32))
+        .cast("int"))
+    cnt = {r["__slice"]: r["n"] for r in
+           nk.groupBy("__slice").agg(F.count("*").alias("n")).collect()}
+    offs, acc = [], 0
+    for s in range(_RANK_SLICES):
+        offs.append(acc)
+        acc += cnt.get(s, 0)
+    off = F.element_at(F.array(*[F.lit(o).cast("long") for o in offs]),
+                       F.col("__slice") + 1)
+    w = Window.partitionBy("__slice").orderBy("__h", *keys)
+    ranked = nk.withColumn("__rn", F.row_number().over(w).cast("long"))
+    num = F.lit(existing) + off + F.col("__rn") - 1  # 0-based global no.
     b = F.floor(num / F.lit(target))
     if max_buckets and max_buckets > 0:
         b = F.when(b >= max_buckets,
