@@ -794,11 +794,15 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
                 _time.perf_counter() - t0, 3)
         return run
 
-    # 14 workers: 30 builders at ~170 s total CPU → ~12 s pool floor,
-    # below the longest single builder (orders_pk ~18 s), so the
-    # critical path is one builder, not queue depth (r12 ingest trim;
-    # jobs are small and local[32] schedules them FIFO without
-    # starvation).
+    # Pool width 22 (r13, was 14): the builders are LATENCY-bound, not
+    # CPU-bound — sampling `top` during a width-14 ingest showed ≥80%
+    # idle CPU (threads spend their time in py4j round-trips and
+    # driver-side commit bookkeeping, releasing the GIL on every JVM
+    # call), so the pool floor is queue depth × per-builder latency,
+    # not work/cores. Interleaved A/B at sf0.1 (6 pairings, both
+    # orders, varying external load): width 22 beat 14 every time
+    # (43.7→36.7, 29.7→21.5, 21.7→20.0, 22.6→20.9 s); 18 and 28
+    # bracketed it from below. Env-overridable for other machines.
     # Submission order is LONGEST-FIRST (r13, classic LPT scheduling):
     # with 31 tasks on 14 workers the last-submitted 17 queue until a
     # worker frees, so a long builder submitted late (e.g.
@@ -814,7 +818,8 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             _build_0, _build_28, _build_4, _build_30, _build_6,
             _build_26, _build_18, _build_17, _build_20, _build_14,
             _build_15, _build_22, _build_29, _build_23, _build_16)
-    with ThreadPoolExecutor(max_workers=14) as _pool:
+    _pool_w = int(os.environ.get("SPARK_GRAFT_INGEST_POOL", "22"))
+    with ThreadPoolExecutor(max_workers=_pool_w) as _pool:
         _futs = [_pool.submit(_timed(f)) for f in _lpt]
         # _build_13 drives df.write.format("paimon") and must run on
         # the MAIN thread (Spark 4 keys python-datasource artifacts to
