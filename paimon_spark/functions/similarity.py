@@ -64,12 +64,20 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query id. Returns (query_id, neighbor_id,
     rank, score) with score rounded to 4dp for cross-engine comparison."""
+    # norms hoisted into the per-VECTOR projections (r13, guide §2.3):
+    # cosine() inside the cross join re-ran both interpreted norm folds
+    # per PAIR; per-vector norms leave one dot fold per pair. norm(vec)
+    # is the same expression on the same vector ⇒ scores bit-identical.
     q = (emb.filter(F.col(id_col).isin(query_ids))
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                 norm(F.col(vec_col)).alias("__qn")))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                   norm(F.col(vec_col)).alias("__cn"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+              .withColumn("score", F.round(
+                  dot(F.col("qv"), F.col("cv"))
+                  / (F.col("__qn") * F.col("__cn")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -149,28 +157,42 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         cents = (emb.filter(F.col(id_col) < n_centroids)
                  .select(F.col(id_col).alias("__cid"),
                          F.col(vec_col).alias("__cv")))
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .withColumn("__sim", F.round(cosine(F.col(vec_col), F.col("__cv")), 6)))
+    # per-vector norms hoisted out of every cosine (r13): the N×C
+    # assignment ran three interpreted folds per pair; with norms in
+    # the per-vector/per-centroid projections it runs one. Same
+    # expression per vector ⇒ sims/scores bit-identical.
+    cents = cents.withColumn("__cn", norm(F.col("__cv")))
+    embn = emb.withColumn("__n", norm(F.col(vec_col)))
+    scored = (embn.crossJoin(F.broadcast(cents))
+              .withColumn("__sim", F.round(
+                  dot(F.col(vec_col), F.col("__cv"))
+                  / (F.col("__n") * F.col("__cn")), 6)))
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
                                                   F.asc("__cid"))
     member = (scored.withColumn("__r", F.row_number().over(w_assign))
               .filter(F.col("__r") == 1)
-              .select(id_col, vec_col, F.col("__cid").alias("__cluster"))
+              .select(id_col, vec_col, F.col("__n"),
+                      F.col("__cid").alias("__cluster"))
               .persist())
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("__sim"),
                                                       F.asc("__cid"))
-    probes = (emb.filter(F.col(id_col).isin(query_ids))
+    probes = (embn.filter(F.col(id_col).isin(query_ids))
               .select(F.col(id_col).alias("query_id"),
-                      F.col(vec_col).alias("qv"))
+                      F.col(vec_col).alias("qv"),
+                      F.col("__n").alias("__qn"))
               .crossJoin(F.broadcast(cents))
-              .withColumn("__sim", F.round(cosine(F.col("qv"), F.col("__cv")), 6))
+              .withColumn("__sim", F.round(
+                  dot(F.col("qv"), F.col("__cv"))
+                  / (F.col("__qn") * F.col("__cn")), 6))
               .withColumn("__r", F.row_number().over(w_probe))
               .filter(F.col("__r") <= nprobe)
-              .select("query_id", "qv", F.col("__cid").alias("__cluster")))
+              .select("query_id", "qv", F.col("__qn"),
+                      F.col("__cid").alias("__cluster")))
     cand = (member.join(F.broadcast(probes), "__cluster")
             .filter(F.col(id_col) != F.col("query_id"))
-            .withColumn("score",
-                        F.round(cosine(F.col("qv"), F.col(vec_col)), 4)))
+            .withColumn("score", F.round(
+                dot(F.col("qv"), F.col(vec_col))
+                / (F.col("__qn") * F.col("__n")), 4)))
     w_top = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                     F.asc(id_col))
     return (cand.withColumn("rank", F.row_number().over(w_top))
@@ -315,14 +337,19 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     b = (_with_sign_bits(emb, id_col, vec_col, n_planes, dim)
          .select(F.col(id_col), F.col(vec_col),
                  bucket.alias("__bucket_id")))
+    # per-vector norms (r13): one dot fold per pair, not three folds —
+    # same expression per vector ⇒ scores bit-identical (see
+    # brute_force_topk)
     q = (b.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                 F.col("__bucket_id")))
+                 norm(F.col(vec_col)).alias("__qn"), F.col("__bucket_id")))
     c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                 F.col("__bucket_id"))
+                 norm(F.col(vec_col)).alias("__cn"), F.col("__bucket_id"))
     scored = (c.join(F.broadcast(q), "__bucket_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+              .withColumn("score", F.round(
+                  dot(F.col("qv"), F.col("cv"))
+                  / (F.col("__qn") * F.col("__cn")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -361,9 +388,14 @@ def kmeans_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
         cdf = emb.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
             "__cid int, __cv array<double>")
-        scored = (emb.select(id_col, vec_col)
-                  .crossJoin(F.broadcast(cdf))
-                  .withColumn("__sim", cosine(F.col(vec_col), F.col("__cv"))))
+        # per-vector norms (r13): one fold per pair — sims bit-identical
+        scored = (emb.select(id_col, vec_col,
+                             norm(F.col(vec_col)).alias("__n"))
+                  .crossJoin(F.broadcast(
+                      cdf.withColumn("__cn", norm(F.col("__cv")))))
+                  .withColumn("__sim",
+                              dot(F.col(vec_col), F.col("__cv"))
+                              / (F.col("__n") * F.col("__cn"))))
         # ties → lowest cid, matching the former (desc sim, asc cid) sort
         best = (scored.groupBy(id_col)
                 .agg(F.max_by("__cid",
@@ -551,10 +583,15 @@ def centroid_classify(emb: DataFrame, id_col: str = "vec_id",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("cvec")))
-    scored = (emb.select(F.col(id_col), F.col(label_col), v.alias("__v"))
-              .crossJoin(F.broadcast(carr))
+    # per-vector norms (r13): one fold per (vector, centroid) pair —
+    # sims bit-identical
+    scored = (emb.select(F.col(id_col), F.col(label_col), v.alias("__v"),
+                         norm(v).alias("__n"))
+              .crossJoin(F.broadcast(
+                  carr.withColumn("__cn", norm(F.col("cvec")))))
               .withColumn("sim", F.round(
-                  cosine(F.col("__v"), F.col("cvec")), 4)))
+                  dot(F.col("__v"), F.col("cvec"))
+                  / (F.col("__n") * F.col("__cn")), 4)))
     # argmax via max_by (ties → lowest label), not a row_number window:
     # the per-vector L candidate rows collapse map-side before any
     # shuffle, so traffic is one row per vector, not N·L sorted rows

@@ -3312,15 +3312,21 @@ class Table:
         loses — become reachable from either side; index grows
         (1+spill)×, recall at fixed nprobe rises; the query path
         de-duplicates by id)."""
-        from paimon_spark.functions.similarity import cosine
+        from paimon_spark.functions.similarity import dot, norm
 
         from pyspark.sql import Window
         cents = self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)],
             "__cid int, __cv array<double>")
-        assigned = (df.crossJoin(F.broadcast(cents))
+        # per-vector norms (r13): one dot fold per (row, centroid) pair
+        # instead of three — same expression per vector, sims
+        # bit-identical (see similarity.ivf_topk)
+        assigned = (df.withColumn("__n", norm(F.col(vec_col)))
+                    .crossJoin(F.broadcast(
+                        cents.withColumn("__cn", norm(F.col("__cv")))))
                     .withColumn("__sim", F.round(
-                        cosine(F.col(vec_col), F.col("__cv")), 6)))
+                        dot(F.col(vec_col), F.col("__cv"))
+                        / (F.col("__n") * F.col("__cn")), 6)))
         w = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
                                                F.asc("__cid"))
         return (assigned.withColumn("__r", F.row_number().over(w))
