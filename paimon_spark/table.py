@@ -1634,9 +1634,11 @@ class Table:
                              else keep).alias(c))
             out = joined.select(dropped.alias("__drop"), *cols) \
                         .filter(~F.col("__drop")).drop("__drop")
-            adds += w.stage(out)
             deletes = [FileEntry(**{**e.__dict__, "kind": DELETE})
                        for e in touched]
+        else:
+            out = None
+        ins = None
         if not_matched:
             existing_keys = self.read(projection=list(on)).dropDuplicates()
             unmatched = (src.withColumn("__s_exists", F.lit(True)).alias("s")
@@ -1645,7 +1647,20 @@ class Table:
                 F.lit(True), not_matched, on, tcols, "s")
             ins = unmatched.filter(sel).select(
                 *[vals[c].alias(c) for c in tcols])
-            adds += w.stage(ins)
+        if out is not None and ins is not None \
+                and ROW_ID_COL not in out.columns:
+            # rewrite + insert share one staged write (r13): same
+            # schema, same level, one Spark write job instead of two.
+            # Row-tracking tables keep two stages — the rewrite carries
+            # physical ROW_IDs (entries marked first_row_id=-1) while
+            # inserts must burn fresh id ranges, and stage() marks the
+            # whole staged batch one way or the other.
+            adds += w.stage(out.unionByName(ins))
+        else:
+            if out is not None:
+                adds += w.stage(out)
+            if ins is not None:
+                adds += w.stage(ins)
         if not adds and not deletes:
             return latest
         return w.commit(adds + deletes, COMMIT_OVERWRITE)
