@@ -2187,9 +2187,14 @@ def pipeline_clean_corpus(spark, sf_dir):
         TX.lang_id(F.col("text")).alias("__lang"),
         TX.quality_score(F.col("text")).alias("__q"))
     gated = pre.filter((F.col("__lang") == "en") & (F.col("__q") >= 0.3))
-    keep = (gated.groupBy(F.md5("text").alias("content_hash"))
-            .agg(F.min("doc_id").alias("doc_id")))
-    survivors = keep.join(docs, "doc_id").select("doc_id", "text")
+    # carry the survivor's text THROUGH the dedup groupBy (r13):
+    # min_by(text, doc_id) is the min-id row's text — exactly what the
+    # former keep.join(docs, doc_id) re-fetched with a second scan and
+    # a join (and identical even under md5 collisions, where the join
+    # also returned the min-id doc's text). One scan, one shuffle.
+    survivors = (gated.groupBy(F.md5("text").alias("content_hash"))
+                 .agg(F.min("doc_id").alias("doc_id"),
+                      F.min_by("text", "doc_id").alias("text")))
     return survivors.select(
         "doc_id",
         TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
