@@ -50,6 +50,7 @@ def measure() -> dict:
         # noise dominates them), heavier ones 2 (stable, and the rerun
         # is warm).
         best = float("inf")
+        first_el = None
         reps = 3
         r = 0
         while r < reps:
@@ -69,10 +70,19 @@ def measure() -> dict:
             # pressure on later ones
             spark.catalog.clearCache()
             best = min(best, el)
-            if r == 0 and el >= 2.0:
-                reps = 2
+            if r == 0:
+                first_el = el
+                if el >= 2.0:
+                    reps = 2
             r += 1
         timings[name] = round(best, 3)
+        if name == "zorder_cluster_preserves" and first_el is not None:
+            # VERDICT r13 #7 (additions-only): rep 0 in a fresh session
+            # pays the real z-order REWRITE (no idempotence marker yet);
+            # reps >= 2 hit sort_compact's idempotent skip, which is what
+            # min-of-reps reports under the original name. Both costs
+            # stay observable: this row is the first-call rewrite.
+            timings["zorder_first_rewrite"] = round(first_el, 3)
 
     # plain spark.read.parquet baselines for representative queries —
     # BASELINE.json's anchor is "within 2x of raw parquet on this machine".
@@ -486,10 +496,16 @@ def main():
         full_path = None                       # read-only checkout: stdout only
     timings = full["queries"]
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    # the driver captures only a ~2000-char tail of stdout, and 90
-    # full-length query names alone are ~2.3 KB — so the COMPLETE
-    # per-query payload lives in BENCH_FULL.json and the stdout line
-    # stays compact enough to always parse.
+    # the driver captures only a ~2000-char TAIL of stdout+stderr (every
+    # BENCH_r*.json tail is exactly 2000 chars), and 117 full-length
+    # query names alone are ~2.4 KB — a full per-query map would push
+    # the JSON line's HEAD out of the capture window and break parsing.
+    # VERDICT r13 #2 asked for per-query seconds in the one-liner so the
+    # round-over-round PERF join stops landing on n_common=0; the
+    # compromise (additions-only): `queries` carries as many per-query
+    # entries as fit a fixed line budget, DESCENDING by seconds, with
+    # the dropped sub-tail summarized (q_rest_n / q_rest_sum). The
+    # COMPLETE map is still committed in BENCH_FULL.json.
     payload = {
         "metric": "total_sec",
         "value": full["value"],
@@ -497,13 +513,31 @@ def main():
         "n_queries": len(timings),
         "sessions": full.get("sessions", 1),
         "slowest": {k: round(v, 2) for k, v in slowest.items()},
+        "queries": {},
         "ratios": full["ratios"],
         "ratio_q1q6": full["ratio_q1q6"],
         "sf": full["sf"],
         "queries_file": "BENCH_FULL.json" if full_path else None,
     }
-    print(json.dumps(payload, separators=(",", ":")))
+    _budget = 1800                       # chars; tail window is 2000
+    by_time = sorted(timings.items(), key=lambda kv: -kv[1])
+    for i, (k, v) in enumerate(by_time):
+        payload["queries"][k] = round(v, 2)
+        rest = by_time[i + 1:]
+        payload["q_rest_n"] = len(rest)
+        payload["q_rest_sum"] = round(sum(v2 for _k2, v2 in rest), 2)
+        if len(json.dumps(payload, separators=(",", ":"))) > _budget:
+            del payload["queries"][k]
+            payload["q_rest_n"] = len(by_time) - i
+            payload["q_rest_sum"] = round(
+                sum(v2 for _k2, v2 in by_time[i:]), 2)
+            break
+    # CLAIM first, JSON line LAST: the tail window truncates from the
+    # FRONT, so the machine-parsed line must be the final bytes written.
     print("CLAIM:", full["claim"], file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
