@@ -1174,27 +1174,49 @@ def register(spark):
     works from any working directory (e.g. the grading driver's)."""
     _ship_package(spark)
     # Spark's python_streaming_source_runner does not forward pythonIncludes
-    # (batch/executor workers do) — additionally pickle the whole package BY
-    # VALUE so the stream-runner process needs no import at unpickle time
+    # (batch/executor workers do). Engine sessions (session.get_spark) export
+    # the repo root on PYTHONPATH BEFORE the JVM starts, so every Python
+    # worker — including the stream runner — can `import paimon_spark` by
+    # NAME; in that case skip the pickle-by-value registration entirely.
+    # Measured (r14, guide §4.5): by-value ships a ~700 KB payload whose
+    # unpickle RE-EXECUTES every module (~0.35 s) in each fresh worker and
+    # again per task (by-value modules never hit sys.modules, so reused
+    # workers can't cache them); by-name pickles are ~70 bytes and reused
+    # workers import from the warm module cache. Same-session A/B:
+    # stream_patched_followup drain 3.0-3.5 s -> 2.6-2.8 s. The by-value
+    # path STAYS as the fallback for foreign sessions whose JVM env lacks
+    # the repo (registration must work from any driver cwd).
+    by_name_ok = False
     try:
-        import importlib
-        import pkgutil
-
-        from pyspark import cloudpickle   # the vendored copy Spark pickles with
-
         import paimon_spark
-        for m in pkgutil.walk_packages(paimon_spark.__path__, "paimon_spark."):
-            try:
-                importlib.import_module(m.name)
-            except Exception:
-                pass
-        import sys as _sys
-        for name, mod in list(_sys.modules.items()):
-            if mod is not None and (name == "paimon_spark"
-                                    or name.startswith("paimon_spark.")):
-                cloudpickle.register_pickle_by_value(mod)
+        pkg_parent = os.path.dirname(os.path.dirname(
+            os.path.abspath(paimon_spark.__file__)))
+        jvm_pp = (spark.sparkContext._jvm.System.getenv("PYTHONPATH")
+                  or "")
+        by_name_ok = pkg_parent in jvm_pp.split(os.pathsep)
     except Exception:
-        pass
+        by_name_ok = False
+    if not by_name_ok:
+        try:
+            import importlib
+            import pkgutil
+
+            from pyspark import cloudpickle   # the vendored copy Spark pickles with
+
+            import paimon_spark
+            for m in pkgutil.walk_packages(paimon_spark.__path__,
+                                           "paimon_spark."):
+                try:
+                    importlib.import_module(m.name)
+                except Exception:
+                    pass
+            import sys as _sys
+            for name, mod in list(_sys.modules.items()):
+                if mod is not None and (name == "paimon_spark"
+                                        or name.startswith("paimon_spark.")):
+                    cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
     try:
         PaimonDataSource._pushdown_default = (
             "true" if str(spark.conf.get(
