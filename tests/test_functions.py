@@ -411,6 +411,40 @@ def test_embedding_guard_components_match_unguarded(spark):
     assert cg == cr
 
 
+def test_zero_norm_cosine_matches_duckdb(spark, duck):
+    """Zero-norm vectors (VERDICT r13 #6): every cosine site routes
+    through cos_div = try_divide, so an all-zero vector yields NULL —
+    exactly DuckDB's double-division-by-zero semantics (probed: NULL,
+    not NaN) — instead of raising ANSI DIVIDE_BY_ZERO; non-zero pairs
+    divide bit-identically to the bare `/`."""
+    rows = [(1, [0.0] * 64),
+            (2, [float(j % 7) for j in range(64)]),
+            (3, [2.0 * (j % 7) for j in range(64)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a, b = emb.alias("a"), emb.alias("b")
+    got = sorted(
+        (r["ia"], r["ib"], r["c"]) for r in
+        a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+                F.round(SIM.cosine(F.col("a.embedding"),
+                                   F.col("b.embedding")), 4).alias("c"))
+        .collect())
+    arr = {i: "[" + ",".join(str(x) for x in v) + "]::DOUBLE[]"
+           for i, v in rows}
+    exp = sorted(duck.sql(
+        f"""with v(vec_id, e) as (values (1, {arr[1]}), (2, {arr[2]}),
+                                         (3, {arr[3]}))
+            select a.vec_id, b.vec_id,
+                   round({SIM.sql_cosine('a.e', 'b.e')}, 4)
+            from v a join v b on a.vec_id < b.vec_id""").fetchall())
+    assert [(x, y, None if c is None else round(c, 4)) for x, y, c in got] \
+        == [(x, y, None if c is None else round(c, 4)) for x, y, c in exp]
+    # the zero vector flows through the full near-dup pipeline without
+    # an error and its undefined scores drop out of the >= filter
+    out = SIM.embedding_near_dup(emb, threshold=0.4).collect()
+    assert all(r["id_a"] != 1 and r["id_b"] != 1 for r in out)
+
+
 def test_pack_sequences_layout(spark):
     """Concat-then-chop packing: offsets are the running token total in
     id order per shard; bins chop at seq_len; straddlers span bins."""
