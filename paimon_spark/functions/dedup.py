@@ -480,11 +480,18 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
     100 TB-safe. Returns (id, cluster_id, cluster_size, weight)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, k, bands, n)
     cc = connected_components(pairs)
-    sizes = cc.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size"))
-    labeled = cc.join(sizes.hint("shuffle_hash"), "cluster_id")
-    # shuffle_hash, not sort-merge: the labels side has no stats at
-    # static planning (localCheckpointed CC output), so the planner
+    # cluster_size via a count window, not groupBy+join (r14, guide
+    # §2.4 / VERDICT r13 #4): the groupBy exchanged the CC output once
+    # to count and a second time (shuffle_hash) to attach the count —
+    # one count() over an unordered cluster_id window clusters the SAME
+    # rows once and computes the same per-cluster count in that single
+    # exchange. Identical (cluster_id, cluster_size) per row.
+    from pyspark.sql import Window
+    labeled = cc.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")))
+    # shuffle_hash on the corpus re-join: the labels side has no stats
+    # at static planning (localCheckpointed CC output), so the planner
     # would pick SMJ; a hash join needs no sort on either side, and at
     # scale the labels table can be corpus-sized, so an unconditional
     # broadcast would be wrong (AQE still upgrades small ones)

@@ -695,10 +695,19 @@ def ngram_lm_quality(df, id_col: str = "doc_id", text_col: str = "text",
     uni = (t.select(F.explode("__t").alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("__c1")))
     vocab = uni.agg(F.count("*").alias("__v"))
-    bc = bg.groupBy("bg").agg(F.count("*").alias("__c2"))
+    # bigram COUNT identity is (w1, bg) — w1 rides along anyway, so the
+    # composite key is free and confines a hash collision to bigrams
+    # sharing the same first word (VERDICT r13 #9: plain 64-bit identity
+    # merges ~(n_bigrams^2)/2^65 pairs at 10^10+ distinct bigrams; with
+    # w1 in the key the birthday pool shrinks to each w1's successor set
+    # — ~10^3 typical — putting the corpus-wide expected collisions at
+    # ~V * (10^3)^2 / 2^65 ≈ 0 for any real vocabulary). Grouping,
+    # counts and scores are unchanged wherever no collision occurs, i.e.
+    # everywhere at tested scales (oracle-exact).
+    bc = bg.groupBy("w1", "bg").agg(F.count("*").alias("__c2"))
     p = (F.col("__c2") + F.lit(k)) \
         / (F.col("__c1") + F.lit(k) * F.col("__v"))
-    return (bg.join(bc, "bg").join(uni, "w1")
+    return (bg.join(bc, ["w1", "bg"]).join(uni, "w1")
             .crossJoin(F.broadcast(vocab))
             .groupBy("id")
             .agg(F.round(F.avg(F.log(p)), 6).alias("lm_score"),
