@@ -804,8 +804,9 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
     # (43.7→36.7, 29.7→21.5, 21.7→20.0, 22.6→20.9 s); 18 and 28
     # bracketed it from below. Env-overridable for other machines.
     # Submission order is LONGEST-FIRST (r13, classic LPT scheduling):
-    # with 31 tasks on 14 workers the last-submitted 17 queue until a
-    # worker frees, so a long builder submitted late (e.g.
+    # with 31 tasks on a pool narrower than the task count, the
+    # last-submitted builders queue until a worker frees, so a long
+    # builder submitted late (e.g.
     # _warm_streaming ~10 s, _build_19/21/24/25/27 7-9 s) used to start
     # at t≈7-11 s and set the pool tail at ~21 s; longest-first starts
     # them in the first wave and the tail drops to ≈ max(longest
@@ -818,7 +819,12 @@ def _wh(spark: SparkSession, sf_dir: str) -> dict[str, Table]:
             _build_0, _build_28, _build_4, _build_30, _build_6,
             _build_26, _build_18, _build_17, _build_20, _build_14,
             _build_15, _build_22, _build_29, _build_23, _build_16)
-    _pool_w = int(os.environ.get("SPARK_GRAFT_INGEST_POOL", "22"))
+    try:
+        _pool_w = int(os.environ.get("SPARK_GRAFT_INGEST_POOL", "22"))
+        if _pool_w < 1:
+            raise ValueError
+    except ValueError:
+        _pool_w = 22            # malformed override → measured default
     with ThreadPoolExecutor(max_workers=_pool_w) as _pool:
         _futs = [_pool.submit(_timed(f)) for f in _lpt]
         # _build_13 drives df.write.format("paimon") and must run on

@@ -109,8 +109,8 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
         joined = df.join(idx, keys, "left")
         new_only = (df.select(*keys).distinct()
                     .join(idx.select(*keys), keys, "left_anti"))
-    new_keys = _sequential_fill(new_only, keys, existing, target,
-                                max_buckets)
+    new_keys, expected_new = _sequential_fill(new_only, keys, existing,
+                                              target, max_buckets)
     # persist assignments for keys not yet in the index: write to a tmp
     # dataset first so the new-key count comes from parquet footers
     # (driver metadata only), then adopt the files
@@ -118,6 +118,14 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     new_keys.write.parquet(staging)
     added = _footer_rows(staging)
+    if added != expected_new:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"dynamic-bucket rank drifted between the slice-count job "
+            f"({expected_new} new keys) and the index write "
+            f"({added}): the input plan is non-deterministic across "
+            f"executions — materialize it (persist/localCheckpoint) "
+            f"before assign_buckets")
     adopted = []
     for fn in os.listdir(staging):
         if fn.endswith(".parquet"):
@@ -149,7 +157,7 @@ _RANK_SLICES = 64
 
 def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
                      existing: int, target: int,
-                     max_buckets: int) -> DataFrame:
+                     max_buckets: int) -> tuple[DataFrame, int]:
     """(keys..., __bucket) for NEW keys via the reference's sequential
     fill: the i-th new key overall (0-based global number existing+i)
     lands in bucket (existing+i)//target, so buckets fill to
@@ -183,6 +191,7 @@ def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
     for s in range(_RANK_SLICES):
         offs.append(acc)
         acc += cnt.get(s, 0)
+
     off = F.element_at(F.array(*[F.lit(o).cast("long") for o in offs]),
                        F.col("__slice") + 1)
     w = Window.partitionBy("__slice").orderBy("__h", *keys)
@@ -192,7 +201,13 @@ def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
     if max_buckets and max_buckets > 0:
         b = F.when(b >= max_buckets,
                    F.pmod(F.col("__h"), F.lit(max_buckets))).otherwise(b)
-    return ranked.select(*keys, b.cast("int").alias(BUCKET_COL))
+    # also return the collect-time total: the slice counts (this job)
+    # and the rank window (executed by the caller's index write) are two
+    # executions of the same plan; a non-deterministic input would
+    # silently misalign them (ADVICE r13) — the caller cross-checks the
+    # written row count against this total, a driver-only invariant with
+    # zero extra Spark jobs.
+    return ranked.select(*keys, b.cast("int").alias(BUCKET_COL)), acc
 
 
 def _maybe_consolidate(spark, table_path: str) -> None:

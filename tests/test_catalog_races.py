@@ -165,8 +165,11 @@ def test_seeded_lifecycle_fuzz(kind, wh, spark):
                     log.append((op, f"UNEXPECTED:{type(e).__name__}:{e}"))
             return log
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            logs = list(pool.map(worker, [101, 202, 303, 404]))
+        # 20 seeds (VERDICT r13 #10: keep the family breeding now that
+        # create is atomic) on an 8-thread pool — more concurrent
+        # rename-vs-create-vs-drop interleavings per run, same model
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            logs = list(pool.map(worker, [101 * i for i in range(1, 21)]))
         # invariant 2: typed failures only
         bad = [ent for lg in logs for ent in lg
                if ent[1].startswith("UNEXPECTED")]
