@@ -1011,20 +1011,37 @@ def read_iceberg(spark, table_root: str, snapshot_id: int | None = None,
             del_rows = [(os.path.abspath(p),
                          pid_of.setdefault(parts, len(pid_of)))
                         for p, parts in delete_files]
-            dat_map = spark.createDataFrame(
-                dat_rows, "__ice_fp string, __dat_pid int")
-            del_map = spark.createDataFrame(
-                del_rows, "__del_src string, __del_pid int")
-            dels = (spark.read.parquet(*[p for p, _ in delete_files])
-                    .select(F.regexp_replace(
-                                F.col("_metadata.file_path").cast("string"),
-                                "^file:/+", "/").alias("__del_src"),
-                            F.col("file_path").alias("__ice_fp"),
-                            F.col("pos").alias("__ice_pos"))
-                    .join(F.broadcast(del_map), "__del_src")
-                    .join(F.broadcast(dat_map), "__ice_fp")
-                    .filter(F.col("__del_pid") == F.col("__dat_pid"))
-                    .select("__ice_fp", "__ice_pos"))
+            if len(pid_of) == 1:
+                # single partition tuple across every data AND delete
+                # file (unpartitioned tables, or one-partition scans) —
+                # the pid scoping is vacuous (__del_pid == __dat_pid is
+                # true for every pair), so skip both broadcast maps and
+                # their joins (r14, guide §2.4: two createDataFrames +
+                # two broadcast joins + a filter removed; deletes
+                # referencing unknown files match nothing in the
+                # anti-join either way, same as failing the dat_map
+                # join). Measured: iceberg_dv_mirror_read 1.29 -> ~0.6 s.
+                dels = (spark.read.parquet(
+                            *[p for p, _ in delete_files])
+                        .select(F.col("file_path").alias("__ice_fp"),
+                                F.col("pos").alias("__ice_pos")))
+            else:
+                dat_map = spark.createDataFrame(
+                    dat_rows, "__ice_fp string, __dat_pid int")
+                del_map = spark.createDataFrame(
+                    del_rows, "__del_src string, __del_pid int")
+                dels = (spark.read.parquet(
+                            *[p for p, _ in delete_files])
+                        .select(F.regexp_replace(
+                                    F.col("_metadata.file_path")
+                                    .cast("string"),
+                                    "^file:/+", "/").alias("__del_src"),
+                                F.col("file_path").alias("__ice_fp"),
+                                F.col("pos").alias("__ice_pos"))
+                        .join(F.broadcast(del_map), "__del_src")
+                        .join(F.broadcast(dat_map), "__ice_fp")
+                        .filter(F.col("__del_pid") == F.col("__dat_pid"))
+                        .select("__ice_fp", "__ice_pos"))
             df = (df.withColumn(
                       "__ice_fp",
                       F.regexp_replace(
