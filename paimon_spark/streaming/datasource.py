@@ -1196,7 +1196,22 @@ def register(spark):
         by_name_ok = pkg_parent in jvm_pp.split(os.pathsep)
     except Exception:
         by_name_ok = False
-    if not by_name_ok:
+    if by_name_ok:
+        # THIS module must still travel by value: register() mutates
+        # class state (`PaimonDataSource._pushdown_default`) that a
+        # by-name unpickle would lose — the worker would re-import the
+        # pristine class and silently skip filter pushdown (caught by
+        # test_python_datasource_filter_pushdown). One small module's
+        # code re-executes per unpickle (~ms); its imports (table.py
+        # etc.) resolve by name against the warm module cache.
+        try:
+            import sys as _sys
+
+            from pyspark import cloudpickle
+            cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+        except Exception:
+            pass
+    else:
         try:
             import importlib
             import pkgutil
