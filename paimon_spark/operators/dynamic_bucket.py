@@ -70,12 +70,26 @@ def _footer_rows(directory: str) -> int:
     return total
 
 
+def _index_schema(schema: TableSchema):
+    """Static schema of the index dataset (trimmed pk columns +
+    __bucket): passing it to the reader skips the parquet
+    schema-inference Spark job that spark.read.parquet(dir) runs on
+    EVERY append (r14 — measured 2 of the ~14 jobs a small
+    dynamic-bucket append paid were pure schema sniffing)."""
+    from pyspark.sql import types as T
+    fields = [T.StructField(f.name, f.dataType, True)
+              for f in schema.struct.fields
+              if f.name in set(schema.trimmed_primary_keys)]
+    return T.StructType(fields + [T.StructField(BUCKET_COL,
+                                                T.IntegerType(), True)])
+
+
 def load_index(spark, table_path: str, schema: TableSchema) -> DataFrame | None:
     d = index_dir(table_path)
     if not os.path.isdir(d) or not any(
             f.endswith(".parquet") for f in os.listdir(d)):
         return None
-    return spark.read.parquet(d)
+    return spark.read.schema(_index_schema(schema)).parquet(d)
 
 
 def assign_buckets(spark, table_path: str, schema: TableSchema,
@@ -109,14 +123,24 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
         joined = df.join(idx, keys, "left")
         new_only = (df.select(*keys).distinct()
                     .join(idx.select(*keys), keys, "left_anti"))
-    new_keys, expected_new = _sequential_fill(new_only, keys, existing,
-                                              target, max_buckets)
-    # persist assignments for keys not yet in the index: write to a tmp
-    # dataset first so the new-key count comes from parquet footers
-    # (driver metadata only), then adopt the files
-    os.makedirs(d, exist_ok=True)
-    staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-    new_keys.write.parquet(staging)
+    # persist the new-key set: _sequential_fill's slice-count collect
+    # and the index write below are two executions of this subtree
+    # (distinct + anti-join) — caching it executes it once, drops ~2
+    # AQE stage-jobs per append, and pins the exact row set both
+    # executions see (belt to the drift guard's suspenders)
+    new_only = new_only.persist()
+    try:
+        new_keys, expected_new = _sequential_fill(new_only, keys,
+                                                  existing, target,
+                                                  max_buckets)
+        # persist assignments for keys not yet in the index: write to a
+        # tmp dataset first so the new-key count comes from parquet
+        # footers (driver metadata only), then adopt the files
+        os.makedirs(d, exist_ok=True)
+        staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        new_keys.write.parquet(staging)
+    finally:
+        new_only.unpersist()
     added = _footer_rows(staging)
     if added != expected_new:
         shutil.rmtree(staging, ignore_errors=True)
@@ -139,7 +163,8 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     # reusing the plan would re-execute the whole distributed rank a
     # second time at stage/commit (the written files are its result)
     if added and adopted:
-        new_idx = spark.read.parquet(*adopted)
+        new_idx = spark.read.schema(_index_schema(schema)) \
+            .parquet(*adopted)
     else:
         new_idx = new_keys                     # empty: plan is cheap
     assigned = (joined.join(new_idx.withColumnRenamed(BUCKET_COL,
