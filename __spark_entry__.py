@@ -2217,10 +2217,20 @@ def pipeline_curated_corpus(spark, sf_dir):
     (bigram LM + recursive-CTE components)."""
     docs = _read(spark, sf_dir, "documents")
     lm = TX.ngram_lm_quality(docs, "doc_id", "text")
-    w = DD.soft_dedup_weights(docs, "doc_id", "text", 16, 4)
-    joined = (docs.join(lm, "doc_id").join(w, "doc_id")
-              .filter((F.col("lm_score") >= -6.5)
-                      & (F.col("doc_id") == F.col("cluster_id"))))
+    # survivorship via ANTI-JOIN against the non-survivor ids (r14,
+    # guide §1.2/§2.3): the pipeline's gate is `doc_id = cluster_id`
+    # and nothing else from soft_dedup_weights — the per-node label
+    # join, the corpus-wide re-join and the cluster-size window all
+    # produced columns this query threw away. cc_nonsurvivors returns
+    # exactly the ids with cluster_id ≠ doc_id (the fixpoint stars'
+    # child side), so the anti-join keeps the identical survivor set
+    # (oracle: coalesce(cluster_id, doc_id) = doc_id) while the
+    # corpus-sized shuffle drops to a |non-survivors|-sized broadcast.
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", 16, 4)
+    losers = DD.cc_nonsurvivors(pairs).withColumnRenamed("id", "doc_id")
+    joined = (docs.join(lm, "doc_id")
+              .filter(F.col("lm_score") >= -6.5)
+              .join(losers, "doc_id", "left_anti"))
     toks = joined.select(
         "doc_id", "lang", "lm_score",
         TX.token_count(F.col("text")).cast("long").alias("__nt"))

@@ -347,66 +347,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Near-duplicate CLUSTERS from candidate pairs: (doc_id,
-    cluster_id = min id in the connected component). Closes the dedup
-    loop — LSH emits pairs, this groups them, and `doc_id = cluster_id`
-    marks the survivor each cluster keeps.
-
-    Alternating large-star/small-star (Kiveris et al., MapReduce CC) —
-    converges in O(log n) ROUNDS regardless of component diameter, so a
-    100 TB corpus whose near-dup graph contains a pathological chain
-    (transitive 0.9-similarity drift) finishes in ~log2(n) rounds where
-    plain min-label propagation needs diameter rounds (r9 shape: raised
-    past max_iter=20 on any >20-deep chain). Near-clique dup clusters
-    converge in 2-3 rounds, same as before. Each round is two shuffles;
-    the driver loop is CONTROL only (convergence check is a limit-1
-    anti-join count, data stays distributed)."""
+def _cc_fixpoint_edges(pairs: DataFrame,
+                       max_iter: int = 25
+                       ) -> tuple[DataFrame, DataFrame]:
+    """The star-contraction loop of connected_components, split out
+    (r14) so survivor-only consumers can stop at the fixpoint EDGES:
+    returns (initial_edges, fixpoint_edges), both localCheckpointed.
+    At the fixpoint the edge set is a union of disjoint stars (verified
+    by the convergence probe), so fixpoint edges are exactly one
+    (child → component-min root) row per NON-ROOT node."""
     edges0 = pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst")) \
         .filter(F.col("src") != F.col("dst"))
-    # localCheckpoint (not persist): TRUNCATES lineage. The loop below
-    # otherwise re-analyzes the whole upstream pairs plan (LSH joins,
-    # windows, unions) on every iteration's action, and each round's
-    # edges compound it — Catalyst analysis time grows superlinearly in
-    # iterations (measured 10.2 s → 2.9 s on sf0.1 clusters). Same
-    # reason GraphX checkpoints iterative state.
-    # checkpoint edges FIRST, then derive nodes from the checkpointed
-    # edges: (a) the upstream pairs plan (LSH joins, windows, unions)
-    # is analyzed and executed once, not twice; (b) a Union whose two
-    # children project different columns of the same complex upstream
-    # plan trips Spark 4.1's UnionBase.rewriteConstraints
-    # (NoSuchElementException: key not found) when that plan carries
-    # cross-column constraints — union over the flat LogicalRDD can't.
-    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-        # Checkpoint with constraint propagation DISABLED (r13): Spark
-        # 4.1's LogicalRDD captures the origin plan's constraints at
-        # localCheckpoint time, and constraints mined from a complex
-        # pairs plan (aliases over pruned attributes) crash
-        # UnionBase.rewriteConstraints (NoSuchElementException: key not
-        # found) when the star rounds union that LogicalRDD — reproduced
-        # with any non-nullable source (e.g. spark.range-derived docs);
-        # nullable parquet sources generate no constraints, which is why
-        # the bench corpus never tripped it. A checkpoint taken while
-        # the conf is off carries NO origin constraints, permanently, so
-        # every downstream union is safe with constraints re-enabled.
-        # CC results are constraint-independent; the flip is driver-side
-        # and restored immediately.
-        sess = df.sparkSession
-        key = "spark.sql.constraintPropagation.enabled"
-        prev = sess.conf.get(key)
-        sess.conf.set(key, "false")
-        try:
-            return df.localCheckpoint(eager=eager)
-        finally:
-            sess.conf.set(key, prev)
-
-    edges = _ckpt(edges0.distinct())
-    # nodes: LAZY checkpoint — only the final star join reads it, so its
-    # materialization rides that action instead of paying its own job
-    nodes = _ckpt(edges.select(F.col("src").alias("id"))
-                  .union(edges.select(F.col("dst").alias("id")))
-                  .distinct(), eager=False)
+    initial = _ckpt_no_constraints(edges0.distinct())
+    edges = initial
     converged = False
     for _ in range(max_iter):
         # LAZY checkpoint + single-reference probe (r13): the probe
@@ -418,7 +372,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # under a lazy checkpoint computed the round twice — both legs
         # raced the cache — measured 2.2 s → 5.5 s on
         # soft_dedup_weights; the single-scan probe cannot.)
-        edges = _ckpt(_small_star(_large_star(edges)), eager=False)
+        edges = _ckpt_no_constraints(_small_star(_large_star(edges)),
+                                     eager=False)
         # termination = the edge set is a UNION OF DISJOINT STARS:
         # (a) no node appears as both a src (child) and a dst (parent),
         # AND (b) no src carries two distinct parents. Condition (a)
@@ -455,6 +410,87 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             f"rounds (~2^{max_iter}-node component); raise max_iter — "
             f"each extra round costs two shuffles, data stays "
             f"distributed")
+    return initial, edges
+
+
+def _ckpt_no_constraints(df: DataFrame, eager: bool = True) -> DataFrame:
+    # Checkpoint with constraint propagation DISABLED (r13): Spark
+    # 4.1's LogicalRDD captures the origin plan's constraints at
+    # localCheckpoint time, and constraints mined from a complex
+    # pairs plan (aliases over pruned attributes) crash
+    # UnionBase.rewriteConstraints (NoSuchElementException: key not
+    # found) when the star rounds union that LogicalRDD — reproduced
+    # with any non-nullable source (e.g. spark.range-derived docs);
+    # nullable parquet sources generate no constraints, which is why
+    # the bench corpus never tripped it. A checkpoint taken while
+    # the conf is off carries NO origin constraints, permanently, so
+    # every downstream union is safe with constraints re-enabled.
+    # CC results are constraint-independent; the flip is driver-side
+    # and restored immediately.
+    sess = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = sess.conf.get(key)
+    sess.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=eager)
+    finally:
+        sess.conf.set(key, prev)
+
+
+def cc_nonsurvivors(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Just the ids that LOSE their near-dup cluster (cluster_id ≠ id),
+    i.e. the fixpoint stars' child (src) side — r14, guide §1.2 ("don't
+    compute things you throw away"): survivorship-only consumers
+    (pipeline_curated_corpus's `doc_id = cluster_id` gate) don't need
+    the per-node labels, so the full-node left join, the corpus
+    re-join and the cluster-size pass all drop out; an anti-join
+    against this (non-survivors ≪ corpus) set is the whole filter.
+    Identical survivor set by construction: connected_components
+    labels doc_id = cluster_id exactly for roots and non-nodes, and
+    the fixpoint src set is precisely the non-root nodes."""
+    _initial, edges = _cc_fixpoint_edges(pairs, max_iter)
+    return edges.select(F.col("src").alias("id"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: (doc_id,
+    cluster_id = min id in the connected component). Closes the dedup
+    loop — LSH emits pairs, this groups them, and `doc_id = cluster_id`
+    marks the survivor each cluster keeps.
+
+    Alternating large-star/small-star (Kiveris et al., MapReduce CC) —
+    converges in O(log n) ROUNDS regardless of component diameter, so a
+    100 TB corpus whose near-dup graph contains a pathological chain
+    (transitive 0.9-similarity drift) finishes in ~log2(n) rounds where
+    plain min-label propagation needs diameter rounds (r9 shape: raised
+    past max_iter=20 on any >20-deep chain). Near-clique dup clusters
+    converge in 2-3 rounds, same as before. Each round is two shuffles;
+    the driver loop is CONTROL only (convergence check is a limit-1
+    anti-join count, data stays distributed).
+
+    localCheckpoint (not persist): TRUNCATES lineage. The loop
+    otherwise re-analyzes the whole upstream pairs plan (LSH joins,
+    windows, unions) on every iteration's action, and each round's
+    edges compound it — Catalyst analysis time grows superlinearly in
+    iterations (measured 10.2 s → 2.9 s on sf0.1 clusters). Same
+    reason GraphX checkpoints iterative state.
+    Edges are checkpointed FIRST, then nodes derive from the
+    checkpointed edges: (a) the upstream pairs plan (LSH joins,
+    windows, unions) is analyzed and executed once, not twice; (b) a
+    Union whose two children project different columns of the same
+    complex upstream plan trips Spark 4.1's
+    UnionBase.rewriteConstraints (NoSuchElementException: key not
+    found) when that plan carries cross-column constraints — union
+    over the flat LogicalRDD can't. (Loop split out as
+    _cc_fixpoint_edges in r14 so survivor-only consumers can skip the
+    label join below; this function's output is unchanged.)"""
+    initial, edges = _cc_fixpoint_edges(pairs, max_iter)
+    # nodes: LAZY checkpoint — only the final star join reads it, so its
+    # materialization rides that action instead of paying its own job
+    nodes = _ckpt_no_constraints(
+        initial.select(F.col("src").alias("id"))
+        .union(initial.select(F.col("dst").alias("id")))
+        .distinct(), eager=False)
     # fixpoint edges form a star: (node → component min). Roots never
     # appear as src — they label themselves. (shuffle_hash: no stats on
     # either checkpointed side; hash join needs no sorts)

@@ -717,6 +717,34 @@ def test_connected_components_random_graphs_vs_union_find(spark):
     check()
 
 
+def test_cc_nonsurvivors_matches_connected_components(spark):
+    """cc_nonsurvivors (r14: the survivorship-only fast path
+    pipeline_curated_corpus anti-joins against) must equal exactly the
+    ids connected_components labels with cluster_id != doc_id — on the
+    documented bridge regressions and random graphs."""
+    from hypothesis import example, given, settings, strategies as st
+
+    from paimon_spark.functions.dedup import (cc_nonsurvivors,
+                                              connected_components)
+
+    edge = st.tuples(st.integers(0, 60), st.integers(0, 60))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=80))
+    @example([(5, 7), (1, 7), (5, 9), (2, 9)])            # bridge
+    @example([(1, 2), (2, 3), (3, 4), (4, 5)])            # chain
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        want = {r.doc_id for r in connected_components(pairs).collect()
+                if r.doc_id != r.cluster_id}
+        got = [r.id for r in cc_nonsurvivors(pairs).collect()]
+        assert len(got) == len(set(got)), got   # one row per non-survivor
+        assert set(got) == want, (sorted(got), sorted(want))
+
+    check()
+
+
 def test_url_canonicalize_and_dedup(spark):
     """Canonicalization edge cases: case-folded scheme+host (path case
     preserved), default-port strip (non-default kept), tracking params
