@@ -110,7 +110,13 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     # consolidate BEFORE loading: the DataFrame this call returns stays
     # lazy in the caller (stage/commit executes it later), so deleting
     # index files after load_index would break that pending plan
-    _maybe_consolidate(spark, table_path)
+    try:
+        files_cap = int(schema.options.get(
+            "dynamic-bucket.index-consolidate-files",
+            str(CONSOLIDATE_FILES)))
+    except ValueError:
+        files_cap = CONSOLIDATE_FILES
+    _maybe_consolidate(spark, table_path, files_cap)
     idx = load_index(spark, table_path, schema)
     if idx is None:
         existing = 0
@@ -130,17 +136,121 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
     # executions see (belt to the drift guard's suspenders)
     new_only = new_only.persist()
     try:
-        new_keys, expected_new = _sequential_fill(new_only, keys,
-                                                  existing, target,
-                                                  max_buckets)
-        # persist assignments for keys not yet in the index: write to a
-        # tmp dataset first so the new-key count comes from parquet
-        # footers (driver metadata only), then adopt the files
-        os.makedirs(d, exist_ok=True)
-        staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        new_keys.write.parquet(staging)
+        adopted, added = _small_batch_fill(
+            spark, d, new_only, keys, schema, existing, target,
+            max_buckets)
+        if adopted is None:
+            adopted, added = _distributed_fill(
+                d, new_only, keys, existing, target, max_buckets)
     finally:
         new_only.unpersist()
+    _save_count(table_path, existing + added)
+    # r13: join against the JUST-WRITTEN index files, not the rank
+    # plan — the returned DataFrame stays lazy in the caller, and
+    # reusing the plan would re-execute the whole distributed rank a
+    # second time at stage/commit (the written files are its result)
+    if added and adopted:
+        new_idx = spark.read.schema(_index_schema(schema)) \
+            .parquet(*adopted)
+    else:
+        new_idx = spark.createDataFrame([], _index_schema(schema))
+    assigned = (joined.join(new_idx.withColumnRenamed(BUCKET_COL,
+                                                      "__nb"),
+                            keys, "left")
+                .withColumn(BUCKET_COL,
+                            F.coalesce(F.col(BUCKET_COL), F.col("__nb"))
+                            .cast("int"))
+                .drop("__nb"))
+    return assigned
+
+
+_RANK_SLICES = 64
+SMALL_FILL_ROWS = 4096
+
+
+def _py_sort_key_ok(schema: TableSchema, keys: list[str]) -> bool:
+    """True iff Python tuple ordering of collected key values provably
+    matches Spark's orderBy on those columns: integrals, strings
+    (compared as UTF-8 bytes — code-point order, same as Spark's binary
+    compare), booleans, dates, timestamps, decimals, binary. Float and
+    double keys are excluded (Spark orders NaN largest; Python NaN
+    comparisons are unordered)."""
+    from pyspark.sql import types as T
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+          T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+          T.TimestampNTZType, T.DecimalType, T.BinaryType)
+    return all(isinstance(schema.data_type(k), ok) for k in keys)
+
+
+def _small_batch_fill(spark, d: str, new_only: DataFrame,
+                      keys: list[str], schema: TableSchema,
+                      existing: int, target: int,
+                      max_buckets: int):
+    """Driver-side sequential fill for SMALL new-key batches (r14,
+    guide §5 — metadata-sized work should not pay Spark jobs): one
+    limit-probed collect of (keys, xxhash64) replaces the slice-count
+    job AND the distributed rank write — per tiny append that is 2-3
+    fewer Spark jobs, the steady-state shape of a per-commit upsert
+    stream. The hash comes FROM Spark (identical xxhash64), the sort is
+    the same total order ((__h, keys) — key types gated by
+    _py_sort_key_ok), and the arithmetic (existing+i)//target with
+    pmod overflow is integer-exact, so assignments are bit-identical
+    to the distributed path. Returns (adopted, added), or (None, None)
+    to fall back when the batch exceeds SMALL_FILL_ROWS, a key type is
+    not order-safe, or a key is NULL."""
+    if not _py_sort_key_ok(schema, keys):
+        return None, None
+    nk = new_only.withColumn(
+        "__h", F.xxhash64(*[F.col(k) for k in keys]))
+    rows = nk.limit(SMALL_FILL_ROWS + 1).collect()
+    if len(rows) > SMALL_FILL_ROWS:
+        return None, None                      # big batch: distributed
+    if not rows:
+        return [], 0
+
+    def norm(v):
+        return v.encode("utf-8") if isinstance(v, str) else v
+
+    vals = []
+    for r in rows:
+        kv = tuple(r[k] for k in keys)
+        if any(v is None for v in kv):
+            return None, None                  # NULL key: fall back
+        vals.append((r["__h"], kv))
+    vals.sort(key=lambda hv: (hv[0], tuple(norm(v) for v in hv[1])))
+    out_rows = []
+    for i, (h, kv) in enumerate(vals):
+        b = (existing + i) // target
+        if max_buckets and max_buckets > 0 and b >= max_buckets:
+            b = h % max_buckets                # == pmod(__h, max_buckets)
+        out_rows.append(dict(zip(keys, kv), **{BUCKET_COL: b}))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(_index_schema(schema))
+    tbl = pa.Table.from_pylist(out_rows, schema=arrow_schema)
+    os.makedirs(d, exist_ok=True)
+    dest = os.path.join(d, f"idx-{uuid.uuid4().hex}.parquet")
+    tmp = dest + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, dest)
+    return [dest], len(out_rows)
+
+
+def _distributed_fill(d: str, new_only: DataFrame, keys: list[str],
+                      existing: int, target: int,
+                      max_buckets: int):
+    """The distributed rank + staged parquet write (the pre-r14 path,
+    unchanged): used for large batches and order-unsafe key types."""
+    new_keys, expected_new = _sequential_fill(new_only, keys,
+                                              existing, target,
+                                              max_buckets)
+    # persist assignments for keys not yet in the index: write to a
+    # tmp dataset first so the new-key count comes from parquet
+    # footers (driver metadata only), then adopt the files
+    os.makedirs(d, exist_ok=True)
+    staging = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    new_keys.write.parquet(staging)
     added = _footer_rows(staging)
     if added != expected_new:
         shutil.rmtree(staging, ignore_errors=True)
@@ -157,27 +267,7 @@ def assign_buckets(spark, table_path: str, schema: TableSchema,
             os.rename(os.path.join(staging, fn), dest)
             adopted.append(dest)
     shutil.rmtree(staging, ignore_errors=True)
-    _save_count(table_path, existing + added)
-    # r13: join against the JUST-WRITTEN index files, not the new_keys
-    # plan — the returned DataFrame stays lazy in the caller, and
-    # reusing the plan would re-execute the whole distributed rank a
-    # second time at stage/commit (the written files are its result)
-    if added and adopted:
-        new_idx = spark.read.schema(_index_schema(schema)) \
-            .parquet(*adopted)
-    else:
-        new_idx = new_keys                     # empty: plan is cheap
-    assigned = (joined.join(new_idx.withColumnRenamed(BUCKET_COL,
-                                                      "__nb"),
-                            keys, "left")
-                .withColumn(BUCKET_COL,
-                            F.coalesce(F.col(BUCKET_COL), F.col("__nb"))
-                            .cast("int"))
-                .drop("__nb"))
-    return assigned
-
-
-_RANK_SLICES = 64
+    return adopted, added
 
 
 def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
@@ -235,16 +325,19 @@ def _sequential_fill(new_keys_df: DataFrame, keys: list[str],
     return ranked.select(*keys, b.cast("int").alias(BUCKET_COL)), acc
 
 
-def _maybe_consolidate(spark, table_path: str) -> None:
+def _maybe_consolidate(spark, table_path: str,
+                       files_cap: int = CONSOLIDATE_FILES) -> None:
     """Rewrite the index dataset into a bounded file set once the
-    append-only tail grows past CONSOLIDATE_FILES (single-logical-writer
+    append-only tail grows past the cap (default CONSOLIDATE_FILES,
+    per-table override `dynamic-bucket.index-consolidate-files` —
+    commit cadence varies by deployment; single-logical-writer
     assumption, same as the cross-partition index consolidation at
     cross_partition.py)."""
     d = index_dir(table_path)
     if not os.path.isdir(d):
         return
     old = [f for f in os.listdir(d) if f.endswith(".parquet")]
-    if len(old) <= CONSOLIDATE_FILES:
+    if len(old) <= files_cap:
         return
     cur = spark.read.parquet(*[os.path.join(d, f) for f in old])
     tmp = d + f".compact-{uuid.uuid4().hex}"
