@@ -84,17 +84,28 @@ def _drop_before_delete(df: DataFrame, schema: TableSchema) -> DataFrame:
               .drop("__d_seq"))
 
 
-def merge_deduplicate(df: DataFrame, schema: TableSchema) -> DataFrame:
+def merge_deduplicate(df: DataFrame, schema: TableSchema,
+                      carry_max_seq: bool = False) -> DataFrame:
     """Keep the row with the highest (sequence.field, _sequence_number) per
     PK; drop it if that row is a retraction.
     (ref: DeduplicateMergeFunction.java:48-58 + DropDeleteReader,
-     MergeFileSplitRead.java:482)"""
+     MergeFileSplitRead.java:482)
+
+    carry_max_seq (r14, guide §2.4): compaction must carry each key's
+    max commit sequence into the rewritten file; computing it INSIDE
+    this aggregation (one more agg expression in the same groupBy) is
+    the same value the former separate groupBy(pk).max(SEQ)+join
+    produced, minus one full scan of the merge input, one exchange and
+    one join."""
     pks = schema.primary_keys
     vals = _value_cols(schema, df)
     top = F.max_by(F.struct(*[F.col(c) for c in vals + [KIND_COL]]),
                    order_struct(schema, df=df)).alias("__top")
-    out = df.groupBy(*pks).agg(top)
+    aggs = [top] + ([F.max(SEQ_COL).alias(SEQ_COL)]
+                    if carry_max_seq else [])
+    out = df.groupBy(*pks).agg(*aggs)
     out = out.select(*pks, *[F.col(f"__top.{c}").alias(c) for c in vals],
+                     *([F.col(SEQ_COL)] if carry_max_seq else []),
                      F.col(f"__top.{KIND_COL}").alias(KIND_COL))
     return out.filter(~F.col(KIND_COL).isin(*RETRACT_KINDS)).drop(KIND_COL)
 
@@ -375,11 +386,27 @@ def stable_tie_struct() -> Column:
         F.xxhash64(stable).alias("h"))
 
 
-def apply_merge(df: DataFrame, schema: TableSchema) -> DataFrame:
+def apply_merge(df: DataFrame, schema: TableSchema,
+                carry_max_seq: bool = False) -> DataFrame:
+    """carry_max_seq: also return each key's max(_sequence_number) over
+    df as SEQ_COL (the compaction rewrite needs it so later-arriving
+    rows still merge in order). The deduplicate engine computes it
+    inside its own groupBy (zero extra passes); other engines keep the
+    separate groupBy+join, whose semantics their aggregates don't
+    absorb as directly."""
     fn = MERGE_FUNCTIONS.get(schema.merge_engine)
     if fn is None:
         raise ValueError(f"unknown merge-engine {schema.merge_engine}")
+    if carry_max_seq and schema.merge_engine == "deduplicate":
+        out = merge_deduplicate(_with_tie(df), schema, carry_max_seq=True)
+        cols = [c for c in schema.field_names if c in out.columns]
+        return out.select(*cols, SEQ_COL)
     out = fn(_with_tie(df), schema)
     # restore logical column order
     cols = [c for c in schema.field_names if c in out.columns]
-    return out.select(*cols)
+    out = out.select(*cols)
+    if carry_max_seq:
+        seqs = (df.groupBy(*schema.primary_keys)
+                .agg(F.max(SEQ_COL).alias(SEQ_COL)))
+        out = out.join(seqs, schema.primary_keys, "left")
+    return out

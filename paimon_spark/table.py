@@ -1801,13 +1801,12 @@ class Table:
             expire_keep = self._record_expire_keep()
             if expire_keep is not None:
                 df = df.filter(expire_keep)
-            merged = apply_merge(df, self.schema)
             # carry each key's max sequence through so later-arriving rows
-            # still merge in correct order after the rewrite
-            seqs = (df.groupBy(*self.schema.primary_keys)
-                    .agg(F.max(SEQ_COL).alias(SEQ_COL)))
-            merged = (merged.join(seqs, self.schema.primary_keys, "left")
-                      .withColumn(KIND_COL, F.lit("+I")))
+            # still merge in correct order after the rewrite (computed
+            # inside the merge aggregation itself where the engine
+            # allows — one scan/exchange instead of agg + groupBy + join)
+            merged = apply_merge(df, self.schema, carry_max_seq=True) \
+                .withColumn(KIND_COL, F.lit("+I"))
             adds = w.stage(merged, level=COMPACTED_LEVEL)
         else:
             ccols = [c.strip() for c in
@@ -1900,11 +1899,8 @@ class Table:
             df = self._read_files(full_victims)
             if expire_keep is not None:
                 df = df.filter(expire_keep)
-            merged = apply_merge(df, self.schema)
-            seqs = (df.groupBy(*self.schema.primary_keys)
-                    .agg(F.max(SEQ_COL).alias(SEQ_COL)))
-            merged = (merged.join(seqs, self.schema.primary_keys, "left")
-                      .withColumn(KIND_COL, F.lit("+I")))
+            merged = apply_merge(df, self.schema, carry_max_seq=True) \
+                .withColumn(KIND_COL, F.lit("+I"))
             adds += w.stage(merged, level=COMPACTED_LEVEL)
         if partial_victims:
             df = self._read_files(partial_victims)
